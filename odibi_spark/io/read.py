@@ -1,0 +1,127 @@
+"""Source readers (reference: odibi/engine/spark_engine.py:497-902,
+ReadConfig odibi/config.py:2591-2788).
+
+Spark-first: ``spark.read.format(fmt).options(...).load(path)`` with
+options passthrough, a read-time filter (applied post-load so Catalyst
+pushes it into the scan — reference :672-674), and custom-format
+plugin registration (reference: odibi/engine/base.py:16-28).
+
+Scale note: every reader returns a lazy DataFrame; filters/projections
+supplied here reach the parquet scan as PushedFilters/ReadSchema.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# Custom format plugins: name -> reader(spark, path, options) -> DataFrame
+_CUSTOM_READERS: dict[str, Callable[..., DataFrame]] = {}
+
+
+def register_format(name: str, reader: Callable[..., DataFrame]) -> None:
+    """Plugin hook for user formats (reference: engine/base.py:16-28)."""
+    _CUSTOM_READERS[name] = reader
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects outright. Footer inspection is a driver-side metadata
+    read (no data scan), so it's O(1) regardless of table size."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return []
+    target = path
+    if os.path.isdir(path):
+        files = glob.glob(os.path.join(path, "*.parquet"))
+        if not files:
+            return []
+        target = files[0]
+    try:
+        schema = pq.read_schema(target)
+    except Exception:
+        return []
+    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+
+
+def read_parquet(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """Parquet read that tolerates TIMESTAMP(NANOS) columns.
+
+    Spark has no nanosecond timestamp type; ``nanosAsLong`` reads them
+    as epoch-nanos LONG, which we truncate to microseconds — the same
+    truncation DuckDB/pyarrow apply — restoring TimestampType.
+    """
+    ns_cols = _nanos_timestamp_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.options(**options).parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table: ``{sf_dir}/{name}.parquet``."""
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+def read_source(
+    spark: SparkSession,
+    *,
+    format: str,
+    path: str | None = None,
+    table: str | None = None,
+    schema: str | None = None,
+    options: dict[str, object] | None = None,
+    filter: str | None = None,
+    columns: list[str] | None = None,
+    streaming: bool = False,
+) -> DataFrame:
+    """Declarative read (reference: spark_engine.py:856-888 batch,
+    :830-855 streaming; read-time filter :672-674).
+
+    ``filter``/``columns`` are applied immediately after load so they
+    are part of the scan plan (predicate pushdown + column pruning).
+    """
+    fmt = format.lower()
+    opts = {k: str(v) for k, v in (options or {}).items()}
+
+    if fmt in _CUSTOM_READERS:
+        df = _CUSTOM_READERS[fmt](spark, path, opts)
+    elif streaming:
+        reader = spark.readStream.format(fmt).options(**opts)
+        if schema:
+            reader = reader.schema(schema)
+        elif fmt in ("csv", "json", "avro"):
+            raise ValueError(f"streaming {fmt} read requires an explicit DDL schema")
+        df = reader.load(path)
+    elif table:
+        df = spark.read.table(table)
+    elif fmt == "parquet":
+        df = read_parquet(spark, path, **opts)
+    elif fmt == "csv":
+        # bool header normalization (reference: spark_engine.py:866)
+        opts.setdefault("header", "true")
+        reader = spark.read.options(**opts)
+        if schema:
+            reader = reader.schema(schema)
+        df = reader.csv(path)
+    elif fmt == "json":
+        reader = spark.read.options(**opts)
+        if schema:
+            reader = reader.schema(schema)
+        df = reader.json(path)
+    elif fmt in ("orc", "avro", "text"):
+        df = spark.read.format(fmt).options(**opts).load(path)
+    else:
+        raise ValueError(f"unsupported source format '{format}'")
+
+    if filter:
+        df = df.filter(filter)
+    if columns:
+        df = df.select(*columns)
+    return df

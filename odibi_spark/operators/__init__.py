@@ -1,0 +1,5 @@
+"""Operator library. Importing this package registers every named
+operator in the global FunctionRegistry (reference:
+odibi/transformers/__init__.py:24-152 registers ~45 ops by name)."""
+
+from odibi_spark.operators import advanced, relational, sql_core, window  # noqa: F401

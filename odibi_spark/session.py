@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+The reference applies session config passthrough + pre-SQL ``SET`` support
+(reference: odibi/engine/spark_engine.py:221-250); here the session is
+built once with scale-aware defaults:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting) —
+  at 100 TB the static ``spark.sql.shuffle.partitions`` is always wrong
+  for some stage, so let AQE re-plan.
+- Arrow enabled for every pandas interchange (Pandas UDFs, toPandas).
+- Session timezone pinned to UTC so timestamp semantics are stable and
+  comparable against external oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "odibi_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-aware defaults.
+
+    On a real cluster ``master`` comes from the environment; locally we
+    default to ``local[N]`` with N from ``SPARK_GRAFT_CPUS``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
