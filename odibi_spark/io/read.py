@@ -60,7 +60,9 @@ def read_parquet(spark: SparkSession, path: str, **options: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.options(**options).parquet(path)
     for c in ns_cols:
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        # integer DIV, not float division — ns values exceed double's
+        # 53-bit integer range, so `/ 1000` would round the microseconds
+        df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"))
     return df
 
 

@@ -1,0 +1,223 @@
+"""Deduplication families for training-data pipelines:
+
+- exact (content-hash groupBy)
+- n-gram Jaccard over shingle-share candidates
+- MinHash + LSH banding
+- SimHash (64-bit)
+
+Scale design: every variant generates CANDIDATE PAIRS before any
+pairwise computation — never an O(n^2) cross join. Candidates come
+from an equi-join on a shared token (shingle / LSH band / simhash
+band), which Spark executes as an ordinary shuffle join; hot shingles
+are capped by document frequency (``max_df``) so a stop-shingle can't
+produce a quadratic bucket (the standard "stop shingle" guard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash. Returns one row per
+    duplicated content: (fingerprint, n_copies, keep_id = min id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keep_id"))
+        .filter("n_copies > 1")
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingles) with shingles = distinct sorted word n-grams."""
+    words = F.split(F.trim(F.col(text_col)), " ")
+    sh = F.expr(
+        f"array_sort(array_distinct(transform(sequence(1, size(split(trim({text_col}), ' ')) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(split(trim({text_col}), ' '), i, {n})))))"
+    )
+    return df.filter(F.size(words) >= n).select(F.col(id_col).alias("id"), sh.alias("shingles"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard similarity.
+
+    Plan shape (scales linearly in corpus size + candidate count):
+      1. shingle sets per doc (codegen, no shuffle)
+      2. explode -> (shingle, id); drop shingles with document
+         frequency > max_df (stop-shingle guard — a quadratic bucket
+         at 100 TB otherwise)
+      3. self-join on shingle with id_a < id_b -> distinct candidates
+      4. join back the two shingle sets; jaccard =
+         |intersect| / |union| (exact int division in double)
+    """
+    sets = word_shingles(df, id_col, text_col, n)
+    exploded = sets.select("id", F.explode("shingles").alias("shingle"))
+    if max_df:
+        freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        exploded = exploded.join(freq.filter(F.col("df_") <= max_df), "shingle").drop("df_")
+    pairs = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    a = sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    out = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+) -> DataFrame:
+    """MinHash signatures: sig[i] = min over shingles of xxhash64(i, shingle).
+
+    One explode + one groupBy with num_perm min-aggregates — a single
+    shuffle on doc id regardless of num_perm.
+    """
+    exploded = word_shingles(df, id_col, text_col, n).select(
+        "id", F.explode("shingles").alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    return exploded.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding over minhash signatures: docs agreeing on all rows of
+    any band become candidates. Equi-join on (band, band_hash) — the
+    classic sub-quadratic candidate generator."""
+    num_perm = bands * rows_per_band
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
+        )
+    banded = signatures.select(
+        "id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", "bb.band", "bb.bh")
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bh"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> banded
+    candidates -> exact Jaccard verification of candidates only."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    sets = word_shingles(df, id_col, text_col, n)
+    a = sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word hashes, fully JVM-side.
+
+    Per doc: hash each distinct word with xxhash64; for each bit
+    position sum +1/-1 by bit value; simhash bit = sign of the sum.
+    Implemented as explode + 64 conditional-sum aggregates + bit
+    reassembly — one shuffle on doc id.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), " "))).alias("w"),
+    ).withColumn("h", F.xxhash64("w"))
+    aggs = [
+        F.sum(
+            F.when(F.expr(f"(h >> {b}) & 1 = 1"), F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sums = words.groupBy("id").agg(*aggs)
+    # reassemble: OR together shiftleft(1, b) where sum > 0
+    bit_terms = " + ".join(
+        f"IF(b{b} > 0, CAST(shiftleft(CAST(1 AS BIGINT), {b}) AS BIGINT), CAST(0 AS BIGINT))"
+        for b in range(64)
+    )
+    return sums.select("id", F.expr(bit_terms).alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup candidates by 16-bit band blocking (two hashes
+    within hamming distance 3 of 64 bits agree on >= 1 of 4 bands),
+    verified with exact popcount hamming distance."""
+    sh = simhash64(df, id_col, text_col)
+    bands = sh.select(
+        "id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.expr(f"(simhash >> {16 * b}) & 65535").alias("bh"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.bh")
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bh"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -240,6 +240,14 @@ def intersect(ctx: EngineContext, *, other: str | DataFrame) -> EngineContext:
 
 
 @transform("except_rows")
-def except_rows(ctx: EngineContext, *, other: str | DataFrame) -> EngineContext:
-    """EXCEPT — reference only via raw SQL (SURVEY §2.8); native here."""
-    return ctx.with_df(ctx.df.exceptAll(_resolve_right(ctx, other)).distinct())
+def except_rows(
+    ctx: EngineContext, *, other: str | DataFrame, bag: bool = False
+) -> EngineContext:
+    """EXCEPT — reference only via raw SQL (SURVEY §2.8); native here.
+
+    Default is SQL set semantics (``subtract``): a row present in both
+    sides is removed entirely. ``bag=True`` gives EXCEPT ALL
+    (multiplicity-aware ``exceptAll``).
+    """
+    rdf = _resolve_right(ctx, other)
+    return ctx.with_df(ctx.df.exceptAll(rdf) if bag else ctx.df.subtract(rdf))
