@@ -1,0 +1,91 @@
+"""IO layer tests: reads (incl. nanos timestamps), write modes,
+merge emulation (reference write semantics: SURVEY §2.1/§2.2)."""
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from odibi_spark.io import read_source, read_table, write_sink
+from odibi_spark.io.read import register_format
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_read_table_nanos_timestamp(spark):
+    ev = read_table(spark, SF, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    # must match DuckDB's ns->us truncation exactly
+    import duckdb
+
+    want = duckdb.sql(
+        f"SELECT ts FROM '{SF}/events.parquet' ORDER BY event_id LIMIT 5"
+    ).fetchall()
+    got = ev.orderBy("event_id").limit(5).collect()
+    assert [r.ts for r in got] == [w[0] for w in want]
+
+
+def test_read_source_filter_pushdown(spark):
+    df = read_source(
+        spark, format="parquet", path=f"{SF}/lineitem.parquet",
+        filter="l_quantity > 10", columns=["l_orderkey", "l_quantity"],
+    )
+    assert df.columns == ["l_orderkey", "l_quantity"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_quantity" in plan
+
+
+def test_write_modes_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    p = str(tmp_path / "t1")
+    write_sink(df, path=p, mode="overwrite")
+    write_sink(df, path=p, mode="append")
+    assert spark.read.parquet(p).count() == 4
+
+
+def test_write_partition_by(spark, tmp_path):
+    df = spark.createDataFrame([Row(k=1, part="x"), Row(k=2, part="y")])
+    p = str(tmp_path / "t2")
+    write_sink(df, path=p, mode="overwrite", partition_by=["part"])
+    assert os.path.isdir(os.path.join(p, "part=x"))
+
+
+def test_upsert_semantics(spark, tmp_path):
+    p = str(tmp_path / "t3")
+    base = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    write_sink(base, path=p, mode="upsert", keys=["k"])  # bootstrap
+    upd = spark.createDataFrame([Row(k=2, v="B"), Row(k=3, v="c")])
+    write_sink(upd, path=p, mode="upsert", keys=["k"])
+    got = {r.k: r.v for r in spark.read.parquet(p).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_append_once_idempotent(spark, tmp_path):
+    p = str(tmp_path / "t4")
+    base = spark.createDataFrame([Row(k=1, v="a")])
+    write_sink(base, path=p, mode="overwrite")
+    batch = spark.createDataFrame([Row(k=1, v="DIFFERENT"), Row(k=2, v="b")])
+    write_sink(batch, path=p, mode="append_once", keys=["k"])
+    write_sink(batch, path=p, mode="append_once", keys=["k"])  # replay
+    got = {r.k: r.v for r in spark.read.parquet(p).collect()}
+    assert got == {1: "a", 2: "b"}  # existing key untouched, new added once
+
+
+def test_custom_format_plugin(spark):
+    register_format("range5", lambda s, path, opts: s.range(5))
+    df = read_source(spark, format="range5", path=None)
+    assert df.count() == 5
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([Row(a=1, b="x")])
+    pc, pj = str(tmp_path / "c"), str(tmp_path / "j")
+    write_sink(df, path=pc, format="csv", mode="overwrite")
+    write_sink(df, path=pj, format="json", mode="overwrite")
+    assert read_source(spark, format="csv", path=pc, schema="a INT, b STRING").count() == 1
+    assert read_source(spark, format="json", path=pj).count() == 1
+
+
+def test_streaming_read_requires_schema(spark):
+    with pytest.raises(ValueError, match="schema"):
+        read_source(spark, format="csv", path="/tmp/x", streaming=True)

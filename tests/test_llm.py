@@ -1,0 +1,114 @@
+"""LLM-data operator tests: planted duplicates/neighbors must be found."""
+
+import pytest
+from pyspark.sql import Row
+
+from odibi_spark.llm import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy cat again and again today"
+    other = "completely different words about spark query engines and shuffles here"
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base),        # exact dup of 1
+            Row(doc_id=3, text=near),        # near dup of 1
+            Row(doc_id=4, text=other),
+        ]
+    )
+
+
+def test_exact_dedup_groups(docs):
+    groups = dedup.exact_dedup_groups(docs, "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0].n_copies == 2 and groups[0].keep_id == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0   # exact dup
+    assert (1, 3) in pairs and 0.5 < pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    # bands=16 (r=2): band-collision prob at j=0.6 is 1-(1-0.36)^16 > 0.999
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_dedup_pairs(
+            docs, "doc_id", num_perm=32, bands=16, threshold=0.3
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+
+
+def test_simhash_near_pairs(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_pairs(docs, "doc_id", max_hamming=16).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical text -> identical simhash
+    assert (1, 3) in pairs
+
+
+def test_cosine_topk_self_similarity(spark):
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.9, 0.1, 0.0]),   # close to 1
+        Row(vec_id=3, embedding=[0.0, 0.0, 1.0]),   # orthogonal to 1
+    ]
+    df = spark.createDataFrame(rows)
+    out = similarity.cosine_topk(df, "vec_id", "embedding", query_ids=[1], k=2)
+    got = [(r.nbr_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert got == [(2, 1), (3, 2)]
+
+
+def test_lsh_ann_bucket_recall(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(64)
+    rows = [Row(vec_id=1, embedding=[float(x) for x in base]),
+            Row(vec_id=2, embedding=[float(x) for x in base + 0.01 * rng.standard_normal(64)])]
+    rows += [
+        Row(vec_id=i, embedding=[float(x) for x in rng.standard_normal(64)])
+        for i in range(3, 40)
+    ]
+    df = spark.createDataFrame(rows)
+    out = similarity.lsh_ann_topk(df, "vec_id", "embedding", k=3, num_planes=6)
+    nbrs = {r.nbr_id for r in out.filter("query_id = 1").collect()}
+    assert 2 in nbrs  # near-identical vector lands in the same bucket
+
+
+def test_text_stats_and_tokens(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="the cat sat on a mat")])
+    st = text.with_text_stats(df).collect()[0]
+    assert st.n_words == 6 and st.stopword_ratio == pytest.approx(2 / 6)
+    tk = text.with_token_counts(df).collect()[0]
+    assert tk.ws_tokens == 6 and tk.word_tokens == 6
+
+
+def test_language_guess(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the house of the king and the queen"),
+            Row(doc_id=2, text="le roi et la reine dans le jardin"),
+            Row(doc_id=3, text="xyzzy qwerty asdf"),
+        ]
+    )
+    got = {r.doc_id: r.lang_guess for r in text.with_language_guess(df).collect()}
+    assert got == {1: "en", 2: "fr", 3: "und"}
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="Hello,   World!"), Row(doc_id=2, text="hello world")]
+    )
+    fps = [r.fingerprint for r in text.with_fingerprint(df).collect()]
+    assert fps[0] == fps[1]

@@ -1,0 +1,235 @@
+"""Unit tests per operator over small inline frames (reference test
+strategy: SURVEY §5, tests/unit/test_standard_transforms.py model)."""
+
+import pytest
+from pyspark.sql import Row
+
+import odibi_spark.operators  # noqa: F401 — registers ops
+from odibi_spark.registry import get_registry
+
+R = get_registry()
+
+
+@pytest.fixture()
+def people(spark, make_ec):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, name="  Alice ", cat="A", v=10.0, n=None),
+            Row(id=2, name="bob", cat="B", v=20.0, n=5),
+            Row(id=3, name="Carol", cat="A", v=30.0, n=7),
+            Row(id=4, name=None, cat="B", v=40.0, n=None),
+        ]
+    )
+    return make_ec(df)
+
+
+def test_filter_rows(people):
+    out = R.apply("filter_rows", people, {"condition": "v > 15"}).df
+    assert out.count() == 3
+
+
+def test_derive_and_cast(people):
+    out = R.apply("derive_columns", people, {"columns": {"v2": "v * 2"}})
+    out = R.apply("cast_columns", out, {"columns": {"v2": "int"}}).df
+    assert dict(out.dtypes)["v2"] == "int"
+    assert [r.v2 for r in out.orderBy("id").collect()] == [20, 40, 60, 80]
+
+
+def test_clean_text_trim_case(people):
+    out = R.apply(
+        "clean_text", people, {"columns": ["name"], "trim": True, "case": "lower"}
+    ).df
+    assert [r.name for r in out.orderBy("id").collect()] == [
+        "alice", "bob", "carol", None,
+    ]
+
+
+def test_fill_nulls_and_replace(people):
+    out = R.apply("fill_nulls", people, {"values": {"n": 0}})
+    out = R.apply("replace_values", out, {"column": "cat", "mapping": {"A": "X"}}).df
+    rows = out.orderBy("id").collect()
+    assert [r.n for r in rows] == [0, 5, 7, 0]
+    assert [r.cat for r in rows] == ["X", "B", "X", "B"]
+
+
+def test_normalize_column_names(spark, make_ec):
+    df = spark.createDataFrame([Row(**{"Some Col": 1, "camelCase": 2, "a-b": 3})])
+    out = R.apply("normalize_column_names", make_ec(df), {}).df
+    assert set(out.columns) == {"some_col", "camel_case", "a_b"}
+
+
+def test_sort_limit_offset(people):
+    out = R.apply("sort", people, {"columns": ["v"], "ascending": False})
+    out = R.apply("limit", out, {"n": 2, "offset": 1}).df
+    assert [r.id for r in out.collect()] == [3, 2]
+
+
+def test_distinct_columns(people):
+    out = R.apply("distinct", people, {"columns": ["cat"]}).df
+    assert sorted(r.cat for r in out.collect()) == ["A", "B"]
+
+
+def test_case_when_default(people):
+    out = R.apply(
+        "case_when",
+        people,
+        {
+            "conditions": [{"when": "v >= 30", "then": "'hi'"}],
+            "default": "'lo'",
+            "output_column": "bucket",
+        },
+    ).df
+    assert [r.bucket for r in out.orderBy("id").collect()] == ["lo", "lo", "hi", "hi"]
+
+
+def test_join_collision_prefix(spark, make_ec):
+    left = spark.createDataFrame([Row(k=1, x="l1"), Row(k=2, x="l2")])
+    right = spark.createDataFrame([Row(k=1, x="r1")])
+    out = R.apply(
+        "join", make_ec(left), {"right": right, "on": ["k"], "how": "left", "prefix": "r"}
+    ).df
+    assert set(out.columns) == {"k", "x", "r_x"}
+    rows = {r.k: r for r in out.collect()}
+    assert rows[1].r_x == "r1" and rows[2].r_x is None
+
+
+def test_join_anti_semi(spark, make_ec):
+    left = spark.createDataFrame([Row(k=1), Row(k=2), Row(k=3)])
+    right = spark.createDataFrame([Row(k=2)])
+    anti = R.apply("join", make_ec(left), {"right": right, "on": ["k"], "how": "anti"}).df
+    semi = R.apply("join", make_ec(left), {"right": right, "on": ["k"], "how": "semi"}).df
+    assert sorted(r.k for r in anti.collect()) == [1, 3]
+    assert [r.k for r in semi.collect()] == [2]
+
+
+def test_union_by_name_missing(spark, make_ec):
+    a = spark.createDataFrame([Row(x=1, y="a")])
+    b = spark.createDataFrame([Row(y="b")])
+    out = R.apply(
+        "union", make_ec(a), {"others": [b], "by_name": True, "allow_missing": True}
+    ).df
+    assert out.count() == 2
+    assert {r.y: r.x for r in out.collect()} == {"a": 1, "b": None}
+
+
+def test_aggregate_having(people):
+    out = R.apply(
+        "aggregate",
+        people,
+        {
+            "group_by": ["cat"],
+            "aggregations": {"total": {"function": "sum", "column": "v"}},
+            "having": "total > 45",
+        },
+    ).df
+    assert [(r.cat, r.total) for r in out.collect()] == [("B", 60.0)]
+
+
+def test_pivot_values(people):
+    out = R.apply(
+        "pivot",
+        people,
+        {
+            "group_by": ["cat"],
+            "pivot_column": "id",
+            "value_column": "v",
+            "agg_function": "sum",
+            "values": ["1", "2"],
+        },
+    ).df
+    assert set(out.columns) == {"cat", "1", "2"}
+
+
+def test_unpivot(spark, make_ec):
+    df = spark.createDataFrame([Row(id=1, a=1.0, b=2.0)])
+    out = R.apply(
+        "unpivot",
+        make_ec(df),
+        {"id_columns": ["id"], "value_columns": ["a", "b"]},
+    ).df
+    assert sorted((r.variable, r.value) for r in out.collect()) == [
+        ("a", 1.0), ("b", 2.0),
+    ]
+
+
+def test_deduplicate_deterministic(spark, make_ec):
+    df = spark.createDataFrame(
+        [Row(k=1, ts=1, v="old"), Row(k=1, ts=2, v="new"), Row(k=2, ts=1, v="x")]
+    )
+    out = R.apply(
+        "deduplicate", make_ec(df), {"keys": ["k"], "order_by": ["ts"], "descending": True}
+    ).df
+    assert {r.k: r.v for r in out.collect()} == {1: "new", 2: "x"}
+
+
+def test_surrogate_and_numeric_key_formula(spark, make_ec):
+    """Key formulas must be stable (SURVEY §7.3): md5 of pipe-joined
+    coalesced strings; numeric = first 15 hex chars base-10."""
+    df = spark.createDataFrame([Row(a=1, b="x"), Row(a=None, b="y")])
+    out = R.apply(
+        "generate_surrogate_key", make_ec(df), {"columns": ["a", "b"], "output_column": "sk"}
+    )
+    out = R.apply(
+        "generate_numeric_key", out, {"columns": ["a", "b"], "output_column": "nk"}
+    ).df
+    import hashlib
+
+    rows = out.orderBy("b").collect()
+    exp1 = hashlib.md5(b"1|x").hexdigest()
+    exp2 = hashlib.md5(b"|y").hexdigest()  # null -> ''
+    assert rows[0].sk == exp1 and rows[1].sk == exp2
+    assert rows[0].nk == int(exp1[:15], 16)
+    assert rows[1].nk == int(exp2[:15], 16)
+
+
+def test_validate_and_flag(spark, make_ec):
+    df = spark.createDataFrame([Row(v=5), Row(v=-1)])
+    out = R.apply(
+        "validate_and_flag",
+        make_ec(df),
+        {"rules": {"nonneg": "v >= 0", "small": "v < 100"}},
+    ).df
+    rows = sorted([r._issues for r in out.collect()])
+    assert rows == ["", "nonneg"]
+
+
+def test_flatten_struct(spark, make_ec):
+    df = spark.sql("SELECT 1 AS id, named_struct('a', 1, 'b', named_struct('c', 2)) AS s")
+    out = R.apply("flatten_struct", make_ec(df), {}).df
+    assert set(out.columns) == {"id", "s_a", "s_b_c"}
+
+
+def test_sessionize_gap(spark, make_ec):
+    df = spark.sql(
+        """SELECT * FROM VALUES
+        (1, TIMESTAMP '2024-01-01 00:00:00'),
+        (1, TIMESTAMP '2024-01-01 00:10:00'),
+        (1, TIMESTAMP '2024-01-01 01:10:00'),
+        (2, TIMESTAMP '2024-01-01 00:00:00') AS t(uid, ts)"""
+    )
+    out = R.apply(
+        "sessionize",
+        make_ec(df),
+        {"partition_by": ["uid"], "timestamp_column": "ts", "gap_minutes": 30.0},
+    ).df
+    sessions = {r.session_id for r in out.collect()}
+    assert sessions == {"1-1", "1-2", "2-1"}
+
+
+def test_window_calculation_frame(spark, make_ec):
+    df = spark.createDataFrame([Row(g=1, t=1, v=1.0), Row(g=1, t=2, v=2.0), Row(g=1, t=3, v=3.0)])
+    out = R.apply(
+        "window_calculation",
+        make_ec(df),
+        {
+            "function": "sum", "column": "v", "partition_by": ["g"],
+            "order_by": ["t"], "output_column": "run", "frame": "rows",
+        },
+    ).df
+    assert [r.run for r in out.orderBy("t").collect()] == [1.0, 3.0, 6.0]
+
+
+def test_engine_context_sql_df_token(spark, make_ec):
+    df = spark.createDataFrame([Row(x=1), Row(x=2)])
+    out = make_ec(df).sql("SELECT sum(x) AS s FROM df")
+    assert out.df.collect()[0].s == 3
