@@ -1,0 +1,282 @@
+"""Warehouse pattern tests — multi-batch replays (reference test model:
+tests/unit/test_scd2_pattern.py, test_merge_conditions.py,
+test_delete_detection.py; fixture design FIXTURES.md §3)."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from odibi_spark.patterns.aggregation import aggregate_incremental
+from odibi_spark.patterns.date_dimension import build_date_dimension
+from odibi_spark.patterns.delete_detection import DeleteCircuitBreaker, detect_deletes
+from odibi_spark.patterns.dimension import build_dimension
+from odibi_spark.patterns.fact import DimensionLookup, build_fact
+from odibi_spark.patterns.merge import merge_apply
+from odibi_spark.patterns.scd2 import scd2_apply
+
+
+def ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def t0(spark):
+    return spark.createDataFrame(
+        [
+            Row(cid=1, tier="Gold", city="NYC", updated_at=ts("2024-01-01 00:00:00")),
+            Row(cid=2, tier="Silver", city="LA", updated_at=ts("2024-01-01 00:00:00")),
+            Row(cid=3, tier="Bronze", city="SF", updated_at=ts("2024-01-01 00:00:00")),
+        ]
+    )
+
+
+@pytest.fixture()
+def t1(spark):
+    return spark.createDataFrame(
+        [
+            Row(cid=1, tier="Platinum", city="NYC", updated_at=ts("2024-02-01 00:00:00")),
+            Row(cid=2, tier="Silver", city="LA", updated_at=ts("2024-02-01 00:00:00")),
+            Row(cid=4, tier="Gold", city="CHI", updated_at=ts("2024-02-01 00:00:00")),
+        ]
+    )
+
+
+class TestSCD2:
+    def test_two_batch_replay(self, spark, tmp_path, t0, t1):
+        p = str(tmp_path / "dim")
+        out0 = scd2_apply(
+            spark, t0, target_path=p, keys=["cid"], track_cols=["tier", "city"],
+            effective_time_col="updated_at",
+        )
+        assert out0.count() == 3
+        assert out0.filter("is_current").count() == 3
+
+        out1 = scd2_apply(
+            spark, t1, target_path=p, keys=["cid"], track_cols=["tier", "city"],
+            effective_time_col="updated_at",
+        ).orderBy("cid", "valid_from")
+        rows = out1.collect()
+        # cid=1 changed: closed old + new current; cid=2 unchanged;
+        # cid=3 untouched (absent, no soft delete); cid=4 new
+        assert len(rows) == 5
+        c1 = [r for r in rows if r.cid == 1]
+        assert len(c1) == 2
+        old, new = c1
+        assert old.is_current is False and old.valid_to == ts("2024-02-01 00:00:00")
+        assert old.tier == "Gold"
+        assert new.is_current is True and new.valid_to is None and new.tier == "Platinum"
+        c2 = [r for r in rows if r.cid == 2]
+        assert len(c2) == 1 and c2[0].is_current and c2[0].valid_from == ts("2024-01-01 00:00:00")
+        assert [r.cid for r in rows if r.tier == "Bronze"] == [3]
+
+    def test_soft_delete(self, spark, tmp_path, t0, t1):
+        p = str(tmp_path / "dim_sd")
+        scd2_apply(
+            spark, t0, target_path=p, keys=["cid"], track_cols=["tier"],
+            effective_time_col="updated_at", soft_delete=True,
+        )
+        out = scd2_apply(
+            spark, t1, target_path=p, keys=["cid"], track_cols=["tier"],
+            effective_time_col="updated_at", soft_delete=True,
+        )
+        c3 = out.filter("cid = 3").collect()
+        assert len(c3) == 1 and c3[0].is_deleted is True and c3[0].is_current is False
+
+    def test_idempotent_replay(self, spark, tmp_path, t0):
+        p = str(tmp_path / "dim_idem")
+        scd2_apply(spark, t0, target_path=p, keys=["cid"], track_cols=["tier"],
+                   effective_time_col="updated_at")
+        out = scd2_apply(spark, t0, target_path=p, keys=["cid"], track_cols=["tier"],
+                         effective_time_col="updated_at")
+        # same batch replayed: nothing changes
+        assert out.count() == 3 and out.filter("is_current").count() == 3
+
+
+class TestMerge:
+    def test_upsert_with_condition(self, spark, tmp_path, t0, t1):
+        p = str(tmp_path / "m1")
+        merge_apply(spark, t0, target_path=p, keys=["cid"])
+        out = merge_apply(
+            spark, t1, target_path=p, keys=["cid"],
+            update_condition="s.updated_at > t.updated_at",
+        )
+        got = {r.cid: r.tier for r in out.collect()}
+        assert got == {1: "Platinum", 2: "Silver", 3: "Bronze", 4: "Gold"}
+
+    def test_update_condition_blocks_stale(self, spark, tmp_path, t0, t1):
+        p = str(tmp_path / "m2")
+        merge_apply(spark, t1, target_path=p, keys=["cid"])
+        # replay the OLDER batch: condition must block the downgrade
+        out = merge_apply(
+            spark, t0, target_path=p, keys=["cid"],
+            update_condition="s.updated_at > t.updated_at",
+        )
+        got = {r.cid: r.tier for r in out.collect()}
+        assert got[1] == "Platinum"  # not downgraded to Gold
+        assert got[3] == "Bronze"    # new key still inserted
+
+    def test_append_only(self, spark, tmp_path, t0, t1):
+        p = str(tmp_path / "m3")
+        merge_apply(spark, t0, target_path=p, keys=["cid"], strategy="append_only")
+        out = merge_apply(spark, t1, target_path=p, keys=["cid"], strategy="append_only")
+        got = {r.cid: r.tier for r in out.collect()}
+        assert got == {1: "Gold", 2: "Silver", 3: "Bronze", 4: "Gold"}
+
+    def test_delete_match(self, spark, tmp_path, t0):
+        p = str(tmp_path / "m4")
+        merge_apply(spark, t0, target_path=p, keys=["cid"])
+        erase = spark.createDataFrame([Row(cid=2)])
+        out = merge_apply(spark, erase, target_path=p, keys=["cid"], strategy="delete_match")
+        assert sorted(r.cid for r in out.collect()) == [1, 3]
+
+    def test_audit_cols(self, spark, tmp_path, t0, t1):
+        p = str(tmp_path / "m5")
+        merge_apply(spark, t0, target_path=p, keys=["cid"], audit_cols=True)
+        out = merge_apply(spark, t1, target_path=p, keys=["cid"], audit_cols=True)
+        r1 = out.filter("cid = 1").collect()[0]
+        assert r1.created_at is not None and r1.updated_at >= r1.created_at
+
+
+class TestDimension:
+    def test_sk_stability_and_unknown_member(self, spark, tmp_path, t0, t1):
+        p = str(tmp_path / "d1")
+        d0 = build_dimension(
+            spark, t0, target_path=p, natural_keys=["cid"], scd="1"
+        )
+        sk0 = {r.cid: r.sk for r in d0.collect()}
+        assert sk0[-1 if -1 in sk0 else None] == -1 if -1 in sk0 else True
+        unknown = d0.filter("sk = -1").collect()
+        assert len(unknown) == 1 and unknown[0].tier == "UNKNOWN"
+        d1 = build_dimension(
+            spark, t1, target_path=p, natural_keys=["cid"], scd="1"
+        )
+        sk1 = {r.cid: r.sk for r in d1.collect()}
+        for cid in (1, 2, 3):
+            assert sk1[cid] == sk0[cid]  # SK stability across loads
+        assert sk1[4] == max(v for k, v in sk0.items() if k is not None) + 1
+        assert {r.tier for r in d1.filter("cid = 1").collect()} == {"Platinum"}
+
+
+class TestFact:
+    def test_lookup_and_grain_quarantine(self, spark, tmp_path, t0):
+        dim = t0.withColumn("sk", F.col("cid") * 100)
+        fact = spark.createDataFrame(
+            [
+                Row(order_id=1, line=1, cid=1, qty=2.0),
+                Row(order_id=1, line=1, cid=1, qty=2.0),   # grain dup
+                Row(order_id=2, line=1, cid=99, qty=5.0),  # orphan FK
+            ]
+        )
+        clean, quarantined = build_fact(
+            fact,
+            grain=["order_id", "line"],
+            lookups=[
+                DimensionLookup(
+                    dimension=dim, fact_keys=["cid"], dim_keys=["cid"],
+                    surrogate_key="sk", output_col="customer_sk",
+                )
+            ],
+            measures={"amount": "qty * 10"},
+        )
+        crows = {r.order_id: r for r in clean.collect()}
+        assert crows[2].customer_sk == -1          # unknown member
+        assert crows[2].amount == 50.0
+        assert quarantined.count() == 2
+        assert quarantined.collect()[0]._quarantine_reason == "grain_violation"
+
+    def test_scd2_asof_lookup(self, spark, tmp_path, t0, t1):
+        p = str(tmp_path / "f_dim")
+        scd2_apply(spark, t0, target_path=p, keys=["cid"], track_cols=["tier"],
+                   effective_time_col="updated_at")
+        dim = scd2_apply(spark, t1, target_path=p, keys=["cid"], track_cols=["tier"],
+                         effective_time_col="updated_at")
+        dim = dim.withColumn("sk", F.col("cid") * 10 + F.col("is_current").cast("int"))
+        fact = spark.createDataFrame(
+            [
+                Row(oid=1, cid=1, at=ts("2024-01-15 00:00:00")),  # before change -> old version
+                Row(oid=2, cid=1, at=ts("2024-02-15 00:00:00")),  # after -> new version
+            ]
+        )
+        out, _ = build_fact(
+            fact, grain=["oid"],
+            lookups=[
+                DimensionLookup(
+                    dimension=dim, fact_keys=["cid"], dim_keys=["cid"],
+                    surrogate_key="sk", output_col="customer_sk",
+                    scd2=True, event_time_col="at",
+                )
+            ],
+            validate_grain=False,
+        )
+        got = {r.oid: r.customer_sk for r in out.collect()}
+        assert got[1] == 10   # closed version (is_current=0)
+        assert got[2] == 11   # current version
+
+
+class TestAggregationIncremental:
+    def test_merge_sum(self, spark, tmp_path):
+        p = str(tmp_path / "agg")
+        b1 = spark.createDataFrame([Row(d="2024-01-01", amt=10.0), Row(d="2024-01-01", amt=5.0)])
+        b2 = spark.createDataFrame([Row(d="2024-01-01", amt=1.0), Row(d="2024-01-02", amt=7.0)])
+        aggregate_incremental(
+            spark, b1, target_path=p, grain=["d"],
+            measures={"revenue": "sum(amt)"}, strategy="merge_sum",
+        )
+        out = aggregate_incremental(
+            spark, b2, target_path=p, grain=["d"],
+            measures={"revenue": "sum(amt)"}, strategy="merge_sum",
+        )
+        got = {r.d: r.revenue for r in out.collect()}
+        assert got == {"2024-01-01": 16.0, "2024-01-02": 7.0}
+
+    def test_merge_max(self, spark, tmp_path):
+        p = str(tmp_path / "aggm")
+        b1 = spark.createDataFrame([Row(d="a", v=3.0)])
+        b2 = spark.createDataFrame([Row(d="a", v=9.0), Row(d="b", v=1.0)])
+        aggregate_incremental(spark, b1, target_path=p, grain=["d"],
+                              measures={"peak": "max(v)"}, strategy="merge_max")
+        out = aggregate_incremental(spark, b2, target_path=p, grain=["d"],
+                                    measures={"peak": "max(v)"}, strategy="merge_max")
+        assert {r.d: r.peak for r in out.collect()} == {"a": 9.0, "b": 1.0}
+
+
+class TestDeleteDetection:
+    def test_soft_delete_and_breaker(self, spark, tmp_path, t0):
+        p = str(tmp_path / "dd")
+        t0.write.mode("overwrite").parquet(p)
+        src = spark.createDataFrame([Row(cid=1), Row(cid=2)])  # 3 vanished
+        out = detect_deletes(
+            spark, src, target_path=p, keys=["cid"], mode="soft",
+            max_delete_percent=50.0,
+        )
+        flagged = {r.cid: r._is_deleted for r in out.collect()}
+        assert flagged == {1: False, 2: False, 3: True}
+        with pytest.raises(DeleteCircuitBreaker):
+            detect_deletes(
+                spark, spark.createDataFrame([Row(cid=1)]), target_path=p,
+                keys=["cid"], mode="hard", max_delete_percent=10.0,
+            )
+
+    def test_hard_delete(self, spark, tmp_path, t0):
+        p = str(tmp_path / "ddh")
+        t0.write.mode("overwrite").parquet(p)
+        out = detect_deletes(
+            spark, spark.createDataFrame([Row(cid=1), Row(cid=3)]),
+            target_path=p, keys=["cid"], mode="hard", max_delete_percent=50.0,
+        )
+        assert sorted(r.cid for r in out.collect()) == [1, 3]
+
+
+class TestDateDimension:
+    def test_calendar(self, spark):
+        dim = build_date_dimension(
+            spark, start_date="2024-01-01", end_date="2024-12-31", fiscal_start_month=7
+        )
+        assert dim.count() == 366  # leap year
+        jul1 = dim.filter("date_key = 20240701").collect()[0]
+        assert jul1.fiscal_year == 2025 and jul1.fiscal_quarter == 1
+        jun30 = dim.filter("date_key = 20240630").collect()[0]
+        assert jun30.fiscal_year == 2024 and jun30.fiscal_quarter == 4
+        sat = dim.filter("date_key = 20240106").collect()[0]
+        assert sat.is_weekend == 1 and sat.iso_weekday == 6
