@@ -24,6 +24,9 @@ from odibi_spark.session import get_spark
 from odibi_spark.context import Context, EngineContext
 from odibi_spark.registry import FunctionRegistry, transform, get_registry
 
+# importing the operators package registers every named operator
+from odibi_spark import operators as _operators  # noqa: E402,F401
+
 __version__ = "0.1.0"
 
 __all__ = [

@@ -1,0 +1,151 @@
+"""Typed pipeline configuration — the public YAML API surface.
+
+Parity target (reference: odibi/config.py — ProjectConfig :5696,
+PipelineConfig :5019, NodeConfig :4482, ReadConfig :2591, WriteConfig
+:4163, transform steps :2791-2876). StrictModel semantics (reference
+:31): unknown keys are rejected, so typos fail at parse time instead
+of silently no-op'ing ("hallucinated field" detection :4901-4928).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Literal
+
+from pydantic import BaseModel, ConfigDict, model_validator
+
+
+class StrictModel(BaseModel):
+    model_config = ConfigDict(extra="forbid")
+
+
+class ReadConfig(StrictModel):
+    format: str = "parquet"
+    path: str | None = None
+    table: str | None = None
+    schema_ddl: str | None = None
+    options: dict[str, Any] = {}
+    filter: str | None = None
+    columns: list[str] | None = None
+    streaming: bool = False
+
+    @model_validator(mode="after")
+    def _path_or_table(self) -> "ReadConfig":
+        if not self.path and not self.table:
+            raise ValueError("read needs 'path' or 'table'")
+        return self
+
+
+class TransformStep(StrictModel):
+    """Either a raw SQL step (``sql``) or a named operator
+    (``function`` + ``params``) — reference node.py:1879-1943."""
+
+    sql: str | None = None
+    function: str | None = None
+    params: dict[str, Any] = {}
+
+    @model_validator(mode="after")
+    def _one_of(self) -> "TransformStep":
+        if bool(self.sql) == bool(self.function):
+            raise ValueError("step needs exactly one of 'sql' or 'function'")
+        return self
+
+
+class ValidationTest(StrictModel):
+    name: str
+    type: Literal[
+        "not_null", "unique", "accepted_values", "range",
+        "regex_match", "row_count", "custom_sql", "freshness",
+    ]
+    column: str | None = None
+    columns: list[str] | None = None
+    values: list[Any] | None = None
+    min: Any | None = None
+    max: Any | None = None
+    pattern: str | None = None
+    condition: str | None = None
+    max_age_hours: int | None = None
+    threshold: float = 0.0
+    quarantine: bool = False
+
+    def to_dict(self) -> dict[str, Any]:
+        return {k: v for k, v in self.model_dump().items() if v is not None}
+
+
+class GateConfig(StrictModel):
+    require_pass_rate: float | None = None
+    max_row_drop_percent: float | None = None
+    mode: Literal["fail", "warn"] = "fail"
+
+
+class ValidationConfig(StrictModel):
+    tests: list[ValidationTest] = []
+    gate: GateConfig | None = None
+    quarantine_path: str | None = None
+
+
+class WriteConfig(StrictModel):
+    path: str | None = None
+    format: str = "parquet"
+    mode: Literal["overwrite", "append", "error", "ignore", "upsert", "append_once"] = (
+        "overwrite"
+    )
+    keys: list[str] | None = None
+    partition_by: list[str] | None = None
+    coalesce_partitions: int | None = None
+    options: dict[str, Any] = {}
+    add_metadata: bool = False
+
+
+class IncrementalConfig(StrictModel):
+    """HWM / rolling-window incremental read filters (reference:
+    odibi/config.py:2451-2588, node.py:1019-1273)."""
+
+    mode: Literal["rolling", "stateful"] = "stateful"
+    column: str = "updated_at"
+    fallback_column: str | None = None
+    lookback: str | None = None           # rolling: e.g. "7 days"
+    watermark_lag: str | None = None      # stateful: late-data safety lag
+    state_key: str | None = None
+
+
+class NodeConfig(StrictModel):
+    name: str
+    depends_on: list[str] = []
+    read: ReadConfig | None = None
+    transform: list[TransformStep] = []
+    validation: ValidationConfig | None = None
+    write: WriteConfig | None = None
+    incremental: IncrementalConfig | None = None
+    cache: bool = False
+
+    @model_validator(mode="after")
+    def _has_source(self) -> "NodeConfig":
+        if not self.read and not self.depends_on:
+            raise ValueError(f"node '{self.name}' needs 'read' or 'depends_on'")
+        return self
+
+
+class PipelineConfig(StrictModel):
+    name: str
+    nodes: list[NodeConfig]
+    max_workers: int = 4
+
+    @model_validator(mode="after")
+    def _unique_names(self) -> "PipelineConfig":
+        names = [n.name for n in self.nodes]
+        dupes = {n for n in names if names.count(n) > 1}
+        if dupes:
+            raise ValueError(f"duplicate node names: {sorted(dupes)}")
+        return self
+
+
+def load_pipeline_yaml(path_or_text: str) -> PipelineConfig:
+    import os
+
+    import yaml
+
+    text = path_or_text
+    if os.path.exists(path_or_text):
+        with open(path_or_text) as f:
+            text = f.read()
+    return PipelineConfig.model_validate(yaml.safe_load(text))

@@ -1,0 +1,71 @@
+"""Pipeline runner (reference: odibi/pipeline.py:340-1393): execute the
+node DAG serially in topo order or layer-parallel with a thread pool;
+skip nodes whose dependencies failed; per-node retries with backoff.
+
+Thread-safety: nodes share one SparkSession; temp-view registration
+uses node names (unique per pipeline) and raw-SQL steps use
+thread-unique view names (context.py), matching the reference's
+concurrency discipline (odibi/context.py:20-29).
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import SparkSession
+
+from odibi_spark.context import Context
+from odibi_spark.plans.config import PipelineConfig, load_pipeline_yaml
+from odibi_spark.plans.graph import DependencyGraph
+from odibi_spark.plans.node import NodeExecutor, NodeResult
+
+
+class Pipeline:
+    def __init__(self, config: PipelineConfig, spark: SparkSession):
+        self.config = config
+        self.spark = spark
+        self.context = Context(spark)
+        self.graph = DependencyGraph(
+            {n.name: n.depends_on for n in config.nodes}
+        )
+        self._nodes = {n.name: n for n in config.nodes}
+
+    @classmethod
+    def from_yaml(cls, path_or_text: str, spark: SparkSession) -> "Pipeline":
+        return cls(load_pipeline_yaml(path_or_text), spark)
+
+    def run(
+        self, parallel: bool = False, retries: int = 0, retry_backoff_s: float = 1.0
+    ) -> dict[str, NodeResult]:
+        results: dict[str, NodeResult] = {}
+
+        def execute(name: str) -> NodeResult:
+            failed_deps = [
+                d for d in self.graph.deps[name]
+                if results[d].status != "success"
+            ]
+            if failed_deps:
+                return NodeResult(
+                    name=name, status="skipped",
+                    error=f"upstream failed: {failed_deps}",
+                )
+            attempt = 0
+            while True:
+                r = NodeExecutor(self._nodes[name], self.context).execute()
+                if r.status == "success" or attempt >= retries:
+                    return r
+                attempt += 1
+                time.sleep(retry_backoff_s * attempt)
+
+        if parallel:
+            for layer in self.graph.layers():
+                with ThreadPoolExecutor(
+                    max_workers=min(self.config.max_workers, len(layer))
+                ) as pool:
+                    for name, res in zip(layer, pool.map(execute, layer)):
+                        results[name] = res
+        else:
+            for name in self.graph.toposort():
+                results[name] = execute(name)
+        return results

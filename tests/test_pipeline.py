@@ -1,0 +1,117 @@
+"""Pipeline layer: YAML in -> tables out (reference model:
+docs/examples/canonical/runnable/01_hello_world.yaml)."""
+
+import pytest
+
+from odibi_spark.plans import DependencyGraph, GraphError, Pipeline
+from odibi_spark.plans.config import PipelineConfig, load_pipeline_yaml
+
+
+class TestGraph:
+    def test_toposort_and_layers(self):
+        g = DependencyGraph({"a": [], "b": ["a"], "c": ["a"], "d": ["b", "c"]})
+        order = g.toposort()
+        assert order.index("a") < order.index("b") < order.index("d")
+        assert g.layers() == [["a"], ["b", "c"], ["d"]]
+
+    def test_cycle_detection(self):
+        with pytest.raises(GraphError, match="cycle"):
+            DependencyGraph({"a": ["b"], "b": ["a"]})
+
+    def test_missing_dep(self):
+        with pytest.raises(GraphError, match="missing"):
+            DependencyGraph({"a": ["ghost"]})
+
+    def test_consumers_count(self):
+        g = DependencyGraph({"a": [], "b": ["a"], "c": ["a"]})
+        assert g.consumers_count() == {"a": 2, "b": 0, "c": 0}
+
+
+class TestConfig:
+    def test_unknown_key_rejected(self):
+        with pytest.raises(Exception, match="extra|typo|forbidden|Extra"):
+            PipelineConfig.model_validate(
+                {"name": "p", "nodes": [], "hallucinated_field": 1}
+            )
+
+    def test_step_needs_one_of(self):
+        from odibi_spark.plans.config import TransformStep
+
+        with pytest.raises(Exception):
+            TransformStep(sql="SELECT 1", function="filter_rows")
+        with pytest.raises(Exception):
+            TransformStep()
+
+    def test_duplicate_node_names(self):
+        with pytest.raises(Exception, match="duplicate"):
+            PipelineConfig.model_validate(
+                {
+                    "name": "p",
+                    "nodes": [
+                        {"name": "x", "read": {"path": "/tmp/a"}},
+                        {"name": "x", "read": {"path": "/tmp/a"}},
+                    ],
+                }
+            )
+
+
+PIPELINE_YAML = """
+name: revenue_demo
+nodes:
+  - name: lineitem
+    read: {format: parquet, path: "{SF}/lineitem.parquet"}
+    transform:
+      - function: filter_rows
+        params: {condition: "l_quantity > 0"}
+      - function: derive_columns
+        params: {columns: {revenue: "l_extendedprice * (1 - l_discount)"}}
+  - name: orders
+    read: {format: parquet, path: "{SF}/orders.parquet"}
+  - name: joined
+    depends_on: [lineitem, orders]
+    transform:
+      - sql: >
+          SELECT o.o_orderpriority, sum(df.revenue) AS revenue
+          FROM df JOIN orders o ON o.o_orderkey = df.l_orderkey
+          GROUP BY 1
+    validation:
+      tests:
+        - {name: nonempty, type: row_count, min: 1}
+        - {name: rev_pos, type: range, column: revenue, min: 0}
+    write: {path: "{OUT}/rev_by_priority", mode: overwrite}
+"""
+
+
+class TestEndToEnd:
+    def test_yaml_to_table(self, spark, tmp_path):
+        yaml_text = PIPELINE_YAML.replace("{SF}", "/root/testdata/sf0.001").replace(
+            "{OUT}", str(tmp_path)
+        )
+        pipe = Pipeline.from_yaml(yaml_text, spark)
+        results = pipe.run()
+        assert all(r.status == "success" for r in results.values()), {
+            k: r.error for k, r in results.items()
+        }
+        out = spark.read.parquet(str(tmp_path / "rev_by_priority"))
+        assert out.count() == 5
+        assert set(out.columns) == {"o_orderpriority", "revenue"}
+
+    def test_parallel_matches_serial(self, spark, tmp_path):
+        yaml_text = PIPELINE_YAML.replace("{SF}", "/root/testdata/sf0.001").replace(
+            "{OUT}", str(tmp_path / "p")
+        )
+        results = Pipeline.from_yaml(yaml_text, spark).run(parallel=True)
+        assert all(r.status == "success" for r in results.values())
+
+    def test_failed_dep_skips_downstream(self, spark, tmp_path):
+        bad = """
+name: broken
+nodes:
+  - name: src
+    read: {format: parquet, path: "/nonexistent/nope.parquet"}
+  - name: child
+    depends_on: [src]
+"""
+        results = Pipeline.from_yaml(bad, spark).run()
+        assert results["src"].status == "failed"
+        assert results["child"].status == "skipped"
