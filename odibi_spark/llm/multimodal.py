@@ -1,0 +1,118 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The decode step is STUBBED (image/audio libraries are not in this
+container): ``register_decoder`` installs the real decoder on a
+cluster; the default ``fake_image_decoder`` is deterministic so the
+Spark-side plumbing — schema, partitioning, UDF signature, batch
+shape — is real and testable.
+
+Scale design: mapInPandas processes Arrow record batches (no per-row
+Python), binary payloads never pass through the driver, and the frame
+sampler emits rows instead of materializing whole videos.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+# media_type -> decoder(payload: bytes) -> dict of features
+_DECODERS: dict[str, Callable[[bytes], dict]] = {}
+
+
+def register_decoder(media_type: str, fn: Callable[[bytes], dict]) -> None:
+    _DECODERS[media_type] = fn
+
+
+def fake_image_decoder(payload: bytes) -> dict:
+    """Deterministic stand-in for a real image decoder: derives
+    pseudo-dimensions from a content hash. Replace via
+    ``register_decoder('image', real_decoder)`` on a cluster with
+    Pillow/torchvision available."""
+    h = hashlib.sha256(payload).digest()
+    return {
+        "width": 64 + h[0] % 192,
+        "height": 64 + h[1] % 192,
+        "channels": 3,
+        "content_hash": h.hex()[:16],
+    }
+
+
+register_decoder("image", fake_image_decoder)
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("content_hash", T.StringType()),
+    ]
+)
+
+
+def attach_media_metadata(
+    df: DataFrame, binary_col: str, media_type: str
+) -> DataFrame:
+    """Typed metadata columns every multimodal table carries."""
+    return (
+        df.withColumn("media_type", F.lit(media_type))
+        .withColumn("payload_bytes", F.length(F.col(binary_col)))
+        .withColumn("payload_sha256", F.sha2(F.col(binary_col), 256))
+    )
+
+
+def extract_image_features(
+    df: DataFrame, binary_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batches).
+
+    Output: (id, width, height, channels, content_hash). On a real
+    cluster only the registered decoder changes.
+    """
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), *IMAGE_FEATURE_SCHEMA.fields]
+    )
+    decoder = _DECODERS["image"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decoder(bytes(p)) for p in pdf[binary_col]]
+            out = pd.DataFrame(feats)
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, binary_col).mapInPandas(batches, out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    duration_col: str = "duration_s",
+    fps: float = 1.0,
+) -> DataFrame:
+    """Frame-sampling plan: one output row per sampled frame timestamp.
+
+    The timestamp grid is pure Spark (sequence+explode); actual frame
+    decode happens downstream via a registered 'video' decoder. This
+    is the row-explosion half of the pipeline, which dominates the
+    plan shape at scale.
+    """
+    n_frames = (F.col(duration_col) * F.lit(fps)).cast("int")
+    return df.withColumn(
+        "frame_idx", F.explode(F.sequence(F.lit(0), n_frames - 1))
+    ).withColumn("frame_ts_s", F.col("frame_idx") / F.lit(fps))
+
+
+def resize_stub(df: DataFrame, binary_col: str, width: int, height: int) -> DataFrame:
+    """Resize placeholder: real implementation is a Pandas UDF over the
+    binary column (register a 'image_resize' decoder); the stub records
+    the requested geometry so downstream schema is stable."""
+    return df.withColumn("resize_width", F.lit(width)).withColumn(
+        "resize_height", F.lit(height)
+    )

@@ -1,0 +1,124 @@
+"""High-water-mark state for incremental loads (reference:
+odibi/state/__init__.py:109-894 — LocalJSON / Catalog-Delta / SqlServer
+backends; incremental predicates odibi/node.py:1019-1273).
+
+Backends here: JSON file (local dev) and a small parquet key-value
+table (the Delta ``meta_state`` analogue; on a cluster this becomes a
+Delta table with MERGE upserts). HWM commit discipline follows the
+reference: the new HWM is computed from the batch but committed only
+AFTER the write succeeds (pipeline buffering, reference
+pipeline.py:1537-1543) — crash between write and commit replays rows
+(at-least-once) rather than losing them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from abc import ABC, abstractmethod
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class StateBackend(ABC):
+    @abstractmethod
+    def get(self, key: str) -> str | None: ...
+
+    @abstractmethod
+    def set(self, key: str, value: str) -> None: ...
+
+
+class JsonStateBackend(StateBackend):
+    """Local JSON file (reference LocalJSON backend)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _load(self) -> dict[str, str]:
+        if not os.path.exists(self.path):
+            return {}
+        with open(self.path) as f:
+            return json.load(f)
+
+    def get(self, key: str) -> str | None:
+        return self._load().get(key)
+
+    def set(self, key: str, value: str) -> None:
+        data = self._load()
+        data[key] = value
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=2, sort_keys=True)
+        os.replace(tmp, self.path)
+
+
+class ParquetStateBackend(StateBackend):
+    """Key-value parquet table (Delta ``meta_state`` analogue)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _read(self) -> dict[str, str]:
+        if not os.path.exists(self.path):
+            return {}
+        try:
+            return {
+                r.key: r.value for r in self.spark.read.parquet(self.path).collect()
+            }
+        except Exception:
+            return {}
+
+    def get(self, key: str) -> str | None:
+        return self._read().get(key)
+
+    def set(self, key: str, value: str) -> None:
+        data = self._read()
+        data[key] = value
+        df = self.spark.createDataFrame(
+            [(k, v) for k, v in sorted(data.items())], "key string, value string"
+        )
+        df.localCheckpoint(eager=True).write.mode("overwrite").parquet(self.path)
+
+
+def incremental_filter(
+    df: DataFrame,
+    *,
+    column: str,
+    state: StateBackend,
+    state_key: str,
+    fallback_column: str | None = None,
+    watermark_lag: str | None = None,
+    target_exists: bool = True,
+) -> DataFrame:
+    """Stateful HWM filter (reference node.py:1075-1108):
+    ``WHERE col > last_hwm [- watermark_lag]``; first run (no state or
+    no target) -> full load (smart read, reference :1032-1040)."""
+    hwm = state.get(state_key)
+    if hwm is None or not target_exists:
+        return df
+    col = (
+        F.coalesce(F.col(column), F.col(fallback_column))
+        if fallback_column
+        else F.col(column)
+    )
+    cutoff = F.lit(hwm).cast("timestamp")
+    if watermark_lag:
+        cutoff = cutoff - F.expr(f"INTERVAL {watermark_lag}")
+    return df.filter(col > cutoff)
+
+
+def rolling_window_filter(df: DataFrame, *, column: str, lookback: str) -> DataFrame:
+    """Rolling-window filter (reference node.py:1045-1073):
+    ``WHERE col >= now() - lookback``."""
+    return df.filter(
+        F.col(column) >= F.current_timestamp() - F.expr(f"INTERVAL {lookback}")
+    )
+
+
+def capture_hwm(df: DataFrame, column: str) -> str | None:
+    """Max of the batch's HWM column (reference node.py:3379+
+    ``_get_column_max``) — commit via ``StateBackend.set`` only after
+    the downstream write succeeds."""
+    row = df.agg(F.max(column).alias("m")).collect()[0]
+    return None if row.m is None else str(row.m)

@@ -13,10 +13,12 @@ Conventions for hash-stable oracle parity (SURVEY §7.3 dialect notes):
 
 from odibi_spark.workloads.core import ORACLES as _CORE_ORACLES
 from odibi_spark.workloads.core import QUERIES as _CORE_QUERIES
+from odibi_spark.workloads.extras import ORACLES as _EXTRA_ORACLES
+from odibi_spark.workloads.extras import QUERIES as _EXTRA_QUERIES
 from odibi_spark.workloads.llmdata import ORACLES as _LLM_ORACLES
 from odibi_spark.workloads.llmdata import QUERIES as _LLM_QUERIES
 
-QUERIES = {**_CORE_QUERIES, **_LLM_QUERIES}
-ORACLES = {**_CORE_ORACLES, **_LLM_ORACLES}
+QUERIES = {**_CORE_QUERIES, **_LLM_QUERIES, **_EXTRA_QUERIES}
+ORACLES = {**_CORE_ORACLES, **_LLM_ORACLES, **_EXTRA_ORACLES}
 
 __all__ = ["QUERIES", "ORACLES"]
