@@ -46,8 +46,13 @@ def main() -> None:
     from odibi_spark.workloads import QUERIES
 
     spark = get_spark("bench")
-    # warm the JVM + parquet footers once with a trivial action
+    # warm the JVM, parquet reader codepath, and OS page cache once so
+    # the first measured query isn't charged for one-time startup
     spark.range(1).count()
+    from odibi_spark.io import read_table
+
+    for t in ("lineitem", "orders", "events", "documents"):
+        read_table(spark, sf_dir, t).count()
 
     from pyspark.sql import functions as F
 

@@ -143,24 +143,46 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded
-    candidates -> exact Jaccard verification of candidates only."""
+    candidates -> exact Jaccard verification of candidates only.
+
+    The shingle-set intermediate feeds three plan branches (signature
+    explode + both sides of the verification join); persist it so the
+    shingling scan runs once, not three times. It is ~|corpus| rows of
+    string arrays — memory-and-disk so big corpora spill instead of
+    OOM-ing.
+    """
+    from pyspark import StorageLevel
+
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    sets = word_shingles(df, id_col, text_col, n)
-    a = sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    sets = word_shingles(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    try:
+        exploded = sets.select("id", F.explode("shingles").alias("shingle"))
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
+        sigs = exploded.groupBy("id").agg(*aggs)
+        cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+        a = sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+        b = sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+        out = (
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+        # materialize while the persisted sets are alive
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        sets.unpersist()
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
