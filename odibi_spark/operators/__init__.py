@@ -2,4 +2,10 @@
 operator in the global FunctionRegistry (reference:
 odibi/transformers/__init__.py:24-152 registers ~45 ops by name)."""
 
-from odibi_spark.operators import advanced, relational, sql_core, window  # noqa: F401
+from odibi_spark.operators import (  # noqa: F401
+    advanced,
+    relational,
+    sql_core,
+    temporal_join,
+    window,
+)

@@ -114,6 +114,55 @@ FROM documents
 """
 
 
+def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (beyond-reference operator): each click matched to the
+    user's most recent purchase at-or-before it."""
+    _prep(spark)
+    from odibi_spark.operators.temporal_join import asof_join_frames
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    purchases = ev.filter("event_type = 'purchase'").select("user_id", "ts", "value")
+    return asof_join_frames(clicks, purchases, on="ts", by=["user_id"])
+
+
+ASOF_SQL = """
+SELECT c.event_id, c.user_id, c.ts, p.value AS r_value, p.ts AS r_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+
+def range_clicks_per_purchase_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (beyond-reference operator): clicks falling in the
+    hour after each purchase, via bucketized band join."""
+    _prep(spark)
+    from odibi_spark.operators.temporal_join import range_join_frames
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts")
+    purchases = (
+        ev.filter("event_type = 'purchase'")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("lo"))
+        .withColumn("hi", F.col("lo") + F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = range_join_frames(
+        clicks, purchases, left_point="ts", right_start="lo", right_end="hi",
+        keys=["user_id"], bucket_width=3600,
+    )
+    return joined.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
+RANGE_SQL = """
+SELECT p.event_id AS purchase_id, COUNT(*) AS n_clicks
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+GROUP BY 1
+"""
+
+
 # ---- rows-only (seeded RNG / multi-step state not SQL-expressible) ----
 
 def simulated_sensor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,6 +222,8 @@ QUERIES = {
     "semantic_revenue_by_segment": semantic_revenue_by_segment,
     "streaming_hourly_events": streaming_hourly_events,
     "multimodal_image_features": multimodal_image_features,
+    "asof_click_purchase": asof_click_purchase,
+    "range_clicks_per_purchase_hour": range_clicks_per_purchase_hour,
     "simulated_sensor_rollup": simulated_sensor_rollup,
     "scd2_customer_batches": scd2_customer_batches,
 }
@@ -181,5 +232,7 @@ ORACLES = {
     "semantic_revenue_by_segment": SEMANTIC_SQL,
     "streaming_hourly_events": STREAMING_SQL,
     "multimodal_image_features": MULTIMODAL_SQL,
+    "asof_click_purchase": ASOF_SQL,
+    "range_clicks_per_purchase_hour": RANGE_SQL,
     # simulated_sensor_rollup / scd2_customer_batches: rows-only
 }
