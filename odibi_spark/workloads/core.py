@@ -21,6 +21,10 @@ DEC = "DECIMAL(18,6)"
 
 def _prep(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # right-size shuffles when running under an untuned session; AQE
+    # (default-on in Spark 4) coalesces further at runtime
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
 
 
 def _ec(spark: SparkSession, df: DataFrame) -> EngineContext:
