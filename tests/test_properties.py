@@ -1,0 +1,179 @@
+"""Property-based tests (hypothesis) — the reference has no randomized
+testing (SURVEY §5); these pin the invariants that matter at scale.
+
+max_examples is kept small: each example spins Spark jobs.
+"""
+
+import datetime
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from odibi_spark.operators.temporal_join import asof_join_frames
+from odibi_spark.patterns.scd2 import scd2_apply
+
+BASE = datetime.datetime(2024, 1, 1)
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@st.composite
+def intervals(draw):
+    n = draw(st.integers(1, 12))
+    out = []
+    for i in range(n):
+        start_min = draw(st.integers(0, 5000))
+        dur_min = draw(st.integers(1, 4000))
+        out.append((i, BASE + datetime.timedelta(minutes=start_min),
+                    BASE + datetime.timedelta(minutes=start_min + dur_min)))
+    return out
+
+
+@given(intervals())
+@settings(**SETTINGS)
+def test_split_events_preserves_total_duration(spark, ivs):
+    """Splitting an event at day boundaries must conserve its duration."""
+    from odibi_spark import Context, EngineContext
+    from odibi_spark.operators.window import split_events_by_period
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(ivs, "event_id int, s timestamp, e timestamp")
+    ec = EngineContext(Context(spark), df)
+    out = split_events_by_period(
+        ec, start_column="s", end_column="e", period="day"
+    ).df
+    got = {
+        r.event_id: r.total
+        for r in out.groupBy("event_id").agg(F.sum("duration_minutes").alias("total")).collect()
+    }
+    for eid, s, e in ivs:
+        want = (e - s).total_seconds() / 60.0
+        assert got[eid] == pytest.approx(want, abs=1e-6)
+
+
+@st.composite
+def asof_case(draw):
+    n_l = draw(st.integers(1, 15))
+    n_r = draw(st.integers(0, 15))
+    lt = sorted(draw(st.lists(st.integers(0, 10000), min_size=n_l, max_size=n_l)))
+    rt = sorted(
+        set(draw(st.lists(st.integers(0, 10000), min_size=n_r, max_size=n_r)))
+    )
+    return lt, rt
+
+
+@given(asof_case())
+@settings(**SETTINGS)
+def test_asof_matches_pandas_merge_asof(spark, case):
+    lt, rt = case
+    left = spark.createDataFrame(
+        [(i, BASE + datetime.timedelta(seconds=t)) for i, t in enumerate(lt)],
+        "lid int, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100 + i, BASE + datetime.timedelta(seconds=t)) for i, t in enumerate(rt)],
+        "rid int, t timestamp",
+    ) if rt else spark.createDataFrame([], "rid int, t timestamp")
+    got = (
+        asof_join_frames(left, right, on="t")
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    lp = left.toPandas().sort_values("t")
+    rp = right.toPandas().sort_values("t").rename(columns={"rid": "r_rid", "t": "r_t"})
+    exp = pd.merge_asof(lp, rp, left_on="t", right_on="r_t").sort_values("lid").reset_index(drop=True)
+    norm = lambda s: [None if pd.isna(v) else int(v) for v in s]  # noqa: E731
+    assert norm(got["r_rid"]) == norm(exp["r_rid"])
+
+
+@st.composite
+def scd2_batches(draw):
+    keys = list(range(draw(st.integers(1, 6))))
+    n_batches = draw(st.integers(1, 4))
+    batches = []
+    for b in range(n_batches):
+        batch = []
+        for k in keys:
+            if draw(st.booleans()):
+                batch.append((k, draw(st.sampled_from(["A", "B", "C"])), b))
+        if batch:
+            batches.append(batch)
+    return batches
+
+
+@given(scd2_batches())
+@settings(**SETTINGS)
+def test_scd2_invariants_over_random_batches(spark, tmp_path_factory, batches):
+    """After any batch sequence: <= 1 current row per key; every closed
+    row has valid_to == some later version's valid_from for that key."""
+    import uuid
+
+    p = str(tmp_path_factory.mktemp("scd2prop") / f"dim_{uuid.uuid4().hex[:8]}")
+    dim = None
+    for b, batch in enumerate(batches):
+        df = spark.createDataFrame(
+            [(k, v, BASE + datetime.timedelta(days=b)) for k, v, _ in batch],
+            "k int, v string, at timestamp",
+        )
+        dim = scd2_apply(
+            spark, df, target_path=p, keys=["k"], track_cols=["v"],
+            effective_time_col="at",
+        )
+    if dim is None:
+        return
+    rows = dim.collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append(r)
+    for k, versions in by_key.items():
+        current = [r for r in versions if r.is_current]
+        assert len(current) == 1, f"key {k}: {len(current)} current rows"
+        assert current[0].valid_to is None
+        closed = sorted((r for r in versions if not r.is_current), key=lambda r: r.valid_from)
+        for r in closed:
+            assert r.valid_to is not None and r.valid_from <= r.valid_to
+        # version chain: closed valid_to values appear as later valid_from
+        starts = {r.valid_from for r in versions}
+        for r in closed:
+            assert r.valid_to in starts, f"key {k}: broken chain at {r.valid_to}"
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100000)), min_size=1, max_size=30
+    )
+)
+@settings(**SETTINGS)
+def test_sessionize_counts_match_pandas(spark, events):
+    """Session count per user == 1 + number of gaps > threshold."""
+    from odibi_spark import Context, EngineContext
+    from odibi_spark.operators.window import sessionize
+
+    df = spark.createDataFrame(
+        [
+            (i, u, BASE + datetime.timedelta(seconds=t))
+            for i, (u, t) in enumerate(events)
+        ],
+        "eid int, uid int, ts timestamp",
+    )
+    out = sessionize(
+        EngineContext(Context(spark), df),
+        partition_by=["uid"], timestamp_column="ts", gap_minutes=30.0,
+        tiebreak_columns=["eid"],
+    ).df
+    got = (
+        out.select("uid", "session_id").distinct().groupBy("uid").count().collect()
+    )
+    got_counts = {r.uid: r["count"] for r in got}
+    pdf = pd.DataFrame(events, columns=["uid", "t"]).sort_values(["uid", "t"])
+    for uid, grp in pdf.groupby("uid"):
+        gaps = (grp["t"].diff() > 1800).sum()
+        assert got_counts[uid] == gaps + 1
