@@ -59,7 +59,13 @@ def read_parquet(spark: SparkSession, path: str, **options: str) -> DataFrame:
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.options(**options).parquet(path)
+    dtypes = dict(df.dtypes)
     for c in ns_cols:
+        # Only convert when nanosAsLong actually kicked in (INT64 nanos).
+        # INT96 timestamps also show as timestamp[ns] in the pyarrow
+        # footer but Spark reads them natively as TimestampType.
+        if dtypes.get(c) != "bigint":
+            continue
         # integer DIV, not float division — ns values exceed double's
         # 53-bit integer range, so `/ 1000` would round the microseconds
         df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"))

@@ -108,14 +108,32 @@ class IncrementalConfig(StrictModel):
     state_key: str | None = None
 
 
+class ContractTest(StrictModel):
+    """Pre-transform circuit breakers on the INPUT (reference:
+    odibi/config.py:3200-3292, executed node.py:1480-1528)."""
+
+    name: str
+    type: Literal["schema", "freshness", "row_count"]
+    columns: dict[str, str] | None = None     # schema: {col: type}
+    column: str | None = None                 # freshness
+    max_age_hours: int | None = None
+    min: int | None = None
+    max: int | None = None
+
+
 class NodeConfig(StrictModel):
     name: str
     depends_on: list[str] = []
+    pre_sql: list[str] = []
     read: ReadConfig | None = None
+    contracts: list[ContractTest] = []
     transform: list[TransformStep] = []
     validation: ValidationConfig | None = None
     write: WriteConfig | None = None
+    post_sql: list[str] = []
+    materialize_view: str | None = None
     incremental: IncrementalConfig | None = None
+    state_path: str | None = None
     cache: bool = False
 
     @model_validator(mode="after")

@@ -37,6 +37,10 @@ class NodeExecutor:
         cfg = self.config
         spark = self.context.spark
         try:
+            # ---- pre_sql (reference: config.py:4720-4723 — e.g. SET confs)
+            for sql in cfg.pre_sql:
+                spark.sql(sql)
+
             # ---- read phase
             if cfg.read:
                 df = read_source(
@@ -52,6 +56,16 @@ class NodeExecutor:
                 )
             else:
                 df = self.context.get(cfg.depends_on[0])
+
+            # ---- incremental smart-read (reference node.py:1019-1273):
+            # full load on first run (no target), else HWM/rolling filter
+            hwm_state = hwm_key = None
+            if cfg.incremental:
+                df, hwm_state, hwm_key = self._apply_incremental(df)
+
+            # ---- input contracts (circuit breakers, pre-transform)
+            for c in cfg.contracts:
+                self._check_contract(df, c)
 
             # ---- transform chain
             ec = EngineContext(self.context, df)
@@ -95,6 +109,13 @@ class NodeExecutor:
             if cfg.cache:
                 df = df.cache()
 
+            # ---- capture HWM before the write (committed only after)
+            new_hwm = None
+            if hwm_state is not None:
+                from odibi_spark.state.hwm import capture_hwm
+
+                new_hwm = capture_hwm(df, cfg.incremental.column)
+
             # ---- write phase
             rows_written = None
             if cfg.write:
@@ -111,6 +132,17 @@ class NodeExecutor:
                     options=w.options,
                 )
 
+            # ---- materialized view instead of / besides physical write
+            # (reference: config.py:4859-4868, node.py:2497-2511)
+            if cfg.materialize_view:
+                df.createOrReplaceTempView(cfg.materialize_view)
+
+            # ---- post_sql, HWM commit (only after successful write)
+            for sql in cfg.post_sql:
+                spark.sql(sql)
+            if hwm_state is not None and new_hwm is not None:
+                hwm_state.set(hwm_key, new_hwm)
+
             # ---- register output for downstream nodes
             self.context.register(cfg.name, df)
             return NodeResult(
@@ -119,3 +151,57 @@ class NodeExecutor:
             )
         except Exception as ex:  # noqa: BLE001 — node failures are data
             return NodeResult(name=cfg.name, status="failed", error=f"{type(ex).__name__}: {ex}")
+
+    def _apply_incremental(self, df):
+        """Returns (filtered_df, state_backend|None, state_key|None)."""
+        import os
+
+        from odibi_spark.state.hwm import (
+            JsonStateBackend,
+            incremental_filter,
+            rolling_window_filter,
+        )
+
+        inc = self.config.incremental
+        if inc.mode == "rolling":
+            assert inc.lookback, "rolling incremental requires 'lookback'"
+            return rolling_window_filter(df, column=inc.column, lookback=inc.lookback), None, None
+        state_path = self.config.state_path or "_odibi_state.json"
+        state = JsonStateBackend(state_path)
+        key = inc.state_key or f"{self.config.name}:{inc.column}"
+        target_exists = True
+        if self.config.write and self.config.write.path:
+            target_exists = os.path.exists(self.config.write.path)
+        out = incremental_filter(
+            df, column=inc.column, state=state, state_key=key,
+            fallback_column=inc.fallback_column,
+            watermark_lag=inc.watermark_lag, target_exists=target_exists,
+        )
+        return out, state, key
+
+    def _check_contract(self, df, c) -> None:
+        from pyspark.sql import functions as F
+
+        if c.type == "schema":
+            got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+            bad = {
+                col: t for col, t in (c.columns or {}).items() if got.get(col) != t
+            }
+            if bad:
+                raise ValueError(f"contract '{c.name}': schema mismatch {bad}, have {got}")
+        elif c.type == "row_count":
+            n = df.count()
+            if (c.min is not None and n < c.min) or (c.max is not None and n > c.max):
+                raise ValueError(f"contract '{c.name}': row count {n} outside bounds")
+        elif c.type == "freshness":
+            newest = df.agg(F.max(c.column)).collect()[0][0]
+            if newest is None:
+                raise ValueError(f"contract '{c.name}': no data")
+            import datetime
+
+            age_h = (datetime.datetime.now() - newest).total_seconds() / 3600
+            if age_h > c.max_age_hours:
+                raise ValueError(
+                    f"contract '{c.name}': newest row {age_h:.1f}h old "
+                    f"(max {c.max_age_hours}h)"
+                )
