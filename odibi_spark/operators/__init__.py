@@ -8,5 +8,7 @@ from odibi_spark.operators import (  # noqa: F401
     relational,
     sql_core,
     temporal_join,
+    thermo,
+    units,
     window,
 )

@@ -1,0 +1,165 @@
+"""API source pagination (offline, injected transport), unit registry,
+thermo plumbing, lineage rendering."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+
+from odibi_spark.sources.api import fetch_all, read_api
+
+
+def make_paged_transport(pages, link_urls=None):
+    calls = []
+
+    def transport(url, params):
+        calls.append((url, dict(params)))
+        if link_urls is not None:
+            idx = link_urls.index(url)
+            headers = (
+                {"Link": f'<{link_urls[idx + 1]}>; rel="next"'}
+                if idx + 1 < len(link_urls)
+                else {}
+            )
+            return pages[idx], headers
+        if "page" in params:
+            i = params["page"] - 1
+        elif "offset" in params:
+            i = params["offset"] // max(params.get("limit", 1), 1)
+        elif "cursor" in params:
+            i = int(params["cursor"])
+        else:
+            i = 0
+        return (pages[i] if i < len(pages) else {"items": []}), {}
+
+    transport.calls = calls
+    return transport
+
+
+class TestApiPagination:
+    def test_page_pagination(self):
+        t = make_paged_transport(
+            [{"items": [{"id": 1}, {"id": 2}]}, {"items": [{"id": 3}]}, {"items": []}]
+        )
+        recs = fetch_all("http://x/api", transport=t, pagination="page",
+                         records_path="items")
+        assert [r["id"] for r in recs] == [1, 2, 3]
+
+    def test_offset_pagination_stops_on_short_page(self):
+        t = make_paged_transport(
+            [{"items": [{"id": i} for i in range(3)]}, {"items": [{"id": 99}]}]
+        )
+        recs = fetch_all("http://x/api", transport=t, pagination="offset",
+                         page_size=3, records_path="items")
+        assert len(recs) == 4
+        assert t.calls[1][1]["offset"] == 3
+
+    def test_cursor_pagination(self):
+        pages = [
+            {"items": [{"id": 1}], "next_cursor": "1"},
+            {"items": [{"id": 2}], "next_cursor": None},
+        ]
+        t = make_paged_transport(pages)
+        recs = fetch_all("http://x/api", transport=t, pagination="cursor",
+                         records_path="items")
+        assert [r["id"] for r in recs] == [1, 2]
+
+    def test_link_header_pagination(self):
+        urls = ["http://x/1", "http://x/2"]
+        t = make_paged_transport(
+            [{"items": [{"id": 1}]}, {"items": [{"id": 2}]}], link_urls=urls
+        )
+        recs = fetch_all(urls[0], transport=t, pagination="link", records_path="items")
+        assert [r["id"] for r in recs] == [1, 2]
+
+    def test_retry_then_succeed(self):
+        attempts = []
+
+        def flaky(url, params):
+            attempts.append(1)
+            if len(attempts) < 3:
+                raise OSError("boom")
+            return {"items": [{"id": 7}]}, {}
+
+        recs = fetch_all("http://x", transport=flaky, records_path="items",
+                         retries=3, backoff_s=0.01)
+        assert [r["id"] for r in recs] == [7] and len(attempts) == 3
+
+    def test_read_api_to_dataframe(self, spark):
+        t = make_paged_transport([{"items": [{"id": 1, "v": "a"}]}])
+        df = read_api(spark, "http://x", transport=t, records_path="items",
+                      schema="id long, v string")
+        assert df.collect() == [Row(id=1, v="a")]
+
+
+class TestUnits:
+    def test_temperature_roundtrip(self, spark, make_ec):
+        from odibi_spark.registry import get_registry
+
+        df = spark.createDataFrame([Row(t_f=212.0), Row(t_f=32.0)])
+        out = get_registry().apply(
+            "convert_units", make_ec(df),
+            {"column": "t_f", "family": "temperature", "from_unit": "F",
+             "to_unit": "C", "output_column": "t_c"},
+        ).df
+        vals = [r.t_c for r in out.orderBy("t_f").collect()]
+        assert vals[0] == pytest.approx(0.0, abs=1e-9)
+        assert vals[1] == pytest.approx(100.0, abs=1e-9)
+
+    def test_gauge_pressure_offset(self):
+        from odibi_spark.operators.units import conversion
+
+        a, b = conversion("pressure", "psig", "Pa")
+        assert 0.0 * a + b == pytest.approx(101325.0)  # 0 psig = 1 atm absolute
+
+    def test_unknown_unit_names_known(self):
+        from odibi_spark.operators.units import conversion
+
+        with pytest.raises(KeyError, match="known"):
+            conversion("temperature", "F", "rankine")
+
+
+class TestThermo:
+    def test_injectable_backend(self, spark, make_ec):
+        from odibi_spark.operators import thermo
+        from odibi_spark.registry import get_registry
+
+        thermo.register_backend(
+            lambda fluid, prop, t, p: t * 2.0 if prop == "D" else p / 1000.0
+        )
+        df = spark.createDataFrame([Row(temp=300.0, pres=100000.0)])
+        out = get_registry().apply(
+            "fluid_properties", make_ec(df),
+            {"fluid": "Water", "properties": ["D", "H"],
+             "temperature_col": "temp", "pressure_col": "pres"},
+        ).df
+        r = out.collect()[0]
+        assert r.prop_D == 600.0 and r.prop_H == 100.0
+
+
+class TestLineage:
+    def test_lineage_and_story(self, spark, tmp_path):
+        from odibi_spark.lineage import pipeline_lineage, render_story
+        from odibi_spark.plans import Pipeline
+
+        src = str(tmp_path / "src")
+        spark.createDataFrame([Row(a=1)]).write.mode("overwrite").parquet(src)
+        y = f"""
+name: lin
+nodes:
+  - name: src
+    read: {{format: parquet, path: "{src}"}}
+  - name: child
+    depends_on: [src]
+    transform:
+      - {{function: derive_columns, params: {{columns: {{b: "a * 2"}}}}}}
+    validation:
+      tests:
+        - {{name: has_rows, type: row_count, min: 1}}
+"""
+        pipe = Pipeline.from_yaml(y, spark)
+        results = pipe.run()
+        lin = pipeline_lineage(pipe.config)
+        child = next(n for n in lin["nodes"] if n["name"] == "child")
+        assert child["inputs"] == ["src"] and child["transforms"] == ["derive_columns"]
+        html_doc = render_story(pipe.config, results, path=str(tmp_path / "story.html"))
+        assert "lin" in html_doc and "success" in html_doc and "has_rows" in html_doc
