@@ -951,3 +951,183 @@ ORACLES = {
     "distinct_segment_nation": DISTINCT_SQL,
     "date_dimension_calendar": DATE_DIM_SQL,
 }
+
+
+# ------------------------------------------------ coverage batch 2
+
+def split_events_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split_events_by_period day variant (§2.6): 26h synthetic
+    intervals from events split at midnight boundaries."""
+    _prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 26 HOURS")).alias("end_ts"),
+    )
+    ec = _ec(spark, iv)
+    ec = window.split_events_by_period(
+        ec, start_column="start_ts", end_column="end_ts", period="day"
+    )
+    return ec.df.select(
+        "event_id", "period_start", "segment_start", "segment_end",
+        F.round("duration_minutes", 6).alias("duration_minutes"),
+    )
+
+
+SPLIT_EVENTS_SQL = """
+WITH iv AS (
+  SELECT event_id, ts AS start_ts, ts + INTERVAL 26 HOURS AS end_ts FROM events
+),
+expl AS (
+  SELECT event_id, start_ts, end_ts,
+         unnest(generate_series(date_trunc('day', start_ts),
+                                date_trunc('day', end_ts),
+                                INTERVAL 1 DAY)) AS period_start
+  FROM iv
+)
+SELECT event_id, period_start,
+       greatest(start_ts, period_start) AS segment_start,
+       least(end_ts, period_start + INTERVAL 1 DAY) AS segment_end,
+       round((CAST(floor(epoch(least(end_ts, period_start + INTERVAL 1 DAY))) AS BIGINT)
+              - CAST(floor(epoch(greatest(start_ts, period_start))) AS BIGINT)) / 60.0, 6)
+         AS duration_minutes
+FROM expl
+WHERE (CAST(floor(epoch(least(end_ts, period_start + INTERVAL 1 DAY))) AS BIGINT)
+       - CAST(floor(epoch(greatest(start_ts, period_start))) AS BIGINT)) / 60.0 > 0
+"""
+
+
+def lookup_nation_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """apply_mapping lookup join with default (§2.4 lookup)."""
+    _prep(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    ec = _ec(spark, cust)
+    ec = relational.apply_mapping(
+        ec, mapping_table=nation, key_column="c_nationkey",
+        mapping_key="n_nationkey", mapping_value="n_name",
+        output_column="nation_name", default="UNKNOWN",
+    )
+    return ec.df.select("c_custkey", "c_nationkey", "nation_name")
+
+
+LOOKUP_SQL = """
+SELECT c_custkey, c_nationkey, COALESCE(n_name, 'UNKNOWN') AS nation_name
+FROM customer LEFT JOIN nation ON n_nationkey = c_nationkey
+"""
+
+
+def flag_order_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """validate_and_flag row-level rule flags (§2.10)."""
+    _prep(spark)
+    ec = _ec(spark, read_table(spark, sf_dir, "orders"))
+    ec = advanced.validate_and_flag(
+        ec,
+        rules={
+            "price_pos": "o_totalprice > 1000",
+            "known_status": "o_orderstatus IN ('O','F','P')",
+        },
+    )
+    return ec.df.select("o_orderkey", "_issues")
+
+
+FLAG_SQL = """
+SELECT o_orderkey,
+       concat_ws(';',
+         CASE WHEN NOT (o_totalprice > 1000) THEN 'price_pos' END,
+         CASE WHEN NOT (o_orderstatus IN ('O','F','P')) THEN 'known_status' END
+       ) AS _issues
+FROM orders
+"""
+
+
+def convert_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """convert_units affine conversion (§2.7): value degF -> degC."""
+    _prep(spark)
+    from odibi_spark.operators import units
+
+    ec = _ec(spark, read_table(spark, sf_dir, "events"))
+    ec = units.convert_units(
+        ec, column="value", family="temperature", from_unit="F", to_unit="C",
+        output_column="value_c",
+    )
+    return ec.df.select("event_id", "value", F.round("value_c", 6).alias("value_c"))
+
+
+CONVERT_SQL = """
+SELECT event_id, value,
+       round(value * (5.0/9.0) + ((459.67 * 5.0/9.0) - 273.15), 6) AS value_c
+FROM events
+"""
+
+
+def rollup_orders_year_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — native Spark beyond reference (§2.5 gap)."""
+    _prep(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    out = (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .rollup("order_year", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr(f"CAST(o_totalprice AS {DEC})")).alias("tot_d"),
+        )
+        .withColumn("total_price", F.col("tot_d").cast("double"))
+        .drop("tot_d")
+    )
+    return out
+
+
+ROLLUP_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (1, 2)
+"""
+
+
+def window_range_frame_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (§2.6 frame spec beyond reference): per
+    customer, sum of orders within 10000 below the current price."""
+    _prep(spark)
+    ec = _ec(spark, read_table(spark, sf_dir, "orders"))
+    ec = window.window_calculation(
+        ec, function="sum", column=f"CAST(o_totalprice AS {DEC})",
+        partition_by=["o_custkey"], order_by=["o_totalprice"],
+        output_column="near_d", frame="range", frame_start=-10000, frame_end=0,
+    )
+    ec = sql_core.derive_columns(ec, columns={"nearby_spend": "CAST(near_d AS DOUBLE)"})
+    return ec.df.select("o_orderkey", "o_custkey", "nearby_spend")
+
+
+RANGE_FRAME_SQL = f"""
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(o_totalprice AS {DEC})) OVER (
+         PARTITION BY o_custkey ORDER BY o_totalprice
+         RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS nearby_spend
+FROM orders
+"""
+
+
+QUERIES.update(
+    {
+        "split_events_by_day": split_events_by_day,
+        "lookup_nation_names": lookup_nation_names,
+        "flag_order_issues": flag_order_issues,
+        "convert_event_values": convert_event_values,
+        "rollup_orders_year_priority": rollup_orders_year_priority,
+        "window_range_frame_spend": window_range_frame_spend,
+    }
+)
+ORACLES.update(
+    {
+        "split_events_by_day": SPLIT_EVENTS_SQL,
+        "lookup_nation_names": LOOKUP_SQL,
+        "flag_order_issues": FLAG_SQL,
+        "convert_event_values": CONVERT_SQL,
+        "rollup_orders_year_priority": ROLLUP_SQL,
+        "window_range_frame_spend": RANGE_FRAME_SQL,
+    }
+)
