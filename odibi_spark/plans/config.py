@@ -94,6 +94,9 @@ class WriteConfig(StrictModel):
     coalesce_partitions: int | None = None
     options: dict[str, Any] = {}
     add_metadata: bool = False
+    # content-hash change detection: skip the write when the data is
+    # byte-identical to the previous run (reference: config.py:4268-4290)
+    skip_if_unchanged: bool = False
 
 
 class IncrementalConfig(StrictModel):

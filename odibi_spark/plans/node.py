@@ -120,17 +120,25 @@ class NodeExecutor:
             rows_written = None
             if cfg.write:
                 w = cfg.write
-                out = add_write_metadata(df) if w.add_metadata else df
-                write_sink(
-                    out,
-                    path=w.path,
-                    format=w.format,
-                    mode=w.mode,
-                    keys=w.keys,
-                    partition_by=w.partition_by,
-                    coalesce_partitions=w.coalesce_partitions,
-                    options=w.options,
-                )
+                skip = False
+                if w.skip_if_unchanged:
+                    from odibi_spark.engine import skip_if_unchanged as _skip
+                    from odibi_spark.state.hwm import JsonStateBackend
+
+                    state = JsonStateBackend(cfg.state_path or "_odibi_state.json")
+                    skip = _skip(df, state=state, state_key=f"{cfg.name}:content")
+                if not skip:
+                    out = add_write_metadata(df) if w.add_metadata else df
+                    write_sink(
+                        out,
+                        path=w.path,
+                        format=w.format,
+                        mode=w.mode,
+                        keys=w.keys,
+                        partition_by=w.partition_by,
+                        coalesce_partitions=w.coalesce_partitions,
+                        options=w.options,
+                    )
 
             # ---- materialized view instead of / besides physical write
             # (reference: config.py:4859-4868, node.py:2497-2511)

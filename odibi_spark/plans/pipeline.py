@@ -36,11 +36,32 @@ class Pipeline:
         return cls(load_pipeline_yaml(path_or_text), spark)
 
     def run(
-        self, parallel: bool = False, retries: int = 0, retry_backoff_s: float = 1.0
+        self,
+        parallel: bool = False,
+        retries: int = 0,
+        retry_backoff_s: float = 1.0,
+        auto_cache: bool = True,
+        resume_from: dict[str, NodeResult] | None = None,
     ) -> dict[str, NodeResult]:
+        """``auto_cache``: persist outputs consumed by >1 downstream node
+        (reference: pipeline.py:1843-1908 auto-cache heuristic).
+        ``resume_from``: results of a previous run — nodes that already
+        succeeded are re-registered from their written targets (or
+        re-executed if they have no physical target) and not re-run
+        (reference resume-from-failure: pipeline.py:581-599)."""
         results: dict[str, NodeResult] = {}
+        consumers = self.graph.consumers_count() if auto_cache else {}
 
         def execute(name: str) -> NodeResult:
+            prior = (resume_from or {}).get(name)
+            if prior is not None and prior.status == "success":
+                cfg = self._nodes[name]
+                if cfg.write and cfg.write.path and cfg.write.format == "parquet":
+                    self.context.register(
+                        name, self.spark.read.parquet(cfg.write.path)
+                    )
+                    return NodeResult(name=name, status="success")
+                # no reusable physical output: fall through and re-run
             failed_deps = [
                 d for d in self.graph.deps[name]
                 if results[d].status != "success"
@@ -53,6 +74,10 @@ class Pipeline:
             attempt = 0
             while True:
                 r = NodeExecutor(self._nodes[name], self.context).execute()
+                if r.status == "success" and consumers.get(name, 0) > 1:
+                    # multiply-consumed output: persist so each consumer
+                    # doesn't recompute the whole upstream plan
+                    self.context.register(name, self.context.get(name).cache())
                 if r.status == "success" or attempt >= retries:
                     return r
                 attempt += 1

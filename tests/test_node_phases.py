@@ -97,3 +97,54 @@ nodes:
         assert spark.table("pre_marker").collect()[0].x == 42
         assert spark.table("post_marker").collect()[0].x == 43
         assert spark.table("my_view").count() == 2
+
+
+class TestSkipIfUnchanged:
+    def test_write_skipped_on_identical_content(self, spark, tmp_path):
+        import os
+
+        src = str(tmp_path / "s_src")
+        out = str(tmp_path / "s_out")
+        state = str(tmp_path / "s_state.json")
+        spark.createDataFrame([Row(a=1)]).write.mode("overwrite").parquet(src)
+        y = f"""
+name: s
+nodes:
+  - name: n
+    read: {{format: parquet, path: "{src}"}}
+    state_path: "{state}"
+    write: {{path: "{out}", mode: overwrite, skip_if_unchanged: true}}
+"""
+        r1 = Pipeline.from_yaml(y, spark).run()
+        assert r1["n"].status == "success", r1["n"].error
+        mtime1 = max(os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out))
+        r2 = Pipeline.from_yaml(y, spark).run()
+        assert r2["n"].status == "success"
+        mtime2 = max(os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out))
+        assert mtime1 == mtime2  # second write skipped
+
+
+class TestResume:
+    def test_resume_reuses_succeeded_nodes(self, spark, tmp_path):
+        src = str(tmp_path / "r_src")
+        out = str(tmp_path / "r_out")
+        spark.createDataFrame([Row(a=1), Row(a=2)]).write.mode("overwrite").parquet(src)
+        y = f"""
+name: r
+nodes:
+  - name: base
+    read: {{format: parquet, path: "{src}"}}
+    write: {{path: "{out}", mode: overwrite}}
+  - name: child
+    depends_on: [base]
+    transform:
+      - {{function: filter_rows, params: {{condition: "a > 1"}}}}
+"""
+        pipe = Pipeline.from_yaml(y, spark)
+        r1 = pipe.run()
+        assert all(r.status == "success" for r in r1.values())
+        # resume: base re-registered from its parquet, child re-runs
+        pipe2 = Pipeline.from_yaml(y, spark)
+        r2 = pipe2.run(resume_from=r1)
+        assert r2["base"].status == "success" and r2["child"].status == "success"
+        assert pipe2.context.get("child").count() == 1
