@@ -115,3 +115,34 @@ nodes:
         results = Pipeline.from_yaml(bad, spark).run()
         assert results["src"].status == "failed"
         assert results["child"].status == "skipped"
+
+
+class TestConcurrency:
+    def test_parallel_raw_sql_nodes_no_view_races(self, spark, tmp_path):
+        """Many nodes in one layer, all using the raw-SQL 'df' token
+        concurrently on one SparkSession (SURVEY §7.3 trap): unique
+        per-thread view names must prevent cross-talk."""
+        src = str(tmp_path / "conc_src")
+        spark.range(100).selectExpr("id", "id % 10 AS g").write.mode(
+            "overwrite"
+        ).parquet(src)
+        nodes = "\n".join(
+            f"""
+  - name: n{i}
+    read: {{format: parquet, path: "{src}"}}
+    transform:
+      - sql: "SELECT {i} AS tag, count(*) AS n, sum(id) AS s FROM df WHERE g = {i}"
+"""
+            for i in range(8)
+        )
+        y = f"name: conc\nnodes:{nodes}"
+        pipe = Pipeline.from_yaml(y, spark)
+        results = pipe.run(parallel=True)
+        assert all(r.status == "success" for r in results.values()), {
+            k: r.error for k, r in results.items()
+        }
+        for i in range(8):
+            row = pipe.context.get(f"n{i}").collect()[0]
+            # each node must see ITS filter, not a neighbour's frame
+            assert row.tag == i and row.n == 10
+            assert row.s == sum(x for x in range(100) if x % 10 == i)
