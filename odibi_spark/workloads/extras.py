@@ -240,3 +240,83 @@ ORACLES = {
     "range_clicks_per_purchase_hour": RANGE_SQL,
     # simulated_sensor_rollup / scd2_customer_batches: rows-only
 }
+
+
+def detect_event_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """detect_sequential_phases (§2.6 manufacturing): runs of identical
+    event_type per user form phases; window-native run-length encoding."""
+    _prep(spark)
+    from odibi_spark.operators.manufacturing import detect_phases_frame
+
+    ev = read_table(spark, sf_dir, "events")
+    out = detect_phases_frame(
+        ev, group_by=["user_id"], timestamp_col="ts", status_col="event_type",
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id", "phase_index", "event_type", "phase_start", "phase_end",
+        "n_rows", F.round("duration_minutes", 6).alias("duration_minutes"),
+    )
+
+
+DETECT_PHASES_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, ts, event_type,
+         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS phase_index
+  FROM flagged
+)
+SELECT user_id, phase_index, event_type,
+       MIN(ts) AS phase_start, MAX(ts) AS phase_end,
+       COUNT(*) AS n_rows,
+       round((CAST(floor(epoch(MAX(ts))) AS BIGINT)
+              - CAST(floor(epoch(MIN(ts))) AS BIGINT)) / 60.0, 6)
+         AS duration_minutes
+FROM runs GROUP BY user_id, phase_index, event_type
+"""
+
+
+def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window streaming sessionization (beyond reference §2.14);
+    rows-only: append-mode watermark semantics aren't plain SQL."""
+    _prep(spark)
+    from odibi_spark.streaming import start_stream_write, streaming_sessionize
+
+    batch = read_table(spark, sf_dir, "events")
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in batch.schema.fields)
+    tmp = tempfile.mkdtemp()
+    batch.write.mode("overwrite").parquet(f"{tmp}/src")
+    stream = spark.readStream.schema(ddl).parquet(f"{tmp}/src")
+    sess = streaming_sessionize(
+        stream, ts_col="ts", gap="30 minutes", watermark="1 hour",
+        group_cols=["user_id"], aggs={"n_events": "count(*)"},
+    )
+    name = f"sess_{abs(hash(tmp)) % 100000}"
+    q = start_stream_write(
+        sess, format="memory", output_mode="append", query_name=name,
+        checkpoint=f"{tmp}/ckpt", trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.col("session.start").alias("session_start"),
+        F.col("session.end").alias("session_end"),
+        "n_events",
+    )
+
+
+QUERIES.update(
+    {
+        "detect_event_phases": detect_event_phases,
+        "streaming_user_sessions": streaming_user_sessions,
+    }
+)
+ORACLES.update({"detect_event_phases": DETECT_PHASES_SQL})
