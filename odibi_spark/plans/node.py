@@ -129,6 +129,18 @@ class NodeExecutor:
                     skip = _skip(df, state=state, state_key=f"{cfg.name}:content")
                 if not skip:
                     out = add_write_metadata(df) if w.add_metadata else df
+                    # rows-written via Observation: piggybacks on the write
+                    # job itself — no second scan (SURVEY §7.3 forbids the
+                    # reference's eager count() pattern at scale). Only for
+                    # modes that are guaranteed to execute the plan —
+                    # Observation.get blocks if the job never runs (e.g.
+                    # 'ignore' on an existing target, merge emulation).
+                    obs = None
+                    if w.mode in ("overwrite", "append"):
+                        from pyspark.sql import Observation, functions as F
+
+                        obs = Observation(f"rows_{cfg.name}")
+                        out = out.observe(obs, F.count(F.lit(1)).alias("n"))
                     write_sink(
                         out,
                         path=w.path,
@@ -139,6 +151,8 @@ class NodeExecutor:
                         coalesce_partitions=w.coalesce_partitions,
                         options=w.options,
                     )
+                    if obs is not None:
+                        rows_written = int(obs.get["n"])
 
             # ---- materialized view instead of / besides physical write
             # (reference: config.py:4859-4868, node.py:2497-2511)

@@ -148,3 +148,19 @@ nodes:
         r2 = pipe2.run(resume_from=r1)
         assert r2["base"].status == "success" and r2["child"].status == "success"
         assert pipe2.context.get("child").count() == 1
+
+
+class TestRowsWritten:
+    def test_rows_written_observed_without_extra_scan(self, spark, tmp_path):
+        src = str(tmp_path / "rw_src")
+        spark.range(37).write.mode("overwrite").parquet(src)
+        y = f"""
+name: rw
+nodes:
+  - name: n
+    read: {{format: parquet, path: "{src}"}}
+    write: {{path: "{tmp_path}/rw_out", mode: overwrite}}
+"""
+        r = Pipeline.from_yaml(y, spark).run()
+        assert r["n"].status == "success", r["n"].error
+        assert r["n"].rows_written == 37
