@@ -385,7 +385,11 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ec, function="sum",
         column=f"CAST(l_extendedprice * (1 - l_discount) AS {DEC})",
         partition_by=["l_suppkey"],
-        order_by=["l_shipdate", "l_orderkey", "l_linenumber"],
+        # the synthetic data has rows sharing (shipdate, orderkey,
+        # linenumber); append value columns for a TOTAL order so the
+        # running sum is deterministic (fully identical rows commute)
+        order_by=["l_shipdate", "l_orderkey", "l_linenumber",
+                  "l_quantity", "l_extendedprice", "l_discount"],
         output_column="running_d", frame="rows",
     )
     ec = sql_core.derive_columns(ec, columns={"running_revenue": "CAST(running_d AS DOUBLE)"})
@@ -396,7 +400,8 @@ WINDOW_RUNNING_SQL = f"""
 SELECT l_suppkey, l_orderkey, l_linenumber,
        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC}))
             OVER (PARTITION BY l_suppkey
-                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                           l_quantity, l_extendedprice, l_discount
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
        AS running_revenue
 FROM lineitem
@@ -410,7 +415,8 @@ def window_price_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     ec = window.window_calculation(
         ec, function="lag", column="l_extendedprice",
         partition_by=["l_partkey"],
-        order_by=["l_shipdate", "l_orderkey", "l_linenumber"],
+        order_by=["l_shipdate", "l_orderkey", "l_linenumber",
+                  "l_quantity", "l_extendedprice", "l_discount"],
         output_column="prev_price",
     )
     ec = sql_core.derive_columns(
@@ -423,7 +429,8 @@ WINDOW_LAG_SQL = """
 SELECT l_partkey, l_orderkey, l_linenumber,
        l_extendedprice - lag(l_extendedprice)
          OVER (PARTITION BY l_partkey
-               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS price_change
+               ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                        l_quantity, l_extendedprice, l_discount) AS price_change
 FROM lineitem
 """
 
