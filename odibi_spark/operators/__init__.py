@@ -6,6 +6,7 @@ from odibi_spark.operators import (  # noqa: F401
     advanced,
     manufacturing,
     relational,
+    skew,
     sql_core,
     temporal_join,
     thermo,
