@@ -124,6 +124,16 @@ class ContractTest(StrictModel):
     max: int | None = None
 
 
+class PrivacyConfig(StrictModel):
+    """PII protection applied after transforms, before validation/write
+    (reference: per-column data dictionary PII flags odibi/config.py:
+    4345-4352; privacy step in the transform phase node.py:1529-1691)."""
+
+    pii_columns: list[str]
+    method: Literal["sha256", "mask", "drop"] = "sha256"
+    salt: str = ""
+
+
 class NodeConfig(StrictModel):
     name: str
     depends_on: list[str] = []
@@ -131,6 +141,7 @@ class NodeConfig(StrictModel):
     read: ReadConfig | None = None
     contracts: list[ContractTest] = []
     transform: list[TransformStep] = []
+    privacy: PrivacyConfig | None = None
     validation: ValidationConfig | None = None
     write: WriteConfig | None = None
     post_sql: list[str] = []

@@ -77,6 +77,15 @@ class NodeExecutor:
                     ec = registry.apply(step.function, ec, step.params)
             df = ec.df
 
+            # ---- privacy phase (after transforms, before validation)
+            if cfg.privacy:
+                from odibi_spark.engine import anonymize
+
+                df = anonymize(
+                    df, cfg.privacy.pii_columns,
+                    method=cfg.privacy.method, salt=cfg.privacy.salt,
+                )
+
             # ---- validation phase
             val_results: list[Any] = []
             gate_warnings: list[str] = []

@@ -164,3 +164,23 @@ nodes:
         r = Pipeline.from_yaml(y, spark).run()
         assert r["n"].status == "success", r["n"].error
         assert r["n"].rows_written == 37
+
+
+class TestPrivacy:
+    def test_pii_anonymized_before_write(self, spark, tmp_path):
+        src = str(tmp_path / "p_src")
+        spark.createDataFrame([Row(id=1, email="a@x.com")]).write.mode(
+            "overwrite"
+        ).parquet(src)
+        y = f"""
+name: p
+nodes:
+  - name: n
+    read: {{format: parquet, path: "{src}"}}
+    privacy: {{pii_columns: [email], method: sha256, salt: s}}
+    write: {{path: "{tmp_path}/p_out", mode: overwrite}}
+"""
+        r = Pipeline.from_yaml(y, spark).run()
+        assert r["n"].status == "success", r["n"].error
+        row = spark.read.parquet(str(tmp_path / "p_out")).collect()[0]
+        assert len(row.email) == 64 and "@" not in row.email
