@@ -22,6 +22,7 @@ class ReadConfig(StrictModel):
     format: str = "parquet"
     path: str | None = None
     table: str | None = None
+    connection: str | None = None
     schema_ddl: str | None = None
     options: dict[str, Any] = {}
     filter: str | None = None
@@ -86,6 +87,7 @@ class ValidationConfig(StrictModel):
 class WriteConfig(StrictModel):
     path: str | None = None
     format: str = "parquet"
+    connection: str | None = None
     mode: Literal["overwrite", "append", "error", "ignore", "upsert", "append_once"] = (
         "overwrite"
     )
@@ -157,10 +159,20 @@ class NodeConfig(StrictModel):
         return self
 
 
+class ConnectionConfig(StrictModel):
+    """Named connection (reference: odibi/connections/factory.py).
+    ``type`` selects the factory; remaining keys are its kwargs."""
+
+    model_config = ConfigDict(extra="allow")
+    type: str
+
+
 class PipelineConfig(StrictModel):
     name: str
     nodes: list[NodeConfig]
     max_workers: int = 4
+    connections: dict[str, ConnectionConfig] = {}
+    plugins: list[str] = []
 
     @model_validator(mode="after")
     def _unique_names(self) -> "PipelineConfig":

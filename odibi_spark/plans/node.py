@@ -29,9 +29,30 @@ class NodeResult:
 
 
 class NodeExecutor:
-    def __init__(self, config: NodeConfig, context: Context):
+    def __init__(self, config: NodeConfig, context: Context, connections: dict | None = None):
         self.config = config
         self.context = context
+        self.connections = connections or {}
+
+    def _resolve(self, conn_name: str | None, path: str | None, table: str | None, options: dict):
+        """Apply a named connection: resolve path/table, merge options,
+        set its session conf (reference: engine applies connection config
+        before reads — spark_engine.py:221-250)."""
+        if not conn_name:
+            return path, table, options
+        conn = self.connections.get(conn_name)
+        if conn is None:
+            raise ValueError(
+                f"node '{self.config.name}': unknown connection '{conn_name}' "
+                f"(declared: {sorted(self.connections)})"
+            )
+        for k, v in conn.spark_conf().items():
+            self.context.spark.conf.set(k, v)
+        return (
+            conn.get_path(path) if path else None,
+            conn.get_path(table) if table else None,
+            {**conn.spark_options(), **options},
+        )
 
     def execute(self) -> NodeResult:
         cfg = self.config
@@ -43,13 +64,16 @@ class NodeExecutor:
 
             # ---- read phase
             if cfg.read:
+                r_path, r_table, r_options = self._resolve(
+                    cfg.read.connection, cfg.read.path, cfg.read.table, cfg.read.options
+                )
                 df = read_source(
                     spark,
                     format=cfg.read.format,
-                    path=cfg.read.path,
-                    table=cfg.read.table,
+                    path=r_path,
+                    table=r_table,
                     schema=cfg.read.schema_ddl,
-                    options=cfg.read.options,
+                    options=r_options,
                     filter=cfg.read.filter,
                     columns=cfg.read.columns,
                     streaming=cfg.read.streaming,
@@ -129,6 +153,9 @@ class NodeExecutor:
             rows_written = None
             if cfg.write:
                 w = cfg.write
+                w_path, _, w_options = self._resolve(
+                    w.connection, w.path, None, w.options
+                )
                 skip = False
                 if w.skip_if_unchanged:
                     from odibi_spark.engine import skip_if_unchanged as _skip
@@ -152,13 +179,13 @@ class NodeExecutor:
                         out = out.observe(obs, F.count(F.lit(1)).alias("n"))
                     write_sink(
                         out,
-                        path=w.path,
+                        path=w_path,
                         format=w.format,
                         mode=w.mode,
                         keys=w.keys,
                         partition_by=w.partition_by,
                         coalesce_partitions=w.coalesce_partitions,
-                        options=w.options,
+                        options=w_options,
                     )
                     if obs is not None:
                         rows_written = int(obs.get["n"])
@@ -202,7 +229,9 @@ class NodeExecutor:
         key = inc.state_key or f"{self.config.name}:{inc.column}"
         target_exists = True
         if self.config.write and self.config.write.path:
-            target_exists = os.path.exists(self.config.write.path)
+            w = self.config.write
+            resolved, _, _ = self._resolve(w.connection, w.path, None, {})
+            target_exists = os.path.exists(resolved)
         out = incremental_filter(
             df, column=inc.column, state=state, state_key=key,
             fallback_column=inc.fallback_column,

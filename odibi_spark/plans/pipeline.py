@@ -30,6 +30,13 @@ class Pipeline:
             {n.name: n.depends_on for n in config.nodes}
         )
         self._nodes = {n.name: n for n in config.nodes}
+        if config.plugins:
+            from odibi_spark.plugins import load_plugins
+
+            load_plugins(config.plugins)
+        from odibi_spark.connections import build_connections
+
+        self.connections = build_connections(config.connections)
 
     @classmethod
     def from_yaml(cls, path_or_text: str, spark: SparkSession) -> "Pipeline":
@@ -73,7 +80,9 @@ class Pipeline:
                 )
             attempt = 0
             while True:
-                r = NodeExecutor(self._nodes[name], self.context).execute()
+                r = NodeExecutor(
+                    self._nodes[name], self.context, self.connections
+                ).execute()
                 if r.status == "success" and consumers.get(name, 0) > 1:
                     # multiply-consumed output: persist so each consumer
                     # doesn't recompute the whole upstream plan
