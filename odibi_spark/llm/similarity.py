@@ -141,3 +141,123 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path: partition
+# the corpus into nlist Voronoi cells around centroids, search only the
+# nprobe cells nearest each query. At cluster scale the cell id becomes
+# the shuffle/partition key, so candidate generation is a co-partitioned
+# join instead of an all-pairs cross join.
+
+
+def _dot_lit(vec_col: str, centroid: list[float]):
+    """dot(column vector, literal centroid) as a JVM-side expression."""
+    arr = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nlist: int = 8,
+    iters: int = 1,
+) -> list[list[float]]:
+    """Deterministic coarse centroids: seed with the ``nlist`` lowest-id
+    vectors, refine with ``iters`` Lloyd steps (assign -> per-cell mean).
+
+    Centroids are tiny (nlist x dim floats) and are returned driver-side
+    to be inlined as literals — the corpus itself is never collected.
+    """
+    seeds = [
+        [float(x) for x in r.vec]
+        for r in df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .orderBy("id")
+        .limit(nlist)
+        .collect()
+    ]
+    centroids = seeds
+    for _ in range(iters):
+        assigned = ivf_assign(df, id_col, vec_col, centroids)
+        means = (
+            assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("dims"))
+            .collect()
+        )
+        by_cell = {r.cell: [float(d.m) for d in r.dims] for r in means}
+        # empty cells keep their previous centroid
+        centroids = [by_cell.get(i, c) for i, c in enumerate(centroids)]
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Map each vector to its nearest centroid (``cell``). Narrow (no
+    shuffle): an argmax over nlist inlined dot products."""
+    sel = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    sims = F.array(*[_dot_lit("vec", c) for c in centroids])
+    # argmax: first index attaining the max (deterministic tiebreak)
+    cell = F.array_position(sims, F.array_max(sims)) - 1
+    return sel.withColumn("cell", cell.cast("int"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+    iters: int = 1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF ANN top-k with the same output contract as ``cosine_topk``
+    (query_id, nbr_id, cosine, rank) so recall is directly comparable.
+
+    Candidate generation joins corpus and queries on ``cell`` — each
+    query probes its ``nprobe`` nearest cells. Exact cosine re-ranks
+    within the probed cells.
+    """
+    from pyspark.sql.window import Window
+
+    centroids = ivf_centroids(df, id_col, vec_col, nlist=nlist, iters=iters)
+    corpus = ivf_assign(df, id_col, vec_col, centroids).select(
+        F.col("id").alias("nbr_id"), F.col("vec").alias("nbr_vec"), "cell"
+    )
+    sel = df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    sims = F.array(*[_dot_lit("q_vec", c) for c in centroids])
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
+    probes = (
+        sel.select(
+            "query_id", "q_vec", F.posexplode(sims).alias("cell", "sim")
+        )
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "q_vec", F.col("cell").cast("int").alias("cell"))
+    )
+    scored = (
+        corpus.join(probes, "cell")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot("q_vec", "nbr_vec") / (_norm("q_vec") * _norm("nbr_vec")),
+                round_digits,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )

@@ -155,6 +155,40 @@ def aggregate(
     return ctx.with_df(out)
 
 
+@transform("grouping_sets")
+def grouping_sets(
+    ctx: EngineContext,
+    *,
+    sets: list[list[str]],
+    aggregations: list[dict[str, str]],
+    having: str | None = None,
+) -> EngineContext:
+    """GROUP BY GROUPING SETS — native Spark/ANSI, beyond the
+    reference's cube/rollup gap (SURVEY §2.5 note). Columns absent from
+    a set come out NULL, exactly as in cube/rollup.
+
+    SQL-first (the reference's operator style, sql_core.py:41-44):
+    identical text runs on Spark and the DuckDB oracle.
+    """
+    group_cols: list[str] = []
+    for s in sets:
+        for c in s:
+            if c not in group_cols:
+                group_cols.append(c)
+    aggs = ", ".join(
+        f"{spec['function'].upper()}({spec['column']}) AS {spec['alias']}"
+        for spec in aggregations
+    )
+    sets_sql = ", ".join("(" + ", ".join(s) + ")" for s in sets)
+    sql = (
+        f"SELECT {', '.join(group_cols)}, {aggs} FROM df "
+        f"GROUP BY GROUPING SETS ({sets_sql})"
+    )
+    if having:
+        sql += f" HAVING {having}"
+    return ctx.sql(sql)
+
+
 @transform("pivot")
 def pivot(
     ctx: EngineContext,

@@ -1,0 +1,236 @@
+"""TPC-H classics (adapted to the driver's synthetic schema) + grouping
+sets — canonical operator compositions with plan-shape intent noted per
+query. Oracle parity follows the decimal-sum conventions in
+workloads/__init__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from odibi_spark.context import Context, EngineContext
+from odibi_spark.io import read_table
+from odibi_spark.operators import relational, sql_core
+
+DEC = "DECIMAL(18,6)"
+
+
+def _prep(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
+def _ec(spark: SparkSession, df: DataFrame) -> EngineContext:
+    return EngineContext(Context(spark), df)
+
+
+# ---------------------------------------------------------------- q6
+# Plan intent: single scan, every predicate pushed to parquet, partial
+# agg map-side, one-row result — no join, no wide shuffle.
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: conjunctive filter + scalar aggregate (§2.3/§2.5)."""
+    _prep(spark)
+    ec = _ec(spark, read_table(spark, sf_dir, "lineitem"))
+    ec = sql_core.filter_rows(
+        ec,
+        condition=(
+            "l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND "
+            "l_shipdate < TIMESTAMP '1998-01-01 00:00:00' AND "
+            "l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        ),
+    )
+    ec = relational.aggregate(
+        ec,
+        group_by=[],
+        aggregations=[
+            {
+                "alias": "revenue_d",
+                "function": "sum",
+                "column": f"CAST(l_extendedprice * l_discount AS {DEC})",
+            },
+            {"alias": "n_lines", "function": "count", "column": "*"},
+        ],
+    )
+    ec = sql_core.derive_columns(ec, columns={"revenue": "CAST(revenue_d AS DOUBLE)"})
+    return ec.df.select("revenue", "n_lines")
+
+
+Q6_SQL = f"""
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS {DEC})) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------- q14
+# Plan intent: part is the dimension — broadcast it; lineitem filter
+# pushed down; conditional aggregation in one pass (no second scan for
+# the promo numerator).
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast join + conditional ratio agg (§2.4/§2.5)."""
+    _prep(spark)
+    ec = _ec(spark, read_table(spark, sf_dir, "lineitem"))
+    ec = sql_core.filter_rows(
+        ec,
+        condition=(
+            "l_shipdate >= TIMESTAMP '1997-09-01 00:00:00' AND "
+            "l_shipdate < TIMESTAMP '1997-10-01 00:00:00'"
+        ),
+    )
+    part = read_table(spark, sf_dir, "part").withColumnRenamed("p_partkey", "l_partkey")
+    ec = relational.join(ec, right=part, on=["l_partkey"], how="inner", broadcast=True)
+    ec = relational.aggregate(
+        ec,
+        group_by=[],
+        aggregations=[
+            {
+                "alias": "promo_d",
+                "function": "sum",
+                "column": (
+                    "CAST(CASE WHEN p_type = 'PROMO' THEN "
+                    f"l_extendedprice * (1 - l_discount) ELSE 0 END AS {DEC})"
+                ),
+            },
+            {
+                "alias": "total_d",
+                "function": "sum",
+                "column": f"CAST(l_extendedprice * (1 - l_discount) AS {DEC})",
+            },
+        ],
+    )
+    ec = sql_core.derive_columns(
+        ec,
+        columns={
+            "promo_revenue": (
+                "ROUND(100.0 * CAST(promo_d AS DOUBLE) / CAST(total_d AS DOUBLE), 6)"
+            ),
+            "total_revenue": "CAST(total_d AS DOUBLE)",
+        },
+    )
+    return ec.df.select("promo_revenue", "total_revenue")
+
+
+Q14_SQL = f"""
+SELECT ROUND(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+             THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS {DEC})) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS DOUBLE), 6)
+         AS promo_revenue,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS DOUBLE)
+         AS total_revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+# ---------------------------------------------------------------- q18
+# Plan intent: the HAVING-filtered aggregate shrinks lineitem to a
+# small key set; that small side then drives the orders join (AQE turns
+# it into a broadcast at runtime); customer is a broadcast dim.
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: agg + HAVING, join back, deterministic top-k
+    (§2.5 HAVING / §2.4 / §2.3 sort+limit)."""
+    _prep(spark)
+    ec = _ec(spark, read_table(spark, sf_dir, "lineitem"))
+    ec = relational.aggregate(
+        ec,
+        group_by=["l_orderkey"],
+        aggregations=[
+            {"alias": "sum_qty_d", "function": "sum", "column": f"CAST(l_quantity AS {DEC})"}
+        ],
+        having="sum_qty_d > 150",
+    )
+    orders = read_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    ec = relational.join(ec, right=orders, on=["l_orderkey"], how="inner")
+    cust = read_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    ec = relational.join(ec, right=cust, on=["o_custkey"], how="inner", broadcast=True)
+    ec = sql_core.derive_columns(ec, columns={"sum_qty": "CAST(sum_qty_d AS DOUBLE)"})
+    return (
+        ec.df.select(
+            "c_name", "o_custkey", F.col("l_orderkey").alias("o_orderkey"),
+            "o_orderdate", "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+Q18_SQL = f"""
+SELECT c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(big.sum_qty_d AS DOUBLE) AS sum_qty
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS {DEC})) AS sum_qty_d
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS {DEC})) > 150
+) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+# ------------------------------------------------- grouping sets
+def groupingsets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS operator (§2.5 beyond-reference): per-flag,
+    per-status, and grand-total rows in one pass."""
+    _prep(spark)
+    ec = _ec(spark, read_table(spark, sf_dir, "lineitem"))
+    ec = relational.grouping_sets(
+        ec,
+        sets=[["l_returnflag"], ["l_linestatus"], []],
+        aggregations=[
+            {"alias": "n", "function": "count", "column": "*"},
+            {
+                "alias": "qty_d",
+                "function": "sum",
+                "column": f"CAST(l_quantity AS {DEC})",
+            },
+        ],
+    )
+    ec = sql_core.derive_columns(ec, columns={"sum_qty": "CAST(qty_d AS DOUBLE)"})
+    return ec.df.select("l_returnflag", "l_linestatus", "n", "sum_qty")
+
+
+GROUPING_SETS_SQL = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+# ------------------------------------------------- IVF ANN (scale path)
+def ivf_ann_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN over the embeddings table — the
+    bucketed scale path next to lsh_ann_neighbors. Rows-only (centroid
+    refinement is iterative, not SQL-expressible)."""
+    _prep(spark)
+    from odibi_spark.llm.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, "vec_id", "embedding", k=5, nlist=8, nprobe=2, iters=1)
+
+
+QUERIES = {
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
+    "groupingsets_flag_status": groupingsets_flag_status,
+    "ivf_ann_neighbors": ivf_ann_neighbors,
+}
+ORACLES = {
+    "q6_forecast_revenue": Q6_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q18_large_orders": Q18_SQL,
+    "groupingsets_flag_status": GROUPING_SETS_SQL,
+    # ivf_ann_neighbors: rows-only by design (iterative centroids)
+}

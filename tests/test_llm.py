@@ -112,3 +112,47 @@ def test_fingerprint_normalization(spark):
     )
     fps = [r.fingerprint for r in text.with_fingerprint(df).collect()]
     assert fps[0] == fps[1]
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    """IVF with nprobe=nlist degenerates to exact search; with fewer
+    probes it still finds planted near-duplicates."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(1, 61):
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in rng.standard_normal(16)]))
+    # planted near-dup pair
+    base = np.array(rows[0].embedding)
+    rows.append(Row(vec_id=99, embedding=[float(x) for x in base + 0.01]))
+    df = spark.createDataFrame(rows)
+
+    exact = similarity.cosine_topk(df, "vec_id", "embedding", k=3)
+    full_probe = similarity.ivf_topk(
+        df, "vec_id", "embedding", k=3, nlist=4, nprobe=4, iters=1
+    )
+    # probing every cell == brute force
+    e = {(r.query_id, r.nbr_id, r.rank) for r in exact.collect()}
+    f = {(r.query_id, r.nbr_id, r.rank) for r in full_probe.collect()}
+    assert e == f
+
+    ann = similarity.ivf_topk(df, "vec_id", "embedding", k=3, nlist=4, nprobe=1, iters=1)
+    nbrs = {r.nbr_id for r in ann.filter("query_id = 1").collect()}
+    assert 99 in nbrs  # near-identical vector shares the Voronoi cell
+
+
+def test_ivf_assign_deterministic(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in rng.standard_normal(8)])
+         for i in range(1, 30)]
+    )
+    cents = similarity.ivf_centroids(df, "vec_id", "embedding", nlist=3, iters=2)
+    assert len(cents) == 3 and len(cents[0]) == 8
+    a1 = similarity.ivf_assign(df, "vec_id", "embedding", cents).collect()
+    a2 = similarity.ivf_assign(df, "vec_id", "embedding", cents).collect()
+    assert {(r.id, r.cell) for r in a1} == {(r.id, r.cell) for r in a2}
+    assert {r.cell for r in a1} <= {0, 1, 2}

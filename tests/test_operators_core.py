@@ -233,3 +233,43 @@ def test_engine_context_sql_df_token(spark, make_ec):
     df = spark.createDataFrame([Row(x=1), Row(x=2)])
     out = make_ec(df).sql("SELECT sum(x) AS s FROM df")
     assert out.df.collect()[0].s == 3
+
+
+class TestGroupingSets:
+    def test_grouping_sets_matches_union_of_groupbys(self, spark):
+        from odibi_spark.context import Context, EngineContext
+        from odibi_spark.operators import relational
+
+        df = spark.createDataFrame(
+            [("A", "X", 1.0), ("A", "Y", 2.0), ("B", "X", 3.0)],
+            ["f", "s", "v"],
+        )
+        ec = EngineContext(Context(spark), df)
+        out = relational.grouping_sets(
+            ec,
+            sets=[["f"], ["s"], []],
+            aggregations=[
+                {"alias": "n", "function": "count", "column": "*"},
+                {"alias": "sv", "function": "sum", "column": "v"},
+            ],
+        ).df
+        rows = {(r.f, r.s): (r.n, r.sv) for r in out.collect()}
+        assert rows[("A", None)] == (2, 3.0)
+        assert rows[("B", None)] == (1, 3.0)
+        assert rows[(None, "X")] == (2, 4.0)
+        assert rows[(None, None)] == (3, 6.0)
+
+    def test_grouping_sets_having(self, spark):
+        from odibi_spark.context import Context, EngineContext
+        from odibi_spark.operators import relational
+
+        df = spark.createDataFrame([("A", 1.0), ("A", 2.0), ("B", 3.0)], ["f", "v"])
+        ec = EngineContext(Context(spark), df)
+        out = relational.grouping_sets(
+            ec,
+            sets=[["f"], []],
+            aggregations=[{"alias": "n", "function": "count", "column": "*"}],
+            having="n > 1",
+        ).df
+        got = {(r.f, r.n) for r in out.collect()}
+        assert got == {("A", 2), (None, 3)}
