@@ -1,5 +1,6 @@
 """CLI (reference: odibi/cli/main.py:271-537 — run, plan, validate,
-graph, schema): ``python -m odibi_spark.cli <cmd> pipeline.yaml``."""
+graph, schema, story, catalog discovery): ``python -m odibi_spark.cli
+<cmd> ...``."""
 
 from __future__ import annotations
 
@@ -16,13 +17,48 @@ def main(argv: list[str] | None = None) -> int:
         ("plan", "show execution layers without running"),
         ("validate", "parse + validate the pipeline config"),
         ("graph", "print the dependency DAG"),
+        ("lineage", "print node-level lineage as JSON"),
     ]:
         sp = sub.add_parser(cmd, help=help_)
         sp.add_argument("pipeline", help="pipeline YAML path")
         if cmd == "run":
             sp.add_argument("--parallel", action="store_true")
             sp.add_argument("--catalog", help="catalog root for run metadata")
+            sp.add_argument("--story", help="write an HTML run report here")
+
+    # discovery commands operate on a base path, no Spark needed
+    sp = sub.add_parser("discover", help="list datasets under a base path")
+    sp.add_argument("base_path")
+    sp.add_argument("--pattern", default="")
+    sp.add_argument("--schema", action="store_true", help="include column schemas")
+    sp.add_argument("--limit", type=int, default=200)
+    sp = sub.add_parser("schema", help="print a dataset's schema")
+    sp.add_argument("dataset")
+    sp = sub.add_parser("preview", help="print sample rows from a dataset")
+    sp.add_argument("dataset")
+    sp.add_argument("--rows", type=int, default=5)
+    sp = sub.add_parser("profile", help="row count + sampled column stats")
+    sp.add_argument("dataset")
     args = p.parse_args(argv)
+
+    if args.cmd in ("discover", "schema", "preview", "profile"):
+        from odibi_spark.connections import LocalConnection
+
+        if args.cmd == "discover":
+            conn = LocalConnection(args.base_path)
+            out = conn.discover_catalog(
+                pattern=args.pattern, include_schema=args.schema, limit=args.limit
+            )
+        else:
+            conn = LocalConnection(".")
+            if args.cmd == "schema":
+                out = conn.get_schema(args.dataset)
+            elif args.cmd == "preview":
+                out = conn.preview(args.dataset, rows=args.rows)
+            else:
+                out = conn.profile(args.dataset)
+        print(json.dumps(out, indent=2, default=str))
+        return 0
 
     from odibi_spark.plans.config import load_pipeline_yaml
 
@@ -48,6 +84,11 @@ def main(argv: list[str] | None = None) -> int:
         for i, layer in enumerate(graph.layers()):
             print(f"layer {i}: {', '.join(layer)}")
         return 0
+    if args.cmd == "lineage":
+        from odibi_spark.lineage import pipeline_lineage
+
+        print(json.dumps(pipeline_lineage(cfg), indent=2, default=str))
+        return 0
 
     # run
     from odibi_spark import get_spark
@@ -64,6 +105,11 @@ def main(argv: list[str] | None = None) -> int:
         print(f"run_id: {run_id}")
     else:
         results = pipe.run(parallel=args.parallel)
+    if getattr(args, "story", None):
+        from odibi_spark.lineage import render_story
+
+        render_story(cfg, results, path=args.story)
+        print(f"story: {args.story}")
     summary = {k: v.status for k, v in results.items()}
     print(json.dumps(summary, indent=2))
     return 0 if all(s == "success" for s in summary.values()) else 1

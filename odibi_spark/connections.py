@@ -58,6 +58,25 @@ class Connection(ABC):
         """Reader/writer options to merge into every read/write."""
         return {}
 
+    # -------- discovery API (reference base.py:33-115; optional) --------
+    # Driver-side metadata tooling: catalog listings, schemas, previews.
+    # At cluster scale these read footers/samples, never full tables.
+
+    def discover_catalog(self, **kwargs) -> Dict[str, Any]:
+        raise NotImplementedError(f"{type(self).__name__} does not support discovery")
+
+    def get_schema(self, dataset: str) -> Dict[str, Any]:
+        raise NotImplementedError(f"{type(self).__name__} does not support get_schema")
+
+    def preview(self, dataset: str, rows: int = 5, columns=None) -> Dict[str, Any]:
+        raise NotImplementedError(f"{type(self).__name__} does not support preview")
+
+    def profile(self, dataset: str, sample_rows: int = 1000, columns=None) -> Dict[str, Any]:
+        raise NotImplementedError(f"{type(self).__name__} does not support profiling")
+
+    def get_freshness(self, dataset: str, timestamp_column: str | None = None) -> Dict[str, Any]:
+        raise NotImplementedError(f"{type(self).__name__} does not support freshness")
+
 
 def _is_uri(path: str) -> bool:
     # "scheme://..." or "dbfs:/..." are URIs; windows drive letters
@@ -82,6 +101,201 @@ class LocalConnection(Connection):
             return relative_path  # already absolute
         base = self.base_path.rstrip("/")
         return f"{base}/{relative_path.lstrip('/')}"
+
+    # -------- discovery (reference local.py discover/schema/preview/
+    # profile/freshness; detect_file_format/detect_partitions in
+    # odibi/discovery/utils.py). Footer/sample reads only.
+
+    _DATA_EXTS = (".parquet", ".csv", ".json", ".orc", ".tsv")
+
+    def _dataset_entries(self, root: str, pattern: str, recursive: bool):
+        import fnmatch
+        import os
+
+        for dirpath, dirnames, filenames in os.walk(root):
+            # a directory of part-files is ONE dataset (spark output dir)
+            if any(f.startswith("part-") or f == "_SUCCESS" for f in filenames):
+                name = os.path.relpath(dirpath, root)
+                fmt = next(
+                    (
+                        f.rsplit(".", 1)[-1]
+                        for f in sorted(filenames)
+                        if f.startswith("part-") and "." in f and not f.endswith(".crc")
+                    ),
+                    "parquet",
+                )
+                size = sum(
+                    os.path.getsize(os.path.join(dirpath, f)) for f in filenames
+                )
+                if not pattern or fnmatch.fnmatch(name, pattern):
+                    yield {"name": name, "path": dirpath, "format": fmt, "size_bytes": size}
+                dirnames.clear()  # don't descend into part files
+                continue
+            for f in sorted(filenames):
+                if f.endswith(self._DATA_EXTS) and not f.startswith("_"):
+                    rel = os.path.relpath(os.path.join(dirpath, f), root)
+                    if pattern and not fnmatch.fnmatch(rel, pattern) and not fnmatch.fnmatch(f, pattern):
+                        continue
+                    yield {
+                        "name": rel,
+                        "path": os.path.join(dirpath, f),
+                        "format": f.rsplit(".", 1)[-1],
+                        "size_bytes": os.path.getsize(os.path.join(dirpath, f)),
+                    }
+            if not recursive:
+                dirnames.clear()
+
+    def discover_catalog(
+        self,
+        include_schema: bool = False,
+        limit: int = 200,
+        recursive: bool = True,
+        path: str = "",
+        pattern: str = "",
+        **_: Any,
+    ) -> Dict[str, Any]:
+        """List datasets (files + spark output dirs) under the base path."""
+        import os
+
+        root = self.get_path(path) if path else self.base_path
+        if self.is_uri:
+            raise NotImplementedError("discovery over URI base paths needs a filesystem client")
+        datasets = []
+        for entry in self._dataset_entries(os.path.abspath(root), pattern, recursive):
+            if include_schema:
+                try:
+                    entry["schema"] = self.get_schema(entry["path"])["columns"]
+                except Exception as ex:  # noqa: BLE001 — listing shouldn't die on one bad file
+                    entry["schema_error"] = str(ex)
+            datasets.append(entry)
+            if len(datasets) >= limit:
+                break
+        return {"base_path": str(root), "count": len(datasets), "datasets": datasets}
+
+    def _read_sample(self, dataset: str, rows: int):
+        """A small pandas sample without scanning the whole dataset."""
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        p = self.get_path(dataset)
+        if os.path.isdir(p):
+            parts = sorted(glob.glob(os.path.join(p, "part-*")))
+            if not parts:
+                raise FileNotFoundError(f"no part files under {p}")
+            p = parts[0]
+        if p.endswith(".parquet") or "part-" in os.path.basename(p):
+            pf = pq.ParquetFile(p)
+            return next(pf.iter_batches(batch_size=rows)).to_pandas()
+        import pandas as pd
+
+        if p.endswith((".csv", ".tsv")):
+            return pd.read_csv(p, sep="\t" if p.endswith(".tsv") else ",", nrows=rows)
+        if p.endswith(".json"):
+            return pd.read_json(p, lines=True, nrows=rows)
+        raise ValueError(f"unsupported dataset for sampling: {p}")
+
+    def get_schema(self, dataset: str) -> Dict[str, Any]:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        p = self.get_path(dataset)
+        target = p
+        if os.path.isdir(p):
+            parts = sorted(glob.glob(os.path.join(p, "part-*.parquet")))
+            target = parts[0] if parts else p
+        if target.endswith(".parquet"):
+            s = pq.read_schema(target)
+            cols = [{"name": n, "type": str(s.field(n).type)} for n in s.names]
+            return {"dataset": dataset, "format": "parquet", "columns": cols}
+        pdf = self._read_sample(dataset, rows=100)
+        cols = [{"name": c, "type": str(t)} for c, t in pdf.dtypes.items()]
+        return {"dataset": dataset, "format": target.rsplit(".", 1)[-1], "columns": cols}
+
+    def preview(self, dataset: str, rows: int = 5, columns=None) -> Dict[str, Any]:
+        pdf = self._read_sample(dataset, rows=rows)
+        if columns:
+            pdf = pdf[list(columns)]
+        pdf = pdf.head(rows)
+        return {
+            "dataset": dataset,
+            "columns": list(pdf.columns),
+            "rows": pdf.astype(object).where(pdf.notna(), None).values.tolist(),
+        }
+
+    def profile(self, dataset: str, sample_rows: int = 1000, columns=None) -> Dict[str, Any]:
+        """Row count from parquet metadata (no scan) + sampled column stats."""
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        p = self.get_path(dataset)
+        row_count = None
+        files = (
+            sorted(glob.glob(os.path.join(p, "part-*.parquet")))
+            if os.path.isdir(p)
+            else [p]
+        )
+        if files and files[0].endswith(".parquet"):
+            row_count = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        pdf = self._read_sample(dataset, rows=sample_rows)
+        if columns:
+            pdf = pdf[list(columns)]
+        stats = {}
+        for c in pdf.columns:
+            s = pdf[c]
+            col = {"nulls_in_sample": int(s.isna().sum()),
+                   "distinct_in_sample": int(s.nunique())}
+            if s.dtype.kind in "ifuM":
+                col["min"] = None if s.isna().all() else str(s.min())
+                col["max"] = None if s.isna().all() else str(s.max())
+            stats[c] = col
+        return {
+            "dataset": dataset,
+            "row_count": row_count,
+            "sampled_rows": int(len(pdf)),
+            "columns": stats,
+        }
+
+    def get_freshness(self, dataset: str, timestamp_column: str | None = None) -> Dict[str, Any]:
+        import datetime
+        import glob
+        import os
+
+        p = self.get_path(dataset)
+        files = (
+            [os.path.join(dp, f) for dp, _, fs in os.walk(p) for f in fs]
+            if os.path.isdir(p)
+            else [p]
+        )
+        mtime = max(os.path.getmtime(f) for f in files)
+        out: Dict[str, Any] = {
+            "dataset": dataset,
+            "modified_at": datetime.datetime.fromtimestamp(
+                mtime, tz=datetime.timezone.utc
+            ).isoformat(),
+            "age_hours": round(
+                (datetime.datetime.now(tz=datetime.timezone.utc).timestamp() - mtime) / 3600,
+                3,
+            ),
+        }
+        if timestamp_column:
+            import pyarrow.parquet as pq
+
+            target = (
+                sorted(glob.glob(os.path.join(p, "part-*.parquet")))[-1]
+                if os.path.isdir(p)
+                else p
+            )
+            col = pq.read_table(target, columns=[timestamp_column])[timestamp_column]
+            import pyarrow.compute as pc
+
+            out["max_" + timestamp_column] = str(pc.max(col).as_py())
+        return out
 
 
 class ADLSConnection(Connection):

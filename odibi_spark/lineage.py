@@ -53,10 +53,15 @@ def render_story(config, results, *, path: str | None = None) -> str:
             )
         err = html.escape(r.error or "") if r else ""
         deps = ", ".join(n.depends_on) or "—"
+        dur = f"{r.duration_s:.2f}s" if r and r.duration_s is not None else "—"
+        nrows = (
+            f"{r.rows_written:,}" if r and r.rows_written is not None else "—"
+        )
         rows.append(
             f"<tr><td>{html.escape(n.name)}</td>"
             f"<td style='color:{color};font-weight:bold'>{status}</td>"
-            f"<td>{deps}</td><td>{checks}</td><td>{err}</td></tr>"
+            f"<td>{deps}</td><td>{dur}</td><td>{nrows}</td>"
+            f"<td>{checks}</td><td>{err}</td></tr>"
         )
     doc = f"""<!doctype html><html><head><meta charset="utf-8">
 <title>Run report — {html.escape(config.name)}</title>
@@ -67,6 +72,7 @@ th{{background:#f5f5f5}}</style></head><body>
 <h1>{html.escape(config.name)}</h1>
 <p>generated {time.strftime('%Y-%m-%d %H:%M:%S UTC', time.gmtime())}</p>
 <table><tr><th>node</th><th>status</th><th>depends on</th>
+<th>duration</th><th>rows written</th>
 <th>validation</th><th>error</th></tr>
 {''.join(rows)}
 </table>

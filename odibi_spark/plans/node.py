@@ -26,6 +26,7 @@ class NodeResult:
     error: str | None = None
     validation: list[Any] = field(default_factory=list)
     gate_warnings: list[str] = field(default_factory=list)
+    duration_s: float | None = None
 
 
 class NodeExecutor:
@@ -55,6 +56,9 @@ class NodeExecutor:
         )
 
     def execute(self) -> NodeResult:
+        import time as _time
+
+        t0 = _time.monotonic()
         cfg = self.config
         spark = self.context.spark
         try:
@@ -206,9 +210,14 @@ class NodeExecutor:
             return NodeResult(
                 name=cfg.name, status="success", rows_written=rows_written,
                 validation=val_results, gate_warnings=gate_warnings,
+                duration_s=round(_time.monotonic() - t0, 3),
             )
         except Exception as ex:  # noqa: BLE001 — node failures are data
-            return NodeResult(name=cfg.name, status="failed", error=f"{type(ex).__name__}: {ex}")
+            return NodeResult(
+                name=cfg.name, status="failed",
+                error=f"{type(ex).__name__}: {ex}",
+                duration_s=round(_time.monotonic() - t0, 3),
+            )
 
     def _apply_incremental(self, df):
         """Returns (filtered_df, state_backend|None, state_key|None)."""

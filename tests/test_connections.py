@@ -2,6 +2,8 @@
 odibi/plugins.py). Path/option building is pure logic — offline tests;
 cloud execution is environment-gated by design."""
 
+import json
+
 import pytest
 
 from odibi_spark.connections import (
@@ -215,3 +217,95 @@ class TestPlugins:
         load_plugins(["my_plugin"])
         assert get_registry().has("plugin_double")
         assert create_connection("pluginfs", {"base_path": "/p"}).get_path("a") == "/p/a"
+
+
+class TestDiscovery:
+    @pytest.fixture()
+    def lake(self, tmp_path):
+        import pandas as pd
+
+        (tmp_path / "bronze").mkdir()
+        pd.DataFrame({"a": [1, 2, 3], "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03"])}).to_parquet(
+            tmp_path / "bronze" / "t1.parquet"
+        )
+        pd.DataFrame({"x": ["u", "v"], "y": [1.5, None]}).to_csv(
+            tmp_path / "bronze" / "t2.csv", index=False
+        )
+        # spark-style output dir
+        d = tmp_path / "gold" / "facts"
+        d.mkdir(parents=True)
+        pd.DataFrame({"k": [1]}).to_parquet(d / "part-00000-abc.snappy.parquet")
+        (d / "_SUCCESS").touch()
+        return tmp_path
+
+    def test_discover_catalog(self, lake):
+        out = LocalConnection(str(lake)).discover_catalog()
+        names = {d["name"] for d in out["datasets"]}
+        assert "bronze/t1.parquet" in names and "bronze/t2.csv" in names
+        assert "gold/facts" in names  # part-file dir is one dataset
+        facts = next(d for d in out["datasets"] if d["name"] == "gold/facts")
+        assert facts["format"] == "parquet" and facts["size_bytes"] > 0
+
+    def test_discover_pattern_and_schema(self, lake):
+        out = LocalConnection(str(lake)).discover_catalog(
+            pattern="*.parquet", include_schema=True
+        )
+        assert {d["name"] for d in out["datasets"]} == {"bronze/t1.parquet"}
+        cols = {c["name"] for c in out["datasets"][0]["schema"]}
+        assert cols == {"a", "ts"}
+
+    def test_get_schema_parquet_and_dir(self, lake):
+        c = LocalConnection(str(lake))
+        s = c.get_schema("bronze/t1.parquet")
+        assert {x["name"] for x in s["columns"]} == {"a", "ts"}
+        s2 = c.get_schema("gold/facts")
+        assert [x["name"] for x in s2["columns"]] == ["k"]
+
+    def test_preview_and_profile(self, lake):
+        c = LocalConnection(str(lake))
+        pv = c.preview("bronze/t2.csv", rows=1)
+        assert pv["columns"] == ["x", "y"] and pv["rows"] == [["u", 1.5]]
+        pr = c.profile("bronze/t1.parquet")
+        assert pr["row_count"] == 3
+        assert pr["columns"]["a"]["min"] == "1" and pr["columns"]["a"]["max"] == "3"
+
+    def test_freshness(self, lake):
+        c = LocalConnection(str(lake))
+        fr = c.get_freshness("bronze/t1.parquet", timestamp_column="ts")
+        assert fr["age_hours"] < 1
+        assert fr["max_ts"].startswith("2024-01-03")
+
+    def test_gated_on_uri_and_non_local(self):
+        with pytest.raises(NotImplementedError):
+            LocalConnection("dbfs:/mnt/x").discover_catalog()
+        with pytest.raises(NotImplementedError):
+            UnityCatalogConnection("c").preview("t")
+
+
+class TestCli:
+    def test_discover_and_schema_cli(self, tmp_path, capsys):
+        import pandas as pd
+
+        from odibi_spark.cli import main
+
+        pd.DataFrame({"a": [1]}).to_parquet(tmp_path / "d.parquet")
+        assert main(["discover", str(tmp_path)]) == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["count"] == 1
+        assert main(["schema", str(tmp_path / "d.parquet")]) == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["columns"] == [{"name": "a", "type": "int64"}]
+
+    def test_lineage_cli(self, tmp_path, capsys):
+        from odibi_spark.cli import main
+
+        y = tmp_path / "p.yaml"
+        y.write_text(
+            "name: demo\nnodes:\n"
+            "  - name: a\n    read: {path: /x.parquet}\n"
+            "  - name: b\n    depends_on: [a]\n"
+        )
+        assert main(["lineage", str(y)]) == 0
+        out = json.loads(capsys.readouterr().out)
+        assert [n["name"] for n in out["nodes"]] == ["a", "b"]
+        assert out["nodes"][1]["depends_on"] == ["a"]
