@@ -22,7 +22,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_revenue_by_nation",
+    "q6_forecast_revenue",
     "q10_returned_revenue",
+    "q14_promo_revenue",
+    "q18_large_orders",
     "agg_having_suppliers",
     "shipping_delay",
     # window / sessionization

@@ -81,3 +81,57 @@ class TestSaltedJoin:
         right = spark.createDataFrame([Row(k=0, name="hot")])
         out = salted_join_frames(left, right, on=["k"], salt_buckets=8)
         assert out.count() == 100  # no row loss/duplication from salting
+
+
+def formatted_plan(df) -> str:
+    """Full formatted explain — plan_of truncates long PushedFilters."""
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+class TestTpchPlanProperties:
+    def test_q6_pushes_all_predicates_to_scan(self, spark):
+        from odibi_spark.workloads import QUERIES
+
+        df = QUERIES["q6_forecast_revenue"](spark, "/root/testdata/sf0.001")
+        plan = formatted_plan(df)
+        # every conjunct reaches the parquet scan
+        for pushed in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity"):
+            assert pushed in plan, plan
+        assert "Join" not in plan  # single-scan scalar aggregate
+
+    def test_q14_broadcasts_part_dim(self, spark):
+        from odibi_spark.workloads import QUERIES
+
+        df = QUERIES["q14_promo_revenue"](spark, "/root/testdata/sf0.001")
+        plan = plan_of(df)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_q18_avoids_sort_merge(self, spark):
+        from odibi_spark.workloads import QUERIES
+
+        df = QUERIES["q18_large_orders"](spark, "/root/testdata/sf0.001")
+        plan = plan_of(df)
+        # customer is a planned broadcast; AQE upgrades the agg-side
+        # join at runtime, so statically we only forbid SMJ regressions
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_ivf_assignment_is_narrow(self, spark):
+        """Cell assignment must not shuffle: argmax over inlined
+        centroid dot products is a pure projection."""
+        import numpy as np
+
+        from odibi_spark.llm.similarity import ivf_assign
+
+        rng = np.random.default_rng(5)
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(x) for x in rng.standard_normal(8)])
+             for i in range(1, 20)]
+        )
+        cents = [[float(x) for x in rng.standard_normal(8)] for _ in range(4)]
+        plan = plan_of(ivf_assign(df, "vec_id", "embedding", cents))
+        assert "Exchange" not in plan
