@@ -116,3 +116,60 @@ def resize_stub(df: DataFrame, binary_col: str, width: int, height: int) -> Data
     return df.withColumn("resize_width", F.lit(width)).withColumn(
         "resize_height", F.lit(height)
     )
+
+
+def fake_audio_decoder(payload: bytes) -> dict:
+    """Deterministic stand-in for an audio decoder (librosa/soundfile
+    are not in this container): derives a pseudo sample-rate/duration
+    from a content hash and a PCM-ish RMS from the raw bytes. Replace
+    via ``register_decoder('audio', real_decoder)`` on a cluster."""
+    h = hashlib.sha256(payload).digest()
+    sample_rate = (8000, 16000, 22050, 44100)[h[0] % 4]
+    n_samples = max(1, len(payload) // 2)  # pretend 16-bit mono PCM
+    # RMS over bytes interpreted as unsigned samples — deterministic,
+    # cheap, and shaped like a real loudness feature
+    acc = 0
+    for b in payload:
+        acc += (b - 128) * (b - 128)
+    rms = (acc / max(1, len(payload))) ** 0.5
+    return {
+        "sample_rate": sample_rate,
+        "duration_s": round(n_samples / sample_rate, 6),
+        "n_samples": n_samples,
+        "rms": round(rms, 6),
+        "content_hash": h.hex()[:16],
+    }
+
+
+register_decoder("audio", fake_audio_decoder)
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("content_hash", T.StringType()),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame, binary_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Audio decode + feature-extract via mapInPandas, same plumbing
+    contract as extract_image_features (Arrow batches, executor-side
+    payloads, stable output schema)."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), *AUDIO_FEATURE_SCHEMA.fields]
+    )
+    decoder = _DECODERS["audio"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decoder(bytes(p)) for p in pdf[binary_col]]
+            out = pd.DataFrame(feats)
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, binary_col).mapInPandas(batches, out_schema)

@@ -1,6 +1,8 @@
 from odibi_spark.streaming.core import (
     foreach_batch_merge,
     start_stream_write,
+    stateful_running_stats,
+    streaming_dedup_within_watermark,
     streaming_sessionize,
     windowed_aggregate,
 )
@@ -10,4 +12,6 @@ __all__ = [
     "foreach_batch_merge",
     "windowed_aggregate",
     "streaming_sessionize",
+    "streaming_dedup_within_watermark",
+    "stateful_running_stats",
 ]

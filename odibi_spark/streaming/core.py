@@ -127,3 +127,65 @@ def streaming_sessionize(
         .groupBy(F.session_window(F.col(ts_col), gap).alias("session"), *group_cols)
         .agg(*agg_exprs)
     )
+
+
+def streaming_dedup_within_watermark(
+    stream: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup bounded by a watermark: duplicates of a key
+    arriving within the watermark horizon are dropped; state for keys
+    older than the watermark is evicted, so state size is bounded by the
+    arrival rate x horizon, never the full history (the unbounded-state
+    form of dropDuplicates is a non-starter at 100 TB/day)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stateful_running_stats(
+    stream: DataFrame,
+    *,
+    keys: list[str],
+    value_col: str,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key
+    running (n, total, mean) maintained in GroupState across
+    micro-batches and across restarts (state lives in the checkpoint).
+
+    The reference has no stateful streaming operators at all (SURVEY
+    §2.14); this is the documented beyond-reference extension. Arrow
+    batches keep the Python boundary vectorized; state per key is three
+    scalars, so the state store stays O(distinct keys).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_fields = [f for f in stream.schema.fields if f.name in keys]
+    key_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in key_fields)
+    output_ddl = f"{key_ddl}, n BIGINT, total DOUBLE, mean DOUBLE"
+    state_ddl = "n BIGINT, total DOUBLE"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            vals = pd.to_numeric(pdf[value_col], errors="coerce").dropna()
+            n += int(len(vals))
+            total += float(vals.sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            [[*key, n, total, (total / n) if n else None]],
+            columns=[*(f.name for f in key_fields), "n", "total", "mean"],
+        )
+
+    timeout_conf = {
+        "NoTimeout": GroupStateTimeout.NoTimeout,
+        "ProcessingTimeTimeout": GroupStateTimeout.ProcessingTimeTimeout,
+        "EventTimeTimeout": GroupStateTimeout.EventTimeTimeout,
+    }[timeout]
+    return stream.groupBy(*keys).applyInPandasWithState(
+        update, output_ddl, state_ddl, "Update", timeout_conf
+    )

@@ -87,3 +87,41 @@ class TestMultimodal:
         rows = frames.collect()
         assert len(rows) == 10
         assert rows[0].frame_ts_s == 0.0 and rows[-1].frame_ts_s == 4.5
+
+
+class TestAudio:
+    def test_extract_audio_features(self, spark):
+        from odibi_spark.llm.multimodal import (
+            extract_audio_features,
+            fake_audio_decoder,
+        )
+
+        rows = [(1, b"\x00\x01" * 50), (2, b"\x7f\x80\x81" * 40)]
+        df = spark.createDataFrame(rows, ["media_id", "payload"])
+        got = {r.media_id: r for r in extract_audio_features(df).collect()}
+        # matches the driver-side decoder exactly (same bytes in, same out)
+        exp1 = fake_audio_decoder(rows[0][1])
+        assert got[1].sample_rate == exp1["sample_rate"]
+        assert got[1].n_samples == exp1["n_samples"] == 50
+        assert got[1].rms == exp1["rms"]
+        assert set(got[1].asDict()) == {
+            "media_id", "sample_rate", "duration_s", "n_samples", "rms", "content_hash",
+        }
+
+    def test_register_decoder_override(self, spark):
+        from odibi_spark.llm import multimodal
+
+        orig = multimodal._DECODERS["audio"]
+        try:
+            multimodal.register_decoder(
+                "audio",
+                lambda p: {
+                    "sample_rate": 1, "duration_s": 0.0, "n_samples": 0,
+                    "rms": 0.0, "content_hash": "x",
+                },
+            )
+            df = spark.createDataFrame([(1, b"abc")], ["media_id", "payload"])
+            r = multimodal.extract_audio_features(df).collect()[0]
+            assert r.sample_rate == 1 and r.content_hash == "x"
+        finally:
+            multimodal.register_decoder("audio", orig)

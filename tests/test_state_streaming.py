@@ -142,3 +142,87 @@ class TestStreaming:
         )
         q.awaitTermination()
         assert spark.sql("SELECT * FROM sess").count() > 0
+
+
+class TestStatefulOperators:
+    def _run(self, spark, stream, out, ckpt, output_mode="append"):
+        from odibi_spark.streaming.core import start_stream_write
+
+        if output_mode == "update":
+            # update-mode stateful output: parquet sink is append-only,
+            # so land each micro-batch's updates via foreachBatch
+            def appender(batch, _epoch):
+                batch.write.mode("append").parquet(out)
+
+            q = start_stream_write(
+                stream, checkpoint=ckpt, output_mode="update",
+                foreach_batch=appender, trigger={"availableNow": True},
+            )
+        else:
+            q = start_stream_write(
+                stream, path=out, checkpoint=ckpt, output_mode=output_mode,
+                trigger={"availableNow": True},
+            )
+        q.awaitTermination()
+
+    def test_dedup_within_watermark(self, spark, tmp_path):
+        import pandas as pd
+
+        from odibi_spark.streaming.core import (
+            start_stream_write,
+            streaming_dedup_within_watermark,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        pd.DataFrame(
+            {
+                "k": [1, 1, 2, 2, 3],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 10:00", "2024-01-01 10:01", "2024-01-01 10:00",
+                     "2024-01-01 10:02", "2024-01-01 10:05"]
+                ).astype("datetime64[us]"),  # ns parquet is unreadable for Spark
+            }
+        ).to_parquet(src / "a.parquet")
+        stream = spark.readStream.schema("k BIGINT, ts TIMESTAMP").parquet(str(src))
+        dedup = streaming_dedup_within_watermark(
+            stream, keys=["k"], ts_col="ts", watermark="10 minutes"
+        )
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+        self._run(spark, dedup, out, ckpt)
+        got = spark.read.parquet(out)
+        assert got.count() == 3  # one row per key survives
+        assert {r.k for r in got.collect()} == {1, 2, 3}
+
+    def test_stateful_running_stats_across_restarts(self, spark, tmp_path):
+        """State must survive a query restart via the checkpoint: the
+        second run's means include the first run's rows."""
+        import pandas as pd
+
+        from odibi_spark.streaming.core import stateful_running_stats
+
+        src = tmp_path / "src"
+        src.mkdir()
+        pd.DataFrame({"user": ["a", "a", "b"], "v": [1.0, 3.0, 10.0]}).to_parquet(
+            src / "batch1.parquet"
+        )
+        stream = spark.readStream.schema("user STRING, v DOUBLE").parquet(str(src))
+        stats = stateful_running_stats(stream, keys=["user"], value_col="v")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+        self._run(spark, stats, out, ckpt, output_mode="update")
+        first = {r.user: (r.n, r.mean) for r in spark.read.parquet(out).collect()}
+        assert first["a"] == (2, 2.0) and first["b"] == (1, 10.0)
+
+        pd.DataFrame({"user": ["a", "b"], "v": [5.0, 20.0]}).to_parquet(
+            src / "batch2.parquet"
+        )
+        stream2 = spark.readStream.schema("user STRING, v DOUBLE").parquet(str(src))
+        stats2 = stateful_running_stats(stream2, keys=["user"], value_col="v")
+        self._run(spark, stats2, out, ckpt, output_mode="update")
+        rows = spark.read.parquet(out).collect()
+        latest = {}
+        for r in rows:  # keep the highest-n emission per user
+            if r.user not in latest or r.n > latest[r.user][0]:
+                latest[r.user] = (r.n, r.mean)
+        assert latest["a"] == (3, 3.0)     # (1+3+5)/3
+        assert latest["b"] == (2, 15.0)    # (10+20)/2
