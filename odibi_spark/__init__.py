@@ -24,8 +24,11 @@ from odibi_spark.session import get_spark
 from odibi_spark.context import Context, EngineContext
 from odibi_spark.registry import FunctionRegistry, transform, get_registry
 
-# importing the operators package registers every named operator
+# importing the operators package registers every named operator;
+# the llm package registers the training-data transforms (text stats,
+# dedup families, similarity search) under the same registry
 from odibi_spark import operators as _operators  # noqa: E402,F401
+from odibi_spark import llm as _llm  # noqa: E402,F401
 
 __version__ = "0.1.0"
 

@@ -1,0 +1,124 @@
+"""Named-transform wrappers for the LLM-data operators, so a YAML
+pipeline drives deduplication / text analysis / similarity with the
+same ``function:`` steps as the relational operators (reference
+registry idiom: odibi/transformers/__init__.py:24-152).
+
+A training-data pipeline then reads as configuration::
+
+    transform:
+      - function: text_stats
+      - function: language_guess
+      - function: filter_rows
+        params: {condition: "quality_ok AND lang_guess = 'en'"}
+      - function: dedup_exact
+        params: {id_col: doc_id}
+
+Imported for its side effects by ``odibi_spark.llm`` (and therefore by
+``import odibi_spark.operators`` consumers via the llm package).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from odibi_spark.context import EngineContext
+from odibi_spark.llm import dedup, similarity, text
+from odibi_spark.registry import transform
+
+
+@transform("text_stats")
+def text_stats(ctx: EngineContext, *, text_col: str = "text") -> EngineContext:
+    """Length/punct/stopword quality stats columns."""
+    return ctx.with_df(text.with_text_stats(ctx.df, text_col))
+
+
+@transform("token_counts")
+def token_counts(ctx: EngineContext, *, text_col: str = "text") -> EngineContext:
+    return ctx.with_df(text.with_token_counts(ctx.df, text_col))
+
+
+@transform("language_guess")
+def language_guess(ctx: EngineContext, *, text_col: str = "text") -> EngineContext:
+    return ctx.with_df(text.with_language_guess(ctx.df, text_col))
+
+
+@transform("fingerprint")
+def fingerprint(ctx: EngineContext, *, text_col: str = "text") -> EngineContext:
+    return ctx.with_df(text.with_fingerprint(ctx.df, text_col))
+
+
+@transform("dedup_exact")
+def dedup_exact(
+    ctx: EngineContext, *, id_col: str, text_col: str = "text"
+) -> EngineContext:
+    """Keep one row per exact text fingerprint (lowest id wins —
+    deterministic). One hash-partitioned window pass, no join."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    out = (
+        ctx.df.withColumn("_fp", F.md5(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .drop("_fp", "_rn")
+    )
+    return ctx.with_df(out)
+
+
+@transform("dedup_minhash")
+def dedup_minhash(
+    ctx: EngineContext,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_perm: int = 32,
+    bands: int = 8,
+) -> EngineContext:
+    """Drop near-duplicates: for every verified pair, the higher id is
+    removed (transitive chains collapse toward the lowest id present)."""
+    pairs = dedup.minhash_dedup_pairs(
+        ctx.df, id_col, text_col, num_perm=num_perm, bands=bands, threshold=threshold
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return ctx.with_df(ctx.df.join(losers, id_col, "left_anti"))
+
+
+@transform("cosine_topk")
+def cosine_topk_t(
+    ctx: EngineContext,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    query_filter: str | None = None,
+) -> EngineContext:
+    return ctx.with_df(
+        similarity.cosine_topk(ctx.df, id_col, vec_col, k=k, query_filter=query_filter)
+    )
+
+
+@transform("ann_topk")
+def ann_topk(
+    ctx: EngineContext,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    method: str = "ivf",
+    nlist: int = 8,
+    nprobe: int = 2,
+    num_planes: int = 8,
+) -> EngineContext:
+    """Approximate NN: 'ivf' (coarse quantizer) or 'lsh' (hyperplane)."""
+    if method == "ivf":
+        out = similarity.ivf_topk(
+            ctx.df, id_col, vec_col, k=k, nlist=nlist, nprobe=nprobe
+        )
+    elif method == "lsh":
+        out = similarity.lsh_ann_topk(
+            ctx.df, id_col, vec_col, k=k, num_planes=num_planes
+        )
+    else:
+        raise ValueError(f"unknown ann method '{method}' (ivf | lsh)")
+    return ctx.with_df(out)

@@ -156,3 +156,53 @@ def test_ivf_assign_deterministic(spark):
     a2 = similarity.ivf_assign(df, "vec_id", "embedding", cents).collect()
     assert {(r.id, r.cell) for r in a1} == {(r.id, r.cell) for r in a2}
     assert {r.cell for r in a1} <= {0, 1, 2}
+
+
+class TestLlmYamlPipeline:
+    def test_training_data_pipeline_yaml(self, spark, tmp_path):
+        """The LLM-data ops drive from the YAML surface like any other
+        operator: stats -> language -> quality filter -> exact dedup."""
+        from odibi_spark.plans.pipeline import Pipeline
+
+        yaml_text = f"""
+name: training_data_prep
+connections:
+  lake: {{type: local, base_path: "{tmp_path}"}}
+nodes:
+  - name: clean_docs
+    read: {{path: /root/testdata/sf0.001/documents.parquet}}
+    transform:
+      - function: text_stats
+      - function: language_guess
+      - function: token_counts
+      - function: filter_rows
+        params: {{condition: "n_words >= 5"}}
+      - function: dedup_exact
+        params: {{id_col: doc_id}}
+    write: {{path: clean/docs, connection: lake}}
+"""
+        results = Pipeline.from_yaml(yaml_text, spark).run()
+        assert results["clean_docs"].status == "success", results["clean_docs"].error
+        out = spark.read.parquet(str(tmp_path / "clean" / "docs"))
+        n_in = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+        assert 0 < out.count() <= n_in
+        assert {"lang_guess", "n_words", "ws_tokens"} <= set(out.columns)
+        # exact dedup: no duplicated text survives
+        assert out.groupBy("text").count().filter("count > 1").count() == 0
+
+    def test_dedup_minhash_transform(self, spark):
+        from odibi_spark.context import Context, EngineContext
+        from odibi_spark.llm.transforms import dedup_minhash
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog again and again"),
+                (2, "the quick brown fox jumps over the lazy dog again and again!"),
+                (3, "completely different text about spark partitions and shuffles"),
+            ],
+            ["doc_id", "text"],
+        )
+        ec = EngineContext(Context(spark), docs)
+        out = dedup_minhash(ec, id_col="doc_id", threshold=0.5).df
+        ids = {r.doc_id for r in out.collect()}
+        assert ids == {1, 3}  # near-dup 2 dropped, lowest id kept
