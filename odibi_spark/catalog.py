@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 RUN_SCHEMA = (
     "run_id string, pipeline string, node string, status string, "
-    "rows_written bigint, error string, started_at double, finished_at double"
+    "rows_written bigint, error string, duration_s double, "
+    "started_at double, finished_at double"
 )
 TABLE_SCHEMA = (
     "table_path string, pipeline string, node string, format string, "
@@ -48,7 +49,8 @@ class Catalog:
         rows = [
             (
                 run_id, pipeline, name, r.status,
-                r.rows_written, r.error, started_at, finished_at,
+                r.rows_written, r.error, r.duration_s,
+                started_at, finished_at,
             )
             for name, r in results.items()
         ]

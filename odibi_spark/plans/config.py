@@ -37,17 +37,22 @@ class ReadConfig(StrictModel):
 
 
 class TransformStep(StrictModel):
-    """Either a raw SQL step (``sql``) or a named operator
+    """A raw SQL step (``sql``), a SQL file (``sql_file`` — reference
+    step schema config.py:2791-2876), or a named operator
     (``function`` + ``params``) — reference node.py:1879-1943."""
 
     sql: str | None = None
+    sql_file: str | None = None
     function: str | None = None
     params: dict[str, Any] = {}
 
     @model_validator(mode="after")
     def _one_of(self) -> "TransformStep":
-        if bool(self.sql) == bool(self.function):
-            raise ValueError("step needs exactly one of 'sql' or 'function'")
+        given = sum(bool(x) for x in (self.sql, self.sql_file, self.function))
+        if given != 1:
+            raise ValueError(
+                "step needs exactly one of 'sql', 'sql_file', or 'function'"
+            )
         return self
 
 
@@ -111,6 +116,10 @@ class IncrementalConfig(StrictModel):
     lookback: str | None = None           # rolling: e.g. "7 days"
     watermark_lag: str | None = None      # stateful: late-data safety lag
     state_key: str | None = None
+    # bootstrap override: applied instead of the full load on the first
+    # run (reference write.first_run_query config.py:4247-4254; here a
+    # filter expression rather than a full query — documented deviation)
+    first_run_filter: str | None = None
 
 
 class ContractTest(StrictModel):
@@ -151,6 +160,7 @@ class NodeConfig(StrictModel):
     incremental: IncrementalConfig | None = None
     state_path: str | None = None
     cache: bool = False
+    retries: int = 0                      # per-node retry-with-backoff
 
     @model_validator(mode="after")
     def _has_source(self) -> "NodeConfig":

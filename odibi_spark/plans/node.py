@@ -101,6 +101,9 @@ class NodeExecutor:
             for step in cfg.transform:
                 if step.sql:
                     ec = ec.sql(step.sql)
+                elif step.sql_file:
+                    with open(step.sql_file) as f:
+                        ec = ec.sql(f.read())
                 else:
                     ec = registry.apply(step.function, ec, step.params)
             df = ec.df
@@ -241,6 +244,11 @@ class NodeExecutor:
             w = self.config.write
             resolved, _, _ = self._resolve(w.connection, w.path, None, {})
             target_exists = os.path.exists(resolved)
+        first_run = state.get(key) is None or not target_exists
+        if first_run and inc.first_run_filter:
+            # bootstrap override: bounded first load instead of the
+            # full-history scan (reference first_run_query semantics)
+            return df.filter(inc.first_run_filter), state, key
         out = incremental_filter(
             df, column=inc.column, state=state, state_key=key,
             fallback_column=inc.fallback_column,

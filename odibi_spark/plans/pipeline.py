@@ -79,6 +79,7 @@ class Pipeline:
                     error=f"upstream failed: {failed_deps}",
                 )
             attempt = 0
+            max_retries = max(retries, self._nodes[name].retries)
             while True:
                 r = NodeExecutor(
                     self._nodes[name], self.context, self.connections
@@ -87,7 +88,7 @@ class Pipeline:
                     # multiply-consumed output: persist so each consumer
                     # doesn't recompute the whole upstream plan
                     self.context.register(name, self.context.get(name).cache())
-                if r.status == "success" or attempt >= retries:
+                if r.status == "success" or attempt >= max_retries:
                     return r
                 attempt += 1
                 time.sleep(retry_backoff_s * attempt)

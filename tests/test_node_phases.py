@@ -184,3 +184,108 @@ nodes:
         assert r["n"].status == "success", r["n"].error
         row = spark.read.parquet(str(tmp_path / "p_out")).collect()[0]
         assert len(row.email) == 64 and "@" not in row.email
+
+
+class TestStepAndBootstrapParity:
+    def test_sql_file_step(self, spark, tmp_path):
+        import pandas as pd
+
+        from odibi_spark.plans.pipeline import Pipeline
+
+        pd.DataFrame({"k": [1, 2, 3], "v": [1.0, 2.0, 3.0]}).to_parquet(
+            tmp_path / "in.parquet"
+        )
+        sql_path = tmp_path / "step.sql"
+        sql_path.write_text("SELECT k, v * 10 AS v FROM df WHERE k > 1")
+        yaml_text = f"""
+name: sqlfile
+nodes:
+  - name: n
+    read: {{path: "{tmp_path}/in.parquet"}}
+    transform:
+      - sql_file: "{sql_path}"
+    write: {{path: "{tmp_path}/out"}}
+"""
+        results = Pipeline.from_yaml(yaml_text, spark).run()
+        assert results["n"].status == "success", results["n"].error
+        got = spark.read.parquet(str(tmp_path / "out"))
+        assert sorted(r.v for r in got.collect()) == [20.0, 30.0]
+
+    def test_step_exactly_one_kind(self):
+        import pytest as _pytest
+
+        from odibi_spark.plans.config import TransformStep
+
+        with _pytest.raises(Exception, match="exactly one"):
+            TransformStep(sql="SELECT 1", sql_file="/x.sql")
+        with _pytest.raises(Exception, match="exactly one"):
+            TransformStep()
+
+    def test_first_run_filter_bootstrap(self, spark, tmp_path):
+        import pandas as pd
+
+        from odibi_spark.plans.pipeline import Pipeline
+
+        pd.DataFrame(
+            {
+                "id": [1, 2, 3],
+                "at": pd.to_datetime(
+                    ["2024-01-01", "2024-06-01", "2024-12-01"]
+                ).astype("datetime64[us]"),
+            }
+        ).to_parquet(tmp_path / "src.parquet")
+        yaml_text = f"""
+name: bootstrap
+nodes:
+  - name: n
+    read: {{path: "{tmp_path}/src.parquet"}}
+    incremental:
+      column: at
+      first_run_filter: "at >= TIMESTAMP '2024-05-01 00:00:00'"
+    state_path: "{tmp_path}/state.json"
+    write: {{path: "{tmp_path}/tgt"}}
+"""
+        # first run: bounded bootstrap, not full history
+        results = Pipeline.from_yaml(yaml_text, spark).run()
+        assert results["n"].status == "success", results["n"].error
+        assert spark.read.parquet(str(tmp_path / "tgt")).count() == 2
+        # second run: HWM from the bootstrap -> only newer rows pass
+        import json as _json
+
+        hwm = _json.load(open(tmp_path / "state.json"))["n:at"]
+        assert hwm.startswith("2024-12-01")
+
+    def test_node_level_retries(self, spark, tmp_path):
+        """A node that fails until the 2nd attempt succeeds with
+        retries: 1 in its own config (no run-level retries)."""
+        from odibi_spark.plans.pipeline import Pipeline
+        from odibi_spark.registry import get_registry
+
+        attempts = {"n": 0}
+
+        reg = get_registry()
+        if not reg.has("flaky_once"):
+            from odibi_spark.registry import transform
+
+            @transform("flaky_once")
+            def flaky_once(ec):
+                attempts["n"] += 1
+                if attempts["n"] < 2:
+                    raise RuntimeError("transient")
+                return ec
+
+        import pandas as pd
+
+        pd.DataFrame({"k": [1]}).to_parquet(tmp_path / "in.parquet")
+        yaml_text = f"""
+name: retry_demo
+nodes:
+  - name: n
+    retries: 1
+    read: {{path: "{tmp_path}/in.parquet"}}
+    transform:
+      - function: flaky_once
+"""
+        results = Pipeline.from_yaml(yaml_text, spark).run(retry_backoff_s=0.01)
+        assert results["n"].status == "success"
+        assert attempts["n"] == 2

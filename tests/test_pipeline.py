@@ -146,3 +146,39 @@ class TestConcurrency:
             # each node must see ITS filter, not a neighbour's frame
             assert row.tag == i and row.n == 10
             assert row.s == sum(x for x in range(100) if x % 10 == i)
+
+
+class TestCatalog:
+    def test_run_with_catalog_records_runs_and_tables(self, spark, tmp_path):
+        import pandas as pd
+
+        from odibi_spark.catalog import Catalog, run_pipeline_with_catalog
+        from odibi_spark.plans.pipeline import Pipeline
+
+        pd.DataFrame({"k": [1, 2], "v": [1.0, 2.0]}).to_parquet(
+            tmp_path / "in.parquet"
+        )
+        yaml_text = f"""
+name: cat_demo
+nodes:
+  - name: n
+    read: {{path: "{tmp_path}/in.parquet"}}
+    write: {{path: "{tmp_path}/out"}}
+"""
+        pipe = Pipeline.from_yaml(yaml_text, spark)
+        cat = Catalog(spark, str(tmp_path / "_system"))
+        run_id, results = run_pipeline_with_catalog(pipe, catalog=cat)
+        assert results["n"].status == "success"
+
+        runs = cat.runs().collect()
+        assert len(runs) == 1
+        row = runs[0]
+        assert row.run_id == run_id and row.status == "success"
+        assert row.rows_written == 2
+        assert row.duration_s is not None and row.duration_s > 0
+
+        tables = cat.tables().collect()
+        assert len(tables) == 1
+        import json as _json
+
+        assert _json.loads(tables[0].schema_json) == {"k": "bigint", "v": "double"}
