@@ -13,9 +13,18 @@ class GraphError(Exception):
 
 
 class DependencyGraph:
-    def __init__(self, edges: dict[str, list[str]]):
-        """edges: node -> list of dependencies (incoming)."""
-        self.deps = {n: list(d) for n, d in edges.items()}
+    def __init__(self, edges: dict[str, list[str]], external: set[str] | None = None):
+        """edges: node -> list of dependencies (incoming).
+
+        ``external``: dependency names satisfied from outside this
+        graph (cross-pipeline inputs, reference graph.py:159-219) —
+        they are validated by the project layer and excluded from the
+        intra-pipeline ordering.
+        """
+        ext = external or set()
+        self.deps = {
+            n: [d for d in ds if d not in ext] for n, ds in edges.items()
+        }
         missing = {
             d for ds in self.deps.values() for d in ds if d not in self.deps
         }

@@ -22,12 +22,17 @@ from odibi_spark.plans.node import NodeExecutor, NodeResult
 
 
 class Pipeline:
-    def __init__(self, config: PipelineConfig, spark: SparkSession):
+    def __init__(
+        self,
+        config: PipelineConfig,
+        spark: SparkSession,
+        external_deps: set[str] | None = None,
+    ):
         self.config = config
         self.spark = spark
         self.context = Context(spark)
         self.graph = DependencyGraph(
-            {n.name: n.depends_on for n in config.nodes}
+            {n.name: n.depends_on for n in config.nodes}, external=external_deps
         )
         self._nodes = {n.name: n for n in config.nodes}
         if config.plugins:
