@@ -62,6 +62,23 @@ def main(argv: list[str] | None = None) -> int:
 
     from odibi_spark.plans.config import load_pipeline_yaml
 
+    # a YAML with a top-level `pipelines:` list is a multi-pipeline project
+    import os
+
+    import yaml as _yaml
+
+    text = args.pipeline
+    if os.path.exists(text):
+        with open(text) as f:
+            text = f.read()
+    try:
+        raw = _yaml.safe_load(text)
+    except Exception as ex:
+        print(f"INVALID: {ex}", file=sys.stderr)
+        return 2
+    if isinstance(raw, dict) and "pipelines" in raw:
+        return _project_main(args, text)
+
     try:
         cfg = load_pipeline_yaml(args.pipeline)
     except Exception as ex:
@@ -113,6 +130,52 @@ def main(argv: list[str] | None = None) -> int:
     summary = {k: v.status for k, v in results.items()}
     print(json.dumps(summary, indent=2))
     return 0 if all(s == "success" for s in summary.values()) else 1
+
+
+def _project_main(args, text: str) -> int:
+    from odibi_spark.plans.project import Project, load_project_yaml
+
+    try:
+        cfg = load_project_yaml(text)
+    except Exception as ex:
+        print(f"INVALID: {ex}", file=sys.stderr)
+        return 2
+    if args.cmd == "validate":
+        n = sum(len(p.nodes) for p in cfg.pipelines)
+        print(f"OK: {cfg.name} ({len(cfg.pipelines)} pipelines, {n} nodes)")
+        return 0
+    if args.cmd == "graph":
+        for p in cfg.pipelines:
+            for node in p.nodes:
+                deps = ", ".join(node.depends_on) or "-"
+                print(f"{p.name}.{node.name} <- {deps}")
+        return 0
+
+    if args.cmd == "plan":
+        # Project.__init__ only builds the DAG — no session needed
+        for i, pname in enumerate(Project(cfg, None).plan()):
+            print(f"stage {i}: {pname}")
+        return 0
+    if args.cmd == "lineage":
+        from odibi_spark.lineage import pipeline_lineage
+
+        out = {p.name: pipeline_lineage(p) for p in cfg.pipelines}
+        print(json.dumps(out, indent=2, default=str))
+        return 0
+
+    from odibi_spark import get_spark
+
+    proj = Project(cfg, get_spark(cfg.name))
+    all_results = proj.run(parallel=args.parallel)
+    summary = {
+        p: {k: v.status for k, v in results.items()}
+        for p, results in all_results.items()
+    }
+    print(json.dumps(summary, indent=2))
+    ok = all(
+        s == "success" for results in summary.values() for s in results.values()
+    )
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

@@ -135,6 +135,21 @@ class ContractTest(StrictModel):
     max: int | None = None
 
 
+class PatternConfig(StrictModel):
+    """Warehouse pattern step (reference: pattern dispatch
+    node.py:1580-1624; patterns/base.py:13-56). ``type`` picks the
+    pattern; remaining keys are its parameters (e.g. target_path, keys,
+    track_cols). Self-writing patterns (scd2/merge/dimension/
+    aggregation_incremental/delete_detection) maintain their own target
+    and the node's output is the fresh target contents."""
+
+    model_config = ConfigDict(extra="allow")
+    type: Literal[
+        "scd2", "merge", "dimension", "fact", "date_dimension",
+        "aggregation_incremental", "delete_detection",
+    ]
+
+
 class PrivacyConfig(StrictModel):
     """PII protection applied after transforms, before validation/write
     (reference: per-column data dictionary PII flags odibi/config.py:
@@ -152,6 +167,7 @@ class NodeConfig(StrictModel):
     read: ReadConfig | None = None
     contracts: list[ContractTest] = []
     transform: list[TransformStep] = []
+    pattern: PatternConfig | None = None
     privacy: PrivacyConfig | None = None
     validation: ValidationConfig | None = None
     write: WriteConfig | None = None
@@ -164,7 +180,8 @@ class NodeConfig(StrictModel):
 
     @model_validator(mode="after")
     def _has_source(self) -> "NodeConfig":
-        if not self.read and not self.depends_on:
+        generates = self.pattern is not None and self.pattern.type == "date_dimension"
+        if not self.read and not self.depends_on and not generates:
             raise ValueError(f"node '{self.name}' needs 'read' or 'depends_on'")
         return self
 

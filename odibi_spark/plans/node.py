@@ -66,7 +66,8 @@ class NodeExecutor:
             for sql in cfg.pre_sql:
                 spark.sql(sql)
 
-            # ---- read phase
+            # ---- read phase (optional for generating patterns)
+            df = None
             if cfg.read:
                 r_path, r_table, r_options = self._resolve(
                     cfg.read.connection, cfg.read.path, cfg.read.table, cfg.read.options
@@ -82,7 +83,7 @@ class NodeExecutor:
                     columns=cfg.read.columns,
                     streaming=cfg.read.streaming,
                 )
-            else:
+            elif cfg.depends_on:
                 df = self.context.get(cfg.depends_on[0])
 
             # ---- incremental smart-read (reference node.py:1019-1273):
@@ -96,17 +97,22 @@ class NodeExecutor:
                 self._check_contract(df, c)
 
             # ---- transform chain
-            ec = EngineContext(self.context, df)
-            registry = get_registry()
-            for step in cfg.transform:
-                if step.sql:
-                    ec = ec.sql(step.sql)
-                elif step.sql_file:
-                    with open(step.sql_file) as f:
-                        ec = ec.sql(f.read())
-                else:
-                    ec = registry.apply(step.function, ec, step.params)
-            df = ec.df
+            if df is not None:
+                ec = EngineContext(self.context, df)
+                registry = get_registry()
+                for step in cfg.transform:
+                    if step.sql:
+                        ec = ec.sql(step.sql)
+                    elif step.sql_file:
+                        with open(step.sql_file) as f:
+                            ec = ec.sql(f.read())
+                    else:
+                        ec = registry.apply(step.function, ec, step.params)
+                df = ec.df
+
+            # ---- warehouse pattern phase (reference node.py:1580-1624)
+            if cfg.pattern:
+                df = self._apply_pattern(df)
 
             # ---- privacy phase (after transforms, before validation)
             if cfg.privacy:
@@ -221,6 +227,61 @@ class NodeExecutor:
                 error=f"{type(ex).__name__}: {ex}",
                 duration_s=round(_time.monotonic() - t0, 3),
             )
+
+    def _apply_pattern(self, df):
+        """Dispatch a warehouse pattern (reference node.py:1580-1624).
+
+        ``target_path`` params resolve through an optional
+        ``connection`` param; fact ``lookups[].dimension`` names resolve
+        to context datasets (upstream nodes)."""
+        p = self.config.pattern
+        params = {k: v for k, v in p.model_dump().items() if k != "type"}
+        conn_name = params.pop("connection", None)
+        if conn_name and "target_path" in params:
+            resolved, _, _ = self._resolve(conn_name, params["target_path"], None, {})
+            params["target_path"] = resolved
+        spark = self.context.spark
+
+        if p.type == "scd2":
+            from odibi_spark.patterns.scd2 import scd2_apply
+
+            return scd2_apply(spark, df, **params)
+        if p.type == "merge":
+            from odibi_spark.patterns.merge import merge_apply
+
+            return merge_apply(spark, df, **params)
+        if p.type == "dimension":
+            from odibi_spark.patterns.dimension import build_dimension
+
+            return build_dimension(spark, df, **params)
+        if p.type == "aggregation_incremental":
+            from odibi_spark.patterns.aggregation import aggregate_incremental
+
+            return aggregate_incremental(spark, df, **params)
+        if p.type == "delete_detection":
+            from odibi_spark.patterns.delete_detection import detect_deletes
+
+            return detect_deletes(spark, df, **params)
+        if p.type == "date_dimension":
+            from odibi_spark.patterns.date_dimension import build_date_dimension
+
+            return build_date_dimension(spark, **params)
+        # fact
+        from odibi_spark.patterns.fact import DimensionLookup, build_fact
+
+        quarantine_path = params.pop("quarantine_path", None)
+        lookups = [
+            DimensionLookup(
+                dimension=self.context.get(lk.pop("dimension")), **lk
+            )
+            for lk in (params.pop("lookups", None) or [])
+        ]
+        clean, quarantined = build_fact(df, lookups=lookups, **params)
+        if quarantine_path and quarantined is not None:
+            from odibi_spark.io import write_sink
+
+            write_sink(quarantined, path=quarantine_path, mode="append")
+        return clean
 
     def _apply_incremental(self, df):
         """Returns (filtered_df, state_backend|None, state_key|None)."""

@@ -289,3 +289,94 @@ nodes:
         results = Pipeline.from_yaml(yaml_text, spark).run(retry_backoff_s=0.01)
         assert results["n"].status == "success"
         assert attempts["n"] == 2
+
+
+class TestPatternPhase:
+    def test_scd2_pattern_from_yaml(self, spark, tmp_path):
+        """Two batches through a YAML scd2 node: change closes the old
+        version and inserts the new current one."""
+        import pandas as pd
+
+        from odibi_spark.plans.pipeline import Pipeline
+
+        tgt = tmp_path / "dim_cust"
+
+        def run_batch(name, rows):
+            pd.DataFrame(rows).assign(
+                eff=lambda d: pd.to_datetime(d["eff"]).astype("datetime64[us]")
+            ).to_parquet(tmp_path / f"{name}.parquet")
+            yaml_text = f"""
+name: scd2_demo
+nodes:
+  - name: dim
+    read: {{path: "{tmp_path}/{name}.parquet"}}
+    pattern:
+      type: scd2
+      target_path: "{tgt}"
+      keys: [k]
+      track_cols: [city]
+      effective_time_col: eff
+"""
+            return Pipeline.from_yaml(yaml_text, spark).run()
+
+        r1 = run_batch("b1", {"k": [1, 2], "city": ["NY", "LA"], "eff": ["2024-01-01", "2024-01-01"]})
+        assert r1["dim"].status == "success", r1["dim"].error
+        r2 = run_batch("b2", {"k": [1], "city": ["SF"], "eff": ["2024-06-01"]})
+        assert r2["dim"].status == "success", r2["dim"].error
+
+        dim = spark.read.parquet(str(tgt))
+        k1 = {(r.city, r.is_current) for r in dim.filter("k = 1").collect()}
+        assert k1 == {("NY", False), ("SF", True)}
+        assert dim.filter("k = 2 AND is_current").count() == 1
+
+    def test_date_dimension_generator_node(self, spark, tmp_path):
+        from odibi_spark.plans.pipeline import Pipeline
+
+        yaml_text = f"""
+name: dd
+nodes:
+  - name: dim_date
+    pattern:
+      type: date_dimension
+      start_date: "2024-01-01"
+      end_date: "2024-01-31"
+    write: {{path: "{tmp_path}/dim_date"}}
+"""
+        results = Pipeline.from_yaml(yaml_text, spark).run()
+        assert results["dim_date"].status == "success", results["dim_date"].error
+        got = spark.read.parquet(str(tmp_path / "dim_date"))
+        assert got.count() == 31
+        assert got.filter("date_key = 20240115").count() == 1
+
+    def test_fact_pattern_with_lookup_and_quarantine(self, spark, tmp_path):
+        import pandas as pd
+
+        from odibi_spark.plans.pipeline import Pipeline
+
+        pd.DataFrame({"k": [1, 2], "sk": [10, 20]}).to_parquet(tmp_path / "dim.parquet")
+        pd.DataFrame(
+            {"oid": [1, 2, 2], "k": [1, 2, 2], "amt": [5.0, 6.0, 7.0]}
+        ).to_parquet(tmp_path / "fact.parquet")
+        yaml_text = f"""
+name: fact_demo
+nodes:
+  - name: dim
+    read: {{path: "{tmp_path}/dim.parquet"}}
+  - name: fact
+    depends_on: [dim]
+    read: {{path: "{tmp_path}/fact.parquet"}}
+    pattern:
+      type: fact
+      grain: [oid]
+      quarantine_path: "{tmp_path}/quarantine"
+      lookups:
+        - {{dimension: dim, fact_keys: [k], dim_keys: [k], surrogate_key: sk, output_col: dim_sk}}
+    write: {{path: "{tmp_path}/fact_out"}}
+"""
+        results = Pipeline.from_yaml(yaml_text, spark).run()
+        assert results["fact"].status == "success", results["fact"].error
+        out = spark.read.parquet(str(tmp_path / "fact_out"))
+        assert {r.oid for r in out.collect()} == {1}  # grain violators quarantined
+        assert out.collect()[0].dim_sk == 10
+        q = spark.read.parquet(str(tmp_path / "quarantine"))
+        assert q.count() == 2 and set(q.select("oid").toPandas().oid) == {2}
