@@ -106,13 +106,42 @@ def write_sink(
     keys: list[str] | None = None,
     partition_by: list[str] | None = None,
     coalesce_partitions: int | None = None,
+    sort_by: list[str] | None = None,
+    bucket_by: list[str] | None = None,
+    bucket_count: int = 16,
+    table: str | None = None,
     options: dict[str, object] | None = None,
 ) -> None:
     """Declarative write. ``mode`` adds 'upsert' / 'append_once' to the
-    standard overwrite/append/error/ignore set."""
+    standard overwrite/append/error/ignore set.
+
+    ``sort_by``: sortWithinPartitions before writing — clusters values
+    so parquet row-group min/max stats skip files on those columns (the
+    open-format analogue of Delta OPTIMIZE ZORDER for one-dimension
+    predicates; reference zorder_by config.py:4222-4229).
+    ``bucket_by``/``bucket_count`` + ``table``: hash-bucketed managed
+    table — joins/aggregations on the bucket keys skip the shuffle
+    entirely (plan-asserted in tests/test_scale_plans.py).
+    """
     spark = df.sparkSession
     if coalesce_partitions:
         df = df.coalesce(coalesce_partitions)
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+
+    if bucket_by:
+        if not table:
+            raise ValueError("bucket_by requires 'table' (bucketing needs saveAsTable)")
+        writer = (
+            df.write.mode(mode)
+            .options(**{k: str(v) for k, v in (options or {}).items()})
+            .bucketBy(bucket_count, *bucket_by)
+            .sortBy(*(sort_by or bucket_by))
+        )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.format(format).option("path", path).saveAsTable(table)
+        return
 
     if mode in ("upsert", "append_once"):
         assert keys, f"mode '{mode}' requires merge keys"

@@ -115,6 +115,9 @@ _AGG_FUNCS = {
     "approx_count_distinct": F.approx_count_distinct,
     "stddev": F.stddev,
     "collect_set": F.collect_set,
+    # exact sort-based median (Spark 3.4+): matches DuckDB median
+    # bit-for-bit on doubles, unlike percentile_approx
+    "median": F.median,
 }
 
 

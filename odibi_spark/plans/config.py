@@ -99,6 +99,10 @@ class WriteConfig(StrictModel):
     keys: list[str] | None = None
     partition_by: list[str] | None = None
     coalesce_partitions: int | None = None
+    sort_by: list[str] | None = None       # parquet stats clustering
+    bucket_by: list[str] | None = None     # shuffle-free joins on keys
+    bucket_count: int = 16
+    table: str | None = None               # required for bucket_by
     options: dict[str, Any] = {}
     add_metadata: bool = False
     # content-hash change detection: skip the write when the data is

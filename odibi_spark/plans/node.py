@@ -198,6 +198,10 @@ class NodeExecutor:
                         keys=w.keys,
                         partition_by=w.partition_by,
                         coalesce_partitions=w.coalesce_partitions,
+                        sort_by=w.sort_by,
+                        bucket_by=w.bucket_by,
+                        bucket_count=w.bucket_count,
+                        table=w.table,
                         options=w_options,
                     )
                     if obs is not None:

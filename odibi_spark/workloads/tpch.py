@@ -220,7 +220,60 @@ def ivf_ann_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, "vec_id", "embedding", k=5, nlist=8, nprobe=2, iters=1)
 
 
+# ------------------------------------------------- exact median
+def median_acctbal_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sort-based median per group (§2.5 beyond-reference agg;
+    matches DuckDB median bit-for-bit, unlike percentile_approx)."""
+    _prep(spark)
+    ec = _ec(spark, read_table(spark, sf_dir, "customer"))
+    ec = relational.aggregate(
+        ec,
+        group_by=["c_mktsegment"],
+        aggregations=[
+            {"alias": "median_bal", "function": "median", "column": "c_acctbal"},
+            {"alias": "n", "function": "count", "column": "*"},
+        ],
+    )
+    return ec.df
+
+
+MEDIAN_SQL = """
+SELECT c_mktsegment, MEDIAN(c_acctbal) AS median_bal, COUNT(*) AS n
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+# ------------------------------------------------- min-per-group (Q2 shape)
+def cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-within-group then join back, expressed as
+    one window pass (row_number over (brand, price, partkey)) instead
+    of the aggregate + self-join — half the scans, same result (§2.6)."""
+    _prep(spark)
+    ec = _ec(spark, read_table(spark, sf_dir, "part"))
+    ec = sql_core.row_number(
+        ec,
+        partition_by=["p_brand"],
+        order_by=["p_retailprice", "p_partkey"],
+        output_column="rn",
+    )
+    ec = sql_core.filter_rows(ec, condition="rn = 1")
+    return ec.df.select("p_brand", "p_partkey", "p_name", "p_retailprice")
+
+
+CHEAPEST_SQL = """
+SELECT p_brand, p_partkey, p_name, p_retailprice
+FROM (
+  SELECT p_brand, p_partkey, p_name, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice, p_partkey) AS rn
+  FROM part
+) t WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "median_acctbal_by_segment": median_acctbal_by_segment,
+    "cheapest_part_per_brand": cheapest_part_per_brand,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_orders": q18_large_orders,
@@ -228,6 +281,8 @@ QUERIES = {
     "ivf_ann_neighbors": ivf_ann_neighbors,
 }
 ORACLES = {
+    "median_acctbal_by_segment": MEDIAN_SQL,
+    "cheapest_part_per_brand": CHEAPEST_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "q14_promo_revenue": Q14_SQL,
     "q18_large_orders": Q18_SQL,
