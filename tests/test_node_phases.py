@@ -380,3 +380,47 @@ nodes:
         assert out.collect()[0].dim_sk == 10
         q = spark.read.parquet(str(tmp_path / "quarantine"))
         assert q.count() == 2 and set(q.select("oid").toPandas().oid) == {2}
+
+    def test_merge_and_incremental_agg_patterns_from_yaml(self, spark, tmp_path):
+        """merge upsert and aggregation_incremental are drivable from
+        YAML; second batch updates matched keys / merges measures."""
+        import pandas as pd
+
+        from odibi_spark.plans.pipeline import Pipeline
+
+        def run(pattern_yaml, name, rows):
+            pd.DataFrame(rows).to_parquet(tmp_path / f"{name}.parquet")
+            yaml_text = f"""
+name: pat
+nodes:
+  - name: n
+    read: {{path: "{tmp_path}/{name}.parquet"}}
+{pattern_yaml}
+"""
+            r = Pipeline.from_yaml(yaml_text, spark).run()
+            assert r["n"].status == "success", r["n"].error
+
+        merge_yaml = f"""
+    pattern:
+      type: merge
+      target_path: "{tmp_path}/merged"
+      keys: [k]
+      strategy: upsert
+"""
+        run(merge_yaml, "m1", {"k": [1, 2], "v": [1.0, 2.0]})
+        run(merge_yaml, "m2", {"k": [2, 3], "v": [20.0, 30.0]})
+        got = {r.k: r.v for r in spark.read.parquet(str(tmp_path / "merged")).collect()}
+        assert got == {1: 1.0, 2: 20.0, 3: 30.0}
+
+        agg_yaml = f"""
+    pattern:
+      type: aggregation_incremental
+      target_path: "{tmp_path}/agged"
+      grain: [g]
+      measures: {{total: "sum(v)"}}
+      strategy: merge_sum
+"""
+        run(agg_yaml, "a1", {"g": ["x", "y"], "v": [1.0, 2.0]})
+        run(agg_yaml, "a2", {"g": ["y", "z"], "v": [3.0, 4.0]})
+        got = {r.g: r.total for r in spark.read.parquet(str(tmp_path / "agged")).collect()}
+        assert got == {"x": 1.0, "y": 5.0, "z": 4.0}
