@@ -133,3 +133,67 @@ def read_source(
     if columns:
         df = df.select(*columns)
     return df
+
+
+def _read_excel(spark: SparkSession, path: str, opts: dict) -> DataFrame:
+    """Excel bridge (reference: spark_engine.py:707-742, pandas
+    `_read_excel_with_patterns`): pandas reads the workbook driver-side,
+    Arrow ships it to Spark. ``sheet_pattern`` globs sheet names and
+    unions matches with a ``_sheet_name`` column; ``sheet_name`` picks
+    one sheet. Requires openpyxl (absent here — import-gated with a
+    clear error); the Spark-side plumbing is testable by injecting a
+    reader via the ``reader`` option hook in tests.
+    """
+    import fnmatch
+
+    import pandas as pd
+
+    read_excel = _EXCEL_READER or pd.read_excel
+    sheet_pattern = opts.pop("sheet_pattern", None)
+    sheet_name = opts.pop("sheet_name", None)
+    kw = {k: v for k, v in opts.items() if k in ("header", "skiprows", "usecols")}
+    for k in ("header", "skiprows"):
+        # read_source stringifies option values; pandas wants ints here
+        if isinstance(kw.get(k), str) and kw[k].isdigit():
+            kw[k] = int(kw[k])
+    try:
+        if sheet_pattern:
+            all_sheets = read_excel(path, sheet_name=None, **kw)
+            matched = {
+                name: pdf
+                for name, pdf in all_sheets.items()
+                if fnmatch.fnmatch(name, sheet_pattern)
+            }
+            if not matched:
+                raise ValueError(
+                    f"no sheets match pattern '{sheet_pattern}' "
+                    f"(have: {sorted(all_sheets)})"
+                )
+            frames = [
+                spark.createDataFrame(pdf).withColumn("_sheet_name", F.lit(name))
+                for name, pdf in sorted(matched.items())
+            ]
+            out = frames[0]
+            for f in frames[1:]:
+                out = out.unionByName(f, allowMissingColumns=True)
+            return out
+        pdf = read_excel(path, sheet_name=sheet_name or 0, **kw)
+        return spark.createDataFrame(pdf)
+    except ImportError as ex:
+        raise ImportError(
+            "excel reads need openpyxl (`pip install openpyxl`), which is "
+            "not available in this environment"
+        ) from ex
+
+
+_EXCEL_READER = None  # test hook: inject a pandas-compatible reader
+
+
+def set_excel_reader(fn) -> None:
+    """Install a pandas-read_excel-compatible callable (tests inject a
+    fake; clusters may install a tuned reader)."""
+    global _EXCEL_READER
+    _EXCEL_READER = fn
+
+
+register_format("excel", _read_excel)

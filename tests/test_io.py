@@ -167,3 +167,53 @@ nodes:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
             spark.sql("DROP TABLE IF EXISTS bucketed_t1")
             spark.sql("DROP TABLE IF EXISTS bucketed_t2")
+
+
+class TestExcelBridge:
+    def test_sheet_pattern_union(self, spark):
+        import pandas as pd
+
+        from odibi_spark.io import read_source
+        from odibi_spark.io.read import set_excel_reader
+
+        def fake_read_excel(path, sheet_name=0, **kw):
+            book = {
+                "sales_2023": pd.DataFrame({"k": [1], "v": [10.0]}),
+                "sales_2024": pd.DataFrame({"k": [2], "v": [20.0]}),
+                "notes": pd.DataFrame({"x": ["ignore"]}),
+            }
+            if sheet_name is None:
+                return book
+            return book[sheet_name] if isinstance(sheet_name, str) else book["sales_2023"]
+
+        set_excel_reader(fake_read_excel)
+        try:
+            df = read_source(
+                spark, format="excel", path="/fake.xlsx",
+                options={"sheet_pattern": "sales_*"},
+            )
+            rows = {(r.k, r.v, r._sheet_name) for r in df.collect()}
+            assert rows == {(1, 10.0, "sales_2023"), (2, 20.0, "sales_2024")}
+            one = read_source(
+                spark, format="excel", path="/fake.xlsx",
+                options={"sheet_name": "sales_2024"},
+            )
+            assert one.collect()[0].k == 2
+        finally:
+            set_excel_reader(None)
+
+    def test_no_match_is_clear_error(self, spark):
+        import pandas as pd
+
+        from odibi_spark.io import read_source
+        from odibi_spark.io.read import set_excel_reader
+
+        set_excel_reader(lambda path, sheet_name=0, **kw: {"only": pd.DataFrame({"a": [1]})})
+        try:
+            import pytest as _pytest
+
+            with _pytest.raises(ValueError, match="no sheets match"):
+                read_source(spark, format="excel", path="/fake.xlsx",
+                            options={"sheet_pattern": "sales_*"})
+        finally:
+            set_excel_reader(None)
