@@ -107,6 +107,14 @@ def read_source(
         elif fmt in ("csv", "json", "avro"):
             raise ValueError(f"streaming {fmt} read requires an explicit DDL schema")
         df = reader.load(path)
+    elif fmt == "jdbc":
+        # filter is consumed by the pushdown rewrite (reaches the DB),
+        # not applied post-load
+        merged = jdbc_read_options(
+            table=table, query=opts.pop("query", None), filter=filter, options=opts
+        )
+        df = spark.read.format("jdbc").options(**merged).load()
+        filter = None
     elif table:
         df = spark.read.table(table)
     elif fmt == "parquet":
@@ -197,3 +205,41 @@ def set_excel_reader(fn) -> None:
 
 
 register_format("excel", _read_excel)
+
+
+def jdbc_read_options(
+    *,
+    table: str | None = None,
+    query: str | None = None,
+    filter: str | None = None,
+    options: dict | None = None,
+) -> dict:
+    """Build the option map for a JDBC read with WHERE-clause pushdown
+    (reference: spark_engine.py:562-587 rewrites ``filter`` into the
+    source query so the database scans less).
+
+    Deliberate fix vs the reference: when the existing query already has
+    a WHERE, the reference emits ``(query) AND (filter)`` — invalid SQL
+    (spark_engine.py:572-574). Here every filtered query is wrapped as
+    ``SELECT * FROM (query) AS _subq WHERE filter``, which is valid for
+    any inner query.
+
+    For scale, pass ``partitionColumn/lowerBound/upperBound/
+    numPartitions`` through ``options`` — without them a JDBC read is a
+    single connection on one executor.
+    """
+    merged = dict(options or {})
+    if query:
+        merged.pop("dbtable", None)
+        merged["query"] = (
+            f"SELECT * FROM ({query}) AS _subq WHERE {filter}" if filter else query
+        )
+    elif table:
+        merged.pop("dbtable", None)
+        if filter:
+            merged["query"] = f"SELECT * FROM {table} WHERE {filter}"
+        else:
+            merged["dbtable"] = table
+    elif "dbtable" not in merged and "query" not in merged:
+        raise ValueError("jdbc read requires 'table' or a 'query' option")
+    return merged

@@ -217,3 +217,37 @@ class TestExcelBridge:
                             options={"sheet_pattern": "sales_*"})
         finally:
             set_excel_reader(None)
+
+
+class TestJdbcPushdown:
+    def test_table_filter_becomes_query(self):
+        from odibi_spark.io.read import jdbc_read_options
+
+        o = jdbc_read_options(table="dbo.orders", filter="status = 'OPEN'")
+        assert o["query"] == "SELECT * FROM dbo.orders WHERE status = 'OPEN'"
+        assert "dbtable" not in o
+
+    def test_table_without_filter_uses_dbtable(self):
+        from odibi_spark.io.read import jdbc_read_options
+
+        o = jdbc_read_options(table="dbo.orders", options={"url": "jdbc:x"})
+        assert o["dbtable"] == "dbo.orders" and o["url"] == "jdbc:x"
+
+    def test_query_with_where_wrapped_as_subquery(self):
+        """Deliberate fix: the reference emits '(query) AND (filter)'
+        for queries that already contain WHERE — invalid SQL
+        (spark_engine.py:572-574). Wrapping is always valid."""
+        from odibi_spark.io.read import jdbc_read_options
+
+        o = jdbc_read_options(
+            query="SELECT a FROM t WHERE b > 1", filter="c < 2"
+        )
+        assert o["query"] == (
+            "SELECT * FROM (SELECT a FROM t WHERE b > 1) AS _subq WHERE c < 2"
+        )
+
+    def test_requires_table_or_query(self):
+        from odibi_spark.io.read import jdbc_read_options
+
+        with pytest.raises(ValueError, match="requires"):
+            jdbc_read_options()
