@@ -246,3 +246,17 @@ def unit_convert(
     return ctx.with_df(
         ctx.df.withColumn(out, F.col(column) * F.lit(factor) + F.lit(offset))
     )
+
+
+@transform("geocode")
+def geocode(ctx: EngineContext, **_params) -> EngineContext:
+    """Geocoding stub, pass-through (reference: advanced.py:1001-1027 —
+    the reference also only declares the interface). A real backend
+    would be a rate-limited driver-side lookup cache joined broadcast,
+    or a vendored offline geohash table."""
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "geocode is a stub: no geocoding performed (parity with reference)"
+    )
+    return ctx
