@@ -114,14 +114,14 @@ def content_hash(df: DataFrame, columns: list[str] | None = None) -> str:
 
 def skip_if_unchanged(
     df: DataFrame, *, state, state_key: str, columns: list[str] | None = None
-) -> bool:
-    """True if contents match the stored hash (caller skips the write);
-    otherwise stores the new hash and returns False."""
+) -> tuple[bool, str]:
+    """(skip, new_hash): ``skip`` is True when contents match the stored
+    hash. Does NOT persist — commit via ``state.set(state_key, new_hash)``
+    only AFTER the downstream write succeeds (pending-then-commit,
+    reference odibi/node.py:2614,2929: persisting before the write means
+    a failed write is skipped forever on retry/resume)."""
     h = content_hash(df, columns)
-    if state.get(state_key) == h:
-        return True
-    state.set(state_key, h)
-    return False
+    return state.get(state_key) == h, h
 
 
 def cross_check_row_counts(

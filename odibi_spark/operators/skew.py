@@ -28,7 +28,16 @@ def salted_join_frames(
     how: str = "inner",
     seed: int = 42,
 ) -> DataFrame:
-    """Equi-join where ``skewed`` has hot keys: salt left, replicate right."""
+    """Equi-join where ``skewed`` has hot keys: salt left, replicate right.
+
+    Only inner/left are correct under this construction: with right/full,
+    unmatched right rows would surface once per replicated salt value.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only (got '{how}'); "
+            "for right/full joins use a plain join and let AQE handle skew"
+        )
     salted_left = skewed.withColumn(
         "__salt", (F.rand(seed) * salt_buckets).cast("int")
     )

@@ -170,12 +170,17 @@ class NodeExecutor:
                     w.connection, w.path, None, w.options
                 )
                 skip = False
+                pending_hash = None  # (state, key, hash) committed post-write
                 if w.skip_if_unchanged:
                     from odibi_spark.engine import skip_if_unchanged as _skip
                     from odibi_spark.state.hwm import JsonStateBackend
 
                     state = JsonStateBackend(cfg.state_path or "_odibi_state.json")
-                    skip = _skip(df, state=state, state_key=f"{cfg.name}:content")
+                    skip, new_hash = _skip(
+                        df, state=state, state_key=f"{cfg.name}:content"
+                    )
+                    if not skip:
+                        pending_hash = (state, f"{cfg.name}:content", new_hash)
                 if not skip:
                     out = add_write_metadata(df) if w.add_metadata else df
                     # rows-written via Observation: piggybacks on the write
@@ -206,6 +211,11 @@ class NodeExecutor:
                     )
                     if obs is not None:
                         rows_written = int(obs.get["n"])
+                    if pending_hash is not None:
+                        # commit the content hash only now that the write
+                        # succeeded — a failed write must stay retryable
+                        ph_state, ph_key, ph_hash = pending_hash
+                        ph_state.set(ph_key, ph_hash)
 
             # ---- materialized view instead of / besides physical write
             # (reference: config.py:4859-4868, node.py:2497-2511)
@@ -308,7 +318,13 @@ class NodeExecutor:
         if self.config.write and self.config.write.path:
             w = self.config.write
             resolved, _, _ = self._resolve(w.connection, w.path, None, {})
-            target_exists = os.path.exists(resolved)
+            if "://" in resolved or resolved.startswith("dbfs:/"):
+                # remote URI: os.path.exists would always be False, forcing
+                # a full reload (duplicating history under mode=append).
+                # Existence is unknown locally — trust the HWM state alone.
+                target_exists = True
+            else:
+                target_exists = os.path.exists(resolved)
         first_run = state.get(key) is None or not target_exists
         if first_run and inc.first_run_filter:
             # bootstrap override: bounded first load instead of the

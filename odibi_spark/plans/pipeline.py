@@ -69,10 +69,18 @@ class Pipeline:
             if prior is not None and prior.status == "success":
                 cfg = self._nodes[name]
                 if cfg.write and cfg.write.path and cfg.write.format == "parquet":
-                    self.context.register(
-                        name, self.spark.read.parquet(cfg.write.path)
-                    )
-                    return NodeResult(name=name, status="success")
+                    # resolve through the write connection — the raw config
+                    # path may be relative to a connection base_path; a
+                    # failed read falls back to re-running the node rather
+                    # than aborting the whole run
+                    try:
+                        w_path, _, _ = NodeExecutor(
+                            cfg, self.context, self.connections
+                        )._resolve(cfg.write.connection, cfg.write.path, None, {})
+                        self.context.register(name, self.spark.read.parquet(w_path))
+                        return NodeResult(name=name, status="success")
+                    except Exception:
+                        pass  # target unreadable: re-run the node below
                 # no reusable physical output: fall through and re-run
             failed_deps = [
                 d for d in self.graph.deps[name]

@@ -17,7 +17,7 @@ import json
 import os
 from abc import ABC, abstractmethod
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 
 class StateBackend(ABC):
@@ -102,8 +102,17 @@ def incremental_filter(
         if fallback_column
         else F.col(column)
     )
-    cutoff = F.lit(hwm).cast("timestamp")
+    # Cast the stored (string) HWM to the column's OWN type: an
+    # unconditional timestamp cast turns a numeric HWM ('12345') into
+    # NULL, and `col > NULL` silently reads zero new rows.
+    dtype = df.schema[column].dataType
+    cutoff = F.lit(hwm).cast(dtype)
     if watermark_lag:
+        if not isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            raise ValueError(
+                f"watermark_lag requires a temporal HWM column; "
+                f"'{column}' is {dtype.simpleString()}"
+            )
         cutoff = cutoff - F.expr(f"INTERVAL {watermark_lag}")
     return df.filter(col > cutoff)
 

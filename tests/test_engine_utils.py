@@ -59,15 +59,22 @@ class TestContentHash:
         assert content_hash(a) == content_hash(b)
         assert content_hash(a) != content_hash(c)
 
-    def test_skip_if_unchanged(self, spark, tmp_path):
+    def test_skip_if_unchanged_pending_then_commit(self, spark, tmp_path):
         from odibi_spark.state import JsonStateBackend
 
         st = JsonStateBackend(str(tmp_path / "s.json"))
         df = spark.createDataFrame([Row(x=1)])
-        assert skip_if_unchanged(df, state=st, state_key="t") is False  # first
-        assert skip_if_unchanged(df, state=st, state_key="t") is True   # same
+        skip, h = skip_if_unchanged(df, state=st, state_key="t")
+        assert skip is False
+        # NOT persisted until the caller commits (write succeeded)
+        skip2, h2 = skip_if_unchanged(df, state=st, state_key="t")
+        assert skip2 is False and h2 == h
+        st.set("t", h)  # caller commits after successful write
+        skip3, _ = skip_if_unchanged(df, state=st, state_key="t")
+        assert skip3 is True
         df2 = spark.createDataFrame([Row(x=2)])
-        assert skip_if_unchanged(df2, state=st, state_key="t") is False
+        skip4, h4 = skip_if_unchanged(df2, state=st, state_key="t")
+        assert skip4 is False and h4 != h
 
 
 class TestCrossCheck:

@@ -124,6 +124,71 @@ nodes:
         assert mtime1 == mtime2  # second write skipped
 
 
+    def test_failed_write_does_not_commit_hash(self, spark, tmp_path, monkeypatch):
+        """ADVICE r1 (high): if the write fails, the content hash must NOT
+        be persisted — the retry must actually write, not skip forever."""
+        import odibi_spark.plans.node as node_mod
+
+        src = str(tmp_path / "f_src")
+        out = str(tmp_path / "f_out")
+        state = str(tmp_path / "f_state.json")
+        spark.createDataFrame([Row(a=1)]).write.mode("overwrite").parquet(src)
+        y = f"""
+name: s
+nodes:
+  - name: n
+    read: {{format: parquet, path: "{src}"}}
+    state_path: "{state}"
+    write: {{path: "{out}", mode: overwrite, skip_if_unchanged: true}}
+"""
+        real = node_mod.write_sink
+        calls = {"n": 0}
+
+        def flaky(df, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("disk full")
+            return real(df, **kw)
+
+        monkeypatch.setattr(node_mod, "write_sink", flaky)
+        r1 = Pipeline.from_yaml(y, spark).run()
+        assert r1["n"].status == "failed"
+        # retry with identical content: must WRITE (hash wasn't committed)
+        r2 = Pipeline.from_yaml(y, spark).run()
+        assert r2["n"].status == "success", r2["n"].error
+        assert calls["n"] == 2
+        assert spark.read.parquet(out).count() == 1
+
+
+class TestRemoteUriIncremental:
+    def test_remote_uri_target_trusts_hwm_state(self, spark, tmp_path):
+        """ADVICE r1 (low): os.path.exists on abfss:// is always False →
+        every run would full-reload + duplicate under append. Remote URIs
+        must trust the HWM state alone."""
+        import datetime
+
+        from odibi_spark.context import Context
+        from odibi_spark.plans.config import NodeConfig
+        from odibi_spark.plans.node import NodeExecutor
+        from odibi_spark.state import JsonStateBackend
+
+        ts = datetime.datetime.fromisoformat
+        state_path = str(tmp_path / "u_state.json")
+        JsonStateBackend(state_path).set("n:at", "2024-01-02 00:00:00")
+        cfg = NodeConfig(
+            name="n",
+            depends_on=["upstream"],
+            incremental={"mode": "stateful", "column": "at"},
+            state_path=state_path,
+            write={"path": "abfss://c@acct.dfs.core.windows.net/out", "mode": "append"},
+        )
+        df = spark.createDataFrame(
+            [Row(id=1, at=ts("2024-01-01 00:00:00")), Row(id=2, at=ts("2024-01-03 00:00:00"))]
+        )
+        out, _, _ = NodeExecutor(cfg, Context(spark))._apply_incremental(df)
+        assert [r.id for r in out.collect()] == [2]  # filtered, not full reload
+
+
 class TestResume:
     def test_resume_reuses_succeeded_nodes(self, spark, tmp_path):
         src = str(tmp_path / "r_src")
@@ -148,6 +213,55 @@ nodes:
         r2 = pipe2.run(resume_from=r1)
         assert r2["base"].status == "success" and r2["child"].status == "success"
         assert pipe2.context.get("child").count() == 1
+
+    def test_resume_resolves_connection_path(self, spark, tmp_path):
+        """ADVICE r1 (medium): resume must resolve the write path through
+        the node's connection (base_path prefix), not the raw config path."""
+        src = str(tmp_path / "rc_src")
+        spark.createDataFrame([Row(a=1), Row(a=2)]).write.mode("overwrite").parquet(src)
+        y = f"""
+name: rcn
+connections:
+  lake: {{type: local, base_path: "{tmp_path}"}}
+nodes:
+  - name: base
+    read: {{format: parquet, path: "{src}"}}
+    write: {{path: rel_out, mode: overwrite, connection: lake}}
+  - name: child
+    depends_on: [base]
+    transform:
+      - {{function: filter_rows, params: {{condition: "a > 1"}}}}
+"""
+        pipe = Pipeline.from_yaml(y, spark)
+        r1 = pipe.run()
+        assert all(r.status == "success" for r in r1.values()), r1
+        pipe2 = Pipeline.from_yaml(y, spark)
+        r2 = pipe2.run(resume_from=r1)
+        assert r2["base"].status == "success" and r2["child"].status == "success"
+        assert pipe2.context.get("base").count() == 2
+
+    def test_resume_unreadable_target_reruns_node(self, spark, tmp_path):
+        """A missing/corrupt resume target falls back to re-running the
+        node instead of aborting the whole run."""
+        import shutil
+
+        src = str(tmp_path / "rr_src")
+        out = str(tmp_path / "rr_out")
+        spark.createDataFrame([Row(a=1)]).write.mode("overwrite").parquet(src)
+        y = f"""
+name: rr
+nodes:
+  - name: base
+    read: {{format: parquet, path: "{src}"}}
+    write: {{path: "{out}", mode: overwrite}}
+"""
+        pipe = Pipeline.from_yaml(y, spark)
+        r1 = pipe.run()
+        assert r1["base"].status == "success"
+        shutil.rmtree(out)  # resume target vanished
+        pipe2 = Pipeline.from_yaml(y, spark)
+        r2 = pipe2.run(resume_from=r1)
+        assert r2["base"].status == "success", r2["base"].error
 
 
 class TestRowsWritten:

@@ -82,6 +82,25 @@ class TestSaltedJoin:
         out = salted_join_frames(left, right, on=["k"], salt_buckets=8)
         assert out.count() == 100  # no row loss/duplication from salting
 
+    def test_left_join_keeps_unmatched_left_once(self, spark):
+        from odibi_spark.operators.skew import salted_join_frames
+
+        left = spark.createDataFrame([Row(k=0, v=1), Row(k=9, v=2)])
+        right = spark.createDataFrame([Row(k=0, name="hot")])
+        out = salted_join_frames(left, right, on=["k"], how="left").collect()
+        assert len(out) == 2  # unmatched left row appears exactly once
+
+    def test_outer_joins_rejected(self, spark):
+        """ADVICE r1 (low): right/full would duplicate unmatched right
+        rows once per salt replica — refuse them loudly."""
+        from odibi_spark.operators.skew import salted_join_frames
+
+        left = spark.createDataFrame([Row(k=0)])
+        right = spark.createDataFrame([Row(k=0)])
+        for how in ("right", "full", "outer"):
+            with pytest.raises(ValueError, match="inner"):
+                salted_join_frames(left, right, on=["k"], how=how)
+
 
 def formatted_plan(df) -> str:
     """Full formatted explain — plan_of truncates long PushedFilters."""

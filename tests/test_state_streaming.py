@@ -64,6 +64,19 @@ class TestHWM:
         )
         assert lagged.count() == 1
 
+    def test_numeric_hwm_column(self, spark, tmp_path):
+        """ADVICE r1 (medium): a numeric HWM must compare numerically —
+        CAST('2' AS TIMESTAMP) is NULL and would silently read 0 rows."""
+        b = JsonStateBackend(str(tmp_path / "s3.json"))
+        b.set("t", "2")
+        batch = spark.createDataFrame([Row(id=1), Row(id=2), Row(id=3)])
+        out = incremental_filter(batch, column="id", state=b, state_key="t")
+        assert [r.id for r in out.collect()] == [3]
+        with pytest.raises(ValueError, match="temporal"):
+            incremental_filter(
+                batch, column="id", state=b, state_key="t", watermark_lag="1 HOUR"
+            )
+
     def test_rolling_window(self, spark):
         df = spark.createDataFrame([Row(at=ts("2020-01-01 00:00:00"))]).withColumn(
             "now_at", F.current_timestamp()
