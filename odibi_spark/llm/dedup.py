@@ -15,7 +15,33 @@ produce a quadratic bucket (the standard "stop shingle" guard).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import random
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Universal-hash modulus for the portable MinHash scheme: 2^31 - 1
+# (Mersenne prime). a*x+b stays under 2^62 — no 64-bit overflow in
+# either Spark or DuckDB.
+MINHASH_PRIME = 2_147_483_647
+
+
+def minhash_perm_constants(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Seeded (a, b) pairs for the affine permutations h_i(x) =
+    (a_i * x + b_i) mod P. Deterministic — the DuckDB oracle inlines
+    the same constants."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_perm)
+    ]
+
+
+def portable_hash60(col: Column) -> Column:
+    """Engine-portable 60-bit hash: fold the first 15 hex chars of md5.
+    DuckDB equivalent: CAST(concat('0x', substring(md5(x),1,15)) AS BIGINT).
+    Slower than xxhash64 (crypto hash) — the fast path stays xxhash64;
+    use this where a differential oracle must recompute the same hash."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -86,14 +112,45 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _minhash_projection(exploded: DataFrame, hasher: str, seed: int) -> DataFrame:
+    """Project the per-shingle hash base ONCE before the groupBy so the
+    (expensive) hash runs once per shingle, not once per permutation."""
+    if hasher == "xxhash64":
+        return exploded
+    # portable: 60-bit md5 fold reduced mod P; permutations are affine
+    return exploded.select(
+        "id", (portable_hash60(F.col("shingle")) % F.lit(MINHASH_PRIME)).alias("bx")
+    )
+
+
+def _minhash_aggs(num_perm: int, hasher: str, seed: int) -> list[Column]:
+    if hasher == "xxhash64":
+        return [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
+    consts = minhash_perm_constants(num_perm, seed)
+    return [
+        F.min((F.lit(a) * F.col("bx") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     n: int = 3,
     num_perm: int = 32,
+    hasher: str = "xxhash64",
+    seed: int = 42,
 ) -> DataFrame:
-    """MinHash signatures: sig[i] = min over shingles of xxhash64(i, shingle).
+    """MinHash signatures: sig[i] = min over shingles of a per-permutation
+    hash. ``hasher``: 'xxhash64' (fast path) computes sig[i] =
+    min(xxhash64(i, shingle)); 'portable' computes one 60-bit md5 fold
+    per shingle and derives the permutations as seeded affine maps
+    (a_i*x+b_i mod 2^31-1) — reproducible in DuckDB for the
+    differential oracle, and cheaper than 32 independent hashes.
 
     Formulation deliberately explode + groupBy, NOT a higher-order-
     function projection (``array_min(transform(...))``): explode +
@@ -109,26 +166,30 @@ def minhash_signatures(
     exploded = word_shingles(df, id_col, text_col, n).select(
         "id", F.explode("shingles").alias("shingle")
     )
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_perm)
-    ]
-    return exploded.groupBy("id").agg(*aggs)
+    proj = _minhash_projection(exploded, hasher, seed)
+    return proj.groupBy("id").agg(*_minhash_aggs(num_perm, hasher, seed))
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding over minhash signatures: docs agreeing on all rows of
     any band become candidates. Equi-join on (band, band_hash) — the
-    classic sub-quadratic candidate generator."""
-    num_perm = bands * rows_per_band
+    classic sub-quadratic candidate generator. The portable hasher keys
+    bands on the concatenated row values (identical decimal rendering in
+    both engines) instead of an engine-specific hash."""
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
+        bh = (
+            F.xxhash64(*cols).cast("string")
+            if hasher == "xxhash64"
+            else F.concat_ws(",", *[c.cast("string") for c in cols])
         )
+        band_cols.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
     banded = signatures.select(
         "id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("id", "bb.band", "bb.bh")
@@ -149,6 +210,8 @@ def minhash_dedup_pairs(
     num_perm: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    hasher: str = "xxhash64",
+    seed: int = 42,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded
     candidates -> exact Jaccard verification of candidates only.
@@ -170,12 +233,9 @@ def minhash_dedup_pairs(
         # explode + map-side partial min shuffles one row per doc, and
         # its exchange is reused by both sides of the band self-join
         exploded = sets.select("id", F.explode("shingles").alias("shingle"))
-        aggs = [
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-            for i in range(num_perm)
-        ]
-        sigs = exploded.groupBy("id").agg(*aggs)
-        cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+        proj = _minhash_projection(exploded, hasher, seed)
+        sigs = proj.groupBy("id").agg(*_minhash_aggs(num_perm, hasher, seed))
+        cands = lsh_candidate_pairs(sigs, bands, rows_per_band, hasher)
         a = sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
         b = sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
         out = (
@@ -196,47 +256,62 @@ def minhash_dedup_pairs(
         sets.unpersist()
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over word hashes, fully JVM-side.
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str = "text", hasher: str = "xxhash64"
+) -> DataFrame:
+    """SimHash over word hashes, fully JVM-side: 64-bit with xxhash64
+    (fast path), 60-bit with the portable md5 fold (differential-oracle
+    path — DuckDB recomputes identical values).
 
-    Per doc: hash each distinct word with xxhash64; for each bit
-    position sum +1/-1 by bit value; simhash bit = sign of the sum.
-    Implemented as explode + 64 conditional-sum aggregates + bit
-    reassembly — one shuffle on doc id.
+    Per doc: hash each distinct word; for each bit position sum +1/-1
+    by bit value; simhash bit = sign of the sum. Implemented as explode
+    + conditional-sum aggregates + bit reassembly — one shuffle on doc
+    id.
     """
+    nbits = 64 if hasher == "xxhash64" else 60
     words = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), " "))).alias("w"),
-    ).withColumn("h", F.xxhash64("w"))
+    )
+    h = F.xxhash64("w") if hasher == "xxhash64" else portable_hash60(F.col("w"))
+    words = words.withColumn("h", h)
     aggs = [
         F.sum(
             F.when(F.expr(f"(h >> {b}) & 1 = 1"), F.lit(1)).otherwise(F.lit(-1))
         ).alias(f"b{b}")
-        for b in range(64)
+        for b in range(nbits)
     ]
     sums = words.groupBy("id").agg(*aggs)
     # reassemble: OR together shiftleft(1, b) where sum > 0
     bit_terms = " + ".join(
         f"IF(b{b} > 0, CAST(shiftleft(CAST(1 AS BIGINT), {b}) AS BIGINT), CAST(0 AS BIGINT))"
-        for b in range(64)
+        for b in range(nbits)
     )
     return sums.select("id", F.expr(bit_terms).alias("simhash"))
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash near-dup candidates by 16-bit band blocking (two hashes
-    within hamming distance 3 of 64 bits agree on >= 1 of 4 bands),
-    verified with exact popcount hamming distance."""
-    sh = simhash64(df, id_col, text_col)
+    """SimHash near-dup candidates by band blocking (4 bands of 16 bits
+    for the 64-bit fast path, 4 x 15 bits for the 60-bit portable path;
+    either way two hashes within hamming distance 3 agree on >= 1
+    band), verified with exact popcount hamming distance."""
+    band_bits = 16 if hasher == "xxhash64" else 15
+    sh = simhash64(df, id_col, text_col, hasher)
     bands = sh.select(
         "id", "simhash",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.expr(f"(simhash >> {16 * b}) & 65535").alias("bh"),
+                    F.expr(
+                        f"(simhash >> {band_bits * b}) & {(1 << band_bits) - 1}"
+                    ).alias("bh"),
                 )
                 for b in range(4)
             ])

@@ -31,10 +31,16 @@ def generate(
     columns: dict[str, dict],
     seed: int = 42,
     distributed: bool = False,
+    portable_hash: bool = False,
 ) -> DataFrame:
-    """``columns``: {name: spec}; spec["type"] selects the generator."""
+    """``columns``: {name: spec}; spec["type"] selects the generator.
+    ``portable_hash`` (distributed only): derive per-row uniforms from
+    an md5 fold instead of xxhash64 so a DuckDB oracle can recompute
+    the identical dataset (slower; keep False for production use)."""
     if distributed:
-        return _generate_distributed(spark, rows=rows, columns=columns, seed=seed)
+        return _generate_distributed(
+            spark, rows=rows, columns=columns, seed=seed, portable_hash=portable_hash
+        )
     rng = np.random.default_rng(seed)
     data: dict[str, np.ndarray | list] = {}
     derived: list[tuple[str, str]] = []
@@ -104,16 +110,37 @@ def generate(
 
 
 def _generate_distributed(
-    spark: SparkSession, *, rows: int, columns: dict[str, dict], seed: int
+    spark: SparkSession, *, rows: int, columns: dict[str, dict], seed: int,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Executor-side generation via spark.range + seeded per-row hashing
     (uniform via xxhash64 -> [0,1); categorical via modular index).
     Covers the generator types whose rows are independent."""
     df = spark.range(rows)
-    u = lambda name: (  # noqa: E731 — deterministic uniform per (seed, name, id)
-        (F.xxhash64(F.lit(seed), F.lit(name), F.col("id")) % F.lit(10**12) + F.lit(10**12))
-        % F.lit(10**12)
-    ) / F.lit(float(10**12))
+    if portable_hash:
+        # DuckDB-recomputable uniform: md5('{seed}|{name}|{id}') 60-bit
+        # fold mod 10^12, scaled to [0,1). Oracle SQL:
+        # (CAST(concat('0x', substring(md5(...),1,15)) AS BIGINT)
+        #  % 1000000000000) / 1000000000000.0
+        u = lambda name: (  # noqa: E731
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.lit(str(seed)), F.lit(name), F.col("id").cast("string")
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            % F.lit(10**12)
+        ) / F.lit(float(10**12))
+    else:
+        u = lambda name: (  # noqa: E731 — deterministic uniform per (seed, name, id)
+            (F.xxhash64(F.lit(seed), F.lit(name), F.col("id")) % F.lit(10**12) + F.lit(10**12))
+            % F.lit(10**12)
+        ) / F.lit(float(10**12))
     derived = []
     for name, spec in columns.items():
         t = spec["type"]

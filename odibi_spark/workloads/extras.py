@@ -167,10 +167,10 @@ GROUP BY 1
 """
 
 
-# ---- rows-only (seeded RNG / multi-step state not SQL-expressible) ----
-
 def simulated_sensor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Simulation source (§2.13): seeded synthetic sensors -> rollup."""
+    """Simulation source (§2.13): seeded synthetic sensors -> rollup.
+    Uses the distributed generator with the portable md5-fold hash so
+    the DuckDB oracle regenerates the identical dataset."""
     _prep(spark)
     from odibi_spark.sources.simulation import generate
 
@@ -184,12 +184,49 @@ def simulated_sensor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "temp_f": {"type": "derived", "expr": "temp * 9 / 5 + 32"},
         },
         seed=42,
+        distributed=True,
+        portable_hash=True,
     )
     return df.groupBy("sensor").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("temp_f"), 4).alias("avg_temp_f"),
+        # decimal-exact sum -> order-independent average across engines
+        F.round(
+            F.sum(F.expr(f"CAST(temp_f AS {DEC})")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_temp_f"),
         F.sum(F.col("ok").cast("int")).alias("n_ok"),
     )
+
+
+def _sim_u(name: str) -> str:
+    """DuckDB replica of the portable uniform in sources/simulation.py."""
+    return (
+        "(CAST(concat('0x', substring(md5(concat_ws('|', '42', "
+        f"'{name}', CAST(i AS VARCHAR))), 1, 15)) AS BIGINT) "
+        "% 1000000000000) / 1000000000000.0"
+    )
+
+
+_SENSOR_LIST = ", ".join(f"'s{i}'" for i in range(20))
+SIMULATED_SQL = f"""
+WITH u AS (
+  SELECT {_sim_u('sensor')} AS u_sensor,
+         {_sim_u('temp')} AS u_temp,
+         {_sim_u('ok')} AS u_ok
+  FROM range(10000) t(i)
+),
+rows_ AS (
+  SELECT ([{_SENSOR_LIST}])[LEAST(CAST(floor(u_sensor * 20) AS INTEGER) + 1, 20)] AS sensor,
+         (15.0 + u_temp * (35.0 - 15.0)) * 9 / 5 + 32 AS temp_f,
+         u_ok < 0.95 AS ok
+  FROM u
+)
+SELECT sensor, COUNT(*) AS n,
+       round(CAST(SUM(CAST(temp_f AS {DEC})) AS DOUBLE) / COUNT(*), 4) AS avg_temp_f,
+       CAST(SUM(CAST(ok AS INTEGER)) AS BIGINT) AS n_ok
+FROM rows_ GROUP BY sensor
+"""
 
 
 def scd2_customer_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,6 +259,24 @@ def scd2_customer_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Expected-result oracle derived from SCD2 semantics: keys with
+# c_custkey % 7 = 0 change segment in batch 2 -> one closed version
+# (original segment) + one current ('CHANGED'); all others keep a
+# single current version.
+SCD2_SQL = """
+WITH v AS (
+  SELECT TRUE AS is_current,
+         CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED' ELSE c_mktsegment END
+           AS c_mktsegment
+  FROM customer
+  UNION ALL
+  SELECT FALSE, c_mktsegment FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT is_current, c_mktsegment, COUNT(*) AS n_versions
+FROM v GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "semantic_revenue_by_segment": semantic_revenue_by_segment,
     "streaming_hourly_events": streaming_hourly_events,
@@ -238,7 +293,8 @@ ORACLES = {
     "multimodal_image_features": MULTIMODAL_SQL,
     "asof_click_purchase": ASOF_SQL,
     "range_clicks_per_purchase_hour": RANGE_SQL,
-    # simulated_sensor_rollup / scd2_customer_batches: rows-only
+    "simulated_sensor_rollup": SIMULATED_SQL,
+    "scd2_customer_batches": SCD2_SQL,
 }
 
 
@@ -285,8 +341,15 @@ FROM runs GROUP BY user_id, phase_index, event_type
 
 
 def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """session_window streaming sessionization (beyond reference §2.14);
-    rows-only: append-mode watermark semantics aren't plain SQL."""
+    """session_window streaming sessionization (beyond reference §2.14).
+
+    A far-future sentinel event (user_id = -1, year 2100) appended to
+    the source advances the event-time watermark past every real
+    session, so append mode finalizes and emits ALL real sessions —
+    making the streaming result equal to the batch sessionization and
+    therefore DuckDB-oracle-checkable. (Without the sentinel, sessions
+    within the watermark lag of the stream's end stay pending forever.)
+    """
     _prep(spark)
     from odibi_spark.streaming import start_stream_write, streaming_sessionize
 
@@ -294,6 +357,11 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in batch.schema.fields)
     tmp = tempfile.mkdtemp()
     batch.write.mode("overwrite").parquet(f"{tmp}/src")
+    sentinel = spark.createDataFrame(
+        [(int(-1), "2100-01-01 00:00:00", int(-1), "sentinel", 0.0, None)],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    sentinel.select(*batch.columns).write.mode("append").parquet(f"{tmp}/src")
     stream = spark.readStream.schema(ddl).parquet(f"{tmp}/src")
     sess = streaming_sessionize(
         stream, ts_col="ts", gap="30 minutes", watermark="1 hour",
@@ -305,12 +373,34 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint=f"{tmp}/ckpt", trigger={"availableNow": True},
     )
     q.awaitTermination()
-    return spark.table(name).select(
+    return spark.table(name).filter(F.col("user_id") >= 0).select(
         "user_id",
         F.col("session.start").alias("session_start"),
         F.col("session.end").alias("session_end"),
         "n_events",
     )
+
+
+SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+runs AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM runs GROUP BY user_id, sid
+"""
 
 
 QUERIES.update(
@@ -319,4 +409,9 @@ QUERIES.update(
         "streaming_user_sessions": streaming_user_sessions,
     }
 )
-ORACLES.update({"detect_event_phases": DETECT_PHASES_SQL})
+ORACLES.update(
+    {
+        "detect_event_phases": DETECT_PHASES_SQL,
+        "streaming_user_sessions": SESSIONS_SQL,
+    }
+)

@@ -191,26 +191,33 @@ FROM (
 """
 
 
-# ---- rows-only checks (engine-specific hashing; no portable oracle) ----
+# ---- formerly rows-only; now differential-oracle-checked via portable
+# hashing (md5 fold + seeded affine permutations) and inlined literals ----
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32) + LSH(8 bands) near-dup pairs, Jaccard-verified."""
+    """MinHash(32) + LSH(8 bands) near-dup pairs, Jaccard-verified.
+    Portable hasher: DuckDB recomputes identical signatures."""
     _prep(spark)
     df = read_table(spark, sf_dir, "documents")
     return dedup.minhash_dedup_pairs(
-        df, "doc_id", "text", n=3, num_perm=32, bands=8, threshold=0.2
+        df, "doc_id", "text", n=3, num_perm=32, bands=8, threshold=0.2,
+        hasher="portable", seed=42,
     )
 
 
 def simhash_near_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup candidates (hamming <= 10 via 16-bit bands)."""
+    """SimHash near-dup candidates (hamming <= 10; 60-bit portable
+    variant with 15-bit band blocking)."""
     _prep(spark)
     df = read_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(df, "doc_id", "text", max_hamming=10)
+    return dedup.simhash_near_pairs(
+        df, "doc_id", "text", max_hamming=10, hasher="portable"
+    )
 
 
 def lsh_ann_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH buckets."""
+    """Approximate NN via random-hyperplane LSH buckets. Planes are
+    seeded literals — the oracle inlines the same floats."""
     _prep(spark)
     df = read_table(spark, sf_dir, "embeddings")
     return similarity.lsh_ann_topk(df, "vec_id", "embedding", k=5, num_planes=8)
@@ -221,6 +228,179 @@ def language_guesses(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     df = text.with_language_guess(read_table(spark, sf_dir, "documents"))
     return df.groupBy("lang", "lang_guess").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _minhash_oracle_sql(
+    n: int = 3, num_perm: int = 32, bands: int = 8, threshold: float = 0.2,
+    seed: int = 42,
+) -> str:
+    """DuckDB replica of the portable MinHash-LSH pipeline — same seeded
+    affine constants, same band keys, same Jaccard verification."""
+    P = dedup.MINHASH_PRIME
+    consts = dedup.minhash_perm_constants(num_perm, seed)
+    rows_per_band = num_perm // bands
+    sig_cols = ",\n         ".join(
+        f"MIN(({a} * bx + {b}) % {P}) AS h{i}" for i, (a, b) in enumerate(consts)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS bh FROM sig".format(
+            b=b,
+            cols=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(string_split(trim(text), ' ')) - {n - 2}),
+           i -> array_to_string(string_split(trim(text), ' ')[i:i+{n - 1}], ' ')
+         )) AS sh
+  FROM documents
+  WHERE len(string_split(trim(text), ' ')) >= {n}
+),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+bases AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) % {P} AS bx
+  FROM ex
+),
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM bases GROUP BY doc_id
+),
+bands AS (
+  {band_selects}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, bh)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       len(list_intersect(sa.sh, sb.sh))
+         / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+FROM cands
+JOIN sets sa ON sa.doc_id = id_a
+JOIN sets sb ON sb.doc_id = id_b
+WHERE len(list_intersect(sa.sh, sb.sh))
+        / len(list_distinct(list_concat(sa.sh, sb.sh))) >= {threshold}
+"""
+
+
+def _simhash_oracle_sql(max_hamming: int = 10) -> str:
+    """DuckDB replica of the 60-bit portable SimHash + 15-bit banding."""
+    nbits, band_bits = 60, 15
+    sum_cols = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(nbits)
+    )
+    bit_terms = "\n         + ".join(
+        f"(CASE WHEN b{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(nbits)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS w
+  FROM documents
+),
+wh AS (
+  SELECT doc_id, CAST(concat('0x', substring(md5(w), 1, 15)) AS BIGINT) AS h
+  FROM words
+),
+sums AS (
+  SELECT doc_id,
+         {sum_cols}
+  FROM wh GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id,
+         {bit_terms} AS simhash
+  FROM sums
+),
+bands AS (
+  SELECT doc_id, simhash, t.band,
+         (simhash >> ({band_bits} * t.band)) & {(1 << band_bits) - 1} AS bh
+  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band) t
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b USING (band, bh)
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+def _lsh_ann_oracle_sql(k: int = 5, num_planes: int = 8, dim: int = 64,
+                        seed: int = 42) -> str:
+    """DuckDB replica of the SRP-LSH ANN: identical seeded plane
+    literals, identical in-order double dot products."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((num_planes, dim))
+    bucket_terms = "\n       + ".join(
+        "(CASE WHEN list_dot_product(vec, [{vals}]) > 0 THEN {w} ELSE 0 END)".format(
+            vals=", ".join(repr(float(x)) for x in planes[i]), w=1 << i
+        )
+        for i in range(num_planes)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+b AS (
+  SELECT id, vec,
+       {bucket_terms} AS bucket
+  FROM v
+),
+pairs AS (
+  SELECT a.id AS query_id, bb.id AS nbr_id, a.vec AS qv, bb.vec AS nv
+  FROM b a JOIN b bb USING (bucket)
+  WHERE a.id <> bb.id
+),
+scored AS (
+  SELECT query_id, nbr_id,
+         round(list_dot_product(qv, nv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))),
+               6) AS cosine
+  FROM pairs
+)
+SELECT query_id, nbr_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, nbr_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+_STOP_LISTS = {
+    lang: ", ".join(f"'{w}'" for w in stops)
+    for lang, stops in text.STOPWORD_PROFILES.items()
+}
+_GREATEST = "greatest(h_en, h_fr, h_es, h_de)"
+LANGUAGE_GUESS_SQL = f"""
+WITH h AS (
+  SELECT lang,
+    len(list_filter(string_split(trim(lower(text)), ' '), x -> x IN ({_STOP_LISTS['en']}))) AS h_en,
+    len(list_filter(string_split(trim(lower(text)), ' '), x -> x IN ({_STOP_LISTS['fr']}))) AS h_fr,
+    len(list_filter(string_split(trim(lower(text)), ' '), x -> x IN ({_STOP_LISTS['es']}))) AS h_es,
+    len(list_filter(string_split(trim(lower(text)), ' '), x -> x IN ({_STOP_LISTS['de']}))) AS h_de
+  FROM documents
+),
+g AS (
+  SELECT lang,
+         CASE WHEN {_GREATEST} = 0 THEN 'und'
+              WHEN h_en = {_GREATEST} THEN 'en'
+              WHEN h_fr = {_GREATEST} THEN 'fr'
+              WHEN h_es = {_GREATEST} THEN 'es'
+              ELSE 'de' END AS lang_guess
+  FROM h
+)
+SELECT lang, lang_guess, COUNT(*) AS n_docs FROM g GROUP BY 1, 2
+"""
 
 
 QUERIES = {
@@ -245,6 +425,8 @@ ORACLES = {
     "lang_stopword_profile": LANG_PROFILE_SQL,
     "ngram_jaccard_docs": NGRAM_JACCARD_SQL,
     "embedding_cosine_topk": EMB_TOPK_SQL,
-    # minhash_lsh_pairs / simhash_near_docs / lsh_ann_neighbors /
-    # language_guesses: rows-only (engine-specific hash functions)
+    "minhash_lsh_pairs": _minhash_oracle_sql(),
+    "simhash_near_docs": _simhash_oracle_sql(),
+    "lsh_ann_neighbors": _lsh_ann_oracle_sql(),
+    "language_guesses": LANGUAGE_GUESS_SQL,
 }

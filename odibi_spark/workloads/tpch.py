@@ -211,13 +211,52 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 # ------------------------------------------------- IVF ANN (scale path)
 def ivf_ann_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN over the embeddings table — the
-    bucketed scale path next to lsh_ann_neighbors. Rows-only (centroid
-    refinement is iterative, not SQL-expressible)."""
+    bucketed scale path next to lsh_ann_neighbors. The workload uses
+    deterministic seed centroids (iters=0: the nlist lowest-id vectors)
+    so DuckDB can replicate the full pipeline; Lloyd refinement
+    (iters>=1) remains the quality path and is covered by pytest."""
     _prep(spark)
     from odibi_spark.llm.similarity import ivf_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, "vec_id", "embedding", k=5, nlist=8, nprobe=2, iters=1)
+    return ivf_topk(emb, "vec_id", "embedding", k=5, nlist=8, nprobe=2, iters=0)
+
+
+IVF_ANN_SQL = """
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cell, vec AS cvec
+  FROM (SELECT id, vec FROM v ORDER BY id LIMIT 8)
+),
+csims AS (
+  SELECT v.id, v.vec, c.cell, list_dot_product(v.vec, c.cvec) AS sim
+  FROM v CROSS JOIN cent c
+),
+ranked AS (
+  SELECT id, vec, cell,
+         row_number() OVER (PARTITION BY id ORDER BY sim DESC, cell) AS rn
+  FROM csims
+),
+assign AS (SELECT id, vec, cell FROM ranked WHERE rn = 1),
+probes AS (SELECT id AS query_id, vec AS qv, cell FROM ranked WHERE rn <= 2),
+scored AS (
+  SELECT p.query_id, a.id AS nbr_id,
+         round(list_dot_product(p.qv, a.vec)
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(a.vec, a.vec))), 6) AS cosine
+  FROM probes p JOIN assign a USING (cell)
+  WHERE a.id <> p.query_id
+)
+SELECT query_id, nbr_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, nbr_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
 
 
 # ------------------------------------------------- exact median
@@ -287,5 +326,5 @@ ORACLES = {
     "q14_promo_revenue": Q14_SQL,
     "q18_large_orders": Q18_SQL,
     "groupingsets_flag_status": GROUPING_SETS_SQL,
-    # ivf_ann_neighbors: rows-only by design (iterative centroids)
+    "ivf_ann_neighbors": IVF_ANN_SQL,
 }
