@@ -34,6 +34,64 @@ def _resolve_right(ctx: EngineContext, right: str | DataFrame) -> DataFrame:
     return right if isinstance(right, DataFrame) else ctx.context.get(right)
 
 
+# Advisory broadcast: a user hint overrides AQE's size check, so an
+# unconditional hint on a table that grows with the data (customer,
+# orders, ...) becomes a driver-OOM / broadcast-timeout at 100x scale.
+# Policy: honor the hint only while the optimizer's size estimate stays
+# within ADVISORY_FACTOR x autoBroadcastJoinThreshold; beyond that,
+# drop it and let AQE pick the join strategy from runtime sizes.
+ADVISORY_BROADCAST_FACTOR = 10
+
+
+def _parse_bytes(s: str | int) -> int:
+    s = str(s).strip().lower()
+    for suf, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
+        ("b", 1),
+    ):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)])) * m
+    return int(float(s))
+
+
+def _broadcast_bound_bytes(spark) -> int:
+    try:
+        n = _parse_bytes(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except Exception:
+        n = 10 << 20
+    if n <= 0:  # auto-broadcast disabled: keep hints usable but bounded
+        n = 10 << 20
+    return n * ADVISORY_BROADCAST_FACTOR
+
+
+# Plans without stats (e.g. Scan ExistingRDD) report defaultSizeInBytes
+# = Long.MaxValue; anything this large means "unknown", not "huge".
+_UNKNOWN_SIZE_FLOOR = 1 << 60
+
+
+def _estimated_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimizer estimate (driver-side, runs no job).
+    None when unavailable or when the plan has no real stats."""
+    try:
+        # py4j converts the Scala BigInt to a Python int
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+    return None if est >= _UNKNOWN_SIZE_FLOOR else est
+
+
+def apply_broadcast_hint(df: DataFrame) -> DataFrame:
+    """Size-aware broadcast: hint only while the optimizer estimate is
+    within the advisory bound; a confidently-large estimate drops the
+    hint (AQE decides). Unknown estimates honor the user's hint — the
+    guard targets the file-scan case, where stats always exist."""
+    est = _estimated_size_bytes(df)
+    if est is not None and est > _broadcast_bound_bytes(df.sparkSession):
+        return df
+    return F.broadcast(df)
+
+
 @transform("join")
 def join(
     ctx: EngineContext,
@@ -54,7 +112,7 @@ def join(
     rdf = _resolve_right(ctx, right)
     rname = right if isinstance(right, str) else "right"
     if broadcast:
-        rdf = F.broadcast(rdf)
+        rdf = apply_broadcast_hint(rdf)
 
     if how_spark == "cross":
         left_cols = set(ctx.df.columns)
@@ -258,7 +316,7 @@ def apply_mapping(
     w = Window.partitionBy("__map_key").orderBy(F.col("__map_val"))
     mdf = mdf.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
     joined = ctx.df.join(
-        F.broadcast(mdf), ctx.df[key_column] == mdf["__map_key"], "left"
+        apply_broadcast_hint(mdf), ctx.df[key_column] == mdf["__map_key"], "left"
     )
     out_expr = (
         F.coalesce(F.col("__map_val"), F.lit(default))

@@ -15,6 +15,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from odibi_spark.operators.relational import apply_broadcast_hint
+
 
 @dataclass
 class DimensionLookup:
@@ -85,7 +87,7 @@ def _apply_lookup(df: DataFrame, lk: DimensionLookup) -> DataFrame:
             & (F.col(f"d.{lk.valid_to_col}").isNull() | (F.col(f"d.{lk.valid_to_col}") > t))
         )
         joined = df.alias("f").join(
-            F.broadcast(dim.select(*sel, lk.valid_from_col, lk.valid_to_col).alias("d")),
+            apply_broadcast_hint(dim.select(*sel, lk.valid_from_col, lk.valid_to_col).alias("d")),
             cond,
             "left",
         )
@@ -107,4 +109,4 @@ def _equi_lookup(df: DataFrame, dim: DataFrame, lk: DimensionLookup) -> DataFram
     for fk, dk in zip(lk.fact_keys, lk.dim_keys):
         if dk != fk:
             renamed = renamed.withColumnRenamed(dk, fk)
-    return df.join(F.broadcast(renamed), on=lk.fact_keys, how="left")
+    return df.join(apply_broadcast_hint(renamed), on=lk.fact_keys, how="left")

@@ -8,6 +8,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
+from odibi_spark.operators.relational import apply_broadcast_hint
+
 
 class FKViolation(Exception):
     pass
@@ -32,12 +34,12 @@ def validate_foreign_key(
     dim_sel = dimension.select(
         *[F.col(d).alias(f) for d, f in zip(dim_keys, fact_keys)]
     ).distinct()
-    orphans = fact.join(F.broadcast(dim_sel), on=fact_keys, how="left_anti")
+    orphans = fact.join(apply_broadcast_hint(dim_sel), on=fact_keys, how="left_anti")
     n = orphans.count()
     if n and on_violation == "fail":
         raise FKViolation(f"{n} orphan rows violate FK on {fact_keys}")
     if n and on_violation == "quarantine":
-        valid = fact.join(F.broadcast(dim_sel), on=fact_keys, how="left_semi")
+        valid = fact.join(apply_broadcast_hint(dim_sel), on=fact_keys, how="left_semi")
         orphans = orphans.withColumn(
             "_quarantine_reason", F.lit(f"fk_orphan:{','.join(fact_keys)}")
         )

@@ -102,18 +102,24 @@ GROUP BY l_returnflag, l_linestatus
 
 # ---------------------------------------------------------------- q3
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join chain + group + deterministic top-k (§2.4/§2.5)."""
+    """Join chain + group + deterministic top-k (§2.4/§2.5).
+
+    Scale note: the probe side is orders⋈lineitem; the broadcast hint
+    goes on the FILTERED customer projection (segment filter + 1
+    column), and is advisory (size-gated, see relational.py) — at
+    100x scale the hint drops away and AQE picks the strategy.
+    """
     _prep(spark)
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
-    ec = _ec(spark, cust)
-    ec = sql_core.filter_rows(ec, condition="c_mktsegment = 'BUILDING'")
-    ec = relational.join(
-        ec, right=orders.withColumnRenamed("o_custkey", "c_custkey"),
-        on=["c_custkey"], how="inner", broadcast=True,
+    building = (
+        cust.filter("c_mktsegment = 'BUILDING'")
+        .select(F.col("c_custkey").alias("o_custkey"))
     )
+    ec = _ec(spark, orders)
     ec = sql_core.filter_rows(ec, condition="o_orderdate < TIMESTAMP '1998-01-01 00:00:00'")
+    ec = relational.join(ec, right=building, on=["o_custkey"], how="inner", broadcast=True)
     ec = relational.join(
         ec, right=li.withColumnRenamed("l_orderkey", "o_orderkey"),
         on=["o_orderkey"], how="inner",
@@ -164,9 +170,11 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         condition="o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' "
         "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'",
     )
+    # customer grows with SF: no forced broadcast — AQE decides from
+    # runtime sizes (locally it still picks broadcast; at 100 TB, SMJ)
     ec = relational.join(
         ec, right=cust.withColumnRenamed("c_custkey", "o_custkey"),
-        on=["o_custkey"], how="inner", broadcast=True,
+        on=["o_custkey"], how="inner",
     )
     ec = relational.join(
         ec, right=nation.withColumnRenamed("n_nationkey", "c_nationkey"),
@@ -217,9 +225,10 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ec, right=orders.withColumnRenamed("o_orderkey", "l_orderkey"),
         on=["l_orderkey"], how="inner",
     )
+    # customer is SF-linear: leave the join strategy to AQE
     ec = relational.join(
         ec, right=cust.withColumnRenamed("c_custkey", "o_custkey"),
-        on=["o_custkey"], how="inner", broadcast=True,
+        on=["o_custkey"], how="inner",
     )
     ec = relational.aggregate(
         ec, group_by=["o_custkey", "c_name"],

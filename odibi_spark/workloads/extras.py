@@ -29,8 +29,9 @@ def semantic_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
+    # customer is SF-linear: no forced broadcast, AQE picks the strategy
     orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        cust, orders.o_custkey == cust.c_custkey
     ).createOrReplaceTempView("order_facts")
 
     model = SemanticModel(source="order_facts")

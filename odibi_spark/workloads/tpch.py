@@ -67,9 +67,10 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 
 
 # ---------------------------------------------------------------- q14
-# Plan intent: part is the dimension — broadcast it; lineitem filter
-# pushed down; conditional aggregation in one pass (no second scan for
-# the promo numerator).
+# Plan intent: lineitem filter pushed down; conditional aggregation in
+# one pass (no second scan for the promo numerator). part grows with
+# SF, so its broadcast hint is advisory (size-gated) — locally it
+# broadcasts, at 100x scale the hint drops and AQE decides.
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: broadcast join + conditional ratio agg (§2.4/§2.5)."""
     _prep(spark)
@@ -81,7 +82,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_shipdate < TIMESTAMP '1997-10-01 00:00:00'"
         ),
     )
-    part = read_table(spark, sf_dir, "part").withColumnRenamed("p_partkey", "l_partkey")
+    part = read_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_type"
+    )
     ec = relational.join(ec, right=part, on=["l_partkey"], how="inner", broadcast=True)
     ec = relational.aggregate(
         ec,
@@ -131,7 +134,8 @@ WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
 # ---------------------------------------------------------------- q18
 # Plan intent: the HAVING-filtered aggregate shrinks lineitem to a
 # small key set; that small side then drives the orders join (AQE turns
-# it into a broadcast at runtime); customer is a broadcast dim.
+# it into a broadcast at runtime); customer is SF-linear, so its join
+# strategy is left to AQE too (no forced broadcast).
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: agg + HAVING, join back, deterministic top-k
     (§2.5 HAVING / §2.4 / §2.3 sort+limit)."""
@@ -152,7 +156,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer").withColumnRenamed(
         "c_custkey", "o_custkey"
     )
-    ec = relational.join(ec, right=cust, on=["o_custkey"], how="inner", broadcast=True)
+    ec = relational.join(ec, right=cust, on=["o_custkey"], how="inner")
     ec = sql_core.derive_columns(ec, columns={"sum_qty": "CAST(sum_qty_d AS DOUBLE)"})
     return (
         ec.df.select(

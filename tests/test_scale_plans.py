@@ -14,6 +14,9 @@ def plan_of(df) -> str:
 
 class TestPlanProperties:
     def test_q5_broadcasts_dims_and_pushes_filters(self, spark):
+        """Policy: nation/region (bounded dims) carry broadcast hints;
+        customer (SF-linear) is AQE-decided — locally small, so the
+        static plan still broadcasts everything; no SMJ regressions."""
         from odibi_spark.workloads import QUERIES
 
         df = QUERIES["q5_revenue_by_nation"](spark, "/root/testdata/sf0.001")
@@ -21,6 +24,51 @@ class TestPlanProperties:
         assert plan.count("BroadcastHashJoin") >= 3
         assert "SortMergeJoin" not in plan
         assert "PushedFilters" in plan
+
+    def test_q3_does_not_force_broadcast_of_orders(self, spark):
+        """Policy: the hint sits on the filtered customer projection;
+        orders (SF-linear probe parent) must carry no broadcast hint."""
+        from odibi_spark.workloads import QUERIES
+
+        df = QUERIES["q3_top_orders"](spark, "/root/testdata/sf0.001")
+        logical = df._jdf.queryExecution().analyzed().toString()
+        # every ResolvedHint in the plan must hang off the customer scan,
+        # never the orders/lineitem side
+        for frag in logical.split("ResolvedHint")[1:]:
+            window = frag[:2000]
+            assert "c_mktsegment" in window or "customer" in window, window
+            assert "o_orderdate" not in window.split("Join")[0], window
+
+    def test_advisory_hint_dropped_for_large_estimates(self, spark):
+        """broadcast=True is advisory: a right side whose optimizer
+        estimate exceeds the bound joins WITHOUT the hint."""
+        from odibi_spark.context import Context, EngineContext
+        from odibi_spark.operators.relational import join
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            small = spark.range(100).selectExpr("id AS k", "id AS v_small")
+            # ~320 MB estimate (8 B/row x 40M): over the 100 MB advisory
+            # bound; plan-only — the join is explained, never executed
+            big = spark.range(40_000_000).selectExpr("id AS k", "id AS v_big")
+            left = spark.range(1000).selectExpr("id AS k", "id AS v_left")
+
+            hinted = join(
+                EngineContext(Context(spark), left), right=small, on=["k"],
+                broadcast=True,
+            ).df
+            assert "BroadcastHashJoin" in plan_of(hinted)
+
+            dropped = join(
+                EngineContext(Context(spark), left), right=big, on=["k"],
+                broadcast=True,
+            ).df
+            assert "BroadcastHashJoin" not in plan_of(dropped)
+            assert "SortMergeJoin" in plan_of(dropped)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
     def test_fact_lookup_is_broadcast(self, spark):
         from odibi_spark.patterns.fact import DimensionLookup, build_fact
