@@ -125,7 +125,7 @@ def main(argv: list[str] | None = None) -> int:
     if getattr(args, "story", None):
         from odibi_spark.lineage import render_story
 
-        render_story(cfg, results, path=args.story)
+        render_story(cfg, results, path=args.story, context=pipe.context)
         print(f"story: {args.story}")
     summary = {k: v.status for k, v in results.items()}
     print(json.dumps(summary, indent=2))
