@@ -23,6 +23,7 @@ HEADLINE = [
     "q3_top_orders",
     "q5_revenue_by_nation",
     "q6_forecast_revenue",
+    "q7_nation_volume",
     "q10_returned_revenue",
     "q14_promo_revenue",
     "q18_large_orders",
@@ -35,6 +36,8 @@ HEADLINE = [
     # pivot / set ops
     "pivot_qty_by_status",
     "intersect_repeat_customers",
+    # skew mitigation
+    "skew_salted_event_join",
     # LLM-data ops
     "text_quality",
     "exact_dedup_docs",

@@ -416,3 +416,62 @@ ORACLES.update(
         "streaming_user_sessions": SESSIONS_SQL,
     }
 )
+
+
+# ------------------------------------------------------- skewed join
+# Plan intent (100 TB): event_type is the canonical EXTREME-hot-key
+# join — 5 distinct values over the whole fact table, so every key
+# holds ~20% of all rows and even AQE's skew splitting leaves one
+# straggler task per key. salted_join spreads each hot key across 8
+# salt buckets (operators/skew.py): the dim side is replicated 8x
+# (trivial — it is O(event types) rows), the fact side shuffles on
+# (event_type, salt) into 8x more, uniformly loaded tasks.
+def skew_salted_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join of events to an event_type dim on an extreme-skew
+    key, then weighted revenue per type (§2.4 skew path)."""
+    _prep(spark)
+    from odibi_spark.operators.skew import salted_join_frames
+
+    events = read_table(spark, sf_dir, "events")
+    # dim: one row per event type with a derived weight — built from
+    # the fact itself so the workload is self-contained and the DuckDB
+    # oracle can regenerate it exactly
+    dim = (
+        events.select("event_type")
+        .distinct()
+        .withColumn("weight", F.length("event_type").cast("double"))
+    )
+    joined = salted_join_frames(
+        events, dim, on=["event_type"], salt_buckets=8, how="inner"
+    )
+    return (
+        joined.groupBy("event_type", "weight")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr(f"CAST(value * weight AS {DEC})")).alias("wsum_d"),
+        )
+        .select(
+            "event_type",
+            "weight",
+            "n_events",
+            F.round(F.col("wsum_d").cast("double"), 4).alias("weighted_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SKEW_JOIN_SQL = f"""
+SELECT e.event_type,
+       CAST(length(e.event_type) AS DOUBLE) AS weight,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(e.value * length(e.event_type) AS {DEC})) AS DOUBLE), 4)
+         AS weighted_value
+FROM events e
+JOIN (SELECT DISTINCT event_type FROM events) d USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+QUERIES.update({"skew_salted_event_join": skew_salted_event_join})
+ORACLES.update({"skew_salted_event_join": SKEW_JOIN_SQL})

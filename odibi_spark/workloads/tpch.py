@@ -314,10 +314,117 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------- q7
+# Plan intent (100 TB): the nation-pair predicate is pushed THROUGH
+# the dimension joins before any fact join — supplier and customer
+# are pre-filtered to the 2 nations via broadcast of the 2-row nation
+# slice, so the lineitem join probes a 2/25th-sized build side. The
+# three SF-linear joins (supplier, orders, customer) carry no forced
+# broadcast hint: AQE picks broadcast locally and SMJ at scale.
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 6-table multi-join, nation-pair volume by year
+    (§2.4/§2.5). Supp/cust nation pair (NATION_1, NATION_2) both ways."""
+    _prep(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    pair = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+
+    sn = _ec(spark, supp)
+    sn = relational.join(
+        sn,
+        right=pair.select(
+            F.col("n_nationkey").alias("s_nationkey"),
+            F.col("n_name").alias("supp_nation"),
+        ),
+        on=["s_nationkey"], how="inner", broadcast=True,
+    )
+    cn = _ec(spark, cust)
+    cn = relational.join(
+        cn,
+        right=pair.select(
+            F.col("n_nationkey").alias("c_nationkey"),
+            F.col("n_name").alias("cust_nation"),
+        ),
+        on=["c_nationkey"], how="inner", broadcast=True,
+    )
+
+    ec = _ec(spark, li)
+    ec = sql_core.filter_rows(
+        ec,
+        condition="l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND "
+        "l_shipdate < TIMESTAMP '1998-01-01 00:00:00'",
+    )
+    ec = relational.join(
+        ec,
+        right=sn.df.select(
+            F.col("s_suppkey").alias("l_suppkey"), "supp_nation"
+        ),
+        on=["l_suppkey"], how="inner",
+    )
+    ec = relational.join(
+        ec, right=orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        on=["l_orderkey"], how="inner",
+    )
+    ec = relational.join(
+        ec,
+        right=cn.df.select(F.col("c_custkey").alias("o_custkey"), "cust_nation"),
+        on=["o_custkey"], how="inner",
+    )
+    ec = sql_core.filter_rows(
+        ec,
+        condition="(supp_nation = 'NATION_1' AND cust_nation = 'NATION_2') OR "
+        "(supp_nation = 'NATION_2' AND cust_nation = 'NATION_1')",
+    )
+    ec = sql_core.derive_columns(
+        ec, columns={"l_year": "CAST(year(l_shipdate) AS INT)"}
+    )
+    ec = relational.aggregate(
+        ec, group_by=["supp_nation", "cust_nation", "l_year"],
+        aggregations=[
+            {
+                "alias": "revenue_d",
+                "function": "sum",
+                "column": f"CAST(l_extendedprice * (1 - l_discount) AS {DEC})",
+            },
+        ],
+    )
+    ec = sql_core.derive_columns(ec, columns={"revenue": "CAST(revenue_d AS DOUBLE)"})
+    return ec.df.select("supp_nation", "cust_nation", "l_year", "revenue").orderBy(
+        "supp_nation", "cust_nation", "l_year"
+    )
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
+         (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) t
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
 QUERIES = {
     "median_acctbal_by_segment": median_acctbal_by_segment,
     "cheapest_part_per_brand": cheapest_part_per_brand,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_nation_volume": q7_nation_volume,
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_orders": q18_large_orders,
     "groupingsets_flag_status": groupingsets_flag_status,
@@ -327,6 +434,7 @@ ORACLES = {
     "median_acctbal_by_segment": MEDIAN_SQL,
     "cheapest_part_per_brand": CHEAPEST_SQL,
     "q6_forecast_revenue": Q6_SQL,
+    "q7_nation_volume": Q7_SQL,
     "q14_promo_revenue": Q14_SQL,
     "q18_large_orders": Q18_SQL,
     "groupingsets_flag_status": GROUPING_SETS_SQL,

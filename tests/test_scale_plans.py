@@ -108,6 +108,25 @@ class TestPlanProperties:
             spark.sql("DROP TABLE IF EXISTS bt_b")
 
 
+class TestQ7PlanPolicy:
+    def test_q7_hints_only_nation_slices(self, spark):
+        """Policy: q7's only forced broadcasts are the 2-row nation
+        pair slices; supplier/orders/customer (SF-linear) are
+        AQE-decided. The nation-pair predicate reaches the nation scan
+        as a pushed filter."""
+        from odibi_spark.workloads import QUERIES
+
+        df = QUERIES["q7_nation_volume"](spark, "/root/testdata/sf0.001")
+        logical = df._jdf.queryExecution().analyzed().toString()
+        hints = logical.split("ResolvedHint")[1:]
+        assert len(hints) == 2  # one per nation slice
+        for frag in hints:
+            window = frag[:1500]
+            assert "n_name" in window, window
+        plan = plan_of(df)
+        assert "PushedFilters: [In(n_name" in plan or "n_name" in plan
+
+
 class TestSaltedJoin:
     def test_salted_equals_plain_join(self, spark):
         from odibi_spark.operators.skew import salted_join_frames
