@@ -133,6 +133,13 @@ def read_source(
         df = reader.json(path)
     elif fmt in ("orc", "avro", "text"):
         df = spark.read.format(fmt).options(**opts).load(path)
+    elif fmt == "delta":
+        # time travel: versionAsOf / timestampAsOf pass through the
+        # standard option channel (reference spark_engine.py:518-545;
+        # helper io/delta_ops.time_travel_options builds them). Needs
+        # delta-spark on the classpath — absent here, Spark raises
+        # DATA_SOURCE_NOT_FOUND with the jar coordinates.
+        df = spark.read.format("delta").options(**opts).load(path)
     else:
         raise ValueError(f"unsupported source format '{format}'")
 

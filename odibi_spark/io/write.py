@@ -111,6 +111,11 @@ def write_sink(
     bucket_count: int = 16,
     table: str | None = None,
     options: dict[str, object] | None = None,
+    zorder_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    auto_optimize: bool = False,
+    vacuum_retention_hours: float | None = None,
+    register_as: str | None = None,
 ) -> None:
     """Declarative write. ``mode`` adds 'upsert' / 'append_once' to the
     standard overwrite/append/error/ignore set.
@@ -122,8 +127,26 @@ def write_sink(
     ``bucket_by``/``bucket_count`` + ``table``: hash-bucketed managed
     table — joins/aggregations on the bucket keys skip the shuffle
     entirely (plan-asserted in tests/test_scale_plans.py).
+
+    Delta-only post-write maintenance (reference spark_engine.py:
+    297-325, 1497-1503, 2607-2636; applied via io/delta_ops):
+    ``zorder_by`` / ``auto_optimize`` run OPTIMIZE [ZORDER BY],
+    ``vacuum_retention_hours`` appends VACUUM ... RETAIN,
+    ``register_as`` registers the path in the metastore, and
+    ``cluster_by`` raises with the liquid-clustering DDL to run at
+    table creation (clustering cannot be bolted on after path writes).
     """
     spark = df.sparkSession
+    if cluster_by and format == "delta":
+        from odibi_spark.io import delta_ops
+
+        raise ValueError(
+            "cluster_by is a table-creation property; create the table "
+            "first with: "
+            + delta_ops.create_clustered_table_sql(
+                table or path, cluster_by, is_table=bool(table)
+            )
+        )
     if coalesce_partitions:
         df = df.coalesce(coalesce_partitions)
     if sort_by:
@@ -149,6 +172,12 @@ def write_sink(
             _merge_delta(spark, df, path, keys, mode)
         else:
             _merge_parquet(spark, df, path, keys, mode)
+        _delta_post_write(
+            spark, path, format,
+            zorder_by=zorder_by, auto_optimize=auto_optimize,
+            vacuum_retention_hours=vacuum_retention_hours,
+            register_as=register_as,
+        )
         return
 
     writer = df.write.mode(mode).options(**{k: str(v) for k, v in (options or {}).items()})
@@ -164,6 +193,41 @@ def write_sink(
         writer.orc(path)
     else:
         writer.format(format).save(path)
+    _delta_post_write(
+        spark, path, format,
+        zorder_by=zorder_by, auto_optimize=auto_optimize,
+        vacuum_retention_hours=vacuum_retention_hours,
+        register_as=register_as,
+    )
+
+
+def _delta_post_write(
+    spark: SparkSession,
+    path: str,
+    format: str,
+    *,
+    zorder_by: list[str] | None,
+    auto_optimize: bool,
+    vacuum_retention_hours: float | None,
+    register_as: str | None,
+) -> None:
+    """Post-write Delta maintenance (reference _optimize_delta_write
+    call sites spark_engine.py:1312,1370,1510). No-op unless the write
+    was Delta and a maintenance option was given."""
+    if format != "delta":
+        return
+    if not (zorder_by or auto_optimize or vacuum_retention_hours or register_as):
+        return
+    from odibi_spark.io import delta_ops
+
+    if register_as:
+        delta_ops.register_table(spark, register_as, path)
+    if zorder_by or auto_optimize or vacuum_retention_hours is not None:
+        delta_ops.maintain(
+            spark, path,
+            zorder_by=zorder_by,
+            vacuum_retention_hours=vacuum_retention_hours,
+        )
 
 
 def _merge_delta(

@@ -127,3 +127,91 @@ def scd2_apply(
 
     target.overwrite(new_contents)
     return target.read()
+
+
+def scd2_delta_merge(
+    spark: SparkSession,
+    batch: DataFrame,
+    *,
+    target_path: str,
+    keys: list[str],
+    track_cols: list[str],
+    effective_time_col: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    is_current_col: str = "is_current",
+    delta_table_cls=None,
+):
+    """Delta MERGE fast path (reference odibi/transformers/scd.py:
+    553-735): instead of rewriting the whole dimension, MERGE touches
+    only files holding matched current rows.
+
+    Phase 1 — one MERGE against the current slice:
+      match  = keys AND target.is_current = true
+      update (when any track_col changed, null-safe):
+               close old version (valid_to = source effective time,
+               is_current = false)
+      insert (key absent): brand-new key as current version
+    Phase 2 — MERGE can't insert for MATCHED keys, so the new versions
+    of changed keys are appended separately: keys with no current row
+    after phase 1 (left_anti vs current slice).
+
+    Returns the merge-source frame on success, or ``None`` when Delta
+    isn't available / the target isn't a Delta table — callers fall
+    back to the ``scd2_apply`` full-rewrite path. ``delta_table_cls``
+    is injectable so the MERGE call shape is contract-testable without
+    Delta jars (it must quack like ``delta.tables.DeltaTable``).
+    """
+    cls = delta_table_cls
+    if cls is None:
+        try:
+            from delta.tables import DeltaTable as cls  # type: ignore
+        except ImportError:
+            return None
+    try:
+        is_delta = cls.isDeltaTable(spark, target_path)
+    except Exception:
+        return None
+
+    eff = F.col(effective_time_col)
+    merge_source = (
+        batch.withColumn(valid_from_col, eff)
+        .withColumn(valid_to_col, F.lit(None).cast("timestamp"))
+        .withColumn(is_current_col, F.lit(True))
+    )
+
+    if not is_delta:  # first run: the whole batch becomes version 1
+        merge_source.write.format("delta").mode("overwrite").save(target_path)
+        return merge_source
+
+    target = cls.forPath(spark, target_path)
+    match_condition = (
+        " AND ".join(f"target.`{k}` = source.`{k}`" for k in keys)
+        + f" AND target.`{is_current_col}` = true"
+    )
+    change_condition = (
+        " OR ".join(
+            f"NOT (target.`{c}` <=> source.`{c}`)" for c in track_cols
+        )
+        or "true"
+    )
+    update_set = {
+        f"`{valid_to_col}`": f"source.`{effective_time_col}`",
+        f"`{is_current_col}`": "false",
+    }
+    insert_values = {f"`{c}`": f"source.`{c}`" for c in merge_source.columns}
+    (
+        target.alias("target")
+        .merge(merge_source.alias("source"), match_condition)
+        .whenMatchedUpdate(condition=change_condition, set=update_set)
+        .whenNotMatchedInsert(values=insert_values)
+        .execute()
+    )
+
+    # phase 2: append the new versions of keys whose current row was
+    # just closed (they matched, so whenNotMatchedInsert skipped them)
+    updated = cls.forPath(spark, target_path).toDF()
+    current_keys = updated.filter(F.col(is_current_col)).select(*keys)
+    changed_new = merge_source.join(current_keys, on=keys, how="left_anti")
+    changed_new.write.format("delta").mode("append").save(target_path)
+    return merge_source

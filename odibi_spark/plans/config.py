@@ -108,6 +108,13 @@ class WriteConfig(StrictModel):
     # content-hash change detection: skip the write when the data is
     # byte-identical to the previous run (reference: config.py:4268-4290)
     skip_if_unchanged: bool = False
+    # Delta-only maintenance (reference config.py:4222-4243; executed
+    # via io/delta_ops — gated on delta-spark being present)
+    zorder_by: list[str] | None = None
+    cluster_by: list[str] | None = None
+    auto_optimize: bool = False
+    vacuum_retention_hours: float | None = None
+    register_as: str | None = None
 
 
 class IncrementalConfig(StrictModel):
@@ -128,15 +135,34 @@ class IncrementalConfig(StrictModel):
 
 class ContractTest(StrictModel):
     """Pre-transform circuit breakers on the INPUT (reference:
-    odibi/config.py:3200-3292, executed node.py:1480-1528)."""
+    odibi/config.py:3200-3292, executed node.py:1480-1528).
+
+    ``distribution`` (reference DistributionContract config.py:3222)
+    checks a statistical metric of a column against a threshold
+    expression, e.g. ``metric: mean, threshold: ">100"`` or
+    ``metric: null_percentage, threshold: "<0.05"``; ``on_fail: warn``
+    logs instead of failing the node (reference ContractSeverity)."""
 
     name: str
-    type: Literal["schema", "freshness", "row_count"]
+    type: Literal["schema", "freshness", "row_count", "distribution"]
     columns: dict[str, str] | None = None     # schema: {col: type}
-    column: str | None = None                 # freshness
+    column: str | None = None                 # freshness / distribution
     max_age_hours: int | None = None
     min: int | None = None
     max: int | None = None
+    metric: Literal["mean", "min", "max", "null_percentage"] | None = None
+    threshold: str | None = None              # e.g. ">100", "<=0.05"
+    on_fail: Literal["fail", "warn"] = "fail"
+
+    @model_validator(mode="after")
+    def _distribution_fields(self) -> "ContractTest":
+        if self.type == "distribution" and not (
+            self.column and self.metric and self.threshold
+        ):
+            raise ValueError(
+                f"contract '{self.name}': distribution needs column, metric, threshold"
+            )
+        return self
 
 
 class PatternConfig(StrictModel):
@@ -190,6 +216,22 @@ class NodeConfig(StrictModel):
         return self
 
 
+class AlertConfig(StrictModel):
+    """Alert channel subscription (reference: odibi/config.py:162-215
+    AlertConfig; delivery odibi/utils/alerting.py). ``metadata`` may
+    carry throttle_minutes / max_per_hour / channel."""
+
+    type: Literal["webhook", "slack", "teams", "teams_workflow"] = "webhook"
+    url: str
+    on_events: list[
+        Literal[
+            "on_start", "on_success", "on_failure",
+            "on_quarantine", "on_gate_block", "on_threshold_breach",
+        ]
+    ] = []
+    metadata: dict[str, Any] = {}
+
+
 class ConnectionConfig(StrictModel):
     """Named connection (reference: odibi/connections/factory.py).
     ``type`` selects the factory; remaining keys are its kwargs."""
@@ -204,6 +246,7 @@ class PipelineConfig(StrictModel):
     max_workers: int = 4
     connections: dict[str, ConnectionConfig] = {}
     plugins: list[str] = []
+    alerts: list[AlertConfig] = []
 
     @model_validator(mode="after")
     def _unique_names(self) -> "PipelineConfig":

@@ -5,10 +5,33 @@
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame
+
+_log = logging.getLogger(__name__)
+
+
+def _threshold_ok(value: float, threshold: str) -> bool:
+    """Evaluate a reference-style threshold expression ('>100',
+    '<=0.05', '!=0', '==3') against a metric value (reference
+    DistributionContract odibi/config.py:3222-3247)."""
+    t = threshold.strip()
+    for op in (">=", "<=", "!=", "==", ">", "<", "="):
+        if t.startswith(op):
+            bound = float(t[len(op):].strip())
+            return {
+                ">=": value >= bound,
+                "<=": value <= bound,
+                "!=": value != bound,
+                "==": value == bound,
+                "=": value == bound,
+                ">": value > bound,
+                "<": value < bound,
+            }[op]
+    raise ValueError(f"bad threshold expression '{threshold}'")
 
 from odibi_spark.context import Context, EngineContext
 from odibi_spark.io import read_source, write_sink
@@ -212,6 +235,11 @@ class NodeExecutor:
                         bucket_count=w.bucket_count,
                         table=w.table,
                         options=w_options,
+                        zorder_by=w.zorder_by,
+                        cluster_by=w.cluster_by,
+                        auto_optimize=w.auto_optimize,
+                        vacuum_retention_hours=w.vacuum_retention_hours,
+                        register_as=w.register_as,
                     )
                     if obs is not None:
                         rows_written = int(obs.get["n"])
@@ -381,6 +409,15 @@ class NodeExecutor:
                 aggs.append(F.count(F.lit(1)).alias(f"__c{i}"))
             elif c.type == "freshness":
                 aggs.append(F.max(c.column).alias(f"__c{i}"))
+            elif c.type == "distribution":
+                col = F.col(c.column)
+                expr = {
+                    "mean": F.avg(col),
+                    "min": F.min(col),
+                    "max": F.max(col),
+                    "null_percentage": F.avg(col.isNull().cast("double")),
+                }[c.metric]
+                aggs.append(expr.alias(f"__c{i}"))
         if not aggs:
             return df, None
 
@@ -407,4 +444,16 @@ class NodeExecutor:
                         f"contract '{c.name}': newest row {age_h:.1f}h old "
                         f"(max {c.max_age_hours}h)"
                     )
+            elif c.type == "distribution":
+                got = row[f"__c{i}"]
+                ok = got is not None and _threshold_ok(float(got), c.threshold)
+                if not ok:
+                    msg = (
+                        f"contract '{c.name}': {c.metric}({c.column}) = {got} "
+                        f"violates threshold '{c.threshold}'"
+                    )
+                    if c.on_fail == "warn":
+                        _log.warning(msg)
+                    else:
+                        raise ValueError(msg)
         return cached, cached

@@ -15,10 +15,15 @@ from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import SparkSession
 
+from odibi_spark.alerting import get_throttler, send_pipeline_alerts
 from odibi_spark.context import Context
 from odibi_spark.plans.config import PipelineConfig, load_pipeline_yaml
 from odibi_spark.plans.graph import DependencyGraph
 from odibi_spark.plans.node import NodeExecutor, NodeResult
+
+# module-level transport hook: tests (and custom deployments) swap the
+# delivery mechanism; None = the default urllib webhook POST
+_alert_transport = None
 
 
 class Pipeline:
@@ -63,6 +68,8 @@ class Pipeline:
         (reference resume-from-failure: pipeline.py:581-599)."""
         results: dict[str, NodeResult] = {}
         consumers = self.graph.consumers_count() if auto_cache else {}
+        t0 = time.monotonic()
+        self._alert("on_start", results, 0.0)
 
         def execute(name: str) -> NodeResult:
             prior = (resume_from or {}).get(name)
@@ -116,4 +123,26 @@ class Pipeline:
         else:
             for name in self.graph.toposort():
                 results[name] = execute(name)
+        failed = any(r.status != "success" for r in results.values())
+        self._alert(
+            "on_failure" if failed else "on_success",
+            results,
+            time.monotonic() - t0,
+        )
         return results
+
+    def _alert(self, event: str, results: dict[str, NodeResult], duration_s: float):
+        """Fire configured alerts for a lifecycle event (reference:
+        odibi/pipeline.py:480,1356-1358). Never raises — an alerting
+        outage must not change pipeline results."""
+        if not self.config.alerts:
+            return
+        send_pipeline_alerts(
+            self.config.alerts,
+            event,
+            self.config.name,
+            results,
+            duration_s=duration_s,
+            transport=_alert_transport,
+            throttler=get_throttler(),
+        )

@@ -1,0 +1,370 @@
+"""Delta MERGE call-shape contracts, mocked (no Delta jars in this
+environment). These lock the exact DeltaTable API sequence the code
+will issue when delta-spark IS present (reference
+spark_engine.py:1254-1335 for upsert/append_once, scd.py:553-735 for
+SCD2), so the paths are drop-in once jars exist."""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+
+
+class FakeMerge:
+    def __init__(self, log):
+        self.log = log
+
+    def whenMatchedUpdateAll(self):
+        self.log.append(("whenMatchedUpdateAll",))
+        return self
+
+    def whenMatchedUpdate(self, condition=None, set=None):
+        self.log.append(("whenMatchedUpdate", condition, dict(set or {})))
+        return self
+
+    def whenNotMatchedInsertAll(self):
+        self.log.append(("whenNotMatchedInsertAll",))
+        return self
+
+    def whenNotMatchedInsert(self, values=None):
+        self.log.append(("whenNotMatchedInsert", dict(values or {})))
+        return self
+
+    def execute(self):
+        self.log.append(("execute",))
+
+
+class FakeTarget:
+    def __init__(self, log, to_df=None):
+        self.log = log
+        self._to_df = to_df
+
+    def alias(self, a):
+        self.log.append(("target.alias", a))
+        return self
+
+    def merge(self, source_df, cond):
+        self.log.append(("merge", cond))
+        return FakeMerge(self.log)
+
+    def toDF(self):
+        self.log.append(("toDF",))
+        return self._to_df
+
+
+def make_fake_delta(log, *, is_delta=True, to_df=None):
+    class FakeDeltaTable:
+        @staticmethod
+        def isDeltaTable(spark, path):
+            log.append(("isDeltaTable", path))
+            return is_delta
+
+        @staticmethod
+        def forPath(spark, path):
+            log.append(("forPath", path))
+            return FakeTarget(log, to_df=to_df)
+
+    return FakeDeltaTable
+
+
+@pytest.fixture
+def capture_writes(monkeypatch):
+    """Intercept DataFrameWriter.save so format('delta') writes don't
+    hit the (absent) delta DataSource; records (format, mode, path)."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    writes = []
+    orig_format, orig_mode = DataFrameWriter.format, DataFrameWriter.mode
+
+    def format_(self, fmt):
+        self.__dict__["_rec_format"] = fmt
+        return orig_format(self, fmt)
+
+    def mode_(self, m):
+        self.__dict__["_rec_mode"] = m
+        return orig_mode(self, m)
+
+    def save_(self, path=None, **kw):
+        writes.append(
+            (
+                self.__dict__.get("_rec_format"),
+                self.__dict__.get("_rec_mode"),
+                path,
+            )
+        )
+
+    monkeypatch.setattr(DataFrameWriter, "format", format_)
+    monkeypatch.setattr(DataFrameWriter, "mode", mode_)
+    monkeypatch.setattr(DataFrameWriter, "save", save_)
+    return writes
+
+
+class TestWriteSinkDeltaMerge:
+    """write_sink(mode='upsert'/'append_once', format='delta') —
+    reference spark_engine.py:1254-1335."""
+
+    def _run(self, spark, monkeypatch, mode, *, is_delta=True):
+        import odibi_spark.io.write as w
+
+        log = []
+        monkeypatch.setattr(w, "DeltaTable", make_fake_delta(log, is_delta=is_delta))
+        monkeypatch.setattr(w, "_HAS_DELTA", True)
+        df = spark.createDataFrame([Row(k=1, v="a")])
+        w.write_sink(df, path="/tmp/fake_delta", mode=mode, format="delta", keys=["k"])
+        return log
+
+    def test_upsert_merge_shape(self, spark, monkeypatch):
+        log = self._run(spark, monkeypatch, "upsert")
+        ops = [e[0] for e in log]
+        assert ops == [
+            "isDeltaTable", "forPath", "target.alias", "merge",
+            "whenMatchedUpdateAll", "whenNotMatchedInsertAll", "execute",
+        ]
+        cond = next(e[1] for e in log if e[0] == "merge")
+        assert cond == "t.`k` = s.`k`"
+
+    def test_append_once_never_updates_matched(self, spark, monkeypatch):
+        log = self._run(spark, monkeypatch, "append_once")
+        ops = [e[0] for e in log]
+        assert "whenMatchedUpdateAll" not in ops and "whenMatchedUpdate" not in ops
+        assert ops[-2:] == ["whenNotMatchedInsertAll", "execute"]
+
+    def test_first_write_bootstraps_overwrite(
+        self, spark, monkeypatch, capture_writes
+    ):
+        log = self._run(spark, monkeypatch, "upsert", is_delta=False)
+        assert [e[0] for e in log] == ["isDeltaTable"]
+        assert capture_writes == [("delta", "overwrite", "/tmp/fake_delta")]
+
+    def test_multi_key_condition(self, spark, monkeypatch):
+        import odibi_spark.io.write as w
+
+        log = []
+        monkeypatch.setattr(w, "DeltaTable", make_fake_delta(log))
+        monkeypatch.setattr(w, "_HAS_DELTA", True)
+        df = spark.createDataFrame([Row(a=1, b=2, v="x")])
+        w.write_sink(
+            df, path="/tmp/fd2", mode="upsert", format="delta", keys=["a", "b"]
+        )
+        cond = next(e[1] for e in log if e[0] == "merge")
+        assert cond == "t.`a` = s.`a` AND t.`b` = s.`b`"
+
+
+class TestScd2DeltaMerge:
+    """scd2_delta_merge — reference scd.py:553-735 dual-phase idiom."""
+
+    def _batch(self, spark):
+        ts = datetime.datetime(2024, 1, 2)
+        return spark.createDataFrame(
+            [Row(k=1, name="new", updated_at=ts), Row(k=3, name="brand", updated_at=ts)]
+        )
+
+    def test_merge_shape_and_phase2_append(
+        self, spark, monkeypatch, capture_writes
+    ):
+        from odibi_spark.patterns.scd2 import scd2_delta_merge
+
+        # post-merge target state: k=1 closed (no current row), k=2 untouched
+        ts1 = datetime.datetime(2024, 1, 1)
+        post_merge = spark.createDataFrame(
+            [
+                Row(k=1, name="old", updated_at=ts1, valid_from=ts1,
+                    valid_to=datetime.datetime(2024, 1, 2), is_current=False),
+                Row(k=2, name="keep", updated_at=ts1, valid_from=ts1,
+                    valid_to=None, is_current=True),
+                Row(k=3, name="brand", updated_at=datetime.datetime(2024, 1, 2),
+                    valid_from=datetime.datetime(2024, 1, 2), valid_to=None,
+                    is_current=True),
+            ]
+        )
+        log = []
+        fake = make_fake_delta(log, is_delta=True, to_df=post_merge)
+        out = scd2_delta_merge(
+            spark, self._batch(spark),
+            target_path="/tmp/dim", keys=["k"], track_cols=["name"],
+            effective_time_col="updated_at", delta_table_cls=fake,
+        )
+        assert out is not None
+        ops = [e[0] for e in log]
+        assert ops == [
+            "isDeltaTable", "forPath", "target.alias", "merge",
+            "whenMatchedUpdate", "whenNotMatchedInsert", "execute",
+            "forPath", "toDF",
+        ]
+        cond = next(e[1] for e in log if e[0] == "merge")
+        assert cond == "target.`k` = source.`k` AND target.`is_current` = true"
+        upd = next(e for e in log if e[0] == "whenMatchedUpdate")
+        assert upd[1] == "NOT (target.`name` <=> source.`name`)"
+        assert upd[2] == {"`valid_to`": "source.`updated_at`", "`is_current`": "false"}
+        ins = next(e for e in log if e[0] == "whenNotMatchedInsert")
+        assert set(ins[1]) == {
+            "`k`", "`name`", "`updated_at`", "`valid_from`", "`valid_to`",
+            "`is_current`",
+        }
+        # phase 2: one delta append of the changed-key new versions
+        assert capture_writes == [("delta", "append", "/tmp/dim")]
+
+    def test_first_run_bootstraps(self, spark, monkeypatch, capture_writes):
+        from odibi_spark.patterns.scd2 import scd2_delta_merge
+
+        log = []
+        fake = make_fake_delta(log, is_delta=False)
+        out = scd2_delta_merge(
+            spark, self._batch(spark),
+            target_path="/tmp/dim0", keys=["k"], track_cols=["name"],
+            effective_time_col="updated_at", delta_table_cls=fake,
+        )
+        assert out is not None and "valid_from" in out.columns
+        assert capture_writes == [("delta", "overwrite", "/tmp/dim0")]
+
+    def test_returns_none_without_delta(self, spark, monkeypatch):
+        import builtins
+
+        from odibi_spark.patterns.scd2 import scd2_delta_merge
+
+        real_import = builtins.__import__
+
+        def no_delta(name, *a, **kw):
+            if name.startswith("delta"):
+                raise ImportError("no delta")
+            return real_import(name, *a, **kw)
+
+        monkeypatch.setattr(builtins, "__import__", no_delta)
+        out = scd2_delta_merge(
+            spark, self._batch(spark),
+            target_path="/tmp/x", keys=["k"], track_cols=["name"],
+            effective_time_col="updated_at",
+        )
+        assert out is None
+
+
+class TestDeltaMaintenanceOps:
+    """io/delta_ops — SQL/DeltaTable call shapes (reference
+    spark_engine.py:297-325, 1497-1503, 2446-2495, 2607-2636)."""
+
+    def test_optimize_sql_shapes(self, spark):
+        from odibi_spark.io import delta_ops
+
+        issued = []
+        sql = delta_ops.optimize(
+            spark, "/d/t", zorder_by=["a", "b"], sql_runner=issued.append
+        )
+        assert sql == "OPTIMIZE delta.`/d/t` ZORDER BY (a, b)"
+        sql2 = delta_ops.optimize(
+            spark, "mart.facts", is_table=True, sql_runner=issued.append
+        )
+        assert sql2 == "OPTIMIZE mart.facts"
+        assert issued == [sql, sql2]
+
+    def test_vacuum_history_restore_delegate_to_deltatable(self, spark):
+        from odibi_spark.io import delta_ops
+
+        log = []
+
+        class T:
+            def vacuum(self, h):
+                log.append(("vacuum", h))
+
+            def history(self, limit=None):
+                log.append(("history", limit))
+
+            def restoreToVersion(self, v):
+                log.append(("restore", v))
+
+        class Fake:
+            @staticmethod
+            def forPath(s, p):
+                log.append(("forPath", p))
+                return T()
+
+        delta_ops.vacuum(spark, "/d/t", retention_hours=72, delta_table_cls=Fake)
+        delta_ops.history(spark, "/d/t", limit=5, delta_table_cls=Fake)
+        delta_ops.restore_to_version(spark, "/d/t", 3, delta_table_cls=Fake)
+        assert log == [
+            ("forPath", "/d/t"), ("vacuum", 72),
+            ("forPath", "/d/t"), ("history", 5),
+            ("forPath", "/d/t"), ("restore", 3),
+        ]
+
+    def test_time_travel_options(self):
+        from odibi_spark.io import delta_ops
+
+        assert delta_ops.time_travel_options(as_of_version=7) == {"versionAsOf": "7"}
+        assert delta_ops.time_travel_options(
+            as_of_timestamp="2024-01-01"
+        ) == {"timestampAsOf": "2024-01-01"}
+        assert delta_ops.time_travel_options() == {}
+        with pytest.raises(ValueError):
+            delta_ops.time_travel_options(as_of_version=1, as_of_timestamp="x")
+
+    def test_register_and_maintain(self, spark):
+        from odibi_spark.io import delta_ops
+
+        issued = []
+        delta_ops.register_table(spark, "mart.ext", "/d/t", sql_runner=issued.append)
+        delta_ops.maintain(
+            spark, "/d/t", zorder_by=["k"], vacuum_retention_hours=168,
+            sql_runner=issued.append,
+        )
+        assert issued == [
+            "CREATE TABLE IF NOT EXISTS mart.ext USING DELTA LOCATION '/d/t'",
+            "OPTIMIZE delta.`/d/t` ZORDER BY (k)",
+            "VACUUM delta.`/d/t` RETAIN 168 HOURS",
+        ]
+
+    def test_clustered_table_ddl(self):
+        from odibi_spark.io import delta_ops
+
+        ddl = delta_ops.create_clustered_table_sql("mart.f", ["a", "b"])
+        assert ddl == (
+            "CREATE TABLE IF NOT EXISTS mart.f USING DELTA CLUSTER BY (a, b)"
+        )
+
+    def test_write_sink_cluster_by_raises_with_ddl(self, spark, tmp_path):
+        from odibi_spark.io import write_sink
+
+        df = spark.createDataFrame([Row(k=1)])
+        with pytest.raises(ValueError, match="CLUSTER BY \\(k\\)"):
+            write_sink(
+                df, path=str(tmp_path / "d"), format="delta",
+                mode="overwrite", cluster_by=["k"],
+            )
+
+    def test_write_sink_post_write_maintenance(self, spark, tmp_path, monkeypatch):
+        """Parquet-mode write with delta maintenance options: maintenance
+        only fires for format='delta' (no-op guard), and for delta it
+        issues register + OPTIMIZE + VACUUM in order."""
+        import odibi_spark.io.write as w
+
+        calls = []
+
+        class FakeOps:
+            @staticmethod
+            def register_table(spark, table, path):
+                calls.append(("register", table, path))
+
+            @staticmethod
+            def maintain(spark, path, *, zorder_by=None, vacuum_retention_hours=None):
+                calls.append(("maintain", path, tuple(zorder_by or ()), vacuum_retention_hours))
+
+        import odibi_spark.io as io_pkg
+
+        monkeypatch.setattr(io_pkg, "delta_ops", FakeOps)
+        df = spark.createDataFrame([Row(k=1, v="a")])
+        # parquet write: maintenance options ignored (format guard)
+        w.write_sink(
+            df, path=str(tmp_path / "p"), format="parquet", mode="overwrite",
+            zorder_by=["k"],
+        )
+        assert calls == []
+        # delta-format write without jars would fail at save; drive the
+        # hook directly to lock the order
+        w._delta_post_write(
+            spark, "/d/t", "delta",
+            zorder_by=["k"], auto_optimize=True,
+            vacuum_retention_hours=24, register_as="mart.t",
+        )
+        assert calls == [
+            ("register", "mart.t", "/d/t"),
+            ("maintain", "/d/t", ("k",), 24),
+        ]

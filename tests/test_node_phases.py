@@ -78,6 +78,51 @@ nodes:
         r = Pipeline.from_yaml(y, spark).run()
         assert r["n"].status == "failed" and "row count" in r["n"].error
 
+    def test_distribution_contract_blocks_and_passes(self, spark, tmp_path):
+        """Distribution drift check (reference DistributionContract
+        odibi/config.py:3222): metric vs threshold expression."""
+        src = str(tmp_path / "d_src")
+        spark.createDataFrame(
+            [Row(price=10.0), Row(price=20.0), Row(price=None)]
+        ).write.mode("overwrite").parquet(src)
+
+        def run(metric, threshold, on_fail="fail"):
+            y = f"""
+name: d
+nodes:
+  - name: n
+    read: {{format: parquet, path: "{src}"}}
+    contracts:
+      - {{name: drift, type: distribution, column: price, metric: {metric}, threshold: "{threshold}", on_fail: {on_fail}}}
+"""
+            return Pipeline.from_yaml(y, spark).run()["n"]
+
+        assert run("mean", ">10").status == "success"        # mean=15
+        r = run("mean", ">100")
+        assert r.status == "failed" and "violates threshold" in r.error
+        assert run("null_percentage", "<0.5").status == "success"  # 1/3
+        assert run("null_percentage", "<0.1").status == "failed"
+        assert run("max", "<=20").status == "success"
+        assert run("min", ">=11").status == "failed"
+        # warn severity: violation logged, node still succeeds
+        assert run("mean", ">100", on_fail="warn").status == "success"
+
+    def test_distribution_contract_config_validation(self):
+        from odibi_spark.plans.config import ContractTest
+
+        with pytest.raises(Exception, match="distribution needs"):
+            ContractTest(name="d", type="distribution", column="x")
+
+    def test_threshold_expression_parser(self):
+        from odibi_spark.plans.node import _threshold_ok
+
+        assert _threshold_ok(5.0, ">4") and not _threshold_ok(5.0, ">5")
+        assert _threshold_ok(5.0, ">=5") and _threshold_ok(5.0, "<=5")
+        assert _threshold_ok(5.0, "==5") and _threshold_ok(5.0, "= 5")
+        assert _threshold_ok(5.0, "!=4")
+        with pytest.raises(ValueError, match="bad threshold"):
+            _threshold_ok(1.0, "approximately 5")
+
     def test_all_contracts_run_in_one_job(self, spark, tmp_path):
         """row_count + freshness must share ONE aggregate job, not one
         scan per contract (VERDICT r1: contracted nodes read once)."""
