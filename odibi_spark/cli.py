@@ -39,7 +39,60 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--rows", type=int, default=5)
     sp = sub.add_parser("profile", help="row count + sampled column stats")
     sp.add_argument("dataset")
+
+    # offline ops tooling (reference cli/main.py:101-270)
+    sp = sub.add_parser("doctor", help="environment diagnostics")
+    sp.add_argument("--pipeline", help="also check a pipeline YAML loads")
+    sp.add_argument("--json", action="store_true", dest="as_json")
+    sp = sub.add_parser("diagnose-path", help="diagnose a filesystem path")
+    sp.add_argument("path")
+    sp = sub.add_parser("scaffold", help="generate starter YAML")
+    sp.add_argument(
+        "kind", choices=["pipeline", "project", "sql-pipeline"], nargs="?",
+        default="pipeline",
+    )
+    sp.add_argument("--name", default=None)
+    sp.add_argument("--out", help="write to this file instead of stdout")
     args = p.parse_args(argv)
+
+    if args.cmd == "doctor":
+        from odibi_spark.doctor import doctor
+
+        result = doctor(pipeline_yaml=args.pipeline)
+        if args.as_json:
+            print(json.dumps(result, indent=2))
+        else:
+            print(f"status: {result['status']}")
+            print(f"python: {result['python_version']}")
+            for k, v in result["packages"].items():
+                print(f"  {k}: {v}")
+            for k, v in result["environment"].items():
+                print(f"  {k}={v}")
+            for issue in result["issues"]:
+                print(f"[{issue['severity'].upper()}] {issue['message']}")
+                print(f"  fix: {issue['fix']}")
+        return 0 if result["status"] == "healthy" else 1
+    if args.cmd == "diagnose-path":
+        from odibi_spark.doctor import diagnose_path
+
+        print(json.dumps(diagnose_path(args.path), indent=2))
+        return 0
+    if args.cmd == "scaffold":
+        from odibi_spark import scaffold as sc
+
+        gen = {
+            "pipeline": sc.scaffold_pipeline,
+            "project": sc.scaffold_project,
+            "sql-pipeline": sc.scaffold_sql_pipeline,
+        }[args.kind]
+        text = gen(args.name) if args.name else gen()
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(text)
+            print(f"wrote {args.out}")
+        else:
+            print(text)
+        return 0
 
     if args.cmd in ("discover", "schema", "preview", "profile"):
         from odibi_spark.connections import LocalConnection

@@ -1,0 +1,96 @@
+"""doctor / diagnose-path / scaffold ops tooling (reference
+odibi/doctor.py + cli/main.py:101-270). Fully offline."""
+
+import json
+
+import pytest
+
+from odibi_spark.cli import main as cli_main
+from odibi_spark.doctor import diagnose_path, doctor
+from odibi_spark.scaffold import (
+    scaffold_pipeline,
+    scaffold_project,
+    scaffold_sql_pipeline,
+)
+
+
+class TestDoctor:
+    def test_healthy_environment(self):
+        out = doctor()
+        assert out["status"] == "healthy", out["issues"]
+        assert out["packages"]["pyspark"] not in ("MISSING", None)
+        # optional packages report MISSING as info, not error
+        for issue in out["issues"]:
+            assert issue["severity"] == "info"
+            assert "fix" in issue
+
+    def test_pipeline_yaml_check(self, tmp_path):
+        good = tmp_path / "p.yaml"
+        good.write_text(
+            "name: ok\nnodes:\n  - name: n\n    read: {format: parquet, path: /x}\n"
+        )
+        out = doctor(pipeline_yaml=str(good))
+        assert out["project_loaded"] and out["pipeline"]["nodes"] == 1
+
+        bad = tmp_path / "bad.yaml"
+        bad.write_text("name: broken\nnodes:\n  - name: n\n    typo_key: 1\n")
+        out = doctor(pipeline_yaml=str(bad))
+        assert not out["project_loaded"]
+        assert any("YAML failed to load" in i["message"] for i in out["issues"])
+        assert out["status"] == "degraded"
+
+    def test_missing_java_home_is_error(self, monkeypatch):
+        monkeypatch.delenv("JAVA_HOME", raising=False)
+        out = doctor()
+        assert out["status"] == "degraded"
+        assert any("JAVA_HOME" in i["message"] for i in out["issues"])
+
+
+class TestDiagnosePath:
+    def test_file_and_directory(self, tmp_path):
+        f = tmp_path / "data.parquet"
+        f.write_bytes(b"xx")
+        out = diagnose_path(str(f))
+        assert out["exists"] and out["is_file"] and out["format"] == "parquet"
+        d = diagnose_path(str(tmp_path))
+        assert d["is_directory"]
+        assert any(e["name"] == "data.parquet" for e in d["contents"])
+        assert d["format"] == "parquet dataset"
+
+    def test_missing_and_remote(self, tmp_path):
+        assert diagnose_path(str(tmp_path / "nope"))["exists"] is False
+        remote = diagnose_path("abfss://cont@acct.dfs.core.windows.net/x")
+        assert remote["exists"] is None and "remote URI" in remote["note"]
+
+
+class TestScaffold:
+    def test_pipeline_scaffold_round_trips(self):
+        from odibi_spark.plans.config import load_pipeline_yaml
+
+        cfg = load_pipeline_yaml(scaffold_pipeline("demo"))
+        assert cfg.name == "demo" and cfg.nodes[0].name == "clean"
+        assert [s.function for s in cfg.nodes[0].transform] == [
+            "normalize_column_names", "trim_whitespace",
+        ]
+
+    def test_sql_pipeline_scaffold_round_trips(self):
+        from odibi_spark.plans.config import load_pipeline_yaml
+
+        cfg = load_pipeline_yaml(scaffold_sql_pipeline())
+        assert cfg.nodes[0].transform[0].sql.startswith("SELECT")
+
+    def test_project_scaffold_round_trips(self):
+        from odibi_spark.plans.project import load_project_yaml
+
+        cfg = load_project_yaml(scaffold_project("proj"))
+        assert [p.name for p in cfg.pipelines] == ["bronze", "gold"]
+
+    def test_cli_scaffold_writes_file(self, tmp_path, capsys):
+        out = tmp_path / "gen.yaml"
+        rc = cli_main(["scaffold", "pipeline", "--name", "gen", "--out", str(out)])
+        assert rc == 0 and "name: gen" in out.read_text()
+
+    def test_cli_doctor_json(self, capsys):
+        rc = cli_main(["doctor", "--json"])
+        captured = capsys.readouterr().out
+        assert rc == 0 and json.loads(captured)["status"] == "healthy"
