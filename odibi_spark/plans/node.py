@@ -85,6 +85,7 @@ class NodeExecutor:
         cfg = self.config
         spark = self.context.spark
         contract_cached = None
+        val_results: list[Any] = []
         try:
             # ---- pre_sql (reference: config.py:4720-4723 — e.g. SET confs)
             for sql in cfg.pre_sql:
@@ -151,7 +152,6 @@ class NodeExecutor:
                 )
 
             # ---- validation phase
-            val_results: list[Any] = []
             gate_warnings: list[str] = []
             if cfg.validation and cfg.validation.tests:
                 outcome = run_validation(
@@ -271,6 +271,10 @@ class NodeExecutor:
             return NodeResult(
                 name=cfg.name, status="failed",
                 error=f"{type(ex).__name__}: {ex}",
+                # validation results survive the failure so callers
+                # (e.g. on_quarantine alerts) still see quarantine
+                # counts when a gate subsequently blocks the node
+                validation=val_results,
                 duration_s=round(_time.monotonic() - t0, 3),
             )
         finally:

@@ -124,11 +124,21 @@ class Pipeline:
             for name in self.graph.toposort():
                 results[name] = execute(name)
         failed = any(r.status != "success" for r in results.values())
-        self._alert(
-            "on_failure" if failed else "on_success",
-            results,
-            time.monotonic() - t0,
-        )
+        elapsed = time.monotonic() - t0
+        # quality events BEFORE the lifecycle terminal event (reference
+        # fires on_quarantine / on_gate_block as they are observed)
+        if any(
+            t.quarantine and t.failed_rows > 0
+            for r in results.values()
+            for t in r.validation
+        ):
+            self._alert("on_quarantine", results, elapsed)
+        if any(
+            r.gate_warnings or (r.error and "GateFailure" in (r.error or ""))
+            for r in results.values()
+        ):
+            self._alert("on_gate_block", results, elapsed)
+        self._alert("on_failure" if failed else "on_success", results, elapsed)
         return results
 
     def _alert(self, event: str, results: dict[str, NodeResult], duration_s: float):

@@ -3,6 +3,7 @@
 offline — transport is an injected recorder, no sockets."""
 
 import pytest
+from pyspark.sql import Row
 
 from odibi_spark.alerting import (
     AlertThrottler,
@@ -209,3 +210,41 @@ nodes:
         assert len(rec.calls) == 1
         payload = json.loads(rec.calls[0][1])
         assert payload["attachments"][0]["color"] == "#36a64f"
+
+    def test_quarantine_and_gate_events_fire(self, spark, tmp_path, monkeypatch):
+        """on_quarantine fires when validation quarantines rows;
+        on_gate_block when a gate raises (reference AlertEvent enum)."""
+        import json
+
+        import odibi_spark.plans.pipeline as pl_mod
+        from odibi_spark.plans.pipeline import Pipeline
+
+        src = str(tmp_path / "qsrc")
+        spark.createDataFrame(
+            [Row(a=1), Row(a=None), Row(a=3)]
+        ).write.mode("overwrite").parquet(src)
+        rec = Recorder()
+        monkeypatch.setattr(pl_mod, "_alert_transport", rec)
+        pl_mod.get_throttler().reset()
+        y = f"""
+name: qalerts
+alerts:
+  - type: webhook
+    url: "http://alerts.local/hook"
+    on_events: [on_quarantine, on_gate_block, on_failure]
+    metadata: {{throttle_minutes: 0, max_per_hour: 100}}
+nodes:
+  - name: n
+    read: {{format: parquet, path: "{src}"}}
+    validation:
+      quarantine_path: "{tmp_path}/quarantined"
+      tests:
+        - {{name: a_set, type: not_null, column: a, quarantine: true}}
+      gate:
+        require_pass_rate: 0.99
+        mode: fail
+"""
+        r = Pipeline.from_yaml(y, spark).run()
+        assert r["n"].status == "failed"  # gate fails at 2/3 pass rate
+        events = [json.loads(c[1])["event_type"] for c in rec.calls]
+        assert events == ["on_quarantine", "on_gate_block", "on_failure"]
