@@ -260,3 +260,32 @@ def geocode(ctx: EngineContext, **_params) -> EngineContext:
         "geocode is a stub: no geocoding performed (parity with reference)"
     )
     return ctx
+
+
+@transform("cross_check")
+def cross_check(
+    ctx: EngineContext,
+    *,
+    type: str,
+    inputs: list[str],
+    threshold: float = 0.0,
+) -> EngineContext:
+    """Cross-node validation (reference: odibi/transformers/
+    validation.py:14-171): compare two registered datasets by
+    ``row_count_diff`` (relative diff <= threshold) or
+    ``schema_match``. Raises on divergence; passes the current frame
+    through unchanged (a check, not a transform)."""
+    from odibi_spark.engine import cross_check_row_counts, cross_check_schema_match
+
+    if len(inputs) != 2:
+        raise ValueError(f"cross_check needs exactly 2 inputs, got {inputs}")
+    a, b = (ctx.context.get(n) for n in inputs)
+    if type == "row_count_diff":
+        cross_check_row_counts(a, b, max_rel_diff=threshold)
+    elif type == "schema_match":
+        cross_check_schema_match(a, b)
+    else:
+        raise ValueError(
+            f"unknown cross_check type '{type}' (want row_count_diff | schema_match)"
+        )
+    return ctx

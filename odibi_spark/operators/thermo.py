@@ -71,3 +71,109 @@ def fluid_properties(
     for p in properties:
         df = df.withColumn(f"{output_prefix}{p}", F.col(f"__props.{p}"))
     return ctx.with_df(df.drop("__props"))
+
+
+# psychrometrics (humid air) backend:
+# ha_backend(prop, dry_bulb_k: pd.Series, pressure_pa: pd.Series,
+#            second_key: str, second: pd.Series) -> pd.Series
+_HA_BACKEND: Callable[..., pd.Series] | None = None
+
+try:  # pragma: no cover — CoolProp present only on a real cluster
+    from CoolProp.CoolProp import HAPropsSI  # type: ignore
+
+    def _coolprop_ha_backend(prop, dry_bulb_k, pressure_pa, second_key, second):
+        return pd.Series(
+            [
+                HAPropsSI(prop, "T", t, "P", p, second_key, s)
+                for t, p, s in zip(dry_bulb_k, pressure_pa, second)
+            ]
+        )
+
+    _HA_BACKEND = _coolprop_ha_backend
+except ImportError:
+    pass
+
+
+def register_ha_backend(fn: Callable[..., pd.Series]) -> None:
+    global _HA_BACKEND
+    _HA_BACKEND = fn
+
+
+# standard atmosphere pressure from elevation (reference
+# thermodynamics.py elevation handling): p = 101325 * (1 - 2.25577e-5*h)^5.25588
+def _elevation_to_pa(elevation_m: float) -> float:
+    return 101325.0 * (1.0 - 2.25577e-5 * elevation_m) ** 5.25588
+
+
+@transform("psychrometrics")
+def psychrometrics(
+    ctx: EngineContext,
+    *,
+    properties: list[str],
+    dry_bulb_col: str,
+    relative_humidity_col: str | None = None,
+    humidity_ratio_col: str | None = None,
+    pressure_col: str | None = None,
+    elevation_m: float = 0.0,
+    temperature_unit: str = "K",
+    rh_is_percent: bool = False,
+    output_prefix: str = "psy_",
+) -> EngineContext:
+    """Humid-air properties via CoolProp ``HAPropsSI`` (reference
+    thermodynamics.py:676-1048, Spark Pandas-UDF path :990-1048).
+
+    ``properties`` use CoolProp humid-air keys (W humidity ratio,
+    B wet bulb, D dew point, H enthalpy, V specific volume, R relative
+    humidity). Second state variable is RH (``relative_humidity_col``,
+    0-1 or percent) or humidity ratio (``humidity_ratio_col``).
+    Pressure comes from ``pressure_col`` (Pa) or the standard
+    atmosphere at ``elevation_m``. Vectorized Pandas UDF over Arrow
+    batches; backend injectable like ``fluid_properties``."""
+    if _HA_BACKEND is None:
+        raise NotImplementedError(
+            "no psychrometric backend available: install CoolProp or call "
+            "odibi_spark.operators.thermo.register_ha_backend(fn)"
+        )
+    if bool(relative_humidity_col) == bool(humidity_ratio_col):
+        raise ValueError(
+            "give exactly one of relative_humidity_col / humidity_ratio_col"
+        )
+    backend = _HA_BACKEND
+    second_col = relative_humidity_col or humidity_ratio_col
+    second_key = "R" if relative_humidity_col else "W"
+    rh_scale = 0.01 if (relative_humidity_col and rh_is_percent) else 1.0
+    t_unit = temperature_unit.upper()
+    default_pa = _elevation_to_pa(elevation_m)
+    fields = [T.StructField(p, T.DoubleType()) for p in properties]
+
+    @F.pandas_udf(T.StructType(fields))
+    def ha_udf(t: pd.Series, second: pd.Series, pressure: pd.Series) -> pd.DataFrame:
+        if t_unit in ("C", "DEGC"):
+            t_k = t + 273.15
+        elif t_unit in ("F", "DEGF"):
+            t_k = (t - 32.0) * 5.0 / 9.0 + 273.15
+        else:
+            t_k = t
+        return pd.DataFrame(
+            {
+                prop: backend(prop, t_k, pressure, second_key, second * rh_scale)
+                for prop in properties
+            }
+        )
+
+    pressure_expr = (
+        F.col(pressure_col).cast("double")
+        if pressure_col
+        else F.lit(default_pa)
+    )
+    df = ctx.df.withColumn(
+        "__ha",
+        ha_udf(
+            F.col(dry_bulb_col).cast("double"),
+            F.col(second_col).cast("double"),
+            pressure_expr,
+        ),
+    )
+    for p in properties:
+        df = df.withColumn(f"{output_prefix}{p}", F.col(f"__ha.{p}"))
+    return ctx.with_df(df.drop("__ha"))

@@ -135,6 +135,72 @@ class TestThermo:
         r = out.collect()[0]
         assert r.prop_D == 600.0 and r.prop_H == 100.0
 
+    def test_psychrometrics_backend_and_units(self, spark, make_ec):
+        """Humid-air operator (reference thermodynamics.py:676-1048):
+        fake HAPropsSI checks the unit plumbing — degC converted to K,
+        RH percent scaled to 0-1, elevation -> standard pressure."""
+        from odibi_spark.operators import thermo
+        from odibi_spark.registry import get_registry
+
+        def fake_ha(prop, t_k, p_pa, second_key, second):
+            # the UDF runs in a worker process, so the key check must be
+            # encoded in the OUTPUT (a closure-mutated dict never makes
+            # it back to the driver): W is positive only for key 'R'
+            if prop == "W":
+                return second * (0.01 if second_key == "R" else -1.0)
+            return t_k + p_pa / 100000.0  # mixes both inputs
+
+        thermo.register_ha_backend(fake_ha)
+        df = spark.createDataFrame([Row(t_c=25.0, rh=50.0)])
+        out = get_registry().apply(
+            "psychrometrics", make_ec(df),
+            {"properties": ["W", "B"], "dry_bulb_col": "t_c",
+             "relative_humidity_col": "rh", "rh_is_percent": True,
+             "temperature_unit": "C", "elevation_m": 0.0},
+        ).df
+        r = out.collect()[0]
+        assert r.psy_W == pytest.approx(0.5 * 0.01)       # key was 'R'; 50% -> 0.5 -> *0.01
+        assert r.psy_B == pytest.approx(298.15 + 1.01325) # K + atm/1e5
+
+    def test_psychrometrics_requires_exactly_one_humidity_input(self, spark, make_ec):
+        from odibi_spark.operators import thermo
+        from odibi_spark.registry import get_registry
+
+        thermo.register_ha_backend(lambda *a: a[1])
+        df = spark.createDataFrame([Row(t=300.0, rh=0.5, w=0.01)])
+        with pytest.raises(ValueError, match="exactly one"):
+            get_registry().apply(
+                "psychrometrics", make_ec(df),
+                {"properties": ["W"], "dry_bulb_col": "t",
+                 "relative_humidity_col": "rh", "humidity_ratio_col": "w"},
+            )
+
+    def test_cross_check_operator(self, spark, make_ec):
+        """cross_check named transform (reference validation.py:14-171):
+        row_count_diff within threshold passes, schema divergence raises."""
+        from odibi_spark.registry import get_registry
+
+        df = spark.createDataFrame([Row(a=1)])
+        ec = make_ec(df)
+        ec.context.register("na", spark.range(100).selectExpr("id AS a"))
+        ec.context.register("nb", spark.range(103).selectExpr("id AS a"))
+        ec.context.register("nc", spark.range(5).selectExpr("id AS b"))
+        out = get_registry().apply(
+            "cross_check", ec,
+            {"type": "row_count_diff", "inputs": ["na", "nb"], "threshold": 0.05},
+        )
+        assert out.df is ec.df  # pass-through
+        with pytest.raises(ValueError, match="row_count_diff"):
+            get_registry().apply(
+                "cross_check", ec,
+                {"type": "row_count_diff", "inputs": ["na", "nb"]},
+            )
+        with pytest.raises(ValueError, match="schema mismatch"):
+            get_registry().apply(
+                "cross_check", ec,
+                {"type": "schema_match", "inputs": ["na", "nc"]},
+            )
+
 
 class TestLineage:
     def test_lineage_and_story(self, spark, tmp_path):
