@@ -106,7 +106,8 @@ def read_source(
             reader = reader.schema(schema)
         elif fmt in ("csv", "json", "avro"):
             raise ValueError(f"streaming {fmt} read requires an explicit DDL schema")
-        df = reader.load(path)
+        # pathless sources (rate, kafka, socket) configure via options only
+        df = reader.load(path) if path else reader.load()
     elif fmt == "jdbc":
         # filter is consumed by the pushdown rewrite (reaches the DB),
         # not applied post-load
@@ -250,3 +251,42 @@ def jdbc_read_options(
     elif "dbtable" not in merged and "query" not in merged:
         raise ValueError("jdbc read requires 'table' or a 'query' option")
     return merged
+
+
+def cloudfiles_read_options(
+    *,
+    format: str,
+    schema_location: str | None = None,
+    max_files_per_trigger: int | None = None,
+    infer_column_types: bool | None = None,
+    options: dict[str, object] | None = None,
+) -> dict[str, str]:
+    """Databricks Autoloader option builder (reference:
+    spark_engine.py:815-855). Use with
+    ``read_source(format='cloudFiles', streaming=True, options=...)``
+    — the cloudFiles DataSource itself exists only on Databricks, so
+    executing the read off-platform fails with DATA_SOURCE_NOT_FOUND;
+    the option shape here is the portable part.
+
+    Schema note (parity with the reference's warning logic): cloudFiles
+    needs either an explicit DDL schema, a ``schema_location`` for
+    schema evolution tracking, or a self-describing inner format
+    (avro/parquet)."""
+    out: dict[str, str] = {"cloudFiles.format": format}
+    if schema_location:
+        out["cloudFiles.schemaLocation"] = schema_location
+    if max_files_per_trigger is not None:
+        out["cloudFiles.maxFilesPerTrigger"] = str(max_files_per_trigger)
+    if infer_column_types is not None:
+        out["cloudFiles.inferColumnTypes"] = str(infer_column_types).lower()
+    for k, v in (options or {}).items():
+        key = k if str(k).startswith("cloudFiles.") else f"cloudFiles.{k}"
+        out[key] = str(v)
+    if format not in ("avro", "parquet") and not schema_location:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "cloudFiles '%s' without schema_location: supply an explicit "
+            "DDL schema or schema evolution will not be tracked", format,
+        )
+    return out

@@ -31,7 +31,12 @@ class ReadConfig(StrictModel):
 
     @model_validator(mode="after")
     def _path_or_table(self) -> "ReadConfig":
-        if not self.path and not self.table:
+        # pathless streaming sources (rate, kafka, socket) configure
+        # themselves via options only
+        pathless = self.streaming and self.format.lower() in (
+            "rate", "kafka", "socket",
+        )
+        if not self.path and not self.table and not pathless:
             raise ValueError("read needs 'path' or 'table'")
         return self
 

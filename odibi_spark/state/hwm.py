@@ -131,3 +131,54 @@ def capture_hwm(df: DataFrame, column: str) -> str | None:
     the downstream write succeeds."""
     row = df.agg(F.max(column).alias("m")).collect()[0]
     return None if row.m is None else str(row.m)
+
+
+class DeltaStateBackend(StateBackend):
+    """HWM state as a 2-column Delta table MERGE'd per update
+    (reference: odibi/state SQL Server backend semantics re-expressed
+    on Delta; SURVEY §7.2 stage 6). Transactional on clusters —
+    concurrent pipelines get snapshot-isolated commits instead of the
+    read-modify-write race of the JSON/parquet backends.
+
+    ``delta_table_cls`` is injectable (no Delta jars in this sandbox);
+    the MERGE call shape is locked by tests/test_delta_contracts.py.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, delta_table_cls=None):
+        self.spark = spark
+        self.path = path
+        if delta_table_cls is None:
+            try:
+                from delta.tables import DeltaTable as delta_table_cls  # type: ignore
+            except ImportError as ex:
+                raise ImportError(
+                    "DeltaStateBackend requires delta-spark; use "
+                    "JsonStateBackend/ParquetStateBackend otherwise"
+                ) from ex
+        self._cls = delta_table_cls
+
+    def get(self, key: str) -> str | None:
+        if not self._cls.isDeltaTable(self.spark, self.path):
+            return None
+        rows = (
+            self._cls.forPath(self.spark, self.path)
+            .toDF()
+            .filter(F.col("key") == key)
+            .select("value")
+            .collect()
+        )
+        return rows[0]["value"] if rows else None
+
+    def set(self, key: str, value: str) -> None:
+        update = self.spark.createDataFrame([(key, value)], ["key", "value"])
+        if not self._cls.isDeltaTable(self.spark, self.path):
+            update.write.format("delta").mode("overwrite").save(self.path)
+            return
+        (
+            self._cls.forPath(self.spark, self.path)
+            .alias("t")
+            .merge(update.alias("s"), "t.`key` = s.`key`")
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )

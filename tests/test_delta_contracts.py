@@ -368,3 +368,68 @@ class TestDeltaMaintenanceOps:
             ("register", "mart.t", "/d/t"),
             ("maintain", "/d/t", ("k",), 24),
         ]
+
+
+class TestDeltaStateBackend:
+    """DeltaStateBackend MERGE call shape (SURVEY §7.2 stage 6)."""
+
+    def test_get_set_merge_shape(self, spark, capture_writes):
+        from odibi_spark.state.hwm import DeltaStateBackend
+
+        post = spark.createDataFrame([("hwm:orders", "2024-01-02")], ["key", "value"])
+        log = []
+        fake = make_fake_delta(log, is_delta=True, to_df=post)
+        b = DeltaStateBackend(spark, "/d/state", delta_table_cls=fake)
+        assert b.get("hwm:orders") == "2024-01-02"
+        assert b.get("hwm:absent") is None
+        b.set("hwm:orders", "2024-02-01")
+        ops = [e[0] for e in log]
+        assert ops[-5:] == [
+            "target.alias", "merge",
+            "whenMatchedUpdateAll", "whenNotMatchedInsertAll", "execute",
+        ]
+        cond = next(e[1] for e in log if e[0] == "merge")
+        assert cond == "t.`key` = s.`key`"
+        assert capture_writes == []  # merge path, no bootstrap write
+
+    def test_bootstrap_and_missing_table(self, spark, capture_writes):
+        from odibi_spark.state.hwm import DeltaStateBackend
+
+        log = []
+        fake = make_fake_delta(log, is_delta=False)
+        b = DeltaStateBackend(spark, "/d/state0", delta_table_cls=fake)
+        assert b.get("anything") is None  # no table yet -> no state
+        b.set("k", "v")
+        assert capture_writes == [("delta", "overwrite", "/d/state0")]
+
+
+class TestCloudFilesOptions:
+    def test_option_shape(self):
+        from odibi_spark.io.read import cloudfiles_read_options
+
+        opts = cloudfiles_read_options(
+            format="json",
+            schema_location="/mnt/schemas/events",
+            max_files_per_trigger=100,
+            infer_column_types=True,
+            options={"includeExistingFiles": "false", "cloudFiles.backfillInterval": "1 day"},
+        )
+        assert opts == {
+            "cloudFiles.format": "json",
+            "cloudFiles.schemaLocation": "/mnt/schemas/events",
+            "cloudFiles.maxFilesPerTrigger": "100",
+            "cloudFiles.inferColumnTypes": "true",
+            "cloudFiles.includeExistingFiles": "false",
+            "cloudFiles.backfillInterval": "1 day",
+        }
+
+    def test_self_describing_formats_need_no_schema_location(self, caplog):
+        import logging
+
+        from odibi_spark.io.read import cloudfiles_read_options
+
+        with caplog.at_level(logging.WARNING, logger="odibi_spark.io.read"):
+            cloudfiles_read_options(format="parquet")
+            assert not caplog.records
+            cloudfiles_read_options(format="csv")
+            assert any("schema_location" in r.message for r in caplog.records)

@@ -251,3 +251,26 @@ class TestJdbcPushdown:
 
         with pytest.raises(ValueError, match="requires"):
             jdbc_read_options()
+
+
+class TestPathlessStreamingSources:
+    def test_rate_source_reads_without_path(self, spark):
+        """read_source supports pathless streaming sources (rate/kafka/
+        socket configure via options): rate works offline end-to-end."""
+        from odibi_spark.io import read_source
+
+        df = read_source(
+            spark, format="rate", streaming=True,
+            options={"rowsPerSecond": 5},
+        )
+        assert df.isStreaming and set(df.columns) == {"timestamp", "value"}
+
+    def test_readconfig_accepts_pathless_streaming(self):
+        from odibi_spark.plans.config import ReadConfig
+
+        cfg = ReadConfig(format="rate", streaming=True)
+        assert cfg.path is None
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="path"):
+            ReadConfig(format="parquet")

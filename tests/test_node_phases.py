@@ -167,33 +167,47 @@ nodes:
         both = jobs_for(cfg.contracts, "contract_both")
         assert both == one, f"2 contracts cost {both} jobs vs {one} for 1"
 
-    def test_contracted_write_reads_cached_input(self, spark, tmp_path, monkeypatch):
-        """The write phase of a contracted node consumes the persisted
-        input (InMemoryTableScan), not a second source scan."""
-        import odibi_spark.plans.node as node_mod
+    def test_contract_aggregate_scan_is_column_pruned(self, spark, tmp_path):
+        """Scale property: the contract pass must NOT read the wide
+        input — freshness/distribution prune to their own columns, so
+        at 100 TB the pre-check costs a few percent of the transform's
+        scan (and the input is deliberately not persisted: caching all
+        columns would cost more than the narrow re-scan saves)."""
+        import datetime
 
-        src = str(tmp_path / "cc_src")
-        spark.range(10).selectExpr("id AS a").write.mode("overwrite").parquet(src)
-        plans = []
-        real = node_mod.write_sink
+        from odibi_spark.context import Context
+        from odibi_spark.plans.config import NodeConfig
+        from odibi_spark.plans.node import NodeExecutor
 
-        def capture(df, **kw):
-            plans.append(df._jdf.queryExecution().executedPlan().toString())
-            return real(df, **kw)
+        src = str(tmp_path / "cp_src")
+        now = datetime.datetime.now()
+        spark.createDataFrame(
+            [Row(at=now, wide1="x" * 100, wide2="y" * 100, wide3=1.0)
+             for _ in range(10)]
+        ).write.mode("overwrite").parquet(src)
+        cfg = NodeConfig(
+            name="n",
+            read={"format": "parquet", "path": src},
+            contracts=[
+                {"name": "fresh", "type": "freshness", "column": "at",
+                 "max_age_hours": 24},
+            ],
+        )
+        ex = NodeExecutor(cfg, Context(spark))
+        df = spark.read.parquet(src)
+        from pyspark.sql import functions as F
 
-        monkeypatch.setattr(node_mod, "write_sink", capture)
-        y = f"""
-name: cc
-nodes:
-  - name: n
-    read: {{format: parquet, path: "{src}"}}
-    contracts:
-      - {{name: enough, type: row_count, min: 1}}
-    write: {{path: "{tmp_path}/cc_out", mode: overwrite}}
-"""
-        r = Pipeline.from_yaml(y, spark).run()
-        assert r["n"].status == "success", r["n"].error
-        assert plans and "InMemoryTableScan" in plans[0], plans[0][:2000]
+        agg_plan = (
+            df.agg(F.max("at").alias("__c0"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "ReadSchema" in agg_plan
+        read_schema = agg_plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "at" in read_schema and "wide1" not in read_schema, read_schema
+        # and the executor path returns the ORIGINAL frame, uncached
+        out, cached = ex._check_contracts(df, cfg.contracts)
+        assert cached is None and out is df
+        assert not out.storageLevel.useMemory and not out.storageLevel.useDisk
 
 
 class TestPrePostSqlAndViews:
