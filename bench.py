@@ -27,6 +27,11 @@ HEADLINE = [
     "q10_returned_revenue",
     "q14_promo_revenue",
     "q18_large_orders",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
     "agg_having_suppliers",
     "shipping_delay",
     # window / sessionization

@@ -19,8 +19,16 @@ from odibi_spark.workloads.llmdata import ORACLES as _LLM_ORACLES
 from odibi_spark.workloads.llmdata import QUERIES as _LLM_QUERIES
 from odibi_spark.workloads.tpch import ORACLES as _TPCH_ORACLES
 from odibi_spark.workloads.tpch import QUERIES as _TPCH_QUERIES
+from odibi_spark.workloads.tpch2 import ORACLES as _TPCH2_ORACLES
+from odibi_spark.workloads.tpch2 import QUERIES as _TPCH2_QUERIES
 
-QUERIES = {**_CORE_QUERIES, **_LLM_QUERIES, **_EXTRA_QUERIES, **_TPCH_QUERIES}
-ORACLES = {**_CORE_ORACLES, **_LLM_ORACLES, **_EXTRA_ORACLES, **_TPCH_ORACLES}
+QUERIES = {
+    **_CORE_QUERIES, **_LLM_QUERIES, **_EXTRA_QUERIES,
+    **_TPCH_QUERIES, **_TPCH2_QUERIES,
+}
+ORACLES = {
+    **_CORE_ORACLES, **_LLM_ORACLES, **_EXTRA_ORACLES,
+    **_TPCH_ORACLES, **_TPCH2_ORACLES,
+}
 
 __all__ = ["QUERIES", "ORACLES"]

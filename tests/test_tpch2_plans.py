@@ -1,0 +1,56 @@
+"""Plan-shape assertions for the round-2 TPC-H workloads
+(workloads/tpch2.py) — pinning the scale policies each query's
+docstring claims, not just its answers."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from odibi_spark.workloads import QUERIES
+
+    return QUERIES
+
+
+class TestTpch2Plans:
+    def test_q4_exists_is_semi_join_with_pushed_date_filter(self, spark, queries):
+        plan = plan_of(queries["q4_order_priority"](spark, SF))
+        assert "LeftSemi" in plan
+        # the orders quarter window reaches the parquet scan
+        assert "PushedFilters" in plan and "o_orderdate" in plan
+
+    def test_q15_global_max_without_global_window(self, spark, queries):
+        """The max-revenue test must be a 1-row broadcast, never a
+        single-partition Window over the SF-linear supplier aggs."""
+        plan = plan_of(queries["q15_top_supplier"](spark, SF))
+        assert "Window" not in plan
+        assert "Broadcast" in plan
+
+    def test_q17_one_lineitem_scan_one_window(self, spark, queries):
+        """The correlated avg is one window pass — not an agg +
+        join-back that would scan the joined frame twice."""
+        plan = plan_of(queries["q17_small_quantity_revenue"](spark, SF))
+        assert plan.count("lineitem.parquet") == 1
+        assert plan.count("Window") == 1
+
+    def test_q8_bounded_dims_broadcast_and_pushdown(self, spark, queries):
+        plan = plan_of(queries["q8_market_share"](spark, SF))
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "PushedFilters" in plan
+
+    def test_q13_single_custkey_shuffle_before_histogram(self, spark, queries):
+        """Priority filter is pushed to the orders scan; the second
+        groupBy input is the tiny per-customer count frame."""
+        plan = plan_of(queries["q13_customer_distribution"](spark, SF))
+        assert "PushedFilters" in plan and "o_orderpriority" in plan
+
+    def test_q22_anti_join_and_scalar_broadcast(self, spark, queries):
+        plan = plan_of(queries["q22_inactive_balances"](spark, SF))
+        assert "LeftAnti" in plan
+        assert "Broadcast" in plan
