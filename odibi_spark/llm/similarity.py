@@ -143,6 +143,111 @@ def lsh_ann_topk(
     )
 
 
+def srp_banded_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bands: int = 8,
+    planes_per_band: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Banded SRP-LSH: one (id, band, bucket) row per band, so
+    candidate pairs are ORed across bands (MinHash-banding idiom —
+    recall 1-(1-p^r)^b instead of the single-signature p^r).
+
+    All planes come from one seeded RNG; band ``i`` uses rows
+    [i*r, (i+1)*r) of the plane matrix, which keeps the oracle replica
+    a pure function of (bands, planes_per_band, dim, seed).
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bands * planes_per_band, dim))
+    sel = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+
+    def band_bucket(b: int) -> Column:
+        bucket: Column = F.lit(0).cast("long")
+        for j in range(planes_per_band):
+            plane = F.array(
+                *[F.lit(float(x)) for x in planes[b * planes_per_band + j]]
+            )
+            d = F.aggregate(
+                F.zip_with(F.col("vec"), plane, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(d > 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return bucket
+
+    banded = sel.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), band_bucket(b).alias("bucket")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    )
+    return banded.select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    bands: int = 8,
+    planes_per_band: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold), the embedding leg of the dedup family (exact hash /
+    n-gram Jaccard / MinHash / SimHash — llm/dedup.py).
+
+    Scale shape: candidate generation is a (band, bucket) equi
+    self-join over the banded SRP table — never an all-pairs cross
+    join; expected bucket size n/2^r bounds the quadratic term.
+    Vectors are joined back onto the DISTINCT candidate pair ids so
+    the wide vec column never rides through the pair shuffle.
+    """
+    b = srp_banded_buckets(df, id_col, vec_col, bands, planes_per_band, dim, seed)
+    cand = (
+        b.alias("a")
+        .join(b.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    pairs = (
+        cand.join(vecs.withColumnRenamed("id", "id_a"), "id_a")
+        .withColumnRenamed("vec", "q_vec")
+        .join(
+            vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("nbr_vec")),
+            "id_b",
+        )
+    )
+    scored = pairs.withColumn(
+        "cosine",
+        F.round(
+            _dot("q_vec", "nbr_vec") / (_norm("q_vec") * _norm("nbr_vec")),
+            round_digits,
+        ),
+    )
+    return scored.filter(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", "cosine"
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the coarse-quantizer scale path: partition
 # the corpus into nlist Voronoi cells around centroids, search only the

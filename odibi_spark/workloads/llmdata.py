@@ -223,6 +223,19 @@ def lsh_ann_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(df, "vec_id", "embedding", k=5, num_planes=8)
 
 
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded SRP-LSH. The
+    synthetic corpus has no planted duplicates (max pairwise cosine
+    ~0.48), so the workload threshold is 0.4 — "near neighbours" —
+    which exercises the identical banding/candidate/verify pipeline;
+    planted-dup recall at 0.95 is pinned in pytest."""
+    _prep(spark)
+    df = read_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(
+        df, "vec_id", "embedding", threshold=0.4, bands=8, planes_per_band=6
+    )
+
+
 def language_guesses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language guess distribution (heuristic op)."""
     _prep(spark)
@@ -376,6 +389,58 @@ FROM (
 """
 
 
+def _neardup_oracle_sql(
+    threshold: float = 0.4, bands: int = 8, planes_per_band: int = 6,
+    dim: int = 64, seed: int = 42,
+) -> str:
+    """DuckDB replica of the banded-SRP near-dup pipeline: identical
+    seeded plane literals, band i = plane rows [i*r, (i+1)*r)."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal(
+        (bands * planes_per_band, dim)
+    )
+
+    def band_expr(b: int) -> str:
+        return "\n       + ".join(
+            "(CASE WHEN list_dot_product(vec, [{vals}]) > 0 THEN {w} ELSE 0 END)".format(
+                vals=", ".join(
+                    repr(float(x)) for x in planes[b * planes_per_band + j]
+                ),
+                w=1 << j,
+            )
+            for j in range(planes_per_band)
+        )
+
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT id, {b} AS band, {band_expr(b)} AS bucket FROM v"
+        for b in range(bands)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+bk AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, bb.id AS id_b
+  FROM bk a JOIN bk bb USING (band, bucket)
+  WHERE a.id < bb.id
+)
+SELECT id_a, id_b,
+       round(list_dot_product(va.vec, vb.vec)
+             / (sqrt(list_dot_product(va.vec, va.vec))
+                * sqrt(list_dot_product(vb.vec, vb.vec))), 6) AS cosine
+FROM cand
+JOIN v va ON va.id = id_a
+JOIN v vb ON vb.id = id_b
+WHERE round(list_dot_product(va.vec, vb.vec)
+            / (sqrt(list_dot_product(va.vec, va.vec))
+               * sqrt(list_dot_product(vb.vec, vb.vec))), 6) >= {threshold}
+"""
+
+
 _STOP_LISTS = {
     lang: ", ".join(f"'{w}'" for w in stops)
     for lang, stops in text.STOPWORD_PROFILES.items()
@@ -414,6 +479,7 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_near_docs": simhash_near_docs,
     "lsh_ann_neighbors": lsh_ann_neighbors,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
     "language_guesses": language_guesses,
 }
 
@@ -428,5 +494,6 @@ ORACLES = {
     "minhash_lsh_pairs": _minhash_oracle_sql(),
     "simhash_near_docs": _simhash_oracle_sql(),
     "lsh_ann_neighbors": _lsh_ann_oracle_sql(),
+    "embedding_neardup_pairs": _neardup_oracle_sql(),
     "language_guesses": LANGUAGE_GUESS_SQL,
 }

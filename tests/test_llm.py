@@ -206,3 +206,45 @@ nodes:
         out = dedup_minhash(ec, id_col="doc_id", threshold=0.5).df
         ids = {r.doc_id for r in out.collect()}
         assert ids == {1, 3}  # near-dup 2 dropped, lowest id kept
+
+
+def test_embedding_neardup_planted_pairs(spark):
+    """Planted near-identical vectors are recalled at threshold 0.95;
+    banding ORs buckets so a single disagreeing band can't lose them."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    a = rng.standard_normal(64)
+    b = rng.standard_normal(64)
+    rows = [
+        Row(vec_id=1, embedding=[float(x) for x in a]),
+        Row(vec_id=2, embedding=[float(x) for x in a + 0.005 * rng.standard_normal(64)]),
+        Row(vec_id=3, embedding=[float(x) for x in b]),
+        Row(vec_id=4, embedding=[float(x) for x in b + 0.005 * rng.standard_normal(64)]),
+    ]
+    rows += [
+        Row(vec_id=i, embedding=[float(x) for x in rng.standard_normal(64)])
+        for i in range(5, 60)
+    ]
+    df = spark.createDataFrame(rows)
+    out = similarity.embedding_neardup_pairs(
+        df, "vec_id", "embedding", threshold=0.95, bands=8, planes_per_band=6
+    )
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 2) in got and (3, 4) in got
+    # no false positives: random 64-dim vectors never reach cosine 0.95
+    assert got == {(1, 2), (3, 4)}
+
+
+def test_embedding_neardup_pair_canonical_order(spark):
+    """Each near-dup pair appears once, as (low id, high id)."""
+    rows = [
+        Row(vec_id=7, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=3, embedding=[1.0, 0.001, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = similarity.embedding_neardup_pairs(
+        df, "vec_id", "embedding", threshold=0.9, bands=4,
+        planes_per_band=4, dim=4,
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(3, 7)]
