@@ -69,6 +69,13 @@ def read_parquet(spark: SparkSession, path: str, **options: str) -> DataFrame:
         # integer DIV, not float division — ns values exceed double's
         # 53-bit integer range, so `/ 1000` would round the microseconds
         df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"))
+    # Parquet timestamps without a timezone (isAdjustedToUTC=false) infer
+    # as TIMESTAMP_NTZ under Spark 4. Normalize to TimestampType so the
+    # engine presents one timestamp type regardless of how the file was
+    # written; with the session pinned to UTC the wall-clock is identical.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
