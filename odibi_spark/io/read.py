@@ -72,11 +72,42 @@ def read_parquet(spark: SparkSession, path: str, **options: str) -> DataFrame:
     # Parquet timestamps without a timezone (isAdjustedToUTC=false) infer
     # as TIMESTAMP_NTZ under Spark 4. Normalize to TimestampType so the
     # engine presents one timestamp type regardless of how the file was
-    # written; with the session pinned to UTC the wall-clock is identical.
-    for c, t in df.dtypes:
-        if t == "timestamp_ntz":
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    # written. The cast interprets the stored wall-clock in the session
+    # timezone, so wall-clock display is preserved in any session tz;
+    # the resulting *instant* matches DuckDB/pyarrow only when the
+    # session is UTC (get_spark pins it).
+    for field in df.schema.fields:
+        new_type, changed = _replace_ntz(field.dataType)
+        if changed:
+            quoted = "`" + field.name.replace("`", "``") + "`"
+            df = df.withColumn(field.name, F.col(quoted).cast(new_type))
     return df
+
+
+def _replace_ntz(dt):
+    """Recursively rewrite TimestampNTZType -> TimestampType inside
+    structs/arrays/maps. Returns (new_type, changed)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.TimestampNTZType):
+        return T.TimestampType(), True
+    if isinstance(dt, T.StructType):
+        fields, changed = [], False
+        for f in dt.fields:
+            new, ch = _replace_ntz(f.dataType)
+            changed = changed or ch
+            fields.append(T.StructField(f.name, new, f.nullable, f.metadata))
+        return (T.StructType(fields), True) if changed else (dt, False)
+    if isinstance(dt, T.ArrayType):
+        new, ch = _replace_ntz(dt.elementType)
+        return (T.ArrayType(new, dt.containsNull), True) if ch else (dt, False)
+    if isinstance(dt, T.MapType):
+        nk, ck = _replace_ntz(dt.keyType)
+        nv, cv = _replace_ntz(dt.valueType)
+        if ck or cv:
+            return T.MapType(nk, nv, dt.valueContainsNull), True
+        return dt, False
+    return dt, False
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

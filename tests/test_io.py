@@ -274,3 +274,93 @@ class TestPathlessStreamingSources:
 
         with _pytest.raises(Exception, match="path"):
             ReadConfig(format="parquet")
+
+
+class TestTimestampNtzNormalization:
+    """Round-trip tests for isAdjustedToUTC=false parquet (TIMESTAMP_NTZ
+    under Spark 4) — read.py normalizes every NTZ column to TimestampType
+    (ADVICE r2 findings 1-3)."""
+
+    TS = [
+        __import__("datetime").datetime(2024, 3, 1, 12, 30, 45),
+        __import__("datetime").datetime(2024, 3, 2, 0, 0, 1),
+    ]
+
+    def _write(self, tmp_path, table, name="ntz.parquet"):
+        import pyarrow.parquet as pq
+
+        p = str(tmp_path / name)
+        pq.write_table(table, p)
+        return p
+
+    def test_top_level_ntz_roundtrip(self, spark, tmp_path):
+        """pyarrow timestamp[us] with no tz -> isAdjustedToUTC=false ->
+        Spark NTZ -> normalized to timestamp with identical wall-clock
+        (session is UTC)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from odibi_spark.io.read import read_parquet
+
+        t = pa.table({"id": [1, 2], "ts": pa.array(self.TS, pa.timestamp("us"))})
+        p = self._write(tmp_path, t)
+        # precondition: the file really is isAdjustedToUTC=false
+        meta = pq.read_schema(p)
+        assert meta.field("ts").type.tz is None
+        df = read_parquet(spark, p)
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        got = [r.ts for r in df.orderBy("id").collect()]
+        assert got == self.TS
+
+    def test_dotted_column_name_ntz(self, spark, tmp_path):
+        """A top-level column literally named 'a.b' must not be treated
+        as a struct path by the normalization cast."""
+        import pyarrow as pa
+
+        from odibi_spark.io.read import read_parquet
+
+        t = pa.table({"a.b": pa.array(self.TS, pa.timestamp("us"))})
+        p = self._write(tmp_path, t)
+        df = read_parquet(spark, p)
+        assert dict(df.dtypes)["a.b"] == "timestamp"
+        got = sorted(r["a.b"] for r in df.collect())
+        assert got == self.TS
+
+    def test_nested_struct_and_array_ntz(self, spark, tmp_path):
+        """NTZ nested inside struct and array<struct> is normalized too."""
+        import pyarrow as pa
+
+        from odibi_spark.io.read import read_parquet
+
+        ts = pa.array(self.TS, pa.timestamp("us"))
+        t = pa.table({
+            "id": [1, 2],
+            "s": pa.StructArray.from_arrays([ts], names=["inner_ts"]),
+            "arr": pa.ListArray.from_arrays(
+                pa.array([0, 1, 2]),
+                pa.StructArray.from_arrays([ts], names=["t"]),
+            ),
+        })
+        p = self._write(tmp_path, t)
+        df = read_parquet(spark, p)
+        types = dict(df.dtypes)
+        assert "timestamp_ntz" not in types["s"] and "timestamp" in types["s"]
+        assert "timestamp_ntz" not in types["arr"]
+        rows = df.orderBy("id").collect()
+        assert [r.s.inner_ts for r in rows] == self.TS
+        assert rows[0].arr[0].t == self.TS[0]
+
+    def test_map_value_ntz(self, spark, tmp_path):
+        import pyarrow as pa
+
+        from odibi_spark.io.read import read_parquet
+
+        m = pa.MapArray.from_arrays(
+            pa.array([0, 1]), pa.array(["k"]),
+            pa.array([self.TS[0]], pa.timestamp("us")),
+        )
+        t = pa.table({"id": [1], "m": m})
+        p = self._write(tmp_path, t)
+        df = read_parquet(spark, p)
+        assert "timestamp_ntz" not in dict(df.dtypes)["m"]
+        assert df.collect()[0].m["k"] == self.TS[0]
