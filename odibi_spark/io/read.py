@@ -194,15 +194,14 @@ def _read_excel(spark: SparkSession, path: str, opts: dict) -> DataFrame:
     `_read_excel_with_patterns`): pandas reads the workbook driver-side,
     Arrow ships it to Spark. ``sheet_pattern`` globs sheet names and
     unions matches with a ``_sheet_name`` column; ``sheet_name`` picks
-    one sheet. Requires openpyxl (absent here — import-gated with a
-    clear error); the Spark-side plumbing is testable by injecting a
-    reader via the ``reader`` option hook in tests.
+    one sheet. Uses pandas+openpyxl when available, else falls back to
+    the pure-Python SpreadsheetML reader in ``io.xlsx`` — either way a
+    real .xlsx parses end-to-end. Tests may still inject a reader via
+    ``set_excel_reader``.
     """
     import fnmatch
 
-    import pandas as pd
-
-    read_excel = _EXCEL_READER or pd.read_excel
+    read_excel = _EXCEL_READER or _default_excel_reader
     sheet_pattern = opts.pop("sheet_pattern", None)
     sheet_name = opts.pop("sheet_name", None)
     kw = {k: v for k, v in opts.items() if k in ("header", "skiprows", "usecols")}
@@ -238,6 +237,19 @@ def _read_excel(spark: SparkSession, path: str, opts: dict) -> DataFrame:
             "excel reads need openpyxl (`pip install openpyxl`), which is "
             "not available in this environment"
         ) from ex
+
+
+def _default_excel_reader(path, sheet_name=0, **kw):
+    """pandas+openpyxl when present, else the pure-Python xlsx reader."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        from odibi_spark.io.xlsx import read_xlsx
+
+        return read_xlsx(path, sheet_name=sheet_name, **kw)
+    import pandas as pd
+
+    return pd.read_excel(path, sheet_name=sheet_name, **kw)
 
 
 _EXCEL_READER = None  # test hook: inject a pandas-compatible reader

@@ -364,3 +364,167 @@ class TestTimestampNtzNormalization:
         df = read_parquet(spark, p)
         assert "timestamp_ntz" not in dict(df.dtypes)["m"]
         assert df.collect()[0].m["k"] == self.TS[0]
+
+
+def _build_xlsx(path):
+    """Write a real two-sheet .xlsx (zip of SpreadsheetML parts) by hand:
+    shared strings, rich-text run, inline strings, ints, floats,
+    booleans, and a date cell styled with builtin numFmt 14."""
+    import datetime as dt
+    import zipfile
+
+    serial = (dt.date(2024, 1, 15) - dt.date(1899, 12, 30)).days
+    ct = (
+        '<?xml version="1.0"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet2.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        '<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>'
+        '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
+        "</Types>"
+    )
+    root_rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    workbook = (
+        '<?xml version="1.0"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="data_2024" sheetId="1" r:id="rId1"/>'
+        '<sheet name="notes" sheetId="2" r:id="rId2"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>'
+        '<Relationship Id="rId3" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>'
+        '<Relationship Id="rId4" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>'
+        "</Relationships>"
+    )
+    # xf index 0 = general, index 1 = builtin date format 14 (m/d/yyyy)
+    styles = (
+        '<?xml version="1.0"?>'
+        '<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<cellXfs count=\"2\"><xf numFmtId=\"0\"/><xf numFmtId=\"14\"/></cellXfs>"
+        "</styleSheet>"
+    )
+    shared = (
+        '<?xml version="1.0"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">'
+        "<si><t>name</t></si><si><t>alice</t></si>"
+        "<si><r><t>bo</t></r><r><t>b</t></r></si>"  # rich-text run
+        "</sst>"
+    )
+    sheet1 = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        '<row r="1">'
+        '<c r="A1" t="inlineStr"><is><t>id</t></is></c>'
+        '<c r="B1" t="s"><v>0</v></c>'
+        '<c r="C1" t="inlineStr"><is><t>joined</t></is></c>'
+        '<c r="D1" t="inlineStr"><is><t>score</t></is></c>'
+        '<c r="E1" t="inlineStr"><is><t>active</t></is></c>'
+        "</row>"
+        f'<row r="2"><c r="A2"><v>1</v></c><c r="B2" t="s"><v>1</v></c>'
+        f'<c r="C2" s="1"><v>{serial}</v></c><c r="D2"><v>9.5</v></c>'
+        '<c r="E2" t="b"><v>1</v></c></row>'
+        f'<row r="3"><c r="A3"><v>2</v></c><c r="B3" t="s"><v>2</v></c>'
+        f'<c r="C3" s="1"><v>{serial + 17}</v></c><c r="D3"><v>7</v></c>'
+        '<c r="E3" t="b"><v>0</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    sheet2 = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>note</t></is></c></row>'
+        '<row r="2"><c r="A2" t="inlineStr"><is><t>hello</t></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/styles.xml", styles)
+        z.writestr("xl/sharedStrings.xml", shared)
+        z.writestr("xl/worksheets/sheet1.xml", sheet1)
+        z.writestr("xl/worksheets/sheet2.xml", sheet2)
+    return path
+
+
+class TestPurePythonXlsx:
+    """The openpyxl-free fallback reads a real .xlsx end-to-end
+    (VERDICT r3 next-round item 3)."""
+
+    def test_read_xlsx_values_and_types(self, tmp_path):
+        import datetime as dt
+
+        from odibi_spark.io.xlsx import read_xlsx
+
+        p = _build_xlsx(str(tmp_path / "wb.xlsx"))
+        pdf = read_xlsx(p)
+        assert list(pdf.columns) == ["id", "name", "joined", "score", "active"]
+        assert pdf["id"].tolist() == [1, 2]
+        assert pdf["name"].tolist() == ["alice", "bob"]  # shared + rich-text
+        assert pdf["joined"].tolist() == [
+            dt.datetime(2024, 1, 15), dt.datetime(2024, 2, 1),
+        ]
+        assert pdf["score"].tolist() == [9.5, 7]
+        assert pdf["active"].tolist() == [True, False]
+
+    def test_read_xlsx_sheet_selection(self, tmp_path):
+        from odibi_spark.io.xlsx import read_xlsx
+
+        p = _build_xlsx(str(tmp_path / "wb.xlsx"))
+        all_sheets = read_xlsx(p, sheet_name=None)
+        assert list(all_sheets) == ["data_2024", "notes"]
+        assert read_xlsx(p, sheet_name="notes")["note"].tolist() == ["hello"]
+        assert read_xlsx(p, sheet_name=1)["note"].tolist() == ["hello"]
+        with pytest.raises(ValueError, match="no sheet named"):
+            read_xlsx(p, sheet_name="nope")
+
+    def test_read_xlsx_header_skiprows_usecols(self, tmp_path):
+        from odibi_spark.io.xlsx import read_xlsx
+
+        p = _build_xlsx(str(tmp_path / "wb.xlsx"))
+        raw = read_xlsx(p, header=None)
+        assert raw.iloc[0, 0] == "id"  # header row kept as data
+        sub = read_xlsx(p, usecols=["id", "score"])
+        assert list(sub.columns) == ["id", "score"]
+        skipped = read_xlsx(p, skiprows=1, header=0)
+        assert len(skipped) == 1  # row2 became header, row3 is data
+
+    def test_read_source_excel_end_to_end_no_openpyxl(self, spark, tmp_path):
+        """Full path: read_source(format='excel') on a real .xlsx with
+        NO openpyxl installed and NO injected reader."""
+        import importlib.util
+
+        assert importlib.util.find_spec("openpyxl") is None, (
+            "test assumes openpyxl absent; if it appears, the fallback "
+            "path needs an explicit force flag"
+        )
+        from odibi_spark.io.read import _EXCEL_READER
+
+        assert _EXCEL_READER is None
+        p = _build_xlsx(str(tmp_path / "wb.xlsx"))
+        df = read_source(spark, format="excel", path=p)
+        rows = {r.id: r for r in df.collect()}
+        assert rows[1].name == "alice" and rows[2].name == "bob"
+        assert rows[1].score == 9.5 and rows[2].active is False
+
+    def test_read_source_excel_sheet_pattern_no_openpyxl(self, spark, tmp_path):
+        p = _build_xlsx(str(tmp_path / "wb.xlsx"))
+        df = read_source(
+            spark, format="excel", path=p,
+            options={"sheet_pattern": "data_*"},
+        )
+        assert "_sheet_name" in df.columns
+        assert df.select("_sheet_name").distinct().collect()[0][0] == "data_2024"
+        assert df.count() == 2
