@@ -528,3 +528,61 @@ class TestPurePythonXlsx:
         assert "_sheet_name" in df.columns
         assert df.select("_sheet_name").distinct().collect()[0][0] == "data_2024"
         assert df.count() == 2
+
+
+class TestAvroContracts:
+    """Avro is jar-gated in this sandbox (external spark-avro module).
+    Lock (a) the precise gated error users see today and (b) the exact
+    reader call shape issued when the jar exists (mocked builder, same
+    approach as the Delta contracts). Reference: spark_engine.py:856-888."""
+
+    def test_gated_error_names_package_coordinates(self, spark, tmp_path):
+        with pytest.raises(RuntimeError, match=r"org\.apache\.spark:spark-avro_2\.1[23]:"):
+            read_source(spark, format="avro", path=str(tmp_path / "x.avro"))
+
+    def test_reader_call_shape(self, spark, monkeypatch, tmp_path):
+        """When the DataSource resolves, read_source must issue exactly
+        format('avro') -> options passthrough -> schema (if given) ->
+        load(path)."""
+        from pyspark.sql.readwriter import DataFrameReader
+
+        calls = []
+        sentinel = spark.range(1)
+
+        def format_(self, fmt):
+            calls.append(("format", fmt))
+            return self
+
+        def options_(self, **opts):
+            calls.append(("options", dict(opts)))
+            return self
+
+        def schema_(self, s):
+            calls.append(("schema", s))
+            return self
+
+        def load_(self, path=None):
+            calls.append(("load", path))
+            return sentinel
+
+        monkeypatch.setattr(DataFrameReader, "format", format_)
+        monkeypatch.setattr(DataFrameReader, "options", options_)
+        monkeypatch.setattr(DataFrameReader, "schema", schema_)
+        monkeypatch.setattr(DataFrameReader, "load", load_)
+
+        p = str(tmp_path / "events.avro")
+        df = read_source(
+            spark, format="avro", path=p, schema="id BIGINT, name STRING",
+            options={"avroSchema": '{"type":"record"}', "mode": "PERMISSIVE"},
+        )
+        assert df is sentinel
+        assert calls == [
+            ("format", "avro"),
+            ("options", {"avroSchema": '{"type":"record"}', "mode": "PERMISSIVE"}),
+            ("schema", "id BIGINT, name STRING"),
+            ("load", p),
+        ]
+
+    def test_streaming_avro_requires_schema(self, spark):
+        with pytest.raises(ValueError, match="schema"):
+            read_source(spark, format="avro", path="/tmp/x", streaming=True)
