@@ -54,3 +54,30 @@ class TestTpch2Plans:
         plan = plan_of(queries["q22_inactive_balances"](spark, SF))
         assert "LeftAnti" in plan
         assert "Broadcast" in plan
+
+    def test_q9_hints_only_bounded_sides(self, spark, queries):
+        """Policy: broadcast hints sit only on the filtered part slice
+        and nation (bounded dims); supplier/orders (SF-linear) are
+        AQE-decided. (VERDICT r3 item 6.)"""
+        df = queries["q9_product_profit"](spark, SF)
+        logical = df._jdf.queryExecution().analyzed().toString()
+        frags = logical.split("ResolvedHint")[1:]
+        assert len(frags) == 2, f"expected 2 hints (part, nation), saw {len(frags)}"
+        for frag in frags:
+            # the first Relation after the hint is the hinted scan;
+            # sibling subtrees render later in the fragment
+            scan_cols = frag.split("Relation [", 1)[1].split("]", 1)[0]
+            assert scan_cols.startswith(("p_", "n_")), scan_cols
+
+    def test_q9_part_filter_pushed(self, spark, queries):
+        plan = plan_of(queries["q9_product_profit"](spark, SF))
+        assert "PushedFilters" in plan
+        assert "p_name" in plan
+
+    def test_q19_broadcast_part_single_lineitem_scan(self, spark, queries):
+        """Policy: the brand-filtered part slice broadcasts; lineitem is
+        scanned once; p_brand IN (...) reaches the part scan."""
+        plan = plan_of(queries["q19_bracket_revenue"](spark, SF))
+        assert plan.count("lineitem.parquet") == 1
+        assert "BroadcastHashJoin" in plan
+        assert "p_brand" in plan and "PushedFilters" in plan
