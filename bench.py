@@ -51,6 +51,72 @@ HEADLINE = [
 ]
 
 
+def scale_docs_bench(spark, sf_dir: str, factor: int = 10) -> dict:
+    """Dedup-at-scale probe (SCALING.md 'no-quadratic guarantee'):
+    synthesize a factor-x corpus where every doc gains (factor-1)
+    near-duplicate replicas (one distinct token appended), then count
+    MinHash-LSH *candidate pairs* at 1x and at factor-x. Sub-quadratic
+    candidate generation means candidates stay a vanishing fraction of
+    the all-pairs C(N,2) — the number a naive all-pairs verifier would
+    compute — even as real duplicate groups grow.
+    """
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from odibi_spark.io import read_table
+    from odibi_spark.llm.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_base = docs.count()
+
+    def candidates(df) -> int:
+        sigs = minhash_signatures(df, "doc_id")
+        return lsh_candidate_pairs(sigs).count()
+
+    t0 = _t.time()
+    c_base = candidates(docs)
+    sec_base = round(_t.time() - t0, 4)
+
+    replicas = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 100_000_000)).alias("doc_id"),
+            (
+                F.concat(F.col("text"), F.lit(f" replicatoken{i}"))
+                if i
+                else F.col("text")
+            ).alias("text"),
+        )
+        for i in range(factor)
+    ]
+    scaled = replicas[0]
+    for r in replicas[1:]:
+        scaled = scaled.unionByName(r)
+    n_scaled = n_base * factor
+
+    t0 = _t.time()
+    c_scaled = candidates(scaled)
+    sec_scaled = round(_t.time() - t0, 4)
+
+    all_pairs_scaled = n_scaled * (n_scaled - 1) // 2
+    return {
+        "factor": factor,
+        "docs_base": n_base,
+        "docs_scaled": n_scaled,
+        "candidates_base": c_base,
+        "candidates_scaled": c_scaled,
+        "sec_base": sec_base,
+        "sec_scaled": sec_scaled,
+        # fraction of the quadratic all-pairs space actually examined;
+        # sub-quadratic generation keeps this far below 1
+        "candidate_fraction_of_all_pairs": round(c_scaled / all_pairs_scaled, 6),
+        # wall-clock scaling vs corpus growth (1.0 = perfectly linear)
+        "time_growth_vs_linear": round(sec_scaled / (sec_base * factor), 3)
+        if sec_base > 0
+        else None,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from odibi_spark import get_spark
@@ -84,17 +150,24 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # dedup scaling probe: excluded from `value` so headline totals stay
+    # comparable across rounds; disable with SPARK_GRAFT_SCALE_DOCS=0,
+    # change the factor with --scale-docs N
+    scale_factor = 10
+    for i, a in enumerate(sys.argv):
+        if a == "--scale-docs" and i + 1 < len(sys.argv):
+            scale_factor = int(sys.argv[i + 1].rstrip("x"))
+    if os.environ.get("SPARK_GRAFT_SCALE_DOCS", "1") != "0":
+        out["scale_docs"] = scale_docs_bench(spark, sf_dir, scale_factor)
+        print(f"# scale_docs: {out['scale_docs']}", file=sys.stderr)
+    print(json.dumps(out))
     spark.stop()
 
 
