@@ -108,11 +108,13 @@ def render_dag_svg(config, results=None) -> str:
     for name, (x, y) in pos.items():
         r = results.get(name)
         color = _STATUS_COLOR.get(r.status if r else "", "#90a4ae")
+        # SVG anchor: clicking a node jumps to its drill-down section
         parts.append(
+            f'<a href="#node-{html.escape(name)}">'
             f'<rect x="{x}" y="{y}" width="{box_w}" height="{box_h}" rx="5" '
             f'fill="#fff" stroke="{color}" stroke-width="2.5"/>'
             f'<text x="{x + box_w // 2}" y="{y + box_h // 2 + 4}" '
-            f'text-anchor="middle">{html.escape(name)}</text>'
+            f'text-anchor="middle">{html.escape(name)}</text></a>'
         )
     parts.append("</svg>")
     return "".join(parts)
@@ -160,16 +162,26 @@ def _validation_table(tests) -> str:
     rows = "".join(
         f"<tr><td>{'✓' if t.passed else '✗'}</td>"
         f"<td>{html.escape(t.name)}</td><td>{html.escape(t.test_type)}</td>"
-        f"<td>{t.failed_rows:,} / {t.total_rows:,}</td></tr>"
+        f"<td>{t.failed_rows:,} / {t.total_rows:,}</td>"
+        f"<td>{(t.failed_rows / t.total_rows if t.total_rows else 0):.2%}"
+        f" / {t.threshold:.2%}</td>"
+        f"<td>{'quarantine' if t.quarantine else '—'}</td></tr>"
         for t in tests
     )
     return (
         "<table><tr><th></th><th>test</th><th>type</th>"
-        f"<th>failed / total rows</th></tr>{rows}</table>"
+        "<th>failed / total rows</th><th>fail rate / threshold</th>"
+        f"<th>action</th></tr>{rows}</table>"
     )
 
 
-def _node_section(n, r, context, sample_rows: int) -> str:
+def _node_links(names) -> str:
+    return ", ".join(
+        f'<a href="#node-{html.escape(d)}">{html.escape(d)}</a>' for d in names
+    )
+
+
+def _node_section(n, r, context, sample_rows: int, downstream=()) -> str:
     status = r.status if r else "?"
     color = _STATUS_COLOR.get(status, "#666")
     bits = [f'<div class="node-section" id="node-{html.escape(n.name)}">']
@@ -177,9 +189,13 @@ def _node_section(n, r, context, sample_rows: int) -> str:
         f"<h3>{html.escape(n.name)} "
         f'<span style="color:{color}">({status})</span></h3>'
     )
+    # lineage edges: upstream nodes, source reads, sink writes, and the
+    # downstream consumers of this node — each node link navigates
     meta = []
     if n.depends_on:
-        meta.append(f"depends on: {html.escape(', '.join(n.depends_on))}")
+        meta.append("depends on: " + _node_links(n.depends_on))
+    if downstream:
+        meta.append("feeds: " + _node_links(downstream))
     if n.read:
         meta.append(f"reads: {html.escape(n.read.path or n.read.table or '')}")
     if n.transform:
@@ -199,7 +215,10 @@ def _node_section(n, r, context, sample_rows: int) -> str:
     if r and r.error:
         bits.append(f'<div class="err">{html.escape(r.error)}</div>')
     if r and getattr(r, "validation", None):
-        bits.append("<h4>Validation</h4>" + _validation_table(r.validation))
+        bits.append(
+            f'<h4 id="node-{html.escape(n.name)}-validation">Validation</h4>'
+            + _validation_table(r.validation)
+        )
     df = None
     if context is not None and status == "success":
         try:
@@ -236,6 +255,13 @@ def render_story(
     total_s = sum(r.duration_s or 0 for r in results.values())
     max_s = max((r.duration_s or 0 for r in results.values()), default=0) or 1
 
+    # reverse edges once: node -> its downstream consumers (config order)
+    downstream: dict[str, list[str]] = {n.name: [] for n in config.nodes}
+    for n in config.nodes:
+        for d in n.depends_on:
+            if d in downstream:
+                downstream[d].append(n.name)
+
     summary_rows = []
     for n in config.nodes:
         r = results.get(n.name)
@@ -249,14 +275,27 @@ def render_story(
             else "—"
         )
         nrows = f"{r.rows_written:,}" if r and getattr(r, "rows_written", None) is not None else "—"
+        tests = list(getattr(r, "validation", None) or [])
+        if tests:
+            n_pass = sum(1 for t in tests if t.passed)
+            mark = "✓" if n_pass == len(tests) else "✗"
+            vcell = (
+                f'<a href="#node-{html.escape(n.name)}-validation">'
+                f"{mark} {n_pass}/{len(tests)} tests</a>"
+            )
+        else:
+            vcell = "—"
         summary_rows.append(
             f'<tr><td><a href="#node-{html.escape(n.name)}">{html.escape(n.name)}</a></td>'
             f"<td style='color:{color};font-weight:bold'>{status}</td>"
-            f"<td>{bar}</td><td>{nrows}</td></tr>"
+            f"<td>{bar}</td><td>{nrows}</td><td>{vcell}</td></tr>"
         )
 
     sections = "".join(
-        _node_section(n, results.get(n.name), context, sample_rows)
+        _node_section(
+            n, results.get(n.name), context, sample_rows,
+            downstream=downstream.get(n.name, ()),
+        )
         for n in config.nodes
     )
     doc = f"""<!doctype html><html><head><meta charset="utf-8">
@@ -273,7 +312,7 @@ def render_story(
 <h2>Pipeline graph</h2>
 {render_dag_svg(config, results)}
 <h2>Run summary</h2>
-<table><tr><th>node</th><th>status</th><th>duration</th><th>rows written</th></tr>
+<table><tr><th>node</th><th>status</th><th>duration</th><th>rows written</th><th>validation</th></tr>
 {''.join(summary_rows)}
 </table>
 <h2>Nodes</h2>
