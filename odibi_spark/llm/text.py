@@ -83,3 +83,90 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""), " +", " "
     )
     return df.withColumn("fingerprint", F.md5(F.trim(norm)))
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 2,
+    line_delim: str = "\n",
+) -> DataFrame:
+    """Within-document repetition quality signals in the style of the
+    published MassiveText/Gopher filtering rules (Rae et al. 2021,
+    appendix A1.1): documents dominated by repeated lines or a single
+    frequent n-gram are low-quality boilerplate.
+
+    Adds per-document:
+    - ``dup_line_fraction``: occurrences belonging to lines that appear
+      >= 2 times in the doc / total lines
+    - ``dup_line_char_fraction``: characters inside those repeated
+      lines / total line characters
+    - ``top_ngram_char_fraction``: characters covered by the single
+      most frequent word ``ngram``-gram (count x gram length) / doc
+      characters; 0.0 when the doc has fewer than ``ngram`` words
+
+    Plan shape (scales linearly): explode lines / n-grams -> two
+    groupBys keyed by (doc, line|gram) then doc — both shuffles move
+    one row per distinct line/gram, all aggregation is map-side
+    partial first, everything whole-stage codegen (no Python, no HOF
+    interpretation in the hot path). Joined back on ``id_col``; at
+    100 TB each branch is a co-partitioned aggregate of the same scan.
+    """
+    t = F.col(text_col)
+
+    # line_delim is a Java regex (split semantics); pass r"\. " for
+    # sentence-level segmentation of single-line corpora
+    lines = df.select(
+        F.col(id_col), F.explode(F.split(t, line_delim)).alias("line")
+    )
+    per_line = lines.groupBy(id_col, "line").agg(
+        F.count(F.lit(1)).alias("cnt"), F.length("line").alias("line_chars")
+    )
+    line_stats = per_line.groupBy(id_col).agg(
+        (
+            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(F.lit(0)))
+            / F.sum("cnt")
+        ).alias("dup_line_fraction"),
+        (
+            F.sum(
+                F.when(
+                    F.col("cnt") >= 2, F.col("cnt") * F.col("line_chars")
+                ).otherwise(F.lit(0))
+            )
+            / F.greatest(F.sum(F.col("cnt") * F.col("line_chars")), F.lit(1))
+        ).alias("dup_line_char_fraction"),
+    )
+
+    words_expr = f"split(trim({text_col}), ' ')"
+    grams = df.select(
+        F.col(id_col),
+        F.length(t).alias("doc_chars"),
+        F.explode(
+            # CASE guard: sequence(1, 0) is DESCENDING [1,0], not empty,
+            # so short docs must yield array() explicitly
+            F.expr(
+                f"CASE WHEN size({words_expr}) >= {ngram} THEN "
+                f"transform(sequence(1, size({words_expr}) - {ngram - 1}), "
+                f"i -> concat_ws(' ', slice({words_expr}, i, {ngram}))) "
+                f"ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    top_gram = (
+        grams.groupBy(id_col, "doc_chars", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            (
+                F.max(F.col("cnt") * F.length("gram"))
+                / F.greatest(F.first("doc_chars"), F.lit(1))
+            ).alias("top_ngram_char_fraction")
+        )
+    )
+
+    out = df.join(line_stats, id_col, "left").join(top_gram, id_col, "left")
+    return out.fillna(
+        {"dup_line_fraction": 0.0, "dup_line_char_fraction": 0.0,
+         "top_ngram_char_fraction": 0.0}
+    )

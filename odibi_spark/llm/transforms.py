@@ -122,3 +122,18 @@ def ann_topk(
     else:
         raise ValueError(f"unknown ann method '{method}' (ivf | lsh)")
     return ctx.with_df(out)
+
+
+@transform("repetition_signals")
+def repetition_signals(
+    ctx: EngineContext,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 2,
+    line_delim: str = "\n",
+) -> EngineContext:
+    """Gopher-style within-doc repetition quality signals."""
+    return ctx.with_df(
+        text.repetition_signals(ctx.df, id_col, text_col, ngram, line_delim)
+    )

@@ -468,6 +468,69 @@ SELECT lang, lang_guess, COUNT(*) AS n_docs FROM g GROUP BY 1, 2
 """
 
 
+def repetition_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition quality signals per doc:
+    duplicate-sentence fractions + top-2-gram char fraction (the corpus
+    is single-line, so sentences stand in for lines)."""
+    _prep(spark)
+    df = text.repetition_signals(
+        read_table(spark, sf_dir, "documents"),
+        ngram=2, line_delim=r"\. ",
+    )
+    return df.select(
+        "doc_id", "dup_line_fraction", "dup_line_char_fraction",
+        "top_ngram_char_fraction",
+    )
+
+
+REPETITION_SQL = """
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, '. ')) AS line FROM documents
+),
+per_line AS (
+  SELECT doc_id, line, COUNT(*) AS cnt, length(line) AS line_chars
+  FROM lines GROUP BY doc_id, line
+),
+line_stats AS (
+  SELECT doc_id,
+    SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) / SUM(cnt)
+      AS dup_line_fraction,
+    SUM(CASE WHEN cnt >= 2 THEN cnt * line_chars ELSE 0 END)
+      / GREATEST(SUM(cnt * line_chars), 1) AS dup_line_char_fraction
+  FROM per_line GROUP BY doc_id
+),
+w AS (
+  SELECT doc_id, length(text) AS doc_chars,
+         string_split(trim(text), ' ') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, doc_chars,
+         unnest(CASE WHEN len(ws) >= 2 THEN list_transform(
+           generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1])
+           ELSE [] END) AS gram
+  FROM w
+),
+gram_counts AS (
+  SELECT doc_id, doc_chars, gram, COUNT(*) AS cnt
+  FROM grams GROUP BY doc_id, doc_chars, gram
+),
+top_gram AS (
+  SELECT doc_id,
+    MAX(cnt * length(gram)) / GREATEST(ANY_VALUE(doc_chars), 1)
+      AS top_ngram_char_fraction
+  FROM gram_counts GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(ls.dup_line_fraction, 0.0) AS DOUBLE) AS dup_line_fraction,
+  CAST(COALESCE(ls.dup_line_char_fraction, 0.0) AS DOUBLE) AS dup_line_char_fraction,
+  CAST(COALESCE(tg.top_ngram_char_fraction, 0.0) AS DOUBLE) AS top_ngram_char_fraction
+FROM documents d
+LEFT JOIN line_stats ls USING (doc_id)
+LEFT JOIN top_gram tg USING (doc_id)
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
     "token_counts_by_source": token_counts_by_source,
@@ -481,6 +544,7 @@ QUERIES = {
     "lsh_ann_neighbors": lsh_ann_neighbors,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "language_guesses": language_guesses,
+    "repetition_signals_docs": repetition_signals_docs,
 }
 
 ORACLES = {
@@ -496,4 +560,5 @@ ORACLES = {
     "lsh_ann_neighbors": _lsh_ann_oracle_sql(),
     "embedding_neardup_pairs": _neardup_oracle_sql(),
     "language_guesses": LANGUAGE_GUESS_SQL,
+    "repetition_signals_docs": REPETITION_SQL,
 }

@@ -248,3 +248,67 @@ def test_embedding_neardup_pair_canonical_order(spark):
         planes_per_band=4, dim=4,
     ).collect()
     assert [(r.id_a, r.id_b) for r in out] == [(3, 7)]
+
+
+class TestRepetitionSignals:
+    """Gopher/MassiveText-style repetition rules (llm/text.py
+    repetition_signals) on crafted docs with known fractions."""
+
+    def test_duplicate_line_fractions(self, spark):
+        from pyspark.sql import Row
+
+        from odibi_spark.llm.text import repetition_signals
+
+        df = spark.createDataFrame([
+            # 4 lines: 'spam'(3x, 4 chars) + 'x'(1x, 1 char)
+            Row(doc_id=1, text="spam\nspam\nspam\nx"),
+            Row(doc_id=2, text="alpha\nbeta\ngamma"),  # no dups
+        ])
+        got = {r.doc_id: r for r in repetition_signals(df).collect()}
+        assert got[1].dup_line_fraction == 3 / 4
+        assert got[1].dup_line_char_fraction == 12 / 13  # 3*4 / (3*4+1)
+        assert got[2].dup_line_fraction == 0.0
+        assert got[2].dup_line_char_fraction == 0.0
+
+    def test_top_ngram_char_fraction(self, spark):
+        from pyspark.sql import Row
+
+        from odibi_spark.llm.text import repetition_signals
+
+        txt = "go go go stop"  # top 2-gram 'go go' x2, 5 chars; doc 13 chars
+        df = spark.createDataFrame([Row(doc_id=1, text=txt)])
+        r = repetition_signals(df).collect()[0]
+        assert r.top_ngram_char_fraction == 2 * 5 / len(txt)
+
+    def test_short_doc_yields_zero_not_crash(self, spark):
+        from pyspark.sql import Row
+
+        from odibi_spark.llm.text import repetition_signals
+
+        df = spark.createDataFrame([Row(doc_id=1, text="solo")])
+        r = repetition_signals(df, ngram=2).collect()[0]
+        assert r.top_ngram_char_fraction == 0.0
+        assert r.dup_line_fraction == 0.0
+
+    def test_yaml_transform_registered(self, spark):
+        import odibi_spark.operators  # noqa: F401  registers transforms
+        from pyspark.sql import Row
+
+        from odibi_spark import Context, EngineContext, get_registry
+
+        df = spark.createDataFrame([Row(doc_id=1, text="a b a b")])
+        out = get_registry().apply(
+            "repetition_signals",
+            EngineContext(Context(spark), df),
+            {"ngram": 2},
+        )
+        assert "top_ngram_char_fraction" in out.df.columns
+
+    def test_plan_no_python_udf(self, spark):
+        from pyspark.sql import Row
+
+        from odibi_spark.llm.text import repetition_signals
+
+        df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+        plan = repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
