@@ -1,0 +1,184 @@
+"""Training-corpus curation: benchmark decontamination and
+deterministic sampling (hash sampling, stratified fractions, per-group
+token budgets, mixture weighting).
+
+Decontamination follows the published n-gram-overlap procedure used
+for large-LM training sets (GPT-3, Brown et al. 2020, appendix C;
+PaLM; Llama): a corpus document is contaminated when it shares enough
+distinct word n-grams with any benchmark/eval document.
+
+Sampling is hash-deterministic (md5-folded 60-bit, no RNG state):
+re-running the same seed over the same corpus — or over the corpus
+re-partitioned any other way — selects the identical subset, which is
+the property that matters for reproducible 100-TB curation runs and
+for differential oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from odibi_spark.llm import dedup
+
+PH60_MAX = float(1 << 60)
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """(id_col, bench_id_col, shared_grams) for every corpus/benchmark
+    pair sharing >= ``min_hits`` distinct word ``n``-grams.
+
+    Scale shape: the benchmark side (eval sets — thousands to millions
+    of grams, bounded regardless of corpus size) is broadcast, so the
+    corpus gram stream joins map-side without shuffling; only MATCHED
+    (doc, bench, gram) rows reach the counting shuffle, which is
+    bounded by contamination volume, not corpus size.
+    """
+    if id_col == bench_id_col:
+        raise ValueError("id_col and bench_id_col must differ (join output keeps both)")
+    c = dedup.word_shingles(corpus, id_col, text_col, n).select(
+        F.col("id").alias(id_col), F.explode("shingles").alias("gram")
+    )
+    b = dedup.word_shingles(benchmark, bench_id_col, bench_text_col, n).select(
+        F.col("id").alias(bench_id_col), F.explode("shingles").alias("gram")
+    )
+    return (
+        c.join(F.broadcast(b), "gram")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .filter(F.col("shared_grams") >= min_hits)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Corpus minus contaminated documents (left-anti on the hit set).
+    The hit set is small (contaminated ids only), so the anti-join
+    broadcasts it back over the corpus — two map-side passes total."""
+    hits = contamination_hits(
+        corpus, benchmark,
+        id_col=id_col, text_col=text_col,
+        bench_id_col=bench_id_col, bench_text_col=bench_text_col,
+        n=n, min_hits=min_hits,
+    ).select(id_col).distinct()
+    return corpus.join(F.broadcast(hits), id_col, "left_anti")
+
+
+def _hash_unit(key, seed: int):
+    """Deterministic uniform-ish [0, 1) value per key: portable 60-bit
+    md5 fold of 'seed:key' — identical in DuckDB via
+    CAST(concat('0x', substring(md5(...), 1, 15)) AS BIGINT) / 2^60."""
+    return (
+        dedup.portable_hash60(F.concat_ws(":", F.lit(str(seed)), key.cast("string")))
+        / F.lit(PH60_MAX)
+    )
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, *, key_col: str, seed: int = 42
+) -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep rows whose hash unit
+    interval value < fraction. Unlike df.sample(), the selection is a
+    pure function of (key, seed) — stable across runs, partitionings,
+    and engines."""
+    return df.filter(_hash_unit(F.col(key_col), seed) < F.lit(float(fraction)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    *,
+    strata_col: str,
+    key_col: str,
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic fractions (sampleBy's API surface with
+    reproducible hash selection). Strata missing from ``fractions``
+    get ``default_fraction``."""
+    frac = F.lit(float(default_fraction))
+    for stratum, p in sorted(fractions.items()):
+        frac = F.when(
+            F.col(strata_col) == F.lit(stratum), F.lit(float(p))
+        ).otherwise(frac)
+    return df.filter(_hash_unit(F.col(key_col), seed) < frac)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    *,
+    group_col: str,
+    token_col: str,
+    order_col: str,
+    id_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """Per-group token budgeting: walk each group in (order_col, id_col)
+    order and keep documents while the running token total stays within
+    ``budget`` (the first document always fits). The classic curation
+    move: 'take the best N tokens per source/language'.
+
+    One shuffle (window partition by group); the running sum is a
+    frame-bounded window aggregate, no driver involvement.
+    """
+    ord_cols = (
+        [F.desc(order_col), F.asc(id_col)]
+        if descending
+        else [F.asc(order_col), F.asc(id_col)]
+    )
+    w = Window.partitionBy(group_col).orderBy(*ord_cols)
+    cum = F.sum(F.col(token_col)).over(w)
+    return (
+        df.withColumn("__cum_tokens", cum)
+        .filter(
+            (F.col("__cum_tokens") <= F.lit(int(budget)))
+            | (F.col("__cum_tokens") - F.col(token_col) == 0)
+        )
+        .drop("__cum_tokens")
+    )
+
+
+def mixture_fractions(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    *,
+    strata_col: str,
+    token_col: str,
+) -> dict[str, float]:
+    """Turn target mixture weights (e.g. {'web': .6, 'code': .4}) plus
+    a global token budget into per-stratum sampling fractions, capped
+    at 1.0, from one aggregate over the corpus. Driver-side output is
+    O(strata) — feed it to stratified_hash_sample."""
+    totals = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col)
+        .agg(F.sum(F.col(token_col)).alias("toks"))
+        .collect()
+    }
+    wsum = sum(weights.values()) or 1.0
+    out: dict[str, float] = {}
+    for stratum, w in weights.items():
+        want = total_tokens * (w / wsum)
+        have = totals.get(stratum, 0) or 0
+        out[stratum] = min(1.0, want / have) if have else 0.0
+    return out

@@ -137,3 +137,82 @@ def repetition_signals(
     return ctx.with_df(
         text.repetition_signals(ctx.df, id_col, text_col, ngram, line_delim)
     )
+
+
+@transform("decontaminate")
+def decontaminate_transform(
+    ctx: EngineContext,
+    *,
+    benchmark_view: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+) -> EngineContext:
+    """Drop docs overlapping a benchmark table (registered temp view)."""
+    from odibi_spark.llm import curation
+
+    bench = ctx.spark.table(benchmark_view)
+    return ctx.with_df(
+        curation.decontaminate(
+            ctx.df, bench,
+            id_col=id_col, text_col=text_col,
+            bench_id_col=bench_id_col, bench_text_col=bench_text_col,
+            n=n, min_hits=min_hits,
+        )
+    )
+
+
+@transform("hash_sample")
+def hash_sample_transform(
+    ctx: EngineContext, *, fraction: float, key_col: str, seed: int = 42
+) -> EngineContext:
+    """Deterministic hash-based Bernoulli sample."""
+    from odibi_spark.llm import curation
+
+    return ctx.with_df(
+        curation.hash_sample(ctx.df, fraction, key_col=key_col, seed=seed)
+    )
+
+
+@transform("stratified_hash_sample")
+def stratified_hash_sample_transform(
+    ctx: EngineContext,
+    *,
+    fractions: dict,
+    strata_col: str,
+    key_col: str,
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> EngineContext:
+    from odibi_spark.llm import curation
+
+    return ctx.with_df(
+        curation.stratified_hash_sample(
+            ctx.df, fractions, strata_col=strata_col, key_col=key_col,
+            seed=seed, default_fraction=default_fraction,
+        )
+    )
+
+
+@transform("token_budget_sample")
+def token_budget_sample_transform(
+    ctx: EngineContext,
+    *,
+    budget: int,
+    group_col: str,
+    token_col: str,
+    order_col: str,
+    id_col: str,
+    descending: bool = True,
+) -> EngineContext:
+    from odibi_spark.llm import curation
+
+    return ctx.with_df(
+        curation.token_budget_sample(
+            ctx.df, budget, group_col=group_col, token_col=token_col,
+            order_col=order_col, id_col=id_col, descending=descending,
+        )
+    )

@@ -38,6 +38,8 @@ _ALL_ORACLES = {
 # variants that were hash-verified by the driver in rounds 1-3 and stay
 # covered by the committed per-round local oracle log (74/74) + pytest.
 _SAMPLE_TAIL = [
+    "anti_inactive_customers", "semi_urgent_customers",
+    "topk_parts_per_brand", "full_outer_nation_presence",
     "case_when_priority", "date_parts_orders", "shipping_delay",
     "string_ops_customers", "surrogate_keys_nation", "segment_mapping",
     "fill_replace_segments", "union_segments", "explode_part_words",

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from odibi_spark.io import read_table
-from odibi_spark.llm import dedup, similarity, text
+from odibi_spark.llm import curation, dedup, similarity, text
 
 DEC = "DECIMAL(18,6)"
 
@@ -531,6 +531,104 @@ LEFT JOIN top_gram tg USING (doc_id)
 """
 
 
+def decontamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3-style n-gram overlap): docs
+    with doc_id %% 50 == 0 play the eval set; flag corpus docs sharing
+    >= 2 distinct word 3-grams with any of them. Real pipelines use
+    n = 8-13; the small synthetic corpus needs n = 3 for non-trivial
+    overlap volume. Benchmark grams broadcast; corpus never shuffles."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 50 <> 0")
+    bench = docs.filter("doc_id % 50 = 0").select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return curation.contamination_hits(
+        corpus, bench, n=3, min_hits=2
+    ).orderBy("doc_id", "bench_id")
+
+
+DECONTAMINATION_SQL = """
+WITH corpus AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws
+  FROM documents WHERE doc_id % 50 <> 0
+),
+bench AS (
+  SELECT doc_id AS bench_id, string_split(trim(text), ' ') AS ws
+  FROM documents WHERE doc_id % 50 = 0
+),
+cg AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, len(ws) - 2),
+    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
+  FROM corpus WHERE len(ws) >= 3
+),
+bg AS (
+  SELECT bench_id, unnest(list_distinct(list_transform(
+    generate_series(1, len(ws) - 2),
+    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
+  FROM bench WHERE len(ws) >= 3
+)
+SELECT doc_id, bench_id, COUNT(*) AS shared_grams
+FROM cg JOIN bg USING (gram)
+GROUP BY doc_id, bench_id
+HAVING COUNT(*) >= 2
+ORDER BY doc_id, bench_id
+"""
+
+
+def token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budgeting: keep the largest docs per source
+    while the running n_chars total stays within 5000 (first doc
+    always kept). Deterministic total order (n_chars DESC, doc_id)."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return curation.token_budget_sample(
+        docs, 5000,
+        group_col="source", token_col="n_chars",
+        order_col="n_chars", id_col="doc_id",
+    ).select("doc_id", "source", "n_chars")
+
+
+TOKEN_BUDGET_SQL = """
+WITH c AS (
+  SELECT doc_id, source, n_chars,
+         SUM(n_chars) OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+         ) AS cum
+  FROM documents
+)
+SELECT doc_id, source, n_chars
+FROM c WHERE cum <= 5000 OR cum - n_chars = 0
+"""
+
+
+def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by language: portable
+    md5-folded hash of (seed, doc_id) against per-lang fractions —
+    identical selection in any engine / partitioning."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return curation.stratified_hash_sample(
+        docs, {"en": 0.5, "fr": 0.25, "de": 0.25},
+        strata_col="lang", key_col="doc_id", seed=42,
+    ).select("doc_id", "lang")
+
+
+STRATIFIED_SAMPLE_SQL = """
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substring(
+           md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+           / 1152921504606846976.0 AS u
+  FROM documents
+)
+SELECT doc_id, lang FROM h
+WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25
+                    WHEN 'de' THEN 0.25 ELSE 0.0 END
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
     "token_counts_by_source": token_counts_by_source,
@@ -545,6 +643,9 @@ QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "language_guesses": language_guesses,
     "repetition_signals_docs": repetition_signals_docs,
+    "decontamination_hits": decontamination_hits,
+    "token_budget_by_source": token_budget_by_source,
+    "stratified_sample_langs": stratified_sample_langs,
 }
 
 ORACLES = {
@@ -561,4 +662,7 @@ ORACLES = {
     "embedding_neardup_pairs": _neardup_oracle_sql(),
     "language_guesses": LANGUAGE_GUESS_SQL,
     "repetition_signals_docs": REPETITION_SQL,
+    "decontamination_hits": DECONTAMINATION_SQL,
+    "token_budget_by_source": TOKEN_BUDGET_SQL,
+    "stratified_sample_langs": STRATIFIED_SAMPLE_SQL,
 }

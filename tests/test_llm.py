@@ -312,3 +312,128 @@ class TestRepetitionSignals:
         df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
         plan = repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestCuration:
+    """Decontamination + deterministic sampling (llm/curation.py)."""
+
+    def _corpus(self, spark):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame([
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="completely unrelated content about spark engines"),
+            Row(doc_id=3, text="quick brown fox jumps high"),
+        ])
+
+    def _bench(self, spark):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame([
+            Row(bench_id=100, text="a quick brown fox jumps somewhere"),
+        ])
+
+    def test_contamination_hits_and_decontaminate(self, spark):
+        from odibi_spark.llm.curation import contamination_hits, decontaminate
+
+        hits = contamination_hits(
+            self._corpus(spark), self._bench(spark), n=3, min_hits=2
+        ).collect()
+        # docs 1 and 3 share 'quick brown fox' + 'brown fox jumps'
+        assert {(r.doc_id, r.bench_id) for r in hits} == {(1, 100), (3, 100)}
+        assert all(r.shared_grams == 2 for r in hits)
+
+        clean = decontaminate(
+            self._corpus(spark), self._bench(spark), n=3, min_hits=2
+        )
+        assert [r.doc_id for r in clean.collect()] == [2]
+
+    def test_contamination_benchmark_is_broadcast(self, spark):
+        from odibi_spark.llm.curation import contamination_hits
+
+        df = contamination_hits(self._corpus(spark), self._bench(spark), n=3)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_same_id_col_rejected(self, spark):
+        import pytest as _pytest
+
+        from odibi_spark.llm.curation import contamination_hits
+
+        with _pytest.raises(ValueError, match="must differ"):
+            contamination_hits(
+                self._corpus(spark), self._bench(spark), bench_id_col="doc_id"
+            )
+
+    def test_hash_sample_deterministic_and_partition_invariant(self, spark):
+        from odibi_spark.llm.curation import hash_sample
+
+        df = spark.range(2000).withColumnRenamed("id", "k")
+        a = sorted(r.k for r in hash_sample(df, 0.3, key_col="k").collect())
+        b = sorted(
+            r.k
+            for r in hash_sample(df.repartition(17), 0.3, key_col="k").collect()
+        )
+        assert a == b and a  # identical selection under re-partitioning
+        # roughly the right volume (hash uniformity)
+        assert 0.2 < len(a) / 2000 < 0.4
+        # different seed -> different subset
+        c = sorted(r.k for r in hash_sample(df, 0.3, key_col="k", seed=7).collect())
+        assert a != c
+
+    def test_stratified_fractions_respected(self, spark):
+        from pyspark.sql import Row
+
+        from odibi_spark.llm.curation import stratified_hash_sample
+
+        rows = [Row(k=i, g="a" if i % 2 else "b") for i in range(2000)]
+        df = spark.createDataFrame(rows)
+        out = stratified_hash_sample(
+            df, {"a": 1.0, "b": 0.0}, strata_col="g", key_col="k"
+        ).collect()
+        assert all(r.g == "a" for r in out) and len(out) == 1000
+
+    def test_token_budget_keeps_first_doc_and_respects_budget(self, spark):
+        from pyspark.sql import Row
+
+        from odibi_spark.llm.curation import token_budget_sample
+
+        df = spark.createDataFrame([
+            Row(doc_id=1, g="x", toks=60),   # first in order, over budget alone
+            Row(doc_id=2, g="x", toks=30),
+            Row(doc_id=3, g="y", toks=10),
+            Row(doc_id=4, g="y", toks=10),
+            Row(doc_id=5, g="y", toks=10),
+        ])
+        kept = token_budget_sample(
+            df, 25, group_col="g", token_col="toks",
+            order_col="toks", id_col="doc_id",
+        ).collect()
+        by_g = {}
+        for r in kept:
+            by_g.setdefault(r.g, []).append(r.doc_id)
+        # x: doc 1 (60 toks) exceeds 25 alone but is the group's first doc
+        assert by_g["x"] == [1]
+        # y: 10+10 <= 25, third doc would make 30 -> dropped
+        assert sorted(by_g["y"]) == [3, 4]
+
+    def test_mixture_fractions_math(self, spark):
+        from pyspark.sql import Row
+
+        from odibi_spark.llm.curation import mixture_fractions
+
+        df = spark.createDataFrame([
+            Row(g="web", toks=1000), Row(g="web", toks=1000),
+            Row(g="code", toks=500),
+        ])
+        frac = mixture_fractions(
+            df, {"web": 0.5, "code": 0.5}, 1000,
+            strata_col="g", token_col="toks",
+        )
+        assert frac["web"] == 0.25      # want 500 of 2000
+        assert frac["code"] == 1.0      # want 500 of 500
+        # absent stratum -> 0.0
+        frac2 = mixture_fractions(
+            df, {"web": 1.0, "pdf": 1.0}, 100, strata_col="g", token_col="toks"
+        )
+        assert frac2["pdf"] == 0.0
