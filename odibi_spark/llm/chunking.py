@@ -1,0 +1,90 @@
+"""Sequence preparation for LM training: document chunking into
+overlapping windows and concat-and-split packing into fixed context
+windows.
+
+Both are pure column expressions / window arithmetic — whole-stage
+codegen, one explode or one window shuffle, no Python in the row
+path. At 100 TB chunking is map-side (explode only), and packing is
+one total-order window over the chosen ordering key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 256,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into word-window chunks of ``chunk_words``
+    with ``overlap`` words shared between consecutive chunks (stride =
+    chunk_words - overlap). Output: (id_col, chunk_idx, chunk_text,
+    chunk_n_words); a doc shorter than one chunk yields one chunk.
+
+    Map-side only — the explode produces chunks colocated with their
+    source partition; no shuffle at any corpus size.
+    """
+    if overlap >= chunk_words:
+        raise ValueError("overlap must be smaller than chunk_words")
+    stride = chunk_words - overlap
+    w = f"split(trim({text_col}), ' ')"
+    # number of chunks: 1 + ceil(max(size - chunk, 0) / stride)
+    n_chunks = (
+        f"1 + CAST(ceil(greatest(size({w}) - {chunk_words}, 0) / {stride}.0) AS INT)"
+    )
+    chunks = F.expr(
+        f"transform(sequence(0, {n_chunks} - 1), "
+        f"i -> concat_ws(' ', slice({w}, i * {stride} + 1, {chunk_words})))"
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        .withColumn("chunk_n_words", F.size(F.split(F.col("chunk_text"), " ")))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    context_len: int,
+    *,
+    token_col: str,
+    order_col: str,
+    id_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-split packing (the standard LM pretraining layout):
+    documents are laid out in (order_col, id_col) order and the token
+    stream is cut every ``context_len`` tokens, so a document may
+    straddle a boundary. Adds:
+
+    - ``pack_id``: window index where the document starts
+    - ``pack_offset``: token offset of the document inside that window
+    - ``n_packs_spanned``: how many windows the document touches
+
+    One window shuffle (per ``group_col`` when given, else a single
+    total order — pass a group for 100-TB corpora so the sort is
+    distributed per group; within-group order must be total, which
+    (order_col, id_col) guarantees when id_col is unique).
+    """
+    part = [group_col] if group_col else []
+    w = Window.partitionBy(*part).orderBy(F.asc(order_col), F.asc(id_col))
+    cum_before = F.sum(F.col(token_col)).over(w) - F.col(token_col)
+    ctx = int(context_len)
+    # integer DIV, not double division: token cumsums at 100 TB exceed
+    # double's exact-integer range long before they overflow a long
+    return (
+        df.withColumn("__cum_before", cum_before)
+        .withColumn("pack_id", F.expr(f"__cum_before DIV {ctx}"))
+        .withColumn("pack_offset", F.col("__cum_before") % F.lit(ctx))
+        .withColumn(
+            "n_packs_spanned",
+            F.expr(f"(__cum_before + {token_col} - 1) DIV {ctx}")
+            - F.expr(f"__cum_before DIV {ctx}")
+            + F.lit(1),
+        )
+        .drop("__cum_before")
+    )

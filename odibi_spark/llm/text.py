@@ -170,3 +170,35 @@ def repetition_signals(
         {"dup_line_fraction": 0.0, "dup_line_char_fraction": 0.0,
          "top_ngram_char_fraction": 0.0}
     )
+
+
+# PII patterns chosen to behave identically under Java regex (Spark)
+# and RE2 (DuckDB): no backrefs, no lookaround, no possessives.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Redact emails, IPv4 addresses, and phone-number-shaped digit
+    runs with typed placeholders, and count replacements per doc
+    (``pii_hits``). Pattern order matters: emails first so their
+    digits aren't half-eaten by the phone rule.
+
+    Pure regexp_replace chain — codegen'd, map-side, no shuffle.
+    Regexes are deliberately RE2-safe so differential oracles can run
+    the identical patterns.
+    """
+    out_col = out_col or text_col
+    scrubbed = F.col(text_col)
+    hits = F.lit(0)
+    for _, pat, repl in PII_PATTERNS:
+        hits = hits + F.regexp_count(scrubbed, F.lit(pat))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    # one withColumns: both expressions must resolve against the
+    # ORIGINAL text column even when out_col == text_col
+    return df.withColumns({out_col: scrubbed, "pii_hits": hits})

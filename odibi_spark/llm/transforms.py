@@ -216,3 +216,52 @@ def token_budget_sample_transform(
             order_col=order_col, id_col=id_col, descending=descending,
         )
     )
+
+
+@transform("chunk_documents")
+def chunk_documents_transform(
+    ctx: EngineContext,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 256,
+    overlap: int = 0,
+) -> EngineContext:
+    """Split docs into overlapping word-window chunks."""
+    from odibi_spark.llm import chunking
+
+    return ctx.with_df(
+        chunking.chunk_documents(
+            ctx.df, id_col=id_col, text_col=text_col,
+            chunk_words=chunk_words, overlap=overlap,
+        )
+    )
+
+
+@transform("pack_sequences")
+def pack_sequences_transform(
+    ctx: EngineContext,
+    *,
+    context_len: int,
+    token_col: str,
+    order_col: str,
+    id_col: str,
+    group_col: str | None = None,
+) -> EngineContext:
+    """Concat-and-split packing into fixed context windows."""
+    from odibi_spark.llm import chunking
+
+    return ctx.with_df(
+        chunking.pack_sequences(
+            ctx.df, context_len, token_col=token_col,
+            order_col=order_col, id_col=id_col, group_col=group_col,
+        )
+    )
+
+
+@transform("scrub_pii")
+def scrub_pii_transform(
+    ctx: EngineContext, *, text_col: str = "text", out_col: str | None = None
+) -> EngineContext:
+    """Redact emails / IPs / phone-shaped runs with typed placeholders."""
+    return ctx.with_df(text.scrub_pii(ctx.df, text_col, out_col))

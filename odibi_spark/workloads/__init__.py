@@ -40,6 +40,7 @@ _ALL_ORACLES = {
 _SAMPLE_TAIL = [
     "anti_inactive_customers", "semi_urgent_customers",
     "topk_parts_per_brand", "full_outer_nation_presence",
+    "pivot_qty_by_status", "json_event_props", "split_events_by_day",
     "case_when_priority", "date_parts_orders", "shipping_delay",
     "string_ops_customers", "surrogate_keys_nation", "segment_mapping",
     "fill_replace_segments", "union_segments", "explode_part_words",

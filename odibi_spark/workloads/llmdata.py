@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from odibi_spark.io import read_table
-from odibi_spark.llm import curation, dedup, similarity, text
+from odibi_spark.llm import chunking, curation, dedup, similarity, text
 
 DEC = "DECIMAL(18,6)"
 
@@ -629,6 +629,102 @@ WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25
 """
 
 
+def chunk_documents_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking (32-word chunks, 8-word
+    overlap) — the LM-training chunker, map-side explode only."""
+    _prep(spark)
+    return chunking.chunk_documents(
+        read_table(spark, sf_dir, "documents"),
+        chunk_words=32, overlap=8,
+    )
+
+
+CHUNK_DOCS_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+),
+n AS (
+  SELECT doc_id, ws,
+         1 + CAST(ceil(greatest(len(ws) - 32, 0) / 24.0) AS INT) AS nc
+  FROM w
+),
+c AS (
+  SELECT doc_id, unnest(generate_series(0, nc - 1)) AS chunk_idx, ws FROM n
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       array_to_string(ws[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+         AS chunk_text,
+       CAST(len(ws[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS INTEGER)
+         AS chunk_n_words
+FROM c
+"""
+
+
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split packing of the doc stream (doc_id order) into
+    2048-token context windows, n_chars as the token proxy."""
+    _prep(spark)
+    return chunking.pack_sequences(
+        read_table(spark, sf_dir, "documents"), 2048,
+        token_col="n_chars", order_col="doc_id", id_col="doc_id",
+    ).select("doc_id", "pack_id", "pack_offset", "n_packs_spanned")
+
+
+PACK_SEQUENCES_SQL = """
+WITH c AS (
+  SELECT doc_id, n_chars,
+         SUM(n_chars) OVER (ORDER BY doc_id, doc_id) - n_chars AS cb
+  FROM documents
+)
+SELECT doc_id, CAST(cb // 2048 AS BIGINT) AS pack_id,
+       CAST(cb % 2048 AS BIGINT) AS pack_offset,
+       CAST(((cb + n_chars - 1) // 2048) - (cb // 2048) + 1 AS BIGINT)
+         AS n_packs_spanned
+FROM c
+"""
+
+
+def scrub_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing rollup per source (the clean corpus yields zero
+    hits — the workload pins the full replace+count chain end-to-end;
+    crafted-PII unit tests pin the redaction text itself)."""
+    _prep(spark)
+    df = text.scrub_pii(read_table(spark, sf_dir, "documents"))
+    return df.groupBy("source").agg(
+        F.sum("pii_hits").alias("total_pii_hits"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+SCRUB_PII_SQL = """
+WITH s1 AS (
+  SELECT source,
+         len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS h1,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM documents
+),
+s2 AS (
+  SELECT source, h1,
+         len(regexp_extract_all(t1,
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS h2,
+         regexp_replace(t1,
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT source,
+         h1 + h2 + len(regexp_extract_all(t2,
+           '\+?[0-9][0-9()\-. ]{7,}[0-9]')) AS hits
+  FROM s2
+)
+SELECT source, CAST(SUM(hits) AS BIGINT) AS total_pii_hits,
+       COUNT(*) AS n_docs
+FROM s3 GROUP BY source
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
     "token_counts_by_source": token_counts_by_source,
@@ -646,6 +742,9 @@ QUERIES = {
     "decontamination_hits": decontamination_hits,
     "token_budget_by_source": token_budget_by_source,
     "stratified_sample_langs": stratified_sample_langs,
+    "chunk_documents_docs": chunk_documents_docs,
+    "pack_sequences_docs": pack_sequences_docs,
+    "scrub_pii_docs": scrub_pii_docs,
 }
 
 ORACLES = {
@@ -665,4 +764,7 @@ ORACLES = {
     "decontamination_hits": DECONTAMINATION_SQL,
     "token_budget_by_source": TOKEN_BUDGET_SQL,
     "stratified_sample_langs": STRATIFIED_SAMPLE_SQL,
+    "chunk_documents_docs": CHUNK_DOCS_SQL,
+    "pack_sequences_docs": PACK_SEQUENCES_SQL,
+    "scrub_pii_docs": SCRUB_PII_SQL,
 }

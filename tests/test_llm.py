@@ -437,3 +437,112 @@ class TestCuration:
             df, {"web": 1.0, "pdf": 1.0}, 100, strata_col="g", token_col="toks"
         )
         assert frac2["pdf"] == 0.0
+
+
+class TestChunkingPacking:
+    """Sequence prep: chunk_documents / pack_sequences (llm/chunking.py)."""
+
+    def test_chunk_boundaries_and_overlap(self, spark):
+        from pyspark.sql import Row
+
+        from odibi_spark.llm.chunking import chunk_documents
+
+        words = " ".join(f"w{i}" for i in range(10))  # w0..w9
+        df = spark.createDataFrame([Row(doc_id=1, text=words)])
+        got = (
+            chunk_documents(df, chunk_words=4, overlap=1)
+            .orderBy("chunk_idx").collect()
+        )
+        # stride 3: [w0..w3], [w3..w6], [w6..w9]
+        assert [r.chunk_text for r in got] == [
+            "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9",
+        ]
+        assert [r.chunk_n_words for r in got] == [4, 4, 4]
+
+    def test_short_doc_single_chunk(self, spark):
+        from pyspark.sql import Row
+
+        from odibi_spark.llm.chunking import chunk_documents
+
+        df = spark.createDataFrame([Row(doc_id=1, text="just three words")])
+        got = chunk_documents(df, chunk_words=10).collect()
+        assert len(got) == 1 and got[0].chunk_text == "just three words"
+
+    def test_overlap_must_be_smaller(self, spark):
+        import pytest as _pytest
+
+        from odibi_spark.llm.chunking import chunk_documents
+
+        with _pytest.raises(ValueError, match="overlap"):
+            chunk_documents(spark.range(1), chunk_words=4, overlap=4)
+
+    def test_chunking_is_map_side(self, spark):
+        from pyspark.sql import Row
+
+        from odibi_spark.llm.chunking import chunk_documents
+
+        df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+        plan = (
+            chunk_documents(df, chunk_words=2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan  # explode only, no shuffle
+
+    def test_pack_sequences_boundaries(self, spark):
+        from pyspark.sql import Row
+
+        from odibi_spark.llm.chunking import pack_sequences
+
+        df = spark.createDataFrame([
+            Row(doc_id=1, toks=100), Row(doc_id=2, toks=30),
+            Row(doc_id=3, toks=10),
+        ])
+        got = {
+            r.doc_id: r
+            for r in pack_sequences(
+                df, 64, token_col="toks", order_col="doc_id", id_col="doc_id"
+            ).collect()
+        }
+        # doc1: offset 0, spans packs 0-1 (100 toks over 64-token windows)
+        assert (got[1].pack_id, got[1].pack_offset, got[1].n_packs_spanned) == (0, 0, 2)
+        # doc2 starts at token 100 -> pack 1, offset 36, ends at 129 -> spans 2
+        assert (got[2].pack_id, got[2].pack_offset, got[2].n_packs_spanned) == (1, 36, 2)
+        # doc3 starts at 130 -> pack 2, offset 2, fits
+        assert (got[3].pack_id, got[3].pack_offset, got[3].n_packs_spanned) == (2, 2, 1)
+
+
+class TestScrubPii:
+    def test_redaction_and_counts(self, spark):
+        from pyspark.sql import Row
+
+        from odibi_spark.llm.text import scrub_pii
+
+        df = spark.createDataFrame([
+            Row(doc_id=1, text="mail bob@example.com or 10.0.0.1 now"),
+            Row(doc_id=2, text="call +1 (555) 123-4567 today"),
+            Row(doc_id=3, text="nothing sensitive here"),
+        ])
+        got = {r.doc_id: r for r in scrub_pii(df).collect()}
+        assert got[1].text == "mail <EMAIL> or <IP> now"
+        assert got[1].pii_hits == 2
+        assert got[2].text == "call <PHONE> today"
+        assert got[2].pii_hits == 1
+        assert got[3].text == "nothing sensitive here" and got[3].pii_hits == 0
+
+    def test_email_digits_not_eaten_by_phone_rule(self, spark):
+        from pyspark.sql import Row
+
+        from odibi_spark.llm.text import scrub_pii
+
+        df = spark.createDataFrame([Row(doc_id=1, text="x 12345678901@test.org y")])
+        r = scrub_pii(df).collect()[0]
+        assert r.text == "x <EMAIL> y" and r.pii_hits == 1
+
+    def test_out_col_preserves_original(self, spark):
+        from pyspark.sql import Row
+
+        from odibi_spark.llm.text import scrub_pii
+
+        df = spark.createDataFrame([Row(doc_id=1, text="a@b.io")])
+        r = scrub_pii(df, out_col="clean_text").collect()[0]
+        assert r.text == "a@b.io" and r.clean_text == "<EMAIL>"
