@@ -546,3 +546,24 @@ class TestScrubPii:
         df = spark.createDataFrame([Row(doc_id=1, text="a@b.io")])
         r = scrub_pii(df, out_col="clean_text").collect()[0]
         assert r.text == "a@b.io" and r.clean_text == "<EMAIL>"
+
+
+def test_full_curation_example_yaml_runs(spark, tmp_path):
+    """examples/training_data_prep.yaml end-to-end (paths redirected):
+    scrub -> score -> repetition rules -> dedup -> decontaminate ->
+    stratified sample -> chunk."""
+    import pathlib
+
+    from odibi_spark.plans.pipeline import Pipeline
+
+    y = pathlib.Path("examples/training_data_prep.yaml").read_text()
+    y = y.replace("base_path: /tmp/odibi_prep", f"base_path: {tmp_path}")
+    results = Pipeline.from_yaml(y, spark).run()
+    for node in ("benchmark_docs", "scored_docs", "clean_docs", "training_chunks"):
+        assert results[node].status == "success", (node, results[node].error)
+    chunks = spark.read.parquet(str(tmp_path / "chunks"))
+    assert chunks.count() > 0
+    assert {"chunk_idx", "chunk_text", "chunk_n_words"} <= set(chunks.columns)
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    # decontamination dropped the docs overlapping the benchmark slice
+    assert clean.filter("doc_id % 50 = 0").count() == 0
