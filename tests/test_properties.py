@@ -177,3 +177,82 @@ def test_sessionize_counts_match_pandas(spark, events):
     for uid, grp in pdf.groupby("uid"):
         gaps = (grp["t"].diff() > 1800).sum()
         assert got_counts[uid] == gaps + 1
+
+
+class TestCurationProperties:
+    """Invariants of the curation/sequence-prep operators."""
+
+    @given(
+        words=st.integers(1, 60),
+        chunk=st.integers(2, 20),
+        overlap=st.integers(0, 10),
+    )
+    @settings(**SETTINGS)
+    def test_chunking_covers_every_word_with_exact_overlap(
+        self, spark, words, chunk, overlap
+    ):
+        from odibi_spark.llm.chunking import chunk_documents
+
+        overlap = min(overlap, chunk - 1)
+        text = " ".join(f"w{i}" for i in range(words))
+        df = spark.createDataFrame([Row(doc_id=1, text=text)])
+        got = (
+            chunk_documents(df, chunk_words=chunk, overlap=overlap)
+            .orderBy("chunk_idx").collect()
+        )
+        seen = [w for r in got for w in r.chunk_text.split(" ")]
+        # every word covered, in order, with consecutive chunks sharing
+        # exactly `overlap` words (except a possibly-short tail)
+        assert set(seen) == {f"w{i}" for i in range(words)}
+        stride = chunk - overlap
+        for i, r in enumerate(got):
+            assert r.chunk_text.split(" ")[0] == f"w{i * stride}"
+        # no chunk exceeds the window
+        assert all(r.chunk_n_words <= chunk for r in got)
+
+    @given(
+        toks=st.lists(st.integers(1, 300), min_size=1, max_size=20),
+        ctx=st.integers(16, 128),
+    )
+    @settings(**SETTINGS)
+    def test_packing_conserves_tokens_and_orders_offsets(self, spark, toks, ctx):
+        from odibi_spark.llm.chunking import pack_sequences
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, toks=t) for i, t in enumerate(toks)]
+        )
+        got = pack_sequences(
+            df, ctx, token_col="toks", order_col="doc_id", id_col="doc_id"
+        ).orderBy("doc_id").collect()
+        # offsets always inside the window
+        assert all(0 <= r.pack_offset < ctx for r in got)
+        # pack_id sequence is the running-total arithmetic, monotone
+        assert all(
+            got[i].pack_id <= got[i + 1].pack_id for i in range(len(got) - 1)
+        )
+        # spans match the token mass: last doc's end position equals total
+        total = sum(toks)
+        last = got[-1]
+        assert last.pack_id * ctx + last.pack_offset + toks[-1] == total
+
+    @given(
+        frac_small=st.floats(0.05, 0.5),
+        frac_extra=st.floats(0.05, 0.4),
+        seed=st.integers(0, 10),
+    )
+    @settings(**SETTINGS)
+    def test_hash_samples_are_nested(self, spark, frac_small, frac_extra, seed):
+        """sample(p1) is a SUBSET of sample(p2) for p1 < p2 at the same
+        seed — the property RNG sampling cannot give, and the reason
+        deterministic hash sampling is right for reproducible curation."""
+        from odibi_spark.llm.curation import hash_sample
+
+        df = spark.range(400).withColumnRenamed("id", "k")
+        small = {r.k for r in hash_sample(df, frac_small, key_col="k", seed=seed).collect()}
+        big = {
+            r.k
+            for r in hash_sample(
+                df, frac_small + frac_extra, key_col="k", seed=seed
+            ).collect()
+        }
+        assert small <= big
