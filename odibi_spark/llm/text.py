@@ -138,17 +138,25 @@ def repetition_signals(
         ).alias("dup_line_char_fraction"),
     )
 
-    words_expr = f"split(trim({text_col}), ' ')"
-    grams = df.select(
+    # project the word array ONCE before the gram lambda: interpreted
+    # HOFs don't CSE, so an inlined split() would re-split the text per
+    # gram index — O(words^2) string work (same trap word_shingles
+    # documents; measured ~5x slower end-to-end at sf0.1)
+    words = df.select(
         F.col(id_col),
         F.length(t).alias("doc_chars"),
+        F.split(F.trim(t), " ").alias("__w"),
+    )
+    grams = words.select(
+        F.col(id_col),
+        "doc_chars",
         F.explode(
             # CASE guard: sequence(1, 0) is DESCENDING [1,0], not empty,
             # so short docs must yield array() explicitly
             F.expr(
-                f"CASE WHEN size({words_expr}) >= {ngram} THEN "
-                f"transform(sequence(1, size({words_expr}) - {ngram - 1}), "
-                f"i -> concat_ws(' ', slice({words_expr}, i, {ngram}))) "
+                f"CASE WHEN size(__w) >= {ngram} THEN "
+                f"transform(sequence(1, size(__w) - {ngram - 1}), "
+                f"i -> concat_ws(' ', slice(__w, i, {ngram}))) "
                 f"ELSE array() END"
             )
         ).alias("gram"),
