@@ -157,6 +157,25 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # round-4 curation/sequence-prep operators: timed as an auxiliary
+    # block (excluded from `value` so headline totals stay comparable
+    # across rounds)
+    extra = {}
+    for name in (
+        "repetition_signals_docs", "decontamination_hits",
+        "stratified_sample_langs", "token_budget_by_source",
+        "chunk_documents_docs", "pack_sequences_docs", "scrub_pii_docs",
+    ):
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).select(
+            F.expr("bit_xor(xxhash64(struct(*)))").alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+        extra[name] = round(time.time() - t0, 4)
+        print(f"# {name}: {extra[name]:.2f}s", file=sys.stderr)
+    out["curation_queries"] = extra
+    out["curation_total_sec"] = round(sum(extra.values()), 4)
+
     # dedup scaling probe: excluded from `value` so headline totals stay
     # comparable across rounds; disable with SPARK_GRAFT_SCALE_DOCS=0,
     # change the factor with --scale-docs N
