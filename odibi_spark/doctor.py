@@ -21,7 +21,7 @@ _PACKAGES = [
     ("yaml", "pipeline YAML configs", True),
     ("pydantic", "typed config validation", True),
     ("delta", "Delta MERGE/OPTIMIZE/VACUUM fast paths", False),
-    ("openpyxl", "excel source", False),
+    ("openpyxl", "excel source (pure-Python xlsx fallback used when absent)", False),
 ]
 
 
@@ -81,6 +81,18 @@ def doctor(pipeline_yaml: str | None = None) -> dict[str, Any]:
         "executable": sys.executable,
         "packages": packages,
         "environment": env,
+        # which implementation each gated capability resolves to here
+        "capabilities": {
+            "xlsx_reader": (
+                "pandas+openpyxl" if packages.get("openpyxl") not in (None, "MISSING")
+                else "pure-python (io.xlsx)"
+            ),
+            "delta_paths": (
+                "executed" if packages.get("delta") not in (None, "MISSING")
+                else "gated (call shapes contract-tested; needs delta-spark)"
+            ),
+            "avro_read": "gated (needs spark-avro jar; call shape contract-tested)",
+        },
         "issues": issues,
         "project_loaded": False,
     }

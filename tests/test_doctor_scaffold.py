@@ -94,3 +94,13 @@ class TestScaffold:
         rc = cli_main(["doctor", "--json"])
         captured = capsys.readouterr().out
         assert rc == 0 and json.loads(captured)["status"] == "healthy"
+
+
+def test_doctor_reports_capability_resolution():
+    from odibi_spark.doctor import doctor
+
+    caps = doctor()["capabilities"]
+    # this sandbox: no openpyxl -> pure-python xlsx; delta/avro gated
+    assert caps["xlsx_reader"] == "pure-python (io.xlsx)"
+    assert caps["delta_paths"].startswith("gated")
+    assert "spark-avro" in caps["avro_read"]
