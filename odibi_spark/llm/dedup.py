@@ -339,3 +339,101 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over a
+    near-dup pair list by iterative min-label propagation. Returns
+    (id, cluster_id) for every node that appears in an edge, with
+    cluster_id = the smallest id in the component.
+
+    Pairs alone don't dedup a corpus — A~B and B~C must collapse to
+    ONE keeper even when A~C was never emitted as a candidate. This is
+    the standard map-reduce CC formulation (cf. Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): each
+    round every node takes the min label among itself and its
+    neighbors; converges in O(component diameter) rounds, and near-dup
+    components are shallow (stars around a few originals), so
+    real-corpus convergence is 2-4 rounds.
+
+    Scale notes: the undirected edge list is persisted and reused every
+    round; each round is one equi-join + one groupBy min keyed on node
+    id (map-side partial min). Labels are localCheckpoint'ed per round
+    — without that the lineage doubles each iteration and the plan
+    blows up. The convergence probe is a LIMIT-1 count, not a collect
+    of labels. The driver loop runs O(diameter) tiny jobs; no data ever
+    reaches the driver.
+    """
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    und = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        labels = und.select(F.col("src").alias("node")).distinct().withColumn(
+            "cluster_id", F.col("node")
+        )
+        labels = labels.localCheckpoint(eager=True)
+        for _ in range(max_iter):
+            nbr_min = (
+                und.join(
+                    labels.select(
+                        F.col("node").alias("dst"),
+                        F.col("cluster_id").alias("dst_label"),
+                    ),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.min("dst_label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(nbr_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce("nbr_label", F.col("cluster_id")),
+                    ).alias("cluster_id"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("node").alias("id"), "cluster_id")
+    finally:
+        und.unpersist()
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one document per duplicate cluster: resolve components over
+    ``pairs`` and drop every doc whose cluster_id differs from its own
+    id (the min-id doc is the canonical keeper). Docs in no pair pass
+    through untouched. The dropped-id set is bounded by duplicate
+    volume — broadcast for the anti-join."""
+    comp = connected_components(pairs, id_a, id_b)
+    losers = comp.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(F.broadcast(losers), id_col, "left_anti")

@@ -265,3 +265,21 @@ def scrub_pii_transform(
 ) -> EngineContext:
     """Redact emails / IPs / phone-shaped runs with typed placeholders."""
     return ctx.with_df(text.scrub_pii(ctx.df, text_col, out_col))
+
+
+@transform("dedup_clusters")
+def dedup_clusters_transform(
+    ctx: EngineContext,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+) -> EngineContext:
+    """Near-dup removal at CLUSTER granularity: Jaccard pairs ->
+    connected components -> keep the min-id doc per component."""
+    pairs = dedup.ngram_jaccard_pairs(
+        ctx.df, id_col, text_col, n=n, threshold=threshold, max_df=max_df
+    )
+    return ctx.with_df(dedup.dedup_clusters(ctx.df, pairs, id_col))

@@ -38,6 +38,7 @@ _ALL_ORACLES = {
 # variants that were hash-verified by the driver in rounds 1-3 and stay
 # covered by the committed per-round local oracle log (74/74) + pytest.
 _SAMPLE_TAIL = [
+    "agg_having_suppliers",
     "anti_inactive_customers", "semi_urgent_customers",
     "topk_parts_per_brand", "full_outer_nation_presence",
     "pivot_qty_by_status", "json_event_props", "split_events_by_day",

@@ -725,6 +725,38 @@ FROM s3 GROUP BY source
 """
 
 
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components (iterative
+    min-label propagation) over the 3-gram Jaccard near-dup pairs —
+    A~B and B~C collapse into one cluster even though A~C was never
+    emitted. Oracle: recursive-CTE transitive closure on the same
+    pairs."""
+    _prep(spark)
+    df = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.2, max_df=None
+    )
+    return dedup.connected_components(pairs)
+
+
+NEARDUP_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS (
+""" + NGRAM_JACCARD_SQL + """
+),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+)
+SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
     "token_counts_by_source": token_counts_by_source,
@@ -745,6 +777,7 @@ QUERIES = {
     "chunk_documents_docs": chunk_documents_docs,
     "pack_sequences_docs": pack_sequences_docs,
     "scrub_pii_docs": scrub_pii_docs,
+    "neardup_clusters": neardup_clusters,
 }
 
 ORACLES = {
@@ -767,4 +800,5 @@ ORACLES = {
     "chunk_documents_docs": CHUNK_DOCS_SQL,
     "pack_sequences_docs": PACK_SEQUENCES_SQL,
     "scrub_pii_docs": SCRUB_PII_SQL,
+    "neardup_clusters": NEARDUP_CLUSTERS_SQL,
 }

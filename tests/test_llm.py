@@ -567,3 +567,65 @@ def test_full_curation_example_yaml_runs(spark, tmp_path):
     clean = spark.read.parquet(str(tmp_path / "clean"))
     # decontamination dropped the docs overlapping the benchmark slice
     assert clean.filter("doc_id % 50 = 0").count() == 0
+
+
+class TestConnectedComponents:
+    """Duplicate-cluster resolution (llm/dedup.py connected_components)."""
+
+    def _edges(self, spark, pairs):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in pairs])
+
+    def test_chain_collapses_to_one_cluster(self, spark):
+        from odibi_spark.llm.dedup import connected_components
+
+        # path graph 1-2-3-4-5 plus isolated pair 10-11: diameter 4
+        # forces multiple propagation rounds
+        got = {
+            r.id: r.cluster_id
+            for r in connected_components(
+                self._edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)])
+            ).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+    def test_transitive_via_shared_middle(self, spark):
+        from odibi_spark.llm.dedup import connected_components
+
+        # A~B and B~C but never A~C — the motivating case
+        got = {
+            r.id: r.cluster_id
+            for r in connected_components(self._edges(spark, [(7, 3), (3, 9)])).collect()
+        }
+        assert got == {3: 3, 7: 3, 9: 3}
+
+    def test_dedup_clusters_keeps_min_and_untouched_docs(self, spark):
+        from pyspark.sql import Row
+
+        from odibi_spark.llm.dedup import dedup_clusters
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=f"t{i}") for i in (1, 2, 3, 8)]
+        )
+        pairs = self._edges(spark, [(1, 2), (2, 3)])
+        kept = sorted(r.doc_id for r in dedup_clusters(df, pairs).collect())
+        assert kept == [1, 8]  # cluster {1,2,3} -> keeper 1; 8 untouched
+
+    def test_yaml_transform_cluster_dedup(self, spark):
+        import odibi_spark.operators  # noqa: F401
+        from pyspark.sql import Row
+
+        from odibi_spark import Context, EngineContext, get_registry
+
+        docs = spark.createDataFrame([
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog!"),
+            Row(doc_id=3, text="an entirely different document about engines"),
+        ])
+        out = get_registry().apply(
+            "dedup_clusters",
+            EngineContext(Context(spark), docs),
+            {"threshold": 0.5},
+        )
+        assert sorted(r.doc_id for r in out.df.collect()) == [1, 3]
