@@ -34,9 +34,10 @@ _ALL_ORACLES = {
 # Dict order is sampling priority: the driver's correctness gate checks
 # the FIRST 50 entries, so the distinctive operators (temporal joins,
 # skew/salting, SCD2, streaming, ANN/dedup, the full TPC-H batch,
-# median/top-1-per-group) come first. The tail 24 are basic row-op
+# median/top-1-per-group) come first. The tail holds basic row-op
 # variants that were hash-verified by the driver in rounds 1-3 and stay
-# covered by the committed per-round local oracle log (74/74) + pytest.
+# covered by the committed per-round local oracle log (ORACLE_r04.log,
+# 82/82) + pytest.
 _SAMPLE_TAIL = [
     "agg_having_suppliers",
     "anti_inactive_customers", "semi_urgent_customers",
