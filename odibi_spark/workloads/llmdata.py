@@ -757,6 +757,31 @@ SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
 """
 
 
+def percentiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per source (Spark `percentile` ==
+    DuckDB `quantile_cont`: same linear-interpolation definition, so
+    doubles hash-match). At 100 TB swap for approx_percentile with an
+    accuracy budget; exact needs a per-group sort."""
+    _prep(spark)
+    df = read_table(spark, sf_dir, "documents")
+    return df.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90_chars"),
+        F.expr("percentile(n_chars, 0.99)").alias("p99_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+PERCENTILES_SQL = """
+SELECT source,
+       quantile_cont(n_chars, 0.5) AS p50_chars,
+       quantile_cont(n_chars, 0.9) AS p90_chars,
+       quantile_cont(n_chars, 0.99) AS p99_chars,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
     "token_counts_by_source": token_counts_by_source,
@@ -778,6 +803,7 @@ QUERIES = {
     "pack_sequences_docs": pack_sequences_docs,
     "scrub_pii_docs": scrub_pii_docs,
     "neardup_clusters": neardup_clusters,
+    "percentiles_by_source": percentiles_by_source,
 }
 
 ORACLES = {
@@ -801,4 +827,5 @@ ORACLES = {
     "pack_sequences_docs": PACK_SEQUENCES_SQL,
     "scrub_pii_docs": SCRUB_PII_SQL,
     "neardup_clusters": NEARDUP_CLUSTERS_SQL,
+    "percentiles_by_source": PERCENTILES_SQL,
 }
