@@ -39,7 +39,7 @@ _ALL_ORACLES = {
 # covered by the committed per-round local oracle log (ORACLE_r04.log,
 # 82/82) + pytest.
 _SAMPLE_TAIL = [
-    "agg_having_suppliers", "window_running_revenue",
+    "agg_having_suppliers", "window_running_revenue", "dedup_latest_order",
     "anti_inactive_customers", "semi_urgent_customers",
     "topk_parts_per_brand", "full_outer_nation_presence",
     "pivot_qty_by_status", "json_event_props", "split_events_by_day",

@@ -782,6 +782,69 @@ FROM documents GROUP BY source
 """
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per source by summed TF-IDF (idf = ln((1+N)/(1+df)),
+    rounded before ranking so 1-ulp ln() differences cannot flip
+    ranks). Two groupBys + one window; doc-frequency side is
+    O(vocabulary), joined by term."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # O(1) driver scalar, reused as a literal
+    words = docs.select(
+        "doc_id", "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias("term"),
+    )
+    docfreq = words.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df_t")
+    )
+    tf = words.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = tf.join(docfreq, "term").select(
+        "source", "term",
+        F.round(
+            F.col("tf") * F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df_t"))),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 5")
+        .select("source", "term", "tfidf", "rank")
+    )
+
+
+TFIDF_SQL = """
+WITH words AS (
+  SELECT doc_id, source,
+         unnest(string_split(trim(lower(text)), ' ')) AS term
+  FROM documents
+),
+docfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM words GROUP BY term
+),
+tf AS (
+  SELECT source, term, COUNT(*) AS tf FROM words GROUP BY source, term
+),
+scored AS (
+  SELECT source, term,
+         round(tf * ln((1.0 + (SELECT COUNT(*) FROM documents))
+                       / (1.0 + df_t)), 6) AS tfidf
+  FROM tf JOIN docfreq USING (term)
+),
+ranked AS (
+  SELECT source, term, tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY tfidf DESC, term ASC
+         ) AS rank
+  FROM scored
+)
+SELECT source, term, tfidf, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
     "token_counts_by_source": token_counts_by_source,
@@ -804,6 +867,7 @@ QUERIES = {
     "scrub_pii_docs": scrub_pii_docs,
     "neardup_clusters": neardup_clusters,
     "percentiles_by_source": percentiles_by_source,
+    "tfidf_top_terms": tfidf_top_terms,
 }
 
 ORACLES = {
@@ -828,4 +892,5 @@ ORACLES = {
     "scrub_pii_docs": SCRUB_PII_SQL,
     "neardup_clusters": NEARDUP_CLUSTERS_SQL,
     "percentiles_by_source": PERCENTILES_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
 }
