@@ -696,7 +696,7 @@ def scrub_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SCRUB_PII_SQL = """
+SCRUB_PII_SQL = r"""
 WITH s1 AS (
   SELECT source,
          len(regexp_extract_all(text,
