@@ -88,3 +88,47 @@ def pack_sequences(
         )
         .drop("__cum_before")
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    token_col: str,
+    tokens_per_shard: int,
+    order_col: str,
+    id_col: str,
+    format: str = "json",
+    mode: str = "overwrite",
+) -> int:
+    """Write the corpus as token-balanced shards: documents laid out in
+    (order_col, id_col) order, cut into files of ~tokens_per_shard via
+    the pack arithmetic, one output file per shard id (jsonl by
+    default — the standard training-data layout). Returns the shard
+    count.
+
+    One aggregate for the total, one window for shard assignment, and
+    a repartition keyed BY the shard id so each task writes exactly
+    one shard file (partitionBy would shuffle to hash buckets and
+    split shards across files). Shard count is data-derived, not a
+    hand-tuned partition number.
+    """
+    packed = pack_sequences(
+        df, int(tokens_per_shard),
+        token_col=token_col, order_col=order_col, id_col=id_col,
+    ).withColumnRenamed("pack_id", "shard_id")
+    # a doc belongs to the shard where it STARTS, so the shard count is
+    # max assigned id + 1 (not ceil(total/tps), which counts windows the
+    # tail merely spills into) — O(1) aggregate
+    n_shards = int(
+        packed.select(F.max("shard_id").alias("m")).collect()[0].m or 0
+    ) + 1
+    (
+        packed.drop("pack_offset", "n_packs_spanned")
+        .repartition(n_shards, "shard_id")
+        .write.mode(mode)
+        .partitionBy("shard_id")
+        .format(format)
+        .save(path)
+    )
+    return n_shards

@@ -629,3 +629,60 @@ class TestConnectedComponents:
             {"threshold": 0.5},
         )
         assert sorted(r.doc_id for r in out.df.collect()) == [1, 3]
+
+
+def test_write_training_shards_jsonl(spark, tmp_path):
+    """chunk -> pack -> shard: token-balanced jsonl shards, one
+    directory per shard id, all docs present exactly once."""
+    import glob
+
+    from pyspark.sql import Row
+
+    from odibi_spark.llm.chunking import write_training_shards
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}", toks=10) for i in range(20)]
+    )
+    p = str(tmp_path / "shards")
+    n = write_training_shards(
+        df, p, token_col="toks", tokens_per_shard=64,
+        order_col="doc_id", id_col="doc_id",
+    )
+    assert n == 3  # last doc starts at token 190 -> shard 2
+    dirs = sorted(glob.glob(p + "/shard_id=*"))
+    assert len(dirs) == 3
+    back = spark.read.json(p)
+    assert back.count() == 20
+    assert back.select("doc_id").distinct().count() == 20
+    # shard balance: every shard holds <= ceil(64/10)+1 docs
+    sizes = {r.shard_id: r.cnt for r in back.groupBy("shard_id").count().withColumnRenamed("count", "cnt").collect()}
+    assert all(6 <= v <= 7 for v in sizes.values()), sizes
+
+
+def test_curation_transforms_work_on_streams(spark, tmp_path):
+    """Batch/stream unification: the stateless curation column ops
+    (scrub_pii, text_stats, chunking) apply unchanged to a streaming
+    DataFrame — one code path for backfill and live ingestion."""
+    from pyspark.sql import functions as F
+
+    from odibi_spark.llm.chunking import chunk_documents
+    from odibi_spark.llm.text import scrub_pii, with_text_stats
+
+    src_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(i, f"contact a@b.io row {i}") for i in range(10)],
+        ["doc_id", "text"],
+    ).write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(src_dir)
+    out = chunk_documents(with_text_stats(scrub_pii(stream)), chunk_words=2)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("cur_stream")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM cur_stream").collect()
+    assert len(rows) >= 10
+    assert any("<EMAIL>" in r.chunk_text for r in rows)
+    assert not any("a@b.io" in r.chunk_text for r in rows)
+    assert all(r.chunk_n_words <= 2 for r in rows)
