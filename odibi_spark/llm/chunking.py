@@ -47,6 +47,59 @@ def chunk_documents(
     )
 
 
+def _global_cum_before(
+    df: DataFrame, *, token_col: str, order_col: str, id_col: str
+) -> DataFrame:
+    """Total-order exclusive cumsum of ``token_col`` in (order_col,
+    id_col) order WITHOUT a single-partition global window.
+
+    Two-pass distributed cumsum:
+
+    1. range-repartition on the ordering key so partitions hold
+       contiguous, totally-ordered key ranges, then pin the partition
+       assignment with a lazy ``localCheckpoint`` (both passes must see
+       identical ``spark_partition_id`` values);
+    2. one O(partitions)-row aggregate collects per-partition token
+       subtotals to the driver, which prefix-sums them into partition
+       start offsets (a few KB for thousands of partitions);
+    3. the offsets broadcast-join back and a PER-PARTITION window adds
+       the within-partition cumsum — no ``Exchange SinglePartition``
+       anywhere in the plan.
+
+    Output column ``__cum_before`` is byte-identical to
+    ``sum(token) OVER (ORDER BY order_col, id_col) - token`` when
+    ``id_col`` is unique (which makes the order total). Costs one
+    materialization of the input (the checkpoint), the price of
+    running two jobs over the same partition assignment.
+    """
+    ranged = (
+        df.repartitionByRange(F.asc(order_col), F.asc(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    subtotals = {
+        r["__pid"]: r["__t"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(F.col(token_col)).alias("__t"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(subtotals):
+        offsets.append((pid, acc))
+        acc += int(subtotals[pid] or 0)
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, schema="__pid INT, __poff BIGINT")
+    w = Window.partitionBy("__pid").orderBy(F.asc(order_col), F.asc(id_col))
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            "__cum_before",
+            F.col("__poff") + F.sum(F.col(token_col)).over(w) - F.col(token_col),
+        )
+        .drop("__pid", "__poff")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     context_len: int,
@@ -65,20 +118,33 @@ def pack_sequences(
     - ``pack_offset``: token offset of the document inside that window
     - ``n_packs_spanned``: how many windows the document touches
 
-    One window shuffle (per ``group_col`` when given, else a single
-    total order — pass a group for 100-TB corpora so the sort is
-    distributed per group; within-group order must be total, which
-    (order_col, id_col) guarantees when id_col is unique).
+    With ``group_col`` the cumsum is one window shuffle partitioned by
+    group, and ``pack_id``/``pack_offset`` restart at 0 PER GROUP —
+    ``pack_id`` is only unique within a group; downstream consumers
+    must key by ``(group_col, pack_id)``. Without a group the cumsum
+    is still fully distributed: a two-pass range-partitioned prefix
+    sum (see ``_global_cum_before``) rather than a single-partition
+    global window, so the ungrouped path survives 100-TB corpora too.
+    Within-(group-)order must be total, which (order_col, id_col)
+    guarantees when id_col is unique.
     """
-    part = [group_col] if group_col else []
-    w = Window.partitionBy(*part).orderBy(F.asc(order_col), F.asc(id_col))
-    cum_before = F.sum(F.col(token_col)).over(w) - F.col(token_col)
+    if group_col:
+        w = Window.partitionBy(group_col).orderBy(
+            F.asc(order_col), F.asc(id_col)
+        )
+        cum = df.withColumn(
+            "__cum_before",
+            F.sum(F.col(token_col)).over(w) - F.col(token_col),
+        )
+    else:
+        cum = _global_cum_before(
+            df, token_col=token_col, order_col=order_col, id_col=id_col
+        )
     ctx = int(context_len)
     # integer DIV, not double division: token cumsums at 100 TB exceed
     # double's exact-integer range long before they overflow a long
     return (
-        df.withColumn("__cum_before", cum_before)
-        .withColumn("pack_id", F.expr(f"__cum_before DIV {ctx}"))
+        cum.withColumn("pack_id", F.expr(f"__cum_before DIV {ctx}"))
         .withColumn("pack_offset", F.col("__cum_before") % F.lit(ctx))
         .withColumn(
             "n_packs_spanned",
@@ -107,11 +173,14 @@ def write_training_shards(
     default — the standard training-data layout). Returns the shard
     count.
 
-    One aggregate for the total, one window for shard assignment, and
-    a repartition keyed BY the shard id so each task writes exactly
-    one shard file (partitionBy would shuffle to hash buckets and
-    split shards across files). Shard count is data-derived, not a
-    hand-tuned partition number.
+    One aggregate for the total, one (distributed two-pass) cumsum for
+    shard assignment, and a repartition keyed BY the shard id so each
+    task writes exactly one shard file (partitionBy would shuffle to
+    hash buckets and split shards across files), with a
+    sortWithinPartitions so each shard file really is laid out in
+    (order_col, id_col) order — repartition alone leaves shuffle
+    arrival order, which is nondeterministic. Shard count is
+    data-derived, not a hand-tuned partition number.
     """
     packed = pack_sequences(
         df, int(tokens_per_shard),
@@ -126,6 +195,7 @@ def write_training_shards(
     (
         packed.drop("pack_offset", "n_packs_spanned")
         .repartition(n_shards, "shard_id")
+        .sortWithinPartitions(F.asc(order_col), F.asc(id_col))
         .write.mode(mode)
         .partitionBy("shard_id")
         .format(format)

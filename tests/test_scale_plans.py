@@ -221,3 +221,52 @@ class TestTpchPlanProperties:
         cents = [[float(x) for x in rng.standard_normal(8)] for _ in range(4)]
         plan = plan_of(ivf_assign(df, "vec_id", "embedding", cents))
         assert "Exchange" not in plan
+
+    def test_pack_sequences_has_no_single_partition_stage(self, spark):
+        """Ungrouped packing must NOT funnel the corpus through an
+        Exchange SinglePartition (the r4 weak spot): the two-pass
+        range-partitioned cumsum keeps the window per-partition."""
+        from odibi_spark.llm.chunking import pack_sequences
+
+        df = spark.range(0, 10_000, 1, 8).selectExpr(
+            "id AS doc_id", "CAST(id % 97 + 1 AS INT) AS toks"
+        )
+        packed = pack_sequences(
+            df, 64, token_col="toks", order_col="doc_id", id_col="doc_id"
+        )
+        plan = plan_of(packed)
+        assert "SinglePartition" not in plan, plan
+        assert "Window" in plan  # the per-partition cumsum window
+
+    def test_pack_sequences_matches_global_window(self, spark):
+        """Two-pass cumsum is byte-identical to the naive global
+        window, across a multi-partition input with uneven sizes."""
+        from pyspark.sql import Window as W
+
+        from odibi_spark.llm.chunking import pack_sequences
+
+        df = spark.range(0, 5_000, 1, 16).selectExpr(
+            "id AS doc_id", "CAST(id * 7919 % 211 + 1 AS INT) AS toks"
+        )
+        got = {
+            r.doc_id: (r.pack_id, r.pack_offset, r.n_packs_spanned)
+            for r in pack_sequences(
+                df, 128, token_col="toks", order_col="doc_id",
+                id_col="doc_id",
+            ).collect()
+        }
+        naive = W.orderBy(F.asc("doc_id"))
+        exp = {
+            r.doc_id: (r.pack_id, r.pack_offset, r.spanned)
+            for r in df.withColumn(
+                "cb", F.sum("toks").over(naive) - F.col("toks")
+            )
+            .selectExpr(
+                "doc_id",
+                "cb DIV 128 AS pack_id",
+                "cb % 128 AS pack_offset",
+                "((cb + toks - 1) DIV 128) - (cb DIV 128) + 1 AS spanned",
+            )
+            .collect()
+        }
+        assert got == exp
