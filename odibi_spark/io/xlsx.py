@@ -148,14 +148,23 @@ def _read_grid(z: zipfile.ZipFile, sheet_path: str, strings, date_styles):
     """Sheet XML -> dense list-of-lists (None for absent cells)."""
     root = ElementTree.fromstring(z.read(sheet_path))
     rows: dict[int, dict[int, object]] = {}
+    # SpreadsheetML r= attributes are optional; when absent, the row /
+    # cell is the NEXT index after the previously seen one (sequential
+    # semantics). Deriving fallbacks from dict size / max(cells) can
+    # collide with explicitly numbered neighbors, so track last-seen.
+    last_r = 0
     for row in root.iter(f"{_MAIN_NS}row"):
-        r = int(row.get("r", len(rows) + 1))
+        r_attr = row.get("r")
+        r = int(r_attr) if r_attr is not None else last_r + 1
+        last_r = r
         cells: dict[int, object] = {}
+        last_ci = -1
         for c in row:
             if _local(c.tag) != "c":
                 continue
             ref = c.get("r")
-            ci = _col_index(ref) if ref else (max(cells) + 1 if cells else 0)
+            ci = _col_index(ref) if ref else last_ci + 1
+            last_ci = ci
             cells[ci] = _cell_value(c, strings, date_styles)
         rows[r] = cells
     if not rows:

@@ -346,6 +346,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    on_nonconverged: str = "warn",
 ) -> DataFrame:
     """Duplicate-cluster resolution: connected components over a
     near-dup pair list by iterative min-label propagation. Returns
@@ -368,6 +369,12 @@ def connected_components(
     blows up. The convergence probe is a LIMIT-1 count, not a collect
     of labels. The driver loop runs O(diameter) tiny jobs; no data ever
     reaches the driver.
+
+    If the loop exhausts ``max_iter`` without converging (component
+    diameter > max_iter, e.g. a long duplicate chain), the returned
+    labels would silently split one component into several clusters;
+    ``on_nonconverged`` controls the reaction: "warn" (default) logs a
+    warning, "raise" raises RuntimeError.
     """
     from pyspark import StorageLevel
 
@@ -382,6 +389,7 @@ def connected_components(
             "cluster_id", F.col("node")
         )
         labels = labels.localCheckpoint(eager=True)
+        changed = 0
         for _ in range(max_iter):
             nbr_min = (
                 und.join(
@@ -415,6 +423,17 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
+        if changed != 0:
+            msg = (
+                f"connected_components did not converge in {max_iter} "
+                "rounds (component diameter exceeds max_iter); labels "
+                "may split one component into several clusters"
+            )
+            if on_nonconverged == "raise":
+                raise RuntimeError(msg)
+            import logging
+
+            logging.getLogger(__name__).warning(msg)
         return labels.select(F.col("node").alias("id"), "cluster_id")
     finally:
         und.unpersist()

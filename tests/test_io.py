@@ -501,6 +501,40 @@ class TestPurePythonXlsx:
         skipped = read_xlsx(p, skiprows=1, header=0)
         assert len(skipped) == 1  # row2 became header, row3 is data
 
+    def test_read_grid_sequential_fallbacks(self, tmp_path):
+        """Rows/cells WITHOUT r= attributes advance sequentially from
+        the last-seen index (SpreadsheetML semantics) — fallbacks
+        derived from dict size / max(cells) collide with explicitly
+        numbered neighbors (ADVICE r4)."""
+        import zipfile
+
+        from odibi_spark.io.xlsx import _read_grid
+
+        ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+        # The unnumbered row after explicit r=2 must land on row 3, not
+        # len(rows)+1 == 2 (which would overwrite row 2). Inside it, the
+        # unnumbered cell after the explicit D ref must land on E.
+        sheet = (
+            f'<worksheet {ns}><sheetData>'
+            '<row r="2"><c r="A2" t="inlineStr"><is><t>a2</t></is></c></row>'
+            '<row>'  # -> row 3
+            '<c t="inlineStr"><is><t>a3</t></is></c>'  # -> col A
+            '<c r="D3" t="inlineStr"><is><t>d3</t></is></c>'
+            '<c t="inlineStr"><is><t>e3</t></is></c>'  # -> col E
+            "</row>"
+            "</sheetData></worksheet>"
+        )
+        p = str(tmp_path / "g.zip")
+        with zipfile.ZipFile(p, "w") as z:
+            z.writestr("sheet.xml", sheet)
+        with zipfile.ZipFile(p) as z:
+            grid = _read_grid(z, "sheet.xml", [], set())
+        assert grid[1][0] == "a2"          # explicit row 2 intact
+        assert grid[2][0] == "a3"          # unnumbered row landed on 3
+        assert grid[2][3] == "d3"
+        assert grid[2][4] == "e3"          # unnumbered cell after D -> E
+        assert len(grid) == 3
+
     def test_read_source_excel_end_to_end_no_openpyxl(self, spark, tmp_path):
         """Full path: read_source(format='excel') on a real .xlsx with
         NO openpyxl installed and NO injected reader."""

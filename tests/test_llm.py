@@ -600,6 +600,24 @@ class TestConnectedComponents:
         }
         assert got == {3: 3, 7: 3, 9: 3}
 
+    def test_nonconvergence_warns_and_raises(self, spark, caplog):
+        """A component whose diameter exceeds max_iter must not return
+        silently-split clusters (ADVICE r4): warn by default, raise on
+        request."""
+        import logging
+
+        import pytest
+
+        from odibi_spark.llm.dedup import connected_components
+
+        # path graph 1-..-8: min-label needs ~7 rounds; max_iter=2 cannot
+        chain = self._edges(spark, [(i, i + 1) for i in range(1, 8)])
+        with caplog.at_level(logging.WARNING, "odibi_spark.llm.dedup"):
+            connected_components(chain, max_iter=2).collect()
+        assert any("did not converge" in r.message for r in caplog.records)
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(chain, max_iter=2, on_nonconverged="raise")
+
     def test_dedup_clusters_keeps_min_and_untouched_docs(self, spark):
         from pyspark.sql import Row
 
