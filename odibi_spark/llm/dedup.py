@@ -180,17 +180,17 @@ def minhash_signatures(
     return proj.groupBy("id").agg(*_minhash_aggs(num_perm, hasher, seed))
 
 
-def lsh_candidate_pairs(
+def band_keys(
     signatures: DataFrame,
     bands: int = 8,
     rows_per_band: int = 4,
     hasher: str = "xxhash64",
 ) -> DataFrame:
-    """LSH banding over minhash signatures: docs agreeing on all rows of
-    any band become candidates. Equi-join on (band, band_hash) — the
-    classic sub-quadratic candidate generator. The portable hasher keys
-    bands on the concatenated row values (identical decimal rendering in
-    both engines) instead of an engine-specific hash."""
+    """Explode minhash signatures to (id, band, bh) LSH band keys —
+    the equi-join key both the one-shot self-join and the incremental
+    delta-vs-store join bucket on. The portable hasher keys bands on
+    the concatenated row values (identical decimal rendering in both
+    engines) instead of an engine-specific hash."""
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -200,9 +200,21 @@ def lsh_candidate_pairs(
             else F.concat_ws(",", *[c.cast("string") for c in cols])
         )
         band_cols.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
-    banded = signatures.select(
+    return signatures.select(
         "id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("id", "bb.band", "bb.bh")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """LSH banding over minhash signatures: docs agreeing on all rows of
+    any band become candidates. Equi-join on (band, band_hash) — the
+    classic sub-quadratic candidate generator."""
+    banded = band_keys(signatures, bands, rows_per_band, hasher)
     return (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bh"])

@@ -243,12 +243,11 @@ def language_guesses(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("lang", "lang_guess").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
-def _minhash_oracle_sql(
-    n: int = 3, num_perm: int = 32, bands: int = 8, threshold: float = 0.2,
-    seed: int = 42,
-) -> str:
-    """DuckDB replica of the portable MinHash-LSH pipeline — same seeded
-    affine constants, same band keys, same Jaccard verification."""
+def _minhash_sig_ctes(n: int, num_perm: int, bands: int, seed: int) -> str:
+    """Shared DuckDB CTE chain replicating the portable MinHash
+    pipeline (sets -> shingle bases -> signatures -> band keys ->
+    candidate pairs) — same seeded affine constants and band keys as
+    the Spark side; reused by the one-shot and incremental oracles."""
     P = dedup.MINHASH_PRIME
     consts = dedup.minhash_perm_constants(num_perm, seed)
     rows_per_band = num_perm // bands
@@ -290,7 +289,17 @@ cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b USING (band, bh)
   WHERE a.doc_id < b.doc_id
-)
+)"""
+
+
+def _minhash_oracle_sql(
+    n: int = 3, num_perm: int = 32, bands: int = 8, threshold: float = 0.2,
+    seed: int = 42,
+) -> str:
+    """DuckDB replica of the portable MinHash-LSH pipeline — same seeded
+    affine constants, same band keys, same Jaccard verification."""
+    return f"""
+{_minhash_sig_ctes(n, num_perm, bands, seed)}
 SELECT id_a, id_b,
        len(list_intersect(sa.sh, sb.sh))
          / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
@@ -757,6 +766,64 @@ SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
 """
 
 
+def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HWM-driven incremental near-dup detection, replayed over TWO
+    ingestion batches (split at the corpus midpoint), against a
+    ONE-SHOT oracle: the hash match proves batch-incremental execution
+    equals a full-corpus pass. Batch 2 reaches the dedup through the
+    stateful HWM filter (doc_id > committed mark), and its candidates
+    join the append-only signature store written by batch 1 — the
+    daily-run shape of a 100-TB curation pipeline, where only the
+    delta ever shuffles."""
+    import os
+    import tempfile
+
+    from odibi_spark.llm.incremental import SignatureStore, run_incremental_dedup
+    from odibi_spark.state.hwm import JsonStateBackend
+
+    _prep(spark)
+    df = read_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="incr_dedup_")
+    store = SignatureStore(spark, os.path.join(tmp, "sigs"))
+    state = JsonStateBackend(os.path.join(tmp, "state.json"))
+    mid = df.agg(F.max("doc_id")).collect()[0][0] // 2
+    kw = dict(
+        id_col="doc_id", text_col="text", n=3, num_perm=32, bands=8,
+        threshold=0.2, hasher="portable", seed=42,
+    )
+    b1 = run_incremental_dedup(
+        df.filter(F.col("doc_id") <= mid), store, state, batch_id="b1", **kw
+    )
+    b2 = run_incremental_dedup(df, store, state, batch_id="b2", **kw)
+    return b1.unionByName(b2).select("doc_id", "is_dup")
+
+
+def _incr_dedup_oracle_sql(
+    n: int = 3, num_perm: int = 32, bands: int = 8, threshold: float = 0.2,
+    seed: int = 42,
+) -> str:
+    """ONE-SHOT DuckDB replica of the incremental drop rule: a doc is
+    a dup iff some banded candidate with a smaller doc_id agrees on
+    >= threshold of the signature rows (the MinHash Jaccard
+    estimator). Equality with the two-batch Spark run is the point."""
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(num_perm)
+    )
+    return f"""
+{_minhash_sig_ctes(n, num_perm, bands, seed)},
+dups AS (
+  SELECT DISTINCT id_b
+  FROM cands
+  JOIN sig sa ON sa.doc_id = id_a
+  JOIN sig sb ON sb.doc_id = id_b
+  WHERE ({agree}) / {num_perm}.0 >= {threshold}
+)
+SELECT d.doc_id, (dup.id_b IS NOT NULL) AS is_dup
+FROM documents d LEFT JOIN dups dup ON d.doc_id = dup.id_b
+"""
+
+
 def percentiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per source (Spark `percentile` ==
     DuckDB `quantile_cont`: same linear-interpolation definition, so
@@ -868,6 +935,7 @@ QUERIES = {
     "neardup_clusters": neardup_clusters,
     "percentiles_by_source": percentiles_by_source,
     "tfidf_top_terms": tfidf_top_terms,
+    "dedup_incremental_docs": dedup_incremental_docs,
 }
 
 ORACLES = {
@@ -891,6 +959,7 @@ ORACLES = {
     "pack_sequences_docs": PACK_SEQUENCES_SQL,
     "scrub_pii_docs": SCRUB_PII_SQL,
     "neardup_clusters": NEARDUP_CLUSTERS_SQL,
+    "dedup_incremental_docs": _incr_dedup_oracle_sql(),
     "percentiles_by_source": PERCENTILES_SQL,
     "tfidf_top_terms": TFIDF_SQL,
 }
