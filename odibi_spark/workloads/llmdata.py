@@ -849,6 +849,64 @@ FROM documents GROUP BY source
 """
 
 
+def approx_percentiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB twin of percentiles_by_source: approx_percentile
+    (Greenwald-Khanna sketch, mergeable, no per-group sort) with
+    accuracy=10000 — rank error <= n/accuracy. Below ~accuracy rows
+    per group the sketch is lossless and returns the exact discrete
+    percentile, which is what DuckDB's quantile_disc computes — so
+    this workload is hash-checked; the genuinely-lossy regime's error
+    bound is pinned in pytest (test_approx_bounds)."""
+    _prep(spark)
+    df = read_table(spark, sf_dir, "documents")
+    return (
+        df.groupBy("source")
+        .agg(
+            F.expr(
+                "approx_percentile(n_chars, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("p"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            "source",
+            F.col("p")[0].alias("ap50_chars"),
+            F.col("p")[1].alias("ap90_chars"),
+            F.col("p")[2].alias("ap99_chars"),
+            "n_docs",
+        )
+    )
+
+
+APPROX_PERCENTILES_SQL = """
+SELECT source,
+       quantile_disc(n_chars, 0.5) AS ap50_chars,
+       quantile_disc(n_chars, 0.9) AS ap90_chars,
+       quantile_disc(n_chars, 0.99) AS ap99_chars,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+def approx_distinct_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-uniqueness profile per source via
+    approx_count_distinct (HyperLogLog++, rsd=0.05): the scale path
+    for "how many unique documents does each source contribute" —
+    no exact-distinct shuffle of the fingerprint set, the HLL sketch
+    merges map-side. Declared rows-only (HLL estimates are engine-
+    specific by design); the 3-sigma error bound vs the exact count
+    is pinned in pytest (test_approx_bounds)."""
+    _prep(spark)
+    df = read_table(spark, sf_dir, "documents")
+    return (
+        df.select("source", F.md5(F.col("text")).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.approx_count_distinct("fp", 0.05).alias("approx_unique_docs"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 terms per source by summed TF-IDF (idf = ln((1+N)/(1+df)),
     rounded before ranking so 1-ulp ln() differences cannot flip
@@ -936,6 +994,8 @@ QUERIES = {
     "percentiles_by_source": percentiles_by_source,
     "tfidf_top_terms": tfidf_top_terms,
     "dedup_incremental_docs": dedup_incremental_docs,
+    "approx_percentiles_by_source": approx_percentiles_by_source,
+    "approx_distinct_fingerprints": approx_distinct_fingerprints,
 }
 
 ORACLES = {
@@ -960,6 +1020,12 @@ ORACLES = {
     "scrub_pii_docs": SCRUB_PII_SQL,
     "neardup_clusters": NEARDUP_CLUSTERS_SQL,
     "dedup_incremental_docs": _incr_dedup_oracle_sql(),
+    # approx_percentiles: GK sketch is lossless below accuracy rows/group
+    # -> exact discrete percentiles, hash-checkable vs quantile_disc.
+    # approx_distinct_fingerprints is deliberately ABSENT: HLL estimates
+    # are engine-specific; the driver records a rows-only check and the
+    # pytest error-bound test pins the values.
+    "approx_percentiles_by_source": APPROX_PERCENTILES_SQL,
     "percentiles_by_source": PERCENTILES_SQL,
     "tfidf_top_terms": TFIDF_SQL,
 }

@@ -784,3 +784,67 @@ def test_curation_transforms_work_on_streams(spark, tmp_path):
     assert any("<EMAIL>" in r.chunk_text for r in rows)
     assert not any("a@b.io" in r.chunk_text for r in rows)
     assert all(r.chunk_n_words <= 2 for r in rows)
+
+
+class TestApproxBounds:
+    """Documented error bounds for the approx scale-path workloads
+    (VERDICT r4 task 5): tolerance checks vs exact, in the regime
+    where the sketches are genuinely lossy."""
+
+    def test_approx_percentile_rank_error_bound(self, spark):
+        """GK guarantee: approx_percentile(q, acc) returns a value
+        whose rank is within n/acc of q*n. 100k rows, accuracy=100
+        -> rank error <= 1000 (1%)."""
+        from pyspark.sql import functions as F
+
+        n, acc = 100_000, 100
+        df = spark.range(n).selectExpr("CAST(id * 37 % 100000 AS INT) AS v")
+        approx = df.agg(
+            F.expr(f"approx_percentile(v, array(0.5, 0.9), {acc})").alias("p")
+        ).collect()[0].p
+        # v is a permutation of 0..99999, so value == its rank
+        eps = n // acc
+        assert abs(approx[0] - 0.5 * n) <= eps, approx
+        assert abs(approx[1] - 0.9 * n) <= eps, approx
+
+    def test_approx_count_distinct_rsd_bound(self, spark):
+        """HLL++ rsd=0.05: estimate within 3 sigma (15%) of the exact
+        distinct count at 50k uniques (far past sparse mode)."""
+        from pyspark.sql import functions as F
+
+        df = spark.range(60_000).selectExpr(
+            "CAST(least(id, 49999) AS STRING) AS fp"  # 50k distinct
+        )
+        got = df.agg(
+            F.approx_count_distinct("fp", 0.05).alias("a"),
+            F.count_distinct("fp").alias("x"),
+        ).collect()[0]
+        assert got.x == 50_000
+        assert abs(got.a - got.x) / got.x <= 0.15, got
+
+    def test_workload_small_group_regime_is_exact(self, spark):
+        """The declared workload's hash oracle rests on the lossless
+        small-group regime: verify approx == exact percentile-disc on
+        the sf0.001 documents table."""
+        from pyspark.sql import functions as F
+
+        from odibi_spark.io import read_table
+        from odibi_spark.workloads.llmdata import approx_percentiles_by_source
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r.source: (r.ap50_chars, r.ap90_chars, r.ap99_chars)
+            for r in approx_percentiles_by_source(spark, sf).collect()
+        }
+        exact = {
+            r.source: (r.p50, r.p90, r.p99)
+            for r in read_table(spark, sf, "documents")
+            .groupBy("source")
+            .agg(
+                F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)").alias("p50"),
+                F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)").alias("p90"),
+                F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars)").alias("p99"),
+            )
+            .collect()
+        }
+        assert got == exact
