@@ -189,3 +189,59 @@ def stateful_running_stats(
     return stream.groupBy(*keys).applyInPandasWithState(
         update, output_ddl, state_ddl, "Update", timeout_conf
     )
+
+
+def streaming_shard_writer(
+    stream: DataFrame,
+    *,
+    path: str,
+    checkpoint: str,
+    token_col: str,
+    tokens_per_shard: int,
+    order_col: str,
+    id_col: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    format: str = "json",
+    trigger: dict | None = None,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """Streaming production of token-balanced training shards — the
+    sink-side half of batch/stream unification (VERDICT r4 task 4):
+    the same scrub -> chunk -> pack column ops that run in backfill
+    also run here, per micro-batch, via foreachBatch.
+
+    Layout: ``path/batch_id=<epoch>/shard_id=<k>/`` — each micro-batch
+    packs ITS OWN documents into ~tokens_per_shard files (global
+    repacking across an unbounded stream is ill-defined; training
+    readers glob ``batch_id=*/shard_id=*`` and see one uniformly
+    token-balanced corpus).
+
+    Exactly-once replay: foreachBatch may re-run an epoch after a
+    crash (offsets are checkpointed, output commits are not), so the
+    writer is keyed BY the epoch — each batch overwrites exactly its
+    own ``batch_id=<epoch>`` directory. Replaying batch N rewrites the
+    same bytes; it can neither duplicate shards (overwrite) nor drop
+    them (the checkpoint replays every uncommitted epoch). The
+    restart-replay test pins both properties.
+
+    ``transform`` (optional) is applied to each micro-batch before
+    packing — e.g. ``scrub_pii`` + ``chunk_documents`` — keeping ONE
+    curation code path for backfill and live ingestion.
+    """
+    from odibi_spark.llm.chunking import write_training_shards
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        df = transform(batch) if transform is not None else batch
+        if not df.take(1):
+            return
+        write_training_shards(
+            df, f"{path}/batch_id={epoch_id}",
+            token_col=token_col, tokens_per_shard=int(tokens_per_shard),
+            order_col=order_col, id_col=id_col, format=format,
+            mode="overwrite",
+        )
+
+    return start_stream_write(
+        stream, checkpoint=checkpoint, foreach_batch=write_batch,
+        trigger=trigger or {"availableNow": True}, query_name=query_name,
+    )

@@ -239,3 +239,75 @@ class TestStatefulOperators:
                 latest[r.user] = (r.n, r.mean)
         assert latest["a"] == (3, 3.0)     # (1+3+5)/3
         assert latest["b"] == (2, 15.0)    # (10+20)/2
+
+
+class TestStreamingShardWriter:
+    """Streaming token-balanced shard production with exactly-once
+    replay (VERDICT r4 task 4)."""
+
+    SCHEMA = "doc_id long, text string, toks int"
+
+    def _write_wave(self, spark, src, lo, hi):
+        spark.createDataFrame(
+            [(i, f"doc number {i} body", 10) for i in range(lo, hi)],
+            self.SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def _run(self, spark, src, out, ckpt):
+        from odibi_spark.streaming.core import streaming_shard_writer
+
+        q = streaming_shard_writer(
+            spark.readStream.schema(self.SCHEMA).parquet(src),
+            path=out, checkpoint=ckpt, token_col="toks",
+            tokens_per_shard=64, order_col="doc_id", id_col="doc_id",
+        )
+        q.awaitTermination()
+
+    def test_two_waves_then_crash_replay(self, spark, tmp_path):
+        import glob
+        import os
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "shards")
+        ckpt = str(tmp_path / "ckpt")
+
+        # wave 1: 20 docs -> epoch 0
+        self._write_wave(spark, src, 0, 20)
+        self._run(spark, src, out, ckpt)
+        back = spark.read.json(out)
+        assert back.count() == 20
+        assert back.select("doc_id").distinct().count() == 20
+        assert sorted(glob.glob(out + "/batch_id=*")) == [out + "/batch_id=0"]
+        # token balance within the epoch: 64-token shards of 10-tok docs
+        sizes = [
+            r["count"]
+            for r in back.groupBy("batch_id", "shard_id").count().collect()
+        ]
+        assert all(6 <= s <= 7 for s in sizes), sizes
+
+        # wave 2: 10 more docs -> epoch 1 only (no reprocessing of wave 1)
+        self._write_wave(spark, src, 20, 30)
+        self._run(spark, src, out, ckpt)
+        back = spark.read.json(out)
+        assert back.count() == 30
+        assert back.select("doc_id").distinct().count() == 30
+
+        # crash between output and checkpoint commit: drop the newest
+        # commit marker so the engine REPLAYS epoch 1 on restart
+        commits = sorted(
+            p for p in glob.glob(ckpt + "/commits/*") if not p.endswith(".crc")
+        )
+        os.remove(commits[-1])
+        crc = os.path.join(
+            os.path.dirname(commits[-1]), "." + os.path.basename(commits[-1]) + ".crc"
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+        self._run(spark, src, out, ckpt)
+        back = spark.read.json(out)
+        # replay overwrote batch_id=1 in place: nothing lost, nothing doubled
+        assert back.count() == 30
+        assert back.select("doc_id").distinct().count() == 30
+        assert (
+            back.groupBy("doc_id").count().filter("count > 1").count() == 0
+        )
