@@ -117,6 +117,35 @@ def scale_docs_bench(spark, sf_dir: str, factor: int = 10) -> dict:
     }
 
 
+def cc_chain_probe(spark, chain_len: int = 1024) -> dict:
+    """Connected-components stress probe (VERDICT r4 task 6): a planted
+    duplicate CHAIN — the worst-case topology for label propagation
+    (diameter = chain_len - 1) — plus a realistic star component.
+    Records rounds-to-convergence: pointer jumping should need
+    ~log2(chain_len) + 2 rounds, not chain_len."""
+    import math
+    import time as _t
+
+    from odibi_spark.llm.dedup import connected_components_stats
+
+    edges = [(i, i + 1) for i in range(1, chain_len)]
+    edges += [(10_000_000, 10_000_000 + k) for k in range(1, 6)]  # star
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    t0 = _t.time()
+    labels, stats = connected_components_stats(df, max_iter=30)
+    n_clusters = labels.select("cluster_id").distinct().count()
+    expected = int(math.log2(chain_len)) + 3
+    return {
+        "chain_len": chain_len,
+        "rounds": stats["rounds"],
+        "converged": stats["converged"],
+        "rounds_expected_max": expected,
+        "within_bound": stats["converged"] and stats["rounds"] <= expected,
+        "n_clusters": n_clusters,  # must be 2: chain + star
+        "sec": round(_t.time() - t0, 4),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from odibi_spark import get_spark
@@ -148,23 +177,19 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 4)
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
 
-    total = round(sum(timings.values()), 4)
+    headline_total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    out = {
-        "metric": "headline_queries_total_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
-    # round-4 curation/sequence-prep operators: timed as an auxiliary
-    # block (excluded from `value` so headline totals stay comparable
-    # across rounds)
+    # curation/sequence-prep block; `value` is the COMBINED total from
+    # round 5 on (VERDICT r4 task 8) with both subtotals kept — r4
+    # comparables: headline 27.52 + curation 6.95
     extra = {}
     for name in (
         "repetition_signals_docs", "decontamination_hits",
         "stratified_sample_langs", "token_budget_by_source",
         "chunk_documents_docs", "pack_sequences_docs", "scrub_pii_docs",
+        # new in round 5
+        "dedup_incremental_docs", "approx_percentiles_by_source",
+        "approx_distinct_fingerprints",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(
@@ -173,8 +198,21 @@ def main() -> None:
         ).collect()
         extra[name] = round(time.time() - t0, 4)
         print(f"# {name}: {extra[name]:.2f}s", file=sys.stderr)
-    out["curation_queries"] = extra
-    out["curation_total_sec"] = round(sum(extra.values()), 4)
+    curation_total = round(sum(extra.values()), 4)
+    out = {
+        "metric": "combined_queries_total_sec",
+        "value": round(headline_total + curation_total, 4),
+        "unit": "sec",
+        "headline_total_sec": headline_total,
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "curation_queries": extra,
+        "curation_total_sec": curation_total,
+    }
+
+    # connected-components chain stress probe (rounds-to-convergence)
+    out["cc_chain"] = cc_chain_probe(spark)
+    print(f"# cc_chain: {out['cc_chain']}", file=sys.stderr)
 
     # dedup scaling probe: excluded from `value` so headline totals stay
     # comparable across rounds; disable with SPARK_GRAFT_SCALE_DOCS=0,

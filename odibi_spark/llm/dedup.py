@@ -353,37 +353,42 @@ def simhash_near_pairs(
     )
 
 
-def connected_components(
+def connected_components_stats(
     edges: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
     on_nonconverged: str = "warn",
-) -> DataFrame:
+) -> tuple[DataFrame, dict]:
     """Duplicate-cluster resolution: connected components over a
-    near-dup pair list by iterative min-label propagation. Returns
-    (id, cluster_id) for every node that appears in an edge, with
-    cluster_id = the smallest id in the component.
+    near-dup pair list by min-label propagation WITH pointer jumping.
+    Returns ``(labels, stats)``: labels = (id, cluster_id) for every
+    node that appears in an edge, cluster_id = the smallest id in the
+    component; stats = {"rounds": r, "converged": bool}.
 
     Pairs alone don't dedup a corpus — A~B and B~C must collapse to
     ONE keeper even when A~C was never emitted as a candidate. This is
-    the standard map-reduce CC formulation (cf. Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC'14): each
-    round every node takes the min label among itself and its
-    neighbors; converges in O(component diameter) rounds, and near-dup
-    components are shallow (stars around a few originals), so
-    real-corpus convergence is 2-4 rounds.
+    the map-reduce CC family (cf. Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each round every
+    node takes the min among its own label, its neighbors' labels, AND
+    its label's label (the pointer-jumping step of Shiloach-Vishkin).
+    Neighbor propagation alone needs O(diameter) rounds — a planted
+    1024-node duplicate chain takes 1024 rounds; the jump step doubles
+    the reach of a label each round, giving O(log diameter): measured
+    12 rounds for that same chain (bench `cc_chain` probe). Real
+    near-dup components are shallow stars, converging in 2-4 rounds
+    either way; the jump is the insurance against pathological chains.
 
     Scale notes: the undirected edge list is persisted and reused every
-    round; each round is one equi-join + one groupBy min keyed on node
-    id (map-side partial min). Labels are localCheckpoint'ed per round
-    — without that the lineage doubles each iteration and the plan
-    blows up. The convergence probe is a LIMIT-1 count, not a collect
-    of labels. The driver loop runs O(diameter) tiny jobs; no data ever
-    reaches the driver.
+    round; each round is one edge equi-join + one groupBy min (map-side
+    partial) + one label self-equi-join for the jump, all keyed on node
+    id. Labels are localCheckpoint'ed per round — without that the
+    lineage doubles each iteration and the plan blows up. The
+    convergence probe is a LIMIT-1 count, not a collect of labels. The
+    driver loop runs O(log diameter) tiny jobs; no data ever reaches
+    the driver.
 
-    If the loop exhausts ``max_iter`` without converging (component
-    diameter > max_iter, e.g. a long duplicate chain), the returned
+    If the loop exhausts ``max_iter`` without converging, the returned
     labels would silently split one component into several clusters;
     ``on_nonconverged`` controls the reaction: "warn" (default) logs a
     warning, "raise" raises RuntimeError.
@@ -401,7 +406,7 @@ def connected_components(
             "cluster_id", F.col("node")
         )
         labels = labels.localCheckpoint(eager=True)
-        changed = 0
+        changed, rounds = 0, 0
         for _ in range(max_iter):
             nbr_min = (
                 und.join(
@@ -414,13 +419,24 @@ def connected_components(
                 .groupBy(F.col("src").alias("node"))
                 .agg(F.min("dst_label").alias("nbr_label"))
             )
+            # pointer jump: label(label(v)) — every cluster_id is itself
+            # a node id in the same component, so the self-join is total
+            jump = labels.join(
+                labels.select(
+                    F.col("node").alias("cluster_id"),
+                    F.col("cluster_id").alias("jump_label"),
+                ),
+                "cluster_id",
+            ).select("node", "jump_label")
             new_labels = (
                 labels.join(nbr_min, "node", "left")
+                .join(jump, "node", "left")
                 .select(
                     "node",
                     F.least(
                         F.col("cluster_id"),
                         F.coalesce("nbr_label", F.col("cluster_id")),
+                        F.coalesce("jump_label", F.col("cluster_id")),
                     ).alias("cluster_id"),
                 )
                 .localCheckpoint(eager=True)
@@ -433,6 +449,7 @@ def connected_components(
                 .count()
             )
             labels = new_labels
+            rounds += 1
             if changed == 0:
                 break
         if changed != 0:
@@ -446,9 +463,24 @@ def connected_components(
             import logging
 
             logging.getLogger(__name__).warning(msg)
-        return labels.select(F.col("node").alias("id"), "cluster_id")
+        out = labels.select(F.col("node").alias("id"), "cluster_id")
+        return out, {"rounds": rounds, "converged": changed == 0}
     finally:
         und.unpersist()
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    on_nonconverged: str = "warn",
+) -> DataFrame:
+    """Labels-only form of :func:`connected_components_stats`."""
+    labels, _ = connected_components_stats(
+        edges, id_a, id_b, max_iter, on_nonconverged
+    )
+    return labels
 
 
 def dedup_clusters(

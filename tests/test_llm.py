@@ -680,6 +680,18 @@ class TestConnectedComponents:
         }
         assert got == {3: 3, 7: 3, 9: 3}
 
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        """Pointer jumping (Shiloach-Vishkin) makes a 128-node planted
+        duplicate chain converge in O(log n) rounds, not O(n)."""
+        from odibi_spark.llm.dedup import connected_components_stats
+
+        chain = self._edges(spark, [(i, i + 1) for i in range(1, 128)])
+        labels, stats = connected_components_stats(chain, max_iter=25)
+        assert stats["converged"]
+        assert stats["rounds"] <= 10, stats  # sim: 9 for n=128 (log2+2)
+        got = {r.id: r.cluster_id for r in labels.collect()}
+        assert set(got.values()) == {1} and len(got) == 127 + 1
+
     def test_nonconvergence_warns_and_raises(self, spark, caplog):
         """A component whose diameter exceeds max_iter must not return
         silently-split clusters (ADVICE r4): warn by default, raise on
