@@ -767,6 +767,15 @@ def test_write_training_shards_jsonl(spark, tmp_path):
     # shard balance: every shard holds <= ceil(64/10)+1 docs
     sizes = {r.shard_id: r.cnt for r in back.groupBy("shard_id").count().withColumnRenamed("count", "cnt").collect()}
     assert all(6 <= v <= 7 for v in sizes.values()), sizes
+    # documented layout contract (ADVICE r4): WITHIN each shard file the
+    # jsonl lines appear in (order_col, id_col) order, not shuffle order
+    import json as _json
+
+    for d in dirs:
+        for f in glob.glob(d + "/*.json"):
+            with open(f) as fh:
+                ids = [_json.loads(line)["doc_id"] for line in fh if line.strip()]
+            assert ids == sorted(ids), (f, ids)
 
 
 def test_curation_transforms_work_on_streams(spark, tmp_path):
