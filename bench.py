@@ -32,6 +32,13 @@ HEADLINE = [
     "q9_product_profit",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
+    # round 5: the remaining TPC-H shapes (full 22-query span)
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_ship_latency",
+    "q16_supplier_variety",
+    "q20_excess_share_suppliers",
+    "q21_waiting_suppliers",
     "agg_having_suppliers",
     "shipping_delay",
     # window / sessionization

@@ -21,14 +21,16 @@ from odibi_spark.workloads.tpch import ORACLES as _TPCH_ORACLES
 from odibi_spark.workloads.tpch import QUERIES as _TPCH_QUERIES
 from odibi_spark.workloads.tpch2 import ORACLES as _TPCH2_ORACLES
 from odibi_spark.workloads.tpch2 import QUERIES as _TPCH2_QUERIES
+from odibi_spark.workloads.tpch3 import ORACLES as _TPCH3_ORACLES
+from odibi_spark.workloads.tpch3 import QUERIES as _TPCH3_QUERIES
 
 _ALL_QUERIES = {
     **_CORE_QUERIES, **_LLM_QUERIES, **_EXTRA_QUERIES,
-    **_TPCH_QUERIES, **_TPCH2_QUERIES,
+    **_TPCH_QUERIES, **_TPCH2_QUERIES, **_TPCH3_QUERIES,
 }
 _ALL_ORACLES = {
     **_CORE_ORACLES, **_LLM_ORACLES, **_EXTRA_ORACLES,
-    **_TPCH_ORACLES, **_TPCH2_ORACLES,
+    **_TPCH_ORACLES, **_TPCH2_ORACLES, **_TPCH3_ORACLES,
 }
 
 # Dict order is sampling priority: the driver's correctness gate checks
@@ -60,6 +62,9 @@ _ROTATED_HEAD = [
 _R5_NEW = [
     "approx_percentiles_by_source", "approx_distinct_fingerprints",
     "dedup_incremental_docs",
+    "q2_min_cost_supplier", "q11_important_parts", "q12_ship_latency",
+    "q16_supplier_variety", "q20_excess_share_suppliers",
+    "q21_waiting_suppliers",
 ]
 
 _HEAD = [k for k in _ROTATED_HEAD + _R5_NEW if k in _ALL_QUERIES]

@@ -1,0 +1,472 @@
+"""TPC-H round 3: q2/q11/q12/q16/q20/q21 — completing all 22 TPC-H
+query shapes. The driver's synthetic schema has no partsupp table and
+no l_shipmode/l_commitdate/l_receiptdate columns, so the stock-keeping
+queries re-shape over lineitem aggregates; every adaptation preserves
+the ORIGINAL query's structural challenge (correlated scalar min,
+HAVING vs global scalar, NOT IN blacklist, nested half-threshold,
+EXISTS + NOT EXISTS self-join chain) and is noted per query.
+
+Same hash-stable oracle conventions as workloads/tpch.py: decimal-
+exact sums, identical aliases both sides, deterministic tiebreaks on
+any LIMIT. Plan intent at 100 TB noted per query.
+
+Reference parity: the reference executes arbitrary SQL through its
+engines (odibi/engine/spark_engine.py:2051-2111); these workloads pin
+that the operator library expresses the full TPC-H span Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from odibi_spark.io import read_table
+
+DEC = "DECIMAL(18,6)"
+
+
+def _prep(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
+# ---------------------------------------------------------------- q2
+# Adaptation: no partsupp -> the (part, supplier) "supply cost" is the
+# average unit sale price observed in lineitem. The structural core is
+# unchanged: a CORRELATED SCALAR MIN per part (which supplier offers
+# this part cheapest?) over a region-restricted supplier set, then a
+# decorated ordered LIMIT.
+# Plan intent: the correlated min is a window over the part key on the
+# already-aggregated (part, supplier) rows — one shuffle, no second
+# scan of lineitem; nation/region are broadcast dims.
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated min-cost supplier per part (§2.4)."""
+    _prep(spark)
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    part = read_table(spark, sf_dir, "part").filter(
+        "p_size >= 40 AND p_type = 'SMALL'"
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter("r_name = 'EUROPE'")
+
+    euro_supp = (
+        supp.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(
+                        region.select(F.col("r_regionkey").alias("n_regionkey"))
+                    ),
+                    "n_regionkey",
+                ).select(
+                    F.col("n_nationkey").alias("s_nationkey"),
+                    F.col("n_name").alias("n_name"),
+                )
+            ),
+            "s_nationkey",
+        )
+    )
+    cost = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(euro_supp.select("s_suppkey", "s_name", "s_acctbal",
+                                           "n_name")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal",
+                 "n_name")
+        .agg(
+            (
+                F.sum(F.expr(f"CAST(l_extendedprice / l_quantity AS {DEC})"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("supply_cost")
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    best = cost.withColumn("min_cost", F.min("supply_cost").over(w)).filter(
+        F.col("supply_cost") == F.col("min_cost")
+    )
+    return (
+        best.select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            F.round("supply_cost", 6).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = f"""
+WITH cost AS (
+  SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+         CAST(SUM(CAST(l_extendedprice / l_quantity AS {DEC})) AS DOUBLE)
+           / COUNT(*) AS supply_cost
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE p_size >= 40 AND p_type = 'SMALL' AND r_name = 'EUROPE'
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       ROUND(supply_cost, 6) AS supply_cost
+FROM cost
+WHERE supply_cost = (SELECT MIN(c2.supply_cost) FROM cost c2
+                     WHERE c2.p_partkey = cost.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------- q11
+# Adaptation: no partsupp -> "important stock" becomes important
+# revenue: parts whose NATION_1-supplied revenue exceeds a fixed
+# fraction of the global NATION_1 total. The structural core — GROUP
+# BY + HAVING sum > fraction * (scalar subquery over the same data) —
+# is unchanged.
+# Plan intent: the scalar is an O(1) broadcast cross-join onto the
+# grouped rows; the grouped side shuffles once on part key.
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING vs global-scalar fraction (§2.5)."""
+    _prep(spark)
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation").filter("n_name = 'NATION_1'")
+    n1_supp = supp.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("s_nationkey"))),
+        "s_nationkey",
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    base = li.join(F.broadcast(n1_supp), "l_suppkey").withColumn(
+        "rev_d", F.expr(f"CAST(l_extendedprice * (1 - l_discount) AS {DEC})")
+    )
+    per_part = base.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum("rev_d").alias("value_d")
+    )
+    total = base.agg(F.sum("rev_d").alias("total_d"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("value_d").cast("double")
+            > F.col("total_d").cast("double") * 0.002
+        )
+        .select("p_partkey", F.col("value_d").cast("double").alias("value"))
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+Q11_SQL = f"""
+WITH base AS (
+  SELECT l_partkey,
+         CAST(l_extendedprice * (1 - l_discount) AS {DEC}) AS rev_d
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_1'
+)
+SELECT l_partkey AS p_partkey, CAST(SUM(rev_d) AS DOUBLE) AS value
+FROM base
+GROUP BY l_partkey
+HAVING CAST(SUM(rev_d) AS DOUBLE) >
+       (SELECT CAST(SUM(rev_d) AS DOUBLE) FROM base) * 0.002
+ORDER BY value DESC, p_partkey
+"""
+
+
+# --------------------------------------------------------------- q12
+# Adaptation: no l_shipmode/l_commitdate/l_receiptdate -> the shipmode
+# classes become ship-latency buckets (days from order to ship) and
+# "late" queues keep Q12's priority split: per bucket, how many HIGH-
+# priority vs LOW-priority lineitems. Structure (filtered two-class
+# GROUP BY with CASE-sum split) unchanged.
+# Plan intent: one join orders⋈lineitem on the order key, one grouped
+# aggregate; the CASE sums are map-side partials.
+def q12_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per-class high/low priority counts (§2.5)."""
+    _prep(spark)
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        "o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND "
+        "o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"
+    )
+    joined = li.join(
+        orders.select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderdate",
+            "o_orderpriority",
+        ),
+        "l_orderkey",
+    ).withColumn(
+        "ship_bucket",
+        F.expr(
+            "CASE WHEN datediff(l_shipdate, o_orderdate) <= 7 THEN 'FAST' "
+            "WHEN datediff(l_shipdate, o_orderdate) <= 30 THEN 'NORMAL' "
+            "ELSE 'SLOW' END"
+        ),
+    ).filter("ship_bucket IN ('NORMAL', 'SLOW')")
+    return (
+        joined.groupBy("ship_bucket")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+                    "THEN 1 ELSE 0 END"
+                )
+            ).alias("high_line_count"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+                    "THEN 1 ELSE 0 END"
+                )
+            ).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+Q12_SQL = """
+WITH j AS (
+  SELECT o_orderpriority,
+         CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 7 THEN 'FAST'
+              WHEN datediff('day', o_orderdate, l_shipdate) <= 30 THEN 'NORMAL'
+              ELSE 'SLOW' END AS ship_bucket
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT ship_bucket,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM j
+WHERE ship_bucket IN ('NORMAL', 'SLOW')
+GROUP BY ship_bucket
+ORDER BY ship_bucket
+"""
+
+
+# --------------------------------------------------------------- q16
+# Adaptation: no partsupp -> supplier-part relationships come from
+# observed lineitem pairs; the "customer complaints" blacklist becomes
+# suppliers with negative account balance. Structure — attribute-
+# filtered part set, NOT IN supplier subquery, COUNT(DISTINCT
+# suppliers) per attribute triple — unchanged.
+# Plan intent: distinct (part, supplier) pairs reduce lineitem before
+# the part join; the blacklist is a tiny broadcast anti-join, never a
+# shuffled NOT IN.
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT-IN blacklist + count-distinct rollup
+    (§2.4/§2.5)."""
+    _prep(spark)
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    ).distinct()
+    part = read_table(spark, sf_dir, "part").filter(
+        "p_brand NOT IN ('Brand#1', 'Brand#2') "
+        "AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)"
+    )
+    bad_supp = read_table(spark, sf_dir, "supplier").filter(
+        "s_acctbal < 0"
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        li.join(F.broadcast(bad_supp), "l_suppkey", "left_anti")
+        .join(
+            F.broadcast(
+                part.select(
+                    F.col("p_partkey").alias("l_partkey"), "p_brand",
+                    "p_type", "p_size",
+                )
+            ),
+            "l_partkey",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand NOT IN ('Brand#1', 'Brand#2')
+  AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------- q20
+# Adaptation: no partsupp availqty -> a supplier "holds excess share"
+# of a part when its 1997 shipped quantity of red-named parts exceeds
+# half the PART'S AVERAGE per-supplier quantity (the correlated
+# half-threshold of Q20, re-based on shipments). The nested IN-
+# subquery chain (suppliers IN (... parts IN (...) correlated scalar))
+# is preserved.
+# Plan intent: the correlated scalar is a window avg over the part key
+# on already-aggregated rows; nation is a broadcast dim; output joins
+# supplier as a semi-join.
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN + correlated half-threshold (§2.4)."""
+    _prep(spark)
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        "l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND "
+        "l_shipdate < TIMESTAMP '1998-01-01 00:00:00'"
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    red_parts = read_table(spark, sf_dir, "part").filter(
+        "p_name LIKE 'red%'"
+    ).select(F.col("p_partkey").alias("l_partkey"))
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation").filter("n_name = 'NATION_2'")
+
+    qty = (
+        li.join(F.broadcast(red_parts), "l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.expr(f"CAST(l_quantity AS {DEC})")).alias("qty_d"))
+    )
+    w = Window.partitionBy("l_partkey")
+    excess = qty.withColumn(
+        "part_avg",
+        F.avg(F.col("qty_d").cast("double")).over(w),
+    ).filter(F.col("qty_d").cast("double") > F.col("part_avg") * 0.5)
+    n2_supp = supp.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("s_nationkey"))),
+        "s_nationkey",
+    )
+    return (
+        n2_supp.join(
+            excess.select(F.col("l_suppkey").alias("s_suppkey")).distinct(),
+            "s_suppkey", "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = f"""
+WITH qty AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS q
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_2'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM qty
+    WHERE q > 0.5 * (SELECT AVG(q2.q) FROM qty q2
+                     WHERE q2.l_partkey = qty.l_partkey))
+ORDER BY s_name
+"""
+
+
+# --------------------------------------------------------------- q21
+# Adaptation: "late" is shipping > 60 days after the order date
+# (no receipt/commit dates). Q21's structural core — for finished
+# multi-supplier orders, the supplier who was the ONLY late shipper:
+# EXISTS (another supplier on the order) AND NOT EXISTS (another LATE
+# supplier on the order) — is preserved exactly.
+# Plan intent: both EXISTS become per-order supplier counts computed
+# by ONE window over the per-(order, supplier) aggregate (no triple
+# self-join of lineitem, no second scan — feeding the aggregate to a
+# groupBy + join-back would re-scan because the two consumers defeat
+# exchange reuse); everything keys on l_orderkey.
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS self-join chain (§2.4)."""
+    _prep(spark)
+    orders = read_table(spark, sf_dir, "orders").filter(
+        "o_orderstatus = 'F'"
+    ).select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate")
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, "l_orderkey")
+        .withColumn(
+            "is_late",
+            F.expr("l_shipdate > o_orderdate + INTERVAL 60 DAY").cast("int"),
+        )
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation").filter("n_name = 'NATION_1'")
+
+    # per-(order, supplier) profile, then per-order supplier counts:
+    # EXISTS(other supplier) == n_supp >= 2; NOT EXISTS(other late
+    # supplier) == n_late_supp == 1 (only me)
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late")
+    )
+    w = Window.partitionBy("l_orderkey")
+    waiting = (
+        per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late_supp", F.sum("supp_late").over(w))
+        .filter("supp_late = 1 AND n_supp >= 2 AND n_late_supp = 1")
+    )
+    n1_supp = supp.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("s_nationkey"))),
+        "s_nationkey",
+    ).select(F.col("s_suppkey").alias("l_suppkey"), "s_name")
+    return (
+        waiting.join(F.broadcast(n1_supp), "l_suppkey")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(l_shipdate > o_orderdate + INTERVAL 60 DAY AS INT) AS is_late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per_supp AS (
+  SELECT l_orderkey, l_suppkey, MAX(is_late) AS supp_late
+  FROM li GROUP BY l_orderkey, l_suppkey
+),
+per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(supp_late) AS n_late_supp
+  FROM per_supp GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_supp
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE supp_late = 1 AND n_supp >= 2 AND n_late_supp = 1
+  AND n_name = 'NATION_1'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_parts": q11_important_parts,
+    "q12_ship_latency": q12_ship_latency,
+    "q16_supplier_variety": q16_supplier_variety,
+    "q20_excess_share_suppliers": q20_excess_share_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+}
+ORACLES = {
+    "q2_min_cost_supplier": Q2_SQL,
+    "q11_important_parts": Q11_SQL,
+    "q12_ship_latency": Q12_SQL,
+    "q16_supplier_variety": Q16_SQL,
+    "q20_excess_share_suppliers": Q20_SQL,
+    "q21_waiting_suppliers": Q21_SQL,
+}

@@ -81,3 +81,41 @@ class TestTpch2Plans:
         assert plan.count("lineitem.parquet") == 1
         assert "BroadcastHashJoin" in plan
         assert "p_brand" in plan and "PushedFilters" in plan
+
+
+class TestTpch3Plans:
+    """Round-3 TPC-H (q2/q11/q12/q16/q20/q21) scale policies."""
+
+    def test_q2_correlated_min_is_window_not_rescan(self, spark, queries):
+        """The per-part min cost is a window over the aggregated
+        (part, supplier) rows — lineitem is scanned once."""
+        plan = plan_of(queries["q2_min_cost_supplier"](spark, SF))
+        assert plan.count("lineitem.parquet") == 1
+        assert "Window" in plan
+        assert "SortMergeJoin" not in plan  # dims broadcast
+
+    def test_q11_scalar_fraction_is_broadcast(self, spark, queries):
+        """The global total joins the per-part rows as a 1-row
+        broadcast nested loop, never a shuffled cross join."""
+        plan = plan_of(queries["q11_important_parts"](spark, SF))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q16_blacklist_is_broadcast_anti(self, spark, queries):
+        plan = plan_of(queries["q16_supplier_variety"](spark, SF))
+        assert "LeftAnti" in plan and "Broadcast" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_q20_correlated_threshold_is_window(self, spark, queries):
+        plan = plan_of(queries["q20_excess_share_suppliers"](spark, SF))
+        assert plan.count("lineitem.parquet") == 1
+        assert "Window" in plan
+        # the red-part + date filters reach the scan
+        assert "PushedFilters" in plan and "l_shipdate" in plan
+
+    def test_q21_no_triple_self_join(self, spark, queries):
+        """EXISTS/NOT-EXISTS re-expressed over per-order aggregates:
+        ONE lineitem scan, not the naive l1 x l2 x l3 self-join."""
+        plan = plan_of(queries["q21_waiting_suppliers"](spark, SF))
+        assert plan.count("lineitem.parquet") == 1
+        assert "CartesianProduct" not in plan
