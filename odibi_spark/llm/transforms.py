@@ -283,3 +283,47 @@ def dedup_clusters_transform(
         ctx.df, id_col, text_col, n=n, threshold=threshold, max_df=max_df
     )
     return ctx.with_df(dedup.dedup_clusters(ctx.df, pairs, id_col))
+
+
+@transform("dedup_incremental")
+def dedup_incremental_transform(
+    ctx: EngineContext,
+    *,
+    store_path: str,
+    state_path: str,
+    batch_id: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    state_key: str = "dedup_hwm",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    drop: bool = True,
+) -> EngineContext:
+    """HWM-driven incremental near-dup check against an append-only
+    MinHash signature store (llm/incremental.py): only rows past the
+    committed high-water mark are processed, candidates join the store
+    by LSH band keys, and the batch's signatures append (idempotently)
+    afterwards. ``drop=True`` removes flagged duplicates; False keeps
+    the ``is_dup`` column for downstream routing.
+
+    YAML shape::
+
+        - function: dedup_incremental
+          params: {store_path: sigs/, state_path: state.json,
+                   batch_id: "2026-08-13", id_col: doc_id}
+    """
+    from odibi_spark.llm.incremental import SignatureStore, run_incremental_dedup
+    from odibi_spark.state.hwm import JsonStateBackend
+
+    store = SignatureStore(ctx.df.sparkSession, store_path)
+    flagged = run_incremental_dedup(
+        ctx.df, store, JsonStateBackend(state_path),
+        state_key=state_key, batch_id=str(batch_id), id_col=id_col,
+        text_col=text_col, n=n, num_perm=num_perm, bands=bands,
+        threshold=threshold,
+    )
+    return ctx.with_df(
+        flagged.filter(~F.col("is_dup")).drop("is_dup") if drop else flagged
+    )

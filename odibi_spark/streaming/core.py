@@ -245,3 +245,60 @@ def streaming_shard_writer(
         stream, checkpoint=checkpoint, foreach_batch=write_batch,
         trigger=trigger or {"availableNow": True}, query_name=query_name,
     )
+
+
+def streaming_incremental_dedup(
+    stream: DataFrame,
+    *,
+    target_path: str,
+    store_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    trigger: dict | None = None,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """Live corpus dedup: each micro-batch is checked against the
+    append-only MinHash signature store (every document ever seen) and
+    against itself, and only non-duplicates land in the corpus — the
+    streaming twin of ``llm.incremental.run_incremental_dedup``.
+
+    No HWM filter here: the source checkpoint already makes each
+    micro-batch a pure delta. Exactly-once: kept docs write to
+    ``target_path/batch_id=<epoch>`` (epoch-keyed overwrite) and the
+    epoch's signatures append to the store partitioned by the same
+    epoch with dynamic partition overwrite — a replayed epoch
+    overwrites both its corpus slice and its signature partition, so
+    the replay converges to the same bytes. Within a replay the store
+    may transiently hold the epoch's signatures already; candidate
+    generation is id-inequality-filtered and distinct, so the
+    duplicate signature rows cannot change the flags.
+
+    State growth is one row of ``num_perm`` longs per document ever
+    ingested — the signature store IS the streaming state, readable by
+    the batch pipeline (backfill and live ingestion share the store).
+    """
+    from odibi_spark.llm.incremental import SignatureStore, flag_incremental_dups
+
+    def dedup_batch(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.take(1):
+            return
+        store = SignatureStore(batch.sparkSession, store_path)
+        flagged, sigs_new = flag_incremental_dups(
+            batch, store, id_col=id_col, text_col=text_col, n=n,
+            num_perm=num_perm, bands=bands, threshold=threshold,
+        )
+        kept = flagged.filter(~F.col("is_dup")).drop("is_dup")
+        kept.write.mode("overwrite").parquet(
+            f"{target_path}/batch_id={epoch_id}"
+        )
+        store.append(sigs_new, str(epoch_id))
+
+    return start_stream_write(
+        stream, checkpoint=checkpoint, foreach_batch=dedup_batch,
+        trigger=trigger or {"availableNow": True}, query_name=query_name,
+    )

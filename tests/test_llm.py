@@ -641,6 +641,33 @@ class TestIncrementalDedup:
         assert sigs.count() == 5
         assert sigs.select("id").distinct().count() == 5
 
+    def test_yaml_transform_two_batches(self, spark, tmp_path):
+        """The registry surface: dedup_incremental drives from YAML
+        params across two batches with the same store/state."""
+        from odibi_spark.context import Context, EngineContext
+        from odibi_spark.registry import get_registry
+
+        df, _, _ = self._setup(spark, tmp_path)
+        params = dict(
+            store_path=str(tmp_path / "sigs"),
+            state_path=str(tmp_path / "state.json"),
+            id_col="doc_id", n=2, threshold=0.4,
+        )
+        reg = get_registry()
+        out1 = reg.apply(
+            "dedup_incremental",
+            EngineContext(Context(spark), df.filter("doc_id <= 3")),
+            {**params, "batch_id": "b1"},
+        )
+        assert sorted(r.doc_id for r in out1.df.collect()) == [1, 2]  # 3 dup of 1
+        out2 = reg.apply(
+            "dedup_incremental",
+            EngineContext(Context(spark), df),
+            {**params, "batch_id": "b2"},
+        )
+        # batch 2 delta = {4, 5}; 5 is a dup of (dropped) 3
+        assert sorted(r.doc_id for r in out2.df.collect()) == [4]
+
     def test_incremental_filter_reads_only_delta(self, spark, tmp_path):
         df, store, state = self._setup(spark, tmp_path)
         got = self._run(df.filter("doc_id <= 2"), store, state, "b1")

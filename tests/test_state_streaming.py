@@ -311,3 +311,70 @@ class TestStreamingShardWriter:
         assert (
             back.groupBy("doc_id").count().filter("count > 1").count() == 0
         )
+
+
+class TestStreamingIncrementalDedup:
+    """Live dedup against the shared signature store, exactly-once
+    under epoch replay."""
+
+    SCHEMA = "doc_id long, text string"
+    DOCS = {
+        1: "the quick brown fox jumps over the lazy dog today",
+        2: "an entirely different document about spark pipelines here",
+        3: "the quick brown fox jumps over the lazy dog tonight",  # ~dup of 1
+        4: "yet another unrelated text with its own words only",
+        5: "the quick brown fox leaps over the lazy dog tonight",  # ~dup of 3
+    }
+
+    def _write(self, spark, src, ids):
+        spark.createDataFrame(
+            [(i, self.DOCS[i]) for i in ids], self.SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def _run(self, spark, src, paths):
+        from odibi_spark.streaming.core import streaming_incremental_dedup
+
+        q = streaming_incremental_dedup(
+            spark.readStream.schema(self.SCHEMA).parquet(src),
+            target_path=paths["out"], store_path=paths["store"],
+            checkpoint=paths["ckpt"], n=2, threshold=0.4,
+        )
+        q.awaitTermination()
+
+    def test_waves_dedup_and_replay(self, spark, tmp_path):
+        import glob
+        import os
+
+        src = str(tmp_path / "src")
+        paths = {k: str(tmp_path / k) for k in ("out", "store", "ckpt")}
+
+        self._write(spark, src, [1, 2, 3])
+        self._run(spark, src, paths)
+        kept = {r.doc_id for r in spark.read.parquet(paths["out"]).collect()}
+        assert kept == {1, 2}  # 3 is a near-dup of 1
+
+        # wave 2: 5 matches only 3 (dropped, but its signature is in
+        # the store) -> still caught; 4 is clean
+        self._write(spark, src, [4, 5])
+        self._run(spark, src, paths)
+        kept = {r.doc_id for r in spark.read.parquet(paths["out"]).collect()}
+        assert kept == {1, 2, 4}
+
+        # crash-replay epoch 1: drop its commit marker, rerun
+        commits = sorted(
+            p for p in glob.glob(paths["ckpt"] + "/commits/*")
+            if not p.endswith(".crc")
+        )
+        os.remove(commits[-1])
+        crc = os.path.join(
+            os.path.dirname(commits[-1]),
+            "." + os.path.basename(commits[-1]) + ".crc",
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+        self._run(spark, src, paths)
+        kept = {r.doc_id for r in spark.read.parquet(paths["out"]).collect()}
+        assert kept == {1, 2, 4}  # replay converged, nothing doubled/lost
+        # store holds exactly one signature row per doc
+        sigs = spark.read.parquet(paths["store"])
+        assert sigs.count() == 5
