@@ -638,6 +638,49 @@ WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25
 """
 
 
+def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end mixture weighting: target weights + a global token
+    budget -> per-language sampling fractions (one O(strata) aggregate,
+    driver math) -> deterministic stratified hash sample. Weights are
+    exact binary fractions (0.5/0.25/0.125) so the driver's float
+    arithmetic reproduces bit-identically in the oracle's double math;
+    'zh' carries no weight -> fraction 0."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    fractions = curation.mixture_fractions(
+        docs, {"en": 0.5, "de": 0.25, "fr": 0.125, "es": 0.125},
+        20_000, strata_col="lang", token_col="n_chars",
+    )
+    return curation.stratified_hash_sample(
+        docs, fractions, strata_col="lang", key_col="doc_id", seed=42
+    ).select("doc_id", "lang")
+
+
+MIXTURE_SAMPLE_SQL = """
+WITH tot AS (
+  SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS have
+  FROM documents GROUP BY lang
+),
+fr AS (
+  SELECT lang,
+         LEAST(1.0, (20000.0 * CASE lang WHEN 'en' THEN 0.5
+                                         WHEN 'de' THEN 0.25
+                                         WHEN 'fr' THEN 0.125
+                                         WHEN 'es' THEN 0.125
+                                         ELSE 0.0 END) / have) AS f
+  FROM tot
+),
+h AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substring(
+           md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+           / 1152921504606846976.0 AS u
+  FROM documents
+)
+SELECT h.doc_id, h.lang FROM h JOIN fr USING (lang) WHERE u < f
+"""
+
+
 def chunk_documents_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping word-window chunking (32-word chunks, 8-word
     overlap) — the LM-training chunker, map-side explode only."""
@@ -996,6 +1039,7 @@ QUERIES = {
     "dedup_incremental_docs": dedup_incremental_docs,
     "approx_percentiles_by_source": approx_percentiles_by_source,
     "approx_distinct_fingerprints": approx_distinct_fingerprints,
+    "mixture_weighted_sample": mixture_weighted_sample,
 }
 
 ORACLES = {
@@ -1026,6 +1070,7 @@ ORACLES = {
     # are engine-specific; the driver records a rows-only check and the
     # pytest error-bound test pins the values.
     "approx_percentiles_by_source": APPROX_PERCENTILES_SQL,
+    "mixture_weighted_sample": MIXTURE_SAMPLE_SQL,
     "percentiles_by_source": PERCENTILES_SQL,
     "tfidf_top_terms": TFIDF_SQL,
 }
