@@ -65,6 +65,7 @@ _R5_NEW = [
     "q2_min_cost_supplier", "q11_important_parts", "q12_ship_latency",
     "q16_supplier_variety", "q20_excess_share_suppliers",
     "q21_waiting_suppliers", "mixture_weighted_sample",
+    "schema_polish_customers", "convert_timezone_orders",
 ]
 
 _HEAD = [k for k in _ROTATED_HEAD + _R5_NEW if k in _ALL_QUERIES]

@@ -645,6 +645,56 @@ FROM customer
 """
 
 
+def schema_polish_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bulk schema-shaping family under oracle coverage (§2.3):
+    cast_columns (raw-SQL DECIMAL passthrough + back to double),
+    rename_columns, add_prefix, add_suffix, normalize_column_names
+    (camelCase -> snake), trim_whitespace — chained as a YAML pipeline
+    would chain them."""
+    _prep(spark)
+    ec = _ec(spark, read_table(spark, sf_dir, "customer"))
+    ec = sql_core.cast_columns(ec, columns={"c_acctbal": "DECIMAL(12,2)"})
+    ec = sql_core.cast_columns(ec, columns={"c_acctbal": "double"})
+    ec = sql_core.rename_columns(ec, mapping={"c_name": "customerName"})
+    ec = sql_core.add_prefix(ec, prefix="dim_", columns=["c_mktsegment"])
+    ec = sql_core.add_suffix(ec, suffix="_key", columns=["c_custkey"])
+    ec = sql_core.normalize_column_names(ec, style="snake_case")
+    ec = sql_core.trim_whitespace(ec, columns=["customer_name"])
+    return ec.df.select(
+        "c_custkey_key", "customer_name", "dim_c_mktsegment", "c_acctbal"
+    )
+
+
+SCHEMA_POLISH_SQL = """
+SELECT c_custkey AS c_custkey_key,
+       trim(c_name) AS customer_name,
+       c_mktsegment AS dim_c_mktsegment,
+       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal
+FROM customer
+"""
+
+
+def convert_timezone_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """convert_timezone (§2.3) under oracle coverage with FIXED-OFFSET
+    zones (+02:00 -> -03:00, net -5h): fixed offsets make the oracle
+    independent of the DuckDB session timezone and tzdata version; DST
+    zone behavior is pinned separately in pytest."""
+    _prep(spark)
+    ec = _ec(spark, read_table(spark, sf_dir, "orders"))
+    ec = sql_core.convert_timezone(
+        ec, column="o_orderdate", from_tz="+02:00", to_tz="-03:00",
+        output_column="local_ts",
+    )
+    return ec.df.select("o_orderkey", "o_orderdate", "local_ts")
+
+
+CONVERT_TZ_SQL = """
+SELECT o_orderkey, o_orderdate,
+       o_orderdate - INTERVAL 5 HOUR AS local_ts
+FROM orders
+"""
+
+
 def surrogate_keys_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact key formulas: md5 surrogate + CONV numeric key (§2.7)."""
     _prep(spark)
@@ -921,6 +971,8 @@ QUERIES = {
     "date_parts_orders": date_parts_orders,
     "shipping_delay": shipping_delay,
     "string_ops_customers": string_ops_customers,
+    "schema_polish_customers": schema_polish_customers,
+    "convert_timezone_orders": convert_timezone_orders,
     "surrogate_keys_nation": surrogate_keys_nation,
     "segment_mapping": segment_mapping,
     "fill_replace_segments": fill_replace_segments,
@@ -954,6 +1006,8 @@ ORACLES = {
     "date_parts_orders": DATE_PARTS_SQL,
     "shipping_delay": SHIPPING_DELAY_SQL,
     "string_ops_customers": STRING_OPS_SQL,
+    "schema_polish_customers": SCHEMA_POLISH_SQL,
+    "convert_timezone_orders": CONVERT_TZ_SQL,
     "surrogate_keys_nation": SURROGATE_SQL,
     "segment_mapping": MAPPING_SQL,
     "fill_replace_segments": FILL_REPLACE_SQL,
