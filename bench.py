@@ -124,6 +124,63 @@ def scale_docs_bench(spark, sf_dir: str, factor: int = 10) -> dict:
     }
 
 
+def incr_dedup_probe(spark, sf_dir: str, factor: int = 10) -> dict:
+    """Incremental-dedup flat-cost probe: the SAME fixed delta checked
+    against a 1x signature store and a factor-x store. The candidate
+    join is keyed on LSH band keys, so per-batch cost must grow far
+    sub-linearly with corpus (store) size — the property that makes
+    daily incremental runs viable at 100 TB."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from odibi_spark.io import read_table
+    from odibi_spark.llm.dedup import minhash_signatures
+    from odibi_spark.llm.incremental import SignatureStore, flag_incremental_dups
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_base = docs.count()
+    # delta: 500 perturbed copies with ids above every store id
+    delta = (
+        docs.orderBy("doc_id").limit(500)
+        .select(
+            (F.col("doc_id") + F.lit(10_000_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" deltatoken")).alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tmp = tempfile.mkdtemp(prefix="incr_probe_")
+    out = {"delta_docs": 500, "store_small": n_base, "store_large": n_base * factor}
+    try:
+        for name, reps in (("small", 1), ("large", factor)):
+            corpus = docs
+            if reps > 1:
+                corpus = docs.select(
+                    F.explode(
+                        F.expr(f"sequence(0, {reps - 1})")
+                    ).alias("rep"), "doc_id", "text",
+                ).select(
+                    (F.col("doc_id") + F.col("rep") * 100_000_000).alias("doc_id"),
+                    F.concat_ws(" ", "text", F.col("rep").cast("string")).alias("text"),
+                )
+            store = SignatureStore(spark, f"{tmp}/sigs_{name}")
+            store.append(minhash_signatures(corpus, "doc_id"), "seed")
+            t0 = _t.time()
+            flagged, _sigs = flag_incremental_dups(delta, store)
+            flagged.count()
+            out[f"sec_{name}"] = round(_t.time() - t0, 4)
+        out["time_growth_vs_linear"] = (
+            round(out["sec_large"] / (out["sec_small"] * factor), 3)
+            if out["sec_small"] > 0
+            else None
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def cc_chain_probe(spark, chain_len: int = 1024) -> dict:
     """Connected-components stress probe (VERDICT r4 task 6): a planted
     duplicate CHAIN — the worst-case topology for label propagation
@@ -220,6 +277,11 @@ def main() -> None:
     # connected-components chain stress probe (rounds-to-convergence)
     out["cc_chain"] = cc_chain_probe(spark)
     print(f"# cc_chain: {out['cc_chain']}", file=sys.stderr)
+
+    # incremental-dedup flat-cost probe (fixed delta, growing store)
+    if os.environ.get("SPARK_GRAFT_INCR_PROBE", "1") != "0":
+        out["incr_dedup"] = incr_dedup_probe(spark, sf_dir)
+        print(f"# incr_dedup: {out['incr_dedup']}", file=sys.stderr)
 
     # dedup scaling probe: excluded from `value` so headline totals stay
     # comparable across rounds; disable with SPARK_GRAFT_SCALE_DOCS=0,
