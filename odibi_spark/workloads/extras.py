@@ -426,6 +426,79 @@ ORACLES.update(
 # salt buckets (operators/skew.py): the dim side is replicated 8x
 # (trivial — it is O(event types) rows), the fact side shuffles on
 # (event_type, salt) into 8x more, uniformly loaded tasks.
+def validate_orders_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation engine (§2.10) under oracle coverage: six test types
+    (not_null / accepted_values / range / regex_match / custom_sql /
+    unique) over orders, all row-level checks in ONE aggregate pass;
+    output is the per-test summary the engine reports. The oracle
+    recomputes every failure count in SQL."""
+    _prep(spark)
+    from odibi_spark.validation import run_validation
+
+    df = read_table(spark, sf_dir, "orders")
+    tests = [
+        {"name": "key_not_null", "type": "not_null", "column": "o_orderkey"},
+        {"name": "status_accepted", "type": "accepted_values",
+         "column": "o_orderstatus", "values": ["O", "F", "P"]},
+        {"name": "price_range", "type": "range", "column": "o_totalprice",
+         "min": 0, "max": 1_000_000},
+        {"name": "priority_shape", "type": "regex_match",
+         "column": "o_orderpriority", "pattern": "^[1-5]-"},
+        {"name": "date_window", "type": "custom_sql",
+         "condition": "o_orderdate >= TIMESTAMP '1990-01-01 00:00:00'"},
+        {"name": "key_unique", "type": "unique", "column": "o_orderkey"},
+    ]
+    outcome = run_validation(df, tests)
+    return spark.createDataFrame(
+        [
+            (r.name, r.test_type, r.failed_rows, r.total_rows, r.passed)
+            for r in outcome.results
+        ],
+        "test_name string, test_type string, failed_rows bigint, "
+        "total_rows bigint, passed boolean",
+    )
+
+
+VALIDATE_ORDERS_SQL = """
+WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders),
+f AS (
+  SELECT
+    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS f_not_null,
+    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                    OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS f_accepted,
+    CAST(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
+                    OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS f_range,
+    CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                    OR o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS f_regex,
+    CAST(SUM(CASE WHEN NOT (o_orderdate >= TIMESTAMP '1990-01-01 00:00:00')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS f_custom
+  FROM orders
+),
+u AS (
+  SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS f_unique
+  FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+)
+SELECT 'key_not_null' AS test_name, 'not_null' AS test_type,
+       f_not_null AS failed_rows, total AS total_rows,
+       f_not_null = 0 AS passed FROM f, t
+UNION ALL
+SELECT 'status_accepted', 'accepted_values', f_accepted, total,
+       f_accepted = 0 FROM f, t
+UNION ALL
+SELECT 'price_range', 'range', f_range, total, f_range = 0 FROM f, t
+UNION ALL
+SELECT 'priority_shape', 'regex_match', f_regex, total, f_regex = 0 FROM f, t
+UNION ALL
+SELECT 'date_window', 'custom_sql', f_custom, total, f_custom = 0 FROM f, t
+UNION ALL
+SELECT 'key_unique', 'unique', f_unique, total, f_unique = 0 FROM u, t
+"""
+
+
 def skew_salted_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted join of events to an event_type dim on an extreme-skew
     key, then weighted revenue per type (§2.4 skew path)."""
@@ -475,3 +548,5 @@ ORDER BY e.event_type
 
 QUERIES.update({"skew_salted_event_join": skew_salted_event_join})
 ORACLES.update({"skew_salted_event_join": SKEW_JOIN_SQL})
+QUERIES.update({"validate_orders_quality": validate_orders_quality})
+ORACLES.update({"validate_orders_quality": VALIDATE_ORDERS_SQL})
