@@ -66,7 +66,7 @@ _R5_NEW = [
     "q16_supplier_variety", "q20_excess_share_suppliers",
     "q21_waiting_suppliers", "mixture_weighted_sample",
     "schema_polish_customers", "convert_timezone_orders",
-    "validate_orders_quality",
+    "validate_orders_quality", "star_fact_orders",
 ]
 
 _HEAD = [k for k in _ROTATED_HEAD + _R5_NEW if k in _ALL_QUERIES]

@@ -426,6 +426,56 @@ ORACLES.update(
 # salt buckets (operators/skew.py): the dim side is replicated 8x
 # (trivial — it is O(event types) rows), the fact side shuffles on
 # (event_type, salt) into 8x more, uniformly loaded tasks.
+def star_fact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse patterns (§2.9) under oracle coverage: build_dimension
+    (SCD1 customer dim — deterministic surrogate keys = row_number over
+    the natural key, plus the seeded SK -1 unknown member) then
+    build_fact (broadcast SK lookup, derived measure, grain
+    validation). The oracle replicates the SK assignment and lookup in
+    SQL. The fact keeps orders grain; lookups are broadcast left joins
+    with COALESCE(sk, -1) for unknown members."""
+    _prep(spark)
+    from odibi_spark.patterns.dimension import build_dimension
+    from odibi_spark.patterns.fact import DimensionLookup, build_fact
+
+    tmp = tempfile.mkdtemp(prefix="star_")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    dim = build_dimension(
+        spark, cust, target_path=f"{tmp}/dim_customer",
+        natural_keys=["c_custkey"], surrogate_key="customer_sk", scd="1",
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    fact, _quarantined = build_fact(
+        orders,
+        grain=["o_orderkey"],
+        lookups=[
+            DimensionLookup(
+                dimension=dim, fact_keys=["o_custkey"],
+                dim_keys=["c_custkey"], surrogate_key="customer_sk",
+                output_col="customer_sk",
+            )
+        ],
+        measures={"is_large": "CAST(o_totalprice > 200000 AS INT)"},
+    )
+    return fact.select("o_orderkey", "customer_sk", "o_totalprice", "is_large")
+
+
+STAR_FACT_SQL = """
+WITH dim AS (
+  SELECT c_custkey,
+         CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_sk
+  FROM (SELECT DISTINCT c_custkey FROM customer)
+)
+SELECT o_orderkey,
+       COALESCE(dim.customer_sk, -1) AS customer_sk,
+       o_totalprice,
+       CAST(o_totalprice > 200000 AS INT) AS is_large
+FROM orders LEFT JOIN dim ON dim.c_custkey = o_custkey
+"""
+
+
 def validate_orders_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Validation engine (§2.10) under oracle coverage: six test types
     (not_null / accepted_values / range / regex_match / custom_sql /
@@ -550,3 +600,5 @@ QUERIES.update({"skew_salted_event_join": skew_salted_event_join})
 ORACLES.update({"skew_salted_event_join": SKEW_JOIN_SQL})
 QUERIES.update({"validate_orders_quality": validate_orders_quality})
 ORACLES.update({"validate_orders_quality": VALIDATE_ORDERS_SQL})
+QUERIES.update({"star_fact_orders": star_fact_orders})
+ORACLES.update({"star_fact_orders": STAR_FACT_SQL})
