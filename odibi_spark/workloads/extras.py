@@ -476,6 +476,37 @@ FROM orders LEFT JOIN dim ON dim.c_custkey = o_custkey
 """
 
 
+def delete_detection_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete detection / CDC-without-CDC (§2.9) under oracle coverage:
+    the warehouse holds every customer; the new extract is missing the
+    AUTOMOBILE segment (upstream deletes). Soft mode flags exactly
+    those keys; the circuit breaker is configured above the deleted
+    fraction so the run proceeds. Oracle: an anti-join membership
+    flag."""
+    _prep(spark)
+    from odibi_spark.patterns.delete_detection import detect_deletes
+
+    tmp = tempfile.mkdtemp(prefix="deldet_")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    cust.write.parquet(f"{tmp}/warehouse")
+    shrunken = cust.filter("c_mktsegment <> 'AUTOMOBILE'")
+    out = detect_deletes(
+        spark, shrunken.select("c_custkey"),
+        target_path=f"{tmp}/warehouse", keys=["c_custkey"], mode="soft",
+        max_delete_percent=50.0,
+    )
+    return out.select("c_custkey", "c_mktsegment", "_is_deleted")
+
+
+DELETE_DETECTION_SQL = """
+SELECT c_custkey, c_mktsegment,
+       (c_mktsegment = 'AUTOMOBILE') AS _is_deleted
+FROM customer
+"""
+
+
 def validate_orders_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Validation engine (§2.10) under oracle coverage: six test types
     (not_null / accepted_values / range / regex_match / custom_sql /
@@ -602,3 +633,5 @@ QUERIES.update({"validate_orders_quality": validate_orders_quality})
 ORACLES.update({"validate_orders_quality": VALIDATE_ORDERS_SQL})
 QUERIES.update({"star_fact_orders": star_fact_orders})
 ORACLES.update({"star_fact_orders": STAR_FACT_SQL})
+QUERIES.update({"delete_detection_customers": delete_detection_customers})
+ORACLES.update({"delete_detection_customers": DELETE_DETECTION_SQL})
