@@ -67,7 +67,7 @@ _R5_NEW = [
     "q21_waiting_suppliers", "mixture_weighted_sample",
     "schema_polish_customers", "convert_timezone_orders",
     "validate_orders_quality", "star_fact_orders",
-    "delete_detection_customers",
+    "delete_detection_customers", "incremental_agg_orders",
 ]
 
 _HEAD = [k for k in _ROTATED_HEAD + _R5_NEW if k in _ALL_QUERIES]

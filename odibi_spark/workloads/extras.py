@@ -476,6 +476,46 @@ FROM orders LEFT JOIN dim ON dim.c_custkey = o_custkey
 """
 
 
+def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation pattern (§2.9/§2.11) under oracle
+    coverage: per-customer order counts and decimal-exact spend built
+    from TWO date-split batches with merge_sum (each batch aggregates
+    only its own rows; the merge folds them into running totals),
+    hash-checked against a ONE-SHOT GROUP BY oracle — the replay-
+    equals-full-pass proof for incremental rollups."""
+    _prep(spark)
+    from odibi_spark.patterns.aggregation import aggregate_incremental
+
+    tmp = tempfile.mkdtemp(prefix="incragg_")
+    orders = read_table(spark, sf_dir, "orders")
+    kw = dict(
+        target_path=f"{tmp}/rollup", grain=["o_custkey"],
+        measures={
+            "n_orders": "count(*)",
+            "spend_d": f"sum(CAST(o_totalprice AS {DEC}))",
+        },
+        strategy="merge_sum",
+    )
+    aggregate_incremental(
+        spark, orders.filter("o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"),
+        **kw,
+    )
+    out = aggregate_incremental(
+        spark, orders.filter("o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'"),
+        **kw,
+    )
+    return out.select(
+        "o_custkey", "n_orders", F.col("spend_d").cast("double").alias("spend")
+    )
+
+
+INCR_AGG_SQL = f"""
+SELECT o_custkey, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS spend
+FROM orders GROUP BY o_custkey
+"""
+
+
 def delete_detection_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delete detection / CDC-without-CDC (§2.9) under oracle coverage:
     the warehouse holds every customer; the new extract is missing the
@@ -635,3 +675,5 @@ QUERIES.update({"star_fact_orders": star_fact_orders})
 ORACLES.update({"star_fact_orders": STAR_FACT_SQL})
 QUERIES.update({"delete_detection_customers": delete_detection_customers})
 ORACLES.update({"delete_detection_customers": DELETE_DETECTION_SQL})
+QUERIES.update({"incremental_agg_orders": incremental_agg_orders})
+ORACLES.update({"incremental_agg_orders": INCR_AGG_SQL})
