@@ -3,6 +3,7 @@ from odibi_spark.streaming.core import (
     start_stream_write,
     stateful_running_stats,
     streaming_dedup_within_watermark,
+    streaming_interval_join,
     streaming_sessionize,
     windowed_aggregate,
 )
@@ -13,5 +14,6 @@ __all__ = [
     "windowed_aggregate",
     "streaming_sessionize",
     "streaming_dedup_within_watermark",
+    "streaming_interval_join",
     "stateful_running_stats",
 ]

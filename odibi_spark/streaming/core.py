@@ -247,6 +247,68 @@ def streaming_shard_writer(
     )
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    within: str,
+    how: str = "inner",
+    left_watermark: str | None = None,
+    right_watermark: str | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Stream-stream equi + time-interval join (beyond reference —
+    SURVEY §2.14 notes the reference has no streaming join at all).
+
+    Matches every left row to right rows with equal ``keys`` whose
+    ``right_ts`` falls in ``[left_ts, left_ts + within]`` — the
+    streaming twin of the batch bucketized range join
+    (operators/temporal_join.py), e.g. click -> purchases-within-1h
+    attribution.
+
+    Scale contract (100 TB/day): BOTH sides carry event-time
+    watermarks and the join predicate carries an explicit time-range
+    bound, so Spark derives state-eviction watermarks for each side —
+    buffered state is bounded by (arrival rate x (watermark + within)),
+    never the full history. An unbounded stream-stream join (no
+    watermark or no time bound) buffers everything and is a
+    non-starter; this function makes the bounded form the only form.
+
+    ``how``: "inner" emits matches eagerly; "leftOuter"/"rightOuter"/
+    "fullOuter" additionally emit null-padded rows once the watermark
+    proves no match can arrive (Spark requires the time bound + both
+    watermarks for outer emission — enforced here by construction).
+
+    Right-side columns whose names collide with left-side non-key
+    columns are renamed with ``suffix``; the joined frame keeps ONE
+    copy of the equality keys.
+    """
+    lw = left.withWatermark(left_ts, left_watermark or within)
+    r2 = right
+    collide = [
+        c for c in right.columns if c in left.columns and c not in keys
+    ]
+    for c in collide:
+        r2 = r2.withColumnRenamed(c, c + suffix)
+    rts = right_ts + suffix if right_ts in collide else right_ts
+    rw = r2.withWatermark(rts, right_watermark or within)
+    cond = None
+    for k in keys:
+        c = lw[k] == rw[k]
+        cond = c if cond is None else (cond & c)
+    bound = (rw[rts] >= lw[left_ts]) & (
+        rw[rts] <= lw[left_ts] + F.expr(f"INTERVAL {within}")
+    )
+    cond = bound if cond is None else (cond & bound)
+    joined = lw.join(rw, cond, how)
+    for k in keys:
+        joined = joined.drop(rw[k])
+    return joined
+
+
 def streaming_incremental_dedup(
     stream: DataFrame,
     *,

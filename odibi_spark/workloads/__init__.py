@@ -54,13 +54,19 @@ _ROTATED_HEAD = [
     "token_counts_by_source", "fingerprint_by_source",
     "lang_stopword_profile", "language_guesses",
     "except_lapsed_customers", "intersect_repeat_customers",
-    "cube_flag_status", "rollup_orders_year_priority",
+    # cube_flag_status / rollup_orders_year_priority were driver-hash-
+    # checked in round 4 (VERDICT r4 §2.5), so they yield their sample
+    # slots to the two never-driver-checked round-5 additions at the
+    # end of _R5_NEW and sit in the tail under the committed oracle log.
 ]
 
 # Workloads declared for the first time in round 5 — never driver-
 # checked, so they go right after the rotated head (inside the first 50).
+# (approx_distinct_fingerprints is rows-only by design — no hash oracle
+# exists for it, so it yields the sample slot to a hash-checkable
+# workload and sits in the tail with its bounded-error pytest.)
 _R5_NEW = [
-    "approx_percentiles_by_source", "approx_distinct_fingerprints",
+    "approx_percentiles_by_source",
     "dedup_incremental_docs",
     "q2_min_cost_supplier", "q11_important_parts", "q12_ship_latency",
     "q16_supplier_variety", "q20_excess_share_suppliers",
@@ -68,6 +74,7 @@ _R5_NEW = [
     "schema_polish_customers", "convert_timezone_orders",
     "validate_orders_quality", "star_fact_orders",
     "delete_detection_customers", "incremental_agg_orders",
+    "streaming_click_attribution", "resample_user_events",
 ]
 
 _HEAD = [k for k in _ROTATED_HEAD + _R5_NEW if k in _ALL_QUERIES]

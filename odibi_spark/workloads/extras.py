@@ -667,6 +667,137 @@ ORDER BY e.event_type
 """
 
 
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (§2.14 beyond reference): a click
+    stream joined to a purchase stream on user_id with the purchase
+    falling within 1 hour AFTER the click — both sides watermarked, the
+    time bound in the join predicate, so buffered state stays bounded
+    by rate x horizon at 100 TB/day. Inner join emits matches eagerly,
+    so driving the finite source with availableNow yields exactly the
+    batch interval-join result and the DuckDB oracle hash-matches."""
+    _prep(spark)
+    from odibi_spark.streaming import start_stream_write, streaming_interval_join
+
+    ev = read_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="ssjoin_")
+    # single-file sources: one micro-batch, no per-file scheduling churn
+    ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/clicks")
+    ev.filter("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("purchase_ts"), "value"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/purchases")
+
+    clicks = spark.readStream.schema(
+        "click_id BIGINT, user_id BIGINT, ts TIMESTAMP"
+    ).parquet(f"{tmp}/clicks")
+    purchases = spark.readStream.schema(
+        "user_id BIGINT, purchase_ts TIMESTAMP, value DOUBLE"
+    ).parquet(f"{tmp}/purchases")
+    joined = streaming_interval_join(
+        clicks, purchases, keys=["user_id"], left_ts="ts",
+        right_ts="purchase_ts", within="1 hour", how="inner",
+    )
+    name = f"attrib_{abs(hash(tmp)) % 100000}"
+    # shuffle partitions fix the state-store partition count for the
+    # life of the query: 8 is plenty for the harness volume (at real
+    # scale this is sized to executor count BEFORE first start — it is
+    # frozen into the checkpoint)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = start_stream_write(
+            joined, format="memory", output_mode="append", query_name=name,
+            checkpoint=f"{tmp}/ckpt", trigger={"availableNow": True},
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name).select(
+        "click_id", "user_id", "ts", "purchase_ts", "value"
+    )
+
+
+CLICK_ATTRIB_SQL = """
+SELECT c.event_id AS click_id, c.user_id, c.ts,
+       p.ts AS purchase_ts, p.value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
+def resample_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill (§2.6): per-user event values
+    onto a dense 6-hour grid — bucket aggregate, per-group span grid
+    via sequence+explode (no global calendar cross join), left join,
+    forward fill over a per-user window. Gaps flagged."""
+    _prep(spark)
+    from odibi_spark.operators.window import resample_frames
+
+    ev = read_table(spark, sf_dir, "events")
+    out = resample_frames(
+        ev,
+        group_by=["user_id"],
+        timestamp_column="ts",
+        interval_seconds=21600,
+        aggregations={
+            "n_events": "count(*)",
+            "avg_value": (
+                f"round(cast(sum(cast(value as {DEC})) as double)"
+                " / count(*), 4)"
+            ),
+        },
+        fill_columns=["avg_value"],
+        fill="ffill",
+    )
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "is_gap",
+        F.col("avg_value_ffill").alias("value_ffill"),
+    )
+
+
+RESAMPLE_SQL = f"""
+WITH b AS (
+  SELECT user_id,
+         make_timestamp(CAST(floor(epoch(ts)/21600)*21600*1000000 AS BIGINT))
+           AS bucket_ts,
+         COUNT(*) AS n_events,
+         round(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) / COUNT(*), 4)
+           AS avg_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, MIN(bucket_ts) AS mn, MAX(bucket_ts) AS mx
+  FROM b GROUP BY 1
+),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(mn, mx, INTERVAL 6 HOUR)) AS bucket_ts
+  FROM bounds
+),
+j AS (
+  SELECT g.user_id, g.bucket_ts, b.n_events, b.avg_value
+  FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket_ts = g.bucket_ts
+)
+SELECT user_id, bucket_ts,
+       COALESCE(n_events, 0) AS n_events,
+       (n_events IS NULL) AS is_gap,
+       last_value(avg_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+FROM j
+"""
+
+
+QUERIES.update({"resample_user_events": resample_user_events})
+ORACLES.update({"resample_user_events": RESAMPLE_SQL})
+QUERIES.update({"streaming_click_attribution": streaming_click_attribution})
+ORACLES.update({"streaming_click_attribution": CLICK_ATTRIB_SQL})
 QUERIES.update({"skew_salted_event_join": skew_salted_event_join})
 ORACLES.update({"skew_salted_event_join": SKEW_JOIN_SQL})
 QUERIES.update({"validate_orders_quality": validate_orders_quality})

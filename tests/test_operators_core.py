@@ -273,3 +273,80 @@ class TestGroupingSets:
         ).df
         got = {(r.f, r.n) for r in out.collect()}
         assert got == {("A", 2), (None, 3)}
+
+
+class TestResampleTimeseries:
+    def _frame(self, spark):
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "k": ["a", "a", "a", "b"],
+                # a: events in buckets 0 and 3 (600s grid) -> gaps at 1, 2
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:01", "2024-01-01 00:05",
+                     "2024-01-01 00:31", "2024-01-01 02:00"]
+                ).astype("datetime64[us]"),
+                "v": [10.0, 20.0, 40.0, 7.0],
+            }
+        )
+        return spark.createDataFrame(pdf)
+
+    def test_ffill_grid_and_gaps(self, spark):
+        from odibi_spark.operators.window import resample_frames
+
+        out = resample_frames(
+            self._frame(spark),
+            group_by=["k"],
+            timestamp_column="ts",
+            interval_seconds=600,
+            aggregations={"n": "count(*)", "avg_v": "avg(v)"},
+            fill_columns=["avg_v"],
+            fill="ffill",
+        ).collect()
+        a = sorted(
+            [(r.bucket_ts.minute, r.n, r.is_gap, r.avg_v_ffill)
+             for r in out if r.k == "a"]
+        )
+        # dense 600s grid over a's span: buckets :00 :10 :20 :30
+        assert [x[0] for x in a] == [0, 10, 20, 30]
+        assert [x[1] for x in a] == [2, None, None, 1]
+        assert [x[2] for x in a] == [False, True, True, False]
+        # ffill carries the :00 average (15.0) through the gap
+        assert [x[3] for x in a] == [15.0, 15.0, 15.0, 40.0]
+        # b: single bucket, no gaps
+        b = [r for r in out if r.k == "b"]
+        assert len(b) == 1 and b[0].is_gap is False
+
+    def test_zero_fill_and_registry_surface(self, spark):
+        from odibi_spark.context import Context, EngineContext
+        from odibi_spark.registry import get_registry
+        import odibi_spark.operators  # noqa: F401 — registers transforms
+
+        ec = EngineContext(Context(spark), self._frame(spark))
+        out = get_registry().apply(
+            "resample_timeseries",
+            ec,
+            {
+                "group_by": ["k"],
+                "timestamp_column": "ts",
+                "interval_seconds": 600,
+                "aggregations": {"n": "count(*)"},
+                "fill_columns": ["n"],
+                "fill": "zero",
+            },
+        ).df
+        rows = {(r.k, r.bucket_ts.minute): r.n_filled for r in out.collect()}
+        assert rows[("a", 10)] == 0 and rows[("a", 0)] == 2
+
+    def test_bad_fill_raises(self, spark):
+        import pytest as _pytest
+
+        from odibi_spark.operators.window import resample_frames
+
+        with _pytest.raises(ValueError, match="unsupported fill"):
+            resample_frames(
+                self._frame(spark), group_by=["k"], timestamp_column="ts",
+                interval_seconds=600, aggregations={"n": "count(*)"},
+                fill="bogus",
+            )

@@ -143,6 +143,89 @@ class TestStreaming:
         q2.awaitTermination()
         assert spark.read.parquet(target).count() == batch.count()
 
+    def test_stream_stream_interval_join_inner_equals_batch(
+        self, spark, tmp_path, stream_src
+    ):
+        from odibi_spark.streaming import streaming_interval_join
+
+        _, batch = stream_src
+        clicks_b = batch.filter("event_type = 'click'").select(
+            F.col("event_id").alias("click_id"), "user_id", "ts"
+        )
+        buys_b = batch.filter("event_type = 'purchase'").select(
+            "user_id", F.col("ts").alias("buy_ts"), "value"
+        )
+        clicks_b.write.parquet(str(tmp_path / "clicks"))
+        buys_b.write.parquet(str(tmp_path / "buys"))
+        clicks = spark.readStream.schema(
+            "click_id BIGINT, user_id BIGINT, ts TIMESTAMP"
+        ).parquet(str(tmp_path / "clicks"))
+        buys = spark.readStream.schema(
+            "user_id BIGINT, buy_ts TIMESTAMP, value DOUBLE"
+        ).parquet(str(tmp_path / "buys"))
+        joined = streaming_interval_join(
+            clicks, buys, keys=["user_id"], left_ts="ts",
+            right_ts="buy_ts", within="1 hour",
+        )
+        q = start_stream_write(
+            joined, format="memory", output_mode="append",
+            query_name="ssj", checkpoint=str(tmp_path / "cj"),
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination()
+        got = spark.sql("SELECT * FROM ssj")
+        expected = clicks_b.join(buys_b, "user_id").filter(
+            "buy_ts >= ts AND buy_ts <= ts + INTERVAL 1 HOUR"
+        )
+        assert got.count() == expected.count() > 0
+        assert got.exceptAll(expected.select(*got.columns)).count() == 0
+
+    def test_stream_stream_interval_join_left_outer_emits_unmatched(
+        self, spark, tmp_path
+    ):
+        import pandas as pd
+
+        from odibi_spark.streaming import streaming_interval_join
+
+        lsrc, rsrc = tmp_path / "l", tmp_path / "r"
+        lsrc.mkdir(), rsrc.mkdir()
+        ts = lambda s: pd.to_datetime(s).astype("datetime64[us]")
+        # left: one matched key, one unmatched key, plus a far-future
+        # sentinel in a SECOND file so a later micro-batch advances the
+        # watermark past the real rows and flushes the outer result
+        pd.DataFrame(
+            {"k": [1, 2], "lts": ts(["2024-01-01 10:00", "2024-01-01 10:00"])}
+        ).to_parquet(lsrc / "a.parquet")
+        pd.DataFrame({"k": [99], "lts": ts(["2024-06-01 00:00"])}).to_parquet(
+            lsrc / "b.parquet"
+        )
+        pd.DataFrame(
+            {"k": [1, 99], "rts": ts(["2024-01-01 10:30", "2024-06-01 00:00"])}
+        ).to_parquet(rsrc / "a.parquet")
+        left = (
+            spark.readStream.schema("k BIGINT, lts TIMESTAMP")
+            .option("maxFilesPerTrigger", "1").parquet(str(lsrc))
+        )
+        right = spark.readStream.schema("k BIGINT, rts TIMESTAMP").parquet(
+            str(rsrc)
+        )
+        joined = streaming_interval_join(
+            left, right, keys=["k"], left_ts="lts", right_ts="rts",
+            within="1 hour", how="leftOuter",
+        )
+        q = start_stream_write(
+            joined, format="memory", output_mode="append",
+            query_name="ssj_outer", checkpoint=str(tmp_path / "co"),
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination()
+        rows = {
+            (r.k, r.rts is None)
+            for r in spark.sql("SELECT * FROM ssj_outer").collect()
+        }
+        assert (1, False) in rows  # matched within the hour
+        assert (2, True) in rows  # unmatched, emitted null-padded
+
     def test_streaming_sessionize(self, spark, tmp_path, stream_src):
         stream, _ = stream_src
         sess = streaming_sessionize(
