@@ -1,0 +1,248 @@
+"""Product/behavioral analytics operators: ordered funnels, cohort
+retention, and per-group z-score outlier flagging.
+
+Beyond-reference additions (the reference has no funnel/cohort/outlier
+transformers — its closest surface is sessionize + window_calculation,
+odibi/transformers/advanced.py:782-993); these are the standard
+event-analytics queries an engine at this altitude is expected to
+answer, expressed as declarative DataFrame plans so Catalyst keeps
+them in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from odibi_spark.context import EngineContext
+from odibi_spark.registry import transform
+
+
+def funnel_frames(
+    df: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    within: str | None = None,
+) -> DataFrame:
+    """Ordered funnel: per user, the earliest timestamp of each step
+    where step k must occur strictly AFTER the user's step k-1 time
+    (the standard "first qualifying chain" funnel, not mere presence).
+
+    ``within`` (e.g. ``"7 days"``) optionally bounds the whole funnel
+    to a horizon after the user's step-1 time.
+
+    Plan shape (scale contract): each step filters the event stream to
+    ONE event type BEFORE joining — the join inputs are per-step
+    slices, never the full fact table; all joins and aggregations key
+    on ``user_col``, so one hash-partitioning is reused across the
+    chain and AQE coalesces the (users x steps) intermediates. No
+    windows, no cross joins; cost is len(steps) filtered scans (one
+    per type) over a single cached projection.
+
+    Output: one row per user that completed step 1, with nullable
+    ``step_<i>_<name>_ts`` columns for each step.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    ev = df.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__t"),
+    )
+    cols: list[str] = []
+
+    def _name(i: int) -> str:
+        return f"step_{i + 1}_{steps[i]}_ts"
+
+    cur = (
+        ev.filter(F.col("__t") == steps[0])
+        .groupBy("__u")
+        .agg(F.min("__ts").alias(_name(0)))
+    )
+    cols.append(_name(0))
+    horizon = (
+        F.col(_name(0)) + F.expr(f"INTERVAL {within}") if within else None
+    )
+    for i in range(1, len(steps)):
+        step_ev = ev.filter(F.col("__t") == steps[i])
+        joined = cur.join(step_ev, "__u", "left")
+        ok = F.col("__ts") > F.col(_name(i - 1))
+        if horizon is not None:
+            ok = ok & (F.col("__ts") <= horizon)
+        qual = F.when(ok, F.col("__ts"))
+        cur = joined.groupBy("__u", *cols).agg(F.min(qual).alias(_name(i)))
+        cols.append(_name(i))
+    return cur.withColumnRenamed("__u", user_col)
+
+
+def funnel_counts(
+    df: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    within: str | None = None,
+) -> DataFrame:
+    """Funnel summary: users reaching each step (+ conversion from
+    step 1), from one :func:`funnel_frames` pass."""
+    fr = funnel_frames(
+        df, user_col=user_col, ts_col=ts_col, type_col=type_col,
+        steps=steps, within=within,
+    )
+    step_cols = [c for c in fr.columns if c != user_col]
+    counts = fr.agg(
+        *[F.count(c).alias(f"__n{i}") for i, c in enumerate(step_cols)]
+    )
+    rows = None
+    for i, s in enumerate(steps):
+        row = counts.select(
+            F.lit(i + 1).alias("step_index"),
+            F.lit(s).alias("step"),
+            F.col(f"__n{i}").alias("n_users"),
+            F.round(
+                F.col(f"__n{i}").cast("double") / F.col("__n0"), 6
+            ).alias("conversion_from_first"),
+        )
+        rows = row if rows is None else rows.unionAll(row)
+    return rows
+
+
+def cohort_retention_frames(
+    df: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity
+    period (their cohort); output = (cohort_period, period_index,
+    n_active) — how many of each cohort were active N periods later.
+
+    Plan shape: one groupBy(user) for first-activity (map-side
+    partial), one distinct over (user, period), one broadcast-sized
+    join back on user (cohort table is O(users) — at 100 TB of events
+    this is still only the user dimension), one final groupBy. Period
+    arithmetic stays integral (datediff/7 for weeks, months_between
+    for months) — no float drift across engines.
+    """
+    if period == "week":
+        bucket = lambda c: F.date_trunc("week", c)  # noqa: E731
+        idx = (
+            F.datediff(F.col("__p"), F.col("__cohort")) / 7
+        ).cast("bigint")
+    elif period == "month":
+        bucket = lambda c: F.date_trunc("month", c)  # noqa: E731
+        idx = F.months_between(F.col("__p"), F.col("__cohort")).cast("bigint")
+    elif period == "day":
+        bucket = lambda c: F.date_trunc("day", c)  # noqa: E731
+        idx = F.datediff(F.col("__p"), F.col("__cohort")).cast("bigint")
+    else:
+        raise ValueError(f"unsupported period '{period}'")
+    ev = df.select(
+        F.col(user_col).alias("__u"), bucket(F.col(ts_col)).alias("__p")
+    )
+    cohort = ev.groupBy("__u").agg(F.min("__p").alias("__cohort"))
+    active = ev.distinct()
+    return (
+        active.join(cohort, "__u")
+        .groupBy(
+            F.col("__cohort").alias("cohort_period"),
+            idx.alias("period_index"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    *,
+    group_by: list[str],
+    value_col: str,
+    threshold: float = 3.0,
+    z_col: str = "z_score",
+    flag_col: str = "is_outlier",
+) -> DataFrame:
+    """Per-group z-score outlier flagging: z = (v - mean) / stddev_samp
+    within each group; |z| > threshold flags the row. Groups with one
+    row (stddev undefined) or zero variance produce null z and False.
+
+    Plan shape: ONE groupBy computes (mean, stddev) per group —
+    O(groups) rows — then joins back to the fact; the stats side is
+    dimension-sized, so Spark broadcast-joins it and the fact never
+    shuffles. (A window over the group would shuffle the full fact
+    table instead.)
+    """
+    stats = df.groupBy(*group_by).agg(
+        F.avg(value_col).alias("__mean"),
+        F.stddev_samp(value_col).alias("__sd"),
+    )
+    z = F.when(
+        F.col("__sd") > 0, (F.col(value_col) - F.col("__mean")) / F.col("__sd")
+    )
+    return (
+        df.join(F.broadcast(stats), group_by)
+        .withColumn(z_col, z)
+        .withColumn(
+            flag_col, F.coalesce(F.abs(F.col(z_col)) > threshold, F.lit(False))
+        )
+        .drop("__mean", "__sd")
+    )
+
+
+@transform("funnel")
+def funnel(
+    ctx: EngineContext,
+    *,
+    user_column: str,
+    timestamp_column: str,
+    type_column: str,
+    steps: list[str],
+    within: str | None = None,
+    summary: bool = True,
+) -> EngineContext:
+    """YAML surface: ordered funnel (summary=True -> per-step counts,
+    else per-user step timestamps)."""
+    fn = funnel_counts if summary else funnel_frames
+    return ctx.with_df(
+        fn(
+            ctx.df, user_col=user_column, ts_col=timestamp_column,
+            type_col=type_column, steps=steps, within=within,
+        )
+    )
+
+
+@transform("cohort_retention")
+def cohort_retention(
+    ctx: EngineContext,
+    *,
+    user_column: str,
+    timestamp_column: str,
+    period: str = "week",
+) -> EngineContext:
+    """YAML surface: cohort retention matrix."""
+    return ctx.with_df(
+        cohort_retention_frames(
+            ctx.df, user_col=user_column, ts_col=timestamp_column,
+            period=period,
+        )
+    )
+
+
+@transform("flag_outliers")
+def flag_outliers(
+    ctx: EngineContext,
+    *,
+    group_by: list[str],
+    value_column: str,
+    threshold: float = 3.0,
+) -> EngineContext:
+    """YAML surface: per-group z-score outlier flagging."""
+    return ctx.with_df(
+        zscore_outliers(
+            ctx.df, group_by=group_by, value_col=value_column,
+            threshold=threshold,
+        )
+    )

@@ -53,11 +53,12 @@ _ROTATED_HEAD = [
     "unpivot_flag_metrics", "window_price_change",
     "token_counts_by_source", "fingerprint_by_source",
     "lang_stopword_profile", "language_guesses",
-    "except_lapsed_customers", "intersect_repeat_customers",
     # cube_flag_status / rollup_orders_year_priority were driver-hash-
-    # checked in round 4 (VERDICT r4 §2.5), so they yield their sample
-    # slots to the two never-driver-checked round-5 additions at the
-    # end of _R5_NEW and sit in the tail under the committed oracle log.
+    # checked in round 4 (VERDICT r4 §2.5); except_lapsed_customers /
+    # intersect_repeat_customers are thin set-op wrappers with r1-r3
+    # driver checks plus dedicated pytest coverage. All four yield
+    # their sample slots to never-driver-checked round-5 additions and
+    # sit in the tail under the committed oracle log.
 ]
 
 # Workloads declared for the first time in round 5 — never driver-
@@ -75,6 +76,8 @@ _R5_NEW = [
     "validate_orders_quality", "star_fact_orders",
     "delete_detection_customers", "incremental_agg_orders",
     "streaming_click_attribution", "resample_user_events",
+    "funnel_view_click_purchase", "cohort_daily_retention",
+    "outlier_events_zscore",
 ]
 
 _HEAD = [k for k in _ROTATED_HEAD + _R5_NEW if k in _ALL_QUERIES]

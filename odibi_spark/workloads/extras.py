@@ -794,6 +794,113 @@ FROM j
 """
 
 
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (beyond reference): first view -> first click
+    after it -> first purchase after that, all within 7 days of the
+    first view; per-step user counts + conversion."""
+    _prep(spark)
+    from odibi_spark.operators.analytics import funnel_counts
+
+    ev = read_table(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, user_col="user_id", ts_col="ts", type_col="event_type",
+        steps=["view", "click", "purchase"], within="7 days",
+    )
+
+
+FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+  GROUP BY 1
+),
+n AS (
+  SELECT (SELECT COUNT(*) FROM s1) AS n1,
+         (SELECT COUNT(*) FROM s2) AS n2,
+         (SELECT COUNT(*) FROM s3) AS n3
+)
+SELECT CAST(1 AS INTEGER) AS step_index, 'view' AS step, n1 AS n_users,
+       round(CAST(n1 AS DOUBLE) / n1, 6) AS conversion_from_first FROM n
+UNION ALL
+SELECT 2, 'click', n2, round(CAST(n2 AS DOUBLE) / n1, 6) FROM n
+UNION ALL
+SELECT 3, 'purchase', n3, round(CAST(n3 AS DOUBLE) / n1, 6) FROM n
+"""
+
+
+def cohort_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (beyond reference): users bucketed by first
+    active day; matrix of (cohort_day, days_since, active users)."""
+    _prep(spark)
+    from odibi_spark.operators.analytics import cohort_retention_frames
+
+    ev = read_table(spark, sf_dir, "events")
+    return cohort_retention_frames(
+        ev, user_col="user_id", ts_col="ts", period="day"
+    )
+
+
+COHORT_SQL = """
+WITH ev AS (SELECT user_id AS u, date_trunc('day', ts) AS p FROM events),
+c AS (SELECT u, MIN(p) AS cohort FROM ev GROUP BY 1),
+a AS (SELECT DISTINCT u, p FROM ev)
+SELECT cohort AS cohort_period,
+       CAST(date_diff('day', cohort, p) AS BIGINT) AS period_index,
+       COUNT(*) AS n_active
+FROM a JOIN c USING (u)
+GROUP BY 1, 2
+"""
+
+
+def outlier_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flagging (beyond reference): events
+    whose value is >3 sample standard deviations from their event
+    type's mean. Stats side is O(groups) and broadcast — the fact
+    never shuffles."""
+    _prep(spark)
+    from odibi_spark.operators.analytics import zscore_outliers
+
+    ev = read_table(spark, sf_dir, "events")
+    out = zscore_outliers(
+        ev, group_by=["event_type"], value_col="value", threshold=3.0
+    )
+    return out.filter("is_outlier").select(
+        "event_id", "event_type", "value",
+        F.round("z_score", 3).alias("z3"),
+    )
+
+
+OUTLIER_SQL = """
+WITH s AS (
+  SELECT event_type, AVG(value) AS m, stddev_samp(value) AS sd
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - s.m) / s.sd, 3) AS z3
+FROM events e JOIN s USING (event_type)
+WHERE s.sd > 0 AND abs((e.value - s.m) / s.sd) > 3
+"""
+
+
+QUERIES.update({"funnel_view_click_purchase": funnel_view_click_purchase})
+ORACLES.update({"funnel_view_click_purchase": FUNNEL_SQL})
+QUERIES.update({"cohort_daily_retention": cohort_daily_retention})
+ORACLES.update({"cohort_daily_retention": COHORT_SQL})
+QUERIES.update({"outlier_events_zscore": outlier_events_zscore})
+ORACLES.update({"outlier_events_zscore": OUTLIER_SQL})
 QUERIES.update({"resample_user_events": resample_user_events})
 ORACLES.update({"resample_user_events": RESAMPLE_SQL})
 QUERIES.update({"streaming_click_attribution": streaming_click_attribution})

@@ -1,0 +1,152 @@
+"""Funnel / cohort / outlier operator semantics (operators/analytics.py)."""
+
+import pandas as pd
+import pytest
+
+from odibi_spark.operators.analytics import (
+    cohort_retention_frames,
+    funnel_counts,
+    funnel_frames,
+    zscore_outliers,
+)
+
+
+def _events(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["u", "ts", "t"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    return spark.createDataFrame(pdf)
+
+
+class TestFunnel:
+    def test_order_matters(self, spark):
+        df = _events(
+            spark,
+            [
+                # u1 completes view -> click in order
+                (1, "2024-01-01 10:00", "view"),
+                (1, "2024-01-01 11:00", "click"),
+                # u2 clicked BEFORE viewing: click must not count
+                (2, "2024-01-01 09:00", "click"),
+                (2, "2024-01-01 10:00", "view"),
+            ],
+        )
+        fr = funnel_frames(
+            df, user_col="u", ts_col="ts", type_col="t",
+            steps=["view", "click"],
+        )
+        rows = {r.u: r for r in fr.collect()}
+        assert rows[1].step_2_click_ts is not None
+        assert rows[2].step_2_click_ts is None
+
+    def test_within_horizon(self, spark):
+        df = _events(
+            spark,
+            [
+                (1, "2024-01-01 10:00", "view"),
+                (1, "2024-01-09 10:00", "click"),  # outside 7 days
+                (2, "2024-01-01 10:00", "view"),
+                (2, "2024-01-02 10:00", "click"),  # inside
+            ],
+        )
+        out = funnel_counts(
+            df, user_col="u", ts_col="ts", type_col="t",
+            steps=["view", "click"], within="7 days",
+        ).collect()
+        by_step = {r.step: r for r in out}
+        assert by_step["view"].n_users == 2
+        assert by_step["click"].n_users == 1
+        assert by_step["click"].conversion_from_first == 0.5
+
+    def test_chain_uses_first_qualifying_time(self, spark):
+        # the user's FIRST click is before the view; the later click
+        # qualifies, and purchase must follow that qualifying click
+        df = _events(
+            spark,
+            [
+                (1, "2024-01-01 08:00", "click"),
+                (1, "2024-01-01 10:00", "view"),
+                (1, "2024-01-01 12:00", "click"),
+                (1, "2024-01-01 11:00", "purchase"),  # before the click
+            ],
+        )
+        fr = funnel_frames(
+            df, user_col="u", ts_col="ts", type_col="t",
+            steps=["view", "click", "purchase"],
+        ).collect()[0]
+        assert fr.step_2_click_ts.hour == 12
+        assert fr.step_3_purchase_ts is None
+
+    def test_min_steps_validated(self, spark):
+        df = _events(spark, [(1, "2024-01-01", "view")])
+        with pytest.raises(ValueError, match="at least 2"):
+            funnel_frames(
+                df, user_col="u", ts_col="ts", type_col="t", steps=["view"]
+            )
+
+
+class TestCohortRetention:
+    def test_daily_matrix(self, spark):
+        df = _events(
+            spark,
+            [
+                (1, "2024-01-01 09:00", "x"),
+                (1, "2024-01-03 09:00", "x"),
+                (2, "2024-01-01 12:00", "x"),
+                (3, "2024-01-02 12:00", "x"),
+                (3, "2024-01-02 13:00", "x"),  # same day, counted once
+            ],
+        )
+        out = cohort_retention_frames(
+            df, user_col="u", ts_col="ts", period="day"
+        )
+        rows = {
+            (r.cohort_period.day, r.period_index): r.n_active
+            for r in out.collect()
+        }
+        assert rows[(1, 0)] == 2  # u1, u2 on their first day
+        assert rows[(1, 2)] == 1  # u1 back two days later
+        assert rows[(2, 0)] == 1  # u3's cohort, deduped within day
+
+    def test_bad_period(self, spark):
+        df = _events(spark, [(1, "2024-01-01", "x")])
+        with pytest.raises(ValueError, match="unsupported period"):
+            cohort_retention_frames(
+                df, user_col="u", ts_col="ts", period="fortnight"
+            )
+
+
+class TestZscoreOutliers:
+    def test_planted_outlier_flagged(self, spark):
+        vals = [10.0] * 20 + [11.0] * 20 + [1000.0]
+        df = spark.createDataFrame(
+            [("g", i, v) for i, v in enumerate(vals)], ["g", "i", "v"]
+        )
+        out = zscore_outliers(
+            df, group_by=["g"], value_col="v", threshold=3.0
+        )
+        flagged = [r.i for r in out.filter("is_outlier").collect()]
+        assert flagged == [40]
+
+    def test_degenerate_groups_not_flagged(self, spark):
+        df = spark.createDataFrame(
+            [("single", 1, 5.0), ("const", 1, 2.0), ("const", 2, 2.0)],
+            ["g", "i", "v"],
+        )
+        out = zscore_outliers(df, group_by=["g"], value_col="v").collect()
+        assert all(r.is_outlier is False for r in out)
+        assert all(r.z_score is None for r in out)
+
+    def test_registry_surface(self, spark):
+        import odibi_spark.operators  # noqa: F401
+        from odibi_spark.context import Context, EngineContext
+        from odibi_spark.registry import get_registry
+
+        df = spark.createDataFrame(
+            [("g", v) for v in [1.0, 1.1, 0.9, 50.0]], ["g", "v"]
+        )
+        out = get_registry().apply(
+            "flag_outliers",
+            EngineContext(Context(spark), df),
+            {"group_by": ["g"], "value_column": "v", "threshold": 1.0},
+        ).df
+        assert out.filter("is_outlier").count() == 1
