@@ -263,15 +263,33 @@ def main() -> None:
         extra[name] = round(time.time() - t0, 4)
         print(f"# {name}: {extra[name]:.2f}s", file=sys.stderr)
     curation_total = round(sum(extra.values()), 4)
+    # event-analytics block (new in round 5): funnel / cohort / outlier
+    # / resample + the temporal joins they build on
+    analytics = {}
+    for name in (
+        "funnel_view_click_purchase", "cohort_daily_retention",
+        "outlier_events_zscore", "resample_user_events",
+        "asof_click_purchase", "range_clicks_per_purchase_hour",
+    ):
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).select(
+            F.expr("bit_xor(xxhash64(struct(*)))").alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+        analytics[name] = round(time.time() - t0, 4)
+        print(f"# {name}: {analytics[name]:.2f}s", file=sys.stderr)
+    analytics_total = round(sum(analytics.values()), 4)
     out = {
         "metric": "combined_queries_total_sec",
-        "value": round(headline_total + curation_total, 4),
+        "value": round(headline_total + curation_total + analytics_total, 4),
         "unit": "sec",
         "headline_total_sec": headline_total,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "curation_queries": extra,
         "curation_total_sec": curation_total,
+        "analytics_queries": analytics,
+        "analytics_total_sec": analytics_total,
     }
 
     # connected-components chain stress probe (rounds-to-convergence)

@@ -150,3 +150,25 @@ class TestZscoreOutliers:
             {"group_by": ["g"], "value_column": "v", "threshold": 1.0},
         ).df
         assert out.filter("is_outlier").count() == 1
+
+
+def test_product_analytics_example_yaml_runs(spark, tmp_path):
+    """examples/product_analytics.yaml end-to-end (paths redirected):
+    funnel -> cohorts -> outliers -> resample, all from configuration."""
+    import pathlib
+
+    from odibi_spark.plans.pipeline import Pipeline
+
+    y = pathlib.Path("examples/product_analytics.yaml").read_text()
+    y = y.replace("base_path: /tmp/odibi_analytics", f"base_path: {tmp_path}")
+    results = Pipeline.from_yaml(y, spark).run()
+    for node in (
+        "funnel_summary", "daily_cohorts", "value_outliers",
+        "resampled_series",
+    ):
+        assert results[node].status == "success", (node, results[node].error)
+    funnel = spark.read.parquet(str(tmp_path / "funnel"))
+    assert funnel.count() == 3
+    assert {"step", "n_users", "conversion_from_first"} <= set(funnel.columns)
+    resampled = spark.read.parquet(str(tmp_path / "resampled"))
+    assert {"bucket_ts", "is_gap", "avg_value_ffill"} <= set(resampled.columns)

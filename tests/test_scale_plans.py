@@ -270,3 +270,60 @@ class TestTpchPlanProperties:
             .collect()
         }
         assert got == exp
+
+
+class TestAnalyticsPlans:
+    def test_zscore_stats_broadcast_fact_not_shuffled(self, spark):
+        """The per-group stats side (O(groups) rows) must broadcast;
+        the fact side of the join must reach BroadcastHashJoin without
+        an Exchange of the full fact table (only the stats aggregation
+        shuffles its partial aggregates)."""
+        from odibi_spark.io import read_table
+        from odibi_spark.operators.analytics import zscore_outliers
+
+        ev = read_table(spark, "/root/testdata/sf0.001", "events")
+        out = zscore_outliers(
+            ev, group_by=["event_type"], value_col="value"
+        )
+        plan = plan_of(out)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # exactly one shuffle: the stats groupBy. The probe (fact) side
+        # streams from the scan straight into the broadcast join.
+        assert plan.count("Exchange hashpartitioning") <= 1
+
+    def test_funnel_joins_stay_keyed_no_cartesian(self, spark):
+        from odibi_spark.io import read_table
+        from odibi_spark.operators.analytics import funnel_frames
+
+        ev = read_table(spark, "/root/testdata/sf0.001", "events")
+        out = funnel_frames(
+            ev, user_col="user_id", ts_col="ts", type_col="event_type",
+            steps=["view", "click", "purchase"], within="7 days",
+        )
+        plan = plan_of(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # per-step slices are filtered BEFORE the join: the event_type
+        # equality predicates must be pushed into the parquet scans
+        full = formatted_plan(out)
+        assert full.count("PushedFilters") >= 2
+
+    def test_resample_has_no_global_window(self, spark):
+        """The ffill window is partitioned by group — never a global
+        'Window [..] ORDER BY' with empty partitioning (the
+        single-partition trap pack_sequences fixed in round 5)."""
+        from odibi_spark.io import read_table
+        from odibi_spark.operators.window import resample_frames
+
+        ev = read_table(spark, "/root/testdata/sf0.001", "events")
+        out = resample_frames(
+            ev, group_by=["user_id"], timestamp_column="ts",
+            interval_seconds=21600, aggregations={"n": "count(*)"},
+            fill_columns=["n"], fill="ffill",
+        )
+        plan = plan_of(out)
+        assert "Window" in plan
+        for line in plan.splitlines():
+            if "Window " in line:
+                assert "user_id" in line, line
