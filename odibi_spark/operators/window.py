@@ -286,7 +286,11 @@ def resample_frames(
     5. ``fill="ffill"`` forward-fills ``fill_columns`` with
        last(ignorenulls) over a per-group window ordered by bucket
        (appending ``_ffill``); ``fill="zero"`` coalesces to 0
-       (appending ``_filled``); ``fill="none"`` leaves gaps null.
+       (appending ``_filled``); ``fill="linear"`` interpolates between
+       the surrounding anchors (appending ``_interp``: gaps between
+       two observed buckets are linear in bucket time, gaps before the
+       first observation stay null, gaps after the last carry it
+       forward); ``fill="none"`` leaves gaps null.
 
     ``gap_column`` flags grid buckets with no source rows (the first
     aggregation column is null there — count(*) aggs are never null
@@ -328,6 +332,39 @@ def resample_frames(
     elif fill == "zero":
         for c in fill_columns:
             out = out.withColumn(f"{c}_filled", F.coalesce(F.col(c), F.lit(0)))
+    elif fill == "linear":
+        # anchors: the previous/next OBSERVED (value, bucket) pair per
+        # row — two frames over the SAME per-group partitioning, so
+        # everything after the grid join stays in one shuffle
+        back = (
+            Window.partitionBy(*group_by)
+            .orderBy(bucket_column)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fwd = (
+            Window.partitionBy(*group_by)
+            .orderBy(bucket_column)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        t = F.unix_timestamp(bucket_column).cast("double")
+        for c in fill_columns:
+            obs_t = F.when(F.col(c).isNotNull(), t)
+            pv = F.last(c, ignorenulls=True).over(back)
+            pt = F.last(obs_t, ignorenulls=True).over(back)
+            nv = F.first(c, ignorenulls=True).over(fwd)
+            nt = F.first(obs_t, ignorenulls=True).over(fwd)
+            interp = (
+                F.when(F.col(c).isNotNull(), F.col(c).cast("double"))
+                # between two anchors: linear in bucket time
+                .when(
+                    pv.isNotNull() & nv.isNotNull(),
+                    pv + (nv - pv) * (t - pt) / (nt - pt),
+                )
+                # after the last anchor: carry forward; before the
+                # first: stays null
+                .otherwise(pv)
+            )
+            out = out.withColumn(f"{c}_interp", interp)
     elif fill != "none":
         raise ValueError(f"unsupported fill '{fill}'")
     return out

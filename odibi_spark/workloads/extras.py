@@ -895,6 +895,137 @@ WHERE s.sd > 0 AND abs((e.value - s.m) / s.sd) > 3
 """
 
 
+def resample_interp_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation twin of resample_user_events: gaps between
+    two observed buckets are linear in bucket time; leading gaps stay
+    null, trailing gaps carry forward.
+
+    The grid + gap flags come from the resample operator (fill="none");
+    the interpolated value is emitted in FIXED-POINT MICRO-UNITS
+    (value x 1e6 as BIGINT, integer DIV) — double round() of a
+    non-terminating interpolated value is engine-ambiguous at half
+    boundaries (Spark rounds the shortest decimal string, DuckDB the
+    exact binary), while integer arithmetic hashes identically
+    everywhere. Same convention as the packing cumsums (integer DIV
+    over doubles)."""
+    _prep(spark)
+    from pyspark.sql.window import Window as W
+
+    from odibi_spark.operators.window import resample_frames
+
+    ev = read_table(spark, sf_dir, "events")
+    grid = resample_frames(
+        ev,
+        group_by=["user_id"],
+        timestamp_column="ts",
+        interval_seconds=21600,
+        aggregations={
+            # 4-decimal fixed point: exact integer on both engines
+            "avg_i": (
+                f"cast(round(cast(sum(cast(value as {DEC})) as double)"
+                " / count(*) * 10000) as bigint)"
+            ),
+        },
+        fill="none",
+    )
+    back = (
+        W.partitionBy("user_id").orderBy("bucket_ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("user_id").orderBy("bucket_ts")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    t = F.unix_timestamp("bucket_ts")
+    obs_t = F.when(F.col("avg_i").isNotNull(), t)
+    out = (
+        grid.withColumn("__pv", F.last("avg_i", ignorenulls=True).over(back))
+        .withColumn("__pt", F.last(obs_t, ignorenulls=True).over(back))
+        .withColumn("__nv", F.first("avg_i", ignorenulls=True).over(fwd))
+        .withColumn("__nt", F.first(obs_t, ignorenulls=True).over(fwd))
+        .withColumn(
+            "__j", ((t - F.col("__pt")) / F.lit(21600)).cast("long")
+        )
+        .withColumn(
+            "__k",
+            ((F.col("__nt") - F.col("__pt")) / F.lit(21600)).cast("long"),
+        )
+    )
+    micro = (
+        F.when(F.col("avg_i").isNotNull(), F.col("avg_i") * 100)
+        .when(
+            F.col("__pv").isNotNull() & F.col("__nv").isNotNull(),
+            F.expr(
+                "CAST((__pv * (__k - __j) + __nv * __j) * 100 DIV __k"
+                " AS BIGINT)"
+            ),
+        )
+        .otherwise(F.col("__pv") * 100)
+    )
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        "is_gap",
+        micro.cast("bigint").alias("value_interp_micro"),
+    )
+
+
+RESAMPLE_INTERP_SQL = f"""
+WITH b AS (
+  SELECT user_id,
+         make_timestamp(CAST(floor(epoch(ts)/21600)*21600*1000000 AS BIGINT))
+           AS bucket_ts,
+         CAST(round(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) / COUNT(*)
+                    * 10000) AS BIGINT) AS avg_i
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, MIN(bucket_ts) AS mn, MAX(bucket_ts) AS mx
+  FROM b GROUP BY 1
+),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(mn, mx, INTERVAL 6 HOUR)) AS bucket_ts
+  FROM bounds
+),
+j AS (
+  SELECT g.user_id, g.bucket_ts, b.avg_i
+  FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket_ts = g.bucket_ts
+),
+w AS (
+  SELECT user_id, bucket_ts, avg_i,
+         last_value(avg_i IGNORE NULLS) OVER back AS pv,
+         last_value(CASE WHEN avg_i IS NOT NULL
+                         THEN CAST(floor(epoch(bucket_ts)) AS BIGINT) END
+                    IGNORE NULLS) OVER back AS pt,
+         first_value(avg_i IGNORE NULLS) OVER fwd AS nv,
+         first_value(CASE WHEN avg_i IS NOT NULL
+                          THEN CAST(floor(epoch(bucket_ts)) AS BIGINT) END
+                     IGNORE NULLS) OVER fwd AS nt,
+         CAST(floor(epoch(bucket_ts)) AS BIGINT) AS t
+  FROM j
+  WINDOW back AS (PARTITION BY user_id ORDER BY bucket_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fwd AS (PARTITION BY user_id ORDER BY bucket_ts
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, bucket_ts,
+       (avg_i IS NULL) AS is_gap,
+       CAST(CASE WHEN avg_i IS NOT NULL THEN avg_i * 100
+                 WHEN pv IS NOT NULL AND nv IS NOT NULL
+                   -- all-BIGINT operands: // is integer floor division
+                   -- (on DOUBLEs DuckDB's // is plain division)
+                   THEN (pv * (CAST((nt - pt) AS BIGINT) // 21600
+                               - CAST((t - pt) AS BIGINT) // 21600)
+                         + nv * (CAST((t - pt) AS BIGINT) // 21600)) * 100
+                        // (CAST((nt - pt) AS BIGINT) // 21600)
+                 ELSE pv * 100 END AS BIGINT) AS value_interp_micro
+FROM w
+"""
+
+
+QUERIES.update({"resample_interp_user_events": resample_interp_user_events})
+ORACLES.update({"resample_interp_user_events": RESAMPLE_INTERP_SQL})
 QUERIES.update({"funnel_view_click_purchase": funnel_view_click_purchase})
 ORACLES.update({"funnel_view_click_purchase": FUNNEL_SQL})
 QUERIES.update({"cohort_daily_retention": cohort_daily_retention})

@@ -339,6 +339,25 @@ class TestResampleTimeseries:
         rows = {(r.k, r.bucket_ts.minute): r.n_filled for r in out.collect()}
         assert rows[("a", 10)] == 0 and rows[("a", 0)] == 2
 
+    def test_linear_interpolation(self, spark):
+        from odibi_spark.operators.window import resample_frames
+
+        out = resample_frames(
+            self._frame(spark),
+            group_by=["k"],
+            timestamp_column="ts",
+            interval_seconds=600,
+            aggregations={"n": "count(*)", "avg_v": "avg(v)"},
+            fill_columns=["avg_v"],
+            fill="linear",
+        ).collect()
+        a = {r.bucket_ts.minute: r.avg_v_interp for r in out if r.k == "a"}
+        # anchors 15.0@:00 and 40.0@:30 -> thirds across the gap
+        assert a[0] == 15.0
+        assert abs(a[10] - (15.0 + 25.0 / 3)) < 1e-9
+        assert abs(a[20] - (15.0 + 50.0 / 3)) < 1e-9
+        assert a[30] == 40.0
+
     def test_bad_fill_raises(self, spark):
         import pytest as _pytest
 
