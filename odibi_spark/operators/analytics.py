@@ -192,6 +192,75 @@ def zscore_outliers(
     )
 
 
+def ewma_frames(
+    df: DataFrame,
+    *,
+    group_by: list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+    tiebreak_cols: list[str] = (),
+) -> DataFrame:
+    """Per-group exponentially weighted moving average
+    (``y_t = alpha*x_t + (1-alpha)*y_{t-1}``, y_1 = x_1 — pandas
+    ``ewm(adjust=False)`` semantics), ordered by (ts, tiebreaks).
+
+    This is the one batch operator here that is genuinely sequential
+    per series, so it runs at the Python boundary: ONE shuffle on
+    ``group_by`` into Arrow-batched ``applyInPandas`` where the
+    vectorized C path of ``pandas.ewm`` does the recursion — never a
+    row-at-a-time Python UDF. (A closed-form SQL rewrite exists but
+    needs pow(1/(1-alpha), n) terms that overflow double for series
+    longer than a few hundred points; the recursive form is
+    unconditionally stable, which is why it is the implementation and
+    the closed form is only the small-series test oracle.)
+
+    Scale: state is per-group; each group must fit one executor's
+    Arrow batch (same contract as any applyInPandas). For groups with
+    unbounded history, resample first — EWMA on the bucketed series —
+    or window the input to the retention horizon.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        [*df.schema.fields, StructField(out_col, DoubleType(), True)]
+    )
+    order = [ts_col, *tiebreak_cols]
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        pdf[out_col] = (
+            pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        )
+        return pdf
+
+    return df.groupBy(*group_by).applyInPandas(fn, schema)
+
+
+@transform("ewma")
+def ewma(
+    ctx: EngineContext,
+    *,
+    group_by: list[str],
+    timestamp_column: str,
+    value_column: str,
+    alpha: float,
+    output_column: str = "ewma",
+    tiebreak_columns: list[str] = (),
+) -> EngineContext:
+    """YAML surface: per-group EWMA."""
+    return ctx.with_df(
+        ewma_frames(
+            ctx.df, group_by=group_by, ts_col=timestamp_column,
+            value_col=value_column, alpha=alpha, out_col=output_column,
+            tiebreak_cols=tiebreak_columns,
+        )
+    )
+
+
 @transform("funnel")
 def funnel(
     ctx: EngineContext,

@@ -1024,6 +1024,59 @@ FROM w
 """
 
 
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (alpha=1/3, pandas adjust=False
+    recursion inside Arrow-batched applyInPandas). The oracle is the
+    closed form y_t = (1-a)^t * cumsum(x_i * a/(1-a)^i) — overflow-
+    prone for long series (why the implementation recurses instead)
+    but exact at this series length; round(4) absorbs the ~1e-12
+    relative gap between the two float paths. alpha is 1/3 ON PURPOSE:
+    with a terminating-decimal alpha (0.3), early-series EWMA values
+    terminate at exactly five decimals, so round(·,4) sits ON the
+    .00005 midpoint and the engines disagree (Spark rounds the
+    shortest decimal string, DuckDB the binary value) — 31 structural
+    flips at sf0.01. With 1/3 every non-trivial value is
+    non-terminating and midpoint hits have measure zero."""
+    _prep(spark)
+    from odibi_spark.operators.analytics import ewma_frames
+
+    ev = read_table(spark, sf_dir, "events")
+    out = ewma_frames(
+        ev, group_by=["user_id"], ts_col="ts", value_col="value",
+        alpha=1.0 / 3.0, tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id", "event_id", F.round("ewma", 4).alias("ewma4")
+    )
+
+
+EWMA_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+),
+u AS (
+  SELECT user_id, event_id, rn,
+         CASE WHEN rn = 1 THEN value / pow(2.0/3.0, 1)
+              ELSE (1.0/3.0) * value / pow(2.0/3.0, rn) END AS uval
+  FROM o
+),
+s AS (
+  SELECT user_id, event_id, rn,
+         SUM(uval) OVER (PARTITION BY user_id ORDER BY rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS su
+  FROM u
+)
+SELECT user_id, event_id, round(pow(2.0/3.0, rn) * su, 4) AS ewma4
+FROM s
+"""
+
+
+QUERIES.update({"ewma_user_values": ewma_user_values})
+ORACLES.update({"ewma_user_values": EWMA_SQL})
 QUERIES.update({"resample_interp_user_events": resample_interp_user_events})
 ORACLES.update({"resample_interp_user_events": RESAMPLE_INTERP_SQL})
 QUERIES.update({"funnel_view_click_purchase": funnel_view_click_purchase})

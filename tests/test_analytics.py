@@ -1,6 +1,7 @@
 """Funnel / cohort / outlier operator semantics (operators/analytics.py)."""
 
 import pandas as pd
+from pyspark.sql import functions as F
 import pytest
 
 from odibi_spark.operators.analytics import (
@@ -172,3 +173,30 @@ def test_product_analytics_example_yaml_runs(spark, tmp_path):
     assert {"step", "n_users", "conversion_from_first"} <= set(funnel.columns)
     resampled = spark.read.parquet(str(tmp_path / "resampled"))
     assert {"bucket_ts", "is_gap", "avg_value_ffill"} <= set(resampled.columns)
+
+
+class TestEwma:
+    def test_recursion_matches_hand_computed(self, spark):
+        from odibi_spark.operators.analytics import ewma_frames
+
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 10:00", 10.0),
+             (1, "2024-01-01 11:00", 20.0),
+             (1, "2024-01-01 12:00", 50.0)],
+            ["u", "ts_s", "v"],
+        ).select("u", F.to_timestamp("ts_s").alias("ts"), "v")
+        out = ewma_frames(
+            df, group_by=["u"], ts_col="ts", value_col="v", alpha=0.5
+        )
+        got = sorted((r.ts.hour, r.ewma) for r in out.collect())
+        # y1=10, y2=.5*20+.5*10=15, y3=.5*50+.5*15=32.5
+        assert got == [(10, 10.0), (11, 15.0), (12, 32.5)]
+
+    def test_alpha_validated(self, spark):
+        from odibi_spark.operators.analytics import ewma_frames
+
+        df = _events(spark, [(1, "2024-01-01", "a")])
+        with pytest.raises(ValueError, match="alpha"):
+            ewma_frames(
+                df, group_by=["u"], ts_col="ts", value_col="u", alpha=1.5
+            )
