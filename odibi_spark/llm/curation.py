@@ -102,6 +102,41 @@ def hash_sample(
     return df.filter(_hash_unit(F.col(key_col), seed) < F.lit(float(fraction)))
 
 
+def split_dataset(
+    df: DataFrame,
+    *,
+    splits: dict[str, float],
+    key_col: str,
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic, disjoint train/val/test assignment: the portable
+    hash unit u(key, seed) is bucketed by cumulative split fractions
+    (``{"train": .875, "val": .0625, "test": .0625}``), so membership
+    is a pure function of (key, seed) — stable across runs, engines,
+    partitionings, and corpus growth (a doc never migrates between
+    splits when new data arrives, the property random splits lack).
+    Fractions must sum to 1. Pure column expression — no shuffle."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    u = _hash_unit(F.col(key_col), seed)
+    expr = None
+    cum = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = u < F.lit(cum)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
 def stratified_hash_sample(
     df: DataFrame,
     fractions: dict[str, float],

@@ -169,7 +169,10 @@ def run_incremental_dedup(
         hasher=hasher, seed=seed,
     )
     flagged = flagged.localCheckpoint(eager=True)
-    new_hwm = capture_hwm(delta, id_col)
+    # the delta's ids are already materialized in the checkpointed
+    # signature frame — take the mark from there instead of re-scanning
+    # the source
+    new_hwm = capture_hwm(sigs_new, "id")
     store.append(sigs_new, batch_id)
     if new_hwm is not None:
         state.set(state_key, new_hwm)

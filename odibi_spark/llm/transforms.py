@@ -177,6 +177,26 @@ def hash_sample_transform(
     )
 
 
+@transform("split_dataset")
+def split_dataset_transform(
+    ctx: EngineContext,
+    *,
+    splits: dict,
+    key_col: str,
+    seed: int = 42,
+    split_col: str = "split",
+) -> EngineContext:
+    """Deterministic disjoint train/val/test assignment by hashed key."""
+    from odibi_spark.llm import curation
+
+    return ctx.with_df(
+        curation.split_dataset(
+            ctx.df, splits=splits, key_col=key_col, seed=seed,
+            split_col=split_col,
+        )
+    )
+
+
 @transform("stratified_hash_sample")
 def stratified_hash_sample_transform(
     ctx: EngineContext,

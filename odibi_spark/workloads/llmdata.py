@@ -638,6 +638,38 @@ WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25
 """
 
 
+def split_documents_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: disjoint assignment from
+    the portable hash unit bucketed by cumulative fractions
+    (0.875/0.0625/0.0625 — exact binary fractions, so the float
+    boundaries reproduce bit-identically in the oracle). Membership is
+    a pure function of (doc_id, seed): stable under corpus growth."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return curation.split_dataset(
+        docs,
+        splits={"train": 0.875, "val": 0.0625, "test": 0.0625},
+        key_col="doc_id",
+        seed=42,
+    ).select("doc_id", "split")
+
+
+SPLIT_SETS_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(
+           md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+           / 1152921504606846976.0 AS u
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN u < 0.875 THEN 'train'
+            WHEN u < 0.9375 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
 def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end mixture weighting: target weights + a global token
     budget -> per-language sampling fractions (one O(strata) aggregate,
@@ -1030,6 +1062,7 @@ QUERIES = {
     "decontamination_hits": decontamination_hits,
     "token_budget_by_source": token_budget_by_source,
     "stratified_sample_langs": stratified_sample_langs,
+    "split_documents_sets": split_documents_sets,
     "chunk_documents_docs": chunk_documents_docs,
     "pack_sequences_docs": pack_sequences_docs,
     "scrub_pii_docs": scrub_pii_docs,
@@ -1059,6 +1092,7 @@ ORACLES = {
     "decontamination_hits": DECONTAMINATION_SQL,
     "token_budget_by_source": TOKEN_BUDGET_SQL,
     "stratified_sample_langs": STRATIFIED_SAMPLE_SQL,
+    "split_documents_sets": SPLIT_SETS_SQL,
     "chunk_documents_docs": CHUNK_DOCS_SQL,
     "pack_sequences_docs": PACK_SEQUENCES_SQL,
     "scrub_pii_docs": SCRUB_PII_SQL,

@@ -896,3 +896,37 @@ class TestApproxBounds:
             .collect()
         }
         assert got == exact
+
+
+class TestSplitDataset:
+    def test_disjoint_covering_stable(self, spark):
+        from odibi_spark.llm.curation import split_dataset
+
+        df = spark.range(1000).withColumnRenamed("id", "doc_id")
+        out = split_dataset(
+            df,
+            splits={"train": 0.875, "val": 0.0625, "test": 0.0625},
+            key_col="doc_id",
+        )
+        counts = {r.split: r.n for r in out.groupBy("split").count()
+                  .withColumnRenamed("count", "n").collect()}
+        assert sum(counts.values()) == 1000  # covering, disjoint
+        assert counts["train"] > counts.get("val", 0)
+        # stability: membership is a pure function of (key, seed) — a
+        # grown corpus never reassigns an existing key
+        bigger = split_dataset(
+            spark.range(2000).withColumnRenamed("id", "doc_id"),
+            splits={"train": 0.875, "val": 0.0625, "test": 0.0625},
+            key_col="doc_id",
+        ).filter("doc_id < 1000")
+        assert out.exceptAll(bigger).count() == 0
+
+    def test_fractions_must_sum_to_one(self, spark):
+        import pytest as _pytest
+
+        from odibi_spark.llm.curation import split_dataset
+
+        with _pytest.raises(ValueError, match="sum to 1"):
+            split_dataset(
+                spark.range(5), splits={"train": 0.5}, key_col="id"
+            )
