@@ -32,6 +32,10 @@ _WINDOW_FUNCS = {
     "percent_rank": lambda c: F.percent_rank(),
 }
 
+# ntile takes the bucket count, not a column — resolved in
+# window_calculation via the ``ntile_buckets`` param
+_WINDOW_FUNCS["ntile"] = None
+
 
 @transform("window_calculation")
 def window_calculation(
@@ -46,11 +50,13 @@ def window_calculation(
     frame: str | None = None,
     frame_start: int | None = None,
     frame_end: int | None = None,
+    ntile_buckets: int = 10,
 ) -> EngineContext:
     """<func>(col) OVER (PARTITION BY .. ORDER BY ..) (reference:
     advanced.py:782-819). The reference supports no explicit frame
     spec; ``frame``/``frame_start``/``frame_end`` add rows/range frames
-    (SURVEY §2.6 noted gap)."""
+    (SURVEY §2.6 noted gap). ``function="ntile"`` buckets rows into
+    ``ntile_buckets`` equal-sized tiles."""
     w = Window.partitionBy(*(partition_by or []))
     if order_by:
         cols = [F.col(c).desc() if descending else F.col(c).asc() for c in order_by]
@@ -59,6 +65,12 @@ def window_calculation(
         lo = Window.unboundedPreceding if frame_start is None else frame_start
         hi = Window.currentRow if frame_end is None else frame_end
         w = w.rowsBetween(lo, hi) if frame == "rows" else w.rangeBetween(lo, hi)
+    if function.lower() == "ntile":
+        return ctx.with_df(
+            ctx.df.withColumn(
+                output_column, F.ntile(int(ntile_buckets)).over(w)
+            )
+        )
     fn = _WINDOW_FUNCS[function.lower()]
     # column may be any SQL expression (e.g. a CAST) — F.expr covers
     # the plain-column case too.

@@ -1075,6 +1075,80 @@ FROM s
 """
 
 
+def decile_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-rank breadth (§2.6): spend deciles per customer via the
+    registered window_calculation operator (ntile + percent_rank), plus
+    share-of-total from a 1-row aggregate joined broadcast-style.
+
+    Scale note: a global ranking IS a global order — Spark runs the
+    unpartitioned window in one task, which is fine here because the
+    ranked set is the pre-aggregated CUSTOMER dimension (O(customers)
+    rows after the fact-table groupBy), never the fact table itself.
+    At dimension sizes where even that breaks, swap ntile for
+    approx_percentile bucket boundaries. Ties broken by custkey so
+    both engines rank identically."""
+    _prep(spark)
+    import odibi_spark.operators  # noqa: F401 — registers transforms
+    from odibi_spark.context import Context, EngineContext
+    from odibi_spark.registry import get_registry
+
+    orders = read_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr(f"CAST(o_totalprice AS {DEC})")).alias("spend_d")
+    )
+    reg = get_registry()
+    ec = EngineContext(Context(spark), spend)
+    ec = reg.apply(
+        "window_calculation", ec,
+        {
+            "function": "ntile", "order_by": ["spend_d", "o_custkey"],
+            "output_column": "decile", "ntile_buckets": 10,
+        },
+    )
+    ec = reg.apply(
+        "window_calculation", ec,
+        {
+            "function": "percent_rank",
+            "order_by": ["spend_d", "o_custkey"],
+            "output_column": "pr",
+        },
+    )
+    total = spend.agg(F.sum("spend_d").alias("total_d"))
+    return (
+        ec.df.join(F.broadcast(total))
+        .select(
+            "o_custkey",
+            F.col("spend_d").cast("double").alias("spend"),
+            "decile",
+            F.round("pr", 6).alias("pct_rank"),
+            F.round(
+                F.col("spend_d").cast("double")
+                / F.col("total_d").cast("double"),
+                9,
+            ).alias("share_of_total"),
+        )
+    )
+
+
+DECILE_SPEND_SQL = f"""
+WITH s AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS {DEC})) AS spend_d
+  FROM orders GROUP BY 1
+),
+t AS (SELECT SUM(spend_d) AS total_d FROM s)
+SELECT o_custkey,
+       CAST(spend_d AS DOUBLE) AS spend,
+       CAST(ntile(10) OVER w AS INTEGER) AS decile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(CAST(spend_d AS DOUBLE) / CAST(total_d AS DOUBLE), 9)
+         AS share_of_total
+FROM s, t
+WINDOW w AS (ORDER BY spend_d, o_custkey)
+"""
+
+
+QUERIES.update({"decile_customer_spend": decile_customer_spend})
+ORACLES.update({"decile_customer_spend": DECILE_SPEND_SQL})
 QUERIES.update({"ewma_user_values": ewma_user_values})
 ORACLES.update({"ewma_user_values": EWMA_SQL})
 QUERIES.update({"resample_interp_user_events": resample_interp_user_events})

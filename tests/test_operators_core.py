@@ -369,3 +369,20 @@ class TestResampleTimeseries:
                 interval_seconds=600, aggregations={"n": "count(*)"},
                 fill="bogus",
             )
+
+
+class TestNtileWindow:
+    def test_ntile_buckets(self, spark):
+        from odibi_spark.context import Context, EngineContext
+        from odibi_spark.registry import get_registry
+        import odibi_spark.operators  # noqa: F401
+
+        df = spark.createDataFrame([(i, float(i)) for i in range(8)], ["k", "v"])
+        out = get_registry().apply(
+            "window_calculation",
+            EngineContext(Context(spark), df),
+            {"function": "ntile", "order_by": ["v"],
+             "output_column": "quartile", "ntile_buckets": 4},
+        ).df
+        got = {r.k: r.quartile for r in out.collect()}
+        assert got == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3, 6: 4, 7: 4}
