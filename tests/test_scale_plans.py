@@ -327,3 +327,23 @@ class TestAnalyticsPlans:
         for line in plan.splitlines():
             if "Window " in line:
                 assert "user_id" in line, line
+
+
+class TestPartitionPruning:
+    def test_partitioned_write_prunes_at_read(self, spark, tmp_path):
+        """write_sink(partition_by=...) must produce a layout where a
+        reader's equality filter becomes a PartitionFilter — the scan
+        never opens the other partitions' files. This is the layout
+        contract 100-TB tables live by: partition on the dominant
+        access predicate."""
+        from odibi_spark.io import read_table, write_sink
+
+        ev = read_table(spark, "/root/testdata/sf0.001", "events")
+        out = str(tmp_path / "ev_parted")
+        write_sink(ev, path=out, partition_by=["event_type"])
+        got = spark.read.parquet(out).filter("event_type = 'click'")
+        plan = formatted_plan(got)
+        assert "PartitionFilters" in plan
+        assert "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+        # pruned read returns exactly the one partition's rows
+        assert got.count() == ev.filter("event_type = 'click'").count()
