@@ -181,7 +181,7 @@ class PatternConfig(StrictModel):
     model_config = ConfigDict(extra="allow")
     type: Literal[
         "scd2", "merge", "dimension", "fact", "date_dimension",
-        "aggregation_incremental", "delete_detection",
+        "aggregation_incremental", "delete_detection", "snapshot_cdc",
     ]
 
 

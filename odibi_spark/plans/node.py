@@ -316,6 +316,10 @@ class NodeExecutor:
             from odibi_spark.patterns.delete_detection import detect_deletes
 
             return detect_deletes(spark, df, **params)
+        if p.type == "snapshot_cdc":
+            from odibi_spark.patterns.snapshot_cdc import snapshot_cdc_apply
+
+            return snapshot_cdc_apply(spark, df, **params)
         if p.type == "date_dimension":
             from odibi_spark.patterns.date_dimension import build_date_dimension
 

@@ -1147,6 +1147,66 @@ WINDOW w AS (ORDER BY spend_d, o_custkey)
 """
 
 
+def snapshot_cdc_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC (§2.9): the warehouse holds yesterday's customer
+    extract; today's snapshot deterministically drops every 13th key
+    (deletes), re-segments every remaining 7th (updates), and appends
+    shifted copies of every remaining 11th (inserts). snapshot_diff
+    classifies the full-outer key join by map-side row hash; unchanged
+    rows never leave the join."""
+    _prep(spark)
+    from odibi_spark.patterns.snapshot_cdc import snapshot_diff
+
+    old = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    kept = old.filter("c_custkey % 13 <> 0")
+    new = kept.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("MOVED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    ).unionByName(
+        kept.filter("c_custkey % 11 = 0").select(
+            (F.col("c_custkey") + F.lit(10_000_000)).alias("c_custkey"),
+            "c_name",
+            F.lit("NEW").alias("c_mktsegment"),
+        )
+    )
+    return snapshot_diff(old, new, keys=["c_custkey"])
+
+
+SNAPSHOT_CDC_SQL = """
+WITH old AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
+newsnap AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END
+           AS c_mktsegment
+  FROM customer WHERE c_custkey % 13 <> 0
+  UNION ALL
+  SELECT c_custkey + 10000000, c_name, 'NEW'
+  FROM customer WHERE c_custkey % 13 <> 0 AND c_custkey % 11 = 0
+),
+j AS (
+  SELECT COALESCE(n.c_custkey, o.c_custkey) AS k,
+         n.c_name AS nn, n.c_mktsegment AS ns,
+         o.c_name AS onm, o.c_mktsegment AS osg,
+         (n.c_custkey IS NULL) AS isdel,
+         (o.c_custkey IS NULL) AS isins
+  FROM newsnap n FULL OUTER JOIN old o ON n.c_custkey = o.c_custkey
+)
+SELECT k AS c_custkey,
+       CASE WHEN isdel THEN onm ELSE nn END AS c_name,
+       CASE WHEN isdel THEN osg ELSE ns END AS c_mktsegment,
+       CASE WHEN isins THEN 'insert' WHEN isdel THEN 'delete'
+            ELSE 'update' END AS _change_type
+FROM j
+WHERE isins OR isdel OR ns <> osg OR nn <> onm
+"""
+
+
+QUERIES.update({"snapshot_cdc_customers": snapshot_cdc_customers})
+ORACLES.update({"snapshot_cdc_customers": SNAPSHOT_CDC_SQL})
 QUERIES.update({"decile_customer_spend": decile_customer_spend})
 ORACLES.update({"decile_customer_spend": DECILE_SPEND_SQL})
 QUERIES.update({"ewma_user_values": ewma_user_values})

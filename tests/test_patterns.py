@@ -280,3 +280,51 @@ class TestDateDimension:
         assert jun30.fiscal_year == 2024 and jun30.fiscal_quarter == 4
         sat = dim.filter("date_key = 20240106").collect()[0]
         assert sat.is_weekend == 1 and sat.iso_weekday == 6
+
+
+class TestSnapshotCdc:
+    def test_classification_and_values(self, spark):
+        from odibi_spark.patterns.snapshot_cdc import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "name", "v"]
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 10), (2, "B", 20), (4, "d", 40)], ["k", "name", "v"]
+        )
+        out = {r.k: r for r in snapshot_diff(old, new, keys=["k"]).collect()}
+        assert set(out) == {2, 3, 4}  # unchanged key 1 filtered out
+        assert out[2]._change_type == "update" and out[2].name == "B"
+        assert out[3]._change_type == "delete" and out[3].name == "c"
+        assert out[4]._change_type == "insert" and out[4].v == 40
+
+    def test_include_unchanged_and_compare_subset(self, spark):
+        from odibi_spark.patterns.snapshot_cdc import snapshot_diff
+
+        old = spark.createDataFrame([(1, "a", 10)], ["k", "name", "v"])
+        new = spark.createDataFrame([(1, "a", 99)], ["k", "name", "v"])
+        # comparing only `name` -> the v change is invisible
+        out = snapshot_diff(
+            old, new, keys=["k"], compare_cols=["name"],
+            include_unchanged=True,
+        ).collect()
+        assert len(out) == 1 and out[0]._change_type == "unchanged"
+
+    def test_pattern_phase_bootstrap_and_diff(self, spark, tmp_path):
+        from odibi_spark.patterns.snapshot_cdc import snapshot_cdc_apply
+
+        old = spark.createDataFrame([(1, "a")], ["k", "name"])
+        # no target yet: everything is an insert
+        boot = snapshot_cdc_apply(
+            spark, old, target_path=str(tmp_path / "t"), keys=["k"]
+        )
+        assert [r._change_type for r in boot.collect()] == ["insert"]
+        old.write.parquet(str(tmp_path / "t"))
+        new = spark.createDataFrame([(1, "z"), (2, "b")], ["k", "name"])
+        out = {
+            r.k: r._change_type
+            for r in snapshot_cdc_apply(
+                spark, new, target_path=str(tmp_path / "t"), keys=["k"]
+            ).collect()
+        }
+        assert out == {1: "update", 2: "insert"}
