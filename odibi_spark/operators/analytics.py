@@ -192,6 +192,73 @@ def zscore_outliers(
     )
 
 
+def mad_outliers(
+    df: DataFrame,
+    *,
+    group_by: list[str],
+    value_col: str,
+    threshold: float = 3.5,
+    z_col: str = "robust_z",
+    flag_col: str = "is_outlier",
+) -> DataFrame:
+    """Robust (median/MAD) outlier flagging — the variant that
+    survives the outliers it is hunting, unlike mean/stddev z-scores
+    which a single extreme value inflates until nothing else flags.
+
+    robust_z = 0.6745 * (v - median) / MAD, where MAD =
+    median(|v - median|) and 0.6745 makes the score comparable to a
+    z-score under normality (Iglewicz & Hoaglin's modified z-score);
+    |robust_z| > 3.5 is their recommended cut.
+
+    Plan shape: two grouped ``percentile`` aggregates (each O(groups)
+    rows, broadcast back) with one fact pass between them — the fact
+    table itself never shuffles. Groups with MAD = 0 (constant or
+    near-constant) produce null z / False, never a division blowup.
+    Exact medians sort within groups; at extreme group cardinality
+    swap ``percentile`` for ``approx_percentile``.
+    """
+    med = df.groupBy(*group_by).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    with_med = df.join(F.broadcast(med), group_by)
+    mad = (
+        with_med.withColumn(
+            "__ad", F.abs(F.col(value_col) - F.col("__med"))
+        )
+        .groupBy(*group_by)
+        .agg(F.expr("percentile(__ad, 0.5)").alias("__mad"))
+    )
+    z = F.when(
+        F.col("__mad") > 0,
+        F.lit(0.6745) * (F.col(value_col) - F.col("__med")) / F.col("__mad"),
+    )
+    return (
+        with_med.join(F.broadcast(mad), group_by)
+        .withColumn(z_col, z)
+        .withColumn(
+            flag_col, F.coalesce(F.abs(F.col(z_col)) > threshold, F.lit(False))
+        )
+        .drop("__med", "__mad")
+    )
+
+
+@transform("flag_outliers_robust")
+def flag_outliers_robust(
+    ctx: EngineContext,
+    *,
+    group_by: list[str],
+    value_column: str,
+    threshold: float = 3.5,
+) -> EngineContext:
+    """YAML surface: median/MAD robust outlier flagging."""
+    return ctx.with_df(
+        mad_outliers(
+            ctx.df, group_by=group_by, value_col=value_column,
+            threshold=threshold,
+        )
+    )
+
+
 def ewma_frames(
     df: DataFrame,
     *,

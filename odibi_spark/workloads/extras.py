@@ -1205,6 +1205,45 @@ WHERE isins OR isdel OR ns <> osg OR nn <> onm
 """
 
 
+def outlier_events_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier flagging per event type — the
+    modified z-score that a single extreme value cannot inflate.
+    Spark percentile == DuckDB quantile_cont (same interpolation), so
+    medians hash-match; the score ratio is non-terminating and rounds
+    stably."""
+    _prep(spark)
+    from odibi_spark.operators.analytics import mad_outliers
+
+    ev = read_table(spark, sf_dir, "events")
+    out = mad_outliers(
+        ev, group_by=["event_type"], value_col="value", threshold=3.5
+    )
+    return out.filter("is_outlier").select(
+        "event_id", "event_type", "value",
+        F.round("robust_z", 3).alias("rz3"),
+    )
+
+
+OUTLIER_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       round(0.6745 * (e.value - m.med) / d.mad, 3) AS rz3
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+WHERE d.mad > 0 AND abs(0.6745 * (e.value - m.med) / d.mad) > 3.5
+"""
+
+
+QUERIES.update({"outlier_events_mad": outlier_events_mad})
+ORACLES.update({"outlier_events_mad": OUTLIER_MAD_SQL})
 QUERIES.update({"snapshot_cdc_customers": snapshot_cdc_customers})
 ORACLES.update({"snapshot_cdc_customers": SNAPSHOT_CDC_SQL})
 QUERIES.update({"decile_customer_spend": decile_customer_spend})

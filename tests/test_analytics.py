@@ -200,3 +200,39 @@ class TestEwma:
             ewma_frames(
                 df, group_by=["u"], ts_col="ts", value_col="u", alpha=1.5
             )
+
+
+class TestMadOutliers:
+    def test_robust_to_the_outlier_itself(self, spark):
+        from odibi_spark.operators.analytics import (
+            mad_outliers,
+            zscore_outliers,
+        )
+
+        # one extreme value inflates stddev enough that plain z misses
+        # a moderate outlier; MAD still flags both
+        vals = [10.0, 10.5, 9.5, 10.2, 9.8, 10.1, 9.9, 30.0, 100000.0]
+        df = spark.createDataFrame(
+            [("g", i, v) for i, v in enumerate(vals)], ["g", "i", "v"]
+        )
+        mad_flagged = {
+            r.i for r in mad_outliers(
+                df, group_by=["g"], value_col="v"
+            ).filter("is_outlier").collect()
+        }
+        z_flagged = {
+            r.i for r in zscore_outliers(
+                df, group_by=["g"], value_col="v"
+            ).filter("is_outlier").collect()
+        }
+        assert {7, 8} <= mad_flagged
+        assert 7 not in z_flagged  # masked by the 100000 inflating sigma
+
+    def test_zero_mad_group_safe(self, spark):
+        from odibi_spark.operators.analytics import mad_outliers
+
+        df = spark.createDataFrame(
+            [("g", v) for v in [5.0, 5.0, 5.0, 9.0]], ["g", "v"]
+        )
+        out = mad_outliers(df, group_by=["g"], value_col="v").collect()
+        assert all(r.robust_z is None and r.is_outlier is False for r in out)
