@@ -5,6 +5,7 @@ odibi/transformers/__init__.py:24-152 registers ~45 ops by name)."""
 from odibi_spark.operators import (  # noqa: F401
     advanced,
     analytics,
+    fuzzy,
     manufacturing,
     relational,
     skew,

@@ -1242,6 +1242,67 @@ WHERE d.mad > 0 AND abs(0.6745 * (e.value - m.med) / d.mad) > 3.5
 """
 
 
+def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) match join: part names matched against a
+    deterministically dirtied copy (char substitution / appended char /
+    unchanged, cycling by partkey) with max_distance=1 — the anchor
+    blocking (prefix OR suffix equi-join) is complete at one edit, so
+    every planted pair survives and the oracle mirrors the same
+    blocking + levenshtein refine. Distances are integers: no float
+    hazard anywhere."""
+    _prep(spark)
+    from odibi_spark.operators.fuzzy import fuzzy_match_join
+
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    dirty = part.select(
+        (F.col("p_partkey") + F.lit(5_000_000)).alias("d_key"),
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(
+                F.substring("p_name", 1, 9),
+                F.lit("X"),
+                F.substring(F.col("p_name"), 11, 1000),
+            ),
+        )
+        .when(F.col("p_partkey") % 3 == 1, F.concat(F.col("p_name"), F.lit("q")))
+        .otherwise(F.col("p_name"))
+        .alias("d_name"),
+    )
+    out = fuzzy_match_join(
+        part, dirty, left_col="p_name", right_col="d_name", max_distance=1
+    )
+    return out.select("p_partkey", "d_key", "edit_distance")
+
+
+FUZZY_MATCH_SQL = """
+WITH dirty AS (
+  SELECT p_partkey + 5000000 AS d_key,
+         CASE WHEN p_partkey % 3 = 0
+                THEN concat(substring(p_name, 1, 9), 'X',
+                            substring(p_name, 11, 1000))
+              WHEN p_partkey % 3 = 1 THEN concat(p_name, 'q')
+              ELSE p_name END AS d_name
+  FROM part
+),
+l AS (SELECT p_partkey, lower(trim(p_name)) AS ln FROM part),
+r AS (SELECT d_key, lower(trim(d_name)) AS rn FROM dirty),
+cands AS (
+  SELECT l.p_partkey, r.d_key, l.ln, r.rn
+  FROM l JOIN r ON substring(l.ln, 1, 2) = substring(r.rn, 1, 2)
+  UNION
+  SELECT l.p_partkey, r.d_key, l.ln, r.rn
+  FROM l JOIN r ON substring(l.ln, length(l.ln) - 1, 2)
+                   = substring(r.rn, length(r.rn) - 1, 2)
+)
+SELECT p_partkey, d_key,
+       CAST(levenshtein(ln, rn) AS INTEGER) AS edit_distance
+FROM cands
+WHERE levenshtein(ln, rn) <= 1
+"""
+
+
+QUERIES.update({"fuzzy_match_parts": fuzzy_match_parts})
+ORACLES.update({"fuzzy_match_parts": FUZZY_MATCH_SQL})
 QUERIES.update({"outlier_events_mad": outlier_events_mad})
 ORACLES.update({"outlier_events_mad": OUTLIER_MAD_SQL})
 QUERIES.update({"snapshot_cdc_customers": snapshot_cdc_customers})

@@ -386,3 +386,45 @@ class TestNtileWindow:
         ).df
         got = {r.k: r.quartile for r in out.collect()}
         assert got == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3, 6: 4, 7: 4}
+
+
+class TestFuzzyMatchJoin:
+    def test_one_edit_complete_even_when_prefix_breaks(self, spark):
+        from odibi_spark.operators.fuzzy import fuzzy_match_join
+
+        left = spark.createDataFrame(
+            [(1, "gamma"), (2, "delta")], ["lid", "name"]
+        )
+        # Xamma breaks the prefix anchor; the suffix anchor still
+        # blocks it with gamma — distance-1 completeness
+        right = spark.createDataFrame(
+            [(10, "Xamma"), (20, "deltaq"), (30, "zzzzz")], ["rid", "cand"]
+        )
+        out = fuzzy_match_join(
+            left, right, left_col="name", right_col="cand", max_distance=1
+        )
+        got = {(r.lid, r.rid, r.edit_distance) for r in out.collect()}
+        assert got == {(1, 10, 1), (2, 20, 1)}
+
+    def test_distance_zero_and_collision_suffix(self, spark):
+        from odibi_spark.operators.fuzzy import fuzzy_match_join
+
+        left = spark.createDataFrame([(1, "alpha")], ["id", "name"])
+        right = spark.createDataFrame([(9, "Alpha ")], ["id", "name"])
+        out = fuzzy_match_join(
+            left, right, left_col="name", right_col="name", max_distance=0
+        ).collect()
+        # normalization (lower/trim) makes them identical
+        assert len(out) == 1
+        assert out[0].edit_distance == 0 and out[0].id_r == 9
+
+    def test_negative_distance_rejected(self, spark):
+        import pytest as _pytest
+
+        from odibi_spark.operators.fuzzy import fuzzy_match_join
+
+        df = spark.createDataFrame([(1, "a")], ["id", "n"])
+        with _pytest.raises(ValueError, match="max_distance"):
+            fuzzy_match_join(
+                df, df, left_col="n", right_col="n", max_distance=-1
+            )
