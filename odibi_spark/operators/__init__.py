@@ -9,6 +9,7 @@ from odibi_spark.operators import (  # noqa: F401
     manufacturing,
     relational,
     skew,
+    spatial,
     sql_core,
     temporal_join,
     thermo,

@@ -1301,6 +1301,67 @@ WHERE levenshtein(ln, rn) <= 1
 """
 
 
+def spatial_customers_near_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spatial near-join: customers within 500 km of a supplier site,
+    coordinates synthesized deterministically from the keys (exact
+    2-decimal rationals, identical in both engines). Grid blocking
+    (one equi-join on radius-sized cells, supplier side exploded to
+    its 3x5 neighborhood) + haversine refine — never |C| x |S|."""
+    _prep(spark)
+    from odibi_spark.operators.spatial import grid_near_join
+
+    def points(df, key, prefix):
+        return df.select(
+            F.col(key).alias(f"{prefix}_id"),
+            (((F.col(key) * 37) % 12000) / 100.0 - 60.0).alias(f"{prefix}_lat"),
+            (((F.col(key) * 73) % 36000) / 100.0 - 180.0).alias(f"{prefix}_lng"),
+        )
+
+    cust = points(read_table(spark, sf_dir, "customer"), "c_custkey", "c")
+    supp = points(read_table(spark, sf_dir, "supplier"), "s_suppkey", "s")
+    out = grid_near_join(
+        cust, supp, left_lat="c_lat", left_lng="c_lng",
+        right_lat="s_lat", right_lng="s_lng", radius_m=500_000.0,
+    )
+    return out.select(
+        "c_id", "s_id", F.round("distance_m", 1).alias("dist_m1")
+    )
+
+
+SPATIAL_NEAR_SQL = """
+WITH cust AS (
+  SELECT c_custkey AS c_id,
+         ((c_custkey * 37) % 12000) / 100.0 - 60.0 AS c_lat,
+         ((c_custkey * 73) % 36000) / 100.0 - 180.0 AS c_lng
+  FROM customer
+),
+supp AS (
+  SELECT s_suppkey AS s_id,
+         ((s_suppkey * 37) % 12000) / 100.0 - 60.0 AS s_lat,
+         ((s_suppkey * 73) % 36000) / 100.0 - 180.0 AS s_lng
+  FROM supplier
+)
+SELECT c_id, s_id,
+       round(2.0 * 6371000.0 * asin(sqrt(
+         sin(radians(s_lat - c_lat) / 2) * sin(radians(s_lat - c_lat) / 2)
+         + cos(radians(c_lat)) * cos(radians(s_lat))
+           * sin(radians(s_lng - c_lng) / 2) * sin(radians(s_lng - c_lng) / 2)
+       )), 1) AS dist_m1
+FROM cust JOIN supp
+  ON 2.0 * 6371000.0 * asin(sqrt(
+       sin(radians(s_lat - c_lat) / 2) * sin(radians(s_lat - c_lat) / 2)
+       + cos(radians(c_lat)) * cos(radians(s_lat))
+         * sin(radians(s_lng - c_lng) / 2) * sin(radians(s_lng - c_lng) / 2)
+     )) <= 500000.0
+"""
+
+
+QUERIES.update(
+    {"spatial_customers_near_suppliers": spatial_customers_near_suppliers}
+)
+ORACLES.update({"spatial_customers_near_suppliers": SPATIAL_NEAR_SQL})
 QUERIES.update({"fuzzy_match_parts": fuzzy_match_parts})
 ORACLES.update({"fuzzy_match_parts": FUZZY_MATCH_SQL})
 QUERIES.update({"outlier_events_mad": outlier_events_mad})

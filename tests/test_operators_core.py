@@ -428,3 +428,65 @@ class TestFuzzyMatchJoin:
             fuzzy_match_join(
                 df, df, left_col="n", right_col="n", max_distance=-1
             )
+
+
+class TestSpatialNearJoin:
+    def _join(self, spark, left_pts, right_pts, radius_m, **kw):
+        from odibi_spark.operators.spatial import grid_near_join
+
+        l = spark.createDataFrame(left_pts, ["lid", "lat", "lng"])
+        r = spark.createDataFrame(right_pts, ["rid", "lat", "lng"])
+        return grid_near_join(
+            l, r, left_lat="lat", left_lng="lng", right_lat="lat",
+            right_lng="lng", radius_m=radius_m, **kw,
+        )
+
+    def test_antimeridian_pair_found(self, spark):
+        out = self._join(
+            spark,
+            [(1, 10.0, 179.9)],
+            [(2, 10.0, -179.9), (3, 10.0, 0.0)],
+            100_000.0,
+        ).collect()
+        assert [(r.lid, r.rid) for r in out] == [(1, 2)]
+        assert out[0].distance_m < 25_000
+
+    def test_matches_brute_force(self, spark):
+        import math as m
+
+        pts_l = [(i, (i * 17 % 100) - 50.0, (i * 31 % 340) - 170.0)
+                 for i in range(120)]
+        pts_r = [(i, (i * 13 % 100) - 50.0, (i * 41 % 340) - 170.0)
+                 for i in range(80)]
+
+        def hav(a, b):
+            la1, lo1, la2, lo2 = map(m.radians, [a[1], a[2], b[1], b[2]])
+            x = (m.sin((la2 - la1) / 2) ** 2
+                 + m.cos(la1) * m.cos(la2) * m.sin((lo2 - lo1) / 2) ** 2)
+            return 2 * 6371000.0 * m.asin(m.sqrt(x))
+
+        want = {
+            (a[0], b[0]) for a in pts_l for b in pts_r
+            if hav(a, b) <= 800_000.0
+        }
+        got = {
+            (r.lid, r.rid)
+            for r in self._join(spark, pts_l, pts_r, 800_000.0).collect()
+        }
+        assert got == want and len(want) > 0
+
+    def test_out_of_band_latitude_raises(self, spark):
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PySparkException
+
+        with pytest.raises((Py4JJavaError, PySparkException)):
+            self._join(
+                spark, [(1, 75.0, 0.0)], [(2, 10.0, 0.0)], 1000.0
+            ).collect()
+
+    def test_polar_cap_rejected(self, spark):
+        with pytest.raises(ValueError, match="polar cap"):
+            self._join(
+                spark, [(1, 0.0, 0.0)], [(2, 0.0, 0.0)], 1000.0,
+                max_abs_lat=89.999,
+            )
