@@ -268,8 +268,11 @@ def main() -> None:
     analytics = {}
     for name in (
         "funnel_view_click_purchase", "cohort_daily_retention",
-        "outlier_events_zscore", "resample_user_events",
+        "outlier_events_zscore", "outlier_events_mad",
+        "resample_user_events", "ewma_user_values",
         "asof_click_purchase", "range_clicks_per_purchase_hour",
+        "fuzzy_match_parts", "spatial_customers_near_suppliers",
+        "snapshot_cdc_customers",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(

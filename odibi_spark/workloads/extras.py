@@ -1253,7 +1253,17 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from odibi_spark.operators.fuzzy import fuzzy_match_join
 
-    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    # dedupe to DISTINCT names first (min key as the entity id) — the
+    # synthetic part names repeat heavily, and matching raw rows would
+    # cross-product every duplicate-name cluster (6.4M pairs at sf0.1
+    # for ~20k planted edits); resolving entities, not rows, is also
+    # how a real match pipeline runs
+    part = (
+        read_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("p_partkey"))
+        .select("p_partkey", "p_name")
+    )
     dirty = part.select(
         (F.col("p_partkey") + F.lit(5_000_000)).alias("d_key"),
         F.when(
@@ -1268,31 +1278,39 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("p_name"))
         .alias("d_name"),
     )
+    # 8-char anchors: part names open with a ~10-word color vocabulary,
+    # so 4-char prefixes bucket ~2500 wide (100M candidate pairs at
+    # sf0.1, 30s); reaching into the second word cuts buckets ~100x.
+    # Names are >=19 chars, so 8-char anchors stay complete at 1 edit.
     out = fuzzy_match_join(
-        part, dirty, left_col="p_name", right_col="d_name", max_distance=1
+        part, dirty, left_col="p_name", right_col="d_name",
+        max_distance=1, anchor=8,
     )
     return out.select("p_partkey", "d_key", "edit_distance")
 
 
 FUZZY_MATCH_SQL = """
-WITH dirty AS (
+WITH ent AS (
+  SELECT MIN(p_partkey) AS p_partkey, p_name FROM part GROUP BY p_name
+),
+dirty AS (
   SELECT p_partkey + 5000000 AS d_key,
          CASE WHEN p_partkey % 3 = 0
                 THEN concat(substring(p_name, 1, 9), 'X',
                             substring(p_name, 11, 1000))
               WHEN p_partkey % 3 = 1 THEN concat(p_name, 'q')
               ELSE p_name END AS d_name
-  FROM part
+  FROM ent
 ),
-l AS (SELECT p_partkey, lower(trim(p_name)) AS ln FROM part),
+l AS (SELECT p_partkey, lower(trim(p_name)) AS ln FROM ent),
 r AS (SELECT d_key, lower(trim(d_name)) AS rn FROM dirty),
 cands AS (
   SELECT l.p_partkey, r.d_key, l.ln, r.rn
-  FROM l JOIN r ON substring(l.ln, 1, 2) = substring(r.rn, 1, 2)
+  FROM l JOIN r ON substring(l.ln, 1, 8) = substring(r.rn, 1, 8)
   UNION
   SELECT l.p_partkey, r.d_key, l.ln, r.rn
-  FROM l JOIN r ON substring(l.ln, length(l.ln) - 1, 2)
-                   = substring(r.rn, length(r.rn) - 1, 2)
+  FROM l JOIN r ON substring(l.ln, length(l.ln) - 7, 8)
+                   = substring(r.rn, length(r.rn) - 7, 8)
 )
 SELECT p_partkey, d_key,
        CAST(levenshtein(ln, rn) AS INTEGER) AS edit_distance
