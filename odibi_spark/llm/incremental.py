@@ -169,10 +169,11 @@ def run_incremental_dedup(
         hasher=hasher, seed=seed,
     )
     flagged = flagged.localCheckpoint(eager=True)
-    # the delta's ids are already materialized in the checkpointed
-    # signature frame — take the mark from there instead of re-scanning
-    # the source
-    new_hwm = capture_hwm(sigs_new, "id")
+    # the HWM must come from the DELTA, not the signature frame:
+    # minhash_signatures drops docs shorter than n words, so a
+    # signature-derived mark can regress below the delta's true max id
+    # and re-admit (or permanently reprocess) the short docs
+    new_hwm = capture_hwm(delta, id_col)
     store.append(sigs_new, batch_id)
     if new_hwm is not None:
         state.set(state_key, new_hwm)

@@ -183,13 +183,26 @@ def zscore_outliers(
         F.col("__sd") > 0, (F.col(value_col) - F.col("__mean")) / F.col("__sd")
     )
     return (
-        df.join(F.broadcast(stats), group_by)
+        df.join(F.broadcast(stats), _null_safe_on(df, stats, group_by))
+        .drop(*[stats[k] for k in group_by])
         .withColumn(z_col, z)
         .withColumn(
             flag_col, F.coalesce(F.abs(F.col(z_col)) > threshold, F.lit(False))
         )
         .drop("__mean", "__sd")
     )
+
+
+def _null_safe_on(left: DataFrame, right: DataFrame, keys: list[str]):
+    """Null-safe equality join condition: a groupBy emits a stats row
+    for the NULL group too, and a plain equi-join would silently DROP
+    every fact row with a null key — data loss for flag-the-row
+    operators. eqNullSafe keeps them (their group stats apply)."""
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(right[k])
+        cond = c if cond is None else (cond & c)
+    return cond
 
 
 def mad_outliers(
@@ -220,7 +233,9 @@ def mad_outliers(
     med = df.groupBy(*group_by).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("__med")
     )
-    with_med = df.join(F.broadcast(med), group_by)
+    with_med = df.join(
+        F.broadcast(med), _null_safe_on(df, med, group_by)
+    ).drop(*[med[k] for k in group_by])
     mad = (
         with_med.withColumn(
             "__ad", F.abs(F.col(value_col) - F.col("__med"))
@@ -233,7 +248,10 @@ def mad_outliers(
         F.lit(0.6745) * (F.col(value_col) - F.col("__med")) / F.col("__mad"),
     )
     return (
-        with_med.join(F.broadcast(mad), group_by)
+        with_med.join(
+            F.broadcast(mad), _null_safe_on(with_med, mad, group_by)
+        )
+        .drop(*[mad[k] for k in group_by])
         .withColumn(z_col, z)
         .withColumn(
             flag_col, F.coalesce(F.abs(F.col(z_col)) > threshold, F.lit(False))

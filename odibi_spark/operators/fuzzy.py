@@ -132,17 +132,22 @@ def fuzzy_match_join(
 def fuzzy_match(
     ctx: EngineContext,
     *,
-    right: DataFrame,
+    right: str | DataFrame,
     left_column: str,
     right_column: str,
     max_distance: int = 1,
     anchor: int = 4,
     normalize: bool = True,
 ) -> EngineContext:
-    """YAML surface: fuzzy match join against another dataset."""
+    """YAML surface: fuzzy match join against another dataset (a
+    registered dataset name or a DataFrame, like every join
+    transform)."""
+    from odibi_spark.operators.relational import _resolve_right
+
     return ctx.with_df(
         fuzzy_match_join(
-            ctx.df, right, left_col=left_column, right_col=right_column,
-            max_distance=max_distance, anchor=anchor, normalize=normalize,
+            ctx.df, _resolve_right(ctx, right), left_col=left_column,
+            right_col=right_column, max_distance=max_distance,
+            anchor=anchor, normalize=normalize,
         )
     )

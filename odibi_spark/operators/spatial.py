@@ -13,9 +13,10 @@ from ONE equi-join on (cell_x, cell_y), and only those pairs pay the
 haversine. Cost = bucket density x neighborhood size — never |L|x|R|.
 
 Longitude degrees shrink with cos(latitude), so the neighborhood is
-±1 cell in latitude and ±ceil(1/cos(max_lat)) cells in longitude —
-bounded only when ``max_abs_lat`` keeps cos away from 0 (default 60°,
-neighborhood 3x5 = 15 cells). Polar data needs a polar-cap special
+±1 cell in latitude and ±(ceil(dlng_max/cell)+1) cells in longitude
+(the +1 covers the narrower antimeridian seam cell) — bounded only
+when ``max_abs_lat`` keeps cos away from 0 (default 60°: lng span 4,
+neighborhood 3x9 = 27 cells). Polar data needs a polar-cap special
 case; this operator refuses latitudes beyond the configured band
 rather than silently losing matches.
 """
@@ -153,7 +154,7 @@ def grid_near_join(
 def spatial_near_join(
     ctx: EngineContext,
     *,
-    right: DataFrame,
+    right: str | DataFrame,
     left_lat: str,
     left_lng: str,
     right_lat: str,
@@ -161,11 +162,15 @@ def spatial_near_join(
     radius_m: float,
     max_abs_lat: float = 60.0,
 ) -> EngineContext:
-    """YAML surface: radius join against another point set."""
+    """YAML surface: radius join against another point set (a
+    registered dataset name or a DataFrame, like every join
+    transform)."""
+    from odibi_spark.operators.relational import _resolve_right
+
     return ctx.with_df(
         grid_near_join(
-            ctx.df, right, left_lat=left_lat, left_lng=left_lng,
-            right_lat=right_lat, right_lng=right_lng, radius_m=radius_m,
-            max_abs_lat=max_abs_lat,
+            ctx.df, _resolve_right(ctx, right), left_lat=left_lat,
+            left_lng=left_lng, right_lat=right_lat, right_lng=right_lng,
+            radius_m=radius_m, max_abs_lat=max_abs_lat,
         )
     )

@@ -31,10 +31,8 @@ _WINDOW_FUNCS = {
     "cume_dist": lambda c: F.cume_dist(),
     "percent_rank": lambda c: F.percent_rank(),
 }
-
-# ntile takes the bucket count, not a column — resolved in
-# window_calculation via the ``ntile_buckets`` param
-_WINDOW_FUNCS["ntile"] = None
+# (ntile takes the bucket count, not a column — it is special-cased in
+# window_calculation via the ``ntile_buckets`` param, not listed here)
 
 
 @transform("window_calculation")
@@ -304,9 +302,9 @@ def resample_frames(
        first observation stay null, gaps after the last carry it
        forward); ``fill="none"`` leaves gaps null.
 
-    ``gap_column`` flags grid buckets with no source rows (the first
-    aggregation column is null there — count(*) aggs are never null
-    for present buckets).
+    ``gap_column`` flags grid buckets with no source rows, from an
+    INTERNAL row count — a caller aggregation that is legitimately
+    null for a present bucket cannot mislabel it.
 
     Scale: output is span/interval rows per group; the window in step
     5 shuffles once on group_by. A single group with a multi-year span
@@ -317,7 +315,12 @@ def resample_frames(
     bucket = F.timestamp_seconds(
         F.floor(F.unix_timestamp(F.col(timestamp_column)) / F.lit(ival)) * ival
     )
-    aggs = [F.expr(e).alias(n) for n, e in aggregations.items()]
+    # internal row count drives the gap flag — a caller aggregation
+    # like avg(v) is legitimately NULL for a present bucket whose
+    # values are all null, and must not mislabel it as a gap
+    aggs = [F.count(F.lit(1)).alias("__cnt")] + [
+        F.expr(e).alias(n) for n, e in aggregations.items()
+    ]
     b = df.groupBy(*group_by, bucket.alias(bucket_column)).agg(*aggs)
     bounds = b.groupBy(*group_by).agg(
         F.min(bucket_column).alias("__mn"), F.max(bucket_column).alias("__mx")
@@ -329,8 +332,7 @@ def resample_frames(
         ).alias(bucket_column),
     )
     out = grid.join(b, [*group_by, bucket_column], "left")
-    first_agg = next(iter(aggregations))
-    out = out.withColumn(gap_column, F.col(first_agg).isNull())
+    out = out.withColumn(gap_column, F.col("__cnt").isNull()).drop("__cnt")
     if fill == "ffill":
         w = (
             Window.partitionBy(*group_by)

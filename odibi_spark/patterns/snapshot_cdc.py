@@ -7,11 +7,11 @@ delete_detection.py) and merge (which applies changes): this pattern
 PRODUCES the change set that merge consumes.
 
 Plan shape (100 TB): one full-outer co-partitioned join on the keys;
-each side carries a map-side md5 row hash over the compared columns
-(the surrogate-key formula from operators/advanced.py — pipe-joined
-coalesced strings), so "changed?" is one string compare and unchanged
-rows — the overwhelming majority in a daily snapshot — are filtered
-before anything else touches them. No windows, no driver data.
+each side carries a map-side typed row hash (xxhash64 over a struct of
+the compared columns — NULL-vs-'' and separator-safe, unlike string
+concatenation), so "changed?" is one long compare and unchanged rows —
+the overwhelming majority in a daily snapshot — are filtered before
+anything else touches them. No windows, no driver data.
 """
 
 from __future__ import annotations
@@ -20,11 +20,11 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _row_hash(df: DataFrame, cols: list[str]):
-    return F.md5(
-        F.concat_ws(
-            "|", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
-        )
-    )
+    # typed hash over a struct, NOT a pipe-joined string: concat_ws
+    # cannot distinguish NULL from '' and is ambiguous when values
+    # contain the separator — either would classify a real update as
+    # 'unchanged' and silently drop it from the change feed
+    return F.xxhash64(F.struct(*[F.col(c) for c in cols]))
 
 
 def snapshot_diff(

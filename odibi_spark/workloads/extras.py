@@ -1326,7 +1326,7 @@ def spatial_customers_near_suppliers(
     coordinates synthesized deterministically from the keys (exact
     2-decimal rationals, identical in both engines). Grid blocking
     (one equi-join on radius-sized cells, supplier side exploded to
-    its 3x5 neighborhood) + haversine refine — never |C| x |S|."""
+    its 3x9 wrapped neighborhood) + haversine refine — never |C| x |S|."""
     _prep(spark)
     from odibi_spark.operators.spatial import grid_near_join
 

@@ -236,3 +236,22 @@ class TestMadOutliers:
         )
         out = mad_outliers(df, group_by=["g"], value_col="v").collect()
         assert all(r.robust_z is None and r.is_outlier is False for r in out)
+
+
+class TestOutlierNullGroups:
+    def test_null_group_rows_kept_not_dropped(self, spark):
+        from odibi_spark.operators.analytics import (
+            mad_outliers,
+            zscore_outliers,
+        )
+
+        df = spark.createDataFrame(
+            [("g", 1.0), ("g", 2.0), ("g", 3.0),
+             (None, 5.0), (None, 6.0), (None, 7.0)],
+            ["g", "v"],
+        )
+        for fn in (zscore_outliers, mad_outliers):
+            out = fn(df, group_by=["g"], value_col="v")
+            # a plain equi-join would silently drop the null-key rows
+            assert out.count() == 6, fn.__name__
+            assert out.filter("g IS NULL").count() == 3, fn.__name__

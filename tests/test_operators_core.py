@@ -490,3 +490,60 @@ class TestSpatialNearJoin:
                 spark, [(1, 0.0, 0.0)], [(2, 0.0, 0.0)], 1000.0,
                 max_abs_lat=89.999,
             )
+
+
+class TestResampleGapFlagNullAggregates:
+    def test_present_bucket_with_all_null_values_is_not_a_gap(self, spark):
+        import pandas as pd
+
+        from odibi_spark.operators.window import resample_frames
+
+        pdf = pd.DataFrame(
+            {
+                "k": ["a", "a"],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:01", "2024-01-01 00:21"]
+                ).astype("datetime64[us]"),
+                "v": [None, 5.0],
+            }
+        )
+        out = resample_frames(
+            spark.createDataFrame(pdf),
+            group_by=["k"], timestamp_column="ts", interval_seconds=600,
+            aggregations={"avg_v": "avg(v)"},
+        ).collect()
+        by_min = {r.bucket_ts.minute: r for r in out}
+        # bucket :00 has a row (v null): avg is null but it is NOT a gap
+        assert by_min[0].is_gap is False and by_min[0].avg_v is None
+        assert by_min[10].is_gap is True  # the real gap
+
+
+def test_fuzzy_and_spatial_yaml_surface_resolve_dataset_names(spark):
+    """The registered transforms must accept a dataset NAME for
+    ``right`` (the YAML form), like every other join transform."""
+    from odibi_spark.context import Context, EngineContext
+
+    ctx = Context(spark)
+    ctx.register(
+        "dirty", spark.createDataFrame([(9, "alphx")], ["rid", "cand"])
+    )
+    ctx.register(
+        "sites", spark.createDataFrame([(9, 10.0, 20.0)], ["sid", "la", "lo"])
+    )
+    left = spark.createDataFrame([(1, "alpha")], ["lid", "name"])
+    out = R.apply(
+        "fuzzy_match",
+        EngineContext(ctx, left),
+        {"right": "dirty", "left_column": "name", "right_column": "cand",
+         "max_distance": 1, "anchor": 2},
+    ).df
+    assert [(r.lid, r.rid) for r in out.collect()] == [(1, 9)]
+
+    pts = spark.createDataFrame([(1, 10.0, 20.001)], ["pid", "lat", "lng"])
+    out2 = R.apply(
+        "spatial_near_join",
+        EngineContext(ctx, pts),
+        {"right": "sites", "left_lat": "lat", "left_lng": "lng",
+         "right_lat": "la", "right_lng": "lo", "radius_m": 1000.0},
+    ).df
+    assert [(r.pid, r.sid) for r in out2.collect()] == [(1, 9)]

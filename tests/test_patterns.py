@@ -328,3 +328,15 @@ class TestSnapshotCdc:
             ).collect()
         }
         assert out == {1: "update", 2: "insert"}
+
+    def test_null_vs_empty_string_is_an_update(self, spark):
+        from odibi_spark.patterns.snapshot_cdc import snapshot_diff
+
+        old = spark.createDataFrame([(1, None), (2, "a|b")],
+                                    "k INT, name STRING")
+        new = spark.createDataFrame([(1, ""), (2, "a|b")],
+                                    "k INT, name STRING")
+        out = {r.k: r._change_type
+               for r in snapshot_diff(old, new, keys=["k"]).collect()}
+        # a concat_ws-based hash would call NULL -> '' unchanged
+        assert out == {1: "update"}
