@@ -1392,6 +1392,67 @@ QUERIES.update({"ewma_user_values": ewma_user_values})
 ORACLES.update({"ewma_user_values": EWMA_SQL})
 QUERIES.update({"resample_interp_user_events": resample_interp_user_events})
 ORACLES.update({"resample_interp_user_events": RESAMPLE_INTERP_SQL})
+def conversion_latency_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator composition: funnel chain -> completed conversions ->
+    interpolated quartiles of view-to-purchase latency. One funnel
+    pass + one 1-row aggregate; latencies are exact integer seconds so
+    the interpolated quantiles hash-match DuckDB's quantile_cont."""
+    _prep(spark)
+    from odibi_spark.operators.analytics import funnel_frames
+
+    ev = read_table(spark, sf_dir, "events")
+    fr = funnel_frames(
+        ev, user_col="user_id", ts_col="ts", type_col="event_type",
+        steps=["view", "click", "purchase"], within="7 days",
+    )
+    lat = fr.filter("step_3_purchase_ts IS NOT NULL").select(
+        (
+            F.unix_timestamp("step_3_purchase_ts")
+            - F.unix_timestamp("step_1_view_ts")
+        ).alias("latency_s")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("percentile(latency_s, 0.25)").alias("p25_s"),
+        F.expr("percentile(latency_s, 0.5)").alias("p50_s"),
+        F.expr("percentile(latency_s, 0.75)").alias("p75_s"),
+    )
+
+
+CONVERSION_LATENCY_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+  GROUP BY 1
+),
+lat AS (
+  SELECT CAST(floor(epoch(t3)) AS BIGINT)
+         - CAST(floor(epoch(t1)) AS BIGINT) AS latency_s
+  FROM s3 JOIN s1 USING (user_id)
+)
+SELECT COUNT(*) AS n_converted,
+       quantile_cont(latency_s, 0.25) AS p25_s,
+       quantile_cont(latency_s, 0.5) AS p50_s,
+       quantile_cont(latency_s, 0.75) AS p75_s
+FROM lat
+"""
+
+
+QUERIES.update({"conversion_latency_quartiles": conversion_latency_quartiles})
+ORACLES.update({"conversion_latency_quartiles": CONVERSION_LATENCY_SQL})
 QUERIES.update({"funnel_view_click_purchase": funnel_view_click_purchase})
 ORACLES.update({"funnel_view_click_purchase": FUNNEL_SQL})
 QUERIES.update({"cohort_daily_retention": cohort_daily_retention})

@@ -226,6 +226,26 @@ class TestStreaming:
         assert (1, False) in rows  # matched within the hour
         assert (2, True) in rows  # unmatched, emitted null-padded
 
+    def test_stream_static_enrichment_join(self, spark, tmp_path, stream_src):
+        """Stream-static join: a file stream enriched against a static
+        dimension — no watermark needed (the static side is re-read per
+        micro-batch; on a cluster it broadcasts under the threshold)."""
+        stream, batch = stream_src
+        dim = (
+            batch.select("event_type").distinct()
+            .withColumn("type_len", F.length("event_type"))
+        )
+        enriched = stream.join(dim, "event_type")
+        q = start_stream_write(
+            enriched, format="memory", output_mode="append",
+            query_name="enrich", checkpoint=str(tmp_path / "ce"),
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination()
+        got = spark.sql("SELECT * FROM enrich")
+        assert got.count() == batch.count()  # every event matched its dim
+        assert "type_len" in got.columns
+
     def test_streaming_sessionize(self, spark, tmp_path, stream_src):
         stream, _ = stream_src
         sess = streaming_sessionize(
