@@ -347,3 +347,43 @@ class TestPartitionPruning:
         assert "event_type" in plan.split("PartitionFilters", 1)[1][:200]
         # pruned read returns exactly the one partition's rows
         assert got.count() == ev.filter("event_type = 'click'").count()
+
+
+class TestSimilarityJoinPlans:
+    def test_fuzzy_match_no_cartesian_and_keyed(self, spark):
+        from odibi_spark.io import read_table
+        from odibi_spark.operators.fuzzy import fuzzy_match_join
+
+        part = read_table(spark, "/root/testdata/sf0.001", "part").select(
+            "p_partkey", "p_name"
+        )
+        out = fuzzy_match_join(
+            part,
+            part.selectExpr("p_partkey AS k2", "p_name AS n2"),
+            left_col="p_name", right_col="n2", max_distance=1, anchor=8,
+        )
+        plan = plan_of(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_spatial_join_no_cartesian_and_keyed(self, spark):
+        from odibi_spark.operators.spatial import grid_near_join
+
+        l = spark.createDataFrame(
+            [(i, float(i % 50), float(i % 170)) for i in range(50)],
+            ["lid", "lat", "lng"],
+        )
+        r = spark.createDataFrame(
+            [(i, float(i % 40), float(i % 160)) for i in range(20)],
+            ["rid", "lat", "lng"],
+        )
+        out = grid_near_join(
+            l, r, left_lat="lat", left_lng="lng", right_lat="lat",
+            right_lng="lng", radius_m=100_000.0,
+        )
+        plan = plan_of(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # candidates come from the cell equi-join: both key columns
+        # appear as join keys in the plan
+        assert "__cx" in plan and "__cy" in plan
