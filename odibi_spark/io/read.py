@@ -115,6 +115,34 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
+def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Fan a narrow-split input out to the cluster's parallelism
+    before CPU-heavy per-row work.
+
+    A file smaller than ``spark.sql.files.maxPartitionBytes`` (or with
+    a single row group) arrives as ONE input split, so every map-side
+    expression — shingling, hashing, regex chains, decimal partial
+    aggregation — runs on one core no matter how many the cluster has.
+    This helper round-robin-repartitions ONLY when the current
+    partition count is below the target (default
+    ``sparkContext.defaultParallelism``); at real scale, where input
+    splits already exceed cluster parallelism, it is a no-op returning
+    ``df`` unchanged — the small-input case pays one cheap shuffle of
+    data that is by definition small. Filters and column pruning still
+    reach the scan (Catalyst pushes both through Repartition), and the
+    explicit partition count keeps AQE from coalescing the fan-out
+    away.
+    """
+    target = (
+        min_partitions
+        if min_partitions is not None
+        else df.sparkSession.sparkContext.defaultParallelism
+    )
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def read_source(
     spark: SparkSession,
     *,

@@ -121,12 +121,18 @@ def flag_incremental_dups(
         F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
         for i in range(num_perm)
     )
+    # eagerly pin the (tiny) dup id set, NOT the wide flagged frame:
+    # everything upstream of here re-reads the store parquet on
+    # re-execution, which after store.append would double-count the
+    # batch's own signatures — and checkpointing O(dups) ids is free
+    # next to materializing the delta's document bodies
     dups = (
         cands.join(all_sigs.alias("sa"), F.col("id_a") == F.col("sa.id"))
         .join(sigs_new.alias("sb"), F.col("id_b") == F.col("sb.id"))
         .filter(agree / F.lit(float(num_perm)) >= F.lit(threshold))
         .select(F.col("id_b").alias(id_col))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     flagged = new_docs.join(
         F.broadcast(dups.withColumn("is_dup", F.lit(True))), id_col, "left"
@@ -151,8 +157,10 @@ def run_incremental_dedup(
     seed: int = 42,
 ) -> DataFrame:
     """One incremental run: HWM filter -> delta dedup -> store append
-    -> HWM commit. Returns the flagged delta (materialized before the
-    commit so the caller's downstream write sees a stable result).
+    -> HWM commit. Returns the flagged delta; the dup id set inside it
+    is eagerly pinned (flag_incremental_dups checkpoints it), so the
+    caller's downstream write sees a stable result without this
+    function materializing the delta's document bodies.
 
     Crash between store append and HWM commit replays the batch:
     the dynamic partition overwrite makes the append idempotent and
@@ -168,7 +176,6 @@ def run_incremental_dedup(
         num_perm=num_perm, bands=bands, threshold=threshold,
         hasher=hasher, seed=seed,
     )
-    flagged = flagged.localCheckpoint(eager=True)
     # the HWM must come from the DELTA, not the signature frame:
     # minhash_signatures drops docs shorter than n words, so a
     # signature-derived mark can regress below the delta's true max id

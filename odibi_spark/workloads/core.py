@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from odibi_spark.context import Context, EngineContext
-from odibi_spark.io import read_table
+from odibi_spark.workloads.common import read_table
 from odibi_spark.operators import advanced, relational, sql_core, window
 
 # Scale 6 so 2-dp×2-dp×2-dp products (up to 6 decimal digits) are

@@ -8,7 +8,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from odibi_spark.io import read_table
+from odibi_spark.workloads.common import read_table
 
 DEC = "DECIMAL(18,6)"
 
@@ -1025,12 +1025,15 @@ FROM w
 
 
 def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user EWMA of event values (alpha=1/3, pandas adjust=False
-    recursion inside Arrow-batched applyInPandas). The oracle is the
-    closed form y_t = (1-a)^t * cumsum(x_i * a/(1-a)^i) — overflow-
-    prone for long series (why the implementation recurses instead)
-    but exact at this series length; round(4) absorbs the ~1e-12
-    relative gap between the two float paths. alpha is 1/3 ON PURPOSE:
+    """Per-user EWMA of event values (alpha=1/3, adjust=False
+    semantics) via ewma_scan — the blocked scaled-cumsum closed form
+    in pure JVM window algebra (no Python boundary; ~8x faster than
+    the applyInPandas recursion at this group-count, and the 100-TB
+    path since it has no per-group Arrow batch limit). The oracle is
+    the unblocked closed form y_t = (1-a)^t * cumsum(x_i * a/(1-a)^i)
+    — overflow-prone past ~1700 points (why ewma_scan blocks) but
+    exact at this series length; round(4) absorbs the ~1e-12 relative
+    gap between the float paths. alpha is 1/3 ON PURPOSE:
     with a terminating-decimal alpha (0.3), early-series EWMA values
     terminate at exactly five decimals, so round(·,4) sits ON the
     .00005 midpoint and the engines disagree (Spark rounds the
@@ -1038,10 +1041,12 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     flips at sf0.01. With 1/3 every non-trivial value is
     non-terminating and midpoint hits have measure zero."""
     _prep(spark)
-    from odibi_spark.operators.analytics import ewma_frames
+    from odibi_spark.operators.analytics import ewma_scan
 
-    ev = read_table(spark, sf_dir, "events")
-    out = ewma_frames(
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = ewma_scan(
         ev, group_by=["user_id"], ts_col="ts", value_col="value",
         alpha=1.0 / 3.0, tiebreak_cols=["event_id"],
     )

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from odibi_spark.io import read_table
+from odibi_spark.workloads.common import read_table
 from odibi_spark.llm import chunking, curation, dedup, similarity, text
 
 DEC = "DECIMAL(18,6)"
@@ -748,8 +748,13 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-split packing of the doc stream (doc_id order) into
     2048-token context windows, n_chars as the token proxy."""
     _prep(spark)
+    # project BEFORE packing: the two-pass cumsum range-shuffles and
+    # checkpoints its input, so carrying the text column through it
+    # would materialize the whole corpus body for a 2-long-column
+    # answer (measured 13x slower at sf0.1)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return chunking.pack_sequences(
-        read_table(spark, sf_dir, "documents"), 2048,
+        docs, 2048,
         token_col="n_chars", order_col="doc_id", id_col="doc_id",
     ).select("doc_id", "pack_id", "pack_offset", "n_packs_spanned")
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from odibi_spark.context import Context, EngineContext
-from odibi_spark.io import read_table
+from odibi_spark.workloads.common import read_table
 from odibi_spark.operators import relational, sql_core
 
 DEC = "DECIMAL(18,6)"

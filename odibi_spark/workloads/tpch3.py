@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from odibi_spark.io import read_table
+from odibi_spark.workloads.common import read_table
 
 DEC = "DECIMAL(18,6)"
 

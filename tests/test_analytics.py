@@ -202,6 +202,72 @@ class TestEwma:
             )
 
 
+class TestEwmaScan:
+    """ewma_scan: the JVM blocked-scaled-cumsum closed form must agree
+    with the pandas recursion (ewma_frames) across alpha regimes —
+    including series long enough to exercise multiple blocks and the
+    4-lag carry truncation."""
+
+    def _series(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        rows = []
+        for g, n in (("a", 2500), ("b", 300), ("c", 1), ("d", 3)):
+            for i in range(n):
+                rows.append((g, i, float(rng.standard_normal() * 50)))
+        return spark.createDataFrame(rows, ["grp", "ts", "v"])
+
+    @pytest.mark.parametrize("alpha", [1.0 / 3.0, 0.001, 0.9])
+    def test_matches_pandas_recursion(self, spark, alpha):
+        from odibi_spark.operators.analytics import ewma_frames, ewma_scan
+
+        df = self._series(spark)
+        got = {
+            (r.grp, r.ts): r.ewma
+            for r in ewma_scan(
+                df, group_by=["grp"], ts_col="ts", value_col="v",
+                alpha=alpha,
+            ).collect()
+        }
+        exp = {
+            (r.grp, r.ts): r.ewma
+            for r in ewma_frames(
+                df, group_by=["grp"], ts_col="ts", value_col="v",
+                alpha=alpha,
+            ).collect()
+        }
+        assert got.keys() == exp.keys()
+        for k, e in exp.items():
+            assert got[k] == pytest.approx(e, rel=1e-9, abs=1e-9), (k, alpha)
+
+    def test_alpha_one_is_identity(self, spark):
+        from odibi_spark.operators.analytics import ewma_scan
+
+        df = spark.createDataFrame([("g", 0, 7.0), ("g", 1, 3.0)], ["grp", "ts", "v"])
+        got = {r.ts: r.ewma for r in ewma_scan(
+            df, group_by=["grp"], ts_col="ts", value_col="v", alpha=1.0
+        ).collect()}
+        assert got == {0: 7.0, 1: 3.0}
+
+    def test_no_python_and_no_single_partition(self, spark):
+        """The whole point: no Arrow/Python exec node anywhere, and
+        every window keyed by the group — never a global window."""
+        from odibi_spark.operators.analytics import ewma_scan
+
+        df = spark.range(0, 10_000).selectExpr(
+            "CAST(id % 50 AS STRING) AS grp", "id AS ts",
+            "CAST(id % 97 AS DOUBLE) AS v"
+        )
+        out = ewma_scan(df, group_by=["grp"], ts_col="ts", value_col="v",
+                        alpha=0.25)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "SinglePartition" not in plan
+
+
 class TestMadOutliers:
     def test_robust_to_the_outlier_itself(self, spark):
         from odibi_spark.operators.analytics import (

@@ -232,7 +232,8 @@ class TestTpchPlanProperties:
             "id AS doc_id", "CAST(id % 97 + 1 AS INT) AS toks"
         )
         packed = pack_sequences(
-            df, 64, token_col="toks", order_col="doc_id", id_col="doc_id"
+            df, 64, token_col="toks", order_col="doc_id", id_col="doc_id",
+            small_input_rows=0,  # force the at-scale path
         )
         plan = plan_of(packed)
         assert "SinglePartition" not in plan, plan
@@ -252,7 +253,7 @@ class TestTpchPlanProperties:
             r.doc_id: (r.pack_id, r.pack_offset, r.n_packs_spanned)
             for r in pack_sequences(
                 df, 128, token_col="toks", order_col="doc_id",
-                id_col="doc_id",
+                id_col="doc_id", small_input_rows=0,
             ).collect()
         }
         naive = W.orderBy(F.asc("doc_id"))
@@ -327,6 +328,41 @@ class TestAnalyticsPlans:
         for line in plan.splitlines():
             if "Window " in line:
                 assert "user_id" in line, line
+
+
+class TestScaleOut:
+    def test_fans_out_single_split_input(self, spark):
+        from odibi_spark.io import scale_out
+
+        df = spark.range(0, 1000, 1, 1).toDF("id")
+        assert df.rdd.getNumPartitions() == 1
+        out = scale_out(df)
+        assert (
+            out.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism
+        )
+
+    def test_noop_when_already_parallel(self, spark):
+        """At real scale input splits exceed cluster parallelism — the
+        guard must return the SAME frame, adding no shuffle."""
+        from odibi_spark.io import scale_out
+
+        par = spark.sparkContext.defaultParallelism
+        df = spark.range(0, 1000, 1, par + 4).toDF("id")
+        assert scale_out(df) is df
+
+    def test_filter_still_reaches_scan_through_fanout(self, spark):
+        """Catalyst pushes predicates and pruning through Repartition:
+        the workload-layer fan-out must not cost the scan its
+        PushedFilters."""
+        from odibi_spark.workloads.common import read_table
+
+        df = read_table(spark, "/root/testdata/sf0.001", "documents")
+        q = df.filter(F.col("doc_id") < 100).select("doc_id", "n_chars")
+        plan = plan_of(q)
+        assert "Exchange RoundRobinPartitioning" in plan  # the fan-out
+        full = q._jdf.queryExecution().toString()
+        assert "PushedFilters" in full and "doc_id" in full
 
 
 class TestPartitionPruning:
