@@ -124,6 +124,12 @@ def write_sink(
     so parquet row-group min/max stats skip files on those columns (the
     open-format analogue of Delta OPTIMIZE ZORDER for one-dimension
     predicates; reference zorder_by config.py:4222-4229).
+    ``zorder_by`` on NON-Delta formats lays the data out by a Morton
+    (bit-interleaved) key over the given columns before writing —
+    multi-dimensional min/max pruning from plain parquet (the
+    operators/layout implementation; pruning proven from parquet
+    footers in tests/test_layout.py). On Delta it runs the engine's
+    OPTIMIZE ZORDER post-write instead, matching the reference.
     ``bucket_by``/``bucket_count`` + ``table``: hash-bucketed managed
     table — joins/aggregations on the bucket keys skip the shuffle
     entirely (plan-asserted in tests/test_scale_plans.py).
@@ -179,6 +185,22 @@ def write_sink(
             register_as=register_as,
         )
         return
+
+    if zorder_by and format != "delta":
+        from pyspark.sql import functions as F
+
+        from odibi_spark.operators.layout import zorder_key
+
+        n_files = (
+            coalesce_partitions
+            or df.sparkSession.sparkContext.defaultParallelism
+        )
+        df = (
+            zorder_key(df, zorder_by, key_col="__z")
+            .repartitionByRange(int(n_files), F.asc("__z"))
+            .sortWithinPartitions(F.asc("__z"))
+            .drop("__z")
+        )
 
     writer = df.write.mode(mode).options(**{k: str(v) for k, v in (options or {}).items()})
     if partition_by:

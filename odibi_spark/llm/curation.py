@@ -157,6 +157,42 @@ def stratified_hash_sample(
     return df.filter(_hash_unit(F.col(key_col), seed) < frac)
 
 
+def pps_sample(
+    df: DataFrame,
+    rate: float,
+    *,
+    weight_col: str,
+    key_col: str,
+    seed: int = 42,
+    prob_col: str | None = None,
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size (Poisson/PPS)
+    sampling: keep a row iff ``u(key, seed) < min(1, rate * weight)``,
+    so inclusion probability is proportional to ``weight_col`` (capped
+    at 1). The standard curation move for token-weighted corpus
+    sampling — "sample documents proportional to their token count" —
+    and the PPS first phase of audit/estimation designs (Horvitz-
+    Thompson: reweight kept rows by 1/p, exposed via ``prob_col``).
+
+    Like :func:`hash_sample`, selection is a pure function of
+    (key, seed): stable across runs, partitionings, engines, and
+    corpus growth. Exactly portable to the DuckDB oracle because both
+    engines evaluate the SAME IEEE ops (one multiply + compare on the
+    60-bit hash unit) — no pow/ln calls whose last-ulp rounding could
+    flip membership. Pure filter expression: no shuffle, no state, and
+    the expected sampled token mass is rate * total_tokens for
+    uncapped rows at any corpus size.
+    """
+    if rate < 0:
+        raise ValueError("rate must be >= 0")
+    u = _hash_unit(F.col(key_col), seed)
+    p = F.least(F.lit(1.0), F.lit(float(rate)) * F.col(weight_col).cast("double"))
+    out = df.filter(u < p)
+    if prob_col:
+        out = out.withColumn(prob_col, p)
+    return out
+
+
 def token_budget_sample(
     df: DataFrame,
     budget: int,

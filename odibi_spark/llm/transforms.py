@@ -177,6 +177,27 @@ def hash_sample_transform(
     )
 
 
+@transform("pps_sample")
+def pps_sample_transform(
+    ctx: EngineContext,
+    *,
+    rate: float,
+    weight_col: str,
+    key_col: str,
+    seed: int = 42,
+    prob_col: str | None = None,
+) -> EngineContext:
+    """Deterministic probability-proportional-to-size sample."""
+    from odibi_spark.llm import curation
+
+    return ctx.with_df(
+        curation.pps_sample(
+            ctx.df, rate, weight_col=weight_col, key_col=key_col,
+            seed=seed, prob_col=prob_col,
+        )
+    )
+
+
 @transform("split_dataset")
 def split_dataset_transform(
     ctx: EngineContext,

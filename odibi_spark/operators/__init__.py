@@ -6,6 +6,7 @@ from odibi_spark.operators import (  # noqa: F401
     advanced,
     analytics,
     fuzzy,
+    layout,
     manufacturing,
     relational,
     skew,

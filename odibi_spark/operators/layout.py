@@ -1,0 +1,140 @@
+"""Multi-dimensional data layout for scan pruning: Z-order (Morton)
+interleaving.
+
+The reference exposes Delta's ``OPTIMIZE ZORDER BY`` / liquid
+``cluster_by`` as write options (reference spark_engine.py:1390-1424,
+1530-1559) — engine-managed and unavailable without Delta. This module
+is the open equivalent for plain parquet: bucket each clustering
+column, interleave the bucket bits into a single Morton key, and
+range-partition + sort the write by that key. Files (and row groups
+within them) then have TIGHT min/max ranges on EVERY clustering
+column, so a predicate on any one of them prunes most of the data —
+the property a single-column sort only gives its leading column.
+
+Math is the textbook Morton code (bit interleaving), computed entirely
+with JVM bit expressions — portable, and reproducible in any engine
+with shift/and ops (the differential oracle recomputes it in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from odibi_spark.context import EngineContext
+from odibi_spark.registry import transform
+
+
+def interleave_bits(bucket_cols: list[Column], bits: int) -> Column:
+    """Morton-interleave ``bits`` low bits of each (integer) bucket
+    column: output bit (i * n_cols + j) = bit i of column j. With
+    ``bits * len(cols) <= 63`` the key fits a LONG. Pure bit
+    arithmetic — whole-stage codegen, no shuffle."""
+    n = len(bucket_cols)
+    if n == 0:
+        raise ValueError("need at least one column")
+    if bits * n > 63:
+        raise ValueError(f"bits*cols = {bits * n} exceeds a signed long")
+    out = F.lit(0).cast("long")
+    for j, c in enumerate(bucket_cols):
+        b = c.cast("long")
+        for i in range(bits):
+            out = out + F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + j
+            )
+    return out
+
+
+def uniform_bucket(col: Column, lo: float, hi: float, n_buckets: int) -> Column:
+    """Map a numeric column onto ``[0, n_buckets)`` by uniform range
+    split between the (precomputed) ``lo``/``hi`` literals. Values at
+    ``hi`` land in the top bucket. Skewed distributions get skewed
+    bucket occupancy — acceptable for layout (keys stay ordered);
+    swap in quantile boundaries when skew is extreme."""
+    if hi <= lo:
+        return F.lit(0).cast("long")
+    span = float(hi) - float(lo)
+    raw = F.floor((col.cast("double") - F.lit(float(lo))) / F.lit(span) * n_buckets)
+    return F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), raw)).cast("long")
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], *, bits: int | None = None,
+    key_col: str = "z_key",
+) -> DataFrame:
+    """Add a Morton key over ``cols`` (numeric / date / timestamp).
+
+    One O(1)-row aggregate collects each column's min/max (the only
+    action — two literals per column, never data); each column is then
+    uniform-bucketed into ``2^bits`` cells and the cells interleaved.
+    ``bits`` defaults to the largest value with ``bits*len(cols) <=
+    48`` (capped 16) — cell granularity beyond file count buys
+    nothing.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if bits is None:
+        bits = min(16, 48 // len(cols))
+    from pyspark.sql.types import DateType
+
+    # timestamps cast to double as epoch seconds; DATE cannot cast to
+    # numeric, so it becomes days-since-epoch explicitly
+    numeric = {}
+    for c in cols:
+        if isinstance(df.schema[c].dataType, DateType):
+            numeric[c] = F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+        else:
+            numeric[c] = F.col(c).cast("double")
+    stats = df.agg(
+        *[F.min(numeric[c]).alias(f"__lo_{c}") for c in cols],
+        *[F.max(numeric[c]).alias(f"__hi_{c}") for c in cols],
+    ).collect()[0]
+    buckets = [
+        uniform_bucket(
+            numeric[c], stats[f"__lo_{c}"], stats[f"__hi_{c}"], 1 << bits
+        )
+        for c in cols
+    ]
+    return df.withColumn(key_col, interleave_bits(buckets, bits))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    n_files: int,
+    bits: int | None = None,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    options: dict[str, str] | None = None,
+) -> None:
+    """Write ``df`` laid out in Z-order over ``cols``: range-partition
+    on the Morton key into ``n_files`` contiguous key ranges, sort each
+    partition by it, drop the key, write one file per range. Any
+    reader filtering on ANY of ``cols`` then skips most files/row
+    groups via parquet min/max stats — multi-dimensional pruning from
+    a plain parquet table. The write costs one range shuffle (with its
+    sampling pass) + local sorts, the same bill Delta's OPTIMIZE
+    ZORDER pays."""
+    keyed = zorder_key(df, cols, bits=bits, key_col="__z")
+    w = (
+        keyed.repartitionByRange(int(n_files), F.asc("__z"))
+        .sortWithinPartitions(F.asc("__z"))
+        .drop("__z")
+        .write.mode(mode)
+        .format(format)
+    )
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    w.save(path)
+
+
+@transform("zorder_key")
+def zorder_key_transform(
+    ctx: EngineContext, *, columns: list[str], bits: int | None = None,
+    output_column: str = "z_key",
+) -> EngineContext:
+    """YAML surface: add a Morton clustering key."""
+    return ctx.with_df(
+        zorder_key(ctx.df, columns, bits=bits, key_col=output_column)
+    )

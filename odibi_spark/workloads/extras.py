@@ -1478,3 +1478,95 @@ QUERIES.update({"delete_detection_customers": delete_detection_customers})
 ORACLES.update({"delete_detection_customers": DELETE_DETECTION_SQL})
 QUERIES.update({"incremental_agg_orders": incremental_agg_orders})
 ORACLES.update({"incremental_agg_orders": INCR_AGG_SQL})
+
+
+def transition_matrix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    (lead window + conditional normalization); last event of each user
+    transitions to '<end>'. Counts are exact and the probability is
+    one BIGINT/BIGINT double division — identical IEEE result in both
+    engines, so the matrix hash-matches without rounding."""
+    _prep(spark)
+    from odibi_spark.operators.analytics import transition_matrix_frames
+
+    ev = read_table(spark, sf_dir, "events")
+    return transition_matrix_frames(
+        ev, group_by=["user_id"], ts_col="ts", type_col="event_type",
+        tiebreak_cols=["event_id"], terminal_label="<end>",
+    )
+
+
+TRANSITION_MATRIX_SQL = """
+WITH nxt AS (
+  SELECT event_type AS from_type,
+         coalesce(
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id),
+           '<end>') AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM nxt GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / SUM(n_transitions) OVER (PARTITION BY from_type)
+         AS p_transition
+FROM c
+"""
+
+QUERIES.update({"transition_matrix_events": transition_matrix_events})
+ORACLES.update({"transition_matrix_events": TRANSITION_MATRIX_SQL})
+
+
+def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (o_custkey, o_orderdate):
+    the open-parquet equivalent of Delta OPTIMIZE ZORDER (reference
+    spark_engine.py:1390-1424). Uniform 2^8 buckets per column from
+    the data's min/max, bits interleaved into one long — the oracle
+    recomputes the identical bit math in DuckDB, pinning bucket
+    scaling, date handling, and the interleave pattern."""
+    _prep(spark)
+    from odibi_spark.operators.layout import zorder_key
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    return zorder_key(orders, ["o_custkey", "o_orderdate"], bits=8).select(
+        "o_orderkey", "z_key"
+    )
+
+
+def _zorder_oracle_sql(bits: int = 8) -> str:
+    terms = []
+    for j, b in enumerate(("bc", "bd")):
+        for i in range(bits):
+            terms.append(f"((({b} >> {i}) & 1) << {i * 2 + j})")
+    interleave = " + ".join(terms)
+    n = 1 << bits
+    return f"""
+WITH s AS (
+  SELECT MIN(CAST(o_custkey AS DOUBLE)) AS lo_c,
+         MAX(CAST(o_custkey AS DOUBLE)) AS hi_c,
+         MIN(CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS DOUBLE)) AS lo_d,
+         MAX(CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS DOUBLE)) AS hi_d
+  FROM orders
+),
+b AS (
+  SELECT o_orderkey,
+         CAST(least({n - 1}, greatest(0, floor(
+           (CAST(o_custkey AS DOUBLE) - lo_c) / (hi_c - lo_c) * {n}
+         ))) AS BIGINT) AS bc,
+         CAST(least({n - 1}, greatest(0, floor(
+           (CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS DOUBLE) - lo_d)
+             / (hi_d - lo_d) * {n}
+         ))) AS BIGINT) AS bd
+  FROM orders, s
+)
+SELECT o_orderkey, CAST({interleave} AS BIGINT) AS z_key FROM b
+"""
+
+
+QUERIES.update({"zorder_key_orders": zorder_key_orders})
+ORACLES.update({"zorder_key_orders": _zorder_oracle_sql()})

@@ -638,6 +638,35 @@ WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25
 """
 
 
+def pps_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted PPS sampling: P(keep) = min(1, rate * n_chars) on
+    the portable hash unit, so long documents are proportionally more
+    likely to be sampled — the curation move for 'sample by token
+    mass, not by document count'. Inclusion probability is returned
+    (Horvitz-Thompson reweighting column); exactly portable because
+    both engines compare the same hash unit to the same single-multiply
+    probability."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return curation.pps_sample(
+        docs, 0.00025, weight_col="n_chars", key_col="doc_id", seed=42,
+        prob_col="p_incl",
+    ).select("doc_id", "n_chars", "p_incl")
+
+
+PPS_SAMPLE_SQL = """
+WITH h AS (
+  SELECT doc_id, n_chars,
+         CAST(concat('0x', substring(
+           md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+           / 1152921504606846976.0 AS u,
+         least(1.0, 0.00025 * CAST(n_chars AS DOUBLE)) AS p_incl
+  FROM documents
+)
+SELECT doc_id, n_chars, p_incl FROM h WHERE u < p_incl
+"""
+
+
 def split_documents_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split: disjoint assignment from
     the portable hash unit bucketed by cumulative fractions
@@ -1067,6 +1096,7 @@ QUERIES = {
     "decontamination_hits": decontamination_hits,
     "token_budget_by_source": token_budget_by_source,
     "stratified_sample_langs": stratified_sample_langs,
+    "pps_sample_docs": pps_sample_docs,
     "split_documents_sets": split_documents_sets,
     "chunk_documents_docs": chunk_documents_docs,
     "pack_sequences_docs": pack_sequences_docs,
@@ -1097,6 +1127,7 @@ ORACLES = {
     "decontamination_hits": DECONTAMINATION_SQL,
     "token_budget_by_source": TOKEN_BUDGET_SQL,
     "stratified_sample_langs": STRATIFIED_SAMPLE_SQL,
+    "pps_sample_docs": PPS_SAMPLE_SQL,
     "split_documents_sets": SPLIT_SETS_SQL,
     "chunk_documents_docs": CHUNK_DOCS_SQL,
     "pack_sequences_docs": PACK_SEQUENCES_SQL,

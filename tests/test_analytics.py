@@ -202,6 +202,51 @@ class TestEwma:
             )
 
 
+class TestTransitionMatrix:
+    def test_counts_and_conditional_probabilities(self, spark):
+        from odibi_spark.operators.analytics import transition_matrix_frames
+
+        rows = [
+            ("u1", 1, "view"), ("u1", 2, "click"), ("u1", 3, "view"),
+            ("u1", 4, "click"), ("u2", 1, "view"), ("u2", 2, "purchase"),
+        ]
+        df = spark.createDataFrame(rows, ["u", "ts", "t"])
+        out = {
+            (r.from_type, r.to_type): (r.n_transitions, r.p_transition)
+            for r in transition_matrix_frames(
+                df, group_by=["u"], ts_col="ts", type_col="t",
+                terminal_label="<end>",
+            ).collect()
+        }
+        # view -> click x2, view -> purchase x1
+        assert out[("view", "click")] == (2, 2 / 3)
+        assert out[("view", "purchase")] == (1, 1 / 3)
+        # click -> view x1, click -> <end> x1 (u1's last event)
+        assert out[("click", "view")] == (1, 0.5)
+        assert out[("click", "<end>")] == (1, 0.5)
+        assert out[("purchase", "<end>")] == (1, 1.0)
+        # probabilities are row-conditional: each from_type sums to 1
+        from collections import defaultdict
+
+        sums = defaultdict(float)
+        for (f, _), (_, p) in out.items():
+            sums[f] += p
+        assert all(abs(s - 1.0) < 1e-12 for s in sums.values())
+
+    def test_without_terminal_last_events_drop(self, spark):
+        from odibi_spark.operators.analytics import transition_matrix_frames
+
+        df = spark.createDataFrame(
+            [("u1", 1, "a"), ("u1", 2, "b")], ["u", "ts", "t"]
+        )
+        got = transition_matrix_frames(
+            df, group_by=["u"], ts_col="ts", type_col="t"
+        ).collect()
+        assert [(r.from_type, r.to_type, r.n_transitions) for r in got] == [
+            ("a", "b", 1)
+        ]
+
+
 class TestEwmaScan:
     """ewma_scan: the JVM blocked-scaled-cumsum closed form must agree
     with the pandas recursion (ewma_frames) across alpha regimes —

@@ -1,0 +1,166 @@
+"""Z-order layout: Morton math correctness + a real data-skipping
+proof from parquet footers (no Delta required)."""
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from odibi_spark.io import read_table
+
+
+class TestMortonMath:
+    def test_interleave_bits_known_values(self, spark):
+        from odibi_spark.operators.layout import interleave_bits
+
+        df = spark.createDataFrame(
+            [(0, 0), (1, 0), (0, 1), (1, 1), (3, 5)], ["x", "y"]
+        )
+        got = {
+            (r.x, r.y): r.z
+            for r in df.withColumn(
+                "z", interleave_bits([F.col("x"), F.col("y")], bits=4)
+            ).collect()
+        }
+        # bit i of x -> z bit 2i; bit i of y -> z bit 2i+1
+        assert got[(0, 0)] == 0
+        assert got[(1, 0)] == 1
+        assert got[(0, 1)] == 2
+        assert got[(1, 1)] == 3
+        # x=3 (0b011), y=5 (0b101): z = 1+2+4+32 = 0b100111
+        assert got[(3, 5)] == 0b100111
+
+    def test_interleave_rejects_long_overflow(self, spark):
+        from odibi_spark.operators.layout import interleave_bits
+
+        with pytest.raises(ValueError, match="exceeds"):
+            interleave_bits([F.lit(1)] * 4, bits=16)
+
+    def test_uniform_bucket_bounds(self, spark):
+        from odibi_spark.operators.layout import uniform_bucket
+
+        df = spark.range(0, 101).selectExpr("CAST(id AS DOUBLE) AS v")
+        got = {
+            r.v: r.b
+            for r in df.withColumn(
+                "b", uniform_bucket(F.col("v"), 0.0, 100.0, 4)
+            ).collect()
+        }
+        assert got[0.0] == 0 and got[24.0] == 0
+        assert got[25.0] == 1 and got[99.0] == 3
+        assert got[100.0] == 3  # hi value clamps into the top bucket
+
+    def test_zorder_key_handles_date_columns(self, spark):
+        from odibi_spark.operators.layout import zorder_key
+
+        df = spark.createDataFrame(
+            [(1, "2024-01-01"), (2, "2024-06-30")], ["k", "d_s"]
+        ).select("k", F.to_date("d_s").alias("d"))
+        out = zorder_key(df, ["k", "d"], bits=8)
+        vals = [r.z_key for r in out.collect()]
+        assert len(vals) == 2 and vals[0] != vals[1]
+
+
+class TestDataSkipping:
+    """The point of the layout: row-group min/max footers must prune
+    on EVERY clustering column, not just a sort leader."""
+
+    @staticmethod
+    def _rowgroups_matching(path_glob: str, col: str, value) -> tuple[int, int]:
+        """(matching, total) row groups whose [min,max] admits value."""
+        import pyarrow.parquet as pq
+
+        match = total = 0
+        for f in glob.glob(path_glob):
+            pf = pq.ParquetFile(f)
+            names = {
+                pf.schema_arrow.field(i).name: i
+                for i in range(len(pf.schema_arrow.names))
+            }
+            ci = names[col]
+            for rg in range(pf.num_row_groups):
+                st = pf.metadata.row_group(rg).column(ci).statistics
+                total += 1
+                if st is None or st.min is None:
+                    match += 1  # unprunable counts as touched
+                elif st.min <= value <= st.max:
+                    match += 1
+        return match, total
+
+    def test_zorder_prunes_both_dimensions(self, spark, tmp_path):
+        from odibi_spark.operators.layout import write_zordered
+
+        ev = read_table(spark, "/root/testdata/sf0.01", "events").select(
+            "user_id", F.col("ts").cast("double").alias("t"), "value"
+        )
+        z_path = str(tmp_path / "zordered")
+        lin_path = str(tmp_path / "linear")
+        # small row groups so one file holds many prunable units
+        opts = {"parquet.block.size": str(8 * 1024)}
+        write_zordered(
+            ev, z_path, ["user_id", "t"], n_files=2, options=opts
+        )
+        (
+            ev.repartitionByRange(2, F.asc("t"))
+            .sortWithinPartitions(F.asc("t"))
+            .write.mode("overwrite")
+            .options(**opts)
+            .parquet(lin_path)
+        )
+        # a MID-RANGE user: a boundary user would only match row groups
+        # whose min/max equals it, understating the linear layout's
+        # (lack of) pruning
+        uid = int(ev.selectExpr("percentile(user_id, 0.5)").collect()[0][0])
+        z_hit, z_tot = self._rowgroups_matching(
+            f"{z_path}/part-*.parquet", "user_id", uid
+        )
+        l_hit, l_tot = self._rowgroups_matching(
+            f"{lin_path}/part-*.parquet", "user_id", uid
+        )
+        assert z_tot >= 8, f"need multiple row groups, got {z_tot}"
+        # time-sorted layout cannot prune on user_id (every row group
+        # spans most of the user range); z-order must
+        assert l_hit / l_tot > 0.8, (l_hit, l_tot)
+        assert z_hit / z_tot < 0.5, (z_hit, z_tot)
+        # and the z-ordered layout still prunes on time
+        tmid = ev.selectExpr("percentile(t, 0.5)").collect()[0][0]
+        zt_hit, zt_tot = self._rowgroups_matching(
+            f"{z_path}/part-*.parquet", "t", tmid
+        )
+        assert zt_hit / zt_tot < 0.6, (zt_hit, zt_tot)
+
+    def test_write_sink_zorder_by_parquet(self, spark, tmp_path):
+        """write_sink(zorder_by=...) on parquet must apply the Morton
+        layout (not silently ignore the option): file-level user_id
+        ranges must be tighter than a single all-spanning file."""
+        from odibi_spark.io import write_sink
+
+        ev = read_table(spark, "/root/testdata/sf0.01", "events").select(
+            "event_id", "user_id", F.col("ts").cast("double").alias("t")
+        )
+        p = str(tmp_path / "sinkz")
+        write_sink(
+            ev, path=p, format="parquet", zorder_by=["user_id", "t"],
+            coalesce_partitions=4,
+            options={"parquet.block.size": str(8 * 1024)},
+        )
+        back = spark.read.parquet(p)
+        assert back.count() == ev.count()
+        uid = int(ev.selectExpr("percentile(user_id, 0.5)").collect()[0][0])
+        hit, tot = self._rowgroups_matching(f"{p}/part-*.parquet", "user_id", uid)
+        assert tot >= 8 and hit / tot < 0.6, (hit, tot)
+
+    def test_roundtrip_preserves_rows(self, spark, tmp_path):
+        from odibi_spark.operators.layout import write_zordered
+
+        ev = read_table(spark, "/root/testdata/sf0.001", "events").select(
+            "event_id", "user_id", "value"
+        )
+        p = str(tmp_path / "z2")
+        write_zordered(ev, p, ["user_id", "value"], n_files=3)
+        back = spark.read.parquet(p)
+        assert back.count() == ev.count()
+        assert "z_key" not in back.columns and "__z" not in back.columns
+        a = sorted(r.event_id for r in back.select("event_id").collect())
+        b = sorted(r.event_id for r in ev.select("event_id").collect())
+        assert a == b

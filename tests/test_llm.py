@@ -381,6 +381,47 @@ class TestCuration:
         c = sorted(r.k for r in hash_sample(df, 0.3, key_col="k", seed=7).collect())
         assert a != c
 
+    def test_pps_sample_weight_proportional(self, spark):
+        """Inclusion probability must scale with the weight column:
+        heavy rows are sampled at ~their weight ratio, probability
+        caps at 1, and selection is partition-invariant."""
+        from odibi_spark.llm.curation import pps_sample
+
+        df = spark.range(4000).selectExpr(
+            "id AS k",
+            # weights 1 and 9 alternating; a few giant weights cap at 1
+            "CASE WHEN id < 20 THEN 100000 "
+            "WHEN id % 2 = 0 THEN 1 ELSE 9 END AS w",
+        )
+        out = pps_sample(df, 0.02, weight_col="w", key_col="k",
+                         prob_col="p")
+        rows = out.collect()
+        got = {r.k for r in rows}
+        # capped rows (p=1) are ALL kept
+        assert all(k in got for k in range(20))
+        assert all(r.p == 1.0 for r in rows if r.k < 20)
+        light = sum(1 for r in rows if 20 <= r.k and r.k % 2 == 0)
+        heavy = sum(1 for r in rows if 20 <= r.k and r.k % 2 == 1)
+        # expectation: light ~ 1990*0.02=40, heavy ~ 1990*0.18=358
+        assert 15 <= light <= 75
+        assert 250 <= heavy <= 470
+        again = {
+            r.k
+            for r in pps_sample(
+                df.repartition(13), 0.02, weight_col="w", key_col="k"
+            ).collect()
+        }
+        assert got == again
+
+    def test_pps_sample_rejects_negative_rate(self, spark):
+        import pytest as _pytest
+
+        from odibi_spark.llm.curation import pps_sample
+
+        df = spark.range(5).selectExpr("id AS k", "id AS w")
+        with _pytest.raises(ValueError, match="rate"):
+            pps_sample(df, -0.1, weight_col="w", key_col="k")
+
     def test_stratified_fractions_respected(self, spark):
         from pyspark.sql import Row
 
