@@ -253,7 +253,7 @@ def main() -> None:
         "chunk_documents_docs", "pack_sequences_docs", "scrub_pii_docs",
         # new in round 5
         "dedup_incremental_docs", "approx_percentiles_by_source",
-        "approx_distinct_fingerprints",
+        "approx_distinct_fingerprints", "pps_sample_docs",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(
@@ -272,7 +272,8 @@ def main() -> None:
         "resample_user_events", "ewma_user_values",
         "asof_click_purchase", "range_clicks_per_purchase_hour",
         "fuzzy_match_parts", "spatial_customers_near_suppliers",
-        "snapshot_cdc_customers",
+        "snapshot_cdc_customers", "transition_matrix_events",
+        "zorder_key_orders",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(

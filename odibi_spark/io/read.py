@@ -132,6 +132,12 @@ def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     reach the scan (Catalyst pushes both through Repartition), and the
     explicit partition count keeps AQE from coalescing the fan-out
     away.
+
+    Call this on (near-)scan frames only: the partition-count guard
+    reads ``df.rdd``, and under AQE converting a plan WITH SHUFFLES to
+    an RDD materializes its query stages — i.e. runs real jobs at what
+    looks like build time. On a raw read (this helper's purpose) no
+    job runs.
     """
     target = (
         min_partitions

@@ -128,8 +128,12 @@ def write_sink(
     (bit-interleaved) key over the given columns before writing —
     multi-dimensional min/max pruning from plain parquet (the
     operators/layout implementation; pruning proven from parquet
-    footers in tests/test_layout.py). On Delta it runs the engine's
-    OPTIMIZE ZORDER post-write instead, matching the reference.
+    footers in tests/test_layout.py); ``coalesce_partitions`` then
+    sets the output file count, and combining it with ``sort_by`` /
+    ``bucket_by`` / merge modes raises (conflicting layout
+    directives; a merge rewrite would discard the layout). On Delta it
+    runs the engine's OPTIMIZE ZORDER post-write instead, matching the
+    reference.
     ``bucket_by``/``bucket_count`` + ``table``: hash-bucketed managed
     table — joins/aggregations on the bucket keys skip the shuffle
     entirely (plan-asserted in tests/test_scale_plans.py).
@@ -153,10 +157,31 @@ def write_sink(
                 table or path, cluster_by, is_table=bool(table)
             )
         )
-    if coalesce_partitions:
-        df = df.coalesce(coalesce_partitions)
-    if sort_by:
-        df = df.sortWithinPartitions(*sort_by)
+    if zorder_by and format != "delta":
+        if mode in ("upsert", "append_once"):
+            raise ValueError(
+                "zorder_by with merge modes needs Delta (the merge "
+                "rewrite discards a parquet layout); write plain then "
+                "re-layout, or use format='delta'"
+            )
+        if sort_by or bucket_by:
+            raise ValueError(
+                "sort_by/bucket_by and zorder_by are conflicting "
+                "layout directives — a Morton layout IS the sort "
+                "order; pick one"
+            )
+        from odibi_spark.operators.layout import morton_layout
+
+        n_files = (
+            coalesce_partitions
+            or df.sparkSession.sparkContext.defaultParallelism
+        )
+        df = morton_layout(df, zorder_by, n_files=int(n_files))
+    else:
+        if coalesce_partitions:
+            df = df.coalesce(coalesce_partitions)
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by)
 
     if bucket_by:
         if not table:
@@ -185,22 +210,6 @@ def write_sink(
             register_as=register_as,
         )
         return
-
-    if zorder_by and format != "delta":
-        from pyspark.sql import functions as F
-
-        from odibi_spark.operators.layout import zorder_key
-
-        n_files = (
-            coalesce_partitions
-            or df.sparkSession.sparkContext.defaultParallelism
-        )
-        df = (
-            zorder_key(df, zorder_by, key_col="__z")
-            .repartitionByRange(int(n_files), F.asc("__z"))
-            .sortWithinPartitions(F.asc("__z"))
-            .drop("__z")
-        )
 
     writer = df.write.mode(mode).options(**{k: str(v) for k, v in (options or {}).items()})
     if partition_by:

@@ -149,7 +149,7 @@ def pack_sequences(
             "__cum_before",
             F.sum(F.col(token_col)).over(w) - F.col(token_col),
         )
-    elif df.count() <= small_input_rows:
+    elif small_input_rows > 0 and df.count() <= small_input_rows:
         w = Window.orderBy(F.asc(order_col), F.asc(id_col))
         cum = df.withColumn(
             "__cum_before",

@@ -406,7 +406,15 @@ def ewma_scan(
         + F.lit(d3) * F.lag("__e", 4, 0.0).over(ew)
     )
     carries = ends.select(*group_by, "__blk", carry.alias("__carry"))
-    out = out.join(carries, [*group_by, "__blk"])
+    # null-SAFE join: Window.partitionBy treats a NULL group key as a
+    # real partition, so a plain equi-join here would silently drop
+    # every NULL-group row (ewma_frames keeps them)
+    cond = out["__blk"] == carries["__blk"]
+    for k in group_by:
+        cond = cond & out[k].eqNullSafe(carries[k])
+    out = out.join(carries, cond).drop(carries["__blk"]).drop(
+        *[carries[k] for k in group_by]
+    )
     out = out.withColumn(
         out_col,
         F.col("__w") + F.pow(q_lit, F.col("__pos") + 1) * F.col("__carry"),
@@ -519,12 +527,17 @@ def transition_matrix_frames(
     """
     order = [F.asc(ts_col)] + [F.asc(c) for c in tiebreak_cols]
     w = Window.partitionBy(*group_by).orderBy(*order)
+    # last-row detection must NOT key off lead(type) being NULL — a
+    # mid-sequence event of genuinely NULL type would then masquerade
+    # as the terminal transition. lead(1) is NULL only past the end.
     nxt = F.lead(F.col(type_col)).over(w)
+    has_next = F.lead(F.lit(1)).over(w).isNotNull()
     if terminal_label is not None:
-        nxt = F.coalesce(nxt, F.lit(terminal_label))
+        nxt = F.when(has_next, nxt).otherwise(F.lit(terminal_label))
     pairs = (
         df.withColumn("__to", nxt)
-        .filter(F.col("__to").isNotNull())
+        .withColumn("__keep", has_next | F.lit(terminal_label is not None))
+        .filter(F.col("__keep"))
         .select(F.col(type_col).alias("from_type"), F.col("__to").alias("to_type"))
     )
     counts = pairs.groupBy("from_type", "to_type").agg(
@@ -533,13 +546,15 @@ def transition_matrix_frames(
     totals = counts.groupBy("from_type").agg(
         F.sum("n_transitions").alias("__total")
     )
-    return (
-        counts.join(F.broadcast(totals), "from_type")
-        .withColumn(
-            "p_transition", F.col("n_transitions") / F.col("__total")
-        )
-        .drop("__total")
-    )
+    # null-safe: a NULL from_type is a legitimate matrix row and a
+    # plain equi-join would drop it
+    joined = counts.join(
+        F.broadcast(totals),
+        counts["from_type"].eqNullSafe(totals["from_type"]),
+    ).drop(totals["from_type"])
+    return joined.withColumn(
+        "p_transition", F.col("n_transitions") / F.col("__total")
+    ).drop("__total")
 
 
 @transform("transition_matrix")

@@ -74,27 +74,55 @@ def zorder_key(
         raise ValueError("cols must be non-empty")
     if bits is None:
         bits = min(16, 48 // len(cols))
-    from pyspark.sql.types import DateType
+    from pyspark.sql.types import (
+        DateType, NumericType, TimestampNTZType, TimestampType,
+    )
 
     # timestamps cast to double as epoch seconds; DATE cannot cast to
-    # numeric, so it becomes days-since-epoch explicitly
+    # numeric, so it becomes days-since-epoch explicitly. Reject other
+    # types up front — cast("double") would turn e.g. a string column
+    # into all-NULL and silently degrade the layout.
     numeric = {}
     for c in cols:
-        if isinstance(df.schema[c].dataType, DateType):
+        dtype = df.schema[c].dataType
+        if isinstance(dtype, DateType):
             numeric[c] = F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
-        else:
+        elif isinstance(dtype, (NumericType, TimestampType, TimestampNTZType)):
             numeric[c] = F.col(c).cast("double")
+        else:
+            raise ValueError(
+                f"zorder_key column '{c}' has non-orderable-numeric type "
+                f"{dtype.simpleString()}; cast or bucketize it first"
+            )
     stats = df.agg(
         *[F.min(numeric[c]).alias(f"__lo_{c}") for c in cols],
         *[F.max(numeric[c]).alias(f"__hi_{c}") for c in cols],
     ).collect()[0]
-    buckets = [
-        uniform_bucket(
-            numeric[c], stats[f"__lo_{c}"], stats[f"__hi_{c}"], 1 << bits
-        )
-        for c in cols
-    ]
+    buckets = []
+    for c in cols:
+        lo, hi = stats[f"__lo_{c}"], stats[f"__hi_{c}"]
+        if lo is None or hi is None:
+            # empty input or all-NULL column: constant bucket (the
+            # layout degrades to a no-op instead of crashing the write)
+            lo = hi = 0.0
+        buckets.append(uniform_bucket(numeric[c], lo, hi, 1 << bits))
     return df.withColumn(key_col, interleave_bits(buckets, bits))
+
+
+def morton_layout(
+    df: DataFrame, cols: list[str], *, n_files: int, bits: int | None = None
+) -> DataFrame:
+    """Return ``df`` physically arranged in Z-order over ``cols``:
+    range-partitioned into ``n_files`` contiguous Morton-key ranges and
+    sorted by the key within each, key dropped. The single shared
+    layout recipe behind :func:`write_zordered` and
+    ``write_sink(zorder_by=...)``."""
+    keyed = zorder_key(df, cols, bits=bits, key_col="__z")
+    return (
+        keyed.repartitionByRange(int(n_files), F.asc("__z"))
+        .sortWithinPartitions(F.asc("__z"))
+        .drop("__z")
+    )
 
 
 def write_zordered(
@@ -116,11 +144,8 @@ def write_zordered(
     a plain parquet table. The write costs one range shuffle (with its
     sampling pass) + local sorts, the same bill Delta's OPTIMIZE
     ZORDER pays."""
-    keyed = zorder_key(df, cols, bits=bits, key_col="__z")
     w = (
-        keyed.repartitionByRange(int(n_files), F.asc("__z"))
-        .sortWithinPartitions(F.asc("__z"))
-        .drop("__z")
+        morton_layout(df, cols, n_files=n_files, bits=bits)
         .write.mode(mode)
         .format(format)
     )

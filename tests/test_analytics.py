@@ -233,6 +233,22 @@ class TestTransitionMatrix:
             sums[f] += p
         assert all(abs(s - 1.0) < 1e-12 for s in sums.values())
 
+    def test_null_types_and_null_groups_survive(self, spark):
+        """A NULL event type is a real matrix row (from and to), and a
+        mid-sequence NULL next-type must NOT be mislabeled terminal."""
+        from odibi_spark.operators.analytics import transition_matrix_frames
+
+        rows = [("u1", 1, "a"), ("u1", 2, None), ("u1", 3, "b")]
+        df = spark.createDataFrame(rows, "u STRING, ts INT, t STRING")
+        out = {
+            (r.from_type, r.to_type): r.n_transitions
+            for r in transition_matrix_frames(
+                df, group_by=["u"], ts_col="ts", type_col="t",
+                terminal_label="<end>",
+            ).collect()
+        }
+        assert out == {("a", None): 1, (None, "b"): 1, ("b", "<end>"): 1}
+
     def test_without_terminal_last_events_drop(self, spark):
         from odibi_spark.operators.analytics import transition_matrix_frames
 
@@ -285,6 +301,26 @@ class TestEwmaScan:
         assert got.keys() == exp.keys()
         for k, e in exp.items():
             assert got[k] == pytest.approx(e, rel=1e-9, abs=1e-9), (k, alpha)
+
+    def test_null_group_key_rows_survive(self, spark):
+        """ewma_scan must keep NULL-group rows like ewma_frames does
+        (the carry join is null-safe)."""
+        from odibi_spark.operators.analytics import ewma_scan
+
+        df = spark.createDataFrame(
+            [(None, 0, 4.0), (None, 1, 8.0), ("g", 0, 2.0)],
+            "grp STRING, ts INT, v DOUBLE",
+        )
+        got = {
+            (r.grp, r.ts): r.ewma
+            for r in ewma_scan(
+                df, group_by=["grp"], ts_col="ts", value_col="v",
+                alpha=0.5,
+            ).collect()
+        }
+        assert got[(None, 0)] == 4.0
+        assert got[(None, 1)] == pytest.approx(6.0)
+        assert got[("g", 0)] == 2.0
 
     def test_alpha_one_is_identity(self, spark):
         from odibi_spark.operators.analytics import ewma_scan

@@ -50,6 +50,44 @@ class TestMortonMath:
         assert got[25.0] == 1 and got[99.0] == 3
         assert got[100.0] == 3  # hi value clamps into the top bucket
 
+    def test_zorder_key_empty_and_allnull_inputs(self, spark):
+        """No min/max stats (empty frame, all-NULL column) must
+        degrade to a constant key, not crash the write."""
+        from odibi_spark.operators.layout import zorder_key
+
+        empty = spark.createDataFrame([], "a INT, b INT")
+        assert zorder_key(empty, ["a", "b"], bits=4).count() == 0
+        nulls = spark.createDataFrame(
+            [(1, None), (2, None)], "a INT, b INT"
+        )
+        got = [r.z_key for r in zorder_key(nulls, ["a", "b"], bits=4).collect()]
+        assert len(got) == 2  # b contributes a constant 0 bucket
+
+    def test_zorder_key_rejects_string_columns(self, spark):
+        import pytest as _pytest
+
+        from odibi_spark.operators.layout import zorder_key
+
+        df = spark.createDataFrame([(1, "x")], "a INT, s STRING")
+        with _pytest.raises(ValueError, match="non-orderable-numeric"):
+            zorder_key(df, ["a", "s"])
+
+    def test_write_sink_zorder_conflicts_raise(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from odibi_spark.io import write_sink
+
+        df = spark.range(10).selectExpr("id AS a", "id AS b")
+        with _pytest.raises(ValueError, match="conflicting"):
+            write_sink(
+                df, path=str(tmp_path / "x"), zorder_by=["a"], sort_by=["b"]
+            )
+        with _pytest.raises(ValueError, match="merge modes needs Delta"):
+            write_sink(
+                df, path=str(tmp_path / "y"), zorder_by=["a"],
+                mode="upsert", keys=["a"],
+            )
+
     def test_zorder_key_handles_date_columns(self, spark):
         from odibi_spark.operators.layout import zorder_key
 
