@@ -177,3 +177,104 @@ def psychrometrics(
     for p in properties:
         df = df.withColumn(f"{output_prefix}{p}", F.col(f"__ha.{p}"))
     return ctx.with_df(df.drop("__ha"))
+
+
+# ---------------------------------------------------------------------------
+# Native psychrometrics: no CoolProp, pure column expressions
+# ---------------------------------------------------------------------------
+
+def with_psychrometrics_native(
+    df,
+    *,
+    dry_bulb_c_col: str,
+    relative_humidity_col: str,
+    pressure_pa_col: str | None = None,
+    elevation_m: float = 0.0,
+    rh_is_percent: bool = False,
+    output_prefix: str = "psy_",
+):
+    """Humid-air properties from published closed-form approximations —
+    executable HERE (whole-stage codegen, no Python, no CoolProp),
+    where the ``psychrometrics`` transform needs the injected
+    ``HAPropsSI`` backend. Accuracy is the published envelope of each
+    correlation (engineering-grade, not equation-of-state-grade; keep
+    the CoolProp path for certified work):
+
+    - saturation vapor pressure: Magnus form with Alduchov-Eskridge
+      (1996) coefficients, |err| < 0.4% over -40..50 degC;
+    - dew point: inverted Magnus;
+    - humidity ratio W = 0.621945 e / (P - e): ASHRAE Fundamentals
+      (2017), eq. 20;
+    - moist-air enthalpy h = 1.006 t + W (2501 + 1.86 t) kJ/kg dry
+      air: ASHRAE eq. 30;
+    - wet bulb: Stull (2011, J. Appl. Meteor. Climatol. 50) regression,
+      valid 5-99% RH / -20..50 degC at ~standard pressure,
+      |err| ~ 0.3 degC.
+
+    Inputs: dry bulb in degC, RH in [0,1] (or percent), pressure in Pa
+    (or the standard atmosphere at ``elevation_m``). Adds
+    ``{prefix}svp_pa``, ``{prefix}vp_pa``, ``{prefix}humidity_ratio``,
+    ``{prefix}dew_point_c``, ``{prefix}enthalpy_kj_kg``,
+    ``{prefix}wet_bulb_c``.
+    """
+    t = F.col(dry_bulb_c_col).cast("double")
+    rh = F.col(relative_humidity_col).cast("double")
+    if rh_is_percent:
+        rh = rh / F.lit(100.0)
+    p = (
+        F.col(pressure_pa_col).cast("double")
+        if pressure_pa_col
+        else F.lit(_elevation_to_pa(elevation_m))
+    )
+    pre = output_prefix
+    svp = F.lit(610.94) * F.exp(F.lit(17.625) * t / (t + F.lit(243.04)))
+    df = df.withColumn(f"{pre}svp_pa", svp)
+    vp = rh * F.col(f"{pre}svp_pa")
+    df = df.withColumn(f"{pre}vp_pa", vp)
+    w = F.lit(0.621945) * F.col(f"{pre}vp_pa") / (p - F.col(f"{pre}vp_pa"))
+    df = df.withColumn(f"{pre}humidity_ratio", w)
+    gamma = F.log(rh) + F.lit(17.625) * t / (F.lit(243.04) + t)
+    df = df.withColumn(
+        f"{pre}dew_point_c",
+        F.lit(243.04) * gamma / (F.lit(17.625) - gamma),
+    )
+    df = df.withColumn(
+        f"{pre}enthalpy_kj_kg",
+        F.lit(1.006) * t
+        + F.col(f"{pre}humidity_ratio") * (F.lit(2501.0) + F.lit(1.86) * t),
+    )
+    rp = rh * F.lit(100.0)  # Stull's fit takes RH in percent
+    df = df.withColumn(
+        f"{pre}wet_bulb_c",
+        t * F.atan(F.lit(0.151977) * F.sqrt(rp + F.lit(8.313659)))
+        + F.atan(t + rp)
+        - F.atan(rp - F.lit(1.676331))
+        + F.lit(0.00391838) * F.pow(rp, F.lit(1.5)) * F.atan(F.lit(0.023101) * rp)
+        - F.lit(4.686035),
+    )
+    return df
+
+
+@transform("psychrometrics_native")
+def psychrometrics_native(
+    ctx: EngineContext,
+    *,
+    dry_bulb_col: str,
+    relative_humidity_col: str,
+    pressure_col: str | None = None,
+    elevation_m: float = 0.0,
+    rh_is_percent: bool = False,
+    output_prefix: str = "psy_",
+) -> EngineContext:
+    """YAML surface: closed-form psychrometrics (dry bulb degC + RH)."""
+    return ctx.with_df(
+        with_psychrometrics_native(
+            ctx.df,
+            dry_bulb_c_col=dry_bulb_col,
+            relative_humidity_col=relative_humidity_col,
+            pressure_pa_col=pressure_col,
+            elevation_m=elevation_m,
+            rh_is_percent=rh_is_percent,
+            output_prefix=output_prefix,
+        )
+    )

@@ -1570,3 +1570,59 @@ SELECT o_orderkey, CAST({interleave} AS BIGINT) AS z_key FROM b
 
 QUERIES.update({"zorder_key_orders": zorder_key_orders})
 ORACLES.update({"zorder_key_orders": _zorder_oracle_sql()})
+
+
+def psychrometrics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form psychrometrics (Magnus/ASHRAE/Stull — the native
+    twin of the CoolProp-gated `psychrometrics` transform) over
+    deterministic sensor-like states derived from events. Outputs
+    rounded to 6 decimals: exp/ln/atan differ by ~1 ulp between JVM
+    and libm, same guard as quality_score."""
+    _prep(spark)
+    from odibi_spark.operators.thermo import with_psychrometrics_native
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.pmod(F.col("user_id"), F.lit(35)) + F.lit(5.0)).alias("t_c"),
+        ((F.pmod(F.col("event_id"), F.lit(90)) + F.lit(5.0)) / F.lit(100.0)).alias("rh"),
+    )
+    out = with_psychrometrics_native(
+        ev, dry_bulb_c_col="t_c", relative_humidity_col="rh"
+    )
+    return out.select(
+        "event_id",
+        F.round("psy_humidity_ratio", 6).alias("w6"),
+        F.round("psy_dew_point_c", 6).alias("td6"),
+        F.round("psy_enthalpy_kj_kg", 6).alias("h6"),
+        F.round("psy_wet_bulb_c", 6).alias("twb6"),
+    )
+
+
+PSYCHRO_SQL = """
+WITH s AS (
+  SELECT event_id,
+         CAST(user_id % 35 + 5.0 AS DOUBLE) AS t,
+         CAST((event_id % 90 + 5.0) / 100.0 AS DOUBLE) AS rh
+  FROM events
+),
+v AS (
+  SELECT event_id, t, rh,
+         rh * (610.94 * exp(17.625 * t / (t + 243.04))) AS vp,
+         ln(rh) + 17.625 * t / (243.04 + t) AS g,
+         rh * 100.0 AS rp
+  FROM s
+)
+SELECT event_id,
+       round(0.621945 * vp / (101325.0 - vp), 6) AS w6,
+       round(243.04 * g / (17.625 - g), 6) AS td6,
+       round(1.006 * t + (0.621945 * vp / (101325.0 - vp))
+               * (2501.0 + 1.86 * t), 6) AS h6,
+       round(t * atan(0.151977 * sqrt(rp + 8.313659)) + atan(t + rp)
+             - atan(rp - 1.676331)
+             + 0.00391838 * pow(rp, 1.5) * atan(0.023101 * rp)
+             - 4.686035, 6) AS twb6
+FROM v
+"""
+
+QUERIES.update({"psychrometrics_events": psychrometrics_events})
+ORACLES.update({"psychrometrics_events": PSYCHRO_SQL})

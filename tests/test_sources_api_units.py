@@ -229,3 +229,58 @@ nodes:
         assert child["inputs"] == ["src"] and child["transforms"] == ["derive_columns"]
         html_doc = render_story(pipe.config, results, path=str(tmp_path / "story.html"))
         assert "lin" in html_doc and "success" in html_doc and "has_rows" in html_doc
+
+
+class TestPsychrometricsNative:
+    def test_matches_published_values(self, spark):
+        """20 degC / 50% RH at sea level: the ASHRAE/Magnus/Stull
+        textbook point (dew point 9.26, humidity ratio 0.00724,
+        enthalpy 38.5 kJ/kg, wet bulb 13.7)."""
+        from odibi_spark.operators.thermo import with_psychrometrics_native
+
+        df = spark.createDataFrame(
+            [(20.0, 0.5), (30.0, 0.8)], ["t_c", "rh"]
+        )
+        got = {
+            r.t_c: r
+            for r in with_psychrometrics_native(
+                df, dry_bulb_c_col="t_c", relative_humidity_col="rh"
+            ).collect()
+        }
+        r20 = got[20.0]
+        assert r20.psy_svp_pa == pytest.approx(2333.44, abs=0.5)
+        assert r20.psy_humidity_ratio == pytest.approx(0.0072449, rel=1e-4)
+        assert r20.psy_dew_point_c == pytest.approx(9.261, abs=0.01)
+        assert r20.psy_enthalpy_kj_kg == pytest.approx(38.509, abs=0.01)
+        assert r20.psy_wet_bulb_c == pytest.approx(13.699, abs=0.01)
+        r30 = got[30.0]
+        assert r30.psy_dew_point_c == pytest.approx(26.171, abs=0.01)
+        assert r30.psy_wet_bulb_c == pytest.approx(27.13, abs=0.01)
+
+    def test_rh_percent_and_pressure_column(self, spark):
+        from odibi_spark.operators.thermo import with_psychrometrics_native
+
+        df = spark.createDataFrame([(20.0, 50.0, 90000.0)], ["t", "rh", "p"])
+        r = with_psychrometrics_native(
+            df, dry_bulb_c_col="t", relative_humidity_col="rh",
+            pressure_pa_col="p", rh_is_percent=True,
+        ).collect()[0]
+        # lower pressure -> higher humidity ratio for the same vp
+        assert r.psy_humidity_ratio == pytest.approx(
+            0.621945 * 1166.72 / (90000.0 - 1166.72), rel=1e-4
+        )
+
+    def test_no_python_in_plan(self, spark):
+        from odibi_spark.operators.thermo import with_psychrometrics_native
+
+        df = spark.range(100).selectExpr(
+            "CAST(id % 40 AS DOUBLE) AS t", "0.5 AS rh"
+        )
+        plan = (
+            with_psychrometrics_native(
+                df, dry_bulb_c_col="t", relative_humidity_col="rh"
+            )
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
