@@ -57,23 +57,45 @@ def uniform_bucket(col: Column, lo: float, hi: float, n_buckets: int) -> Column:
     return F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), raw)).cast("long")
 
 
+def quantile_bucket(col: Column, boundaries: list[float]) -> Column:
+    """Map a numeric column onto ``[0, len(boundaries)]`` by counting
+    how many (precomputed, sorted) quantile boundaries the value
+    exceeds — equal-frequency cells regardless of distribution shape.
+    O(boundaries) comparisons per row, whole-stage codegen."""
+    out = F.lit(0).cast("long")
+    for b in boundaries:
+        out = out + (col > F.lit(float(b))).cast("long")
+    return out
+
+
 def zorder_key(
     df: DataFrame, cols: list[str], *, bits: int | None = None,
-    key_col: str = "z_key",
+    key_col: str = "z_key", bucket_mode: str = "uniform",
 ) -> DataFrame:
     """Add a Morton key over ``cols`` (numeric / date / timestamp).
 
-    One O(1)-row aggregate collects each column's min/max (the only
-    action — two literals per column, never data); each column is then
-    uniform-bucketed into ``2^bits`` cells and the cells interleaved.
-    ``bits`` defaults to the largest value with ``bits*len(cols) <=
-    48`` (capped 16) — cell granularity beyond file count buys
-    nothing.
+    ``bucket_mode='uniform'`` (default): one O(1)-row aggregate
+    collects each column's min/max (the only action — two literals per
+    column, never data); each column is uniform-bucketed into
+    ``2^bits`` cells and the cells interleaved. ``bits`` defaults to
+    the largest value with ``bits*len(cols) <= 48`` (capped 16) —
+    cell granularity beyond file count buys nothing.
+
+    ``bucket_mode='quantile'``: equal-FREQUENCY cells from
+    ``approxQuantile`` boundaries (one sketch pass, driver gets
+    ``2^bits - 1`` literals per column). Use when a clustering column
+    is heavily skewed — uniform cells then collapse most rows into one
+    bucket and the layout stops pruning on the OTHER columns; quantile
+    cells keep every z-range population-balanced. ``bits`` defaults
+    to 6 here (63 comparisons/column/row is the codegen budget; cell
+    count beyond file count still buys nothing).
     """
     if not cols:
         raise ValueError("cols must be non-empty")
+    if bucket_mode not in ("uniform", "quantile"):
+        raise ValueError(f"unknown bucket_mode '{bucket_mode}'")
     if bits is None:
-        bits = min(16, 48 // len(cols))
+        bits = min(16, 48 // len(cols)) if bucket_mode == "uniform" else 6
     from pyspark.sql.types import (
         DateType, NumericType, TimestampNTZType, TimestampType,
     )
@@ -94,6 +116,20 @@ def zorder_key(
                 f"zorder_key column '{c}' has non-orderable-numeric type "
                 f"{dtype.simpleString()}; cast or bucketize it first"
             )
+    if bucket_mode == "quantile":
+        n_cells = 1 << bits
+        probs = [i / n_cells for i in range(1, n_cells)]
+        proj = df.select(
+            *[numeric[c].alias(f"__q_{i}") for i, c in enumerate(cols)]
+        )
+        all_bounds = proj.stat.approxQuantile(
+            [f"__q_{i}" for i in range(len(cols))], probs, 0.001
+        )
+        buckets = [
+            quantile_bucket(numeric[c], sorted(set(bs or [])))
+            for c, bs in zip(cols, all_bounds)
+        ]
+        return df.withColumn(key_col, interleave_bits(buckets, bits))
     stats = df.agg(
         *[F.min(numeric[c]).alias(f"__lo_{c}") for c in cols],
         *[F.max(numeric[c]).alias(f"__hi_{c}") for c in cols],

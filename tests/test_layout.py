@@ -88,6 +88,49 @@ class TestMortonMath:
                 mode="upsert", keys=["a"],
             )
 
+    def test_quantile_mode_balances_skewed_columns(self, spark):
+        """Zipf-ish skew: uniform cells dump most rows into one bucket
+        (layout stops pruning on the other column); quantile cells
+        stay population-balanced."""
+        from odibi_spark.operators.layout import zorder_key
+
+        # value ~ heavy-tailed: 90% of rows in [0,10), tail to 10_000
+        df = spark.range(0, 5000).selectExpr(
+            "id",
+            "CASE WHEN id % 10 < 9 THEN CAST(id % 10 AS DOUBLE) "
+            "ELSE CAST((id % 100) * 100 AS DOUBLE) END AS v",
+        )
+
+        def max_share(mode):
+            keyed = zorder_key(df, ["v"], bits=4, bucket_mode=mode)
+            counts = [
+                r.n
+                for r in keyed.groupBy("z_key")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            ]
+            return max(counts) / sum(counts)
+
+        assert max_share("uniform") > 0.5
+        assert max_share("quantile") < 0.3
+
+    def test_quantile_mode_empty_input_safe(self, spark):
+        from odibi_spark.operators.layout import zorder_key
+
+        empty = spark.createDataFrame([], "a INT")
+        assert (
+            zorder_key(empty, ["a"], bucket_mode="quantile").count() == 0
+        )
+
+    def test_unknown_bucket_mode_raises(self, spark):
+        import pytest as _pytest
+
+        from odibi_spark.operators.layout import zorder_key
+
+        df = spark.range(5).toDF("a")
+        with _pytest.raises(ValueError, match="bucket_mode"):
+            zorder_key(df, ["a"], bucket_mode="zipf")
+
     def test_zorder_key_handles_date_columns(self, spark):
         from odibi_spark.operators.layout import zorder_key
 
@@ -202,3 +245,33 @@ class TestDataSkipping:
         a = sorted(r.event_id for r in back.select("event_id").collect())
         b = sorted(r.event_id for r in ev.select("event_id").collect())
         assert a == b
+
+
+class TestCompaction:
+    def test_compacts_many_small_files(self, spark, tmp_path):
+        from odibi_spark.io.compact import compact_small_files, list_data_files
+
+        p = str(tmp_path / "frag")
+        df = spark.range(0, 10_000).selectExpr("id", "id % 7 AS k")
+        df.repartition(20).write.parquet(p)
+        before = list_data_files(spark, p)
+        assert len(before) == 20
+        total = sum(sz for _, sz in before)
+        stats = compact_small_files(
+            spark, p, target_file_bytes=max(total // 3, 1),
+            sort_within_by=["id"],
+        )
+        assert stats["compacted"] and stats["files_before"] == 20
+        assert stats["files_after"] <= 4
+        back = spark.read.parquet(p)
+        assert back.count() == 10_000
+        assert back.agg({"id": "sum"}).collect()[0][0] == 49_995_000
+
+    def test_noop_when_already_compact(self, spark, tmp_path):
+        from odibi_spark.io.compact import compact_small_files
+
+        p = str(tmp_path / "ok")
+        spark.range(0, 100).coalesce(1).write.parquet(p)
+        stats = compact_small_files(spark, p, target_file_bytes=10)
+        assert not stats["compacted"]
+        assert spark.read.parquet(p).count() == 100
