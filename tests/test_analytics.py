@@ -165,7 +165,7 @@ def test_product_analytics_example_yaml_runs(spark, tmp_path):
     results = Pipeline.from_yaml(y, spark).run()
     for node in (
         "funnel_summary", "daily_cohorts", "value_outliers",
-        "resampled_series",
+        "resampled_series", "event_transitions", "events_zordered",
     ):
         assert results[node].status == "success", (node, results[node].error)
     funnel = spark.read.parquet(str(tmp_path / "funnel"))
@@ -173,6 +173,15 @@ def test_product_analytics_example_yaml_runs(spark, tmp_path):
     assert {"step", "n_users", "conversion_from_first"} <= set(funnel.columns)
     resampled = spark.read.parquet(str(tmp_path / "resampled"))
     assert {"bucket_ts", "is_gap", "avg_value_ffill"} <= set(resampled.columns)
+    transitions = spark.read.parquet(str(tmp_path / "transitions"))
+    assert {"from_type", "to_type", "n_transitions", "p_transition"} <= set(
+        transitions.columns
+    )
+    zp = spark.read.parquet(str(tmp_path / "events_z"))
+    assert zp.count() == spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).count()
+    assert set(zp.columns) == {"event_id", "user_id", "value"}
 
 
 class TestEwma:

@@ -600,7 +600,10 @@ def test_full_curation_example_yaml_runs(spark, tmp_path):
     y = pathlib.Path("examples/training_data_prep.yaml").read_text()
     y = y.replace("base_path: /tmp/odibi_prep", f"base_path: {tmp_path}")
     results = Pipeline.from_yaml(y, spark).run()
-    for node in ("benchmark_docs", "scored_docs", "clean_docs", "training_chunks"):
+    for node in (
+        "benchmark_docs", "scored_docs", "clean_docs", "training_chunks",
+        "pps_subsample",
+    ):
         assert results[node].status == "success", (node, results[node].error)
     chunks = spark.read.parquet(str(tmp_path / "chunks"))
     assert chunks.count() > 0
@@ -608,6 +611,9 @@ def test_full_curation_example_yaml_runs(spark, tmp_path):
     clean = spark.read.parquet(str(tmp_path / "clean"))
     # decontamination dropped the docs overlapping the benchmark slice
     assert clean.filter("doc_id % 50 = 0").count() == 0
+    pps = spark.read.parquet(str(tmp_path / "pps"))
+    assert "p_incl" in pps.columns
+    assert 0 < pps.count() < clean.count()
 
 
 class TestIncrementalDedup:
