@@ -256,3 +256,96 @@ class TestCurationProperties:
             ).collect()
         }
         assert small <= big
+
+
+class TestLayoutProperties:
+    @given(
+        xs=st.lists(
+            st.tuples(st.integers(0, 255), st.integers(0, 255)),
+            min_size=1, max_size=40,
+        )
+    )
+    @settings(**SETTINGS)
+    def test_morton_interleave_is_a_bijection(self, spark, xs):
+        """De-interleaving the Morton key recovers the exact bucket
+        pair — no bit is lost or aliased for any 8-bit input."""
+        from pyspark.sql import functions as F
+
+        from odibi_spark.operators.layout import interleave_bits
+
+        df = spark.createDataFrame(xs, ["x", "y"])
+        rows = df.withColumn(
+            "z", interleave_bits([F.col("x"), F.col("y")], bits=8)
+        ).collect()
+        for r in rows:
+            x = sum(((r.z >> (i * 2)) & 1) << i for i in range(8))
+            y = sum(((r.z >> (i * 2 + 1)) & 1) << i for i in range(8))
+            assert (x, y) == (r.x, r.y)
+
+    @given(
+        rate_small=st.floats(1e-5, 5e-3),
+        rate_extra=st.floats(1e-5, 5e-3),
+        seed=st.integers(0, 10),
+    )
+    @settings(**SETTINGS)
+    def test_pps_samples_are_nested_in_rate(self, spark, rate_small, rate_extra, seed):
+        """Raising the PPS rate only ADDS rows (same hash unit, larger
+        threshold) — reproducible corpus growth, like hash_sample."""
+        from pyspark.sql import functions as F
+
+        from odibi_spark.llm.curation import pps_sample
+
+        df = spark.range(300).selectExpr("id AS k", "id % 97 + 1 AS w")
+        small = {
+            r.k for r in pps_sample(
+                df, rate_small, weight_col="w", key_col="k", seed=seed
+            ).collect()
+        }
+        big = {
+            r.k for r in pps_sample(
+                df, rate_small + rate_extra, weight_col="w", key_col="k",
+                seed=seed,
+            ).collect()
+        }
+        assert small <= big
+
+    @given(
+        n_users=st.integers(1, 6),
+        n_events=st.integers(1, 30),
+        n_types=st.integers(1, 4),
+        seed=st.integers(0, 5),
+    )
+    @settings(**SETTINGS)
+    def test_transition_counts_conserve_rows(
+        self, spark, n_users, n_events, n_types, seed
+    ):
+        """Sum of n_transitions = rows - groups without a terminal
+        label, and = rows with one; probabilities sum to 1 per
+        from_type."""
+        import random
+
+        from odibi_spark.operators.analytics import transition_matrix_frames
+
+        rng = random.Random(seed)
+        rows = [
+            (f"u{rng.randrange(n_users)}", i, f"t{rng.randrange(n_types)}")
+            for i in range(n_events)
+        ]
+        df = spark.createDataFrame(rows, ["u", "ts", "t"])
+        n_groups = len({r[0] for r in rows})
+        with_term = transition_matrix_frames(
+            df, group_by=["u"], ts_col="ts", type_col="t",
+            tiebreak_cols=["ts"], terminal_label="<end>",
+        ).collect()
+        assert sum(r.n_transitions for r in with_term) == n_events
+        from collections import defaultdict
+
+        sums = defaultdict(float)
+        for r in with_term:
+            sums[r.from_type] += r.p_transition
+        assert all(abs(s - 1.0) < 1e-9 for s in sums.values())
+        without = transition_matrix_frames(
+            df, group_by=["u"], ts_col="ts", type_col="t",
+            tiebreak_cols=["ts"],
+        ).collect()
+        assert sum(r.n_transitions for r in without) == n_events - n_groups
