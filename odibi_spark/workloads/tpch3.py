@@ -403,9 +403,16 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # per-(order, supplier) profile, then per-order supplier counts:
     # EXISTS(other supplier) == n_supp >= 2; NOT EXISTS(other late
-    # supplier) == n_late_supp == 1 (only me)
-    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("is_late").alias("supp_late")
+    # supplier) == n_late_supp == 1 (only me).
+    # ONE shuffle for both stages: hash(l_orderkey) satisfies the
+    # aggregation's ClusteredDistribution(l_orderkey, l_suppkey) AND
+    # the window's partitioning, so the explicit repartition replaces
+    # what would otherwise be two back-to-back exchanges
+    # ((l_orderkey, l_suppkey) then l_orderkey) — plan-asserted.
+    per_supp = (
+        li.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_late").alias("supp_late"))
     )
     w = Window.partitionBy("l_orderkey")
     waiting = (

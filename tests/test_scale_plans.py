@@ -423,3 +423,44 @@ class TestSimilarityJoinPlans:
         # candidates come from the cell equi-join: both key columns
         # appear as join keys in the plan
         assert "__cx" in plan and "__cy" in plan
+
+
+class TestNoUndocumentedSinglePartition:
+    """Fleet-wide guardrail: a global window/sort funneling the FACT
+    table through one partition is the classic silent scale-killer
+    (the r4 pack_sequences finding). Every declared workload's plan is
+    audited; SinglePartition is allowed only where it is inherent —
+    global scalar aggregates (1-row results), global ranking of an
+    already-aggregated dimension, or documented small-input paths."""
+
+    ALLOWED = {
+        # 1-row global scalar aggregates
+        "q6_forecast_revenue", "q14_promo_revenue",
+        "q17_small_quantity_revenue", "q19_bracket_revenue",
+        # global threshold / max computed once, joined broadcast
+        "q11_important_parts", "q15_top_supplier", "q22_inactive_balances",
+        # per-step funnel count summary (O(steps) rows)
+        "funnel_view_click_purchase", "conversion_latency_quartiles",
+        # documented: global ntile over the pre-aggregated CUSTOMER dim
+        "decile_customer_spend",
+        # documented: small-input fast path (two-pass cumsum at scale)
+        "pack_sequences_docs",
+    }
+
+    def test_audit_all_workload_plans(self, spark):
+        from odibi_spark.workloads import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        offenders = []
+        for name, fn in QUERIES.items():
+            try:
+                plan = plan_of(fn(spark, sf))
+            except Exception:
+                continue  # streaming/stateful entries need a sink
+            if "SinglePartition" in plan and name not in self.ALLOWED:
+                offenders.append(name)
+        assert not offenders, (
+            f"undocumented Exchange SinglePartition in: {offenders}; "
+            "either fix the plan or document why it is inherent and "
+            "add it to ALLOWED"
+        )

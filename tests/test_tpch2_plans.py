@@ -119,3 +119,20 @@ class TestTpch3Plans:
         plan = plan_of(queries["q21_waiting_suppliers"](spark, SF))
         assert plan.count("lineitem.parquet") == 1
         assert "CartesianProduct" not in plan
+
+    def test_q21_single_shuffle_feeds_agg_and_window(self, spark, queries):
+        """hash(l_orderkey) satisfies BOTH the per-(order,supplier)
+        aggregation's clustered distribution and the per-order window:
+        exactly one l_orderkey exchange, none on (l_orderkey,
+        l_suppkey)."""
+        plan = plan_of(queries["q21_waiting_suppliers"](spark, SF))
+        import re
+
+        ok_only = re.findall(
+            r"Exchange hashpartitioning\(l_orderkey#\d+L, \d+\)", plan
+        )
+        both = re.findall(
+            r"Exchange hashpartitioning\(l_orderkey#\d+L, l_suppkey", plan
+        )
+        assert len(ok_only) == 1, plan
+        assert not both, plan
