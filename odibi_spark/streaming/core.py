@@ -191,6 +191,77 @@ def stateful_running_stats(
     )
 
 
+def stateful_ewma(
+    stream: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming twin of the batch EWMA (operators/analytics
+    ``ewma_scan`` / ``ewma_frames``): per-key smoothing continued
+    ACROSS micro-batches and restarts via applyInPandasWithState.
+    State is one double per key — the last EWMA value — so the state
+    store is O(distinct keys) regardless of stream length.
+
+    Continuation is exact: each batch's rows (sorted by ``ts_col``
+    within the batch) are run through the same pandas
+    ``ewm(adjust=False)`` recursion SEEDED with the stored value by
+    prepending it as a virtual sample (y' = a*x + (1-a)*y_prev — the
+    identical recurrence), so a stream split across any number of
+    micro-batches emits byte-identical values to one batch pass.
+    Late rows older than a batch boundary are smoothed in arrival
+    order (document upstream watermarking if order matters).
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_fields = [f for f in stream.schema.fields if f.name in keys]
+    key_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in key_fields)
+    ts_type = stream.schema[ts_col].dataType.simpleString()
+    val_type = stream.schema[value_col].dataType.simpleString()
+    output_ddl = (
+        f"{key_ddl}, {ts_col} {ts_type}, {value_col} {val_type}, "
+        f"{out_col} DOUBLE"
+    )
+    state_ddl = "y DOUBLE"
+    a = float(alpha)
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        prev = state.get[0] if state.exists else None
+        frames = [pdf for pdf in pdfs]
+        pdf = pd.concat(frames).sort_values(ts_col, kind="mergesort")
+        vals = pdf[value_col].astype(float)
+        if prev is None:
+            ew = vals.ewm(alpha=a, adjust=False).mean()
+        else:
+            seeded = pd.concat([pd.Series([prev]), vals], ignore_index=True)
+            ew = seeded.ewm(alpha=a, adjust=False).mean().iloc[1:]
+            ew.index = vals.index
+        if len(ew):
+            state.update((float(ew.iloc[-1]),))
+        out = pdf[[ts_col, value_col]].copy()
+        for i, f in enumerate(key_fields):
+            out.insert(i, f.name, key[i])
+        out[out_col] = ew
+        yield out
+
+    timeout_conf = {
+        "NoTimeout": GroupStateTimeout.NoTimeout,
+        "ProcessingTimeTimeout": GroupStateTimeout.ProcessingTimeTimeout,
+        "EventTimeTimeout": GroupStateTimeout.EventTimeTimeout,
+    }[timeout]
+    return stream.groupBy(*keys).applyInPandasWithState(
+        update, output_ddl, state_ddl, "Update", timeout_conf
+    )
+
+
 def streaming_shard_writer(
     stream: DataFrame,
     *,

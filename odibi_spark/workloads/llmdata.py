@@ -1144,3 +1144,56 @@ ORACLES = {
     "percentiles_by_source": PERCENTILES_SQL,
     "tfidf_top_terms": TFIDF_SQL,
 }
+
+
+def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source heavy hitters via approx_top_k (space-saving sketch,
+    Metwally et al. 2005): the 100-TB frequent-items path — the
+    aggregation shuffle carries one mergeable sketch per source, never
+    per-word partial counts. The sketch is EXACT whenever a source's
+    distinct-item count fits maxItemsTracked (10k here vs a 31-word
+    synthetic vocabulary), which is what makes the workload
+    hash-checkable; rank ties are broken deterministically by re-
+    ranking the exploded (term, count) rows on (count DESC, term)."""
+    _prep(spark)
+    df = read_table(spark, sf_dir, "documents")
+    words = df.select(
+        "source", F.explode(F.split(F.trim("text"), " ")).alias("w")
+    )
+    sketched = words.groupBy("source").agg(
+        F.expr("approx_top_k(w, 50, 10000)").alias("tk")
+    )
+    from pyspark.sql import Window
+
+    exploded = sketched.select(
+        "source", F.explode("tk").alias("e")
+    ).select(
+        "source",
+        F.col("e.item").alias("term"),
+        F.col("e.count").alias("n"),
+    )
+    r = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("n"), F.asc("term"))
+    )
+    return exploded.withColumn("rank", r).filter(F.col("rank") <= 5)
+
+
+HEAVY_HITTERS_SQL = """
+WITH w AS (
+  SELECT source, unnest(string_split(trim(text), ' ')) AS term
+  FROM documents
+),
+c AS (
+  SELECT source, term, COUNT(*) AS n FROM w GROUP BY source, term
+)
+SELECT source, term, n, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT source, term, n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n DESC, term) AS rank
+  FROM c
+) WHERE rank <= 5
+"""
+
+QUERIES.update({"heavy_hitter_terms": heavy_hitter_terms})
+ORACLES.update({"heavy_hitter_terms": HEAVY_HITTERS_SQL})

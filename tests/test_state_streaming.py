@@ -344,6 +344,57 @@ class TestStatefulOperators:
         assert latest["b"] == (2, 15.0)    # (10+20)/2
 
 
+    def test_stateful_ewma_matches_one_shot_batch(self, spark, tmp_path):
+        """Streaming EWMA split across two micro-batches must emit
+        byte-identical values to a single batch pass (state seeds the
+        recursion across the boundary), and survive a restart."""
+        import pandas as pd
+
+        from odibi_spark.operators.analytics import ewma_frames
+        from odibi_spark.streaming.core import stateful_ewma
+
+        src = tmp_path / "esrc"
+        src.mkdir()
+        wave1 = pd.DataFrame(
+            {"user": ["a", "a", "b"], "ts": [1, 2, 1], "v": [10.0, 20.0, 5.0]}
+        )
+        wave2 = pd.DataFrame(
+            {"user": ["a", "b"], "ts": [3, 2], "v": [50.0, 7.0]}
+        )
+        wave1.to_parquet(src / "w1.parquet")
+
+        def run_wave():
+            stream = spark.readStream.schema(
+                "user STRING, ts BIGINT, v DOUBLE"
+            ).parquet(str(src))
+            ew = stateful_ewma(
+                stream, keys=["user"], ts_col="ts", value_col="v",
+                alpha=0.5,
+            )
+            self._run(
+                spark, ew, str(tmp_path / "eout"), str(tmp_path / "eck"),
+                output_mode="update",
+            )
+
+        run_wave()
+        wave2.to_parquet(src / "w2.parquet")
+        run_wave()  # restart: state reloaded from the checkpoint
+
+        got = {
+            (r.user, r.ts): r.ewma
+            for r in spark.read.parquet(str(tmp_path / "eout")).collect()
+        }
+        full = spark.createDataFrame(pd.concat([wave1, wave2]))
+        exp = {
+            (r.user, r.ts): r.ewma
+            for r in ewma_frames(
+                full, group_by=["user"], ts_col="ts", value_col="v",
+                alpha=0.5,
+            ).collect()
+        }
+        assert got == exp  # exact equality: same recursion, seeded
+
+
 class TestStreamingShardWriter:
     """Streaming token-balanced shard production with exactly-once
     replay (VERDICT r4 task 4)."""
