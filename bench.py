@@ -254,6 +254,7 @@ def main() -> None:
         # new in round 5
         "dedup_incremental_docs", "approx_percentiles_by_source",
         "approx_distinct_fingerprints", "pps_sample_docs",
+        "heavy_hitter_terms",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(
@@ -273,7 +274,7 @@ def main() -> None:
         "asof_click_purchase", "range_clicks_per_purchase_hour",
         "fuzzy_match_parts", "spatial_customers_near_suppliers",
         "snapshot_cdc_customers", "transition_matrix_events",
-        "zorder_key_orders",
+        "zorder_key_orders", "psychrometrics_events",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(

@@ -53,7 +53,67 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("--name", default=None)
     sp.add_argument("--out", help="write to this file instead of stdout")
+
+    # table maintenance (open-format twin of the reference's Delta
+    # auto_optimize/zorder write options)
+    sp = sub.add_parser(
+        "maintain", help="compact small files and/or re-layout a table"
+    )
+    sp.add_argument("path")
+    sp.add_argument(
+        "--target-mb", type=int, default=128,
+        help="target output file size for compaction (MB)",
+    )
+    sp.add_argument(
+        "--zorder-by",
+        help="comma-separated columns: rewrite in Morton layout instead "
+        "of plain bin-packing",
+    )
+    sp.add_argument("--format", default="parquet")
     args = p.parse_args(argv)
+
+    if args.cmd == "maintain":
+        from odibi_spark import get_spark
+
+        spark = get_spark("maintain")
+        if args.zorder_by:
+            import math
+
+            from odibi_spark.io.compact import list_data_files
+            from odibi_spark.operators.layout import write_zordered
+
+            cols = [c.strip() for c in args.zorder_by.split(",") if c.strip()]
+            total = sum(sz for _, sz in list_data_files(spark, args.path))
+            n_files = max(1, math.ceil(total / (args.target_mb * 1024 * 1024)))
+            df = spark.read.format(args.format).load(args.path)
+            tmp = args.path.rstrip("/") + "__zorder_tmp"
+            write_zordered(df, tmp, cols, n_files=n_files, format=args.format)
+            # swap via the compaction module's FS helpers
+            from odibi_spark.io.compact import _fs_for
+
+            fs, _, jvm = _fs_for(spark, args.path)
+            for f, _sz in list_data_files(spark, args.path):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+            moved = 0
+            for f, _sz in list_data_files(spark, tmp):
+                name = f.rsplit("/", 1)[-1]
+                fs.rename(
+                    jvm.org.apache.hadoop.fs.Path(f),
+                    jvm.org.apache.hadoop.fs.Path(args.path, name),
+                )
+                moved += 1
+            fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+            print(json.dumps({"zordered_files": moved, "cols": cols}))
+        else:
+            from odibi_spark.io.compact import compact_small_files
+
+            stats = compact_small_files(
+                spark, args.path,
+                target_file_bytes=args.target_mb * 1024 * 1024,
+                format=args.format,
+            )
+            print(json.dumps(stats))
+        return 0
 
     if args.cmd == "doctor":
         from odibi_spark.doctor import doctor

@@ -275,3 +275,37 @@ class TestCompaction:
         stats = compact_small_files(spark, p, target_file_bytes=10)
         assert not stats["compacted"]
         assert spark.read.parquet(p).count() == 100
+
+
+class TestMaintainCli:
+    def test_cli_compacts(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from odibi_spark.cli import main
+
+        p = str(tmp_path / "t")
+        spark.range(0, 5000).selectExpr("id", "id % 5 AS k").repartition(
+            10
+        ).write.parquet(p)
+        rc = main(["maintain", p, "--target-mb", "1"])
+        assert rc == 0
+        stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["compacted"] and stats["files_after"] < 10
+        assert spark.read.parquet(p).count() == 5000
+
+    def test_cli_zorder_rewrite(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from odibi_spark.cli import main
+
+        p = str(tmp_path / "z")
+        spark.range(0, 5000).selectExpr(
+            "id AS a", "(id * 37) % 1000 AS b"
+        ).repartition(6).write.parquet(p)
+        rc = main(["maintain", p, "--target-mb", "1", "--zorder-by", "a,b"])
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["cols"] == ["a", "b"] and out["zordered_files"] >= 1
+        back = spark.read.parquet(p)
+        assert back.count() == 5000
+        assert set(back.columns) == {"a", "b"}
