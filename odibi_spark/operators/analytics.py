@@ -432,10 +432,18 @@ def ewma(
     alpha: float,
     output_column: str = "ewma",
     tiebreak_columns: list[str] = (),
+    engine: str = "native",
 ) -> EngineContext:
-    """YAML surface: per-group EWMA."""
+    """YAML surface: per-group EWMA. ``engine='native'`` (default)
+    runs the pure-JVM blocked scaled-cumsum (:func:`ewma_scan` — no
+    Python boundary, no per-group Arrow batch limit, NULL values
+    unsupported); ``engine='pandas'`` keeps the applyInPandas
+    recursion (:func:`ewma_frames` — pandas NaN semantics)."""
+    if engine not in ("native", "pandas"):
+        raise ValueError(f"unknown ewma engine '{engine}'")
+    impl = ewma_scan if engine == "native" else ewma_frames
     return ctx.with_df(
-        ewma_frames(
+        impl(
             ctx.df, group_by=group_by, ts_col=timestamp_column,
             value_col=value_column, alpha=alpha, out_col=output_column,
             tiebreak_cols=tiebreak_columns,

@@ -358,6 +358,43 @@ class TestEwmaScan:
         assert "SinglePartition" not in plan
 
 
+class TestEwmaTransformEngines:
+    def test_registry_engines_agree(self, spark):
+        import odibi_spark.operators  # noqa: F401
+        from odibi_spark.context import Context, EngineContext
+        from odibi_spark.registry import get_registry
+
+        df = spark.createDataFrame(
+            [("g", i, float(i % 13)) for i in range(50)], ["u", "ts", "v"]
+        )
+        params = {
+            "group_by": ["u"], "timestamp_column": "ts",
+            "value_column": "v", "alpha": 0.25,
+        }
+        reg = get_registry()
+        native = {
+            (r.u, r.ts): r.ewma
+            for r in reg.apply(
+                "ewma", EngineContext(Context(spark), df), params
+            ).df.collect()
+        }
+        pandas_ = {
+            (r.u, r.ts): r.ewma
+            for r in reg.apply(
+                "ewma", EngineContext(Context(spark), df),
+                {**params, "engine": "pandas"},
+            ).df.collect()
+        }
+        assert native.keys() == pandas_.keys()
+        for k in native:
+            assert native[k] == pytest.approx(pandas_[k], rel=1e-9)
+        with pytest.raises(ValueError, match="engine"):
+            reg.apply(
+                "ewma", EngineContext(Context(spark), df),
+                {**params, "engine": "duck"},
+            )
+
+
 class TestMadOutliers:
     def test_robust_to_the_outlier_itself(self, spark):
         from odibi_spark.operators.analytics import (
