@@ -425,6 +425,31 @@ class TestSimilarityJoinPlans:
         assert "__cx" in plan and "__cy" in plan
 
 
+class TestNewWorkloadPlans:
+    def test_psychrometrics_is_pure_projection(self, spark):
+        """Closed-form psychrometrics must stay a zero-exchange,
+        zero-Python, whole-stage-codegen projection."""
+        from odibi_spark.workloads import QUERIES
+
+        plan = plan_of(
+            QUERIES["psychrometrics_events"](spark, "/root/testdata/sf0.001")
+        )
+        assert "Exchange hashpartitioning" not in plan
+        assert "EvalPython" not in plan
+
+    def test_heavy_hitters_single_sketch_shuffle(self, spark):
+        """approx_top_k: ONE hash exchange (per-source sketches); the
+        re-ranking window reuses the same partitioning, and per-word
+        counts never shuffle."""
+        from odibi_spark.workloads import QUERIES
+
+        plan = plan_of(
+            QUERIES["heavy_hitter_terms"](spark, "/root/testdata/sf0.001")
+        )
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "EvalPython" not in plan
+
+
 class TestNoUndocumentedSinglePartition:
     """Fleet-wide guardrail: a global window/sort funneling the FACT
     table through one partition is the classic silent scale-killer
