@@ -79,30 +79,24 @@ def main(argv: list[str] | None = None) -> int:
         if args.zorder_by:
             import math
 
-            from odibi_spark.io.compact import list_data_files
+            from odibi_spark.io.compact import (
+                list_data_files,
+                reject_partitioned_layout,
+                swap_data_files,
+            )
             from odibi_spark.operators.layout import write_zordered
 
+            reject_partitioned_layout(spark, args.path)
             cols = [c.strip() for c in args.zorder_by.split(",") if c.strip()]
-            total = sum(sz for _, sz in list_data_files(spark, args.path))
+            old = list_data_files(spark, args.path)
+            total = sum(sz for _, sz in old)
             n_files = max(1, math.ceil(total / (args.target_mb * 1024 * 1024)))
             df = spark.read.format(args.format).load(args.path)
             tmp = args.path.rstrip("/") + "__zorder_tmp"
             write_zordered(df, tmp, cols, n_files=n_files, format=args.format)
-            # swap via the compaction module's FS helpers
-            from odibi_spark.io.compact import _fs_for
-
-            fs, _, jvm = _fs_for(spark, args.path)
-            for f, _sz in list_data_files(spark, args.path):
-                fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
-            moved = 0
-            for f, _sz in list_data_files(spark, tmp):
-                name = f.rsplit("/", 1)[-1]
-                fs.rename(
-                    jvm.org.apache.hadoop.fs.Path(f),
-                    jvm.org.apache.hadoop.fs.Path(args.path, name),
-                )
-                moved += 1
-            fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+            moved = swap_data_files(
+                spark, args.path, tmp, [f for f, _ in old]
+            )
             print(json.dumps({"zordered_files": moved, "cols": cols}))
         else:
             from odibi_spark.io.compact import compact_small_files

@@ -6,13 +6,23 @@ same operational problem — streaming/incremental writers leaving
 thousands of KB-sized files that crush scan planning and NameNode/
 object-store listing — needs an explicit bin-packing rewrite. This is
 that tool: size-driven (target bytes per output file, not a guessed
-partition count), layout-preserving optional sort, and a
-write-then-swap protocol.
+partition count), rewriting ONLY the under-sized files (files already
+at target size stay untouched, like Delta OPTIMIZE), with a
+rename-before-delete swap whose rename results are checked.
 
-NOT transactional: between the swap's delete and rename a concurrent
-reader can see a partial table (Delta's OPTIMIZE exists precisely to
-make this atomic). Run it in a maintenance window, or on Delta use
+NOT transactional: while the swap runs a concurrent reader can see
+both old and new copies of the rewritten rows (Delta's OPTIMIZE exists
+precisely to make this atomic). The failure mode is bounded though:
+new files are renamed IN before old files are deleted, and any rename
+failure aborts before a single original is removed — crash at any
+point leaves either duplicates (re-runnable) or the original table,
+never missing rows. Run it in a maintenance window, or on Delta use
 ``delta_ops.maintain`` instead.
+
+Hive-partitioned directories (data in subdirectories) are rejected:
+compacting them through the table root would rewrite partition values
+into the data files and corrupt the layout — maintain each partition
+directory instead.
 """
 
 from __future__ import annotations
@@ -40,6 +50,47 @@ def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     return out
 
 
+def reject_partitioned_layout(spark: SparkSession, path: str) -> None:
+    """Raise if ``path`` holds data in subdirectories (hive-partitioned
+    layout): a root-level rewrite would fold partition values into the
+    data files and leave the table unreadable."""
+    fs, jpath, _ = _fs_for(spark, path)
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and not name.startswith((".", "_")):
+            raise ValueError(
+                f"'{path}' contains subdirectory '{name}' — layout "
+                "maintenance works on leaf data directories; run it on "
+                "each partition directory instead"
+            )
+
+
+def swap_data_files(
+    spark: SparkSession, path: str, tmp: str, old_files: list[str]
+) -> int:
+    """Swap the data files under ``tmp`` into ``path``, replacing
+    ``old_files``. Rename-BEFORE-delete, every rename checked: a
+    failed rename (Hadoop FileSystem.rename signals failure by
+    returning false, not raising) aborts before any original file is
+    removed, so no outcome loses rows. Returns the number of files
+    moved; removes the temp dir."""
+    fs, _, jvm = _fs_for(spark, path)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    moved = 0
+    for f, _sz in list_data_files(spark, tmp):
+        name = f.rsplit("/", 1)[-1]
+        if not fs.rename(hpath(f), hpath(path, name)):
+            raise RuntimeError(
+                f"rename {f} -> {path}/{name} failed; originals left "
+                f"in place, compacted output remains under {tmp}"
+            )
+        moved += 1
+    for f in old_files:
+        fs.delete(hpath(f), False)
+    fs.delete(hpath(tmp), True)
+    return moved
+
+
 def compact_small_files(
     spark: SparkSession,
     path: str,
@@ -49,51 +100,41 @@ def compact_small_files(
     sort_within_by: list[str] | None = None,
     min_files_to_compact: int = 2,
 ) -> dict:
-    """Bin-pack a directory of small data files into
-    ``ceil(total_bytes / target_file_bytes)`` files.
-
-    Size-driven like Delta OPTIMIZE (files sized for scan efficiency,
-    not a hand-tuned partition count); ``sort_within_by`` optionally
-    re-establishes a clustering order inside each output file so
-    row-group min/max pruning survives the rewrite. No-op (returns
-    stats, touches nothing) when the directory already has fewer
-    output-sized files than ``min_files_to_compact``.
-
-    Protocol: write compacted files to ``<path>__compact_tmp``, delete
-    the old data files, move the new ones in, remove the temp dir. See
-    the module docstring for the (non-)atomicity contract.
+    """Bin-pack the UNDER-SIZED data files of a directory into
+    ``ceil(small_bytes / target_file_bytes)`` files; files already at
+    or above ~target size are left untouched (rewriting them would be
+    a pure full-table-shuffle tax — Delta OPTIMIZE makes the same
+    cut). ``sort_within_by`` optionally re-establishes a clustering
+    order inside each output file so row-group min/max pruning
+    survives the rewrite. No-op (returns stats, touches nothing) when
+    fewer than ``min_files_to_compact`` small files exist or they
+    already form no more than the target bin count.
     """
+    reject_partitioned_layout(spark, path)
     files = list_data_files(spark, path)
-    total = sum(sz for _, sz in files)
-    n_out = max(1, math.ceil(total / target_file_bytes))
+    small = [(f, sz) for f, sz in files if sz < target_file_bytes]
+    small_bytes = sum(sz for _, sz in small)
+    n_out = max(1, math.ceil(small_bytes / target_file_bytes))
     stats = {
         "files_before": len(files),
-        "bytes_total": total,
+        "small_files": len(small),
+        "bytes_total": sum(sz for _, sz in files),
+        "small_bytes": small_bytes,
         "target_file_bytes": int(target_file_bytes),
         "files_after": len(files),
         "compacted": False,
     }
-    if len(files) < max(min_files_to_compact, n_out + 1):
+    if len(small) < max(min_files_to_compact, n_out + 1):
         return stats
 
-    df = spark.read.format(format).load(path)
+    df = spark.read.format(format).load([f for f, _ in small])
     df = df.repartition(n_out)
     if sort_within_by:
         df = df.sortWithinPartitions(*sort_within_by)
     tmp = path.rstrip("/") + "__compact_tmp"
     df.write.mode("overwrite").format(format).save(tmp)
-
-    fs, jpath, jvm = _fs_for(spark, path)
-    for f, _ in files:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
-    moved = 0
-    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(tmp)):
-        name = st.getPath().getName()
-        if st.isFile() and not name.startswith((".", "_")):
-            fs.rename(
-                st.getPath(), jvm.org.apache.hadoop.fs.Path(path, name)
-            )
-            moved += 1
-    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
-    stats.update({"files_after": moved, "compacted": True})
+    moved = swap_data_files(spark, path, tmp, [f for f, _ in small])
+    stats.update(
+        {"files_after": len(files) - len(small) + moved, "compacted": True}
+    )
     return stats

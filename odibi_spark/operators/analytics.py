@@ -372,7 +372,21 @@ def ewma_scan(
     if not 0 < alpha <= 1:
         raise ValueError("alpha must be in (0, 1]")
     out = df
-    x = F.col(value_col).cast("double")
+    # NULL values would silently diverge from the pandas recursion
+    # (sum-over-window skips the term -> q*y_prev instead of pandas'
+    # renormalized carry) — fail loudly instead; assert_true raises at
+    # the first NULL row, otherwise evaluates to NULL and the when()
+    # passes the cast value through
+    x = F.when(
+        F.assert_true(
+            F.col(value_col).isNotNull(),
+            F.lit(
+                f"ewma_scan: NULL in '{value_col}' — pre-fill/filter "
+                "nulls or use ewma_frames (pandas NaN semantics)"
+            ),
+        ).isNull(),
+        F.col(value_col).cast("double"),
+    )
     if alpha == 1.0:
         return out.withColumn(out_col, x)
     import math

@@ -162,7 +162,8 @@ def stateful_running_stats(
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    key_fields = [f for f in stream.schema.fields if f.name in keys]
+    # groupBy(*keys) order, NOT schema order — see stateful_ewma
+    key_fields = [stream.schema[k] for k in keys]
     key_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in key_fields)
     output_ddl = f"{key_ddl}, n BIGINT, total DOUBLE, mean DOUBLE"
     state_ddl = "n BIGINT, total DOUBLE"
@@ -199,7 +200,6 @@ def stateful_ewma(
     value_col: str,
     alpha: float,
     out_col: str = "ewma",
-    timeout: str = "NoTimeout",
 ) -> DataFrame:
     """Streaming twin of the batch EWMA (operators/analytics
     ``ewma_scan`` / ``ewma_frames``): per-key smoothing continued
@@ -220,7 +220,10 @@ def stateful_ewma(
         raise ValueError("alpha must be in (0, 1]")
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    key_fields = [f for f in stream.schema.fields if f.name in keys]
+    # key tuple arrives in groupBy(*keys) order — build the field list
+    # in THAT order, not schema order, or keys would land in the wrong
+    # output columns when the caller's key order differs from the schema
+    key_fields = [stream.schema[k] for k in keys]
     key_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in key_fields)
     ts_type = stream.schema[ts_col].dataType.simpleString()
     val_type = stream.schema[value_col].dataType.simpleString()
@@ -236,6 +239,8 @@ def stateful_ewma(
 
         prev = state.get[0] if state.exists else None
         frames = [pdf for pdf in pdfs]
+        if not frames:  # empty invocation: nothing to emit or update
+            return
         pdf = pd.concat(frames).sort_values(ts_col, kind="mergesort")
         vals = pdf[value_col].astype(float)
         if prev is None:
@@ -252,13 +257,11 @@ def stateful_ewma(
         out[out_col] = ew
         yield out
 
-    timeout_conf = {
-        "NoTimeout": GroupStateTimeout.NoTimeout,
-        "ProcessingTimeTimeout": GroupStateTimeout.ProcessingTimeTimeout,
-        "EventTimeTimeout": GroupStateTimeout.EventTimeTimeout,
-    }[timeout]
+    # no timeout parameter: this operator implements no hasTimedOut
+    # branch, so accepting timeout modes it cannot service would be a
+    # silent no-op contract
     return stream.groupBy(*keys).applyInPandasWithState(
-        update, output_ddl, state_ddl, "Update", timeout_conf
+        update, output_ddl, state_ddl, "Update", GroupStateTimeout.NoTimeout
     )
 
 

@@ -448,3 +448,16 @@ class TestOutlierNullGroups:
             # a plain equi-join would silently drop the null-key rows
             assert out.count() == 6, fn.__name__
             assert out.filter("g IS NULL").count() == 3, fn.__name__
+
+
+class TestEwmaScanNullGuard:
+    def test_null_value_raises_loudly(self, spark):
+        from odibi_spark.operators.analytics import ewma_scan
+
+        df = spark.createDataFrame(
+            [("g", 0, 1.0), ("g", 1, None)], "grp STRING, ts INT, v DOUBLE"
+        )
+        out = ewma_scan(df, group_by=["grp"], ts_col="ts", value_col="v",
+                        alpha=0.5)
+        with pytest.raises(Exception, match="ewma_scan: NULL"):
+            out.collect()

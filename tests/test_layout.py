@@ -309,3 +309,50 @@ class TestMaintainCli:
         back = spark.read.parquet(p)
         assert back.count() == 5000
         assert set(back.columns) == {"a", "b"}
+
+
+class TestCompactionSafety:
+    def test_leaves_large_files_untouched(self, spark, tmp_path):
+        """Delta-OPTIMIZE semantics: only under-sized files rewrite;
+        files already at target size keep their identity."""
+        from odibi_spark.io.compact import compact_small_files, list_data_files
+
+        p = str(tmp_path / "mix")
+        # one 'large' file + many small ones
+        spark.range(0, 50_000).selectExpr("id").coalesce(1).write.parquet(p)
+        big_before = {
+            f for f, sz in list_data_files(spark, p) if sz > 50_000
+        }
+        spark.range(50_000, 51_000).selectExpr("id").repartition(
+            10
+        ).write.mode("append").parquet(p)
+        stats = compact_small_files(spark, p, target_file_bytes=100_000)
+        assert stats["compacted"]
+        after = dict(list_data_files(spark, p))
+        # the large file survived by NAME (never rewritten)
+        assert big_before <= set(after)
+        assert spark.read.parquet(p).count() == 51_000
+
+    def test_partitioned_layout_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from odibi_spark.io.compact import compact_small_files
+
+        p = str(tmp_path / "parts")
+        spark.range(0, 100).selectExpr(
+            "id", "id % 2 AS part"
+        ).write.partitionBy("part").parquet(p)
+        with _pytest.raises(ValueError, match="subdirectory"):
+            compact_small_files(spark, p, target_file_bytes=10)
+
+    def test_cli_zorder_rejects_partitioned(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from odibi_spark.cli import main
+
+        p = str(tmp_path / "pz")
+        spark.range(0, 100).selectExpr(
+            "id AS a", "id % 2 AS part"
+        ).write.partitionBy("part").parquet(p)
+        with _pytest.raises(ValueError, match="subdirectory"):
+            main(["maintain", p, "--zorder-by", "a"])

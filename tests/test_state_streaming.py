@@ -395,6 +395,33 @@ class TestStatefulOperators:
         assert got == exp  # exact equality: same recursion, seeded
 
 
+    def test_stateful_ewma_key_order_differs_from_schema(self, spark, tmp_path):
+        """keys=['k2','k1'] with schema order (k1, k2, ...): key values
+        must land in THEIR columns, not schema-position columns."""
+        import pandas as pd
+
+        from odibi_spark.streaming.core import stateful_ewma
+
+        src = tmp_path / "korder"
+        src.mkdir()
+        pd.DataFrame(
+            {"k1": ["x"], "k2": ["y"], "ts": [1], "v": [2.0]}
+        ).to_parquet(src / "b1.parquet")
+        stream = spark.readStream.schema(
+            "k1 STRING, k2 STRING, ts BIGINT, v DOUBLE"
+        ).parquet(str(src))
+        ew = stateful_ewma(
+            stream, keys=["k2", "k1"], ts_col="ts", value_col="v",
+            alpha=0.5,
+        )
+        self._run(
+            spark, ew, str(tmp_path / "ko_out"), str(tmp_path / "ko_ck"),
+            output_mode="update",
+        )
+        r = spark.read.parquet(str(tmp_path / "ko_out")).collect()[0]
+        assert r.k1 == "x" and r.k2 == "y"
+
+
 class TestStreamingShardWriter:
     """Streaming token-balanced shard production with exactly-once
     replay (VERDICT r4 task 4)."""
