@@ -80,6 +80,20 @@ _R5_NEW = [
     "outlier_events_zscore",
 ]
 
+# ROUND-6 ROTATION QUEUE: workloads declared late in round 5 that have
+# never had a driver-side hash check (covered this round only by the
+# committed ORACLE_r05.log + pytest). Next round, move these into the
+# first-50 head, demoting the r5-driver-verified entries above to the
+# tail — every workload then has a driver hash check within two rounds.
+_R6_ROTATE_IN = [
+    "ewma_user_values", "outlier_events_mad", "fuzzy_match_parts",
+    "spatial_customers_near_suppliers", "snapshot_cdc_customers",
+    "decile_customer_spend", "split_documents_sets",
+    "resample_interp_user_events", "conversion_latency_quartiles",
+    "transition_matrix_events", "zorder_key_orders", "pps_sample_docs",
+    "psychrometrics_events", "heavy_hitter_terms",
+]
+
 _HEAD = [k for k in _ROTATED_HEAD + _R5_NEW if k in _ALL_QUERIES]
 _ORDER = _HEAD + [k for k in _ALL_QUERIES if k not in set(_HEAD)]
 QUERIES = {k: _ALL_QUERIES[k] for k in _ORDER}
