@@ -28,9 +28,21 @@ class ReadConfig(StrictModel):
     filter: str | None = None
     columns: list[str] | None = None
     streaming: bool = False
+    #: format: simulation — seeded synthetic source (reference
+    #: SimulationConfig, odibi/config.py:1391-2432): {rows, columns,
+    #: seed?, distributed?, portable_hash?} passed to
+    #: sources.simulation.generate
+    simulation: dict[str, Any] | None = None
 
     @model_validator(mode="after")
     def _path_or_table(self) -> "ReadConfig":
+        if self.format.lower() == "simulation":
+            if not self.simulation:
+                raise ValueError(
+                    "format: simulation needs a 'simulation:' block "
+                    "({rows, columns, ...})"
+                )
+            return self
         # pathless streaming sources (rate, kafka, socket) configure
         # themselves via options only
         pathless = self.streaming and self.format.lower() in (

@@ -94,20 +94,36 @@ class NodeExecutor:
             # ---- read phase (optional for generating patterns)
             df = None
             if cfg.read:
-                r_path, r_table, r_options = self._resolve(
-                    cfg.read.connection, cfg.read.path, cfg.read.table, cfg.read.options
-                )
-                df = read_source(
-                    spark,
-                    format=cfg.read.format,
-                    path=r_path,
-                    table=r_table,
-                    schema=cfg.read.schema_ddl,
-                    options=r_options,
-                    filter=cfg.read.filter,
-                    columns=cfg.read.columns,
-                    streaming=cfg.read.streaming,
-                )
+                if cfg.read.format.lower() == "simulation":
+                    from odibi_spark.sources.simulation import generate
+
+                    sim = dict(cfg.read.simulation)
+                    df = generate(
+                        spark,
+                        rows=int(sim.pop("rows")),
+                        columns=sim.pop("columns"),
+                        **sim,
+                    )
+                    if cfg.read.filter:
+                        df = df.filter(cfg.read.filter)
+                    if cfg.read.columns:
+                        df = df.select(*cfg.read.columns)
+                else:
+                    r_path, r_table, r_options = self._resolve(
+                        cfg.read.connection, cfg.read.path,
+                        cfg.read.table, cfg.read.options,
+                    )
+                    df = read_source(
+                        spark,
+                        format=cfg.read.format,
+                        path=r_path,
+                        table=r_table,
+                        schema=cfg.read.schema_ddl,
+                        options=r_options,
+                        filter=cfg.read.filter,
+                        columns=cfg.read.columns,
+                        streaming=cfg.read.streaming,
+                    )
             elif cfg.depends_on:
                 df = self.context.get(cfg.depends_on[0])
 

@@ -284,3 +284,25 @@ class TestPsychrometricsNative:
         )
         assert "ArrowEvalPython" not in plan
         assert "BatchEvalPython" not in plan
+
+
+def test_plant_monitoring_example_yaml_runs(spark, tmp_path):
+    """examples/plant_monitoring.yaml end-to-end: YAML simulation
+    source (format: simulation — no input files) -> native
+    psychrometrics -> physical-invariant validation -> SQL rollup."""
+    import pathlib
+
+    from odibi_spark.plans.pipeline import Pipeline
+
+    y = pathlib.Path("examples/plant_monitoring.yaml").read_text()
+    y = y.replace("base_path: /tmp/odibi_plant", f"base_path: {tmp_path}")
+    results = Pipeline.from_yaml(y, spark).run()
+    for node in ("sensor_states", "sensor_rollup"):
+        assert results[node].status == "success", (node, results[node].error)
+    states = spark.read.parquet(str(tmp_path / "states"))
+    assert states.count() == 5000
+    # the validated physical invariant really holds in the output
+    assert states.filter("psy_dew_point_c > t_c").count() == 0
+    rollup = spark.read.parquet(str(tmp_path / "rollup"))
+    assert rollup.count() == 4
+    assert {"sensor", "n", "avg_dew_point", "max_wet_bulb"} <= set(rollup.columns)
