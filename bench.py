@@ -181,6 +181,59 @@ def incr_dedup_probe(spark, sf_dir: str, factor: int = 10) -> dict:
     return out
 
 
+def zorder_probe(spark, sf_dir: str) -> dict:
+    """Measured data-skipping from the Morton layout: write events
+    z-ordered by (user_id, time) and time-sorted, then count how many
+    8 KB row groups a mid-range user_id point predicate would touch
+    per parquet footer min/max stats. Lower = more skipping; the
+    time-sorted layout cannot prune on user_id at all."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+
+    from odibi_spark.io import read_table
+    from odibi_spark.operators.layout import write_zordered
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("double").alias("t"), "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="zprobe_")
+    opts = {"parquet.block.size": str(8 * 1024)}
+    try:
+        write_zordered(ev, f"{tmp}/z", ["user_id", "t"], n_files=4, options=opts)
+        (
+            ev.repartitionByRange(4, F.asc("t"))
+            .sortWithinPartitions(F.asc("t"))
+            .write.options(**opts).parquet(f"{tmp}/lin")
+        )
+        uid = int(ev.selectExpr("percentile(user_id, 0.5)").collect()[0][0])
+
+        def frac(path):
+            hit = tot = 0
+            for f in _glob.glob(f"{path}/part-*.parquet"):
+                pf = _pq.ParquetFile(f)
+                names = {n: i for i, n in enumerate(pf.schema_arrow.names)}
+                for rg in range(pf.num_row_groups):
+                    st = pf.metadata.row_group(rg).column(names["user_id"]).statistics
+                    tot += 1
+                    if st is None or st.min is None or st.min <= uid <= st.max:
+                        hit += 1
+            return round(hit / tot, 4) if tot else None, tot
+
+        zf, zr = frac(f"{tmp}/z")
+        lf, lr = frac(f"{tmp}/lin")
+        return {
+            "rowgroup_fraction_touched_zorder": zf,
+            "rowgroup_fraction_touched_timesorted": lf,
+            "rowgroups": {"zorder": zr, "timesorted": lr},
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def cc_chain_probe(spark, chain_len: int = 1024) -> dict:
     """Connected-components stress probe (VERDICT r4 task 6): a planted
     duplicate CHAIN — the worst-case topology for label propagation
@@ -296,6 +349,12 @@ def main() -> None:
         "analytics_queries": analytics,
         "analytics_total_sec": analytics_total,
     }
+
+    # z-order layout probe: fraction of parquet row groups a mid-range
+    # point predicate touches under the Morton layout vs a time-sorted
+    # one — the measured multi-dimensional data-skipping win
+    out["zorder_probe"] = zorder_probe(spark, sf_dir)
+    print(f"# zorder_probe: {out['zorder_probe']}", file=sys.stderr)
 
     # connected-components chain stress probe (rounds-to-convergence)
     out["cc_chain"] = cc_chain_probe(spark)
