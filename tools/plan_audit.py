@@ -1,67 +1,52 @@
-"""Physical-plan audit for the headline workloads: per query, count the
-join strategies, shuffle exchanges, whole-stage-codegen spans, and scan
-pushdown evidence in the EXECUTED (AQE-final) plan, and flag anything
-that would regress at scale (sort-merge joins on dim lookups, un-pushed
-filters).
+"""Fleet-wide physical-plan audit: exchange / single-partition /
+Python-boundary counts for every declared workload.
 
-Usage: python tools/plan_audit.py [sf_dir]   (default sf0.001 — plans,
-not timings, are the subject).
+The companion guardrail test
+(tests/test_scale_plans.py::TestNoUndocumentedSinglePartition) FAILS
+on undocumented single-partition stages; this tool prints the whole
+table so a reviewer can see the shuffle budget per query at a glance.
+
+Usage: python tools/plan_audit.py [sf_dir]
 """
 
 from __future__ import annotations
 
-import os
+import re
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def final_plan(df) -> str:
-    """Executed plan string, final-plan section only (AQE prints the
-    initial plan too, which would double-count operators)."""
-    df.collect()
-    s = df._jdf.queryExecution().executedPlan().toString()
-    if "== Initial Plan ==" in s:
-        s = s.split("== Initial Plan ==")[0]
-    return s
-
-
-def main() -> None:
+def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    sys.path.insert(0, ".")
     from odibi_spark import get_spark
     from odibi_spark.workloads import QUERIES
 
-    from bench import HEADLINE
-
     spark = get_spark("plan_audit")
-    jvm = spark._jvm
-    formatted = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-
-    header = (
-        f"{'query':34} {'BHJ':>3} {'SMJ':>3} {'shuffle':>7} "
-        f"{'pushed':>6} {'codegen':>7}"
-    )
-    print(header)
-    print("-" * len(header))
-    for name in HEADLINE:
-        df = QUERIES[name](spark, sf_dir)
-        fp = df._jdf.queryExecution().explainString(formatted)
-        pushed = (
-            "yes"
-            if "PushedFilters: [" in fp and "PushedFilters: []" not in fp
-            else "-"
+    print(f"{'workload':42s} {'hash':>4s} {'rr':>3s} {'1p':>3s} {'py':>3s}")
+    rows = []
+    for name, fn in QUERIES.items():
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:
+            rows.append((name, f"ERR {type(ex).__name__}"))
+            continue
+        rows.append(
+            (
+                name,
+                len(re.findall(r"Exchange hashpartitioning", plan)),
+                len(re.findall(r"Exchange RoundRobin", plan)),
+                len(re.findall(r"Exchange SinglePartition", plan)),
+                len(re.findall(r"EvalPython|FlatMapGroupsInPandas|MapInPandas", plan)),
+            )
         )
-        plan = final_plan(QUERIES[name](spark, sf_dir))
-        bhj = plan.count("BroadcastHashJoin")
-        smj = plan.count("SortMergeJoin")
-        shuffle = plan.count("Exchange hashpartitioning") + plan.count(
-            "Exchange rangepartitioning"
-        )
-        codegen = len({seg.split(")")[0] for seg in plan.split("*(")[1:]})
-        print(f"{name:34} {bhj:>3} {smj:>3} {shuffle:>7} {pushed:>6} {codegen:>7}")
-        if smj:
-            print(f"  ! {name}: {smj} sort-merge join(s) — check broadcast eligibility")
+    for r in sorted(rows, key=lambda r: (-(r[1] if len(r) > 2 else 0), r[0])):
+        if len(r) == 2:
+            print(f"{r[0]:42s} {r[1]}")
+        else:
+            print(f"{r[0]:42s} {r[1]:4d} {r[2]:3d} {r[3]:3d} {r[4]:3d}")
+    spark.stop()
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
