@@ -242,10 +242,17 @@ def _delta_post_write(
     vacuum_retention_hours: float | None,
     register_as: str | None,
 ) -> None:
-    """Post-write Delta maintenance (reference _optimize_delta_write
-    call sites spark_engine.py:1312,1370,1510). No-op unless the write
-    was Delta and a maintenance option was given."""
+    """Post-write maintenance (reference _optimize_delta_write call
+    sites spark_engine.py:1312,1370,1510). On Delta: OPTIMIZE
+    [ZORDER] / VACUUM / register. On parquet, ``auto_optimize`` runs
+    the open small-file compaction instead (append-mode writers
+    accumulate fragments; the overwrite path already controls its own
+    file count) — same knob, open-format implementation."""
     if format != "delta":
+        if auto_optimize and format == "parquet":
+            from odibi_spark.io.compact import compact_small_files
+
+            compact_small_files(spark, path)
         return
     if not (zorder_by or auto_optimize or vacuum_retention_hours or register_as):
         return

@@ -193,9 +193,13 @@ def write_zordered(
 @transform("zorder_key")
 def zorder_key_transform(
     ctx: EngineContext, *, columns: list[str], bits: int | None = None,
-    output_column: str = "z_key",
+    output_column: str = "z_key", bucket_mode: str = "uniform",
 ) -> EngineContext:
-    """YAML surface: add a Morton clustering key."""
+    """YAML surface: add a Morton clustering key (uniform or
+    quantile-balanced cells)."""
     return ctx.with_df(
-        zorder_key(ctx.df, columns, bits=bits, key_col=output_column)
+        zorder_key(
+            ctx.df, columns, bits=bits, key_col=output_column,
+            bucket_mode=bucket_mode,
+        )
     )

@@ -356,3 +356,25 @@ class TestCompactionSafety:
         ).write.partitionBy("part").parquet(p)
         with _pytest.raises(ValueError, match="subdirectory"):
             main(["maintain", p, "--zorder-by", "a"])
+
+
+class TestAutoOptimizeParquet:
+    def test_append_mode_auto_compacts(self, spark, tmp_path):
+        """auto_optimize on a parquet write runs the open compaction
+        (the reference's Delta-only knob, open-format impl)."""
+        from odibi_spark.io import write_sink
+        from odibi_spark.io.compact import list_data_files
+
+        p = str(tmp_path / "ao")
+        for _ in range(6):
+            write_sink(
+                spark.range(0, 2000).selectExpr("id").repartition(4),
+                path=p, mode="append",
+            )
+        assert len(list_data_files(spark, p)) == 24
+        write_sink(
+            spark.range(0, 2000).selectExpr("id").repartition(4),
+            path=p, mode="append", auto_optimize=True,
+        )
+        assert len(list_data_files(spark, p)) < 28
+        assert spark.read.parquet(p).count() == 14_000
