@@ -176,7 +176,12 @@ def write_sink(
             coalesce_partitions
             or df.sparkSession.sparkContext.defaultParallelism
         )
-        df = morton_layout(df, zorder_by, n_files=int(n_files))
+        # with partition_by: Z-order WITHIN each value-partition, so a
+        # partition dir's files hold contiguous Morton ranges (Delta's
+        # partitioned OPTIMIZE ZORDER semantics)
+        df = morton_layout(
+            df, zorder_by, n_files=int(n_files), lead_cols=partition_by
+        )
     else:
         if coalesce_partitions:
             df = df.coalesce(coalesce_partitions)

@@ -146,17 +146,30 @@ def zorder_key(
 
 
 def morton_layout(
-    df: DataFrame, cols: list[str], *, n_files: int, bits: int | None = None
+    df: DataFrame,
+    cols: list[str],
+    *,
+    n_files: int,
+    bits: int | None = None,
+    lead_cols: list[str] | None = None,
 ) -> DataFrame:
     """Return ``df`` physically arranged in Z-order over ``cols``:
     range-partitioned into ``n_files`` contiguous Morton-key ranges and
     sorted by the key within each, key dropped. The single shared
     layout recipe behind :func:`write_zordered` and
-    ``write_sink(zorder_by=...)``."""
+    ``write_sink(zorder_by=...)``.
+
+    ``lead_cols`` (e.g. the write's ``partition_by`` columns) prefix
+    both the range partitioning and the sort, giving Z-order WITHIN
+    each value-partition — Delta's OPTIMIZE ZORDER semantics on a
+    partitioned table: each hive partition directory's files hold
+    contiguous Morton ranges instead of a global interleave sliced
+    arbitrarily across partitions."""
     keyed = zorder_key(df, cols, bits=bits, key_col="__z")
+    order = [F.asc(c) for c in (lead_cols or [])] + [F.asc("__z")]
     return (
-        keyed.repartitionByRange(int(n_files), F.asc("__z"))
-        .sortWithinPartitions(F.asc("__z"))
+        keyed.repartitionByRange(int(n_files), *order)
+        .sortWithinPartitions(*order)
         .drop("__z")
     )
 

@@ -378,3 +378,30 @@ class TestAutoOptimizeParquet:
         )
         assert len(list_data_files(spark, p)) < 28
         assert spark.read.parquet(p).count() == 14_000
+
+
+class TestPartitionedZorder:
+    def test_zorder_within_partitions(self, spark, tmp_path):
+        """partition_by + zorder_by: each hive partition dir's row
+        groups must prune on the zorder columns (Delta's partitioned
+        OPTIMIZE ZORDER semantics)."""
+        from odibi_spark.io import write_sink
+
+        ev = read_table(spark, "/root/testdata/sf0.01", "events").select(
+            "event_id", "user_id", F.col("ts").cast("double").alias("t"),
+            (F.col("event_id") % 2).alias("shard"),
+        )
+        p = str(tmp_path / "pz")
+        write_sink(
+            ev, path=p, partition_by=["shard"],
+            zorder_by=["user_id", "t"], coalesce_partitions=4,
+            options={"parquet.block.size": str(8 * 1024)},
+        )
+        back = spark.read.parquet(p)
+        assert back.count() == ev.count()
+        uid = int(ev.selectExpr("percentile(user_id, 0.5)").collect()[0][0])
+        # within ONE partition directory, most row groups skip
+        hit, tot = TestDataSkipping._rowgroups_matching(
+            f"{p}/shard=0/part-*.parquet", "user_id", uid
+        )
+        assert tot >= 8 and hit / tot < 0.6, (hit, tot)
