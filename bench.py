@@ -187,11 +187,9 @@ def zorder_probe(spark, sf_dir: str) -> dict:
     8 KB row groups a mid-range user_id point predicate would touch
     per parquet footer min/max stats. Lower = more skipping; the
     time-sorted layout cannot prune on user_id at all."""
-    import glob as _glob
     import shutil
     import tempfile
 
-    import pyarrow.parquet as _pq
     from pyspark.sql import functions as F
 
     from odibi_spark.io import read_table
@@ -211,17 +209,11 @@ def zorder_probe(spark, sf_dir: str) -> dict:
         )
         uid = int(ev.selectExpr("percentile(user_id, 0.5)").collect()[0][0])
 
+        from odibi_spark.operators.layout import rowgroups_matching
+
         def frac(path):
-            hit = tot = 0
-            for f in _glob.glob(f"{path}/part-*.parquet"):
-                pf = _pq.ParquetFile(f)
-                names = {n: i for i, n in enumerate(pf.schema_arrow.names)}
-                for rg in range(pf.num_row_groups):
-                    st = pf.metadata.row_group(rg).column(names["user_id"]).statistics
-                    tot += 1
-                    if st is None or st.min is None or st.min <= uid <= st.max:
-                        hit += 1
-            return round(hit / tot, 4) if tot else None, tot
+            hit, tot = rowgroups_matching(f"{path}/part-*.parquet", "user_id", uid)
+            return (round(hit / tot, 4) if tot else None), tot
 
         zf, zr = frac(f"{tmp}/z")
         lf, lr = frac(f"{tmp}/lin")

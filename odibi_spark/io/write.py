@@ -234,6 +234,7 @@ def write_sink(
         zorder_by=zorder_by, auto_optimize=auto_optimize,
         vacuum_retention_hours=vacuum_retention_hours,
         register_as=register_as,
+        parquet_compactable=(mode == "append" and not partition_by),
     )
 
 
@@ -246,15 +247,25 @@ def _delta_post_write(
     auto_optimize: bool,
     vacuum_retention_hours: float | None,
     register_as: str | None,
+    parquet_compactable: bool = False,
 ) -> None:
     """Post-write maintenance (reference _optimize_delta_write call
     sites spark_engine.py:1312,1370,1510). On Delta: OPTIMIZE
     [ZORDER] / VACUUM / register. On parquet, ``auto_optimize`` runs
-    the open small-file compaction instead (append-mode writers
-    accumulate fragments; the overwrite path already controls its own
-    file count) — same knob, open-format implementation."""
+    the open small-file compaction instead — same knob, open-format
+    implementation — but ONLY where it helps and cannot harm:
+    append-mode flat-directory writes (the case where fragments
+    accumulate). Overwrites already control their file count,
+    partitioned layouts need per-partition maintenance (the CLI
+    ``maintain`` verb), and a fresh Morton layout must not be
+    round-robin'd away by its own write call."""
     if format != "delta":
-        if auto_optimize and format == "parquet":
+        if (
+            auto_optimize
+            and format == "parquet"
+            and parquet_compactable
+            and not zorder_by
+        ):
             from odibi_spark.io.compact import compact_small_files
 
             compact_small_files(spark, path)

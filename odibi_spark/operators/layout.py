@@ -216,3 +216,29 @@ def zorder_key_transform(
             bucket_mode=bucket_mode,
         )
     )
+
+
+def rowgroups_matching(path_glob: str, column: str, value) -> tuple[int, int]:
+    """(matching, total) parquet row groups whose footer [min, max]
+    stats admit ``value`` on ``column`` — the data-skipping yardstick
+    used by the layout tests and the bench zorder probe (one shared
+    implementation so their unprunable-stats semantics cannot drift).
+    A row group without stats counts as touched (a reader must scan
+    it)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    match = total = 0
+    for f in glob.glob(path_glob):
+        pf = pq.ParquetFile(f)
+        names = {n: i for i, n in enumerate(pf.schema_arrow.names)}
+        ci = names[column]
+        for rg in range(pf.num_row_groups):
+            st = pf.metadata.row_group(rg).column(ci).statistics
+            total += 1
+            if st is None or st.min is None:
+                match += 1
+            elif st.min <= value <= st.max:
+                match += 1
+    return match, total

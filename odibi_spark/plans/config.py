@@ -37,12 +37,36 @@ class ReadConfig(StrictModel):
     @model_validator(mode="after")
     def _path_or_table(self) -> "ReadConfig":
         if self.format.lower() == "simulation":
-            if not self.simulation:
+            sim = self.simulation
+            if not sim:
                 raise ValueError(
                     "format: simulation needs a 'simulation:' block "
                     "({rows, columns, ...})"
                 )
+            # typos fail at parse time (the file's StrictModel promise),
+            # not as a KeyError mid-run
+            allowed = {"rows", "columns", "seed", "distributed", "portable_hash"}
+            unknown = set(sim) - allowed
+            if unknown:
+                raise ValueError(
+                    f"unknown simulation key(s) {sorted(unknown)}; "
+                    f"allowed: {sorted(allowed)}"
+                )
+            if not isinstance(sim.get("rows"), int) or sim["rows"] <= 0:
+                raise ValueError("simulation.rows must be a positive int")
+            if not isinstance(sim.get("columns"), dict) or not sim["columns"]:
+                raise ValueError("simulation.columns must be a non-empty mapping")
+            if self.path or self.table or self.schema_ddl or self.streaming:
+                raise ValueError(
+                    "format: simulation takes no path/table/schema_ddl/"
+                    "streaming — it generates its frame"
+                )
             return self
+        if self.simulation:
+            raise ValueError(
+                "a 'simulation:' block requires format: simulation "
+                "(it would otherwise be silently ignored)"
+            )
         # pathless streaming sources (rate, kafka, socket) configure
         # themselves via options only
         pathless = self.streaming and self.format.lower() in (

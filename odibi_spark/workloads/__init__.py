@@ -94,6 +94,12 @@ _R6_ROTATE_IN = [
     "psychrometrics_events", "heavy_hitter_terms",
 ]
 
+_unknown_rotate = set(_R6_ROTATE_IN) - set(_ALL_QUERIES)
+if _unknown_rotate:  # fail loudly: a stale queue would silently shrink
+    raise RuntimeError(  # the next round's driver-checked head
+        f"_R6_ROTATE_IN names unknown workloads: {sorted(_unknown_rotate)}"
+    )
+
 _HEAD = [k for k in _ROTATED_HEAD + _R5_NEW if k in _ALL_QUERIES]
 _ORDER = _HEAD + [k for k in _ALL_QUERIES if k not in set(_HEAD)]
 QUERIES = {k: _ALL_QUERIES[k] for k in _ORDER}

@@ -148,25 +148,10 @@ class TestDataSkipping:
 
     @staticmethod
     def _rowgroups_matching(path_glob: str, col: str, value) -> tuple[int, int]:
-        """(matching, total) row groups whose [min,max] admits value."""
-        import pyarrow.parquet as pq
+        """Shared footer-stats yardstick (operators/layout.py)."""
+        from odibi_spark.operators.layout import rowgroups_matching
 
-        match = total = 0
-        for f in glob.glob(path_glob):
-            pf = pq.ParquetFile(f)
-            names = {
-                pf.schema_arrow.field(i).name: i
-                for i in range(len(pf.schema_arrow.names))
-            }
-            ci = names[col]
-            for rg in range(pf.num_row_groups):
-                st = pf.metadata.row_group(rg).column(ci).statistics
-                total += 1
-                if st is None or st.min is None:
-                    match += 1  # unprunable counts as touched
-                elif st.min <= value <= st.max:
-                    match += 1
-        return match, total
+        return rowgroups_matching(path_glob, col, value)
 
     def test_zorder_prunes_both_dimensions(self, spark, tmp_path):
         from odibi_spark.operators.layout import write_zordered
@@ -405,3 +390,34 @@ class TestPartitionedZorder:
             f"{p}/shard=0/part-*.parquet", "user_id", uid
         )
         assert tot >= 8 and hit / tot < 0.6, (hit, tot)
+
+
+class TestAutoOptimizeGuards:
+    def test_overwrite_and_partitioned_skip_compaction(self, spark, tmp_path):
+        """auto_optimize must not tax overwrites, must not crash on
+        partitioned layouts, and must not undo a fresh Morton layout."""
+        from odibi_spark.io import write_sink
+        from odibi_spark.io.compact import list_data_files
+
+        # overwrite: file count stays exactly what coalesce set
+        p1 = str(tmp_path / "ow")
+        write_sink(
+            spark.range(1000).selectExpr("id").repartition(4),
+            path=p1, mode="overwrite", auto_optimize=True,
+        )
+        assert len(list_data_files(spark, p1)) == 4
+        # partitioned append: succeeds (no reject_partitioned crash)
+        p2 = str(tmp_path / "pt")
+        write_sink(
+            spark.range(1000).selectExpr("id", "id % 2 AS s"),
+            path=p2, mode="append", partition_by=["s"], auto_optimize=True,
+        )
+        assert spark.read.parquet(p2).count() == 1000
+        # zorder write: layout files survive (coalesce_partitions=3)
+        p3 = str(tmp_path / "zz")
+        write_sink(
+            spark.range(1000).selectExpr("id AS a", "id % 7 AS b"),
+            path=p3, zorder_by=["a", "b"], coalesce_partitions=3,
+            auto_optimize=True,
+        )
+        assert len(list_data_files(spark, p3)) == 3

@@ -669,3 +669,23 @@ nodes:
         run(agg_yaml, "a2", {"g": ["y", "z"], "v": [3.0, 4.0]})
         got = {r.g: r.total for r in spark.read.parquet(str(tmp_path / "agged")).collect()}
         assert got == {"x": 1.0, "y": 5.0, "z": 4.0}
+
+
+class TestSimulationReadValidation:
+    def test_typos_fail_at_parse_time(self, spark):
+        import pytest as _pytest
+
+        from odibi_spark.plans.config import ReadConfig
+
+        ok = {"rows": 10, "columns": {"x": {"type": "range", "min": 0, "max": 1}}}
+        ReadConfig(format="simulation", simulation=ok)
+        with _pytest.raises(ValueError, match="unknown simulation key"):
+            ReadConfig(format="simulation", simulation={**ok, "cols": {}})
+        with _pytest.raises(ValueError, match="rows"):
+            ReadConfig(format="simulation", simulation={"columns": ok["columns"]})
+        with _pytest.raises(ValueError, match="columns"):
+            ReadConfig(format="simulation", simulation={"rows": 5})
+        with _pytest.raises(ValueError, match="takes no path"):
+            ReadConfig(format="simulation", path="x", simulation=ok)
+        with _pytest.raises(ValueError, match="requires format"):
+            ReadConfig(format="parquet", path="x", simulation=ok)
