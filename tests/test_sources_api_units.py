@@ -306,3 +306,37 @@ def test_plant_monitoring_example_yaml_runs(spark, tmp_path):
     rollup = spark.read.parquet(str(tmp_path / "rollup"))
     assert rollup.count() == 4
     assert {"sensor", "n", "avg_dew_point", "max_wet_bulb"} <= set(rollup.columns)
+
+
+class TestPsychrometricInvariants:
+    def test_wet_bulb_sandwich_and_monotonicity(self, spark):
+        """Textbook invariants over a grid spanning Stull's validity
+        range (5-99% RH, -10..45 degC): dew point <= wet bulb <=
+        dry bulb (with a small tolerance for the regression fit), and
+        both dew point and humidity ratio increase with RH at fixed
+        temperature."""
+        from odibi_spark.operators.thermo import with_psychrometrics_native
+
+        grid = spark.sql(
+            "SELECT t_c, rh FROM "
+            "(SELECT explode(sequence(-10, 45, 5)) AS t_c) "
+            "CROSS JOIN (SELECT explode(array(0.05, 0.2, 0.4, 0.6, 0.8, 0.99)) AS rh)"
+        )
+        rows = with_psychrometrics_native(
+            grid, dry_bulb_c_col="t_c", relative_humidity_col="rh"
+        ).collect()
+        for r in rows:
+            assert r.psy_dew_point_c <= r.t_c + 1e-9, r
+            # Stull's fit carries ~0.35 degC error; the sandwich holds
+            # within that envelope
+            assert r.psy_dew_point_c - 0.6 <= r.psy_wet_bulb_c <= r.t_c + 0.6, r
+            assert r.psy_humidity_ratio > 0
+        by_t = {}
+        for r in rows:
+            by_t.setdefault(r.t_c, []).append((r.rh, r.psy_dew_point_c, r.psy_humidity_ratio))
+        for t, series in by_t.items():
+            series.sort()
+            tds = [td for _, td, _ in series]
+            ws = [w for _, _, w in series]
+            assert tds == sorted(tds), (t, tds)
+            assert ws == sorted(ws), (t, ws)
