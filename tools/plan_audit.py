@@ -40,14 +40,20 @@ def main() -> int:
         except Exception as ex:
             rows.append((name, f"ERR {type(ex).__name__}"))
             continue
+        # an adaptive plan's toString appends '== Initial Plan ==' —
+        # keep only the final section, and don't count ReusedExchange
+        # lines (they reference an exchange that ran once elsewhere)
+        final = plan.split("== Initial Plan ==")[0]
+        lines = [ln for ln in final.splitlines() if "ReusedExchange" not in ln]
+        final = "\n".join(lines)
         rows.append(
             (
                 name,
-                len(re.findall(r"Exchange hashpartitioning", plan)),
-                len(re.findall(r"Exchange rangepartitioning", plan)),
-                len(re.findall(r"Exchange RoundRobin", plan)),
-                len(re.findall(r"Exchange SinglePartition", plan)),
-                len(re.findall(r"EvalPython|FlatMapGroupsInPandas|MapInPandas", plan)),
+                len(re.findall(r"Exchange hashpartitioning", final)),
+                len(re.findall(r"Exchange rangepartitioning", final)),
+                len(re.findall(r"Exchange RoundRobin", final)),
+                len(re.findall(r"Exchange SinglePartition", final)),
+                len(re.findall(r"EvalPython|FlatMapGroupsInPandas|MapInPandas", final)),
             )
         )
     for r in sorted(rows, key=lambda r: (-(r[1] if len(r) > 2 else 0), r[0])):
