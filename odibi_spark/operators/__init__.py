@@ -8,6 +8,7 @@ from odibi_spark.operators import (  # noqa: F401
     fuzzy,
     layout,
     manufacturing,
+    rank,
     relational,
     skew,
     spatial,

@@ -49,12 +49,46 @@ def window_calculation(
     frame_start: int | None = None,
     frame_end: int | None = None,
     ntile_buckets: int = 10,
+    distributed: bool = False,
 ) -> EngineContext:
     """<func>(col) OVER (PARTITION BY .. ORDER BY ..) (reference:
     advanced.py:782-819). The reference supports no explicit frame
     spec; ``frame``/``frame_start``/``frame_end`` add rows/range frames
     (SURVEY §2.6 noted gap). ``function="ntile"`` buckets rows into
-    ``ntile_buckets`` equal-sized tiles."""
+    ``ntile_buckets`` equal-sized tiles.
+
+    ``distributed=True`` is the 100-TB scale path for the
+    unpartitioned rank family (row_number/rank/dense_rank/
+    percent_rank/cume_dist/ntile with no ``partition_by``): instead of
+    the plain global window — which Spark executes as an
+    ``Exchange SinglePartition`` + one-task sort — it routes through
+    :func:`odibi_spark.operators.rank.global_ranks`, the two-pass
+    range-partitioned rank with identical output. When ranking several
+    columns over the same order, call the ``global_rank`` transform
+    directly so they share one pass."""
+    if distributed:
+        from odibi_spark.operators.rank import RANK_FUNCTIONS, global_ranks
+
+        fn_name = function.lower()
+        if partition_by or fn_name not in RANK_FUNCTIONS:
+            raise ValueError(
+                "distributed=True applies to unpartitioned rank-family "
+                f"windows only (got function={function!r}, "
+                f"partition_by={partition_by!r})"
+            )
+        if not order_by:
+            raise ValueError("distributed rank requires order_by")
+        spec: dict[str, object] = {"function": fn_name}
+        if fn_name == "ntile":
+            spec["buckets"] = int(ntile_buckets)
+        return ctx.with_df(
+            global_ranks(
+                ctx.df,
+                order_by=list(order_by),
+                columns={output_column: spec},
+                descending=descending,
+            )
+        )
     w = Window.partitionBy(*(partition_by or []))
     if order_by:
         cols = [F.col(c).desc() if descending else F.col(c).asc() for c in order_by]

@@ -466,8 +466,6 @@ class TestNoUndocumentedSinglePartition:
         "q11_important_parts", "q15_top_supplier", "q22_inactive_balances",
         # per-step funnel count summary (O(steps) rows)
         "funnel_view_click_purchase", "conversion_latency_quartiles",
-        # documented: global ntile over the pre-aggregated CUSTOMER dim
-        "decile_customer_spend",
         # documented: small-input fast path (two-pass cumsum at scale)
         "pack_sequences_docs",
     }
