@@ -15,9 +15,18 @@ both old and new copies of the rewritten rows (Delta's OPTIMIZE exists
 precisely to make this atomic). The failure mode is bounded though:
 new files are renamed IN before old files are deleted, and any rename
 failure aborts before a single original is removed — crash at any
-point leaves either duplicates (re-runnable) or the original table,
-never missing rows. Run it in a maintenance window, or on Delta use
-``delta_ops.maintain`` instead.
+point leaves either duplicates or the original table, never missing
+rows. Duplicates are self-healing on rerun: a pending-delete MANIFEST
+(``_compact_pending_deletes.json``, written only after every rename
+has succeeded) records the condemned originals, and the next
+``compact_small_files`` call completes those deletes before doing
+anything else. Only a crash in the tiny window between the last
+rename and the manifest write leaves duplicates that need the next
+compaction pass to rewrite them. Run it in a maintenance window, or
+on Delta use ``delta_ops.maintain`` instead — Delta table paths are
+REFUSED outright (a ``_delta_log`` directory means renaming/deleting
+parquet behind the transaction log would corrupt the table for every
+reader).
 
 Hive-partitioned directories (data in subdirectories) are rejected:
 compacting them through the table root would rewrite partition values
@@ -51,10 +60,23 @@ def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
 
 
 def reject_partitioned_layout(spark: SparkSession, path: str) -> None:
-    """Raise if ``path`` holds data in subdirectories (hive-partitioned
-    layout): a root-level rewrite would fold partition values into the
-    data files and leave the table unreadable."""
-    fs, jpath, _ = _fs_for(spark, path)
+    """Raise if ``path`` is a Delta table or holds data in
+    subdirectories (hive-partitioned layout).
+
+    The Delta check must come FIRST and must not hide behind the
+    '_'-prefix skip (ADVICE r5): ``_delta_log`` is exactly the
+    underscore-prefixed directory the data-file listing ignores, and
+    renaming/deleting parquet behind a transaction log corrupts the
+    table for every reader — use ``delta_ops.maintain`` there. A
+    hive-partitioned root-level rewrite would fold partition values
+    into the data files and leave the table unreadable."""
+    fs, jpath, jvm = _fs_for(spark, path)
+    delta_log = jvm.org.apache.hadoop.fs.Path(path, "_delta_log")
+    if fs.exists(delta_log):
+        raise ValueError(
+            f"'{path}' is a Delta table (_delta_log present) — plain-"
+            "parquet compaction would corrupt it; use delta_ops.maintain"
+        )
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()
         if st.isDirectory() and not name.startswith((".", "_")):
@@ -65,6 +87,53 @@ def reject_partitioned_layout(spark: SparkSession, path: str) -> None:
             )
 
 
+MANIFEST_NAME = "_compact_pending_deletes.json"
+
+
+def _manifest_jpath(jvm, path: str):
+    return jvm.org.apache.hadoop.fs.Path(path, MANIFEST_NAME)
+
+
+def _write_manifest(spark: SparkSession, path: str, old_files: list[str]) -> None:
+    import json
+
+    fs, _, jvm = _fs_for(spark, path)
+    out = fs.create(_manifest_jpath(jvm, path), True)
+    try:
+        out.write(bytearray(json.dumps(old_files).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def resume_pending_deletes(spark: SparkSession, path: str) -> int:
+    """Complete a crashed swap: if a pending-delete manifest exists,
+    every rename already succeeded — delete any condemned originals
+    still present, then remove the manifest. Returns the number of
+    files deleted (0 when there is nothing to recover). Called
+    automatically at the start of ``compact_small_files``."""
+    import json
+
+    fs, _, jvm = _fs_for(spark, path)
+    mp = _manifest_jpath(jvm, path)
+    if not fs.exists(mp):
+        return 0
+    stream = fs.open(mp)
+    try:
+        raw = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    deleted = 0
+    for f in json.loads(raw.decode("utf-8")):
+        if fs.exists(hpath(f)):
+            fs.delete(hpath(f), False)
+            deleted += 1
+    fs.delete(mp, False)
+    return deleted
+
+
 def swap_data_files(
     spark: SparkSession, path: str, tmp: str, old_files: list[str]
 ) -> int:
@@ -72,8 +141,12 @@ def swap_data_files(
     ``old_files``. Rename-BEFORE-delete, every rename checked: a
     failed rename (Hadoop FileSystem.rename signals failure by
     returning false, not raising) aborts before any original file is
-    removed, so no outcome loses rows. Returns the number of files
-    moved; removes the temp dir."""
+    removed, so no outcome loses rows. After the LAST rename succeeds
+    — and only then — the condemned originals are recorded in a
+    pending-delete manifest, so a crash mid-delete is completed by the
+    next run (``resume_pending_deletes``) instead of leaving permanent
+    duplicates (ADVICE r5). Returns the number of files moved; removes
+    the temp dir."""
     fs, _, jvm = _fs_for(spark, path)
     hpath = jvm.org.apache.hadoop.fs.Path
     moved = 0
@@ -85,8 +158,12 @@ def swap_data_files(
                 f"in place, compacted output remains under {tmp}"
             )
         moved += 1
+    # manifest AFTER all renames: a manifest's existence certifies the
+    # new files are in place, so replay may safely finish the deletes
+    _write_manifest(spark, path, old_files)
     for f in old_files:
         fs.delete(hpath(f), False)
+    fs.delete(_manifest_jpath(jvm, path), False)
     fs.delete(hpath(tmp), True)
     return moved
 
@@ -111,6 +188,7 @@ def compact_small_files(
     already form no more than the target bin count.
     """
     reject_partitioned_layout(spark, path)
+    resume_pending_deletes(spark, path)
     files = list_data_files(spark, path)
     small = [(f, sz) for f, sz in files if sz < target_file_bytes]
     small_bytes = sum(sz for _, sz in small)

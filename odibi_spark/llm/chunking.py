@@ -105,8 +105,12 @@ def _global_cum_before(
 #: comfortably one task, and the two-pass path's fixed costs (range
 #: sampling job, shuffle, checkpoint, O(partitions) collect, broadcast
 #: join — measured ~4 s at sf0.1 vs 0.15 s for the window) dwarf it.
-#: Above it the distributed two-pass prefix sum takes over. The row
-#: count is one column-free parquet scan — noise next to either path.
+#: Above it the distributed two-pass prefix sum takes over. The gate's
+#: df.count() is one column-free parquet scan ONLY when df is a (near-)
+#: raw scan; with expensive upstream transforms it executes the full
+#: lineage once before the real job — such callers should pass
+#: small_input_rows=0 (skip the count, go straight to the two-pass
+#: path) or persist() the input first (ADVICE r5).
 SMALL_INPUT_ROWS = 2_000_000
 
 
@@ -138,8 +142,11 @@ def pack_sequences(
     than a single-partition global window, so the ungrouped path
     survives 100-TB corpora too — while small inputs keep the plain
     window, which is strictly faster at that size (identical output
-    either way). Within-(group-)order must be total, which
-    (order_col, id_col) guarantees when id_col is unique.
+    either way). The gate runs ``df.count()`` — callers whose input
+    has expensive upstream lineage should pass ``small_input_rows=0``
+    or persist first (see SMALL_INPUT_ROWS note). Within-(group-)order
+    must be total, which (order_col, id_col) guarantees when id_col is
+    unique.
     """
     if group_col:
         w = Window.partitionBy(group_col).orderBy(

@@ -52,6 +52,8 @@ def contamination_hits(
         F.col("id").alias(bench_id_col), F.explode("shingles").alias("gram")
     )
     return (
+        # bounded broadcast: b is the BENCHMARK gram set — eval suites
+        # are fixed-size regardless of corpus scale
         c.join(F.broadcast(b), "gram")
         .groupBy(id_col, bench_id_col)
         .agg(F.count(F.lit(1)).alias("shared_grams"))
@@ -71,15 +73,19 @@ def decontaminate(
     min_hits: int = 1,
 ) -> DataFrame:
     """Corpus minus contaminated documents (left-anti on the hit set).
-    The hit set is small (contaminated ids only), so the anti-join
-    broadcasts it back over the corpus — two map-side passes total."""
+
+    No broadcast hint on the anti-join (VERDICT r5 sweep): the hit
+    set is usually tiny but is CORPUS-PROPORTIONAL in the worst case
+    (a heavily benchmark-contaminated crawl), so the hint is left to
+    AQE — it broadcasts at runtime when the set is actually small,
+    which keeps the common case two map-side passes."""
     hits = contamination_hits(
         corpus, benchmark,
         id_col=id_col, text_col=text_col,
         bench_id_col=bench_id_col, bench_text_col=bench_text_col,
         n=n, min_hits=min_hits,
     ).select(id_col).distinct()
-    return corpus.join(F.broadcast(hits), id_col, "left_anti")
+    return corpus.join(hits, id_col, "left_anti")
 
 
 def _hash_unit(key, seed: int):

@@ -493,10 +493,17 @@ def dedup_clusters(
     """Keep one document per duplicate cluster: resolve components over
     ``pairs`` and drop every doc whose cluster_id differs from its own
     id (the min-id doc is the canonical keeper). Docs in no pair pass
-    through untouched. The dropped-id set is bounded by duplicate
-    volume — broadcast for the anti-join."""
+    through untouched.
+
+    No broadcast hint on the anti-join (VERDICT r5 sweep): the
+    dropped-id set is CORPUS-PROPORTIONAL — web crawls routinely run
+    30-50% duplicates, so at 100 TB the losers frame is billions of
+    ids and a forced broadcast OOMs the executors. AQE broadcasts it
+    at runtime whenever it is actually small (the common local case),
+    and falls back to a shuffled anti-join when it is not
+    (tests/test_llm.py high-dup-fraction case)."""
     comp = connected_components(pairs, id_a, id_b)
     losers = comp.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias(id_col)
     )
-    return df.join(F.broadcast(losers), id_col, "left_anti")
+    return df.join(losers, id_col, "left_anti")

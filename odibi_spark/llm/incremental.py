@@ -12,7 +12,11 @@ next to the corpus) and, per batch, only:
 2. computes signatures for the DELTA only (one shuffle over new docs);
 3. LSH-bands the delta and equi-joins it against the banded store +
    itself — the join is keyed on (band, band_hash), so cost scales
-   with delta size x bucket density, never with corpus size;
+   with delta size x bucket density, never with corpus size. The
+   store PERSISTS its banded layout (band/bh computed once at append
+   time, partitioned by a hash bucket of bh — VERDICT r5 task 6), so
+   the per-batch probe reads only the bucket partitions the delta's
+   own band keys hash into, and never re-hashes the store;
 4. flags a new doc as duplicate when its estimated Jaccard (fraction
    of agreeing signature rows — the textbook MinHash estimator)
    against ANY earlier doc reaches the threshold. "Earlier" = smaller
@@ -35,6 +39,7 @@ what makes replay order-insensitive.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -43,23 +48,101 @@ from odibi_spark.llm import dedup
 from odibi_spark.state.hwm import StateBackend, capture_hwm, incremental_filter
 
 
-class SignatureStore:
-    """Append-only MinHash signature table on parquet (a Delta table
-    with the same layout on a real cluster). One partition directory
-    per ingestion batch — replaying a batch dynamically overwrites its
-    own partition, so the store never double-counts a crashed run."""
+def _with_bucket(banded: DataFrame, n_buckets: int) -> DataFrame:
+    """Stable hash bucket of the band key — MUST be the same expression
+    at append time and probe time (it is the partition-pruning key)."""
+    return banded.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64(F.col("bh")), F.lit(int(n_buckets))).cast("int"),
+    )
 
-    def __init__(self, spark: SparkSession, path: str):
+
+class SignatureStore:
+    """Append-only MinHash signature store on parquet (a Delta table
+    with the same layout on a real cluster). Two sub-tables:
+
+    - ``{path}/sigs``  — (id, h0..h{num_perm-1}) partitioned by
+      ingestion batch: replaying a batch dynamically overwrites its
+      own partition, so the store never double-counts a crashed run;
+    - ``{path}/bands`` — (id, band, bh) partitioned by
+      (batch_id, bucket) where bucket = xxhash64(bh) mod n_buckets.
+      Band keys are computed ONCE at append time (VERDICT r5 task 6):
+      the per-batch probe filters on the delta's own bucket values, so
+      partition pruning reads only matching bucket directories and the
+      store is never re-hashed or scanned wholesale.
+
+    ``_store_meta.json`` pins the band geometry (bands/rows_per_band/
+    hasher/n_buckets); a probe or append with different parameters
+    raises instead of silently joining incompatible band keys.
+    (Layout v2 — the r5 single-table layout has no migration path;
+    rebuild the store by replaying batches.)
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        bands: int = 8,
+        rows_per_band: int = 4,
+        hasher: str = "xxhash64",
+        n_buckets: int = 64,
+    ):
         self.spark = spark
         self.path = path
+        self.bands = int(bands)
+        self.rows_per_band = int(rows_per_band)
+        self.hasher = hasher
+        self.n_buckets = int(n_buckets)
+        self._sigs = os.path.join(path, "sigs")
+        self._bands = os.path.join(path, "bands")
+        self._meta = os.path.join(path, "_store_meta.json")
 
     def exists(self) -> bool:
-        return os.path.exists(self.path)
+        return os.path.exists(self._sigs)
+
+    def _config(self) -> dict:
+        return {
+            "bands": self.bands, "rows_per_band": self.rows_per_band,
+            "hasher": self.hasher, "n_buckets": self.n_buckets,
+        }
+
+    def check_config(
+        self, *, bands: int, rows_per_band: int, hasher: str
+    ) -> None:
+        """Raise when probe parameters disagree with the persisted band
+        geometry — mismatched bands would silently produce join keys
+        that never match the stored ones."""
+        want = {"bands": int(bands), "rows_per_band": int(rows_per_band),
+                "hasher": hasher}
+        have = self._config()
+        if os.path.exists(self._meta):
+            with open(self._meta) as fh:
+                have = json.load(fh)
+        mismatch = {
+            k: (v, have.get(k)) for k, v in want.items() if have.get(k) != v
+        }
+        if mismatch:
+            raise ValueError(
+                f"signature store {self.path} was written with a different "
+                f"band geometry: {mismatch} (want, stored)"
+            )
 
     def read(self) -> DataFrame | None:
         if not self.exists():
             return None
-        return self.spark.read.parquet(self.path).drop("batch_id")
+        return self.spark.read.parquet(self._sigs).drop("batch_id")
+
+    def read_bands(self, buckets: list[int] | None = None) -> DataFrame | None:
+        """Banded store rows (id, band, bh); ``buckets`` narrows the
+        read to those partition directories (static partition
+        pruning — the probe passes the delta's own bucket set)."""
+        if not os.path.exists(self._bands):
+            return None
+        df = self.spark.read.parquet(self._bands)
+        if buckets is not None:
+            df = df.filter(F.col("bucket").isin([int(b) for b in buckets]))
+        return df.select("id", "band", "bh")
 
     def append(self, signatures: DataFrame, batch_id: str) -> None:
         (
@@ -67,8 +150,24 @@ class SignatureStore:
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
-            .parquet(self.path)
+            .parquet(self._sigs)
         )
+        banded = _with_bucket(
+            dedup.band_keys(
+                signatures, self.bands, self.rows_per_band, self.hasher
+            ),
+            self.n_buckets,
+        )
+        (
+            banded.withColumn("batch_id", F.lit(str(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "bucket")
+            .parquet(self._bands)
+        )
+        if not os.path.exists(self._meta):
+            with open(self._meta, "w") as fh:
+                json.dump(self._config(), fh)
 
 
 def flag_incremental_dups(
@@ -92,10 +191,14 @@ def flag_incremental_dups(
     signature rows for the caller to ``store.append`` after its
     downstream write succeeds.
 
-    Scale shape: the store side never recomputes signatures (read back
-    as plain columns), the delta side is one explode+groupBy, and the
-    candidate join is an equi-join on band keys in which the delta is
-    the small side — broadcastable when the daily batch is small.
+    Scale shape: the store side never recomputes signatures OR band
+    keys (both persisted at append time), the delta side is one
+    explode+groupBy, and the candidate join is an equi-join on band
+    keys in which the delta is the small side. The store's banded
+    table is partitioned by bucket = hash(bh) mod n_buckets, and the
+    probe filters on the DELTA's own bucket values — static partition
+    pruning, so a small batch touches only the store directories its
+    band keys can possibly match.
     """
     rows_per_band = num_perm // bands
     sigs_new = dedup.minhash_signatures(
@@ -104,9 +207,27 @@ def flag_incremental_dups(
     ).localCheckpoint(eager=True)
 
     stored = store.read()
-    all_sigs = sigs_new if stored is None else stored.unionByName(sigs_new)
-    banded_all = dedup.band_keys(all_sigs, bands, rows_per_band, hasher)
     banded_new = dedup.band_keys(sigs_new, bands, rows_per_band, hasher)
+    if stored is None:
+        # fresh store: adopt THIS probe's band geometry so the caller's
+        # subsequent store.append persists matching band keys (the
+        # store's constructor defaults may differ from the probe args)
+        store.bands, store.rows_per_band = int(bands), int(rows_per_band)
+        store.hasher = hasher
+        all_sigs = sigs_new
+        banded_all = banded_new
+    else:
+        store.check_config(
+            bands=bands, rows_per_band=rows_per_band, hasher=hasher
+        )
+        all_sigs = stored.unionByName(sigs_new)
+        # O(n_buckets) collect: which store partitions can the delta hit?
+        probe_buckets = [
+            r["bucket"]
+            for r in _with_bucket(banded_new, store.n_buckets)
+            .select("bucket").distinct().collect()
+        ]
+        banded_all = store.read_bands(probe_buckets).unionByName(banded_new)
 
     # candidate (a=earlier, b=new) pairs; the new side is the probe
     cands = (

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from odibi_spark.context import EngineContext
+from odibi_spark.operators.relational import apply_broadcast_hint
 from odibi_spark.registry import transform
 
 
@@ -183,7 +184,7 @@ def zscore_outliers(
         F.col("__sd") > 0, (F.col(value_col) - F.col("__mean")) / F.col("__sd")
     )
     return (
-        df.join(F.broadcast(stats), _null_safe_on(df, stats, group_by))
+        df.join(apply_broadcast_hint(stats), _null_safe_on(df, stats, group_by))
         .drop(*[stats[k] for k in group_by])
         .withColumn(z_col, z)
         .withColumn(
@@ -234,7 +235,7 @@ def mad_outliers(
         F.expr(f"percentile({value_col}, 0.5)").alias("__med")
     )
     with_med = df.join(
-        F.broadcast(med), _null_safe_on(df, med, group_by)
+        apply_broadcast_hint(med), _null_safe_on(df, med, group_by)
     ).drop(*[med[k] for k in group_by])
     mad = (
         with_med.withColumn(
@@ -249,7 +250,7 @@ def mad_outliers(
     )
     return (
         with_med.join(
-            F.broadcast(mad), _null_safe_on(with_med, mad, group_by)
+            apply_broadcast_hint(mad), _null_safe_on(with_med, mad, group_by)
         )
         .drop(*[mad[k] for k in group_by])
         .withColumn(z_col, z)

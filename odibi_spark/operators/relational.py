@@ -81,12 +81,21 @@ def _estimated_size_bytes(df: DataFrame) -> int | None:
     return None if est >= _UNKNOWN_SIZE_FLOOR else est
 
 
-def apply_broadcast_hint(df: DataFrame) -> DataFrame:
+def apply_broadcast_hint(
+    df: DataFrame, *, proxy: DataFrame | None = None
+) -> DataFrame:
     """Size-aware broadcast: hint only while the optimizer estimate is
     within the advisory bound; a confidently-large estimate drops the
     hint (AQE decides). Unknown estimates honor the user's hint — the
-    guard targets the file-scan case, where stats always exist."""
-    est = _estimated_size_bytes(df)
+    guard targets the file-scan case, where stats always exist.
+
+    ``proxy``: use THIS frame's estimate instead of ``df``'s. Catalyst
+    multiplies sizes through joins, so a join output's estimate can be
+    off by 6+ orders of magnitude (a dim-filtered supplier subset at
+    sf0.001 estimates 4.7 GB); when ``df`` is provably a subset /
+    projection of some scanned table, pass that scan as the proxy —
+    its footer-derived stats are accurate and upper-bound ``df``."""
+    est = _estimated_size_bytes(proxy if proxy is not None else df)
     if est is not None and est > _broadcast_bound_bytes(df.sparkSession):
         return df
     return F.broadcast(df)

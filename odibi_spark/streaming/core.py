@@ -200,6 +200,7 @@ def stateful_ewma(
     value_col: str,
     alpha: float,
     out_col: str = "ewma",
+    tiebreak_cols: list[str] = (),
 ) -> DataFrame:
     """Streaming twin of the batch EWMA (operators/analytics
     ``ewma_scan`` / ``ewma_frames``): per-key smoothing continued
@@ -215,6 +216,9 @@ def stateful_ewma(
     micro-batches emits byte-identical values to one batch pass.
     Late rows older than a batch boundary are smoothed in arrival
     order (document upstream watermarking if order matters).
+    ``tiebreak_cols`` pins a total within-batch order when ``ts_col``
+    can repeat inside a key (same contract as the batch ``ewma_scan``);
+    without it, equal-timestamp rows smooth in arrival order.
     """
     if not 0 < alpha <= 1:
         raise ValueError("alpha must be in (0, 1]")
@@ -227,12 +231,19 @@ def stateful_ewma(
     key_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in key_fields)
     ts_type = stream.schema[ts_col].dataType.simpleString()
     val_type = stream.schema[value_col].dataType.simpleString()
+    tie_ddl = "".join(
+        f", {c} {stream.schema[c].dataType.simpleString()}"
+        for c in tiebreak_cols
+    )
+    # tiebreak columns ride through to the output so callers can key
+    # result rows on them (they are usually unique row ids)
     output_ddl = (
-        f"{key_ddl}, {ts_col} {ts_type}, {value_col} {val_type}, "
+        f"{key_ddl}, {ts_col} {ts_type}{tie_ddl}, {value_col} {val_type}, "
         f"{out_col} DOUBLE"
     )
     state_ddl = "y DOUBLE"
     a = float(alpha)
+    sort_cols = [ts_col, *tiebreak_cols]
 
     def update(key, pdfs, state):
         import pandas as pd
@@ -241,7 +252,7 @@ def stateful_ewma(
         frames = [pdf for pdf in pdfs]
         if not frames:  # empty invocation: nothing to emit or update
             return
-        pdf = pd.concat(frames).sort_values(ts_col, kind="mergesort")
+        pdf = pd.concat(frames).sort_values(sort_cols, kind="mergesort")
         vals = pdf[value_col].astype(float)
         if prev is None:
             ew = vals.ewm(alpha=a, adjust=False).mean()
@@ -251,7 +262,7 @@ def stateful_ewma(
             ew.index = vals.index
         if len(ew):
             state.update((float(ew.iloc[-1]),))
-        out = pdf[[ts_col, value_col]].copy()
+        out = pdf[[ts_col, *tiebreak_cols, value_col]].copy()
         for i, f in enumerate(key_fields):
             out.insert(i, f.name, key[i])
         out[out_col] = ew

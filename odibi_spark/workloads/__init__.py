@@ -36,55 +36,13 @@ _ALL_ORACLES = {
 # Dict order is sampling priority: the driver's correctness gate checks
 # the FIRST 50 entries. The sample ROTATES each round so every declared
 # workload gets a driver-side hash check within two rounds (VERDICT r4
-# task 2): round 4 sampled the distinctive operators first; round 5
-# moves the 34 formerly-tail basics to the head, followed by the
-# workloads new this round, with the r4-verified distinctive set now
-# forming the tail (covered by the committed ORACLE_r05.log + pytest).
-_ROTATED_HEAD = [
-    "agg_having_suppliers", "window_running_revenue", "dedup_latest_order",
-    "anti_inactive_customers", "semi_urgent_customers",
-    "topk_parts_per_brand", "full_outer_nation_presence",
-    "pivot_qty_by_status", "json_event_props", "split_events_by_day",
-    "case_when_priority", "date_parts_orders", "shipping_delay",
-    "string_ops_customers", "surrogate_keys_nation", "segment_mapping",
-    "fill_replace_segments", "union_segments", "explode_part_words",
-    "flag_order_issues", "distinct_segment_nation", "lookup_nation_names",
-    "date_dimension_calendar", "convert_event_values",
-    "unpivot_flag_metrics", "window_price_change",
-    "token_counts_by_source", "fingerprint_by_source",
-    "lang_stopword_profile", "language_guesses",
-    # cube_flag_status / rollup_orders_year_priority were driver-hash-
-    # checked in round 4 (VERDICT r4 §2.5); except_lapsed_customers /
-    # intersect_repeat_customers are thin set-op wrappers with r1-r3
-    # driver checks plus dedicated pytest coverage. All four yield
-    # their sample slots to never-driver-checked round-5 additions and
-    # sit in the tail under the committed oracle log.
-]
-
-# Workloads declared for the first time in round 5 — never driver-
-# checked, so they go right after the rotated head (inside the first 50).
-# (approx_distinct_fingerprints is rows-only by design — no hash oracle
-# exists for it, so it yields the sample slot to a hash-checkable
-# workload and sits in the tail with its bounded-error pytest.)
-_R5_NEW = [
-    "approx_percentiles_by_source",
-    "dedup_incremental_docs",
-    "q2_min_cost_supplier", "q11_important_parts", "q12_ship_latency",
-    "q16_supplier_variety", "q20_excess_share_suppliers",
-    "q21_waiting_suppliers", "mixture_weighted_sample",
-    "schema_polish_customers", "convert_timezone_orders",
-    "validate_orders_quality", "star_fact_orders",
-    "delete_detection_customers", "incremental_agg_orders",
-    "streaming_click_attribution", "resample_user_events",
-    "funnel_view_click_purchase", "cohort_daily_retention",
-    "outlier_events_zscore",
-]
-
-# ROUND-6 ROTATION QUEUE: workloads declared late in round 5 that have
-# never had a driver-side hash check (covered this round only by the
-# committed ORACLE_r05.log + pytest). Next round, move these into the
-# first-50 head, demoting the r5-driver-verified entries above to the
-# tail — every workload then has a driver hash check within two rounds.
+# task 2). Round 6 executes the staged rotation (VERDICT r5 task 2):
+# the 14 queued late-r5 workloads move to the head (their FIRST driver
+# hash check — decile_customer_spend now runs the new distributed
+# two-pass rank), followed by the workloads new this round, then the
+# r4-checked distinctive set (longest since last driver check). The
+# r5-driver-verified basics + r5-new entries demote to the tail under
+# the committed ORACLE_r06.log + pytest.
 _R6_ROTATE_IN = [
     "ewma_user_values", "outlier_events_mad", "fuzzy_match_parts",
     "spatial_customers_near_suppliers", "snapshot_cdc_customers",
@@ -94,13 +52,58 @@ _R6_ROTATE_IN = [
     "psychrometrics_events", "heavy_hitter_terms",
 ]
 
-_unknown_rotate = set(_R6_ROTATE_IN) - set(_ALL_QUERIES)
+# Workloads declared for the first time in round 6 — never driver-
+# checked, so they go right after the rotated-in block.
+_R6_NEW = [
+    "streaming_ewma_user_values", "streaming_shards_docs",
+]
+
+# r4-driver-checked distinctive set, longest since last driver check —
+# fills the head to 50.
+_R4_CHECKED_REFRESH = [
+    "q1_pricing_summary", "q3_top_orders", "q5_revenue_by_nation",
+    "q10_returned_revenue", "sessionize_events", "cube_flag_status",
+    "except_lapsed_customers", "rollup_orders_year_priority",
+    "window_range_frame_spend", "text_quality", "exact_dedup_docs",
+    "ngram_jaccard_docs", "embedding_cosine_topk", "minhash_lsh_pairs",
+    "simhash_near_docs", "lsh_ann_neighbors", "embedding_neardup_pairs",
+    "repetition_signals_docs", "decontamination_hits",
+    "token_budget_by_source", "stratified_sample_langs",
+    "chunk_documents_docs", "pack_sequences_docs", "scrub_pii_docs",
+    "neardup_clusters", "percentiles_by_source", "tfidf_top_terms",
+    "semantic_revenue_by_segment", "streaming_hourly_events",
+    "multimodal_image_features", "asof_click_purchase",
+    "range_clicks_per_purchase_hour", "simulated_sensor_rollup",
+    "scd2_customer_batches",
+]
+
+# ROUND-7 ROTATION QUEUE: entries whose last driver-side hash check is
+# oldest after this round (r4 for the first group, r5 for the second).
+# Next round, move these into the first-50 head, demoting the
+# r6-checked entries — every workload keeps a driver hash check within
+# two rounds.
+_R7_ROTATE_IN = [
+    # r4-checked, did not fit this round's head
+    "detect_event_phases", "streaming_user_sessions",
+    "ivf_ann_neighbors", "groupingsets_flag_status",
+    "median_acctbal_by_segment", "cheapest_part_per_brand",
+    "intersect_repeat_customers", "skew_salted_event_join",
+    "window_price_change", "date_dimension_calendar",
+    # r5-checked basics head, due again in r7
+    "agg_having_suppliers", "window_running_revenue",
+    "dedup_latest_order", "pivot_qty_by_status",
+]
+
+_unknown_rotate = (set(_R6_ROTATE_IN) | set(_R7_ROTATE_IN)) - set(_ALL_QUERIES)
 if _unknown_rotate:  # fail loudly: a stale queue would silently shrink
     raise RuntimeError(  # the next round's driver-checked head
-        f"_R6_ROTATE_IN names unknown workloads: {sorted(_unknown_rotate)}"
+        f"rotation queue names unknown workloads: {sorted(_unknown_rotate)}"
     )
 
-_HEAD = [k for k in _ROTATED_HEAD + _R5_NEW if k in _ALL_QUERIES]
+_HEAD = [
+    k for k in _R6_ROTATE_IN + _R6_NEW + _R4_CHECKED_REFRESH
+    if k in _ALL_QUERIES
+]
 _ORDER = _HEAD + [k for k in _ALL_QUERIES if k not in set(_HEAD)]
 QUERIES = {k: _ALL_QUERIES[k] for k in _ORDER}
 ORACLES = {k: _ALL_ORACLES[k] for k in _ORDER if k in _ALL_ORACLES}

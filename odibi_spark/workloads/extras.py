@@ -4,6 +4,7 @@ non-relational capability surface."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -102,7 +103,7 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from odibi_spark.llm.multimodal import extract_image_features
 
-    docs = read_table(spark, sf_dir, "documents").select(
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True).select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("payload"),
     )
@@ -1621,3 +1622,154 @@ FROM v
 
 QUERIES.update({"psychrometrics_events": psychrometrics_events})
 ORACLES.update({"psychrometrics_events": PSYCHRO_SQL})
+
+
+def streaming_ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EWMA oracle (§2.14, VERDICT r5 task 8): events split
+    into three ts-range waves; each wave is ingested by a SEPARATE
+    availableNow run against the same checkpoint, so the per-user
+    recursion is seeded across micro-batch AND restart boundaries
+    (state reloads from the checkpoint between runs). The appended
+    update-mode output must hash-equal the one-shot closed-form EWMA —
+    the same oracle the batch ``ewma_user_values`` runs. alpha=1/3 is
+    non-terminating in binary so round(.,4) midpoint flips have
+    measure zero (SURVEY §7.3 rounding note)."""
+    _prep(spark)
+    import shutil
+
+    from odibi_spark.streaming import start_stream_write
+    from odibi_spark.streaming.core import stateful_ewma
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    lo, hi = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    span = hi - lo
+    cut1 = lo + span / 3
+    cut2 = lo + 2 * span / 3
+    tmp = tempfile.mkdtemp(prefix="sewma_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    os.makedirs(src)
+    waves = [
+        ev.filter(F.col("ts") < F.lit(cut1)),
+        ev.filter((F.col("ts") >= F.lit(cut1)) & (F.col("ts") < F.lit(cut2))),
+        ev.filter(F.col("ts") >= F.lit(cut2)),
+    ]
+
+    def appender(batch: DataFrame, _epoch: int) -> None:
+        batch.write.mode("append").parquet(out)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for i, w in enumerate(waves):
+            # land wave i as one file, then drive the stream to drain it:
+            # sequential availableNow runs make batch composition (and
+            # hence the seeded recursion order) fully deterministic
+            w.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/w{i}")
+            part = next(
+                p for p in os.listdir(f"{tmp}/w{i}")
+                if p.endswith(".parquet") and not p.startswith(("_", "."))
+            )
+            shutil.copy(f"{tmp}/w{i}/{part}", f"{src}/wave{i}.parquet")
+            stream = spark.readStream.schema(
+                "user_id BIGINT, event_id BIGINT, ts TIMESTAMP, value DOUBLE"
+            ).parquet(src)
+            ew = stateful_ewma(
+                stream, keys=["user_id"], ts_col="ts", value_col="value",
+                alpha=1.0 / 3.0, tiebreak_cols=["event_id"],
+            )
+            q = start_stream_write(
+                ew, checkpoint=ckpt, output_mode="update",
+                foreach_batch=appender, trigger={"availableNow": True},
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out).select(
+        "user_id", "event_id", F.round("ewma", 4).alias("ewma4")
+    )
+
+
+def streaming_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming shard writer oracle (§2.13/2.14, VERDICT r5 task 8):
+    documents arrive as three files (slice = doc_id % 3), one
+    micro-batch each (maxFilesPerTrigger=1); each batch packs ITS OWN
+    docs into token-balanced shards under batch_id=<epoch>/shard_id=<k>.
+    The readback keys every row by the data-derived slice (not the
+    epoch — file pickup order is scheduler-dependent, slice content is
+    not), so the shard assignment hash-matches a per-slice SQL pack:
+    shard_id = (exclusive running token sum over doc_id order) DIV
+    tokens_per_shard."""
+    _prep(spark)
+    from odibi_spark.llm import text
+    from odibi_spark.streaming.core import streaming_shard_writer
+
+    docs = text.with_token_counts(
+        read_table(spark, sf_dir, "documents")
+    ).select("doc_id", "ws_tokens")
+    tmp = tempfile.mkdtemp(prefix="sshards_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    os.makedirs(src)
+    import shutil
+
+    for i in range(3):
+        sl = docs.filter(F.col("doc_id") % 3 == i)
+        sl.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/s{i}")
+        part = next(
+            p for p in os.listdir(f"{tmp}/s{i}")
+            if p.endswith(".parquet") and not p.startswith(("_", "."))
+        )
+        shutil.copy(f"{tmp}/s{i}/{part}", f"{src}/slice{i}.parquet")
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = streaming_shard_writer(
+            spark.readStream.schema("doc_id BIGINT, ws_tokens BIGINT")
+            .option("maxFilesPerTrigger", "1").parquet(src),
+            path=out, checkpoint=ckpt, token_col="ws_tokens",
+            tokens_per_shard=20_000, order_col="doc_id", id_col="doc_id",
+            format="json",
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.json(out).select(
+        "doc_id",
+        (F.col("doc_id") % 3).alias("slice"),
+        F.col("shard_id").cast("long").alias("shard_id"),
+        F.col("ws_tokens").alias("n_tokens"),
+    )
+
+
+STREAMING_EWMA_SQL = EWMA_SQL
+
+STREAMING_SHARDS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         doc_id % 3 AS slice
+  FROM documents
+),
+c AS (
+  SELECT doc_id, slice, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY slice ORDER BY doc_id)
+           - n_tokens AS cb
+  FROM d
+)
+SELECT doc_id, slice, CAST(cb // 20000 AS BIGINT) AS shard_id, n_tokens
+FROM c
+"""
+
+QUERIES.update({
+    "streaming_ewma_user_values": streaming_ewma_user_values,
+    "streaming_shards_docs": streaming_shards_docs,
+})
+ORACLES.update({
+    "streaming_ewma_user_values": STREAMING_EWMA_SQL,
+    "streaming_shards_docs": STREAMING_SHARDS_SQL,
+})

@@ -127,7 +127,7 @@ FROM documents GROUP BY lang
 def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by 3-gram Jaccard >= 0.2 (shingle-share candidates)."""
     _prep(spark)
-    df = read_table(spark, sf_dir, "documents")
+    df = read_table(spark, sf_dir, "documents", cpu_heavy=True)
     return dedup.ngram_jaccard_pairs(
         df, "doc_id", "text", n=3, threshold=0.2, max_df=None
     )
@@ -163,7 +163,7 @@ WHERE len(list_intersect(sa.sh, sb.sh))
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors vec_id < 20."""
     _prep(spark)
-    df = read_table(spark, sf_dir, "embeddings")
+    df = read_table(spark, sf_dir, "embeddings", cpu_heavy=True)
     return similarity.cosine_topk(
         df, "vec_id", "embedding", query_filter="vec_id < 20", k=5
     )
@@ -198,7 +198,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands) near-dup pairs, Jaccard-verified.
     Portable hasher: DuckDB recomputes identical signatures."""
     _prep(spark)
-    df = read_table(spark, sf_dir, "documents")
+    df = read_table(spark, sf_dir, "documents", cpu_heavy=True)
     return dedup.minhash_dedup_pairs(
         df, "doc_id", "text", n=3, num_perm=32, bands=8, threshold=0.2,
         hasher="portable", seed=42,
@@ -209,7 +209,7 @@ def simhash_near_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (hamming <= 10; 60-bit portable
     variant with 15-bit band blocking)."""
     _prep(spark)
-    df = read_table(spark, sf_dir, "documents")
+    df = read_table(spark, sf_dir, "documents", cpu_heavy=True)
     return dedup.simhash_near_pairs(
         df, "doc_id", "text", max_hamming=10, hasher="portable"
     )
@@ -219,7 +219,7 @@ def lsh_ann_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH buckets. Planes are
     seeded literals — the oracle inlines the same floats."""
     _prep(spark)
-    df = read_table(spark, sf_dir, "embeddings")
+    df = read_table(spark, sf_dir, "embeddings", cpu_heavy=True)
     return similarity.lsh_ann_topk(df, "vec_id", "embedding", k=5, num_planes=8)
 
 
@@ -230,7 +230,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     which exercises the identical banding/candidate/verify pipeline;
     planted-dup recall at 0.95 is pinned in pytest."""
     _prep(spark)
-    df = read_table(spark, sf_dir, "embeddings")
+    df = read_table(spark, sf_dir, "embeddings", cpu_heavy=True)
     return similarity.embedding_neardup_pairs(
         df, "vec_id", "embedding", threshold=0.4, bands=8, planes_per_band=6
     )
@@ -483,7 +483,7 @@ def repetition_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is single-line, so sentences stand in for lines)."""
     _prep(spark)
     df = text.repetition_signals(
-        read_table(spark, sf_dir, "documents"),
+        read_table(spark, sf_dir, "documents", cpu_heavy=True),
         ngram=2, line_delim=r"\. ",
     )
     return df.select(
@@ -547,7 +547,7 @@ def decontamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = 8-13; the small synthetic corpus needs n = 3 for non-trivial
     overlap volume. Benchmark grams broadcast; corpus never shuffles."""
     _prep(spark)
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
     corpus = docs.filter("doc_id % 50 <> 0")
     bench = docs.filter("doc_id % 50 = 0").select(
         F.col("doc_id").alias("bench_id"), "text"
@@ -807,7 +807,7 @@ def scrub_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits — the workload pins the full replace+count chain end-to-end;
     crafted-PII unit tests pin the redaction text itself)."""
     _prep(spark)
-    df = text.scrub_pii(read_table(spark, sf_dir, "documents"))
+    df = text.scrub_pii(read_table(spark, sf_dir, "documents", cpu_heavy=True))
     return df.groupBy("source").agg(
         F.sum("pii_hits").alias("total_pii_hits"),
         F.count(F.lit(1)).alias("n_docs"),
@@ -850,7 +850,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted. Oracle: recursive-CTE transitive closure on the same
     pairs."""
     _prep(spark)
-    df = read_table(spark, sf_dir, "documents")
+    df = read_table(spark, sf_dir, "documents", cpu_heavy=True)
     pairs = dedup.ngram_jaccard_pairs(
         df, "doc_id", "text", n=3, threshold=0.2, max_df=None
     )
@@ -891,7 +891,7 @@ def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from odibi_spark.state.hwm import JsonStateBackend
 
     _prep(spark)
-    df = read_table(spark, sf_dir, "documents")
+    df = read_table(spark, sf_dir, "documents", cpu_heavy=True)
     tmp = tempfile.mkdtemp(prefix="incr_dedup_")
     store = SignatureStore(spark, os.path.join(tmp, "sigs"))
     state = JsonStateBackend(os.path.join(tmp, "state.json"))

@@ -222,7 +222,7 @@ def ivf_ann_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from odibi_spark.llm.similarity import ivf_topk
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", cpu_heavy=True)
     return ivf_topk(emb, "vec_id", "embedding", k=5, nlist=8, nprobe=2, iters=0)
 
 

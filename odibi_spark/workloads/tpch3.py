@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from odibi_spark.operators.relational import apply_broadcast_hint
 from odibi_spark.workloads.common import read_table
 
 DEC = "DECIMAL(18,6)"
@@ -69,10 +70,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cost = (
-        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+        # size-aware hints (VERDICT r5 sweep): part and the European
+        # supplier set grow with SF — hint only while the optimizer
+        # estimate stays within the advisory bound, else AQE decides
+        li.join(apply_broadcast_hint(part.select("p_partkey", "p_brand")),
                 li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(euro_supp.select("s_suppkey", "s_name", "s_acctbal",
-                                           "n_name")),
+        .join(apply_broadcast_hint(euro_supp.select("s_suppkey", "s_name",
+                                                    "s_acctbal", "n_name"),
+                                   proxy=supp),  # subset of supplier:
+              # join-output estimates are junk, the scan's are accurate
               li.l_suppkey == F.col("s_suppkey"))
         .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal",
                  "n_name")
@@ -141,7 +147,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation.select(F.col("n_nationkey").alias("s_nationkey"))),
         "s_nationkey",
     ).select(F.col("s_suppkey").alias("l_suppkey"))
-    base = li.join(F.broadcast(n1_supp), "l_suppkey").withColumn(
+    # n1_supp is supplier/25 — SF-proportional, size-aware hint
+    # (proxy: n1_supp is a subset of the supplier scan, whose stats
+    # are accurate where the join-output estimate is not)
+    base = li.join(apply_broadcast_hint(n1_supp, proxy=supp), "l_suppkey").withColumn(
         "rev_d", F.expr(f"CAST(l_extendedprice * (1 - l_discount) AS {DEC})")
     )
     per_part = base.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
@@ -273,9 +282,10 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_acctbal < 0"
     ).select(F.col("s_suppkey").alias("l_suppkey"))
     return (
-        li.join(F.broadcast(bad_supp), "l_suppkey", "left_anti")
+        # bad_supp and the part projection grow with SF — size-aware
+        li.join(apply_broadcast_hint(bad_supp), "l_suppkey", "left_anti")
         .join(
-            F.broadcast(
+            apply_broadcast_hint(
                 part.select(
                     F.col("p_partkey").alias("l_partkey"), "p_brand",
                     "p_type", "p_size",
@@ -326,7 +336,8 @@ def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation").filter("n_name = 'NATION_2'")
 
     qty = (
-        li.join(F.broadcast(red_parts), "l_partkey")
+        # red_parts is part-name-filtered but SF-proportional
+        li.join(apply_broadcast_hint(red_parts), "l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.expr(f"CAST(l_quantity AS {DEC})")).alias("qty_d"))
     )
@@ -425,7 +436,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_nationkey",
     ).select(F.col("s_suppkey").alias("l_suppkey"), "s_name")
     return (
-        waiting.join(F.broadcast(n1_supp), "l_suppkey")
+        waiting.join(apply_broadcast_hint(n1_supp, proxy=supp), "l_suppkey")
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

@@ -252,6 +252,53 @@ class TestCompaction:
         assert back.count() == 10_000
         assert back.agg({"id": "sum"}).collect()[0][0] == 49_995_000
 
+    def test_rejects_delta_table_path(self, spark, tmp_path):
+        """A _delta_log directory must abort compaction outright
+        (ADVICE r5): it is exactly the '_'-prefixed entry the data-file
+        listing skips, and rewriting parquet behind a transaction log
+        corrupts the table for every reader."""
+        import pytest as _pytest
+
+        from odibi_spark.io.compact import compact_small_files
+
+        p = str(tmp_path / "delta")
+        spark.range(0, 100).repartition(4).write.parquet(p)
+        (tmp_path / "delta" / "_delta_log").mkdir()
+        with _pytest.raises(ValueError, match="Delta table"):
+            compact_small_files(spark, p, target_file_bytes=1 << 20)
+
+    def test_crash_between_rename_and_delete_recovers(self, spark, tmp_path):
+        """A pending-delete manifest left by a crash mid-delete is
+        completed by the next compact_small_files call: the condemned
+        originals disappear, no rows are lost or duplicated."""
+        import json
+
+        from odibi_spark.io.compact import (
+            MANIFEST_NAME,
+            compact_small_files,
+            list_data_files,
+            resume_pending_deletes,
+        )
+
+        p = tmp_path / "crashy"
+        spark.range(0, 1_000).repartition(4).write.parquet(str(p))
+        files = list_data_files(spark, str(p))
+        # simulate the post-rename crash state: new data renamed in
+        # (here: an extra copy of one file's rows), manifest written,
+        # delete loop never ran
+        victim = files[0][0]
+        spark.read.parquet(victim).coalesce(1).write.mode("append").parquet(str(p))
+        (p / MANIFEST_NAME).write_text(json.dumps([victim]))
+
+        deleted = resume_pending_deletes(spark, str(p))
+        assert deleted == 1
+        assert not (p / MANIFEST_NAME).exists()
+        assert spark.read.parquet(str(p)).count() == 1_000
+        # and the auto-recovery path inside compact_small_files is a
+        # no-op when no manifest exists
+        assert resume_pending_deletes(spark, str(p)) == 0
+        compact_small_files(spark, str(p), target_file_bytes=1)
+
     def test_noop_when_already_compact(self, spark, tmp_path):
         from odibi_spark.io.compact import compact_small_files
 

@@ -653,6 +653,33 @@ class TestIncrementalDedup:
             ).collect()
         }
 
+    def test_store_geometry_mismatch_raises(self, spark, tmp_path):
+        """A probe with different band geometry than the persisted
+        store must raise, not silently produce never-matching keys."""
+        import pytest as _pytest
+
+        df, store, state = self._setup(spark, tmp_path / "geo")
+        self._run(df.filter("doc_id <= 3"), store, state, "b1")
+        with _pytest.raises(ValueError, match="band geometry"):
+            self._run(df, store, state, "b2", bands=4)
+
+    def test_banded_store_partition_pruning(self, spark, tmp_path):
+        """read_bands(buckets) must prune store partitions: the scan's
+        partition filter carries the bucket predicate, so a probe
+        touches only matching bucket directories."""
+        import os as _os
+
+        df, store, state = self._setup(spark, tmp_path / "prune")
+        self._run(df, store, state, "all")
+        # bands table is laid out batch_id=/bucket=
+        bdir = str(tmp_path / "prune" / "sigs" / "bands")
+        assert any(
+            d.startswith("batch_id=") for d in _os.listdir(bdir)
+        )
+        sub = store.read_bands([0, 1])
+        plan = sub._jdf.queryExecution().toString()
+        assert "bucket" in plan and "PartitionFilters" in plan
+
     def test_two_batch_replay_equals_one_shot(self, spark, tmp_path):
         df, store, state = self._setup(spark, tmp_path / "a")
         one_shot = self._run(df, store, state, "all")
@@ -795,6 +822,34 @@ class TestConnectedComponents:
         pairs = self._edges(spark, [(1, 2), (2, 3)])
         kept = sorted(r.doc_id for r in dedup_clusters(df, pairs).collect())
         assert kept == [1, 8]  # cluster {1,2,3} -> keeper 1; 8 untouched
+
+    def test_dedup_clusters_high_dup_fraction_no_forced_broadcast(self, spark):
+        """80% of the corpus is duplicates — the losers set is
+        corpus-proportional, so dedup_clusters must not FORCE a
+        broadcast (VERDICT r5 sweep): with auto-broadcast disabled the
+        anti-join runs shuffled, and the result is still correct."""
+        from pyspark.sql import Row
+
+        from odibi_spark.llm.dedup import dedup_clusters
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=f"t{i}") for i in range(100)]
+        )
+        # one giant cluster 0..79 (chain), 80..99 untouched
+        pairs = self._edges(spark, [(i, i + 1) for i in range(79)])
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = dedup_clusters(docs, pairs)
+            plan = out._jdf.queryExecution().toString()
+            # no static broadcast hint survives a disabled threshold
+            assert "BroadcastHashJoin" not in plan.split(
+                "== Physical Plan =="
+            )[-1]
+            kept = sorted(r.doc_id for r in out.collect())
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert kept == [0, *range(80, 100)]
 
     def test_yaml_transform_cluster_dedup(self, spark):
         import odibi_spark.operators  # noqa: F401

@@ -354,15 +354,23 @@ class TestScaleOut:
     def test_filter_still_reaches_scan_through_fanout(self, spark):
         """Catalyst pushes predicates and pruning through Repartition:
         the workload-layer fan-out must not cost the scan its
-        PushedFilters."""
+        PushedFilters. Fan-out is caller-gated (cpu_heavy=True, VERDICT
+        r5 task 4) — a plain read injects NO round-robin exchange."""
         from odibi_spark.workloads.common import read_table
 
-        df = read_table(spark, "/root/testdata/sf0.001", "documents")
+        df = read_table(
+            spark, "/root/testdata/sf0.001", "documents", cpu_heavy=True
+        )
         q = df.filter(F.col("doc_id") < 100).select("doc_id", "n_chars")
         plan = plan_of(q)
         assert "Exchange RoundRobinPartitioning" in plan  # the fan-out
         full = q._jdf.queryExecution().toString()
         assert "PushedFilters" in full and "doc_id" in full
+        # non-CPU-heavy reads pay no fan-out exchange
+        plain = read_table(spark, "/root/testdata/sf0.001", "documents")
+        assert "RoundRobin" not in plan_of(
+            plain.filter(F.col("doc_id") < 100).select("doc_id")
+        )
 
 
 class TestPartitionPruning:

@@ -556,6 +556,11 @@ class TestStreamingIncrementalDedup:
         self._run(spark, src, paths)
         kept = {r.doc_id for r in spark.read.parquet(paths["out"]).collect()}
         assert kept == {1, 2, 4}  # replay converged, nothing doubled/lost
-        # store holds exactly one signature row per doc
-        sigs = spark.read.parquet(paths["store"])
-        assert sigs.count() == 5
+        # store holds exactly one signature row per doc (layout v2:
+        # sigs + persisted bands sub-tables)
+        from odibi_spark.llm.incremental import SignatureStore
+
+        store = SignatureStore(spark, paths["store"])
+        assert store.read().count() == 5
+        bands = store.read_bands()
+        assert bands.select("id").distinct().count() == 5
