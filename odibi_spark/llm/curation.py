@@ -163,6 +163,49 @@ def stratified_hash_sample(
     return df.filter(_hash_unit(F.col(key_col), seed) < frac)
 
 
+def sample_k_per_group(
+    df: DataFrame,
+    k: int,
+    *,
+    group_col: str,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic EXACT-k sample per group: rank each group's rows
+    by the portable hash unit (tiebroken by ``key_col``) and keep the
+    first ``k``. Groups smaller than k pass through whole.
+
+    The fixed-count complement to :func:`stratified_hash_sample`'s
+    fixed-FRACTION sampling — "give me 10k docs per language for the
+    eval set" — with the same reproducibility contract: membership is
+    a pure function of (key, seed), so reruns, repartitionings, and
+    other engines select the identical rows, and a group's sample only
+    changes where new keys hash below its current k-th value.
+
+    Scale shape: ONE hash shuffle on ``group_col`` + per-group sort
+    (the window carries no frame, so Spark keeps it a streaming rank).
+    At extreme group cardinality skew (one group = the whole corpus)
+    pre-filter with ``hash_sample`` at a fraction safely above
+    k/|group| first, then exact-rank the survivors — two map-side-
+    heavy passes instead of one giant sort.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    # rank on the RAW 60-bit integer hash, not the double hash unit:
+    # dividing by 2^60 rounds 60 bits into a 53-bit mantissa, so two
+    # distinct hashes can collide as doubles and flip the order an
+    # integer-ranking oracle sees at the k boundary
+    h = dedup.portable_hash60(
+        F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .drop("__rn")
+    )
+
+
 def pps_sample(
     df: DataFrame,
     rate: float,

@@ -238,6 +238,24 @@ def stratified_hash_sample_transform(
     )
 
 
+@transform("sample_k_per_group")
+def sample_k_per_group_transform(
+    ctx: EngineContext,
+    *,
+    k: int,
+    group_col: str,
+    key_col: str,
+    seed: int = 42,
+) -> EngineContext:
+    from odibi_spark.llm import curation
+
+    return ctx.with_df(
+        curation.sample_k_per_group(
+            ctx.df, k, group_col=group_col, key_col=key_col, seed=seed,
+        )
+    )
+
+
 @transform("token_budget_sample")
 def token_budget_sample_transform(
     ctx: EngineContext,

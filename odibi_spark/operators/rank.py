@@ -164,12 +164,23 @@ def global_ranks(
             expr = (F.col("__tie_max") / F.lit(n_total)).cast("double")
         else:  # ntile
             k = int(spec.get("buckets", 10))
-            # integer DIV, not double division: exact far beyond
-            # double's 2^53 integer range
-            out = out.withColumn(
-                "__ntx", ((grn - F.lit(1)) * F.lit(k)).cast("long")
-            )
-            expr = F.expr(f"CAST(__ntx DIV {max(n_total, 1)} AS INT) + 1")
+            # SQL NTILE gives the first (N mod k) buckets one extra row
+            # CONSECUTIVELY — floor((rn-1)*k/N) spreads the extras
+            # evenly and disagrees whenever k does not divide N
+            # (hypothesis-caught). Integer DIV throughout: exact far
+            # beyond double's 2^53 range.
+            q_, r_ = divmod(n_total, k) if n_total else (0, 0)
+            head = r_ * (q_ + 1)
+            out = out.withColumn("__ntx", grn)
+            if q_ == 0:  # fewer rows than buckets: bucket = row number
+                expr = F.col("__ntx").cast("int")
+            else:
+                expr = F.expr(
+                    f"CAST(CASE WHEN __ntx <= {head} "
+                    f"THEN (__ntx - 1) DIV {q_ + 1} + 1 "
+                    f"ELSE {r_} + (__ntx - {head} - 1) DIV {q_} + 1 "
+                    f"END AS INT)"
+                )
         out = out.withColumn(out_col, expr)
         if fn == "ntile":
             out = out.drop("__ntx")

@@ -19,10 +19,12 @@ one-groupBy queries with an exchange that pays off only when per-row
 CPU dominates). Shingling, regex chains, and per-row vector math opt
 in at their call sites; plain scans/groupBys don't: a warm A/B at
 sf0.1 showed the extra round-robin exchange LOSES on scan-bound
-plans (q1: 0.34 s un-fanned vs 0.64 s fanned; exact_dedup_docs
-0.35 s vs 0.78 s in the r5 driver run), confirming the round-4
-decision recorded in SCALING.md not to inject repartitions in front
-of scan-bound plans. The partition-count guard inside ``scale_out``
+plans (exact_dedup_docs 0.35 s un-fanned vs 0.78 s fanned in the r5
+driver run), confirming the round-4 decision recorded in SCALING.md
+not to inject repartitions in front of scan-bound plans. The
+per-workload A/B is the arbiter, not the table: q1's decimal-exact
+rewrite made its map stage arithmetic-bound, so it re-opted IN
+(0.62 s fanned vs 0.97 s on 3 splits, r6 warm alternating A/B). The partition-count guard inside ``scale_out``
 (current partitions >= defaultParallelism -> unchanged) supplies the
 measured-input half of the decision.
 

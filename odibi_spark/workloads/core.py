@@ -38,9 +38,15 @@ def dsum(expr: str, alias: str) -> dict[str, str]:
 
 # ---------------------------------------------------------------- q1
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: filter + derive + aggregate (§2.3/§2.5)."""
+    """TPC-H Q1 shape: filter + derive + aggregate (§2.3/§2.5).
+
+    cpu_heavy: the per-row work is four DECIMAL(18,6) products + six
+    wide decimal partial aggregates over a narrow scan — a warm
+    alternating A/B at sf0.1 measured 0.62 s fanned vs 0.97 s on the
+    3 input splits (r6; supersedes the r4 note taken before the
+    decimal-exact rewrite made the map stage arithmetic-bound)."""
     _prep(spark)
-    ec = _ec(spark, read_table(spark, sf_dir, "lineitem"))
+    ec = _ec(spark, read_table(spark, sf_dir, "lineitem", cpu_heavy=True))
     ec = sql_core.filter_rows(ec, condition="l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'")
     ec = sql_core.derive_columns(
         ec,

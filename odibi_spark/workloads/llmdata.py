@@ -638,6 +638,36 @@ WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25
 """
 
 
+def sample_k_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-k per-group sampling (the fixed-COUNT
+    complement to the stratified fixed-fraction sampler): 20 docs per
+    language, ranked by the portable hash unit with doc_id tiebreak —
+    identical selection in any engine / partitioning. One hash shuffle
+    on lang; see curation.sample_k_per_group scale note."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return curation.sample_k_per_group(
+        docs, 20, group_col="lang", key_col="doc_id", seed=42,
+    ).select("doc_id", "lang")
+
+
+SAMPLE_K_SQL = """
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substring(
+           md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+           AS hv
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, lang FROM r WHERE rn <= 20
+"""
+
+
 def pps_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-weighted PPS sampling: P(keep) = min(1, rate * n_chars) on
     the portable hash unit, so long documents are proportionally more
@@ -1096,6 +1126,7 @@ QUERIES = {
     "decontamination_hits": decontamination_hits,
     "token_budget_by_source": token_budget_by_source,
     "stratified_sample_langs": stratified_sample_langs,
+    "sample_k_docs_per_lang": sample_k_docs_per_lang,
     "pps_sample_docs": pps_sample_docs,
     "split_documents_sets": split_documents_sets,
     "chunk_documents_docs": chunk_documents_docs,
@@ -1127,6 +1158,7 @@ ORACLES = {
     "decontamination_hits": DECONTAMINATION_SQL,
     "token_budget_by_source": TOKEN_BUDGET_SQL,
     "stratified_sample_langs": STRATIFIED_SAMPLE_SQL,
+    "sample_k_docs_per_lang": SAMPLE_K_SQL,
     "pps_sample_docs": PPS_SAMPLE_SQL,
     "split_documents_sets": SPLIT_SETS_SQL,
     "chunk_documents_docs": CHUNK_DOCS_SQL,

@@ -434,6 +434,27 @@ class TestCuration:
         ).collect()
         assert all(r.g == "a" for r in out) and len(out) == 1000
 
+    def test_sample_k_per_group_yaml_transform(self, spark):
+        """Registry surface: exact-k per group through the named
+        transform; small groups pass through whole."""
+        import odibi_spark.operators  # noqa: F401
+        import odibi_spark.llm.transforms  # noqa: F401
+        from pyspark.sql import Row
+
+        from odibi_spark import Context, EngineContext, get_registry
+
+        df = spark.createDataFrame(
+            [Row(id=i, g="a" if i < 8 else "b") for i in range(10)]
+        )
+        out = get_registry().apply(
+            "sample_k_per_group",
+            EngineContext(Context(spark), df),
+            {"k": 3, "group_col": "g", "key_col": "id"},
+        )
+        got = [(r.g, r.id) for r in out.df.collect()]
+        assert sum(1 for g, _ in got if g == "a") == 3
+        assert sum(1 for g, _ in got if g == "b") == 2  # only 2 exist
+
     def test_token_budget_keeps_first_doc_and_respects_budget(self, spark):
         from pyspark.sql import Row
 

@@ -349,3 +349,81 @@ class TestLayoutProperties:
             tiebreak_cols=["ts"],
         ).collect()
         assert sum(r.n_transitions for r in without) == n_events - n_groups
+
+
+@st.composite
+def rank_rows(draw):
+    n = draw(st.integers(1, 60))
+    keys = draw(
+        st.lists(st.integers(0, 9), min_size=n, max_size=n)
+    )
+    return [(i, keys[i]) for i in range(n)]
+
+
+@given(rank_rows(), st.integers(2, 9))
+@settings(**SETTINGS)
+def test_global_ranks_matches_plain_window(spark, rows, buckets):
+    """Distributed two-pass global rank == the plain unpartitioned
+    window for every rank-family function, on arbitrary tie-heavy
+    data — the invariant that lets the scale path substitute for the
+    single-partition window."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from odibi_spark.operators.rank import global_ranks
+
+    df = spark.createDataFrame(rows, "id LONG, k LONG").repartition(5)
+    got = global_ranks(
+        df, order_by=["k", "id"],
+        columns={
+            "rn": {"function": "row_number"},
+            "rk": {"function": "rank"},
+            "dr": {"function": "dense_rank"},
+            "pr": {"function": "percent_rank"},
+            "cd": {"function": "cume_dist"},
+            "nt": {"function": "ntile", "buckets": buckets},
+        },
+    )
+    w = Window.orderBy(F.asc("k"), F.asc("id"))
+    want = (
+        df.withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("rk", F.rank().over(w).cast("long"))
+        .withColumn("dr", F.dense_rank().over(w).cast("long"))
+        .withColumn("pr", F.percent_rank().over(w))
+        .withColumn("cd", F.cume_dist().over(w))
+        .withColumn("nt", F.ntile(buckets).over(w))
+    )
+    cols = ["id", "rn", "rk", "dr", "pr", "cd", "nt"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.sampled_from(["a", "b", "c"])),
+        min_size=0, max_size=40, unique_by=lambda t: t[0],
+    ),
+    st.integers(0, 6),
+)
+@settings(**SETTINGS)
+def test_sample_k_per_group_count_and_determinism(spark, rows, k):
+    """Exact-k per group: each group yields min(k, group size) rows,
+    and the selection is identical under any repartitioning."""
+    from odibi_spark.llm.curation import sample_k_per_group
+
+    df = spark.createDataFrame(rows, "id LONG, g STRING")
+    out1 = sample_k_per_group(df, k, group_col="g", key_col="id")
+    got1 = sorted((r.g, r.id) for r in out1.collect())
+    sizes = {}
+    for _id, g in rows:
+        sizes[g] = sizes.get(g, 0) + 1
+    per_group = {}
+    for g, _id in got1:
+        per_group[g] = per_group.get(g, 0) + 1
+    for g, n in sizes.items():
+        assert per_group.get(g, 0) == min(k, n)
+    out2 = sample_k_per_group(
+        df.repartition(7), k, group_col="g", key_col="id"
+    )
+    assert sorted((r.g, r.id) for r in out2.collect()) == got1
