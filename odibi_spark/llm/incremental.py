@@ -159,7 +159,13 @@ class SignatureStore:
             self.n_buckets,
         )
         (
-            banded.withColumn("batch_id", F.lit(str(batch_id)))
+            # repartition ON the partition column first: partitionBy
+            # from N tasks otherwise writes up to N x n_buckets tiny
+            # files per append (measured ~2k at sf0.1); after the
+            # shuffle each task owns whole buckets -> one file per
+            # (batch, bucket) directory
+            banded.repartition("bucket")
+            .withColumn("batch_id", F.lit(str(batch_id)))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id", "bucket")

@@ -613,8 +613,11 @@ class TestScrubPii:
 def test_full_curation_example_yaml_runs(spark, tmp_path):
     """examples/training_data_prep.yaml end-to-end (paths redirected):
     scrub -> score -> repetition rules -> dedup -> decontaminate ->
-    stratified sample -> chunk."""
+    stratified sample -> chunk; r6 adds the exact-k eval holdout and
+    the distributed-global-rank length deciles."""
     import pathlib
+
+    from pyspark.sql import functions as F
 
     from odibi_spark.plans.pipeline import Pipeline
 
@@ -623,7 +626,7 @@ def test_full_curation_example_yaml_runs(spark, tmp_path):
     results = Pipeline.from_yaml(y, spark).run()
     for node in (
         "benchmark_docs", "scored_docs", "clean_docs", "training_chunks",
-        "pps_subsample",
+        "pps_subsample", "eval_pool", "long_docs",
     ):
         assert results[node].status == "success", (node, results[node].error)
     chunks = spark.read.parquet(str(tmp_path / "chunks"))
@@ -635,6 +638,20 @@ def test_full_curation_example_yaml_runs(spark, tmp_path):
     pps = spark.read.parquet(str(tmp_path / "pps"))
     assert "p_incl" in pps.columns
     assert 0 < pps.count() < clean.count()
+    # eval holdout: at most k=5 per language, deterministic
+    pool = spark.read.parquet(str(tmp_path / "eval_pool"))
+    per_lang = {r.lang: r.n for r in pool.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    assert per_lang and all(n <= 5 for n in per_lang.values())
+    # longest decile: its min length >= every shorter doc's length
+    long_docs = spark.read.parquet(str(tmp_path / "long_docs"))
+    assert set(long_docs.select("len_decile").distinct().toPandas()["len_decile"]) == {10}
+    lo = long_docs.agg(F.min("n_chars")).first()[0]
+    others_max = (
+        clean.join(long_docs.select("doc_id"), "doc_id", "left_anti")
+        .agg(F.max("n_chars")).first()[0]
+    )
+    assert others_max <= lo
 
 
 class TestIncrementalDedup:
