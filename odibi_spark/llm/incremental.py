@@ -115,10 +115,16 @@ class SignatureStore:
         that never match the stored ones."""
         want = {"bands": int(bands), "rows_per_band": int(rows_per_band),
                 "hasher": hasher}
-        have = self._config()
-        if os.path.exists(self._meta):
-            with open(self._meta) as fh:
-                have = json.load(fh)
+        if not os.path.exists(self._meta):
+            # meta not yet durable (crash before the first append's
+            # meta write): nothing to verify against — adopt the probe
+            # geometry rather than false-raising on constructor
+            # defaults during replay
+            self.bands, self.rows_per_band = want["bands"], want["rows_per_band"]
+            self.hasher = hasher
+            return
+        with open(self._meta) as fh:
+            have = json.load(fh)
         mismatch = {
             k: (v, have.get(k)) for k, v in want.items() if have.get(k) != v
         }
@@ -127,6 +133,11 @@ class SignatureStore:
                 f"signature store {self.path} was written with a different "
                 f"band geometry: {mismatch} (want, stored)"
             )
+        # n_buckets is a store-layout property, not a probe argument:
+        # ADOPT the persisted value — probing with a different modulus
+        # would prune to the wrong partitions and silently miss dups
+        if "n_buckets" in have:
+            self.n_buckets = int(have["n_buckets"])
 
     def read(self) -> DataFrame | None:
         if not self.exists():
@@ -233,7 +244,15 @@ def flag_incremental_dups(
             for r in _with_bucket(banded_new, store.n_buckets)
             .select("bucket").distinct().collect()
         ]
-        banded_all = store.read_bands(probe_buckets).unionByName(banded_new)
+        banded_store = store.read_bands(probe_buckets)
+        if banded_store is None:
+            # crash window: sigs written, bands not yet — recompute the
+            # band keys from the signature table for THIS probe (the
+            # replayed append then persists them)
+            banded_store = dedup.band_keys(
+                stored, bands, rows_per_band, hasher
+            )
+        banded_all = banded_store.unionByName(banded_new)
 
     # candidate (a=earlier, b=new) pairs; the new side is the probe
     cands = (

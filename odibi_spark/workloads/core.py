@@ -958,6 +958,40 @@ FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1996-12-31',
 """
 
 
+def cast_trim_clean_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 residue closure (VERDICT r5 noted cast/trim as tests-only):
+    cast_columns + trim_whitespace + clean_text driven through the
+    registry operators with a hash oracle — derive a padded string,
+    trim it back, upper-case p_type, and cast price/size across types.
+    Pure column expressions, zero shuffles."""
+    _prep(spark)
+    ec = _ec(spark, read_table(spark, sf_dir, "part"))
+    ec = sql_core.derive_columns(
+        ec, columns={"padded_name": "concat('  ', p_name, '  ')"}
+    )
+    ec = sql_core.trim_whitespace(ec, columns=["padded_name"])
+    ec = sql_core.clean_text(ec, columns=["p_type"], trim=True, case="upper")
+    ec = sql_core.cast_columns(
+        ec,
+        columns={"p_retailprice": "decimal(12,2)", "p_size": "string"},
+    )
+    return ec.df.select(
+        "p_partkey", "padded_name",
+        F.col("p_type").alias("type_upper"),
+        F.col("p_retailprice").cast("double").alias("price2"),
+        F.col("p_size").alias("size_str"),
+    )
+
+
+CAST_TRIM_SQL = """
+SELECT p_partkey,
+       trim(concat('  ', p_name, '  ')) AS padded_name,
+       upper(trim(p_type)) AS type_upper,
+       CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price2,
+       CAST(p_size AS VARCHAR) AS size_str
+FROM part
+"""
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -977,6 +1011,7 @@ QUERIES = {
     "date_parts_orders": date_parts_orders,
     "shipping_delay": shipping_delay,
     "string_ops_customers": string_ops_customers,
+    "cast_trim_clean_parts": cast_trim_clean_parts,
     "schema_polish_customers": schema_polish_customers,
     "convert_timezone_orders": convert_timezone_orders,
     "surrogate_keys_nation": surrogate_keys_nation,
@@ -1012,6 +1047,7 @@ ORACLES = {
     "date_parts_orders": DATE_PARTS_SQL,
     "shipping_delay": SHIPPING_DELAY_SQL,
     "string_ops_customers": STRING_OPS_SQL,
+    "cast_trim_clean_parts": CAST_TRIM_SQL,
     "schema_polish_customers": SCHEMA_POLISH_SQL,
     "convert_timezone_orders": CONVERT_TZ_SQL,
     "surrogate_keys_nation": SURROGATE_SQL,

@@ -718,6 +718,46 @@ class TestIncrementalDedup:
         plan = sub._jdf.queryExecution().toString()
         assert "bucket" in plan and "PartitionFilters" in plan
 
+    def test_n_buckets_adopted_from_store_meta(self, spark, tmp_path):
+        """A store object constructed with a different n_buckets than
+        the persisted layout must ADOPT the stored modulus — probing
+        with the wrong one prunes to wrong partitions and silently
+        misses duplicates."""
+        from odibi_spark.llm.incremental import SignatureStore
+        from odibi_spark.state.hwm import JsonStateBackend
+
+        df, store, state = self._setup(spark, tmp_path / "nb")
+        want = self._run(df.filter("doc_id <= 3"), store, state, "b1")
+        want.update(self._run(df, store, state, "b2"))
+
+        df2, store2, state2 = self._setup(spark, tmp_path / "nb2")
+        self._run(df2.filter("doc_id <= 3"), store2, state2, "b1")
+        # fresh store OBJECT with a wrong modulus; same on-disk store
+        store3 = SignatureStore(
+            spark, str(tmp_path / "nb2" / "sigs"), n_buckets=7
+        )
+        got = self._run(df2, store3, state2, "b2")
+        assert store3.n_buckets == 64  # adopted from _store_meta.json
+        for k, v in got.items():
+            assert want[k] == v, (k, v, want[k])
+
+    def test_missing_bands_table_falls_back(self, spark, tmp_path):
+        """Crash window between the sigs write and the bands write:
+        the probe must recompute band keys from the signature table
+        instead of crashing, and flags stay identical."""
+        import shutil
+
+        df, store, state = self._setup(spark, tmp_path / "fb")
+        want = self._run(df.filter("doc_id <= 3"), store, state, "b1")
+        want.update(self._run(df, store, state, "b2"))
+
+        df2, store2, state2 = self._setup(spark, tmp_path / "fb2")
+        self._run(df2.filter("doc_id <= 3"), store2, state2, "b1")
+        shutil.rmtree(str(tmp_path / "fb2" / "sigs" / "bands"))
+        got = self._run(df2, store2, state2, "b2")
+        for k, v in got.items():
+            assert want[k] == v, (k, v, want[k])
+
     def test_two_batch_replay_equals_one_shot(self, spark, tmp_path):
         df, store, state = self._setup(spark, tmp_path / "a")
         one_shot = self._run(df, store, state, "all")
