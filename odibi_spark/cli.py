@@ -82,11 +82,15 @@ def main(argv: list[str] | None = None) -> int:
             from odibi_spark.io.compact import (
                 list_data_files,
                 reject_partitioned_layout,
+                resume_pending_deletes,
                 swap_data_files,
             )
             from odibi_spark.operators.layout import write_zordered
 
             reject_partitioned_layout(spark, args.path)
+            # a crashed compaction's condemned originals must not be
+            # re-read into the rewrite as permanent duplicates
+            resume_pending_deletes(spark, args.path)
             cols = [c.strip() for c in args.zorder_by.split(",") if c.strip()]
             old = list_data_files(spark, args.path)
             total = sum(sz for _, sz in old)

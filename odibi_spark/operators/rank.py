@@ -91,6 +91,9 @@ def global_ranks(
         raise ValueError(f"unsupported rank functions: {sorted(bad)}")
     if not order_by:
         raise ValueError("global_ranks requires a non-empty order_by")
+    for s in columns.values():
+        if s["function"] == "ntile" and int(s.get("buckets", 10)) < 1:
+            raise ValueError("ntile buckets must be >= 1")
     totals_spec = attach_totals or {}
 
     sort_cols = [
@@ -110,7 +113,9 @@ def global_ranks(
         )
     for i, src in enumerate(totals_spec.values()):
         aggs.append(F.sum(F.col(src)).alias(f"__t{i}"))
-    stats = {r["__pid"]: r for r in ranged.groupBy("__pid").agg(*aggs).collect()}
+    agg_df = ranged.groupBy("__pid").agg(*aggs)
+    total_types = [agg_df.schema[f"__t{i}"].dataType for i in range(len(totals_spec))]
+    stats = {r["__pid"]: r for r in agg_df.collect()}
 
     offsets: list[tuple[int, int, int]] = []
     acc_n = acc_d = 0
@@ -185,8 +190,11 @@ def global_ranks(
         if fn == "ntile":
             out = out.drop("__ntx")
 
-    for out_col, lit_val in zip(totals_spec, grand):
-        out = out.withColumn(out_col, F.lit(lit_val))
+    for (out_col, lit_val), dt in zip(zip(totals_spec, grand), total_types):
+        # cast to the aggregate's result type: pins Decimal precision
+        # (lit() infers it from the value's digits) and keeps an
+        # all-NULL total a typed column instead of VOID
+        out = out.withColumn(out_col, F.lit(lit_val).cast(dt))
     return out.drop("__pid", "__poff", "__doff", *helper_cols)
 
 

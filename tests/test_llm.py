@@ -724,7 +724,6 @@ class TestIncrementalDedup:
         with the wrong one prunes to wrong partitions and silently
         misses duplicates."""
         from odibi_spark.llm.incremental import SignatureStore
-        from odibi_spark.state.hwm import JsonStateBackend
 
         df, store, state = self._setup(spark, tmp_path / "nb")
         want = self._run(df.filter("doc_id <= 3"), store, state, "b1")
