@@ -427,3 +427,33 @@ def test_sample_k_per_group_count_and_determinism(spark, rows, k):
         df.repartition(7), k, group_col="g", key_col="id"
     )
     assert sorted((r.g, r.id) for r in out2.collect()) == got1
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 100_000), st.sampled_from(["a", "b"])),
+        min_size=1, max_size=30, unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 5),
+    st.integers(1, 5),
+)
+@settings(**SETTINGS)
+def test_sample_k_per_group_monotone_containment(spark, rows, k1, extra):
+    """Rank-based selection nests: the k-sample is a PREFIX of the
+    (k+extra)-sample per group — growing a quota never swaps out
+    already-selected members (the property quota-based eval holdouts
+    rely on across reruns)."""
+    from odibi_spark.llm.curation import sample_k_per_group
+
+    df = spark.createDataFrame(rows, "id LONG, g STRING")
+    small = {
+        (r.g, r.id)
+        for r in sample_k_per_group(df, k1, group_col="g", key_col="id").collect()
+    }
+    big = {
+        (r.g, r.id)
+        for r in sample_k_per_group(
+            df, k1 + extra, group_col="g", key_col="id"
+        ).collect()
+    }
+    assert small <= big
