@@ -57,6 +57,7 @@ _R6_ROTATE_IN = [
 _R6_NEW = [
     "streaming_ewma_user_values", "streaming_shards_docs",
     "sample_k_docs_per_lang", "cast_trim_clean_parts",
+    "decontamination_bloom_hits",
 ]
 
 # r4-driver-checked distinctive set, longest since last driver check —
@@ -74,7 +75,6 @@ _R4_CHECKED_REFRESH = [
     "neardup_clusters", "percentiles_by_source", "tfidf_top_terms",
     "semantic_revenue_by_segment", "streaming_hourly_events",
     "multimodal_image_features", "asof_click_purchase",
-    "range_clicks_per_purchase_hour",
 ]
 
 # ROUND-7 ROTATION QUEUE: entries whose last driver-side hash check is
@@ -84,6 +84,7 @@ _R4_CHECKED_REFRESH = [
 # two rounds.
 _R7_ROTATE_IN = [
     # r4-checked, did not fit this round's head
+    "range_clicks_per_purchase_hour",
     "simulated_sensor_rollup", "scd2_customer_batches",
     "detect_event_phases",
     "streaming_user_sessions",

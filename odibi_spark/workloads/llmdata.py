@@ -586,6 +586,25 @@ ORDER BY doc_id, bench_id
 """
 
 
+def decontamination_bloom_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (r6): the SAME hits as
+    decontamination_hits, hash-checked against the SAME oracle — the
+    pure-SQL Bloom filter (bitmap_construct_agg, ~2 bytes/gram, no
+    false negatives) cuts the corpus gram stream to true hits plus
+    ~0.5% false positives map-side, and the exact gram join removes
+    the FPs. The scale path for benchmark suites whose gram set
+    strains a broadcast hash relation."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    corpus = docs.filter("doc_id % 50 <> 0")
+    bench = docs.filter("doc_id % 50 = 0").select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return curation.contamination_hits(
+        corpus, bench, n=3, min_hits=2, prefilter="bloom"
+    ).orderBy("doc_id", "bench_id")
+
+
 def token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token budgeting: keep the largest docs per source
     while the running n_chars total stays within 5000 (first doc
@@ -1124,6 +1143,7 @@ QUERIES = {
     "language_guesses": language_guesses,
     "repetition_signals_docs": repetition_signals_docs,
     "decontamination_hits": decontamination_hits,
+    "decontamination_bloom_hits": decontamination_bloom_hits,
     "token_budget_by_source": token_budget_by_source,
     "stratified_sample_langs": stratified_sample_langs,
     "sample_k_docs_per_lang": sample_k_docs_per_lang,
@@ -1156,6 +1176,7 @@ ORACLES = {
     "language_guesses": LANGUAGE_GUESS_SQL,
     "repetition_signals_docs": REPETITION_SQL,
     "decontamination_hits": DECONTAMINATION_SQL,
+    "decontamination_bloom_hits": DECONTAMINATION_SQL,
     "token_budget_by_source": TOKEN_BUDGET_SQL,
     "stratified_sample_langs": STRATIFIED_SAMPLE_SQL,
     "sample_k_docs_per_lang": SAMPLE_K_SQL,

@@ -434,6 +434,41 @@ class TestCuration:
         ).collect()
         assert all(r.g == "a" for r in out) and len(out) == 1000
 
+    def test_bloom_prefilter_no_false_negatives_and_bounded_fpr(self, spark):
+        """gram_bloom + bloom_might_contain: every true member passes
+        (zero false negatives — the property decontamination
+        correctness rests on) and the FP rate stays within ~3x the
+        theoretical (1-e^(-k/bpi))^k ~= 0.5%."""
+        from pyspark.sql import functions as F
+
+        from odibi_spark.llm.curation import bloom_might_contain, gram_bloom
+
+        members = spark.range(0, 5_000).select(
+            F.concat(F.lit("g_"), F.col("id")).alias("gram")
+        )
+        bloom, m, k = gram_bloom(members, col="gram")
+        probe = spark.range(0, 50_000).select(
+            F.concat(F.lit("g_"), F.col("id")).alias("gram")
+        )
+        cand = bloom_might_contain(probe, bloom, m, k, col="gram")
+        n_cand = cand.count()
+        missed = members.join(cand, "gram", "left_anti").count()
+        assert missed == 0
+        fpr = (n_cand - 5_000) / 45_000
+        assert fpr < 0.015, fpr
+
+    def test_bloom_decontamination_equals_exact(self, spark):
+        """prefilter='bloom' must produce the IDENTICAL hit set to the
+        exact broadcast path (FPs die in the exact join)."""
+        from odibi_spark.llm.curation import contamination_hits
+
+        corpus, bench = self._corpus(spark), self._bench(spark)
+        exact = contamination_hits(corpus, bench, n=2).collect()
+        bloom = contamination_hits(
+            corpus, bench, n=2, prefilter="bloom"
+        ).collect()
+        assert sorted(map(tuple, exact)) == sorted(map(tuple, bloom))
+
     def test_sample_k_per_group_yaml_transform(self, spark):
         """Registry surface: exact-k per group through the named
         transform; small groups pass through whole."""
