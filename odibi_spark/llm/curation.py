@@ -397,3 +397,66 @@ def mixture_fractions(
         have = totals.get(stratum, 0) or 0
         out[stratum] = min(1.0, want / have) if have else 0.0
     return out
+
+
+def corpus_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    *,
+    col: str,
+    label_a: str = "a",
+    label_b: str = "b",
+) -> DataFrame:
+    """Estimated distinct-set overlap between two corpora's values
+    (typically shingles/grams or content fingerprints): one row with
+    per-side distinct counts, the union, the inclusion-exclusion
+    intersection, and the Jaccard estimate — the "how much does crawl
+    snapshot N overlap snapshot N-1" question, answered WITHOUT
+    materializing or joining either value set.
+
+    Theta sketches (Apache DataSketches, built into Spark SQL as
+    ``theta_sketch_agg``/``theta_sketch_estimate``) keep this ONE
+    map-side pass over the tagged union of both inputs: three sketches
+    (A, B, A∪B) accumulate in the same partial aggregate, so the plan
+    is a scan + one 1-row final aggregate regardless of corpus size.
+    Estimates carry the sketch's relative error (~1-2% at default
+    precision); the intersection inherits inclusion-exclusion's
+    variance amplification when the true overlap is small — a
+    bounded-error pytest pins both. Estimate-based, so no cross-engine
+    hash oracle exists by design (declared rows-only, like the HLL
+    profile).
+    """
+    tagged = df_a.select(
+        F.col(col).alias("__v"), F.lit("a").alias("__t")
+    ).unionByName(
+        df_b.select(F.col(col).alias("__v"), F.lit("b").alias("__t"))
+    )
+    est = tagged.agg(
+        F.expr(
+            "theta_sketch_estimate(theta_sketch_agg("
+            "CASE WHEN __t = 'a' THEN __v END))"
+        ).alias("distinct_a"),
+        F.expr(
+            "theta_sketch_estimate(theta_sketch_agg("
+            "CASE WHEN __t = 'b' THEN __v END))"
+        ).alias("distinct_b"),
+        F.expr(
+            "theta_sketch_estimate(theta_sketch_agg(__v))"
+        ).alias("union_est"),
+    )
+    inter = F.greatest(
+        F.lit(0.0),
+        (F.col("distinct_a") + F.col("distinct_b") - F.col("union_est"))
+        .cast("double"),
+    )
+    return est.select(
+        F.lit(label_a).alias("corpus_a"),
+        F.lit(label_b).alias("corpus_b"),
+        F.col("distinct_a").cast("double").alias("distinct_a"),
+        F.col("distinct_b").cast("double").alias("distinct_b"),
+        F.col("union_est").cast("double").alias("union_est"),
+        inter.alias("intersection_est"),
+        F.round(
+            inter / F.col("union_est").cast("double"), 6
+        ).alias("jaccard_est"),
+    )

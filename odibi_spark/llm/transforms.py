@@ -386,3 +386,24 @@ def dedup_incremental_transform(
     return ctx.with_df(
         flagged.filter(~F.col("is_dup")).drop("is_dup") if drop else flagged
     )
+
+
+@transform("corpus_overlap")
+def corpus_overlap_transform(
+    ctx: EngineContext,
+    *,
+    other_view: str,
+    column: str,
+    label_a: str = "current",
+    label_b: str = "other",
+) -> EngineContext:
+    """Theta-sketch overlap profile between the current frame and a
+    registered view (see curation.corpus_overlap)."""
+    from odibi_spark.llm import curation
+
+    other = ctx.df.sparkSession.table(other_view)
+    return ctx.with_df(
+        curation.corpus_overlap(
+            ctx.df, other, col=column, label_a=label_a, label_b=label_b,
+        )
+    )

@@ -605,6 +605,28 @@ def decontamination_bloom_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "bench_id")
 
 
+def corpus_overlap_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch corpus overlap (r6, beyond reference): estimated
+    distinct / union / intersection / Jaccard of the word vocabulary
+    between the even- and odd-doc_id halves of the corpus — the
+    "how much does snapshot N overlap snapshot N-1" profile, computed
+    in ONE map-side pass with no join and no value-set
+    materialization. Rows-only by design: sketch estimates are
+    engine-specific (like the HLL profile); the error bound is
+    pytest-pinned (tests/test_llm.py)."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias("w"),
+    )
+    return curation.corpus_overlap(
+        words.filter("doc_id % 2 = 0"),
+        words.filter("doc_id % 2 = 1"),
+        col="w", label_a="even_docs", label_b="odd_docs",
+    )
+
+
 def token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token budgeting: keep the largest docs per source
     while the running n_chars total stays within 5000 (first doc
@@ -1144,6 +1166,7 @@ QUERIES = {
     "repetition_signals_docs": repetition_signals_docs,
     "decontamination_hits": decontamination_hits,
     "decontamination_bloom_hits": decontamination_bloom_hits,
+    "corpus_overlap_halves": corpus_overlap_halves,
     "token_budget_by_source": token_budget_by_source,
     "stratified_sample_langs": stratified_sample_langs,
     "sample_k_docs_per_lang": sample_k_docs_per_lang,

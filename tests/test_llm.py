@@ -434,6 +434,44 @@ class TestCuration:
         ).collect()
         assert all(r.g == "a" for r in out) and len(out) == 1000
 
+    def test_corpus_overlap_estimates_within_bounds(self, spark):
+        """Theta-sketch overlap profile: on a planted 100k/80k pair
+        with 50k true intersection, per-set and union estimates land
+        within 3% and the Jaccard estimate within 0.05 absolute."""
+        from pyspark.sql import functions as F
+
+        from odibi_spark.llm.curation import corpus_overlap
+
+        a = spark.range(0, 100_000).select(
+            F.concat(F.lit("v"), F.col("id")).alias("v")
+        )
+        b = spark.range(50_000, 130_000).select(
+            F.concat(F.lit("v"), F.col("id")).alias("v")
+        )
+        r = corpus_overlap(a, b, col="v").first()
+        assert abs(r.distinct_a - 100_000) / 100_000 < 0.03
+        assert abs(r.distinct_b - 80_000) / 80_000 < 0.03
+        assert abs(r.union_est - 130_000) / 130_000 < 0.03
+        true_j = 50_000 / 130_000
+        assert abs(r.jaccard_est - true_j) < 0.05
+        assert r.corpus_a == "a" and r.corpus_b == "b"
+
+    def test_corpus_overlap_disjoint_and_identical(self, spark):
+        from pyspark.sql import functions as F
+
+        from odibi_spark.llm.curation import corpus_overlap
+
+        a = spark.range(0, 5_000).select(
+            F.concat(F.lit("x"), F.col("id")).alias("v")
+        )
+        b = spark.range(5_000, 10_000).select(
+            F.concat(F.lit("x"), F.col("id")).alias("v")
+        )
+        disjoint = corpus_overlap(a, b, col="v").first()
+        assert disjoint.jaccard_est < 0.02
+        same = corpus_overlap(a, a, col="v").first()
+        assert same.jaccard_est > 0.98
+
     def test_bloom_prefilter_no_false_negatives_and_bounded_fpr(self, spark):
         """gram_bloom + bloom_might_contain: every true member passes
         (zero false negatives — the property decontamination
