@@ -328,6 +328,12 @@ class NodeExecutor:
             from odibi_spark.patterns.aggregation import aggregate_incremental
 
             return aggregate_incremental(spark, df, **params)
+        if p.type == "aggregation_incremental_sketches":
+            from odibi_spark.patterns.aggregation import (
+                aggregate_incremental_sketches,
+            )
+
+            return aggregate_incremental_sketches(spark, df, **params)
         if p.type == "delete_detection":
             from odibi_spark.patterns.delete_detection import detect_deletes
 

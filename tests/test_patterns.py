@@ -340,3 +340,81 @@ class TestSnapshotCdc:
                for r in snapshot_diff(old, new, keys=["k"]).collect()}
         # a concat_ws-based hash would call NULL -> '' unchanged
         assert out == {1: "update"}
+
+
+class TestSketchIncremental:
+    """aggregate_incremental_sketches: the COUNT DISTINCT / percentile
+    measures plain merge strategies cannot decompose."""
+
+    def test_running_distinct_within_error_of_truth(self, spark, tmp_path):
+        """The 3-batch running estimate keeps the HLL error bound —
+        folding batches in does not compound error. (Estimates are
+        path-dependent, not set-deterministic — even one-shot aggs
+        union per-partition sketches — so the check is against the
+        exact truth, with tolerance.)"""
+        from pyspark.sql import functions as F
+
+        from odibi_spark.patterns.aggregation import (
+            aggregate_incremental_sketches,
+        )
+
+        full = spark.range(0, 30_000).select(
+            (F.col("id") % 3).alias("g"),
+            (F.col("id") % 7_000).alias("u"),  # every group sees all 7000
+        )
+        p = str(tmp_path / "sk")
+        for lo, hi in ((0, 10_000), (10_000, 20_000), (20_000, 30_000)):
+            out = aggregate_incremental_sketches(
+                spark,
+                full.filter(f"id >= {lo} AND id < {hi}"),
+                target_path=p, grain=["g"], distinct_of={"n_users": "u"},
+            )
+        got = {r.g: r.n_users for r in out.collect()}
+        truth = {
+            r.g: r.n
+            for r in full.groupBy("g")
+            .agg(F.count_distinct("u").alias("n")).collect()
+        }
+        for g, n in truth.items():
+            assert abs(got[g] - n) / n < 0.05, (g, got[g], n)
+
+    def test_running_quantiles_within_rank_error(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from odibi_spark.patterns.aggregation import (
+            aggregate_incremental_sketches,
+        )
+
+        full = spark.range(0, 20_000).select(
+            F.lit("all").alias("g"), F.col("id").cast("double").alias("x")
+        )
+        p = str(tmp_path / "kq")
+        for lo, hi in ((0, 10_000), (10_000, 20_000)):
+            out = aggregate_incremental_sketches(
+                spark,
+                full.filter(f"x >= {lo} AND x < {hi}"),
+                target_path=p, grain=["g"], quantiles_of={"x": "x"},
+                quantile_points=(0.5, 0.9),
+            )
+        r = out.first()
+        # KLL default k: normalized rank error ~1.7%; allow 3%
+        assert abs(r.x_p50 - 10_000) < 600, r.x_p50
+        assert abs(r.x_p90 - 18_000) < 600, r.x_p90
+
+    def test_new_grain_rows_appear(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from odibi_spark.patterns.aggregation import (
+            aggregate_incremental_sketches,
+        )
+
+        p = str(tmp_path / "ng")
+        b1 = spark.createDataFrame([("a", 1), ("a", 2)], "g STRING, u LONG")
+        b2 = spark.createDataFrame([("b", 9)], "g STRING, u LONG")
+        aggregate_incremental_sketches(
+            spark, b1, target_path=p, grain=["g"], distinct_of={"n": "u"}
+        )
+        out = aggregate_incremental_sketches(
+            spark, b2, target_path=p, grain=["g"], distinct_of={"n": "u"}
+        )
+        assert {(r.g, r.n) for r in out.collect()} == {("a", 2), ("b", 1)}
