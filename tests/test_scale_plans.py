@@ -470,6 +470,7 @@ class TestNoUndocumentedSinglePartition:
         # 1-row global scalar aggregates
         "q6_forecast_revenue", "q14_promo_revenue",
         "q17_small_quantity_revenue", "q19_bracket_revenue",
+        "corpus_overlap_halves",  # 1-row sketch profile
         # global threshold / max computed once, joined broadcast
         "q11_important_parts", "q15_top_supplier", "q22_inactive_balances",
         # per-step funnel count summary (O(steps) rows)
