@@ -699,7 +699,7 @@ def test_full_curation_example_yaml_runs(spark, tmp_path):
     results = Pipeline.from_yaml(y, spark).run()
     for node in (
         "benchmark_docs", "scored_docs", "clean_docs", "training_chunks",
-        "pps_subsample", "eval_pool", "long_docs",
+        "pps_subsample", "eval_pool", "long_docs", "vocab_overlap",
     ):
         assert results[node].status == "success", (node, results[node].error)
     chunks = spark.read.parquet(str(tmp_path / "chunks"))
@@ -725,6 +725,10 @@ def test_full_curation_example_yaml_runs(spark, tmp_path):
         .agg(F.max("n_chars")).first()[0]
     )
     assert others_max <= lo
+    # vocabulary overlap profile: one row, sane estimate shapes
+    ov = spark.read.parquet(str(tmp_path / "vocab_overlap")).collect()
+    assert len(ov) == 1 and ov[0].corpus_a == "corpus"
+    assert 0.0 <= ov[0].jaccard_est <= 1.0
 
 
 class TestIncrementalDedup:
