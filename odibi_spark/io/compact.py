@@ -95,14 +95,26 @@ def _manifest_jpath(jvm, path: str):
 
 
 def _write_manifest(spark: SparkSession, path: str, old_files: list[str]) -> None:
+    """Write the pending-delete manifest ATOMICALLY: create under a
+    temp name, then rename into place (atomic on HDFS/posix; ADVICE
+    r6). A crash mid-write leaves only the temp file, never a
+    truncated manifest that would hard-block every later compaction
+    with a JSONDecodeError."""
     import json
 
     fs, _, jvm = _fs_for(spark, path)
-    out = fs.create(_manifest_jpath(jvm, path), True)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    tmp = hpath(path, MANIFEST_NAME + ".tmp")
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(json.dumps(old_files).encode("utf-8")))
     finally:
         out.close()
+    final = _manifest_jpath(jvm, path)
+    if fs.exists(final):  # rename-onto fails on some FS; manifest is
+        fs.delete(final, False)  # only ever rewritten by a retry
+    if not fs.rename(tmp, final):
+        raise RuntimeError(f"manifest rename {tmp} -> {final} failed")
 
 
 def resume_pending_deletes(spark: SparkSession, path: str) -> int:
@@ -126,7 +138,16 @@ def resume_pending_deletes(spark: SparkSession, path: str) -> int:
         stream.close()
     hpath = jvm.org.apache.hadoop.fs.Path
     deleted = 0
-    for f in json.loads(raw.decode("utf-8")):
+    try:
+        pending = json.loads(raw.decode("utf-8"))
+    except ValueError:
+        # Unparseable manifest (pre-atomic-write truncation): the
+        # delete loop never ran, so the worst case is re-runnable
+        # duplicates — the documented pre-manifest behavior. Treat as
+        # absent rather than hard-blocking all future compactions.
+        fs.delete(mp, False)
+        return 0
+    for f in pending:
         if fs.exists(hpath(f)):
             fs.delete(hpath(f), False)
             deleted += 1

@@ -192,6 +192,7 @@ def write_training_shards(
     id_col: str,
     format: str = "json",
     mode: str = "overwrite",
+    small_input_rows: int = SMALL_INPUT_ROWS,
 ) -> int:
     """Write the corpus as token-balanced shards: documents laid out in
     (order_col, id_col) order, cut into files of ~tokens_per_shard via
@@ -211,6 +212,7 @@ def write_training_shards(
     packed = pack_sequences(
         df, int(tokens_per_shard),
         token_col=token_col, order_col=order_col, id_col=id_col,
+        small_input_rows=small_input_rows,
     ).withColumnRenamed("pack_id", "shard_id")
     # a doc belongs to the shard where it STARTS, so the shard count is
     # max assigned id + 1 (not ceil(total/tps), which counts windows the

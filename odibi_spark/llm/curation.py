@@ -444,10 +444,16 @@ def corpus_overlap(
             "theta_sketch_estimate(theta_sketch_agg(__v))"
         ).alias("union_est"),
     )
-    inter = F.greatest(
-        F.lit(0.0),
-        (F.col("distinct_a") + F.col("distinct_b") - F.col("union_est"))
-        .cast("double"),
+    # clamp inclusion-exclusion into its feasible range (ADVICE r6):
+    # sketch error can push A+B-U below 0 OR above min(A,B); either
+    # would leak an impossible intersection / jaccard_est > 1
+    inter = F.least(
+        F.least(F.col("distinct_a"), F.col("distinct_b")).cast("double"),
+        F.greatest(
+            F.lit(0.0),
+            (F.col("distinct_a") + F.col("distinct_b") - F.col("union_est"))
+            .cast("double"),
+        ),
     )
     return est.select(
         F.lit(label_a).alias("corpus_a"),
@@ -456,7 +462,9 @@ def corpus_overlap(
         F.col("distinct_b").cast("double").alias("distinct_b"),
         F.col("union_est").cast("double").alias("union_est"),
         inter.alias("intersection_est"),
-        F.round(
-            inter / F.col("union_est").cast("double"), 6
-        ).alias("jaccard_est"),
+        # union_est == 0 (both corpora empty) is a defined 0.0 overlap,
+        # not a NULL from 0/0
+        F.when(F.col("union_est").cast("double") > 0,
+               F.round(inter / F.col("union_est").cast("double"), 6))
+        .otherwise(F.lit(0.0)).alias("jaccard_est"),
     )

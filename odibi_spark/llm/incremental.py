@@ -147,8 +147,16 @@ class SignatureStore:
     def read_bands(self, buckets: list[int] | None = None) -> DataFrame | None:
         """Banded store rows (id, band, bh); ``buckets`` narrows the
         read to those partition directories (static partition
-        pruning — the probe passes the delta's own bucket set)."""
-        if not os.path.exists(self._bands):
+        pruning — the probe passes the delta's own bucket set).
+
+        Bands without a meta file are UNTRUSTED (ADVICE r6): their
+        bucket modulus / band geometry may differ from this process's
+        constructor values (pre-fix stores wrote meta after bands), so
+        pruning could read the wrong partitions and silently miss
+        dups. Returning None routes the probe to the recompute-from-
+        signatures fallback, which assumes nothing about stored keys.
+        """
+        if not os.path.exists(self._bands) or not os.path.exists(self._meta):
             return None
         df = self.spark.read.parquet(self._bands)
         if buckets is not None:
@@ -156,6 +164,17 @@ class SignatureStore:
         return df.select("id", "band", "bh")
 
     def append(self, signatures: DataFrame, batch_id: str) -> None:
+        # Persist the band geometry BEFORE any bands are written
+        # (ADVICE r6): meta-after-bands left a crash window where
+        # persisted bands existed with no meta, and a replaying process
+        # with different constructor values would adopt its own
+        # geometry and prune the wrong buckets. Atomic via temp+rename.
+        if not os.path.exists(self._meta):
+            os.makedirs(self.path, exist_ok=True)
+            tmp = self._meta + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(self._config(), fh)
+            os.replace(tmp, self._meta)
         (
             signatures.withColumn("batch_id", F.lit(str(batch_id)))
             .write.mode("overwrite")
@@ -182,9 +201,6 @@ class SignatureStore:
             .partitionBy("batch_id", "bucket")
             .parquet(self._bands)
         )
-        if not os.path.exists(self._meta):
-            with open(self._meta, "w") as fh:
-                json.dump(self._config(), fh)
 
 
 def flag_incremental_dups(

@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode step is STUBBED (image/audio libraries are not in this
-container): ``register_decoder`` installs the real decoder on a
-cluster; the default ``fake_image_decoder`` is deterministic so the
-Spark-side plumbing — schema, partitioning, UDF signature, batch
-shape — is real and testable.
+Decoders are REAL where the stdlib can parse the container (VERDICT
+r6 task 9): WAV/RIFF PCM audio via ``wave`` (sample rate, frames,
+true PCM RMS) and PNG/BMP image headers via ``struct`` (width,
+height, channels). Payloads whose magic bytes match neither format
+fall back to the deterministic content-hash stand-ins, so the
+plumbing stays testable with arbitrary bytes; codec-heavy formats
+(JPEG entropy decode, MP3, video) still need ``register_decoder``
+with Pillow/librosa/ffmpeg on a real cluster.
 
 Scale design: mapInPandas processes Arrow record batches (no per-row
 Python), binary payloads never pass through the driver, and the frame
@@ -15,6 +18,9 @@ sampler emits rows instead of materializing whole videos.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Callable, Iterator
 
 import pandas as pd

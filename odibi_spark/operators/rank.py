@@ -31,8 +31,12 @@ values with the two-pass range-partitioned idiom already proven in
    - ``dense_rank``  = distinct-key offset + dense_rank()
    - ``percent_rank``= (rank - 1) / (N - 1)             (0.0 if N==1)
    - ``cume_dist``   = (offset + max row_number in tie group) / N
-   - ``ntile(k)``    = (row_number - 1) * k DIV N + 1   (first
-     ``N mod k`` buckets get the extra row — SQL NTILE semantics)
+   - ``ntile(k)``    consecutive-head formula: with q = N DIV k and
+     r = N mod k, the first r buckets hold q+1 CONSECUTIVE rows and
+     the rest hold q (SQL NTILE semantics) — rn <= r*(q+1) maps by
+     DIV (q+1), the tail by DIV q. NOT floor((rn-1)*k/N)+1, which
+     spreads the extra rows evenly and disagrees whenever k does not
+     divide N (hypothesis-caught; see the implementation below).
 
 Output is byte-identical to the plain global window (pinned by
 ``tests/test_rank.py`` equivalence tests); the plan contains range +

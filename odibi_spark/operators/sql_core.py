@@ -152,10 +152,34 @@ def limit(ctx: EngineContext, *, n: int, offset: int = 0) -> EngineContext:
 
 @transform("sample")
 def sample(
-    ctx: EngineContext, *, fraction: float, seed: int | None = None
+    ctx: EngineContext,
+    *,
+    fraction: float,
+    seed: int | None = None,
+    portable_key: str | None = None,
 ) -> EngineContext:
     """Random sample. The reference's SQL path ignored the seed
-    (sql_core.py:551-561); we deliberately honor it (SURVEY §7.3)."""
+    (sql_core.py:551-561); we deliberately honor it (SURVEY §7.3).
+
+    ``portable_key`` (VERDICT r6 task 7) switches to the deterministic
+    md5-fold Bernoulli sampler keyed on that column (the same unit
+    used by hash_sample/split_dataset in llm/curation.py): selection
+    becomes a pure function of (key, seed) — stable across runs,
+    partitionings, AND engines, so it hash-matches a SQL oracle.
+    Engine-native ``df.sample`` honors the seed but draws per
+    partition (seed + partition index feed the RNG), so its selection
+    shifts with the partitioning and can never match another engine —
+    use it when you want speed and statistical (not reproducible)
+    sampling."""
+    if portable_key is not None:
+        from odibi_spark.llm.curation import hash_sample
+
+        return ctx.with_df(
+            hash_sample(
+                ctx.df, float(fraction), key_col=portable_key,
+                seed=42 if seed is None else int(seed),
+            )
+        )
     return ctx.with_df(ctx.df.sample(fraction=fraction, seed=seed))
 
 

@@ -289,11 +289,26 @@ def streaming_shard_writer(
     format: str = "json",
     trigger: dict | None = None,
     query_name: str | None = None,
+    small_input_rows: int | None = None,
 ) -> StreamingQuery:
     """Streaming production of token-balanced training shards — the
     sink-side half of batch/stream unification (VERDICT r4 task 4):
     the same scrub -> chunk -> pack column ops that run in backfill
     also run here, per micro-batch, via foreachBatch.
+
+    Per-batch packing scale bound (VERDICT r6 task 4): each
+    micro-batch is packed independently, and ``pack_sequences``' size
+    gate applies PER TRIGGER — batches at or under its 2M-row gate use
+    the single global window (the source of benign ``WindowExec: No
+    Partition Defined`` warnings on small batches; one task sorting
+    <=2M narrow rows is faster than the two-pass fixed costs), while a
+    larger trigger automatically takes the distributed two-pass prefix
+    sum. Size triggers so a micro-batch stays executor-sized —
+    ``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` on file sources,
+    ``maxOffsetsPerTrigger`` on Kafka — and pass
+    ``small_input_rows=0`` to force the two-pass path unconditionally
+    (skips the per-batch ``count()`` too) when triggers routinely
+    exceed the gate.
 
     Layout: ``path/batch_id=<epoch>/shard_id=<k>/`` — each micro-batch
     packs ITS OWN documents into ~tokens_per_shard files (global
@@ -319,11 +334,15 @@ def streaming_shard_writer(
         df = transform(batch) if transform is not None else batch
         if not df.take(1):
             return
+        kw = (
+            {} if small_input_rows is None
+            else {"small_input_rows": int(small_input_rows)}
+        )
         write_training_shards(
             df, f"{path}/batch_id={epoch_id}",
             token_col=token_col, tokens_per_shard=int(tokens_per_shard),
             order_col=order_col, id_col=id_col, format=format,
-            mode="overwrite",
+            mode="overwrite", **kw,
         )
 
     return start_stream_write(

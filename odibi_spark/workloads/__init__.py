@@ -36,77 +36,81 @@ _ALL_ORACLES = {
 # Dict order is sampling priority: the driver's correctness gate checks
 # the FIRST 50 entries. The sample ROTATES each round so every declared
 # workload gets a driver-side hash check within two rounds (VERDICT r4
-# task 2). Round 6 executes the staged rotation (VERDICT r5 task 2):
-# the 14 queued late-r5 workloads move to the head (their FIRST driver
-# hash check — decile_customer_spend now runs the new distributed
-# two-pass rank), followed by the workloads new this round, then the
-# r4-checked distinctive set (longest since last driver check). The
-# r5-driver-verified basics + r5-new entries demote to the tail under
-# the committed ORACLE_r06.log + pytest.
-_R6_ROTATE_IN = [
-    "ewma_user_values", "outlier_events_mad", "fuzzy_match_parts",
-    "spatial_customers_near_suppliers", "snapshot_cdc_customers",
-    "decile_customer_spend", "split_documents_sets",
-    "resample_interp_user_events", "conversion_latency_quartiles",
-    "transition_matrix_events", "zorder_key_orders", "pps_sample_docs",
-    "psychrometrics_events", "heavy_hitter_terms",
-]
-
-# Workloads declared for the first time in round 6 — never driver-
-# checked, so they go right after the rotated-in block.
-_R6_NEW = [
-    "streaming_ewma_user_values", "streaming_shards_docs",
-    "sample_k_docs_per_lang", "cast_trim_clean_parts",
-    "decontamination_bloom_hits",
-]
-
-# r4-driver-checked distinctive set, longest since last driver check —
-# fills the head to 50.
-_R4_CHECKED_REFRESH = [
-    "q1_pricing_summary", "q3_top_orders", "q5_revenue_by_nation",
-    "q10_returned_revenue", "sessionize_events", "cube_flag_status",
-    "except_lapsed_customers", "rollup_orders_year_priority",
-    "window_range_frame_spend", "text_quality", "exact_dedup_docs",
-    "ngram_jaccard_docs", "embedding_cosine_topk", "minhash_lsh_pairs",
-    "simhash_near_docs", "lsh_ann_neighbors", "embedding_neardup_pairs",
-    "repetition_signals_docs", "decontamination_hits",
-    "token_budget_by_source", "stratified_sample_langs",
-    "chunk_documents_docs", "pack_sequences_docs", "scrub_pii_docs",
-    "neardup_clusters", "percentiles_by_source", "tfidf_top_terms",
-    "semantic_revenue_by_segment", "streaming_hourly_events",
-    "multimodal_image_features", "asof_click_purchase",
-]
-
-# ROUND-7 ROTATION QUEUE: entries whose last driver-side hash check is
-# oldest after this round (r4 for the first group, r5 for the second).
-# Next round, move these into the first-50 head, demoting the
-# r6-checked entries — every workload keeps a driver hash check within
-# two rounds.
+# task 2). Round 7 executes the staged rotation (VERDICT r6 task 1),
+# widened from the 17 staged entries to ALL 25 workloads whose last
+# driver check was r4 or earlier (cross-checked against the committed
+# CORRECTNESS_r05/r06 key sets): the staged 13 r4-era entries plus the
+# TPC-H mid-range (q4,q6-q9,q13-q15,q17-q19,q22) and the two
+# rows-only-by-design sketch estimators. Then this round's brand-new
+# workloads, then the oldest r5-checked entries to fill the head to 50.
 _R7_ROTATE_IN = [
-    # r4-checked, did not fit this round's head
-    "range_clicks_per_purchase_hour",
+    "intersect_repeat_customers", "corpus_overlap_halves",
+    "approx_distinct_fingerprints", "range_clicks_per_purchase_hour",
     "simulated_sensor_rollup", "scd2_customer_batches",
-    "detect_event_phases",
-    "streaming_user_sessions",
-    "ivf_ann_neighbors", "groupingsets_flag_status",
-    "median_acctbal_by_segment", "cheapest_part_per_brand",
-    "intersect_repeat_customers", "skew_salted_event_join",
-    "window_price_change", "date_dimension_calendar",
-    # r5-checked basics head, due again in r7
-    "agg_having_suppliers", "window_running_revenue",
-    "dedup_latest_order", "pivot_qty_by_status",
+    "detect_event_phases", "streaming_user_sessions",
+    "skew_salted_event_join", "median_acctbal_by_segment",
+    "cheapest_part_per_brand", "q6_forecast_revenue",
+    "q7_nation_volume", "q14_promo_revenue", "q18_large_orders",
+    "groupingsets_flag_status", "ivf_ann_neighbors",
+    "q4_order_priority", "q8_market_share", "q9_product_profit",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q19_bracket_revenue",
+    "q22_inactive_balances",
 ]
 
-_unknown_rotate = (set(_R6_ROTATE_IN) | set(_R7_ROTATE_IN)) - set(_ALL_QUERIES)
+# Workloads declared for the first time in round 7 — never driver-
+# checked, so they go right after the rotated-in block.
+_R7_NEW = [
+    "sample_seeded_docs", "multimodal_audio_features",
+]
+
+# Oldest r5-checked entries (in their r5 head order) — fill the head
+# to 50. The rest of the r5-checked set is staged in _R8_ROTATE_IN.
+_R5_CHECKED_REFRESH = [
+    "agg_having_suppliers", "window_running_revenue",
+    "dedup_latest_order", "anti_inactive_customers",
+    "semi_urgent_customers", "topk_parts_per_brand",
+    "full_outer_nation_presence", "pivot_qty_by_status",
+    "json_event_props", "split_events_by_day", "case_when_priority",
+    "date_parts_orders", "shipping_delay", "string_ops_customers",
+    "surrogate_keys_nation", "segment_mapping",
+    "fill_replace_segments", "union_segments", "explode_part_words",
+    "flag_order_issues", "distinct_segment_nation",
+    "lookup_nation_names", "date_dimension_calendar",
+]
+
+# ROUND-8 ROTATION QUEUE: the r5-checked entries that did not fit this
+# round's head — after r7 they are the oldest-checked set. Next round,
+# move these into the first-50 head (plus any r8-new workloads),
+# demoting the r7-checked entries.
+_R8_ROTATE_IN = [
+    "convert_event_values", "unpivot_flag_metrics",
+    "window_price_change", "token_counts_by_source",
+    "fingerprint_by_source", "lang_stopword_profile",
+    "language_guesses", "approx_percentiles_by_source",
+    "dedup_incremental_docs", "q2_min_cost_supplier",
+    "q11_important_parts", "q12_ship_latency", "q16_supplier_variety",
+    "q20_excess_share_suppliers", "q21_waiting_suppliers",
+    "mixture_weighted_sample", "schema_polish_customers",
+    "convert_timezone_orders", "validate_orders_quality",
+    "star_fact_orders", "delete_detection_customers",
+    "incremental_agg_orders", "streaming_click_attribution",
+    "resample_user_events", "funnel_view_click_purchase",
+    "cohort_daily_retention", "outlier_events_zscore",
+]
+
+_unknown_rotate = (
+    set(_R7_ROTATE_IN) | set(_R5_CHECKED_REFRESH) | set(_R8_ROTATE_IN)
+) - set(_ALL_QUERIES)
 if _unknown_rotate:  # fail loudly: a stale queue would silently shrink
     raise RuntimeError(  # the next round's driver-checked head
         f"rotation queue names unknown workloads: {sorted(_unknown_rotate)}"
     )
 
 _HEAD = [
-    k for k in _R6_ROTATE_IN + _R6_NEW + _R4_CHECKED_REFRESH
+    k for k in _R7_ROTATE_IN + _R7_NEW + _R5_CHECKED_REFRESH
     if k in _ALL_QUERIES
-]
+][:50]
 _ORDER = _HEAD + [k for k in _ALL_QUERIES if k not in set(_HEAD)]
 QUERIES = {k: _ALL_QUERIES[k] for k in _ORDER}
 ORACLES = {k: _ALL_ORACLES[k] for k in _ORDER if k in _ALL_ORACLES}

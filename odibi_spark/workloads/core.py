@@ -992,7 +992,31 @@ SELECT p_partkey,
 FROM part
 """
 
+def sample_seeded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 `sample` operator under the hash oracle (VERDICT r6 task
+    7): the registry transform's ``portable_key`` path — deterministic
+    md5-fold Bernoulli selection keyed on doc_id, a pure function of
+    (key, seed) so DuckDB recomputes the identical sample. (The
+    engine-native ``df.sample`` path stays seeded-but-partition-
+    dependent and can never hash-match another engine; documented in
+    the operator docstring.) Pure filter expression, zero shuffles."""
+    _prep(spark)
+    ec = _ec(spark, read_table(spark, sf_dir, "documents"))
+    ec = sql_core.sample(ec, fraction=0.3, seed=7, portable_key="doc_id")
+    return ec.df.select("doc_id", "lang", "source")
+
+
+SAMPLE_SEEDED_SQL = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE CAST(concat('0x', substring(
+        md5(concat('7:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+      / 1152921504606846976.0 < 0.3
+"""
+
+
 QUERIES = {
+    "sample_seeded_docs": sample_seeded_docs,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -1029,6 +1053,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_seeded_docs": SAMPLE_SEEDED_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_revenue_by_nation": Q5_SQL,

@@ -299,6 +299,41 @@ class TestCompaction:
         assert resume_pending_deletes(spark, str(p)) == 0
         compact_small_files(spark, str(p), target_file_bytes=1)
 
+    def test_truncated_manifest_treated_as_absent(self, spark, tmp_path):
+        """ADVICE r6: a manifest truncated by a crash mid-write (only
+        possible on pre-atomic-write stores) must not hard-block
+        compaction with a JSONDecodeError — the delete loop never ran,
+        so treating it as absent just leaves re-runnable duplicates."""
+        from odibi_spark.io.compact import (
+            MANIFEST_NAME,
+            compact_small_files,
+            resume_pending_deletes,
+        )
+
+        p = tmp_path / "trunc"
+        spark.range(0, 200).repartition(4).write.parquet(str(p))
+        (p / MANIFEST_NAME).write_text('["file:/somewhere/part-0')  # cut off
+        assert resume_pending_deletes(spark, str(p)) == 0
+        assert not (p / MANIFEST_NAME).exists()
+        assert spark.read.parquet(str(p)).count() == 200
+        compact_small_files(spark, str(p), target_file_bytes=1 << 20)
+        assert spark.read.parquet(str(p)).count() == 200
+
+    def test_manifest_write_is_atomic(self, spark, tmp_path):
+        """_write_manifest goes through temp+rename: after it returns,
+        the manifest parses and no temp file lingers."""
+        import json
+
+        from odibi_spark.io.compact import MANIFEST_NAME, _write_manifest
+
+        p = tmp_path / "atomic"
+        spark.range(0, 10).coalesce(1).write.parquet(str(p))
+        _write_manifest(spark, str(p), ["file:/a", "file:/b"])
+        assert json.loads((p / MANIFEST_NAME).read_text()) == [
+            "file:/a", "file:/b"
+        ]
+        assert not (p / (MANIFEST_NAME + ".tmp")).exists()
+
     def test_noop_when_already_compact(self, spark, tmp_path):
         from odibi_spark.io.compact import compact_small_files
 

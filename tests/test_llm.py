@@ -471,6 +471,21 @@ class TestCuration:
         assert disjoint.jaccard_est < 0.02
         same = corpus_overlap(a, a, col="v").first()
         assert same.jaccard_est > 0.98
+        # feasibility clamps (ADVICE r6): intersection can never exceed
+        # the smaller side even when sketch error inflates A+B-U, so
+        # jaccard_est stays <= 1; identical corpora make the bound tight
+        assert same.intersection_est <= min(same.distinct_a, same.distinct_b)
+        assert same.jaccard_est <= 1.0
+
+    def test_corpus_overlap_empty_inputs_defined(self, spark):
+        """Both corpora empty: union_est is 0, and jaccard_est must be
+        a defined 0.0 — not NULL from 0/0 (ADVICE r6)."""
+        from odibi_spark.llm.curation import corpus_overlap
+
+        e = spark.createDataFrame([], "v string")
+        r = corpus_overlap(e, e, col="v").first()
+        assert r.union_est == 0.0 and r.intersection_est == 0.0
+        assert r.jaccard_est == 0.0
 
     def test_bloom_prefilter_no_false_negatives_and_bounded_fpr(self, spark):
         """gram_bloom + bloom_might_contain: every true member passes
@@ -831,6 +846,51 @@ class TestIncrementalDedup:
         self._run(df2.filter("doc_id <= 3"), store2, state2, "b1")
         shutil.rmtree(str(tmp_path / "fb2" / "sigs" / "bands"))
         got = self._run(df2, store2, state2, "b2")
+        for k, v in got.items():
+            assert want[k] == v, (k, v, want[k])
+
+    def test_meta_written_before_bands(self, spark, tmp_path):
+        """ADVICE r6: _store_meta.json must be durable before any bands
+        row — so a crash can never leave persisted bands whose geometry
+        a replaying process would have to guess at. And bands WITHOUT a
+        meta file (pre-fix stores) are untrusted: read_bands returns
+        None, routing the probe to the recompute fallback."""
+        import os as _os
+
+        from odibi_spark.llm.dedup import minhash_signatures
+
+        df, store, state = self._setup(spark, tmp_path / "mw")
+        sigs = minhash_signatures(
+            df, "doc_id", "text", n=2, num_perm=32, seed=42
+        )
+        orig_write = sigs.write.__class__.parquet
+        store_path = str(tmp_path / "mw" / "sigs")
+
+        # append() writes meta first: verify by intercepting the FIRST
+        # parquet write and asserting meta already exists on disk
+        seen = []
+
+        def spy(self_, path, **kw):
+            seen.append(
+                (path, _os.path.exists(store_path + "/_store_meta.json"))
+            )
+            return orig_write(self_, path, **kw)
+
+        sigs.write.__class__.parquet = spy
+        try:
+            store.append(sigs, "b1")
+        finally:
+            sigs.write.__class__.parquet = orig_write
+        assert seen and all(meta_present for _, meta_present in seen)
+
+        # meta deleted (bands present, meta missing): bands untrusted
+        _os.remove(store_path + "/_store_meta.json")
+        assert store.read_bands() is None
+        # and the full probe still flags identically via the fallback
+        got = self._run(df, store, state, "b2")
+        df2, store2, state2 = self._setup(spark, tmp_path / "mw2")
+        want = self._run(df2.filter("doc_id <= 3"), store2, state2, "b1")
+        want.update(self._run(df2, store2, state2, "b2"))
         for k, v in got.items():
             assert want[k] == v, (k, v, want[k])
 
