@@ -263,6 +263,122 @@ def cc_chain_probe(spark, chain_len: int = 1024) -> dict:
     }
 
 
+def rank_scale_probe(spark, rows: int = 12_000_000) -> dict:
+    """Crossover probe for the distributed two-pass rank (VERDICT r6
+    task 5): the r6 crossover note was measured only at 600k rows,
+    where the plain global window WINS — this measures both paths on a
+    synthesized ~1.2M and ~12M-row input (explode-generated, like
+    scale_docs) to demonstrate the claimed trend: the two-pass cost
+    grows ~linearly with parallel sort capacity while the
+    single-partition window funnels every row through ONE task's sort.
+    Reports per-size timings and the degradation ratio of window-time
+    to two-pass-time at 1x vs 10x."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from odibi_spark.operators.rank import global_ranks
+
+    # warm both codepaths on a tiny input so the first measured run
+    # isn't charged JVM/codegen warmup (the probe must stand alone)
+    warm = spark.range(50_000).select(
+        "id", ((F.col("id") * 2654435761) % 1_000_003).alias("v")
+    )
+    global_ranks(
+        warm, order_by=["v", "id"], columns={"r": {"function": "rank"}}
+    ).select(F.expr("bit_xor(xxhash64(r, v))")).collect()
+    warm.withColumn(
+        "r", F.rank().over(Window.orderBy(F.asc("v"), F.asc("id")))
+    ).select(F.expr("bit_xor(xxhash64(r, v))")).collect()
+
+    out: dict = {"rows_small": rows // 10, "rows_large": rows}
+    for label, n in (("small", rows // 10), ("large", rows)):
+        # non-monotonic sort key so neither path gets a presorted gift
+        df = spark.range(n).select(
+            "id",
+            ((F.col("id") * 2654435761) % 1_000_003).alias("v"),
+        )
+        t0 = _t.time()
+        two = global_ranks(
+            df, order_by=["v", "id"], columns={"r": {"function": "rank"}}
+        )
+        # xor-hash reduction: forces full evaluation, cannot overflow
+        two.select(F.expr("bit_xor(xxhash64(r, v))").alias("h")).collect()
+        out[f"two_pass_sec_{label}"] = round(_t.time() - t0, 4)
+
+        t0 = _t.time()
+        w = Window.orderBy(F.asc("v"), F.asc("id"))
+        win = df.withColumn("r", F.rank().over(w))
+        win.select(F.expr("bit_xor(xxhash64(r, v))").alias("h")).collect()
+        out[f"window_sec_{label}"] = round(_t.time() - t0, 4)
+    # >1 means the single-partition window degrades faster than the
+    # two-pass as rows grow — the crossover the design claims
+    if out["two_pass_sec_small"] > 0 and out["window_sec_small"] > 0:
+        out["window_vs_two_pass_small"] = round(
+            out["window_sec_small"] / out["two_pass_sec_small"], 3
+        )
+        out["window_vs_two_pass_large"] = round(
+            out["window_sec_large"] / out["two_pass_sec_large"], 3
+        )
+        out["degradation_ratio"] = round(
+            out["window_vs_two_pass_large"] / out["window_vs_two_pass_small"], 3
+        )
+    return out
+
+
+def compare_prev(out: dict, prev_path: str) -> dict:
+    """n-vs-n-1 per-query ratio table (VERDICT r6 task 10): compare
+    this run's per-query timings against a prior BENCH artifact,
+    print the full ratio table to stderr, and return a compact
+    regression summary (queries slower than 1.15x) for the JSON
+    artifacts. Per-query ratios are the methodology — same-code idle
+    variance moves the TOTALS 15%+ between rounds."""
+    with open(prev_path) as fh:
+        prev = json.load(fh)
+    if isinstance(prev.get("parsed"), dict):
+        # driver-recorded BENCH_r{N}.json wraps the slim stdout line
+        prev = prev["parsed"]
+
+    def block(d: dict | None) -> dict:
+        return d if isinstance(d, dict) else {}
+
+    prev_q = {
+        **block(prev.get("queries")),
+        **block(prev.get("curation_queries")),
+        **block(prev.get("analytics_queries")),
+    }
+    cur_q = {
+        **out["queries"], **out["curation_queries"], **out["analytics_queries"],
+    }
+    ratios, regressions = {}, {}
+    for name, sec in sorted(cur_q.items()):
+        p = prev_q.get(name)
+        if not p or p <= 0:
+            continue
+        r = round(sec / p, 3)
+        ratios[name] = r
+        flag = " <-- REGRESSION" if r > 1.15 else ""
+        if r > 1.15:
+            regressions[name] = r
+        print(
+            f"# ratio {name}: {sec:.2f}s / {p:.2f}s = {r:.2f}x{flag}",
+            file=sys.stderr,
+        )
+    comparable = len(ratios)
+    print(
+        f"# vs {os.path.basename(prev_path)}: {comparable} comparable, "
+        f"{len(regressions)} regression(s) >1.15x"
+        + (f": {sorted(regressions)}" if regressions else ""),
+        file=sys.stderr,
+    )
+    return {
+        "prev": os.path.basename(prev_path),
+        "comparable": comparable,
+        "regressions": regressions,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from odibi_spark import get_spark
@@ -376,6 +492,37 @@ def main() -> None:
         out["scale_docs"] = scale_docs_bench(spark, sf_dir, scale_factor)
         print(f"# scale_docs: {out['scale_docs']}", file=sys.stderr)
 
+    # two-pass rank crossover probe (VERDICT r6 task 5); disable with
+    # SPARK_GRAFT_RANK_PROBE=0
+    if os.environ.get("SPARK_GRAFT_RANK_PROBE", "1") != "0":
+        out["rank_scale"] = rank_scale_probe(spark)
+        print(f"# rank_scale: {out['rank_scale']}", file=sys.stderr)
+
+    # n-vs-n-1 ratio table: --prev PATH, or auto-pick the newest
+    # committed BENCH_r*.json next to this script
+    prev_path = None
+    for i, a in enumerate(sys.argv):
+        if a == "--prev" and i + 1 < len(sys.argv):
+            prev_path = sys.argv[i + 1]
+    if prev_path is None:
+        import glob
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        # prefer the committed full-precision artifact of the last local
+        # run (has curation/analytics per-query detail the driver's slim
+        # capture drops); fall back to the newest driver recording
+        full = os.path.join(here, "BENCH.json")
+        if os.path.exists(full):
+            prev_path = full
+        else:
+            cands = sorted(glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")))
+            prev_path = cands[-1] if cands else None
+    if prev_path and os.path.exists(prev_path):
+        try:
+            out["vs_prev"] = compare_prev(out, prev_path)
+        except (ValueError, KeyError) as e:  # malformed artifact: note, don't die
+            print(f"# vs_prev skipped: {e}", file=sys.stderr)
+
     # full-precision artifact: always written, survives any stdout
     # capture policy (VERDICT r5 task 3)
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
@@ -427,6 +574,20 @@ def _slim(out: dict, out_path: str) -> dict:
         slim["scale_docs"] = {
             "cand_frac": s["candidate_fraction_of_all_pairs"],
             "growth": s["time_growth_vs_linear"],
+        }
+    if "rank_scale" in out:
+        r = out["rank_scale"]
+        slim["rank_scale"] = {
+            "win_vs_2p_small": r.get("window_vs_two_pass_small"),
+            "win_vs_2p_large": r.get("window_vs_two_pass_large"),
+            "degradation": r.get("degradation_ratio"),
+        }
+    if "vs_prev" in out:
+        v = out["vs_prev"]
+        slim["vs_prev"] = {
+            "prev": v["prev"],
+            "n": v["comparable"],
+            "regr": v["regressions"],
         }
     return slim
 

@@ -44,14 +44,17 @@ hash exchanges only. Costs one materialization of the input (a lazy
 ``localCheckpoint`` pins the partition assignment both passes must
 share) and one O(partitions) collect.
 
-Crossover note (measured r6, 600k-row lineitem, local[32], warm):
-two-pass 1.5 s vs single-partition window 1.0 s — below a few
-million narrow rows ONE task sorts comfortably and the two-pass's
-fixed costs (range sampling job, checkpoint, collect, broadcast
-join) dominate, mirroring ``pack_sequences``' 2M-row gate. Use the
-plain window for provably bounded inputs; use this whenever the
-ranked set grows with the data — the single task that sorts 600k
-rows in a second does not exist for 15B.
+Crossover note (measured r7 by bench.py's ``rank_scale`` probe,
+local[32], warm, 2-col synthetic rows): at 1.2M rows the plain
+window still wins (window/two-pass = 0.64x — one task sorts 1.2M
+narrow rows faster than the two-pass's fixed costs: range sampling
+job, checkpoint, collect, broadcast join); at 12M rows the
+single-partition window is 3.5x SLOWER than the two-pass and the
+gap grows ~5.5x per decade of input. The crossover sits right
+around ``pack_sequences``' 2M-row gate. Use the plain window for
+provably bounded inputs; use this whenever the ranked set grows
+with the data — the single task that sorts 1.2M rows in a second
+does not exist for 15B.
 
 NULL ordering note: Spark sorts NULLs FIRST ascending / LAST
 descending, ANSI engines (DuckDB) default NULLS LAST ascending —
