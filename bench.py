@@ -584,10 +584,14 @@ def _slim(out: dict, out_path: str) -> dict:
         }
     if "vs_prev" in out:
         v = out["vs_prev"]
+        worst = dict(sorted(
+            v["regressions"].items(), key=lambda kv: -kv[1]
+        )[:8])  # cap: a noisy run must not blow the ~2 KB stdout budget
         slim["vs_prev"] = {
             "prev": v["prev"],
             "n": v["comparable"],
-            "regr": v["regressions"],
+            "n_regr": len(v["regressions"]),
+            "regr": worst,
         }
     return slim
 

@@ -26,6 +26,14 @@ TABLE_SCHEMA = (
     "table_path string, pipeline string, node string, format string, "
     "schema_json string, updated_at double"
 )
+# per-run observability metrics, long/narrow form (reference treats
+# run metrics as first-class catalog rows: odibi/catalog.py:844
+# meta_metrics + derived_updater.py rollups)
+METRIC_SCHEMA = (
+    "run_id string, pipeline string, node string, metric string, "
+    "value double, recorded_at double"
+)
+DAILY_STATS_GRAIN = ["date", "pipeline"]
 
 
 class Catalog:
@@ -69,11 +77,77 @@ class Catalog:
             TABLE_SCHEMA,
         )
 
+    def record_metrics(
+        self, *, run_id: str, pipeline: str, node: str,
+        metrics: dict[str, float],
+    ) -> None:
+        """Append per-run metrics in long/narrow (metric, value) form —
+        one catalog table serves every metric family (row counts,
+        durations, validation failure counts) without schema churn,
+        the reference's meta_metrics posture (odibi/catalog.py:844)."""
+        now = time.time()
+        self._append(
+            "metrics",
+            [(run_id, pipeline, node, k, float(v), now)
+             for k, v in metrics.items()],
+            METRIC_SCHEMA,
+        )
+
+    def update_daily_stats(
+        self,
+        *,
+        pipeline: str,
+        results: dict,
+        started_at: float,
+        finished_at: float,
+    ) -> DataFrame:
+        """Fold ONE run into the ``meta_daily_stats`` derived rollup
+        (reference: odibi/catalog.py:1085, PK (date, pipeline_name),
+        upserted by derived_updater on pipeline completion). Built on
+        the incremental-aggregation pattern with merge_sum, so each
+        run contributes a single pre-aggregated row and history is
+        never rescanned — O(days x pipelines) table, O(1) per run."""
+        from odibi_spark.patterns.aggregation import aggregate_incremental
+
+        ok = all(r.status == "success" for r in results.values())
+        batch = self.spark.createDataFrame(
+            [(
+                time.strftime("%Y-%m-%d", time.gmtime(started_at)),
+                pipeline,
+                1,
+                1 if ok else 0,
+                0 if ok else 1,
+                int(sum(r.rows_written or 0 for r in results.values())),
+                float(round(finished_at - started_at, 3)),
+            )],
+            "date string, pipeline string, runs bigint, successes bigint, "
+            "failures bigint, total_rows bigint, total_duration_s double",
+        )
+        return aggregate_incremental(
+            self.spark, batch,
+            target_path=f"{self.root}/meta_daily_stats",
+            grain=DAILY_STATS_GRAIN,
+            measures={
+                "runs": "sum(runs)",
+                "successes": "sum(successes)",
+                "failures": "sum(failures)",
+                "total_rows": "sum(total_rows)",
+                "total_duration_s": "sum(total_duration_s)",
+            },
+            strategy="merge_sum",
+        )
+
     def runs(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.root}/meta_runs")
 
     def tables(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.root}/meta_tables")
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.root}/meta_metrics")
+
+    def daily_stats(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.root}/meta_daily_stats")
 
 
 def run_pipeline_with_catalog(pipeline, *, catalog: Catalog, parallel: bool = False):
@@ -82,9 +156,27 @@ def run_pipeline_with_catalog(pipeline, *, catalog: Catalog, parallel: bool = Fa
     run_id = str(uuid.uuid4())
     t0 = time.time()
     results = pipeline.run(parallel=parallel)
+    t1 = time.time()
+    name = pipeline.config.name
     catalog.record_run(
-        run_id=run_id, pipeline=pipeline.config.name, results=results,
-        started_at=t0, finished_at=time.time(),
+        run_id=run_id, pipeline=name, results=results,
+        started_at=t0, finished_at=t1,
+    )
+    # per-node observability metrics: rows/duration plus one row per
+    # validation test's failure count and pass flag
+    for node_name, r in results.items():
+        metrics: dict[str, float] = {
+            "rows_written": float(r.rows_written or 0),
+            "duration_s": float(r.duration_s or 0.0),
+        }
+        for v in r.validation or []:
+            metrics[f"validation.{v.name}.failed_rows"] = float(v.failed_rows)
+            metrics[f"validation.{v.name}.passed"] = 1.0 if v.passed else 0.0
+        catalog.record_metrics(
+            run_id=run_id, pipeline=name, node=node_name, metrics=metrics,
+        )
+    catalog.update_daily_stats(
+        pipeline=name, results=results, started_at=t0, finished_at=t1,
     )
     for node in pipeline.config.nodes:
         if node.write and node.write.path and results[node.name].status == "success":

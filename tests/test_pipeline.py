@@ -182,3 +182,56 @@ nodes:
         import json as _json
 
         assert _json.loads(tables[0].schema_json) == {"k": "bigint", "v": "double"}
+
+    def test_metrics_and_daily_stats_rollup(self, spark, tmp_path):
+        """meta_metrics + meta_daily_stats breadth (VERDICT r6 task 8):
+        a 2-run pipeline with a validation test records per-run node
+        metrics (rows/duration/validation counts) and folds each run
+        into the (date, pipeline) daily rollup via merge_sum — two
+        runs sum to runs=2 without rescanning history."""
+        import pandas as pd
+
+        from odibi_spark.catalog import Catalog, run_pipeline_with_catalog
+        from odibi_spark.plans.pipeline import Pipeline
+
+        pd.DataFrame({"k": [1, 2, 3], "v": [1.0, -2.0, 3.0]}).to_parquet(
+            tmp_path / "in.parquet"
+        )
+        yaml_text = f"""
+name: metrics_demo
+nodes:
+  - name: n
+    read: {{path: "{tmp_path}/in.parquet"}}
+    validation:
+      tests:
+        - name: v_nonneg
+          type: custom_sql
+          condition: "v >= 0"
+          threshold: 0.5
+    write: {{path: "{tmp_path}/out", mode: overwrite}}
+"""
+        cat = Catalog(spark, str(tmp_path / "_system"))
+        ids = []
+        for _ in range(2):
+            pipe = Pipeline.from_yaml(yaml_text, spark)
+            run_id, results = run_pipeline_with_catalog(pipe, catalog=cat)
+            assert results["n"].status == "success"
+            ids.append(run_id)
+
+        m = {
+            (r.run_id, r.metric): r.value
+            for r in cat.metrics().collect()
+        }
+        for rid in ids:
+            assert m[(rid, "rows_written")] == 3.0
+            assert m[(rid, "duration_s")] > 0
+            assert m[(rid, "validation.v_nonneg.failed_rows")] == 1.0
+            assert m[(rid, "validation.v_nonneg.passed")] == 1.0
+
+        stats = cat.daily_stats().collect()
+        assert len(stats) == 1  # one (date, pipeline) grain row
+        s = stats[0]
+        assert s.pipeline == "metrics_demo"
+        assert s.runs == 2 and s.successes == 2 and s.failures == 0
+        assert s.total_rows == 6
+        assert s.total_duration_s > 0
