@@ -25,6 +25,11 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--parallel", action="store_true")
             sp.add_argument("--catalog", help="catalog root for run metadata")
             sp.add_argument("--story", help="write an HTML run report here")
+            sp.add_argument(
+                "--node",
+                help="run ONLY this node, dependencies read from their "
+                "written targets (per-task orchestration entry point)",
+            )
 
     # discovery commands operate on a base path, no Spark needed
     sp = sub.add_parser("discover", help="list datasets under a base path")
@@ -54,6 +59,30 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--name", default=None)
     sp.add_argument("--out", help="write to this file instead of stdout")
 
+    # orchestration export (reference cli/export.py + orchestration/)
+    sp = sub.add_parser(
+        "export", help="generate Airflow DAG / Dagster definitions code"
+    )
+    sp.add_argument("--target", choices=["airflow", "dagster"], required=True)
+    sp.add_argument("--pipeline", required=True, help="pipeline YAML path")
+    sp.add_argument("--out", help="write here (default: stdout)")
+    sp.add_argument("--owner", default="airflow")
+    sp.add_argument("--retries", type=int, default=0)
+    sp.add_argument(
+        "--yaml-path",
+        help="pipeline YAML path as the orchestrator's workers will see "
+        "it (defaults to --pipeline)",
+    )
+
+    # catalog queries (reference cli/catalog.py: runs/tables/metrics/stats)
+    sp = sub.add_parser("catalog", help="query system-catalog metadata")
+    sp.add_argument(
+        "what", choices=["runs", "tables", "metrics", "daily-stats"]
+    )
+    sp.add_argument("--root", required=True, help="catalog root path")
+    sp.add_argument("--pipeline", help="filter by pipeline name")
+    sp.add_argument("--limit", type=int, default=20)
+
     # table maintenance (open-format twin of the reference's Delta
     # auto_optimize/zorder write options)
     sp = sub.add_parser(
@@ -71,6 +100,46 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("--format", default="parquet")
     args = p.parse_args(argv)
+
+    if args.cmd == "export":
+        from odibi_spark.orchestration import (
+            render_airflow_dag,
+            render_dagster_definitions,
+        )
+        from odibi_spark.plans.config import load_pipeline_yaml
+
+        cfg = load_pipeline_yaml(args.pipeline)
+        yaml_path = args.yaml_path or args.pipeline
+        if args.target == "airflow":
+            code = render_airflow_dag(
+                cfg, yaml_path=yaml_path, owner=args.owner,
+                retries=args.retries,
+            )
+        else:
+            code = render_dagster_definitions(cfg, yaml_path=yaml_path)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(code)
+            print(f"wrote {args.out}")
+        else:
+            print(code)
+        return 0
+
+    if args.cmd == "catalog":
+        from odibi_spark import get_spark
+        from odibi_spark.catalog import Catalog
+
+        cat = Catalog(get_spark("catalog"), args.root)
+        reader = {
+            "runs": cat.runs, "tables": cat.tables,
+            "metrics": cat.metrics, "daily-stats": cat.daily_stats,
+        }[args.what]
+        df = reader()
+        if args.pipeline:
+            df = df.filter(df.pipeline == args.pipeline)
+        rows = [r.asDict() for r in df.limit(args.limit).collect()]
+        print(json.dumps(rows, indent=2, default=str))
+        return 0
 
     if args.cmd == "maintain":
         from odibi_spark import get_spark
@@ -224,6 +293,12 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(cfg.name)
     pipe = Pipeline(cfg, spark)
+    if getattr(args, "node", None):
+        # per-task orchestration entry point: exported Airflow/Dagster
+        # tasks call this once per node
+        r = pipe.run_node(args.node)
+        print(json.dumps({args.node: r.status, "error": r.error}, indent=2))
+        return 0 if r.status == "success" else 1
     if getattr(args, "catalog", None):
         from odibi_spark.catalog import Catalog, run_pipeline_with_catalog
 

@@ -141,6 +141,44 @@ class Pipeline:
         self._alert("on_failure" if failed else "on_success", results, elapsed)
         return results
 
+    def run_node(self, name: str, *, retries: int = 0) -> NodeResult:
+        """Execute ONE node — the per-task entry point for exported
+        Airflow/Dagster DAGs (orchestration/, reference posture: each
+        orchestrator task shells out ``run --node``). The orchestrator
+        guarantees upstream tasks completed first, so each direct
+        dependency is re-registered from its WRITTEN parquet target
+        rather than recomputed; a dependency without a parquet sink is
+        an error — per-node orchestration requires materialized
+        handoffs between tasks."""
+        cfg = self._nodes.get(name)
+        if cfg is None:
+            raise KeyError(
+                f"unknown node '{name}' (have: {sorted(self._nodes)})"
+            )
+        for dep in self.graph.deps[name]:
+            dcfg = self._nodes[dep]
+            if not (
+                dcfg.write and dcfg.write.path
+                and dcfg.write.format == "parquet"
+            ):
+                raise ValueError(
+                    f"dependency '{dep}' of node '{name}' has no parquet "
+                    "write target — per-node orchestration needs every "
+                    "upstream handoff materialized to storage"
+                )
+            w_path, _, _ = NodeExecutor(
+                dcfg, self.context, self.connections
+            )._resolve(dcfg.write.connection, dcfg.write.path, None, {})
+            self.context.register(dep, self.spark.read.parquet(w_path))
+        attempt = 0
+        max_retries = max(retries, cfg.retries)
+        while True:
+            r = NodeExecutor(cfg, self.context, self.connections).execute()
+            if r.status == "success" or attempt >= max_retries:
+                return r
+            attempt += 1
+            time.sleep(attempt)
+
     def _alert(self, event: str, results: dict[str, NodeResult], duration_s: float):
         """Fire configured alerts for a lifecycle event (reference:
         odibi/pipeline.py:480,1356-1358). Never raises — an alerting
