@@ -74,6 +74,18 @@ def main(argv: list[str] | None = None) -> int:
         "it (defaults to --pipeline)",
     )
 
+    # introspection (reference cli/list_cmd.py: list + explain)
+    sp = sub.add_parser(
+        "list", help="list registered transformers / patterns / formats"
+    )
+    sp.add_argument(
+        "what", choices=["transformers", "patterns", "formats"],
+        nargs="?", default="transformers",
+    )
+    sp.add_argument("--json", action="store_true", dest="as_json")
+    sp = sub.add_parser("explain", help="show a transformer's docs + params")
+    sp.add_argument("name")
+
     # catalog queries (reference cli/catalog.py: runs/tables/metrics/stats)
     sp = sub.add_parser("catalog", help="query system-catalog metadata")
     sp.add_argument(
@@ -100,6 +112,59 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("--format", default="parquet")
     args = p.parse_args(argv)
+
+    if args.cmd == "list":
+        import odibi_spark.operators  # noqa: F401 — registers transforms
+        from odibi_spark.registry import get_registry
+
+        if args.what == "transformers":
+            reg = get_registry()
+            entries = {
+                name: (reg.get(name).__doc__ or "").strip().splitlines()[0]
+                if (reg.get(name).__doc__ or "").strip() else ""
+                for name in reg.list()
+            }
+        elif args.what == "patterns":
+            import typing
+
+            from odibi_spark.plans.config import PatternConfig
+
+            entries = {
+                t: "" for t in typing.get_args(
+                    PatternConfig.model_fields["type"].annotation
+                )
+            }
+        else:  # formats
+            from odibi_spark.io.read import list_formats
+
+            entries = {f: "" for f in list_formats()}
+        if args.as_json:
+            print(json.dumps(entries, indent=2))
+        else:
+            for name, doc in entries.items():
+                print(f"{name}  {doc}".rstrip())
+        return 0
+
+    if args.cmd == "explain":
+        import inspect
+
+        import odibi_spark.operators  # noqa: F401
+        from odibi_spark.registry import get_registry
+
+        reg = get_registry()
+        if not reg.has(args.name):
+            print(
+                f"unknown transformer '{args.name}'; run "
+                "`odibi_spark list transformers`", file=sys.stderr,
+            )
+            return 1
+        fn = reg.get(args.name)
+        print(f"{args.name}{inspect.signature(fn)}")
+        doc = inspect.getdoc(fn)
+        if doc:
+            print()
+            print(doc)
+        return 0
 
     if args.cmd == "export":
         from odibi_spark.orchestration import (

@@ -27,6 +27,18 @@ def register_format(name: str, reader: Callable[..., DataFrame]) -> None:
     _CUSTOM_READERS[name] = reader
 
 
+#: builtin formats read_table dispatches on before the plugin hook
+_BUILTIN_FORMATS = [
+    "parquet", "csv", "json", "orc", "text", "avro", "delta",
+    "simulation", "api", "cloudfiles", "jdbc", "rate", "kafka", "socket",
+]
+
+
+def list_formats() -> list[str]:
+    """Builtin + plugin-registered read formats (CLI `list formats`)."""
+    return sorted(set(_BUILTIN_FORMATS) | set(_CUSTOM_READERS))
+
+
 def _nanos_timestamp_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
     reader rejects outright. Footer inspection is a driver-side metadata

@@ -104,3 +104,49 @@ def test_doctor_reports_capability_resolution():
     assert caps["xlsx_reader"] == "pure-python (io.xlsx)"
     assert caps["delta_paths"].startswith("gated")
     assert "spark-avro" in caps["avro_read"]
+
+
+class TestListExplainCli:
+    """list/explain introspection verbs (reference cli/list_cmd.py)."""
+
+    def test_list_transformers(self, capsys):
+        from odibi_spark.cli import main
+
+        assert main(["list", "transformers"]) == 0
+        out = capsys.readouterr().out
+        for name in ("filter_rows", "aggregate", "sample", "window_calculation"):
+            assert any(line.startswith(name + " ") or line == name
+                       for line in out.splitlines()), name
+
+    def test_list_patterns_and_formats_json(self, capsys):
+        import json
+
+        from odibi_spark.cli import main
+
+        assert main(["list", "patterns", "--json"]) == 0
+        pats = json.loads(capsys.readouterr().out)
+        assert {"scd2", "merge", "dimension", "fact"} <= set(pats)
+        assert main(["list", "formats", "--json"]) == 0
+        fmts = json.loads(capsys.readouterr().out)
+        assert {"parquet", "csv", "excel", "simulation"} <= set(fmts)
+
+    def test_explain_known_and_unknown(self, capsys):
+        from odibi_spark.cli import main
+
+        assert main(["explain", "sample"]) == 0
+        out = capsys.readouterr().out
+        assert "portable_key" in out and "fraction" in out
+        assert main(["explain", "not_a_transform"]) == 1
+        assert "unknown transformer" in capsys.readouterr().err
+
+    def test_python_dash_m_entry_point(self):
+        """python -m odibi_spark must work — exported orchestrator
+        tasks shell out to it."""
+        import subprocess
+        import sys
+
+        r = subprocess.run(
+            [sys.executable, "-m", "odibi_spark", "list", "patterns"],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0 and "scd2" in r.stdout
