@@ -149,6 +149,52 @@ class Catalog:
     def daily_stats(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.root}/meta_daily_stats")
 
+    def pipeline_health(self, *, now: float | None = None) -> DataFrame:
+        """Per-pipeline health snapshot (reference: odibi/catalog.py
+        meta_pipeline_health, maintained by derived_updater upserts).
+        Computed on demand from meta_runs instead of maintained as a
+        second table — meta_runs is O(runs x nodes) small, one
+        aggregate is cheaper and can never drift from its source.
+        A run is successful when EVERY node row of it succeeded."""
+        from pyspark.sql import functions as F
+
+        ref = float(now if now is not None else time.time())
+        runs = self.runs().groupBy("run_id", "pipeline").agg(
+            F.min(
+                (F.col("status") == "success").cast("int")
+            ).alias("ok"),
+            F.max("finished_at").alias("finished_at"),
+            F.sum("rows_written").alias("rows_written"),
+            F.max("duration_s").alias("duration_s"),
+        )
+        week = ref - 7 * 86400.0
+        month = ref - 30 * 86400.0
+        ok_at = lambda since: (  # noqa: E731
+            F.sum(F.when(F.col("finished_at") >= since,
+                         F.col("ok")).otherwise(F.lit(0))),
+            F.sum(F.when(F.col("finished_at") >= since,
+                         F.lit(1)).otherwise(F.lit(0))),
+        )
+        ok7, n7 = ok_at(week)
+        ok30, n30 = ok_at(month)
+        return runs.groupBy("pipeline").agg(
+            F.count(F.lit(1)).alias("total_runs"),
+            F.sum("ok").alias("total_successes"),
+            (F.count(F.lit(1)) - F.sum("ok")).alias("total_failures"),
+            (ok7 / F.nullif(n7, F.lit(0))).alias("success_rate_7d"),
+            (ok30 / F.nullif(n30, F.lit(0))).alias("success_rate_30d"),
+            F.sum(
+                F.when(F.col("finished_at") >= month, F.col("rows_written"))
+            ).alias("total_rows_30d"),
+            F.max(
+                F.when(F.col("ok") == 1, F.col("finished_at"))
+            ).alias("last_success_at"),
+            F.max(
+                F.when(F.col("ok") == 0, F.col("finished_at"))
+            ).alias("last_failure_at"),
+            F.max("finished_at").alias("last_run_at"),
+        )
+
 
 def run_pipeline_with_catalog(pipeline, *, catalog: Catalog, parallel: bool = False):
     """Run a Pipeline and record per-node results + lineage metadata

@@ -89,7 +89,8 @@ def main(argv: list[str] | None = None) -> int:
     # catalog queries (reference cli/catalog.py: runs/tables/metrics/stats)
     sp = sub.add_parser("catalog", help="query system-catalog metadata")
     sp.add_argument(
-        "what", choices=["runs", "tables", "metrics", "daily-stats"]
+        "what",
+        choices=["runs", "tables", "metrics", "daily-stats", "health"],
     )
     sp.add_argument("--root", required=True, help="catalog root path")
     sp.add_argument("--pipeline", help="filter by pipeline name")
@@ -198,6 +199,7 @@ def main(argv: list[str] | None = None) -> int:
         reader = {
             "runs": cat.runs, "tables": cat.tables,
             "metrics": cat.metrics, "daily-stats": cat.daily_stats,
+            "health": cat.pipeline_health,
         }[args.what]
         df = reader()
         if args.pipeline:

@@ -235,3 +235,70 @@ nodes:
         assert s.runs == 2 and s.successes == 2 and s.failures == 0
         assert s.total_rows == 6
         assert s.total_duration_s > 0
+
+
+class TestPipelineHealth:
+    def test_health_snapshot_from_runs(self, spark, tmp_path):
+        """pipeline_health derives success rates and last-run marks
+        from meta_runs; a run counts as successful only when EVERY
+        node row succeeded."""
+        import time as _t
+
+        from odibi_spark.catalog import Catalog
+
+        cat = Catalog(spark, str(tmp_path / "_sys"))
+        now = _t.time()
+
+        class R:
+            def __init__(self, status, rows=10):
+                self.status = status
+                self.rows_written = rows
+                self.error = None
+                self.duration_s = 1.0
+
+        # run 1 (8 days ago): all good; run 2 (today): one node failed
+        cat.record_run(
+            run_id="r1", pipeline="p",
+            results={"a": R("success"), "b": R("success")},
+            started_at=now - 8 * 86400, finished_at=now - 8 * 86400 + 5,
+        )
+        cat.record_run(
+            run_id="r2", pipeline="p",
+            results={"a": R("success"), "b": R("failed")},
+            started_at=now - 60, finished_at=now - 30,
+        )
+        h = {r.pipeline: r for r in cat.pipeline_health(now=now).collect()}
+        p = h["p"]
+        assert p.total_runs == 2
+        assert p.total_successes == 1 and p.total_failures == 1
+        # only r2 is inside 7d and it failed
+        assert p.success_rate_7d == 0.0
+        assert p.success_rate_30d == 0.5
+        assert p.last_success_at == pytest.approx(now - 8 * 86400 + 5)
+        assert p.last_failure_at == pytest.approx(now - 30)
+        assert p.last_run_at == pytest.approx(now - 30)
+
+    def test_health_cli(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from odibi_spark.catalog import Catalog
+        from odibi_spark.cli import main
+
+        cat = Catalog(spark, str(tmp_path / "_sys"))
+
+        class R:
+            status = "success"
+            rows_written = 5
+            error = None
+            duration_s = 0.5
+
+        import time as _t
+
+        now = _t.time()
+        cat.record_run(
+            run_id="x", pipeline="q", results={"n": R()},
+            started_at=now - 10, finished_at=now,
+        )
+        assert main(["catalog", "health", "--root", str(tmp_path / "_sys")]) == 0
+        rows = _json.loads(capsys.readouterr().out)
+        assert rows[0]["pipeline"] == "q" and rows[0]["total_runs"] == 1
