@@ -34,6 +34,16 @@ METRIC_SCHEMA = (
     "value double, recorded_at double"
 )
 DAILY_STATS_GRAIN = ["date", "pipeline"]
+# deployed pipeline/node definitions (reference: odibi/catalog.py:872
+# meta_pipelines, :888 meta_nodes — version_hash keys staleness)
+PIPELINE_SCHEMA = (
+    "pipeline string, version_hash string, n_nodes bigint, "
+    "config_json string, deployed_at double"
+)
+NODE_SCHEMA = (
+    "pipeline string, node string, version_hash string, "
+    "depends_on_json string, config_json string, deployed_at double"
+)
 
 
 class Catalog:
@@ -135,6 +145,66 @@ class Catalog:
                 "total_duration_s": "sum(total_duration_s)",
             },
             strategy="merge_sum",
+        )
+
+    def deploy(self, config) -> str:
+        """Record a pipeline's definition in the catalog (reference CLI
+        ``deploy`` verb: odibi/cli/main.py:439 — definitions become
+        queryable metadata). Appends one meta_pipelines row + one
+        meta_nodes row per node, keyed by a content hash of the config
+        so repeated deploys of identical YAML are detectable (latest
+        row per (pipeline, version_hash) wins on read). Returns the
+        version hash."""
+        import hashlib
+
+        cfg_json = config.model_dump_json()
+        vh = hashlib.sha256(cfg_json.encode()).hexdigest()[:16]
+        now = time.time()
+        self._append(
+            "pipelines",
+            [(config.name, vh, len(config.nodes), cfg_json, now)],
+            PIPELINE_SCHEMA,
+        )
+        self._append(
+            "nodes",
+            [
+                (
+                    config.name, n.name, vh,
+                    json.dumps(n.depends_on), n.model_dump_json(), now,
+                )
+                for n in config.nodes
+            ],
+            NODE_SCHEMA,
+        )
+        return vh
+
+    def pipelines(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.root}/meta_pipelines")
+
+    def nodes(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.root}/meta_nodes")
+
+    def schema_history(self, table_path: str | None = None) -> DataFrame:
+        """Recorded schema versions over time (reference meta_schemas,
+        odibi/catalog.py:903; CLI ``schema history``): meta_tables
+        appends one row with schema_json per successful catalogued
+        write, so the history IS the append log — deduplicated to
+        schema-change points, ordered oldest-first per table."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        t = self.tables()
+        if table_path is not None:
+            t = t.filter(t.table_path == table_path)
+        w = Window.partitionBy("table_path").orderBy("updated_at")
+        return (
+            t.withColumn("__prev", F.lag("schema_json").over(w))
+            .filter(
+                F.col("__prev").isNull()
+                | (F.col("__prev") != F.col("schema_json"))
+            )
+            .select("table_path", "schema_json", "updated_at")
+            .orderBy("table_path", "updated_at")
         )
 
     def runs(self) -> DataFrame:

@@ -90,11 +90,20 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("catalog", help="query system-catalog metadata")
     sp.add_argument(
         "what",
-        choices=["runs", "tables", "metrics", "daily-stats", "health"],
+        choices=["runs", "tables", "metrics", "daily-stats", "health",
+                 "pipelines", "nodes", "schema-history"],
     )
     sp.add_argument("--root", required=True, help="catalog root path")
     sp.add_argument("--pipeline", help="filter by pipeline name")
+    sp.add_argument("--table", help="filter schema-history by table path")
     sp.add_argument("--limit", type=int, default=20)
+
+    # deploy definitions into the catalog (reference cli/main.py:439)
+    sp = sub.add_parser(
+        "deploy", help="record pipeline definitions in the system catalog"
+    )
+    sp.add_argument("pipeline", help="pipeline YAML path")
+    sp.add_argument("--root", required=True, help="catalog root path")
 
     # table maintenance (open-format twin of the reference's Delta
     # auto_optimize/zorder write options)
@@ -196,16 +205,33 @@ def main(argv: list[str] | None = None) -> int:
         from odibi_spark.catalog import Catalog
 
         cat = Catalog(get_spark("catalog"), args.root)
-        reader = {
-            "runs": cat.runs, "tables": cat.tables,
-            "metrics": cat.metrics, "daily-stats": cat.daily_stats,
-            "health": cat.pipeline_health,
-        }[args.what]
-        df = reader()
-        if args.pipeline:
+        if args.what == "schema-history":
+            df = cat.schema_history(args.table)
+        else:
+            reader = {
+                "runs": cat.runs, "tables": cat.tables,
+                "metrics": cat.metrics, "daily-stats": cat.daily_stats,
+                "health": cat.pipeline_health,
+                "pipelines": cat.pipelines, "nodes": cat.nodes,
+            }[args.what]
+            df = reader()
+        if args.pipeline and "pipeline" in df.columns:
             df = df.filter(df.pipeline == args.pipeline)
         rows = [r.asDict() for r in df.limit(args.limit).collect()]
         print(json.dumps(rows, indent=2, default=str))
+        return 0
+
+    if args.cmd == "deploy":
+        from odibi_spark import get_spark
+        from odibi_spark.catalog import Catalog
+        from odibi_spark.plans.config import load_pipeline_yaml
+
+        cfg = load_pipeline_yaml(args.pipeline)
+        vh = Catalog(get_spark("deploy"), args.root).deploy(cfg)
+        print(json.dumps(
+            {"pipeline": cfg.name, "version_hash": vh,
+             "nodes": len(cfg.nodes)}
+        ))
         return 0
 
     if args.cmd == "maintain":

@@ -302,3 +302,59 @@ class TestPipelineHealth:
         assert main(["catalog", "health", "--root", str(tmp_path / "_sys")]) == 0
         rows = _json.loads(capsys.readouterr().out)
         assert rows[0]["pipeline"] == "q" and rows[0]["total_runs"] == 1
+
+
+class TestDeployAndSchemaHistory:
+    def test_deploy_records_definitions(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from odibi_spark.cli import main
+
+        y = tmp_path / "p.yaml"
+        y.write_text(f"""
+name: dep_demo
+nodes:
+  - name: a
+    read: {{path: "{tmp_path}/in.parquet"}}
+  - name: b
+    depends_on: [a]
+    transform:
+      - sql: "SELECT * FROM a"
+""")
+        assert main(["deploy", str(y), "--root", str(tmp_path / "_sys")]) == 0
+        out = _json.loads(capsys.readouterr().out)
+        assert out["pipeline"] == "dep_demo" and out["nodes"] == 2
+        vh = out["version_hash"]
+
+        # identical redeploy produces the SAME version hash
+        assert main(["deploy", str(y), "--root", str(tmp_path / "_sys")]) == 0
+        assert _json.loads(capsys.readouterr().out)["version_hash"] == vh
+
+        assert main([
+            "catalog", "pipelines", "--root", str(tmp_path / "_sys"),
+        ]) == 0
+        rows = _json.loads(capsys.readouterr().out)
+        assert all(r["version_hash"] == vh for r in rows) and len(rows) == 2
+
+        assert main([
+            "catalog", "nodes", "--root", str(tmp_path / "_sys"),
+        ]) == 0
+        nodes = _json.loads(capsys.readouterr().out)
+        by_node = {r["node"]: r for r in nodes if r["version_hash"] == vh}
+        assert _json.loads(by_node["b"]["depends_on_json"]) == ["a"]
+
+    def test_schema_history_dedups_to_change_points(self, spark, tmp_path):
+        from odibi_spark.catalog import Catalog
+
+        cat = Catalog(spark, str(tmp_path / "_sys"))
+        df1 = spark.createDataFrame([(1, "x")], "k long, v string")
+        df2 = spark.createDataFrame([(1.0, "x")], "k double, v string")
+        for df in (df1, df1, df2, df2):  # two writes per schema version
+            cat.record_table(
+                table_path="/lake/t", pipeline="p", node="n", df=df,
+            )
+        hist = cat.schema_history("/lake/t").collect()
+        assert len(hist) == 2  # only the change points survive
+        assert "bigint" in hist[0].schema_json
+        assert "double" in hist[1].schema_json
+        assert hist[0].updated_at < hist[1].updated_at
