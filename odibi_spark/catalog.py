@@ -207,6 +207,29 @@ class Catalog:
             .orderBy("table_path", "updated_at")
         )
 
+    def schema_diff(self, table_path: str) -> dict:
+        """Diff the last two recorded schema versions of a table
+        (reference CLI ``schema diff``). Returns {added, removed,
+        changed, from_at, to_at}; a table with fewer than two recorded
+        versions diffs against an empty schema."""
+        hist = self.schema_history(table_path).collect()
+        if not hist:
+            raise ValueError(f"no recorded schema for '{table_path}'")
+        prev = json.loads(hist[-2].schema_json) if len(hist) > 1 else {}
+        cur = json.loads(hist[-1].schema_json)
+        return {
+            "table_path": table_path,
+            "added": {c: t for c, t in cur.items() if c not in prev},
+            "removed": {c: t for c, t in prev.items() if c not in cur},
+            "changed": {
+                c: {"from": prev[c], "to": cur[c]}
+                for c in cur
+                if c in prev and prev[c] != cur[c]
+            },
+            "from_at": hist[-2].updated_at if len(hist) > 1 else None,
+            "to_at": hist[-1].updated_at,
+        }
+
     def runs(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.root}/meta_runs")
 

@@ -91,7 +91,7 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument(
         "what",
         choices=["runs", "tables", "metrics", "daily-stats", "health",
-                 "pipelines", "nodes", "schema-history"],
+                 "pipelines", "nodes", "schema-history", "schema-diff"],
     )
     sp.add_argument("--root", required=True, help="catalog root path")
     sp.add_argument("--pipeline", help="filter by pipeline name")
@@ -205,6 +205,12 @@ def main(argv: list[str] | None = None) -> int:
         from odibi_spark.catalog import Catalog
 
         cat = Catalog(get_spark("catalog"), args.root)
+        if args.what == "schema-diff":
+            if not args.table:
+                print("--table is required for schema-diff", file=sys.stderr)
+                return 2
+            print(json.dumps(cat.schema_diff(args.table), indent=2))
+            return 0
         if args.what == "schema-history":
             df = cat.schema_history(args.table)
         else:

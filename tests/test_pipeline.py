@@ -358,3 +358,35 @@ nodes:
         assert "bigint" in hist[0].schema_json
         assert "double" in hist[1].schema_json
         assert hist[0].updated_at < hist[1].updated_at
+
+    def test_schema_diff(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from odibi_spark.catalog import Catalog
+        from odibi_spark.cli import main
+
+        cat = Catalog(spark, str(tmp_path / "_sys"))
+        cat.record_table(
+            table_path="/lake/t", pipeline="p", node="n",
+            df=spark.createDataFrame([(1, "x")], "k long, v string"),
+        )
+        cat.record_table(
+            table_path="/lake/t", pipeline="p", node="n",
+            df=spark.createDataFrame(
+                [(1.0, "x", True)], "k double, v string, flag boolean"
+            ),
+        )
+        d = cat.schema_diff("/lake/t")
+        assert d["added"] == {"flag": "boolean"}
+        assert d["removed"] == {}
+        assert d["changed"] == {"k": {"from": "bigint", "to": "double"}}
+        assert main([
+            "catalog", "schema-diff", "--root", str(tmp_path / "_sys"),
+            "--table", "/lake/t",
+        ]) == 0
+        out = _json.loads(capsys.readouterr().out)
+        assert out["changed"]["k"]["to"] == "double"
+        # missing --table is a usage error
+        assert main([
+            "catalog", "schema-diff", "--root", str(tmp_path / "_sys"),
+        ]) == 2
