@@ -230,6 +230,19 @@ class Catalog:
             "to_at": hist[-1].updated_at,
         }
 
+    def state_backend(self):
+        """HWM state stored IN the catalog as ``meta_state`` — the
+        reference's catalog state backend posture
+        (odibi/state/__init__.py catalog-Delta backend; schema
+        odibi/catalog.py meta_state key/value). Pass to incremental
+        nodes/`run_incremental_dedup` like any other StateBackend."""
+        from odibi_spark.state.hwm import ParquetStateBackend
+
+        return ParquetStateBackend(self.spark, f"{self.root}/meta_state")
+
+    def state(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.root}/meta_state")
+
     def runs(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.root}/meta_runs")
 

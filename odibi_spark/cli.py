@@ -91,7 +91,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument(
         "what",
         choices=["runs", "tables", "metrics", "daily-stats", "health",
-                 "pipelines", "nodes", "schema-history", "schema-diff"],
+                 "pipelines", "nodes", "schema-history", "schema-diff",
+                 "state"],
     )
     sp.add_argument("--root", required=True, help="catalog root path")
     sp.add_argument("--pipeline", help="filter by pipeline name")
@@ -219,6 +220,7 @@ def main(argv: list[str] | None = None) -> int:
                 "metrics": cat.metrics, "daily-stats": cat.daily_stats,
                 "health": cat.pipeline_health,
                 "pipelines": cat.pipelines, "nodes": cat.nodes,
+                "state": cat.state,
             }[args.what]
             df = reader()
         if args.pipeline and "pipeline" in df.columns:

@@ -390,3 +390,25 @@ nodes:
         assert main([
             "catalog", "schema-diff", "--root", str(tmp_path / "_sys"),
         ]) == 2
+
+    def test_catalog_state_backend(self, spark, tmp_path, capsys):
+        """meta_state: HWM state lives IN the catalog (reference
+        catalog state backend) and is queryable via the CLI."""
+        import json as _json
+
+        from odibi_spark.catalog import Catalog
+        from odibi_spark.cli import main
+
+        cat = Catalog(spark, str(tmp_path / "_sys"))
+        sb = cat.state_backend()
+        assert sb.get("hwm") is None
+        sb.set("hwm", "2026-08-14")
+        sb.set("other", "42")
+        assert sb.get("hwm") == "2026-08-14"
+        # a fresh backend object over the same catalog sees the state
+        assert cat.state_backend().get("other") == "42"
+        assert main(["catalog", "state", "--root", str(tmp_path / "_sys")]) == 0
+        rows = _json.loads(capsys.readouterr().out)
+        assert {r["key"]: r["value"] for r in rows} == {
+            "hwm": "2026-08-14", "other": "42",
+        }
