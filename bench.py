@@ -354,7 +354,10 @@ def compare_prev(out: dict, prev_path: str) -> dict:
     ratios, regressions = {}, {}
     for name, sec in sorted(cur_q.items()):
         p = prev_q.get(name)
-        if not p or p <= 0:
+        # non-numeric prev values (older/hand-edited artifact shapes)
+        # are skipped, not fatal — review r7: `p <= 0` on a dict/str
+        # raised TypeError past the caller's (ValueError, KeyError)
+        if not isinstance(p, (int, float)) or p <= 0:
             continue
         r = round(sec / p, 3)
         ratios[name] = r

@@ -396,8 +396,40 @@ def main(argv: list[str] | None = None) -> int:
     pipe = Pipeline(cfg, spark)
     if getattr(args, "node", None):
         # per-task orchestration entry point: exported Airflow/Dagster
-        # tasks call this once per node
+        # tasks call this once per node. --catalog composes (the run is
+        # recorded under the pipeline name with this one node's
+        # result); --story needs whole-pipeline context and is refused
+        # rather than silently ignored (review r7).
+        if getattr(args, "story", None):
+            print("--story cannot be combined with --node (a story "
+                  "covers a full pipeline run)", file=sys.stderr)
+            return 2
+        import time as _time
+        import uuid as _uuid
+
+        t0 = _time.time()
         r = pipe.run_node(args.node)
+        if getattr(args, "catalog", None):
+            from odibi_spark.catalog import Catalog
+
+            cat = Catalog(spark, args.catalog)
+            run_id = str(_uuid.uuid4())
+            cat.record_run(
+                run_id=run_id, pipeline=cfg.name, results={args.node: r},
+                started_at=t0, finished_at=_time.time(),
+            )
+            metrics = {
+                "rows_written": float(r.rows_written or 0),
+                "duration_s": float(r.duration_s or 0.0),
+            }
+            for v in r.validation or []:
+                metrics[f"validation.{v.name}.failed_rows"] = float(v.failed_rows)
+                metrics[f"validation.{v.name}.passed"] = 1.0 if v.passed else 0.0
+            cat.record_metrics(
+                run_id=run_id, pipeline=cfg.name, node=args.node,
+                metrics=metrics,
+            )
+            print(f"run_id: {run_id}")
         print(json.dumps({args.node: r.status, "error": r.error}, indent=2))
         return 0 if r.status == "success" else 1
     if getattr(args, "catalog", None):

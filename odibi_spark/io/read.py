@@ -200,6 +200,13 @@ def read_source(
         )
         df = spark.read.format("jdbc").options(**merged).load()
         filter = None
+    elif fmt == "api":
+        # driver-side paginated HTTP fetch (sources/api.py); path is
+        # the URL and options pass through UN-stringified — fetch_all
+        # takes dict/int/callable kwargs (params, page_size, transport)
+        from odibi_spark.sources.api import read_api
+
+        df = read_api(spark, path, schema=schema, **(options or {}))
     elif table:
         df = spark.read.table(table)
     elif fmt == "parquet":

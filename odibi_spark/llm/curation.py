@@ -463,8 +463,15 @@ def corpus_overlap(
         F.col("union_est").cast("double").alias("union_est"),
         inter.alias("intersection_est"),
         # union_est == 0 (both corpora empty) is a defined 0.0 overlap,
-        # not a NULL from 0/0
-        F.when(F.col("union_est").cast("double") > 0,
-               F.round(inter / F.col("union_est").cast("double"), 6))
+        # not a NULL from 0/0; the ratio itself is clamped at 1.0 —
+        # sketch error can leave union_est BELOW min(A, B) (inter's
+        # bound), and inter/union would then exceed 1 (review r7)
+        F.when(
+            F.col("union_est").cast("double") > 0,
+            F.least(
+                F.lit(1.0),
+                F.round(inter / F.col("union_est").cast("double"), 6),
+            ),
+        )
         .otherwise(F.lit(0.0)).alias("jaccard_est"),
     )

@@ -170,6 +170,33 @@ class SignatureStore:
         # with different constructor values would adopt its own
         # geometry and prune the wrong buckets. Atomic via temp+rename.
         if not os.path.exists(self._meta):
+            if os.path.exists(self._bands):
+                # pre-fix store crashed between bands and meta: those
+                # bands' geometry is unknowable — stamping THIS
+                # process's meta would retroactively bless them and
+                # reintroduce the mixed-geometry pruning bug (review
+                # r7). Bands are a derived index over sigs, so rebuild
+                # the WHOLE index from the signature table with this
+                # process's geometry (dropping alone would orphan
+                # earlier batches from every future pruned probe).
+                import shutil
+
+                shutil.rmtree(self._bands)
+                if os.path.exists(self._sigs):
+                    stored = self.spark.read.parquet(self._sigs)
+                    rebanded = _with_bucket(
+                        dedup.band_keys(
+                            stored.drop("batch_id"), self.bands,
+                            self.rows_per_band, self.hasher,
+                        ),
+                        self.n_buckets,
+                    ).join(stored.select("id", "batch_id"), "id")
+                    (
+                        rebanded.repartition("bucket")
+                        .write.mode("overwrite")
+                        .partitionBy("batch_id", "bucket")
+                        .parquet(self._bands)
+                    )
             os.makedirs(self.path, exist_ok=True)
             tmp = self._meta + ".tmp"
             with open(tmp, "w") as fh:

@@ -74,10 +74,19 @@ def png_bmp_image_decoder(payload: bytes) -> dict:
         channels = _PNG_CHANNELS.get(color_type)
         if channels is None:
             raise ValueError(f"invalid PNG color type {color_type}")
-    elif len(payload) >= 30 and payload[:2] == b"BM":
-        width, height = struct.unpack("<ii", payload[18:26])
-        height = abs(height)
-        bpp = struct.unpack("<H", payload[28:30])[0]
+    elif len(payload) >= 26 and payload[:2] == b"BM":
+        hdr_size = struct.unpack("<I", payload[14:18])[0]
+        if hdr_size == 12:  # OS/2 BITMAPCOREHEADER: u16 dims, bpp at 24
+            width, height = struct.unpack("<HH", payload[18:22])
+            bpp = struct.unpack("<H", payload[24:26])[0]
+        elif hdr_size in (40, 52, 56, 64, 108, 124) and len(payload) >= 30:
+            # BITMAPINFOHEADER and its V2-V5 extensions share the
+            # i32 width/height + u16 bpp layout
+            width, height = struct.unpack("<ii", payload[18:26])
+            height = abs(height)  # negative = top-down row order
+            bpp = struct.unpack("<H", payload[28:30])[0]
+        else:
+            raise ValueError(f"unrecognized BMP header size {hdr_size}")
         channels = max(1, bpp // 8)
     else:
         raise ValueError("not a PNG or BMP payload")
@@ -95,7 +104,7 @@ def default_image_decoder(payload: bytes) -> dict:
     test payloads and the plumbing oracle working)."""
     try:
         return png_bmp_image_decoder(payload)
-    except ValueError:
+    except (ValueError, struct.error):
         return fake_image_decoder(payload)
 
 
@@ -236,9 +245,15 @@ def wav_audio_decoder(payload: bytes) -> dict:
 
 def default_audio_decoder(payload: bytes) -> dict:
     """Dispatch on magic bytes: real WAV parse for RIFF/WAVE payloads,
-    deterministic fake otherwise."""
+    deterministic fake otherwise — including RIFF payloads the stdlib
+    parser cannot handle (24/32-bit PCM, compressed codecs, truncated
+    headers): one undecodable file in a corpus must not kill the whole
+    mapInPandas job."""
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return wav_audio_decoder(payload)
+        try:
+            return wav_audio_decoder(payload)
+        except (wave.Error, ValueError, struct.error, EOFError):
+            pass
     return fake_audio_decoder(payload)
 
 

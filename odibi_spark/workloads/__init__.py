@@ -100,7 +100,8 @@ _R8_ROTATE_IN = [
 ]
 
 _unknown_rotate = (
-    set(_R7_ROTATE_IN) | set(_R5_CHECKED_REFRESH) | set(_R8_ROTATE_IN)
+    set(_R7_ROTATE_IN) | set(_R7_NEW) | set(_R5_CHECKED_REFRESH)
+    | set(_R8_ROTATE_IN)
 ) - set(_ALL_QUERIES)
 if _unknown_rotate:  # fail loudly: a stale queue would silently shrink
     raise RuntimeError(  # the next round's driver-checked head

@@ -894,6 +894,32 @@ class TestIncrementalDedup:
         for k, v in got.items():
             assert want[k] == v, (k, v, want[k])
 
+    def test_orphan_bands_rebuilt_not_blessed(self, spark, tmp_path):
+        """Review r7: appending to a store whose bands exist WITHOUT
+        meta (pre-fix crash window) must rebuild the whole band index
+        from the signature table — stamping meta around the unknown
+        bands would bless mixed geometry, and merely dropping them
+        would orphan earlier batches from every pruned probe."""
+        import os as _os
+
+        df, store, state = self._setup(spark, tmp_path / "ob")
+        want = self._run(df.filter("doc_id <= 3"), store, state, "b1")
+        want.update(self._run(df.filter("doc_id = 4"), store, state, "b2"))
+        want.update(self._run(df, store, state, "b3"))
+
+        df2, store2, state2 = self._setup(spark, tmp_path / "ob2")
+        self._run(df2.filter("doc_id <= 3"), store2, state2, "b1")
+        # simulate the pre-fix crash: bands present, meta missing
+        _os.remove(str(tmp_path / "ob2" / "sigs" / "_store_meta.json"))
+        self._run(df2.filter("doc_id = 4"), store2, state2, "b2")
+        # meta restored by the rebuild; the band index must cover b1
+        # again: doc 5 (dup of doc 3, which arrived in b1) is caught
+        # through the PRUNED banded path, proving b1's bands exist
+        assert _os.path.exists(str(tmp_path / "ob2" / "sigs" / "_store_meta.json"))
+        got = self._run(df2, store2, state2, "b3")
+        for k, v in got.items():
+            assert want[k] == v, (k, v, want[k])
+
     def test_two_batch_replay_equals_one_shot(self, spark, tmp_path):
         df, store, state = self._setup(spark, tmp_path / "a")
         one_shot = self._run(df, store, state, "all")
@@ -1246,3 +1272,4 @@ class TestSplitDataset:
             split_dataset(
                 spark.range(5), splits={"train": 0.5}, key_col="id"
             )
+

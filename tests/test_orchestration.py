@@ -94,7 +94,7 @@ class TestDagsterExport:
             assert f"def {asset}(" in code
         assert "deps=['silver_clean']" in code or 'deps=["silver_clean"]' in code
         assert "Definitions(assets=[bronze, silver_clean, gold])" in code
-        assert 'PIPELINE_YAML = "/etc/pipe.yaml"' in code
+        assert "PIPELINE_YAML = '/etc/pipe.yaml'" in code  # repr-rendered
 
     def test_asset_name_collision_raises(self):
         cfg = load_pipeline_yaml(
@@ -243,3 +243,68 @@ nodes:
             "--pipeline", "no_such",
         ]) == 0
         assert _json.loads(capsys.readouterr().out) == []
+
+
+class TestReviewFixes:
+    """Round-7 review findings on the exporters (sanitization,
+    quoting) and CLI composition."""
+
+    def test_airflow_rejects_invalid_task_id(self):
+        from odibi_spark.orchestration import render_airflow_dag
+        from odibi_spark.plans.config import load_pipeline_yaml
+
+        cfg = load_pipeline_yaml("""
+name: bad
+nodes:
+  - name: "load data"
+    read: {path: "/x.parquet"}
+""")
+        with pytest.raises(ValueError, match="task id"):
+            render_airflow_dag(cfg, yaml_path="p.yaml")
+
+    def test_airflow_quotes_paths_with_spaces(self, cfg):
+        from odibi_spark.orchestration import render_airflow_dag
+
+        code = render_airflow_dag(cfg, yaml_path="/my dir/p.yaml")
+        compile(code, "dag.py", "exec")
+        assert "'/my dir/p.yaml'" in code  # shlex-quoted shell arg
+
+    def test_dagster_sanitizes_dots_and_digits(self):
+        from odibi_spark.orchestration import render_dagster_definitions
+        from odibi_spark.plans.config import load_pipeline_yaml
+
+        cfg = load_pipeline_yaml("""
+name: dots
+nodes:
+  - name: stage.load
+    read: {path: "/x.parquet"}
+  - name: 2nd-step
+    depends_on: [stage.load]
+    transform:
+      - sql: "SELECT * FROM `stage.load`"
+""")
+        code = render_dagster_definitions(cfg, yaml_path="p.yaml")
+        compile(code, "definitions.py", "exec")  # was a SyntaxError
+        assert "def stage_load(" in code and "def n_2nd_step(" in code
+        # the REAL node names still reach _run_node
+        assert "'stage.load'" in code and "'2nd-step'" in code
+
+    def test_cli_run_node_with_catalog_records(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from odibi_spark.catalog import Catalog
+        from odibi_spark.cli import main
+
+        y = tmp_path / "pipe.yaml"
+        y.write_text(TestPerNodeRun._yaml(TestPerNodeRun(), tmp_path))
+        root = str(tmp_path / "_sys")
+        assert main(["run", str(y), "--node", "bronze", "--catalog", root]) == 0
+        capsys.readouterr()
+        runs = Catalog(spark, root).runs().collect()
+        assert len(runs) == 1 and runs[0].node == "bronze"
+        m = {r.metric for r in Catalog(spark, root).metrics().collect()}
+        assert "rows_written" in m
+        # --story with --node is a usage error, not a silent no-op
+        assert main([
+            "run", str(y), "--node", "bronze", "--story", "/tmp/s.html",
+        ]) == 2

@@ -340,3 +340,23 @@ class TestPsychrometricInvariants:
             ws = [w for _, _, w in series]
             assert tds == sorted(tds), (t, tds)
             assert ws == sorted(ws), (t, ws)
+
+
+class TestApiDeclarativeRead:
+    def test_read_source_dispatches_api(self, spark):
+        """Review r7: 'api' is advertised by list_formats, so the
+        declarative read path must actually dispatch it (options pass
+        through un-stringified: transport is a callable)."""
+        from odibi_spark.io.read import read_source
+
+        pages = {None: ({"items": [{"k": 1}, {"k": 2}]}, {})}
+
+        def transport(url, params):
+            return pages[None]
+
+        df = read_source(
+            spark, format="api", path="http://x/items",
+            schema="k long",
+            options={"transport": transport, "records_path": "items"},
+        )
+        assert [r.k for r in df.orderBy("k").collect()] == [1, 2]

@@ -242,3 +242,55 @@ class TestRealDecoders:
         for r in out.values():
             assert r.sample_rate == 16000 and r.n_samples == 7
             assert r.rms == expect_rms
+
+    def test_audio_fallback_on_undecodable_riff(self):
+        """Review r7: a RIFF/WAVE payload the stdlib parser cannot
+        handle (24-bit PCM, truncated header) must fall back to the
+        fake decoder, not kill the whole mapInPandas job."""
+        import struct
+
+        from odibi_spark.llm import multimodal
+
+        # 24-bit PCM WAV: valid container, unsupported sample width
+        def wav24(n_frames=4, sr=8000):
+            data = b"\x00\x01\x02" * n_frames
+            fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 3, 3, 24)
+            chunks = (
+                b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+            return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+        p24 = wav24()
+        r = multimodal.default_audio_decoder(p24)
+        assert r == multimodal.fake_audio_decoder(p24)
+        # truncated/garbage RIFF
+        junk = b"RIFF\x10\x00\x00\x00WAVEgarbage"
+        assert (
+            multimodal.default_audio_decoder(junk)
+            == multimodal.fake_audio_decoder(junk)
+        )
+
+    def test_bmp_core_header_and_unknown_size(self):
+        """Review r7: OS/2 BITMAPCOREHEADER (12-byte, u16 dims) parses
+        correctly instead of fusing fields; unknown header sizes fall
+        back to the fake."""
+        import struct
+
+        from odibi_spark.llm import multimodal
+
+        core = (
+            b"BM" + struct.pack("<IHHI", 26, 0, 0, 26)
+            + struct.pack("<IHHHH", 12, 320, 200, 1, 24)
+        )
+        r = multimodal.png_bmp_image_decoder(core)
+        assert (r["width"], r["height"], r["channels"]) == (320, 200, 3)
+
+        weird = (
+            b"BM" + struct.pack("<IHHI", 122, 0, 0, 122)
+            + struct.pack("<IiiHH", 99, 64, 64, 1, 24) + b"\0" * 40
+        )
+        assert (
+            multimodal.default_image_decoder(weird)
+            == multimodal.fake_image_decoder(weird)
+        )
