@@ -243,6 +243,40 @@ class Catalog:
     def state(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.root}/meta_state")
 
+    def sla_status(
+        self, expected_every_hours: dict[str, float],
+        *, now: float | None = None,
+    ) -> DataFrame:
+        """Freshness SLA snapshot (reference: meta_sla_status,
+        odibi/catalog.py table list + derived_updater): for each
+        pipeline with a declared cadence, the hours since its last
+        SUCCESSFUL run and whether that breaches the expectation.
+        A pipeline with a declared SLA but no successful run ever is a
+        breach (hours_since_success = NULL, breached = true). Derived
+        from pipeline_health on demand — cannot drift."""
+        from pyspark.sql import functions as F
+
+        ref = float(now if now is not None else time.time())
+        sla = self.spark.createDataFrame(
+            [(p, float(h)) for p, h in expected_every_hours.items()],
+            "pipeline string, expected_every_hours double",
+        )
+        health = self.pipeline_health(now=ref).select(
+            "pipeline", "last_success_at"
+        )
+        hours = (F.lit(ref) - F.col("last_success_at")) / F.lit(3600.0)
+        return (
+            sla.join(health, "pipeline", "left")
+            .select(
+                "pipeline",
+                "expected_every_hours",
+                F.round(hours, 3).alias("hours_since_success"),
+                F.coalesce(
+                    hours > F.col("expected_every_hours"), F.lit(True)
+                ).alias("breached"),
+            )
+        )
+
     def runs(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.root}/meta_runs")
 

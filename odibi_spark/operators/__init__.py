@@ -10,6 +10,7 @@ from odibi_spark.operators import (  # noqa: F401
     manufacturing,
     rank,
     relational,
+    runtime_filter,
     skew,
     spatial,
     sql_core,

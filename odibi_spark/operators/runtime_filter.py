@@ -1,0 +1,100 @@
+"""Bloom-prefiltered joins — an explicit runtime-filter operator for
+joins whose small side is too big to broadcast as a hash relation but
+still selective against the big side.
+
+At 100 TB the cost of ``fact JOIN dim-subset`` is dominated by
+shuffling the fact table; when the dim subset matches only a fraction
+of fact rows, most of that shuffle is wasted. The pattern here builds
+a pure-SQL bitmap Bloom filter over the dim keys (~2 bytes/item at
+the defaults vs 8+ for a hash set — the same machinery as the
+decontamination prefilter, llm/curation.py:26), broadcasts the tiny
+bitmap table, and filters the fact side INSIDE whole-stage codegen
+BEFORE its exchange; the exact join afterwards removes the ~0.5%
+false positives, so the output is row-identical to the plain join.
+
+Spark's own runtime Bloom-filter injection
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``) does the same
+transparently when its thresholds and plan shapes allow; this
+operator is the explicit, YAML-surfaced form for when the optimizer
+does not fire (creation-side too large for its threshold, DataFrames
+built in memory with junk size stats, or a pre-filtered dim the
+caller KNOWS is selective).
+
+No reference counterpart — the reference's join layer
+(odibi/transformers/relational.py) always joins directly; this is a
+scale path beyond it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from odibi_spark.context import EngineContext
+from odibi_spark.registry import transform
+
+
+def bloom_semijoin_frames(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str | None = None,
+    how: str = "semi",
+    bits_per_item: int = 16,
+    hashes: int = 3,
+) -> DataFrame:
+    """``left`` semi/inner-joined to ``right`` with a Bloom prefilter
+    on the left side. Output is row-identical to the plain join (the
+    Bloom has no false negatives; the exact join removes false
+    positives) — only the plan changes: left rows whose key cannot be
+    in ``right`` are dropped before any exchange.
+
+    ``how``: "semi" (left rows that have a match, left columns only)
+    or "inner" (matched rows with right columns, duplicate keys
+    multiplying as usual).
+    """
+    from odibi_spark.llm.curation import bloom_might_contain, gram_bloom
+
+    if how not in ("semi", "inner"):
+        raise ValueError(
+            f"bloom_semijoin supports how='semi'|'inner', got '{how}' — "
+            "for anti joins the Bloom can only pre-PASS definite "
+            "non-members; use a plain left_anti join"
+        )
+    rkey = right_on or left_on
+    keys = right.select(rkey)
+    bloom, m, k = gram_bloom(
+        keys, col=rkey, bits_per_item=bits_per_item, hashes=hashes
+    )
+    pre = bloom_might_contain(left, bloom, m, k, col=left_on)
+    cond = pre[left_on] == right[rkey] if rkey != left_on else left_on
+    if how == "semi":
+        if rkey == left_on:
+            return pre.join(right.select(rkey).distinct(), on=left_on,
+                            how="left_semi")
+        return pre.join(right, on=cond, how="left_semi")
+    if rkey == left_on:
+        return pre.join(right, on=left_on, how="inner")
+    return pre.join(right, on=cond, how="inner")
+
+
+@transform("bloom_semijoin")
+def bloom_semijoin(
+    ctx: EngineContext,
+    *,
+    right: str | DataFrame,
+    left_on: str,
+    right_on: str | None = None,
+    how: str = "semi",
+    bits_per_item: int = 16,
+    hashes: int = 3,
+) -> EngineContext:
+    """YAML surface: ``right`` is a registered dataset name (like the
+    ``join`` transform's)."""
+    rdf = ctx.context.get(right) if isinstance(right, str) else right
+    return ctx.with_df(
+        bloom_semijoin_frames(
+            ctx.df, rdf, left_on=left_on, right_on=right_on, how=how,
+            bits_per_item=bits_per_item, hashes=hashes,
+        )
+    )

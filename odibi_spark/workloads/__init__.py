@@ -62,6 +62,7 @@ _R7_ROTATE_IN = [
 # checked, so they go right after the rotated-in block.
 _R7_NEW = [
     "sample_seeded_docs", "multimodal_audio_features",
+    "bloom_semijoin_orders",
 ]
 
 # Oldest r5-checked entries (in their r5 head order) — fill the head

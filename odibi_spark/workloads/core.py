@@ -1015,8 +1015,51 @@ WHERE CAST(concat('0x', substring(
 """
 
 
+def bloom_semijoin_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semijoin (beyond-reference runtime-filter
+    operator, operators/runtime_filter.py): orders of BUILDING-segment
+    customers via a ~2-byte/key bitmap Bloom probed JVM-side BEFORE
+    the join's exchange, exact semijoin after — row-identical to plain
+    WHERE EXISTS (the oracle), only the plan differs. Aggregated per
+    priority with the decimal-sum discipline."""
+    _prep(spark)
+    from odibi_spark.operators.runtime_filter import bloom_semijoin_frames
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").filter(
+        "c_mktsegment = 'BUILDING'"
+    )
+    semi = bloom_semijoin_frames(
+        orders, cust, left_on="o_custkey", right_on="c_custkey", how="semi"
+    )
+    return (
+        semi.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .cast("double").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+BLOOM_SEMIJOIN_SQL = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS sum_price
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM customer
+  WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING'
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "sample_seeded_docs": sample_seeded_docs,
+    "bloom_semijoin_orders": bloom_semijoin_orders,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -1054,6 +1097,7 @@ QUERIES = {
 
 ORACLES = {
     "sample_seeded_docs": SAMPLE_SEEDED_SQL,
+    "bloom_semijoin_orders": BLOOM_SEMIJOIN_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_revenue_by_nation": Q5_SQL,

@@ -412,3 +412,44 @@ nodes:
         assert {r["key"]: r["value"] for r in rows} == {
             "hwm": "2026-08-14", "other": "42",
         }
+
+    def test_sla_status(self, spark, tmp_path):
+        """SLA snapshot: fresh-enough, stale, and never-succeeded
+        pipelines each get the right breach flag."""
+        import time as _t
+
+        from odibi_spark.catalog import Catalog
+
+        cat = Catalog(spark, str(tmp_path / "_sys"))
+        now = _t.time()
+
+        class R:
+            def __init__(self, status):
+                self.status = status
+                self.rows_written = 1
+                self.error = None
+                self.duration_s = 0.1
+
+        cat.record_run(run_id="f", pipeline="fresh",
+                       results={"n": R("success")},
+                       started_at=now - 3600, finished_at=now - 3000)
+        cat.record_run(run_id="s", pipeline="stale",
+                       results={"n": R("success")},
+                       started_at=now - 50 * 3600, finished_at=now - 49 * 3600)
+        cat.record_run(run_id="b", pipeline="broken",
+                       results={"n": R("failed")},
+                       started_at=now - 600, finished_at=now - 500)
+        out = {
+            r.pipeline: r
+            for r in cat.sla_status(
+                {"fresh": 24, "stale": 24, "broken": 24, "neverran": 24},
+                now=now,
+            ).collect()
+        }
+        assert out["fresh"].breached is False
+        assert out["stale"].breached is True
+        assert out["stale"].hours_since_success == pytest.approx(49, abs=0.1)
+        # failed-only pipeline: no success ever -> breach with NULL hours
+        assert out["broken"].breached is True
+        assert out["broken"].hours_since_success is None
+        assert out["neverran"].breached is True

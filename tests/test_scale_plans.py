@@ -522,3 +522,90 @@ class TestNoUndocumentedSinglePartition:
             "either fix the plan or document why it is inherent and "
             "add it to ALLOWED"
         )
+
+
+class TestBloomSemijoin:
+    """Bloom-prefiltered join (operators/runtime_filter.py): output
+    row-identical to the plain join; the big side is filtered by the
+    broadcast bitmap probe BEFORE its join exchange."""
+
+    def _frames(self, spark):
+        left = spark.range(0, 5000).selectExpr(
+            "id AS k", "id % 7 AS v"
+        )
+        right = spark.range(0, 5000, 50).selectExpr(
+            "id AS rk", "id * 2 AS rv"
+        )  # 100 of 5000 keys -> selective
+        return left, right
+
+    def test_semi_equals_plain_semijoin(self, spark):
+        from odibi_spark.operators.runtime_filter import bloom_semijoin_frames
+
+        left, right = self._frames(spark)
+        got = bloom_semijoin_frames(
+            left, right, left_on="k", right_on="rk", how="semi"
+        )
+        want = left.join(
+            right.withColumnRenamed("rk", "k").select("k"), "k", "left_semi"
+        )
+        assert sorted(r.k for r in got.collect()) == sorted(
+            r.k for r in want.collect()
+        )
+        assert got.columns == left.columns  # semi keeps left cols only
+
+    def test_inner_equals_plain_inner(self, spark):
+        from odibi_spark.operators.runtime_filter import bloom_semijoin_frames
+
+        left, right = self._frames(spark)
+        got = {
+            (r.k, r.rv)
+            for r in bloom_semijoin_frames(
+                left, right, left_on="k", right_on="rk", how="inner"
+            ).collect()
+        }
+        want = {
+            (r.k, r.rv)
+            for r in left.join(right, left.k == right.rk, "inner").collect()
+        }
+        assert got == want
+
+    def test_bloom_probe_precedes_join_exchange(self, spark):
+        from odibi_spark.operators.runtime_filter import bloom_semijoin_frames
+
+        left, right = self._frames(spark)
+        out = bloom_semijoin_frames(
+            left, right, left_on="k", right_on="rk", how="semi", hashes=3
+        )
+        plan = plan_of(out)
+        # k broadcast bitmap lookups + the membership filter run on the
+        # left side; the bitmap probe machinery must be in the plan
+        assert plan.count("BroadcastHashJoin") >= 3, plan
+        # bitmap probe expressions render as static_invoke(
+        # BitmapExpressionUtils...) in the physical plan
+        assert "Bitmap" in plan, plan
+        assert "CartesianProduct" not in plan
+
+    def test_anti_rejected(self, spark):
+        import pytest as _pytest
+
+        from odibi_spark.operators.runtime_filter import bloom_semijoin_frames
+
+        left, right = self._frames(spark)
+        with _pytest.raises(ValueError, match="anti"):
+            bloom_semijoin_frames(
+                left, right, left_on="k", right_on="rk", how="anti"
+            )
+
+    def test_yaml_registry_surface(self, spark):
+        from odibi_spark.context import Context, EngineContext
+        from odibi_spark.registry import get_registry
+
+        left, right = self._frames(spark)
+        ctx = Context(spark)
+        ctx.register("dim", right)
+        out = get_registry().apply(
+            "bloom_semijoin",
+            EngineContext(ctx, left),
+            {"right": "dim", "left_on": "k", "right_on": "rk"},
+        )
+        assert out.df.count() == 100
