@@ -60,13 +60,16 @@ def _bloom_position(col, j: int, m: int):
 
 
 def bloom_might_contain(
-    df: DataFrame, bloom: DataFrame, m: int, hashes: int, *, col: str
+    df: DataFrame, bloom: DataFrame, m: int, hashes: int, *, col: str,
+    negate: bool = False,
 ) -> DataFrame:
     """Filter ``df`` to rows whose ``col`` the Bloom filter might
     contain (no false negatives; FPs at the filter's rate). k broadcast
     left-joins of the tiny bitmap table — the probed frame never
     shuffles, and the byte-probe (`substr` + bit mask) stays inside
-    whole-stage codegen."""
+    whole-stage codegen. ``negate=True`` keeps the complement instead:
+    rows the filter definitely does NOT contain (exact, because no
+    false negatives) — the anti-join prefilter direction."""
     out = df
     conds = []
     for j in range(hashes):
@@ -93,7 +96,7 @@ def bloom_might_contain(
     for c_ in conds[1:]:
         member = member & c_
     drop = [c for j in range(hashes) for c in (f"__bp{j}", f"__bk{j}", f"__bm{j}")]
-    return out.filter(member).drop(*drop)
+    return out.filter(~member if negate else member).drop(*drop)
 
 
 def contamination_hits(

@@ -58,8 +58,8 @@ def bloom_semijoin_frames(
     if how not in ("semi", "inner"):
         raise ValueError(
             f"bloom_semijoin supports how='semi'|'inner', got '{how}' — "
-            "for anti joins the Bloom can only pre-PASS definite "
-            "non-members; use a plain left_anti join"
+            "for the anti direction use bloom_antijoin (definite "
+            "non-members bypass the join entirely)"
         )
     rkey = right_on or left_on
     keys = right.select(rkey)
@@ -76,6 +76,52 @@ def bloom_semijoin_frames(
     if rkey == left_on:
         return pre.join(right, on=left_on, how="inner")
     return pre.join(right, on=cond, how="inner")
+
+
+def bloom_antijoin_frames(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str | None = None,
+    bits_per_item: int = 16,
+    hashes: int = 3,
+) -> DataFrame:
+    """``left`` rows with NO match in ``right`` (left_anti), with the
+    Bloom doing the opposite of the semijoin's work: a row whose key
+    the filter does NOT contain is a DEFINITE non-member (Bloom has no
+    false negatives) and passes immediately with no join at all; only
+    the maybe-members (true members + ~0.5% FPs) go through the exact
+    anti join. For blocklist-shaped workloads (drop documents matching
+    a contamination list) the anti side is tiny, so almost the whole
+    corpus bypasses the shuffle.
+
+    Output is row-identical to ``left.join(right, ..., "left_anti")``.
+    The two branches (definite-out, maybe) are complementary filters
+    over the same scan lineage — columnar sources read twice but
+    cheaply (the probe is codegen over the scan); persist ``left``
+    first when its lineage is expensive to recompute.
+    """
+    from odibi_spark.llm.curation import bloom_might_contain, gram_bloom
+
+    rkey = right_on or left_on
+    keys = right.select(rkey)
+    bloom, m, k = gram_bloom(
+        keys, col=rkey, bits_per_item=bits_per_item, hashes=hashes
+    )
+    definite_out = bloom_might_contain(
+        left, bloom, m, k, col=left_on, negate=True
+    )
+    maybe = bloom_might_contain(left, bloom, m, k, col=left_on)
+    if rkey == left_on:
+        survivors = maybe.join(
+            right.select(rkey).distinct(), on=left_on, how="left_anti"
+        )
+    else:
+        survivors = maybe.join(
+            right, maybe[left_on] == right[rkey], "left_anti"
+        )
+    return definite_out.unionByName(survivors)
 
 
 @transform("bloom_semijoin")
@@ -95,6 +141,26 @@ def bloom_semijoin(
     return ctx.with_df(
         bloom_semijoin_frames(
             ctx.df, rdf, left_on=left_on, right_on=right_on, how=how,
+            bits_per_item=bits_per_item, hashes=hashes,
+        )
+    )
+
+
+@transform("bloom_antijoin")
+def bloom_antijoin(
+    ctx: EngineContext,
+    *,
+    right: str | DataFrame,
+    left_on: str,
+    right_on: str | None = None,
+    bits_per_item: int = 16,
+    hashes: int = 3,
+) -> EngineContext:
+    """YAML surface for the anti direction (blocklist filtering)."""
+    rdf = ctx.context.get(right) if isinstance(right, str) else right
+    return ctx.with_df(
+        bloom_antijoin_frames(
+            ctx.df, rdf, left_on=left_on, right_on=right_on,
             bits_per_item=bits_per_item, hashes=hashes,
         )
     )

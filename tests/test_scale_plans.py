@@ -609,3 +609,34 @@ class TestBloomSemijoin:
             {"right": "dim", "left_on": "k", "right_on": "rk"},
         )
         assert out.df.count() == 100
+
+    def test_anti_frames_equal_plain_anti(self, spark):
+        from odibi_spark.operators.runtime_filter import bloom_antijoin_frames
+
+        left, right = self._frames(spark)
+        got = bloom_antijoin_frames(left, right, left_on="k", right_on="rk")
+        want = left.join(
+            right.withColumnRenamed("rk", "k").select("k"), "k", "left_anti"
+        )
+        assert sorted(r.k for r in got.collect()) == sorted(
+            r.k for r in want.collect()
+        )
+        assert got.columns == left.columns
+
+    def test_anti_same_key_name_and_registry(self, spark):
+        from odibi_spark.context import Context, EngineContext
+        from odibi_spark.operators.runtime_filter import bloom_antijoin_frames
+        from odibi_spark.registry import get_registry
+
+        left = spark.range(0, 300).selectExpr("id AS k")
+        right = spark.range(0, 300, 3).selectExpr("id AS k")
+        got = bloom_antijoin_frames(left, right, left_on="k")
+        assert got.count() == 200  # multiples of 3 removed
+
+        ctx = Context(spark)
+        ctx.register("blocklist", right)
+        out = get_registry().apply(
+            "bloom_antijoin", EngineContext(ctx, left),
+            {"right": "blocklist", "left_on": "k"},
+        )
+        assert out.df.count() == 200
