@@ -327,6 +327,68 @@ def rank_scale_probe(spark, rows: int = 12_000_000) -> dict:
     return out
 
 
+def bloom_join_probe(spark, sf_dir: str) -> dict:
+    """Runtime-filter A/B (operators/runtime_filter.py): orders
+    semijoined to BUILDING-segment customers, plain vs
+    Bloom-prefiltered, under the SORT-MERGE regime (broadcast + AQE
+    off for both variants), alternating in one warm session.
+
+    EXPECTED RESULT LOCALLY: bloom_vs_plain > 1 (measured 4-7x across
+    150k-9M fact rows) — a single-node RAM shuffle moves a narrow row
+    for ~0.25 us while the bitmap probe costs ~1.4 us/row, so the
+    prefilter loses on one box by design. The probe exists to KEEP
+    that number measured and honest (the operator docstring tells
+    users exactly when the trade flips: network-bound shuffles of
+    wide rows, or unbroadcastable key sets a la decontamination).
+    The row-identity assertion is the correctness half."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from odibi_spark.io import read_table
+    from odibi_spark.operators.runtime_filter import bloom_semijoin_frames
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").filter(
+        "c_mktsegment = 'BUILDING'"
+    ).select("c_custkey")
+    n_orders = orders.count()
+
+    def run_plain():
+        return orders.join(
+            cust.withColumnRenamed("c_custkey", "o_custkey"),
+            "o_custkey", "left_semi",
+        ).select(F.count(F.lit(1))).collect()[0][0]
+
+    def run_bloom():
+        return bloom_semijoin_frames(
+            orders, cust, left_on="o_custkey", right_on="c_custkey",
+            how="semi",
+        ).select(F.count(F.lit(1))).collect()[0][0]
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        run_plain(); run_bloom()  # warm both codepaths
+        t_plain = t_bloom = 0.0
+        n_match = 0
+        for _ in range(2):  # alternate in one warm session
+            t0 = _t.time(); n_match = run_plain(); t_plain += _t.time() - t0
+            t0 = _t.time(); nb = run_bloom(); t_bloom += _t.time() - t0
+            assert nb == n_match, (nb, n_match)  # row-identical contract
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    return {
+        "orders": n_orders,
+        "matched": n_match,
+        "selectivity": round(n_match / n_orders, 4) if n_orders else None,
+        "smj_plain_sec": round(t_plain / 2, 4),
+        "smj_bloom_sec": round(t_bloom / 2, 4),
+        "bloom_vs_plain": round(t_bloom / t_plain, 3) if t_plain > 0 else None,
+    }
+
+
 def compare_prev(out: dict, prev_path: str) -> dict:
     """n-vs-n-1 per-query ratio table (VERDICT r6 task 10): compare
     this run's per-query timings against a prior BENCH artifact,
@@ -501,6 +563,11 @@ def main() -> None:
         out["rank_scale"] = rank_scale_probe(spark)
         print(f"# rank_scale: {out['rank_scale']}", file=sys.stderr)
 
+    # Bloom runtime-filter A/B under the sort-merge regime
+    if os.environ.get("SPARK_GRAFT_BLOOM_PROBE", "1") != "0":
+        out["bloom_join"] = bloom_join_probe(spark, sf_dir)
+        print(f"# bloom_join: {out['bloom_join']}", file=sys.stderr)
+
     # n-vs-n-1 ratio table: --prev PATH, or auto-pick the newest
     # committed BENCH_r*.json next to this script
     prev_path = None
@@ -584,6 +651,11 @@ def _slim(out: dict, out_path: str) -> dict:
             "win_vs_2p_small": r.get("window_vs_two_pass_small"),
             "win_vs_2p_large": r.get("window_vs_two_pass_large"),
             "degradation": r.get("degradation_ratio"),
+        }
+    if "bloom_join" in out:
+        b = out["bloom_join"]
+        slim["bloom_join"] = {
+            "sel": b["selectivity"], "ratio": b["bloom_vs_plain"],
         }
     if "vs_prev" in out:
         v = out["vs_prev"]

@@ -2,27 +2,38 @@
 joins whose small side is too big to broadcast as a hash relation but
 still selective against the big side.
 
-At 100 TB the cost of ``fact JOIN dim-subset`` is dominated by
-shuffling the fact table; when the dim subset matches only a fraction
-of fact rows, most of that shuffle is wasted. The pattern here builds
-a pure-SQL bitmap Bloom filter over the dim keys (~2 bytes/item at
-the defaults vs 8+ for a hash set — the same machinery as the
-decontamination prefilter, llm/curation.py:26), broadcasts the tiny
-bitmap table, and filters the fact side INSIDE whole-stage codegen
-BEFORE its exchange; the exact join afterwards removes the ~0.5%
-false positives, so the output is row-identical to the plain join.
+The pattern: build a pure-SQL bitmap Bloom filter over the dim keys
+(~2 bytes/item at the defaults vs 8+ for a hash set — the same
+machinery as the decontamination prefilter, llm/curation.py:26),
+broadcast the tiny bitmap table, and filter the fact side INSIDE
+whole-stage codegen BEFORE its exchange; the exact join afterwards
+removes the ~0.5% false positives, so the output is row-identical to
+the plain join.
 
-Spark's own runtime Bloom-filter injection
-(``spark.sql.optimizer.runtime.bloomFilter.enabled``) does the same
-transparently when its thresholds and plan shapes allow; this
-operator is the explicit, YAML-surfaced form for when the optimizer
-does not fire (creation-side too large for its threshold, DataFrames
-built in memory with junk size stats, or a pre-filtered dim the
-caller KNOWS is selective).
+MEASURED trade (bench.py ``bloom_join`` probe, local[32], sf0.1,
+sort-merge regime, A/B warm): the probe costs ~1.4 us/fact-row (three
+broadcast bitmap lookups + byte extraction) while a LOCAL sort-merge
+shuffle moves a narrow row for ~0.25 us — so on a single node the
+prefilter LOSES at every size tried (150k-9M fact rows, ratio 4-7x),
+and the probe reports that number honestly. Use it only where the
+avoided shuffle genuinely costs more than the probe:
+
+- network+spill-bound cluster shuffles of WIDE rows (documents with
+  text bodies: per-row shuffle cost is tens of us, 10-100x the
+  probe), especially the anti/blocklist direction where definite
+  non-members skip the join entirely;
+- when the alternative is broadcasting a multi-GB key set outright —
+  the decontamination-grams case, where the bitmap variant is PROVEN
+  faster (llm/curation.py Bloom prefilter cuts the broadcast
+  10-30x, r6).
+
+For narrow-row equi-joins on one box, keep the plain join; Spark's
+own runtime Bloom injection
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``) makes the same
+call adaptively when its thresholds allow.
 
 No reference counterpart — the reference's join layer
-(odibi/transformers/relational.py) always joins directly; this is a
-scale path beyond it.
+(odibi/transformers/relational.py) always joins directly.
 """
 
 from __future__ import annotations
