@@ -715,6 +715,7 @@ def test_full_curation_example_yaml_runs(spark, tmp_path):
     for node in (
         "benchmark_docs", "scored_docs", "clean_docs", "training_chunks",
         "pps_subsample", "eval_pool", "long_docs", "vocab_overlap",
+        "takedown_list", "publishable_docs",
     ):
         assert results[node].status == "success", (node, results[node].error)
     chunks = spark.read.parquet(str(tmp_path / "chunks"))
@@ -744,6 +745,10 @@ def test_full_curation_example_yaml_runs(spark, tmp_path):
     ov = spark.read.parquet(str(tmp_path / "vocab_overlap")).collect()
     assert len(ov) == 1 and ov[0].corpus_a == "corpus"
     assert 0.0 <= ov[0].jaccard_est <= 1.0
+    # blocklist removal via bloom_antijoin: row-identical to left_anti
+    pub = spark.read.parquet(str(tmp_path / "publishable"))
+    assert pub.filter("doc_id % 97 = 0").count() == 0
+    assert pub.count() == clean.filter("doc_id % 97 != 0").count()
 
 
 class TestIncrementalDedup:
