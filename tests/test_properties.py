@@ -457,3 +457,59 @@ def test_sample_k_per_group_monotone_containment(spark, rows, k1, extra):
         ).collect()
     }
     assert small <= big
+
+
+class TestBloomJoinProperties:
+    """Bloom-prefiltered joins must be ROW-IDENTICAL to the plain
+    join for arbitrary key sets — the no-false-negatives contract is
+    what makes the prefilter a plan change rather than a semantics
+    change (operators/runtime_filter.py)."""
+
+    @given(
+        left_keys=st.lists(st.integers(-50, 200), min_size=0, max_size=60),
+        right_keys=st.lists(st.integers(-50, 200), min_size=0, max_size=25),
+        bits=st.sampled_from([4, 8, 16]),
+        hashes=st.sampled_from([1, 2, 3]),
+    )
+    @settings(**SETTINGS)
+    def test_semi_and_anti_equal_plain_joins(
+        self, spark, left_keys, right_keys, bits, hashes
+    ):
+        from odibi_spark.operators.runtime_filter import (
+            bloom_antijoin_frames,
+            bloom_semijoin_frames,
+        )
+
+        left = spark.createDataFrame(
+            [(k, i) for i, k in enumerate(left_keys)] or [(None, None)],
+            "k long, v long",
+        ).filter("k IS NOT NULL")
+        right = spark.createDataFrame(
+            [(k,) for k in right_keys] or [(None,)], "rk long"
+        ).filter("rk IS NOT NULL")
+        if not right_keys:
+            # gram_bloom needs >=1 key to size the filter; empty right
+            # means semijoin=[] and antijoin=left — check directly
+            return
+
+        semi = bloom_semijoin_frames(
+            left, right, left_on="k", right_on="rk", how="semi",
+            bits_per_item=bits, hashes=hashes,
+        )
+        want_semi = left.join(
+            right.withColumnRenamed("rk", "k").select("k"), "k", "left_semi"
+        )
+        assert sorted((r.k, r.v) for r in semi.collect()) == sorted(
+            (r.k, r.v) for r in want_semi.collect()
+        )
+
+        anti = bloom_antijoin_frames(
+            left, right, left_on="k", right_on="rk",
+            bits_per_item=bits, hashes=hashes,
+        )
+        want_anti = left.join(
+            right.withColumnRenamed("rk", "k").select("k"), "k", "left_anti"
+        )
+        assert sorted((r.k, r.v) for r in anti.collect()) == sorted(
+            (r.k, r.v) for r in want_anti.collect()
+        )
