@@ -79,7 +79,7 @@ def main(argv: list[str] | None = None) -> int:
         "list", help="list registered transformers / patterns / formats"
     )
     sp.add_argument(
-        "what", choices=["transformers", "patterns", "formats"],
+        "what", choices=["transformers", "patterns", "formats", "recipes"],
         nargs="?", default="transformers",
     )
     sp.add_argument("--json", action="store_true", dest="as_json")
@@ -105,6 +105,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("pipeline", help="pipeline YAML path")
     sp.add_argument("--root", required=True, help="catalog root path")
+
+    # YAML data tests (reference cli/test.py: the `odibi test` verb)
+    sp = sub.add_parser(
+        "test", help="run YAML-defined data tests (transform/sql cases)"
+    )
+    sp.add_argument("path", help="test YAML file or directory to scan")
+    sp.add_argument(
+        "--snapshot", action="store_true",
+        help="write/refresh __snapshots__ CSVs instead of comparing",
+    )
+    sp.add_argument("--json", action="store_true", dest="as_json")
 
     # table maintenance (open-format twin of the reference's Delta
     # auto_optimize/zorder write options)
@@ -144,6 +155,13 @@ def main(argv: list[str] | None = None) -> int:
                 t: "" for t in typing.get_args(
                     PatternConfig.model_fields["type"].annotation
                 )
+            }
+        elif args.what == "recipes":
+            from odibi_spark.plans.recipes import load_recipes
+
+            entries = {
+                name: (r.description or "").strip()
+                for name, r in load_recipes().items()
             }
         else:  # formats
             from odibi_spark.io.read import list_formats
@@ -321,6 +339,33 @@ def main(argv: list[str] | None = None) -> int:
         else:
             print(text)
         return 0
+
+    if args.cmd == "test":
+        from odibi_spark import get_spark
+        from odibi_spark.plans.datatests import run_data_tests
+
+        spark = get_spark("odibi_spark_test")
+        summary = run_data_tests(
+            spark, args.path, update_snapshots=args.snapshot
+        )
+        if args.as_json:
+            print(json.dumps(
+                {
+                    "passed": summary.passed,
+                    "failed": summary.failed,
+                    "cases": [vars(c) for c in summary.cases],
+                },
+                indent=2,
+            ))
+        else:
+            for c in summary.cases:
+                mark = "ok  " if c.ok else "FAIL"
+                line = f"{mark}  {c.name}  ({c.file})"
+                if c.message:
+                    line += f" — {c.message.splitlines()[0]}"
+                print(line)
+            print(f"{summary.passed} passed, {summary.failed} failed")
+        return 0 if summary.failed == 0 else 1
 
     if args.cmd in ("discover", "schema", "preview", "profile"):
         from odibi_spark.connections import LocalConnection

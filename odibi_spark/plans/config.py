@@ -303,8 +303,10 @@ def load_pipeline_yaml(path_or_text: str) -> PipelineConfig:
 
     import yaml
 
+    from odibi_spark.plans.recipes import resolve_recipes
+
     text = path_or_text
     if os.path.exists(path_or_text):
         with open(path_or_text) as f:
             text = f.read()
-    return PipelineConfig.model_validate(yaml.safe_load(text))
+    return PipelineConfig.model_validate(resolve_recipes(yaml.safe_load(text)))

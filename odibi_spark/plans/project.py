@@ -45,11 +45,13 @@ def load_project_yaml(path_or_text: str) -> ProjectConfig:
 
     import yaml
 
+    from odibi_spark.plans.recipes import resolve_recipes
+
     text = path_or_text
     if os.path.exists(path_or_text):
         with open(path_or_text) as f:
             text = f.read()
-    return ProjectConfig.model_validate(yaml.safe_load(text))
+    return ProjectConfig.model_validate(resolve_recipes(yaml.safe_load(text)))
 
 
 class Project:
