@@ -21,6 +21,11 @@ def main(argv: list[str] | None = None) -> int:
     ]:
         sp = sub.add_parser(cmd, help=help_)
         sp.add_argument("pipeline", help="pipeline YAML path")
+        sp.add_argument(
+            "--env",
+            help="environment name: applies the environments:<env> "
+            "overlay and a sibling env.<env>.yaml",
+        )
         if cmd == "run":
             sp.add_argument("--parallel", action="store_true")
             sp.add_argument("--catalog", help="catalog root for run metadata")
@@ -105,6 +110,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("pipeline", help="pipeline YAML path")
     sp.add_argument("--root", required=True, help="catalog root path")
+
+    # env-var secrets helpers (reference cli/secrets.py)
+    sp = sub.add_parser(
+        "secrets", help="scan config for ${VAR} references"
+    )
+    sp.add_argument("action", choices=["init", "validate"])
+    sp.add_argument("pipeline", help="pipeline YAML path")
+    sp.add_argument(
+        "--out", default=".env.template",
+        help="template file written by 'init' (default: .env.template)",
+    )
 
     # YAML data tests (reference cli/test.py: the `odibi test` verb)
     sp = sub.add_parser(
@@ -340,6 +356,36 @@ def main(argv: list[str] | None = None) -> int:
             print(text)
         return 0
 
+    if args.cmd == "secrets":
+        import os as _os
+
+        from odibi_spark.plans.loader import collect_env_vars
+
+        if not _os.path.exists(args.pipeline):
+            print(f"not found: {args.pipeline}", file=sys.stderr)
+            return 2
+        names = collect_env_vars(args.pipeline)
+        if args.action == "init":
+            lines = [
+                "# Environment variables referenced by "
+                f"{args.pipeline} (and its imports)",
+                *[f"{n}=" for n in names],
+                "",
+            ]
+            with open(args.out, "w") as f:
+                f.write("\n".join(lines))
+            print(f"wrote {args.out} ({len(names)} variable(s))")
+            return 0
+        missing = [n for n in names if _os.environ.get(n) is None]
+        for n in names:
+            status = "MISSING" if n in missing else "set"
+            print(f"{status}  {n}")
+        if missing:
+            print(f"{len(missing)} missing of {len(names)}", file=sys.stderr)
+            return 1
+        print(f"all {len(names)} set")
+        return 0
+
     if args.cmd == "test":
         from odibi_spark import get_spark
         from odibi_spark.plans.datatests import run_data_tests
@@ -403,10 +449,12 @@ def main(argv: list[str] | None = None) -> int:
         print(f"INVALID: {ex}", file=sys.stderr)
         return 2
     if isinstance(raw, dict) and "pipelines" in raw:
-        return _project_main(args, text)
+        return _project_main(args)
 
     try:
-        cfg = load_pipeline_yaml(args.pipeline)
+        cfg = load_pipeline_yaml(
+            args.pipeline, env=getattr(args, "env", None)
+        )
     except Exception as ex:
         print(f"INVALID: {ex}", file=sys.stderr)
         return 2
@@ -496,11 +544,15 @@ def main(argv: list[str] | None = None) -> int:
     return 0 if all(s == "success" for s in summary.values()) else 1
 
 
-def _project_main(args, text: str) -> int:
+def _project_main(args) -> int:
     from odibi_spark.plans.project import Project, load_project_yaml
 
     try:
-        cfg = load_project_yaml(text)
+        # the path (not pre-read text) goes to the loader so relative
+        # imports: and env.<env>.yaml resolve against the file's dir
+        cfg = load_project_yaml(
+            args.pipeline, env=getattr(args, "env", None)
+        )
     except Exception as ex:
         print(f"INVALID: {ex}", file=sys.stderr)
         return 2

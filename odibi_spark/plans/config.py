@@ -298,15 +298,18 @@ class PipelineConfig(StrictModel):
         return self
 
 
-def load_pipeline_yaml(path_or_text: str) -> PipelineConfig:
-    import os
-
-    import yaml
-
+def load_pipeline_yaml(
+    path_or_text: str,
+    *,
+    env: str | None = None,
+    environment: Any | None = None,
+) -> PipelineConfig:
+    """Parse a pipeline YAML (path or literal text) through the full
+    loader pipeline: ${VAR}/${vars.x}/${date:...} substitution,
+    imports:, environments: overlays (plans/loader.py), then recipe
+    expansion (plans/recipes.py), then strict validation."""
+    from odibi_spark.plans.loader import load_config
     from odibi_spark.plans.recipes import resolve_recipes
 
-    text = path_or_text
-    if os.path.exists(path_or_text):
-        with open(path_or_text) as f:
-            text = f.read()
-    return PipelineConfig.model_validate(resolve_recipes(yaml.safe_load(text)))
+    doc = load_config(path_or_text, env=env, environment=environment)
+    return PipelineConfig.model_validate(resolve_recipes(doc))

@@ -40,18 +40,21 @@ class ProjectConfig(StrictModel):
         return self
 
 
-def load_project_yaml(path_or_text: str) -> ProjectConfig:
-    import os
-
-    import yaml
-
+def load_project_yaml(
+    path_or_text: str,
+    *,
+    env: str | None = None,
+    environment: Any | None = None,
+) -> ProjectConfig:
+    """Parse a project YAML (path or literal text) through the loader
+    (env/vars/date substitution, imports, environments) and the recipe
+    layer before strict validation — same pipeline as
+    ``load_pipeline_yaml``."""
+    from odibi_spark.plans.loader import load_config
     from odibi_spark.plans.recipes import resolve_recipes
 
-    text = path_or_text
-    if os.path.exists(path_or_text):
-        with open(path_or_text) as f:
-            text = f.read()
-    return ProjectConfig.model_validate(resolve_recipes(yaml.safe_load(text)))
+    doc = load_config(path_or_text, env=env, environment=environment)
+    return ProjectConfig.model_validate(resolve_recipes(doc))
 
 
 class Project:
