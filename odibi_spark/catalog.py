@@ -277,6 +277,174 @@ class Catalog:
             )
         )
 
+    # -- maintenance (reference: odibi/cli/system.py — the `odibi
+    # system` verb family: cleanup / rebuild-summaries / optimize /
+    # sync, executed here on the open-format catalog) ----------------
+
+    #: retention-eligible tables → (age column, kind). Definition
+    #: tables (meta_pipelines/meta_nodes/meta_schemas/meta_state) are
+    #: never retention-deleted: they are current-state, not history.
+    RETENTION_TABLES = {
+        "runs": ("finished_at", "epoch"),
+        "metrics": ("recorded_at", "epoch"),
+        "tables": ("updated_at", "epoch"),
+        "daily_stats": ("date", "date_str"),
+    }
+
+    def _table_path(self, name: str) -> str:
+        return f"{self.root}/meta_{name}"
+
+    def _exists(self, name: str) -> bool:
+        from odibi_spark.io.compact import _fs_for
+
+        fs, jpath, _ = _fs_for(self.spark, self._table_path(name))
+        return fs.exists(jpath)
+
+    def _rewrite(self, name: str, df: DataFrame) -> int:
+        """Replace table ``name``'s contents with ``df`` through the
+        compaction module's rename-before-delete swap (crash-safe: a
+        failed rename aborts with originals intact; a crash mid-delete
+        is finished by the next maintenance run)."""
+        from odibi_spark.io.compact import (
+            list_data_files,
+            resume_pending_deletes,
+            swap_data_files,
+        )
+
+        path = self._table_path(name)
+        resume_pending_deletes(self.spark, path)
+        old = [f for f, _ in list_data_files(self.spark, path)]
+        tmp = path + "__retention_tmp"
+        # catalog tables are O(runs) small — one output file keeps the
+        # directory listing cheap for every later catalog query
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        return swap_data_files(self.spark, path, tmp, old)
+
+    def cleanup(
+        self,
+        retention_days: int | dict[str, int],
+        *,
+        now: float | None = None,
+        dry_run: bool = False,
+    ) -> dict[str, dict]:
+        """Delete catalog history older than the retention window
+        (reference: system.py:385-448 `_cleanup_command` with
+        per-table RetentionConfig cutoffs + --dry-run counts).
+
+        ``retention_days`` is a single window for every history table
+        or a {table: days} mapping (tables absent from the mapping are
+        skipped). Returns {table: {expired, kept, deleted}} — with
+        ``dry_run`` nothing is rewritten and deleted is 0.
+        """
+        from pyspark.sql import functions as F
+
+        ref = float(now if now is not None else time.time())
+        report: dict[str, dict] = {}
+        for name, (col, kind) in self.RETENTION_TABLES.items():
+            if isinstance(retention_days, dict):
+                if name not in retention_days:
+                    continue
+                days = retention_days[name]
+            else:
+                days = retention_days
+            if not self._exists(name):
+                continue
+            df = self.spark.read.parquet(self._table_path(name))
+            if kind == "epoch":
+                expired_pred = F.col(col) < F.lit(ref - days * 86400.0)
+            else:  # date_str yyyy-mm-dd compares lexicographically
+                cutoff = time.strftime(
+                    "%Y-%m-%d", time.gmtime(ref - days * 86400.0)
+                )
+                expired_pred = F.col(col) < F.lit(cutoff)
+            expired = df.filter(expired_pred).count()
+            kept = df.filter(~expired_pred | F.col(col).isNull())
+            n_kept = kept.count()
+            entry = {"expired": expired, "kept": n_kept, "deleted": 0}
+            if expired and not dry_run:
+                self._rewrite(name, kept)
+                entry["deleted"] = expired
+            report[name] = entry
+        return report
+
+    def rebuild_daily_stats(self) -> DataFrame:
+        """Recompute ``meta_daily_stats`` from ``meta_runs`` from
+        scratch (reference: system.py:212 `rebuild-summaries` —
+        derived tables can drift from their facts if a writer died
+        mid-upsert; the repair is a full recompute). Produces exactly
+        what folding every run through ``update_daily_stats`` would
+        have: per-run rollup first (a run is successful when EVERY
+        node row succeeded), then the (date, pipeline) grain."""
+        from pyspark.sql import functions as F
+
+        per_run = self.runs().groupBy("run_id", "pipeline").agg(
+            F.min("started_at").alias("started_at"),
+            F.max("finished_at").alias("finished_at"),
+            F.min((F.col("status") == "success").cast("int")).alias("ok"),
+            F.sum(F.coalesce("rows_written", F.lit(0))).alias("rows"),
+        )
+        rebuilt = (
+            per_run.withColumn(
+                "date",
+                F.from_unixtime("started_at", "yyyy-MM-dd"),
+            )
+            .groupBy("date", "pipeline")
+            .agg(
+                F.count(F.lit(1)).alias("runs"),
+                F.sum("ok").alias("successes"),
+                (F.count(F.lit(1)) - F.sum("ok")).alias("failures"),
+                F.sum("rows").alias("total_rows"),
+                F.sum(
+                    F.round(F.col("finished_at") - F.col("started_at"), 3)
+                ).alias("total_duration_s"),
+            )
+        )
+        if self._exists("daily_stats"):
+            self._rewrite("daily_stats", rebuilt)
+        else:
+            rebuilt.coalesce(1).write.mode("overwrite").parquet(
+                self._table_path("daily_stats")
+            )
+        return self.daily_stats()
+
+    def optimize(self, *, target_file_bytes: int = 32 * 1024 * 1024) -> dict:
+        """Compact every meta table's small files (reference:
+        system.py:328 `optimize` — OPTIMIZE + VACUUM on the Delta
+        catalog; here the open-format bin-packing twin). Append-heavy
+        tables (runs/metrics) accrete one file per pipeline run."""
+        from odibi_spark.io.compact import compact_small_files
+
+        out = {}
+        for name in (
+            "runs", "metrics", "tables", "daily_stats",
+            "pipelines", "nodes", "schemas",
+        ):
+            if self._exists(name):
+                out[name] = compact_small_files(
+                    self.spark, self._table_path(name),
+                    target_file_bytes=target_file_bytes,
+                )
+        return out
+
+    def sync_to(self, target_root: str) -> dict[str, int]:
+        """Copy every present meta table to another catalog root
+        (reference: system.py:143 `sync` between catalog backends).
+        Full-refresh copy: each table is small, and overwrite keeps
+        the target consistent even after source retention deletes."""
+        out = {}
+        for name in (
+            "runs", "metrics", "tables", "daily_stats",
+            "pipelines", "nodes", "schemas", "state",
+        ):
+            if not self._exists(name):
+                continue
+            df = self.spark.read.parquet(self._table_path(name))
+            df.coalesce(1).write.mode("overwrite").parquet(
+                f"{target_root.rstrip('/')}/meta_{name}"
+            )
+            out[name] = df.count()
+        return out
+
     def runs(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.root}/meta_runs")
 

@@ -111,6 +111,26 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("pipeline", help="pipeline YAML path")
     sp.add_argument("--root", required=True, help="catalog root path")
 
+    # catalog maintenance (reference cli/system.py)
+    sp = sub.add_parser(
+        "system", help="catalog maintenance: cleanup/rebuild/optimize/sync"
+    )
+    sp.add_argument(
+        "action",
+        choices=["cleanup", "rebuild-summaries", "optimize", "sync"],
+    )
+    sp.add_argument("--root", required=True, help="catalog root path")
+    sp.add_argument(
+        "--retention-days", type=int, default=90,
+        help="cleanup: delete history rows older than this (default 90)",
+    )
+    sp.add_argument("--dry-run", action="store_true")
+    sp.add_argument("--target", help="sync: destination catalog root")
+    sp.add_argument(
+        "--target-mb", type=int, default=32,
+        help="optimize: target output file size (MB)",
+    )
+
     # env-var secrets helpers (reference cli/secrets.py)
     sp = sub.add_parser(
         "secrets", help="scan config for ${VAR} references"
@@ -354,6 +374,33 @@ def main(argv: list[str] | None = None) -> int:
             print(f"wrote {args.out}")
         else:
             print(text)
+        return 0
+
+    if args.cmd == "system":
+        from odibi_spark import get_spark
+        from odibi_spark.catalog import Catalog
+
+        cat = Catalog(get_spark("odibi_spark_system"), args.root)
+        if args.action == "cleanup":
+            report = cat.cleanup(args.retention_days, dry_run=args.dry_run)
+            print(json.dumps(
+                {"dry_run": args.dry_run, "tables": report}, indent=2
+            ))
+            return 0
+        if args.action == "rebuild-summaries":
+            rebuilt = cat.rebuild_daily_stats()
+            print(json.dumps({"daily_stats_rows": rebuilt.count()}))
+            return 0
+        if args.action == "optimize":
+            stats = cat.optimize(
+                target_file_bytes=args.target_mb * 1024 * 1024
+            )
+            print(json.dumps(stats, indent=2))
+            return 0
+        if not args.target:
+            print("sync needs --target", file=sys.stderr)
+            return 2
+        print(json.dumps(cat.sync_to(args.target), indent=2))
         return 0
 
     if args.cmd == "secrets":
