@@ -111,6 +111,19 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("pipeline", help="pipeline YAML path")
     sp.add_argument("--root", required=True, help="catalog root path")
 
+    # YAML templates + editor schema (reference cli/templates.py)
+    sp = sub.add_parser(
+        "templates",
+        help="show a transformer's YAML step template / emit the "
+        "pipeline JSON schema for editor validation",
+    )
+    sp.add_argument("action", choices=["show", "schema"])
+    sp.add_argument(
+        "name", nargs="?",
+        help="transformer name (for 'show')",
+    )
+    sp.add_argument("--out", help="write to this file instead of stdout")
+
     # catalog maintenance (reference cli/system.py)
     sp = sub.add_parser(
         "system", help="catalog maintenance: cleanup/rebuild/optimize/sync"
@@ -374,6 +387,34 @@ def main(argv: list[str] | None = None) -> int:
             print(f"wrote {args.out}")
         else:
             print(text)
+        return 0
+
+    if args.cmd == "templates":
+        if args.action == "show":
+            if not args.name:
+                print("templates show needs a transformer name",
+                      file=sys.stderr)
+                return 2
+            from odibi_spark.scaffold import transformer_step_template
+
+            try:
+                text = transformer_step_template(args.name)
+            except KeyError:
+                print(
+                    f"unknown transformer '{args.name}'; run "
+                    "`odibi_spark list transformers`", file=sys.stderr,
+                )
+                return 1
+        else:
+            from odibi_spark.scaffold import pipeline_json_schema
+
+            text = json.dumps(pipeline_json_schema(), indent=2) + "\n"
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(text)
+            print(f"wrote {args.out}")
+        else:
+            print(text, end="")
         return 0
 
     if args.cmd == "system":

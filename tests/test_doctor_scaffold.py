@@ -150,3 +150,63 @@ class TestListExplainCli:
             capture_output=True, text=True, cwd="/root/repo",
         )
         assert r.returncode == 0 and "scd2" in r.stdout
+
+
+class TestTemplates:
+    """`templates show/schema` (reference: odibi/cli/templates.py)."""
+
+    def test_show_renders_required_and_defaults(self, capsys):
+        from odibi_spark.cli import main
+
+        assert main(["templates", "show", "deduplicate"]) == 0
+        out = capsys.readouterr().out
+        assert "- function: deduplicate" in out
+        assert "keys: <list[str]>  # required" in out
+        assert "descending: true" in out
+
+    def test_show_quotes_yaml11_bool_keys(self, capsys):
+        from odibi_spark.cli import main
+
+        assert main(["templates", "show", "join"]) == 0
+        assert '"on":' in capsys.readouterr().out
+
+    def test_show_unknown_name(self, capsys):
+        from odibi_spark.cli import main
+
+        assert main(["templates", "show", "nope"]) == 1
+
+    def test_schema_validates_both_shapes(self, tmp_path, capsys):
+        import json
+
+        from odibi_spark.cli import main
+
+        out = tmp_path / "schema.json"
+        assert main(["templates", "schema", "--out", str(out)]) == 0
+        schema = json.loads(out.read_text())
+        assert len(schema["oneOf"]) == 2
+        # every generated scaffold's YAML parses against the models the
+        # schema came from, so the schema covers the scaffold output
+        import yaml
+
+        from odibi_spark.plans.config import load_pipeline_yaml
+        from odibi_spark.scaffold import scaffold_pipeline
+
+        cfg = load_pipeline_yaml(scaffold_pipeline("demo"))
+        assert cfg.name == "demo"
+        assert yaml.safe_load(scaffold_pipeline("demo"))["name"] == "demo"
+
+    def test_generated_template_is_valid_step_yaml(self):
+        import yaml
+
+        from odibi_spark.plans.config import TransformStep
+        from odibi_spark.scaffold import transformer_step_template
+
+        text = transformer_step_template("sort")
+        # placeholders are YAML-safe enough to parse once filled; here
+        # just check the structural contract: one list item with
+        # function + params keys
+        doc = yaml.safe_load(
+            text.replace("<list[str]>", "[a]").replace("<str>", "x")
+        )
+        assert isinstance(doc, list) and doc[0]["function"] == "sort"
+        TransformStep.model_validate(doc[0])
