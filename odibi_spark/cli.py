@@ -111,6 +111,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("pipeline", help="pipeline YAML path")
     sp.add_argument("--root", required=True, help="catalog root path")
 
+    # observability UI (reference cli/ui.py; stdlib twin — see ui.py)
+    sp = sub.add_parser(
+        "ui", help="serve the catalog observability dashboard"
+    )
+    sp.add_argument("--root", required=True, help="catalog root path")
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8000)
+
     # YAML templates + editor schema (reference cli/templates.py)
     sp = sub.add_parser(
         "templates",
@@ -387,6 +395,17 @@ def main(argv: list[str] | None = None) -> int:
             print(f"wrote {args.out}")
         else:
             print(text)
+        return 0
+
+    if args.cmd == "ui":
+        from odibi_spark import get_spark
+        from odibi_spark.catalog import Catalog
+        from odibi_spark.ui import serve_ui
+
+        serve_ui(
+            Catalog(get_spark("odibi_spark_ui"), args.root),
+            host=args.host, port=args.port,
+        )
         return 0
 
     if args.cmd == "templates":
