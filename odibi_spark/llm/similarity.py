@@ -12,6 +12,8 @@ Arrow-free). Double accumulation left-to-right — deterministic.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -272,15 +274,48 @@ def ivf_centroids(
     vec_col: str,
     nlist: int = 8,
     iters: int = 1,
+    exact_mean: bool = False,
+    normalize: bool = False,
 ) -> list[list[float]]:
     """Deterministic coarse centroids: seed with the ``nlist`` lowest-id
     vectors, refine with ``iters`` Lloyd steps (assign -> per-cell mean).
 
     Centroids are tiny (nlist x dim floats) and are returned driver-side
     to be inlined as literals — the corpus itself is never collected.
+
+    ``exact_mean`` sums each dimension through DECIMAL(18,6) (exact,
+    order-independent — components must stay under ~10^12) instead of
+    the float ``avg``, so refined centroids are bit-identical across
+    engines and partitionings; the cross-engine hash oracle needs
+    that, plain clustering does not.
+
+    ``normalize`` L2-normalizes seeds and every refined centroid —
+    spherical k-means. Required when assignment quality matters on
+    raw dot products: a plain mean SHRINKS the centroid norm, so
+    max-dot assignment would drift toward whichever cell kept the
+    longest centroid; on the unit sphere mean-then-normalize is the
+    exact optimal update for the sum-of-cosines objective.
     """
+    mean_expr = (
+        (F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+         / F.count(F.lit(1)))
+        if exact_mean
+        else F.avg("x")
+    )
+
+    def _unit(vec: list[float]) -> list[float]:
+        if not normalize:
+            return vec
+        # sequential index-order fold, matching list_dot_product /
+        # F.aggregate — keeps the double bit-identical cross-engine
+        norm = 0.0
+        for x in vec:
+            norm += x * x
+        norm = math.sqrt(norm)
+        return [x / norm for x in vec] if norm > 0.0 else vec
+
     seeds = [
-        [float(x) for x in r.vec]
+        _unit([float(x) for x in r.vec])
         for r in df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .orderBy("id")
         .limit(nlist)
@@ -292,12 +327,12 @@ def ivf_centroids(
         means = (
             assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(mean_expr.alias("m"))
             .groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("dims"))
             .collect()
         )
-        by_cell = {r.cell: [float(d.m) for d in r.dims] for r in means}
+        by_cell = {r.cell: _unit([float(d.m) for d in r.dims]) for r in means}
         # empty cells keep their previous centroid
         centroids = [by_cell.get(i, c) for i, c in enumerate(centroids)]
     return centroids
@@ -365,4 +400,48 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
+def kmeans_clusters(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 1,
+    exact_mean: bool = False,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Document/embedding clustering: SPHERICAL k-means on the IVF
+    machinery (deterministic lowest-id seeds, L2-normalized centroids,
+    ``iters`` mean-then-normalize refinement steps, inlined-literal
+    centroids so assignment stays a narrow map — no shuffle). Returns
+    one row per vector: (id, cluster, sim) where ``sim`` is the cosine
+    to the winning centroid. Each refinement step is the exact optimal
+    update for the sum-of-cosines objective, so mean ``sim`` is
+    non-decreasing in ``iters``.
+
+    The curation use-case is cluster-balanced sampling / topic
+    bucketing: cluster once, then sample per cluster (e.g. with
+    ``sample_k_per_group``) to de-bias a crawl toward topical breadth.
+
+    ``exact_mean=True`` computes centroid means as order-independent
+    DECIMAL(18,6) sums (bit-stable across engines/partitionings —
+    used by the hash oracle); the default float mean is cheaper and
+    fine for real clustering.
+    """
+    centroids = ivf_centroids(
+        df, id_col, vec_col, nlist=k, iters=iters,
+        exact_mean=exact_mean, normalize=True,
+    )
+    assigned = ivf_assign(df, id_col, vec_col, centroids)
+    sims = F.array(*[_dot_lit("vec", c) for c in centroids])
+    # centroids are unit vectors, so dot / |v| is the cosine
+    return assigned.select(
+        F.col("id").alias(id_col),
+        F.col("cell").alias("cluster"),
+        F.round(
+            F.element_at(sims, F.col("cell") + 1) / _norm("vec"),
+            round_digits,
+        ).alias("sim"),
     )

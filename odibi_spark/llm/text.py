@@ -210,3 +210,63 @@ def scrub_pii(
     # one withColumns: both expressions must resolve against the
     # ORIGINAL text column even when out_col == text_col
     return df.withColumns({out_col: scrubbed, "pii_hits": hits})
+
+
+def ngram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-trained unigram LM cross-entropy per document — the
+    CCNet/Gopher-style "perplexity filter" shape with the corpus
+    itself as the language model (no external model download): docs
+    whose token distribution diverges from the corpus (gibberish,
+    boilerplate, wrong-language) score a high ``avg_nll``.
+
+    Model: add-one-smoothed unigram probabilities over tokens seen at
+    least ``min_count`` times; rarer tokens fall to the unseen mass
+    ``1/(N+V)``. Per-token ``-ln p`` is rounded to 6 decimals BEFORE
+    the exact DECIMAL sum (1-ulp ln() differences between JVM and
+    libm cannot move the 6th decimal of an irrational value), making
+    ``avg_nll`` bit-stable across engines and partitionings.
+
+    Scale: the token table is the scan-dominant O(total tokens) path;
+    the vocabulary aggregate is map-side-combined and O(V); the
+    token->vocab join shuffles on the token key (AQE handles the
+    Zipf-head skew); the (N, V) totals are a 1-row scalar aggregate
+    broadcast back. No Python in the row path.
+    """
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = (
+        tokens.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+    )
+    totals = vocab.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    scored = (
+        tokens.join(vocab, "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "nll",
+            F.round(
+                -F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("n_total") + F.col("v_size"))
+                ),
+                6,
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (
+            F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_nll"),
+    )

@@ -407,3 +407,38 @@ def corpus_overlap_transform(
             ctx.df, other, col=column, label_a=label_a, label_b=label_b,
         )
     )
+
+
+@transform("lm_score")
+def lm_score_transform(
+    ctx: EngineContext,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> EngineContext:
+    """Corpus-trained unigram-LM cross-entropy per doc (the perplexity
+    quality-filter shape; see text.ngram_lm_scores)."""
+    return ctx.with_df(
+        text.ngram_lm_scores(
+            ctx.df, id_col=id_col, text_col=text_col, min_count=min_count
+        )
+    )
+
+
+@transform("cluster_embeddings")
+def cluster_embeddings_transform(
+    ctx: EngineContext,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 1,
+) -> EngineContext:
+    """Lloyd's k-means over an embedding column for topic bucketing /
+    cluster-balanced sampling (see similarity.kmeans_clusters)."""
+    return ctx.with_df(
+        similarity.kmeans_clusters(
+            ctx.df, id_col, vec_col, k=k, iters=iters
+        )
+    )

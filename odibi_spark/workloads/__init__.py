@@ -62,7 +62,8 @@ _R7_ROTATE_IN = [
 # checked, so they go right after the rotated-in block.
 _R7_NEW = [
     "sample_seeded_docs", "multimodal_audio_features",
-    "bloom_semijoin_orders",
+    "bloom_semijoin_orders", "lm_quality_docs",
+    "kmeans_clusters_embeddings",
 ]
 
 # Oldest r5-checked entries (in their r5 head order) — fill the head
@@ -98,6 +99,9 @@ _R8_ROTATE_IN = [
     "incremental_agg_orders", "streaming_click_attribution",
     "resample_user_events", "funnel_view_click_purchase",
     "cohort_daily_retention", "outlier_events_zscore",
+    # displaced from the r7 head when the late-r7 workloads landed
+    "distinct_segment_nation", "lookup_nation_names",
+    "date_dimension_calendar",
 ]
 
 _unknown_rotate = (

@@ -1150,7 +1150,126 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def lm_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM cross-entropy per document (the perplexity
+    quality-filter shape with the corpus as its own model). min_count=2
+    exercises the OOV fallback path: singleton tokens drop out of the
+    vocabulary and take the unseen probability 1/(N+V)."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    return text.ngram_lm_scores(
+        docs, id_col="doc_id", text_col="text", min_count=2
+    )
+
+
+LM_QUALITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id,
+               unnest(string_split(trim(lower(text)), ' ')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+),
+vocab AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok HAVING COUNT(*) >= 2
+),
+tot AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS n_total,
+         CAST(COUNT(*) AS DOUBLE) AS v_size
+  FROM vocab
+),
+scored AS (
+  SELECT t.doc_id,
+         round(-ln((COALESCE(vb.c, 0) + 1.0)
+                   / (tot.n_total + tot.v_size)), 6) AS nll
+  FROM toks t LEFT JOIN vocab vb USING (tok) CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(CAST(SUM(CAST(nll AS {DEC})) AS DOUBLE) / COUNT(*) AS DOUBLE)
+         AS avg_nll
+FROM scored GROUP BY doc_id
+"""
+
+
+def kmeans_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-Lloyd-step k-means over the embeddings table (lowest-id
+    seeds, DECIMAL-exact centroid means so DuckDB replays the refine
+    step bit-identically). Complements ivf_ann_neighbors, whose oracle
+    stops at the seed centroids (iters=0)."""
+    _prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings", cpu_heavy=True)
+    return similarity.kmeans_clusters(
+        emb, "vec_id", "embedding", k=8, iters=1, exact_mean=True
+    )
+
+
+KMEANS_SQL = """
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+seeds0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cell,
+         vec AS cvec
+  FROM (SELECT id, vec FROM v ORDER BY id LIMIT 8)
+),
+seeds AS (  -- spherical: unit-normalized seeds
+  SELECT cell,
+         CASE WHEN sqrt(list_dot_product(cvec, cvec)) > 0
+              THEN list_transform(
+                     cvec, x -> x / sqrt(list_dot_product(cvec, cvec)))
+              ELSE cvec END AS cvec
+  FROM seeds0
+),
+a1 AS (  -- Lloyd step: assign to seeds (argmax dot, lowest cell wins)
+  SELECT id, vec, cell FROM (
+    SELECT v.id, v.vec, s.cell,
+           row_number() OVER (
+             PARTITION BY v.id
+             ORDER BY list_dot_product(v.vec, s.cvec) DESC, s.cell
+           ) AS rn
+    FROM v CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+dims AS (
+  SELECT cell, generate_subscripts(vec, 1) AS pos, unnest(vec) AS x
+  FROM a1
+),
+means AS (  -- DECIMAL-exact per-dimension mean, matching exact_mean=True
+  SELECT cell, pos,
+         CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
+  FROM dims GROUP BY cell, pos
+),
+refined0 AS (
+  SELECT cell, list(m ORDER BY pos) AS cvec FROM means GROUP BY cell
+),
+refined AS (  -- mean-then-normalize, the spherical k-means update
+  SELECT cell,
+         CASE WHEN sqrt(list_dot_product(cvec, cvec)) > 0
+              THEN list_transform(
+                     cvec, x -> x / sqrt(list_dot_product(cvec, cvec)))
+              ELSE cvec END AS cvec
+  FROM refined0
+),
+cents AS (  -- empty cells keep their (normalized) seed centroid
+  SELECT s.cell, COALESCE(r.cvec, s.cvec) AS cvec
+  FROM seeds s LEFT JOIN refined r USING (cell)
+)
+SELECT id AS vec_id, CAST(cell AS INTEGER) AS cluster, sim FROM (
+  SELECT v.id, c.cell,
+         round(list_dot_product(v.vec, c.cvec)
+               / sqrt(list_dot_product(v.vec, v.vec)), 6) AS sim,
+         row_number() OVER (
+           PARTITION BY v.id
+           ORDER BY list_dot_product(v.vec, c.cvec) DESC, c.cell
+         ) AS rn
+  FROM v CROSS JOIN cents c
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "lm_quality_docs": lm_quality_docs,
+    "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
     "text_quality": text_quality,
     "token_counts_by_source": token_counts_by_source,
     "exact_dedup_docs": exact_dedup_docs,
@@ -1185,6 +1304,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lm_quality_docs": LM_QUALITY_SQL,
+    "kmeans_clusters_embeddings": KMEANS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "token_counts_by_source": TOKEN_COUNTS_SQL,
     "exact_dedup_docs": EXACT_DEDUP_SQL,

@@ -1278,3 +1278,125 @@ class TestSplitDataset:
                 spark.range(5), splits={"train": 0.5}, key_col="id"
             )
 
+
+
+class TestNgramLmScores:
+    def test_common_docs_score_lower_than_gibberish(self, spark):
+        from odibi_spark.llm.text import ngram_lm_scores
+
+        rows = [(i, "the cat sat on the mat") for i in range(9)]
+        rows.append((99, "zyx qwv jkp"))
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = {r.doc_id: r.avg_nll for r in ngram_lm_scores(df).collect()}
+        assert out[99] > out[0]  # unseen-ish tokens are more surprising
+
+    def test_min_count_routes_rare_tokens_to_unseen_mass(self, spark):
+        import math
+
+        from odibi_spark.llm.text import ngram_lm_scores
+
+        df = spark.createDataFrame(
+            [(1, "aa aa bb"), (2, "cc")], "doc_id int, text string"
+        )
+        out = {
+            r.doc_id: r
+            for r in ngram_lm_scores(df, min_count=2).collect()
+        }
+        # vocab = {aa: 2} only; N=2, V=1. doc2's 'cc' is OOV:
+        # nll = -ln(1/(N+V)) = ln(3)
+        assert out[2].avg_nll == pytest.approx(
+            round(math.log(3.0), 6), abs=1e-9
+        )
+        # doc1: two seen 'aa' (-ln(3/3)=0) + OOV 'bb' (ln 3) over 3 toks
+        assert out[1].avg_nll == pytest.approx(
+            round(math.log(3.0), 6) / 3, abs=1e-6
+        )
+        assert out[1].n_tokens == 3
+
+    def test_partitioning_invariance(self, spark):
+        """avg_nll is DECIMAL-exact: any repartitioning gives the
+        identical result (the cross-engine-hash contract)."""
+        from odibi_spark.llm.text import ngram_lm_scores
+
+        from odibi_spark.io import read_table as rt
+
+        docs = rt(spark, "/root/testdata/sf0.001", "documents")
+        a = {
+            r.doc_id: r.avg_nll
+            for r in ngram_lm_scores(docs, min_count=2).collect()
+        }
+        b = {
+            r.doc_id: r.avg_nll
+            for r in ngram_lm_scores(
+                docs.repartition(13), min_count=2
+            ).collect()
+        }
+        assert a == b
+
+    def test_no_python_in_plan(self, spark):
+        from odibi_spark.llm.text import ngram_lm_scores
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+        plan = ngram_lm_scores(df)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+
+
+class TestKmeansClusters:
+    def _emb(self, spark):
+        from odibi_spark.io import read_table as rt
+
+        return rt(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def test_every_vector_assigned_once(self, spark):
+        from odibi_spark.llm.similarity import kmeans_clusters
+
+        emb = self._emb(spark)
+        out = kmeans_clusters(emb, "vec_id", "embedding", k=4, iters=1)
+        assert out.count() == emb.count()
+        assert out.select("vec_id").distinct().count() == emb.count()
+        clusters = {r.cluster for r in out.select("cluster").distinct().collect()}
+        assert clusters <= set(range(4))
+
+    def test_lloyd_step_does_not_worsen_mean_similarity(self, spark):
+        """One refinement step should raise (or keep) the average
+        vector->centroid dot product vs the raw seeds."""
+        from pyspark.sql import functions as F
+
+        from odibi_spark.llm.similarity import kmeans_clusters
+
+        emb = self._emb(spark)
+        sim0 = kmeans_clusters(
+            emb, "vec_id", "embedding", k=4, iters=0
+        ).agg(F.avg("sim")).first()[0]
+        sim1 = kmeans_clusters(
+            emb, "vec_id", "embedding", k=4, iters=1
+        ).agg(F.avg("sim")).first()[0]
+        assert sim1 >= sim0 - 1e-9
+
+    def test_deterministic_across_partitionings(self, spark):
+        from odibi_spark.llm.similarity import kmeans_clusters
+
+        emb = self._emb(spark)
+        a = sorted(
+            (r.vec_id, r.cluster)
+            for r in kmeans_clusters(
+                emb, "vec_id", "embedding", k=4, iters=1, exact_mean=True
+            ).collect()
+        )
+        b = sorted(
+            (r.vec_id, r.cluster)
+            for r in kmeans_clusters(
+                emb.repartition(7), "vec_id", "embedding", k=4, iters=1,
+                exact_mean=True,
+            ).collect()
+        )
+        assert a == b
+
+    def test_transform_registered(self, spark, make_ec):
+        from odibi_spark.registry import get_registry
+
+        emb = self._emb(spark)
+        out = get_registry().apply(
+            "cluster_embeddings", make_ec(emb), {"k": 4}
+        ).df
+        assert set(out.columns) == {"vec_id", "cluster", "sim"}

@@ -479,6 +479,7 @@ class TestNoUndocumentedSinglePartition:
         "q6_forecast_revenue", "q14_promo_revenue",
         "q17_small_quantity_revenue", "q19_bracket_revenue",
         "corpus_overlap_halves",  # 1-row sketch profile
+        "lm_quality_docs",  # 1-row (N, V) totals broadcast to scorer
         # global threshold / max computed once, joined broadcast
         "q11_important_parts", "q15_top_supplier", "q22_inactive_balances",
         # per-step funnel count summary (O(steps) rows)
