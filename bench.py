@@ -489,6 +489,8 @@ def main() -> None:
         "dedup_incremental_docs", "approx_percentiles_by_source",
         "approx_distinct_fingerprints", "pps_sample_docs",
         "heavy_hitter_terms",
+        # new in round 7: LM quality + spherical k-means
+        "lm_quality_docs", "kmeans_clusters_embeddings",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(

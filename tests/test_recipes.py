@@ -301,3 +301,40 @@ pipelines:
 
         entries = json.loads(capsys.readouterr().out)
         assert "bronze_ingest" in entries
+
+
+class TestCurationRecipesExample:
+    def test_example_yaml_runs_with_env_and_recipes(self, spark, tmp_path):
+        """examples/curation_recipes.yaml end-to-end: loader env vars,
+        vars:, an extends recipe chain, environments overlay, and the
+        lm_score / cluster_embeddings operators."""
+        import pathlib
+
+        from odibi_spark.plans.config import load_pipeline_yaml
+        from odibi_spark.plans.pipeline import Pipeline
+
+        text = pathlib.Path("examples/curation_recipes.yaml").read_text()
+        text = text.replace("/tmp/odibi_curation", str(tmp_path))
+        cfg = load_pipeline_yaml(
+            text, env="ci",
+            environment={
+                "DOCS_PATH": "/root/testdata/sf0.001/documents.parquet",
+                "EMB_PATH": "/root/testdata/sf0.001/embeddings.parquet",
+            },
+        )
+        assert cfg.max_workers == 2  # environments: ci overlay applied
+        results = Pipeline(cfg, spark).run()
+        for node in ("doc_quality", "topic_clusters"):
+            assert results[node].status == "success", results[node].error
+        quality = spark.read.parquet(str(tmp_path / "quality"))
+        assert {"doc_id", "n_tokens", "avg_nll"} <= set(quality.columns)
+        clusters = spark.read.parquet(str(tmp_path / "clusters"))
+        assert clusters.select("cluster").distinct().count() <= 4
+
+    def test_example_data_tests_pass(self, spark):
+        from odibi_spark.plans.datatests import run_data_tests
+
+        summary = run_data_tests(spark, "examples/tests/curation_test.yaml")
+        assert (summary.passed, summary.failed) == (3, 0), [
+            (c.name, c.message) for c in summary.cases
+        ]
