@@ -284,6 +284,12 @@ class Catalog:
     #: retention-eligible tables → (age column, kind). Definition
     #: tables (meta_pipelines/meta_nodes/meta_schemas/meta_state) are
     #: never retention-deleted: they are current-state, not history.
+    #: meta_tables is BOTH: its append log is the schema history (old
+    #: rows retention-eligible) but its newest row per table_path is
+    #: the current-state registry, so cleanup() always exempts that
+    #: latest row — the reference's cleanup never touches the table
+    #: registry at all (odibi/cli/system.py trims only daily_stats/
+    #: failures/observability).
     RETENTION_TABLES = {
         "runs": ("finished_at", "epoch"),
         "metrics": ("recorded_at", "epoch"),
@@ -337,6 +343,7 @@ class Catalog:
         ``dry_run`` nothing is rewritten and deleted is 0.
         """
         from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
 
         ref = float(now if now is not None else time.time())
         report: dict[str, dict] = {}
@@ -357,8 +364,20 @@ class Catalog:
                     "%Y-%m-%d", time.gmtime(ref - days * 86400.0)
                 )
                 expired_pred = F.col(col) < F.lit(cutoff)
+            if name == "tables":
+                # the newest row per table_path IS the registry (and
+                # schema_history's latest version) — exempt it so a
+                # table that simply hasn't been written within the
+                # window keeps its current-state entry
+                w = Window.partitionBy("table_path").orderBy(
+                    F.col(col).desc_nulls_last()
+                )
+                df = df.withColumn("__rk", F.row_number().over(w))
+                expired_pred = expired_pred & (F.col("__rk") > 1)
             expired = df.filter(expired_pred).count()
             kept = df.filter(~expired_pred | F.col(col).isNull())
+            if name == "tables":
+                kept = kept.drop("__rk")
             n_kept = kept.count()
             entry = {"expired": expired, "kept": n_kept, "deleted": 0}
             if expired and not dry_run:
@@ -374,7 +393,14 @@ class Catalog:
         mid-upsert; the repair is a full recompute). Produces exactly
         what folding every run through ``update_daily_stats`` would
         have: per-run rollup first (a run is successful when EVERY
-        node row succeeded), then the (date, pipeline) grain."""
+        node row succeeded), then the (date, pipeline) grain.
+
+        Retention interaction: runs older than meta_runs' retention
+        window cannot be rebuilt, so existing daily_stats rows whose
+        date predates the earliest surviving run are PRESERVED (merged
+        back in) rather than silently discarded — otherwise a cleanup
+        with {runs: 30, daily_stats: 365} followed by a rebuild would
+        destroy 11 months of stats its own retention said to keep."""
         from pyspark.sql import functions as F
 
         per_run = self.runs().groupBy("run_id", "pipeline").agg(
@@ -385,8 +411,14 @@ class Catalog:
         )
         rebuilt = (
             per_run.withColumn(
+                # UTC-pinned via pure epoch arithmetic so rebuild and
+                # update_daily_stats (time.gmtime, always UTC) assign
+                # a run to the SAME date whatever the session timezone
                 "date",
-                F.from_unixtime("started_at", "yyyy-MM-dd"),
+                F.date_add(
+                    F.to_date(F.lit("1970-01-01")),
+                    F.floor(F.col("started_at") / 86400).cast("int"),
+                ).cast("string"),
             )
             .groupBy("date", "pipeline")
             .agg(
@@ -400,6 +432,13 @@ class Catalog:
             )
         )
         if self._exists("daily_stats"):
+            oldest = per_run.agg(F.min("started_at")).first()[0]
+            if oldest is not None:
+                floor_date = time.strftime("%Y-%m-%d", time.gmtime(oldest))
+                preserved = self.daily_stats().filter(
+                    F.col("date") < floor_date
+                )
+                rebuilt = preserved.unionByName(rebuilt)
             self._rewrite("daily_stats", rebuilt)
         else:
             rebuilt.coalesce(1).write.mode("overwrite").parquet(

@@ -78,6 +78,12 @@ def main(argv: list[str] | None = None) -> int:
         help="pipeline YAML path as the orchestrator's workers will see "
         "it (defaults to --pipeline)",
     )
+    sp.add_argument(
+        "--env",
+        help="environments overlay to export with; forwarded as --env "
+        "into every generated task command so tasks run the SAME "
+        "overlaid config the DAG was exported from",
+    )
 
     # introspection (reference cli/list_cmd.py: list + explain)
     sp = sub.add_parser(
@@ -259,15 +265,17 @@ def main(argv: list[str] | None = None) -> int:
         )
         from odibi_spark.plans.config import load_pipeline_yaml
 
-        cfg = load_pipeline_yaml(args.pipeline)
+        cfg = load_pipeline_yaml(args.pipeline, env=args.env)
         yaml_path = args.yaml_path or args.pipeline
         if args.target == "airflow":
             code = render_airflow_dag(
                 cfg, yaml_path=yaml_path, owner=args.owner,
-                retries=args.retries,
+                retries=args.retries, env=args.env,
             )
         else:
-            code = render_dagster_definitions(cfg, yaml_path=yaml_path)
+            code = render_dagster_definitions(
+                cfg, yaml_path=yaml_path, env=args.env,
+            )
         if args.out:
             with open(args.out, "w") as f:
                 f.write(code)

@@ -102,10 +102,13 @@ def _input_frames(
 def _normalize(df: pd.DataFrame, stringly: bool) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     if stringly:
-        # CSV snapshots lose types; compare non-numeric columns as text
+        # CSV snapshots lose types; compare non-numeric columns as text.
+        # Missing values first: Spark NULLs arrive as None ('None' under
+        # astype(str)) while pandas.read_csv yields NaN ('nan') — map
+        # both to '' so a null-bearing snapshot case can ever pass.
         for c in df.columns:
             if not pd.api.types.is_numeric_dtype(df[c]):
-                df[c] = df[c].astype(str)
+                df[c] = df[c].where(df[c].notna(), "").astype(str)
     try:
         df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     except Exception:

@@ -151,6 +151,27 @@ class TestSnapshots:
         again = run_data_tests(spark, f)
         assert (again.passed, again.failed) == (1, 0), again.cases
 
+    def test_snapshot_with_null_string_values_round_trips(self, spark, tmp_path):
+        """Spark NULL stringifies as 'None', pandas.read_csv NaN as
+        'nan' — snapshot compare must normalize both or a null-bearing
+        case fails forever (ADVICE r8 #4)."""
+        f = _write(
+            tmp_path, "null_test.yaml",
+            """
+            tests:
+              - name: nulls
+                sql: >
+                  SELECT g, CASE WHEN g = 'a' THEN NULL ELSE g END AS v
+                  FROM t
+                inputs:
+                  t: [{g: a}, {g: b}]
+            """,
+        )
+        wrote = run_data_tests(spark, f, update_snapshots=True)
+        assert wrote.failed == 0
+        again = run_data_tests(spark, f)
+        assert (again.passed, again.failed) == (1, 0), again.cases
+
     def test_stale_snapshot_fails(self, spark, tmp_path):
         f = _write(
             tmp_path, "stale_test.yaml",

@@ -245,6 +245,53 @@ nodes:
         assert _json.loads(capsys.readouterr().out) == []
 
 
+class TestEnvPropagation:
+    """ADVICE r8 #5: a DAG exported from an environments: overlay must
+    forward --env into every generated task command, or tasks execute
+    the un-overlaid config at runtime."""
+
+    def test_airflow_tasks_carry_env_flag(self, cfg):
+        code = render_airflow_dag(cfg, yaml_path="/etc/p.yaml", env="prod")
+        compile(code, "dag.py", "exec")
+        # one --env per task command, properly placed after --node
+        assert code.count("--env prod") == len(cfg.nodes)
+        # and absent entirely when no env was given
+        assert "--env" not in render_airflow_dag(cfg, yaml_path="/etc/p.yaml")
+
+    def test_dagster_definitions_carry_env(self, cfg):
+        code = render_dagster_definitions(
+            cfg, yaml_path="/etc/p.yaml", env="prod"
+        )
+        compile(code, "definitions.py", "exec")
+        assert "PIPELINE_ENV = 'prod'" in code
+        assert '"--env", PIPELINE_ENV' in code
+        none_code = render_dagster_definitions(cfg, yaml_path="/etc/p.yaml")
+        compile(none_code, "definitions.py", "exec")
+        assert "PIPELINE_ENV = None" in none_code
+
+    def test_cli_export_env_applies_overlay_and_forwards(self, tmp_path, capsys):
+        from odibi_spark.cli import main
+
+        y = tmp_path / "pipe.yaml"
+        y.write_text(
+            "name: envdemo\n"
+            "nodes:\n"
+            "  - name: bronze\n"
+            "    read: {path: /data/dev.parquet}\n"
+            "environments:\n"
+            "  prod:\n"
+            "    nodes:\n"
+            "      - name: bronze\n"
+            "        read: {path: /data/prod.parquet}\n"
+        )
+        assert main([
+            "export", "--target", "airflow", "--pipeline", str(y),
+            "--env", "prod",
+        ]) == 0
+        code = capsys.readouterr().out
+        assert "--env prod" in code
+
+
 class TestReviewFixes:
     """Round-7 review findings on the exporters (sanitization,
     quoting) and CLI composition."""

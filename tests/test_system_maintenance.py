@@ -80,6 +80,30 @@ class TestCleanup:
         assert cat.runs().count() == 0  # empty but still readable
         assert "run_id" in cat.runs().columns
 
+    def test_cleanup_keeps_latest_registry_row_per_table(self, spark, tmp_path):
+        """meta_tables is current-state: the newest row per table_path
+        survives ANY retention window (ADVICE r8 #1 — cleanup must not
+        delete the registry / entire schema history of a table that
+        simply hasn't been written lately)."""
+        from odibi_spark.catalog import TABLE_SCHEMA
+
+        now = time.time()
+        cat = Catalog(spark, str(tmp_path / "_sys3"))
+        old, older = now - 100 * 86400, now - 200 * 86400
+        cat._append("tables", [
+            ("/t/a", "p", "n", "parquet", '{"x":"int"}', older),
+            ("/t/a", "p", "n", "parquet", '{"x":"bigint"}', old),
+            ("/t/b", "p", "n", "parquet", '{"y":"string"}', older),
+        ], TABLE_SCHEMA)
+        report = cat.cleanup({"tables": 90}, now=now)
+        # only /t/a's superseded older row is deletable
+        assert report["tables"]["deleted"] == 1
+        rows = {(r.table_path, r.schema_json) for r in cat.tables().collect()}
+        assert rows == {("/t/a", '{"x":"bigint"}'), ("/t/b", '{"y":"string"}')}
+        # schema_history still reports the current version of both
+        hist = cat.schema_history().collect()
+        assert {r.table_path for r in hist} == {"/t/a", "/t/b"}
+
 
 class TestRebuild:
     def test_rebuild_matches_incremental_fold(self, spark, tmp_path):
@@ -115,6 +139,42 @@ class TestRebuild:
         assert out["p"]["successes"] == 0  # one node failed => run failed
         assert out["p"]["failures"] == 1
         assert out["p"]["total_duration_s"] == pytest.approx(30.0, abs=0.01)
+
+    def test_rebuild_date_is_utc_whatever_session_timezone(self, spark, tmp_path):
+        """update_daily_stats dates via time.gmtime (always UTC);
+        rebuild must agree even on a session not pinned to UTC
+        (ADVICE r8 #2), else the repair itself reintroduces drift."""
+        # 2024-06-15T01:00:00Z — still 2024-06-14 in LA
+        at = 1718413200.0
+        cat = Catalog(spark, str(tmp_path / "_sys4"))
+        cat.record_run(
+            run_id="r1", pipeline="p", results={"a": R()},
+            started_at=at, finished_at=at + 5,
+        )
+        prev_tz = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        try:
+            rows = cat.rebuild_daily_stats().collect()
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        assert [r.date for r in rows] == ["2024-06-15"]  # UTC, not LA
+
+    def test_rebuild_preserves_stats_older_than_runs_window(self, spark, tmp_path):
+        """After per-table retention {runs: 90} trims old runs, a
+        rebuild keeps the daily_stats rows whose dates predate the
+        oldest surviving run instead of overwriting them away
+        (ADVICE r8 #3)."""
+        now = time.time()
+        cat = _seed(spark, str(tmp_path / "_sys5"), now)
+        old_dates = {r.date for r in cat.daily_stats().collect()}
+        assert len(old_dates) == 2
+        cat.cleanup({"runs": 90}, now=now)  # old run gone, stats kept
+        assert cat.runs().count() == 2
+        rebuilt = {r.date: r.asDict() for r in cat.rebuild_daily_stats().collect()}
+        assert set(rebuilt) == old_dates  # 100-day-old row preserved
+        # the fresh date was genuinely rebuilt from the surviving run
+        fresh = max(old_dates)
+        assert rebuilt[fresh]["runs"] == 1
 
 
 class TestOptimizeAndSync:
