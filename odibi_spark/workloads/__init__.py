@@ -36,55 +36,10 @@ _ALL_ORACLES = {
 # Dict order is sampling priority: the driver's correctness gate checks
 # the FIRST 50 entries. The sample ROTATES each round so every declared
 # workload gets a driver-side hash check within two rounds (VERDICT r4
-# task 2). Round 7 executes the staged rotation (VERDICT r6 task 1),
-# widened from the 17 staged entries to ALL 25 workloads whose last
-# driver check was r4 or earlier (cross-checked against the committed
-# CORRECTNESS_r05/r06 key sets): the staged 13 r4-era entries plus the
-# TPC-H mid-range (q4,q6-q9,q13-q15,q17-q19,q22) and the two
-# rows-only-by-design sketch estimators. Then this round's brand-new
-# workloads, then the oldest r5-checked entries to fill the head to 50.
-_R7_ROTATE_IN = [
-    "intersect_repeat_customers", "corpus_overlap_halves",
-    "approx_distinct_fingerprints", "range_clicks_per_purchase_hour",
-    "simulated_sensor_rollup", "scd2_customer_batches",
-    "detect_event_phases", "streaming_user_sessions",
-    "skew_salted_event_join", "median_acctbal_by_segment",
-    "cheapest_part_per_brand", "q6_forecast_revenue",
-    "q7_nation_volume", "q14_promo_revenue", "q18_large_orders",
-    "groupingsets_flag_status", "ivf_ann_neighbors",
-    "q4_order_priority", "q8_market_share", "q9_product_profit",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q19_bracket_revenue",
-    "q22_inactive_balances",
-]
-
-# Workloads declared for the first time in round 7 — never driver-
-# checked, so they go right after the rotated-in block.
-_R7_NEW = [
-    "sample_seeded_docs", "multimodal_audio_features",
-    "bloom_semijoin_orders", "lm_quality_docs",
-    "kmeans_clusters_embeddings",
-]
-
-# Oldest r5-checked entries (in their r5 head order) — fill the head
-# to 50. The rest of the r5-checked set is staged in _R8_ROTATE_IN.
-_R5_CHECKED_REFRESH = [
-    "agg_having_suppliers", "window_running_revenue",
-    "dedup_latest_order", "anti_inactive_customers",
-    "semi_urgent_customers", "topk_parts_per_brand",
-    "full_outer_nation_presence", "pivot_qty_by_status",
-    "json_event_props", "split_events_by_day", "case_when_priority",
-    "date_parts_orders", "shipping_delay", "string_ops_customers",
-    "surrogate_keys_nation", "segment_mapping",
-    "fill_replace_segments", "union_segments", "explode_part_words",
-    "flag_order_issues", "distinct_segment_nation",
-    "lookup_nation_names", "date_dimension_calendar",
-]
-
-# ROUND-8 ROTATION QUEUE: the r5-checked entries that did not fit this
-# round's head — after r7 they are the oldest-checked set. Next round,
-# move these into the first-50 head (plus any r8-new workloads),
-# demoting the r7-checked entries.
+# task 2). Round 8 executes the queue staged in r7 (VERDICT r7 task 1):
+# the 27 remaining r5-checked entries plus the 3 entries displaced from
+# the r7 head, then this round's brand-new workloads, then the oldest
+# r6-checked entries (in their r6 head order) to fill the head to 50.
 _R8_ROTATE_IN = [
     "convert_event_values", "unpivot_flag_metrics",
     "window_price_change", "token_counts_by_source",
@@ -104,9 +59,50 @@ _R8_ROTATE_IN = [
     "date_dimension_calendar",
 ]
 
+# Workloads declared for the first time in round 8 — never driver-
+# checked, so they go right after the rotated-in block.
+_R8_NEW = [
+    "merge_upsert_customers", "pipeline_health_runs",
+    "sla_status_pipelines",
+]
+
+# Oldest r6-checked entries (in their r6 head order) — fill the head
+# to 50. The rest of the r6-checked set is staged in _R9_ROTATE_IN.
+_R6_CHECKED_REFRESH = [
+    "ewma_user_values", "outlier_events_mad", "fuzzy_match_parts",
+    "spatial_customers_near_suppliers", "snapshot_cdc_customers",
+    "decile_customer_spend", "split_documents_sets",
+    "resample_interp_user_events", "conversion_latency_quartiles",
+    "transition_matrix_events", "zorder_key_orders", "pps_sample_docs",
+    "psychrometrics_events", "heavy_hitter_terms",
+    "streaming_ewma_user_values", "streaming_shards_docs",
+    "sample_k_docs_per_lang",
+]
+
+# ROUND-9 ROTATION QUEUE: the r6-checked entries that did not fit this
+# round's head — after r8 they are the oldest-checked set. Next round,
+# move these into the first-50 head (plus any r9-new workloads),
+# demoting the r8-checked entries; fill any remaining head slots from
+# the r7-checked set in its r7 head order.
+_R9_ROTATE_IN = [
+    "cast_trim_clean_parts", "decontamination_bloom_hits",
+    "q1_pricing_summary", "q3_top_orders", "q5_revenue_by_nation",
+    "q10_returned_revenue", "sessionize_events", "cube_flag_status",
+    "except_lapsed_customers", "rollup_orders_year_priority",
+    "window_range_frame_spend", "text_quality", "exact_dedup_docs",
+    "ngram_jaccard_docs", "embedding_cosine_topk", "minhash_lsh_pairs",
+    "simhash_near_docs", "lsh_ann_neighbors", "embedding_neardup_pairs",
+    "repetition_signals_docs", "decontamination_hits",
+    "token_budget_by_source", "stratified_sample_langs",
+    "chunk_documents_docs", "pack_sequences_docs", "scrub_pii_docs",
+    "neardup_clusters", "percentiles_by_source", "tfidf_top_terms",
+    "semantic_revenue_by_segment", "streaming_hourly_events",
+    "multimodal_image_features", "asof_click_purchase",
+]
+
 _unknown_rotate = (
-    set(_R7_ROTATE_IN) | set(_R7_NEW) | set(_R5_CHECKED_REFRESH)
-    | set(_R8_ROTATE_IN)
+    set(_R8_ROTATE_IN) | set(_R8_NEW) | set(_R6_CHECKED_REFRESH)
+    | set(_R9_ROTATE_IN)
 ) - set(_ALL_QUERIES)
 if _unknown_rotate:  # fail loudly: a stale queue would silently shrink
     raise RuntimeError(  # the next round's driver-checked head
@@ -114,7 +110,7 @@ if _unknown_rotate:  # fail loudly: a stale queue would silently shrink
     )
 
 _HEAD = [
-    k for k in _R7_ROTATE_IN + _R7_NEW + _R5_CHECKED_REFRESH
+    k for k in _R8_ROTATE_IN + _R8_NEW + _R6_CHECKED_REFRESH
     if k in _ALL_QUERIES
 ][:50]
 _ORDER = _HEAD + [k for k in _ALL_QUERIES if k not in set(_HEAD)]

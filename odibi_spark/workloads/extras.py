@@ -1828,3 +1828,196 @@ ORACLES.update({
     "streaming_ewma_user_values": STREAMING_EWMA_SQL,
     "streaming_shards_docs": STREAMING_SHARDS_SQL,
 })
+
+
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge pattern (§2.9, reference odibi/transformers/
+    merge_transformer.py:18-640): replay all three strategies against
+    one parquet target — initial load, conditional upsert (only rows
+    whose incoming balance is HIGHER update), delete_match (GDPR-style
+    key erasure), then append_only (re-insert-if-absent restores the
+    deleted keys at their original balance). The final table state is
+    fully determined by customer, so DuckDB can express it as one CASE.
+    """
+    _prep(spark)
+    from odibi_spark.patterns.merge import merge_apply
+
+    path = f"{tempfile.mkdtemp()}/merged"
+    cust = read_table(spark, sf_dir, "customer")
+    merge_apply(spark, cust, target_path=path, keys=["c_custkey"])
+    # conditional upsert: %3==0 rows arrive LOWER (-50) and must NOT
+    # update; the rest arrive +100 and do
+    b1 = cust.filter(F.col("c_custkey") % 5 == 0).withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") - 50)
+        .otherwise(F.col("c_acctbal") + 100),
+    )
+    merge_apply(
+        spark, b1, target_path=path, keys=["c_custkey"],
+        strategy="upsert", update_condition="s.c_acctbal > t.c_acctbal",
+    )
+    merge_apply(
+        spark, cust.filter(F.col("c_custkey") % 11 == 0),
+        target_path=path, keys=["c_custkey"], strategy="delete_match",
+    )
+    final = merge_apply(
+        spark, cust, target_path=path, keys=["c_custkey"],
+        strategy="append_only",
+    )
+    return final.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_bal"),
+    )
+
+
+MERGE_UPSERT_SQL = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(CASE WHEN c_custkey % 5 = 0 AND c_custkey % 3 <> 0
+                               AND c_custkey % 11 <> 0
+                          THEN c_acctbal + 100 ELSE c_acctbal END
+                     AS {DEC})) AS DOUBLE) AS total_bal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+#: pinned "now" for the catalog-health workloads: 1998-08-15 UTC as
+#: pure day arithmetic, matching how both engines derive run epochs
+_HEALTH_REF_DAYS = 10453  # days from 1970-01-01 to 1998-08-15
+_HEALTH_REF = _HEALTH_REF_DAYS * 86400.0
+
+
+def _orders_as_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic meta_runs frame derived from orders: one run per
+    order, pipeline = order priority, failure when orderkey % 4 == 0.
+    Epochs via tz-free day arithmetic (datediff * 86400)."""
+    orders = read_table(spark, sf_dir, "orders")
+    started = (
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("double")
+        * 86400.0
+    )
+    return orders.select(
+        F.col("o_orderkey").cast("string").alias("run_id"),
+        F.col("o_orderpriority").alias("pipeline"),
+        F.lit("main").alias("node"),
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit("failed"))
+        .otherwise(F.lit("success")).alias("status"),
+        F.col("o_custkey").alias("rows_written"),
+        F.lit(None).cast("string").alias("error"),
+        F.lit(3600.0).alias("duration_s"),
+        started.alias("started_at"),
+        (started + 3600.0).alias("finished_at"),
+    )
+
+
+#: shared DuckDB CTE mirroring _orders_as_runs + the per-run rollup
+_RUNS_CTE = """
+runs AS (
+  SELECT o_orderkey AS run_id, o_orderpriority AS pipeline,
+         CASE WHEN o_orderkey % 4 = 0 THEN 0 ELSE 1 END AS ok,
+         o_custkey AS rows_written,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           * 86400.0 + 3600.0 AS finished_at
+  FROM orders
+)
+"""
+
+
+def pipeline_health_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog observability (§ periphery, reference odibi/catalog.py
+    meta_pipeline_health + derived_updater): drive the REAL
+    Catalog.pipeline_health aggregation over a runs table derived
+    deterministically from orders, with a pinned reference time so the
+    7d/30d windows are stable."""
+    _prep(spark)
+    from odibi_spark.catalog import Catalog
+
+    root = tempfile.mkdtemp()
+    _orders_as_runs(spark, sf_dir).write.mode("overwrite").parquet(
+        f"{root}/meta_runs"
+    )
+    return Catalog(spark, root).pipeline_health(now=_HEALTH_REF)
+
+
+PIPELINE_HEALTH_SQL = f"""
+WITH {_RUNS_CTE}
+SELECT pipeline,
+       COUNT(*) AS total_runs,
+       CAST(SUM(ok) AS BIGINT) AS total_successes,
+       CAST(COUNT(*) - SUM(ok) AS BIGINT) AS total_failures,
+       CAST(SUM(CASE WHEN finished_at >= {_HEALTH_REF} - 604800.0
+                     THEN ok ELSE 0 END) AS BIGINT)
+         / NULLIF(CAST(SUM(CASE WHEN finished_at >= {_HEALTH_REF} - 604800.0
+                               THEN 1 ELSE 0 END) AS BIGINT), 0)
+         AS success_rate_7d,
+       CAST(SUM(CASE WHEN finished_at >= {_HEALTH_REF} - 2592000.0
+                     THEN ok ELSE 0 END) AS BIGINT)
+         / NULLIF(CAST(SUM(CASE WHEN finished_at >= {_HEALTH_REF} - 2592000.0
+                               THEN 1 ELSE 0 END) AS BIGINT), 0)
+         AS success_rate_30d,
+       CAST(SUM(CASE WHEN finished_at >= {_HEALTH_REF} - 2592000.0
+                     THEN rows_written END) AS BIGINT) AS total_rows_30d,
+       MAX(CASE WHEN ok = 1 THEN finished_at END) AS last_success_at,
+       MAX(CASE WHEN ok = 0 THEN finished_at END) AS last_failure_at,
+       MAX(finished_at) AS last_run_at
+FROM runs GROUP BY pipeline
+"""
+
+
+#: declared freshness SLAs per priority-pipeline — mixed so both
+#: breach outcomes appear; 'nightly-report' never ran (NULL + breach)
+_SLA_HOURS = {
+    "1-URGENT": 24.0,
+    "2-HIGH": 200.0,
+    "3-MEDIUM": 100000.0,
+    "4-NOT SPECIFIED": 100000.0,
+    "5-LOW": 100000.0,
+    "nightly-report": 24.0,
+}
+
+
+def sla_status_pipelines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness SLA snapshot (reference meta_sla_status): real
+    Catalog.sla_status over the derived runs table. hours_since_success
+    values are exact integers by construction (all epochs are whole
+    hours), so ROUND(x, 3) is the identity in both engines."""
+    _prep(spark)
+    from odibi_spark.catalog import Catalog
+
+    root = tempfile.mkdtemp()
+    _orders_as_runs(spark, sf_dir).write.mode("overwrite").parquet(
+        f"{root}/meta_runs"
+    )
+    return Catalog(spark, root).sla_status(_SLA_HOURS, now=_HEALTH_REF)
+
+
+_SLA_VALUES = ", ".join(
+    f"('{p}', {h})" for p, h in _SLA_HOURS.items()
+)
+SLA_STATUS_SQL = f"""
+WITH {_RUNS_CTE},
+per AS (
+  SELECT pipeline, MAX(CASE WHEN ok = 1 THEN finished_at END)
+           AS last_success
+  FROM runs GROUP BY pipeline
+),
+sla(pipeline, expected_every_hours) AS (VALUES {_SLA_VALUES})
+SELECT s.pipeline, s.expected_every_hours,
+       ROUND(({_HEALTH_REF} - p.last_success) / 3600.0, 3)
+         AS hours_since_success,
+       COALESCE(({_HEALTH_REF} - p.last_success) / 3600.0
+                  > s.expected_every_hours, TRUE) AS breached
+FROM sla s LEFT JOIN per p ON s.pipeline = p.pipeline
+"""
+
+
+QUERIES.update({
+    "merge_upsert_customers": merge_upsert_customers,
+    "pipeline_health_runs": pipeline_health_runs,
+    "sla_status_pipelines": sla_status_pipelines,
+})
+ORACLES.update({
+    "merge_upsert_customers": MERGE_UPSERT_SQL,
+    "pipeline_health_runs": PIPELINE_HEALTH_SQL,
+    "sla_status_pipelines": SLA_STATUS_SQL,
+})
