@@ -268,6 +268,44 @@ def _dot_lit(vec_col: str, centroid: list[float]):
     )
 
 
+#: Plan-size ceiling for inlining centroids as literals: each centroid
+#: contributes dim Literal nodes per dot product, so the expression
+#: tree carries k x dim literals PER REFERENCE to the sims array.
+#: Below the limit the inlined form is strictly better (narrow map, no
+#: shuffle, whole-stage codegen); above it Catalyst analysis/codegen
+#: time and plan serialization blow up (k=4096 x dim=768 would be 3M+
+#: literal nodes), so assignment switches to a broadcast join against
+#: a (cell, cvec) centroid table. The join path computes dots with the
+#: SAME zip_with/aggregate fold (bit-identical doubles) and the same
+#: lowest-cell tiebreak, so the two paths agree exactly.
+INLINE_CENTROID_LIMIT = 16384
+
+
+def _use_inline(centroids: list[list[float]], inline_limit: int | None) -> bool:
+    limit = INLINE_CENTROID_LIMIT if inline_limit is None else inline_limit
+    dim = len(centroids[0]) if centroids else 0
+    return len(centroids) * dim <= limit
+
+
+def _centroid_frame(spark, centroids: list[list[float]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, cvec array<double>",
+    )
+
+
+def _dot_cols(vec_col: str, cvec_col: str):
+    """dot(vector column, centroid column) — the join-path twin of
+    ``_dot_lit``, same fold order so doubles are bit-identical."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(vec_col), F.col(cvec_col), lambda x, y: x.cast("double") * y
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def ivf_centroids(
     df: DataFrame,
     id_col: str,
@@ -276,6 +314,7 @@ def ivf_centroids(
     iters: int = 1,
     exact_mean: bool = False,
     normalize: bool = False,
+    inline_limit: int | None = None,
 ) -> list[list[float]]:
     """Deterministic coarse centroids: seed with the ``nlist`` lowest-id
     vectors, refine with ``iters`` Lloyd steps (assign -> per-cell mean).
@@ -323,7 +362,9 @@ def ivf_centroids(
     ]
     centroids = seeds
     for _ in range(iters):
-        assigned = ivf_assign(df, id_col, vec_col, centroids)
+        assigned = ivf_assign(
+            df, id_col, vec_col, centroids, inline_limit=inline_limit
+        )
         means = (
             assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -339,15 +380,41 @@ def ivf_centroids(
 
 
 def ivf_assign(
-    df: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    inline_limit: int | None = None,
 ) -> DataFrame:
-    """Map each vector to its nearest centroid (``cell``). Narrow (no
-    shuffle): an argmax over nlist inlined dot products."""
+    """Map each vector to its nearest centroid (``cell``).
+
+    Two physical strategies, selected by plan size (k x dim vs
+    ``INLINE_CENTROID_LIMIT``; ``inline_limit`` overrides for tests):
+    - inline (small k): argmax over nlist inlined dot products — a
+      narrow map, no shuffle, the right call at curation scale.
+    - broadcast join (large k): rows x k via a broadcast of the
+      (cell, cvec) table, then a groupBy(id) max(struct(sim, -cell))
+      argmax — one shuffle, but the plan stays O(1) in k. Dots use the
+      same fold, tiebreak is the same lowest-cell, so assignments are
+      identical between paths.
+    """
     sel = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    sims = F.array(*[_dot_lit("vec", c) for c in centroids])
-    # argmax: first index attaining the max (deterministic tiebreak)
-    cell = F.array_position(sims, F.array_max(sims)) - 1
-    return sel.withColumn("cell", cell.cast("int"))
+    if _use_inline(centroids, inline_limit):
+        sims = F.array(*[_dot_lit("vec", c) for c in centroids])
+        # argmax: first index attaining the max (deterministic tiebreak)
+        cell = F.array_position(sims, F.array_max(sims)) - 1
+        return sel.withColumn("cell", cell.cast("int"))
+    cent = _centroid_frame(df.sparkSession, centroids)
+    scored = sel.crossJoin(F.broadcast(cent)).withColumn(
+        "sim", _dot_cols("vec", "cvec")
+    )
+    # max over (sim, -cell) = highest sim, then LOWEST cell — the same
+    # first-max-index tiebreak as array_position above
+    best = scored.groupBy("id").agg(
+        F.max(F.struct(F.col("sim"), (-F.col("cell")).alias("ncell"))).alias("b"),
+        F.first("vec").alias("vec"),
+    )
+    return best.select("id", "vec", (-F.col("b.ncell")).cast("int").alias("cell"))
 
 
 def ivf_topk(
@@ -359,27 +426,46 @@ def ivf_topk(
     nprobe: int = 2,
     iters: int = 1,
     round_digits: int = 6,
+    inline_limit: int | None = None,
 ) -> DataFrame:
     """IVF ANN top-k with the same output contract as ``cosine_topk``
     (query_id, nbr_id, cosine, rank) so recall is directly comparable.
 
     Candidate generation joins corpus and queries on ``cell`` — each
     query probes its ``nprobe`` nearest cells. Exact cosine re-ranks
-    within the probed cells.
+    within the probed cells. Probe scoring is plan-size-gated like
+    ``ivf_assign``: inlined literals under ``INLINE_CENTROID_LIMIT``,
+    a broadcast join against the centroid table above (both already
+    materialize rows x nlist before the top-nprobe window, so the
+    join path costs the same shuffle shape).
     """
     from pyspark.sql.window import Window
 
-    centroids = ivf_centroids(df, id_col, vec_col, nlist=nlist, iters=iters)
-    corpus = ivf_assign(df, id_col, vec_col, centroids).select(
+    centroids = ivf_centroids(
+        df, id_col, vec_col, nlist=nlist, iters=iters,
+        inline_limit=inline_limit,
+    )
+    corpus = ivf_assign(
+        df, id_col, vec_col, centroids, inline_limit=inline_limit
+    ).select(
         F.col("id").alias("nbr_id"), F.col("vec").alias("nbr_vec"), "cell"
     )
     sel = df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    sims = F.array(*[_dot_lit("q_vec", c) for c in centroids])
-    probe_w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
-    probes = (
-        sel.select(
+    if _use_inline(centroids, inline_limit):
+        sims = F.array(*[_dot_lit("q_vec", c) for c in centroids])
+        cand = sel.select(
             "query_id", "q_vec", F.posexplode(sims).alias("cell", "sim")
         )
+    else:
+        cand = sel.crossJoin(
+            F.broadcast(_centroid_frame(df.sparkSession, centroids))
+        ).select(
+            "query_id", "q_vec", "cell",
+            _dot_cols("q_vec", "cvec").alias("sim"),
+        )
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
+    probes = (
+        cand
         .withColumn("probe_rank", F.row_number().over(probe_w))
         .filter(F.col("probe_rank") <= nprobe)
         .select("query_id", "q_vec", F.col("cell").cast("int").alias("cell"))
@@ -411,6 +497,7 @@ def kmeans_clusters(
     iters: int = 1,
     exact_mean: bool = False,
     round_digits: int = 6,
+    inline_limit: int | None = None,
 ) -> DataFrame:
     """Document/embedding clustering: SPHERICAL k-means on the IVF
     machinery (deterministic lowest-id seeds, L2-normalized centroids,
@@ -429,19 +516,40 @@ def kmeans_clusters(
     DECIMAL(18,6) sums (bit-stable across engines/partitionings —
     used by the hash oracle); the default float mean is cheaper and
     fine for real clustering.
+
+    Plan-size gate: when k x dim exceeds ``INLINE_CENTROID_LIMIT``
+    (curation k<=64 x dim<=768 stays far under it), assignment and the
+    winning-centroid cosine switch from inlined literals to a
+    broadcast equi-join on ``cluster`` — identical output, plan O(1)
+    in k. ``inline_limit`` overrides the threshold (tests force the
+    join path with 0).
     """
     centroids = ivf_centroids(
         df, id_col, vec_col, nlist=k, iters=iters,
-        exact_mean=exact_mean, normalize=True,
+        exact_mean=exact_mean, normalize=True, inline_limit=inline_limit,
     )
-    assigned = ivf_assign(df, id_col, vec_col, centroids)
-    sims = F.array(*[_dot_lit("vec", c) for c in centroids])
-    # centroids are unit vectors, so dot / |v| is the cosine
-    return assigned.select(
-        F.col("id").alias(id_col),
-        F.col("cell").alias("cluster"),
-        F.round(
-            F.element_at(sims, F.col("cell") + 1) / _norm("vec"),
-            round_digits,
-        ).alias("sim"),
+    assigned = ivf_assign(
+        df, id_col, vec_col, centroids, inline_limit=inline_limit
+    )
+    if _use_inline(centroids, inline_limit):
+        sims = F.array(*[_dot_lit("vec", c) for c in centroids])
+        # centroids are unit vectors, so dot / |v| is the cosine
+        return assigned.select(
+            F.col("id").alias(id_col),
+            F.col("cell").alias("cluster"),
+            F.round(
+                F.element_at(sims, F.col("cell") + 1) / _norm("vec"),
+                round_digits,
+            ).alias("sim"),
+        )
+    cent = _centroid_frame(df.sparkSession, centroids)
+    return (
+        assigned.join(F.broadcast(cent), assigned.cell == cent.cell)
+        .select(
+            F.col("id").alias(id_col),
+            assigned.cell.alias("cluster"),
+            F.round(
+                _dot_cols("vec", "cvec") / _norm("vec"), round_digits
+            ).alias("sim"),
+        )
     )

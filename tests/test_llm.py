@@ -142,6 +142,65 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
     assert 99 in nbrs  # near-identical vector shares the Voronoi cell
 
 
+def test_ivf_assign_join_path_matches_inline(spark):
+    """Plan-size gate (VERDICT r7 task 4): forcing the broadcast-join
+    assignment path (inline_limit=0) must produce IDENTICAL
+    (id, cell) assignments and kmeans output as the inlined-literal
+    path — same dot fold, same lowest-cell tiebreak."""
+    import numpy as np
+
+    from odibi_spark.llm.similarity import kmeans_clusters
+
+    rng = np.random.default_rng(7)
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in rng.standard_normal(8)])
+        for i in range(1, 80)
+    ]
+    # planted exact duplicates so centroid TIES actually occur
+    rows.append(Row(vec_id=200, embedding=rows[0].embedding))
+    df = spark.createDataFrame(rows)
+    cents = similarity.ivf_centroids(df, "vec_id", "embedding", nlist=5, iters=1)
+    inline = similarity.ivf_assign(df, "vec_id", "embedding", cents)
+    joined = similarity.ivf_assign(
+        df, "vec_id", "embedding", cents, inline_limit=0
+    )
+    assert {(r.id, r.cell) for r in inline.collect()} == \
+        {(r.id, r.cell) for r in joined.collect()}
+    # the join path really is a broadcast join, and the inline path no join
+    jplan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in jplan or "BroadcastHashJoin" in jplan
+    assert "Join" not in inline._jdf.queryExecution().executedPlan().toString()
+    # end-to-end: kmeans output identical on both paths
+    km_a = sorted(
+        (r.vec_id, r.cluster, r.sim)
+        for r in kmeans_clusters(
+            df, "vec_id", "embedding", k=5, iters=1
+        ).collect()
+    )
+    km_b = sorted(
+        (r.vec_id, r.cluster, r.sim)
+        for r in kmeans_clusters(
+            df, "vec_id", "embedding", k=5, iters=1, inline_limit=0
+        ).collect()
+    )
+    assert km_a == km_b
+    # ivf_topk too (probe scoring shares the gate)
+    tk_a = {
+        (r.query_id, r.nbr_id, r.rank)
+        for r in similarity.ivf_topk(
+            df, "vec_id", "embedding", k=3, nlist=4, nprobe=2, iters=1
+        ).collect()
+    }
+    tk_b = {
+        (r.query_id, r.nbr_id, r.rank)
+        for r in similarity.ivf_topk(
+            df, "vec_id", "embedding", k=3, nlist=4, nprobe=2, iters=1,
+            inline_limit=0,
+        ).collect()
+    }
+    assert tk_a == tk_b
+
+
 def test_ivf_assign_deterministic(spark):
     import numpy as np
 
