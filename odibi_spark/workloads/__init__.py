@@ -63,7 +63,7 @@ _R8_ROTATE_IN = [
 # checked, so they go right after the rotated-in block.
 _R8_NEW = [
     "merge_upsert_customers", "pipeline_health_runs",
-    "sla_status_pipelines",
+    "sla_status_pipelines", "multimodal_video_features",
 ]
 
 # Oldest r6-checked entries (in their r6 head order) — fill the head
@@ -76,7 +76,6 @@ _R6_CHECKED_REFRESH = [
     "transition_matrix_events", "zorder_key_orders", "pps_sample_docs",
     "psychrometrics_events", "heavy_hitter_terms",
     "streaming_ewma_user_values", "streaming_shards_docs",
-    "sample_k_docs_per_lang",
 ]
 
 # ROUND-9 ROTATION QUEUE: the r6-checked entries that did not fit this
@@ -85,6 +84,7 @@ _R6_CHECKED_REFRESH = [
 # demoting the r8-checked entries; fill any remaining head slots from
 # the r7-checked set in its r7 head order.
 _R9_ROTATE_IN = [
+    "sample_k_docs_per_lang",  # bumped from the r8 fill by the late-r8 video workload
     "cast_trim_clean_parts", "decontamination_bloom_hits",
     "q1_pricing_summary", "q3_top_orders", "q5_revenue_by_nation",
     "q10_returned_revenue", "sessionize_events", "cube_flag_status",

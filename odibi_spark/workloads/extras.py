@@ -2021,3 +2021,50 @@ ORACLES.update({
     "pipeline_health_runs": PIPELINE_HEALTH_SQL,
     "sla_status_pipelines": SLA_STATUS_SQL,
 })
+
+
+def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF round-trip under the hash oracle (VERDICT r7 task 5):
+    synthesize a valid multi-frame GIF89a per document (geometry,
+    frame count, and per-frame delay all arithmetic in doc_id) inside
+    mapInPandas, then walk it with the stdlib GIF parser — the oracle
+    recomputes width/height/frames/duration from the same formulas.
+    Payloads are built AND decoded executor-side; nothing binary
+    crosses the driver."""
+    _prep(spark)
+    from odibi_spark.llm.multimodal import extract_video_features, synth_gif
+
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def synth(it):
+        for pdf in it:
+            ids = pdf["media_id"].tolist()
+            payloads = [
+                synth_gif(
+                    8 + d % 16, 6 + d % 9,
+                    [4 + d % 7] * (1 + d % 5),
+                )
+                for d in ids
+            ]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    gifs = docs.mapInPandas(synth, "media_id long, payload binary")
+    return extract_video_features(gifs, "payload", "media_id").select(
+        "media_id", "width", "height", "n_frames", "duration_s"
+    )
+
+
+MULTIMODAL_VIDEO_SQL = """
+SELECT doc_id AS media_id,
+       CAST(8 + doc_id % 16 AS INTEGER) AS width,
+       CAST(6 + doc_id % 9 AS INTEGER) AS height,
+       CAST(1 + doc_id % 5 AS INTEGER) AS n_frames,
+       CAST((1 + doc_id % 5) * (4 + doc_id % 7) AS DOUBLE) / 100.0
+         AS duration_s
+FROM documents
+"""
+
+QUERIES.update({"multimodal_video_features": multimodal_video_features})
+ORACLES.update({"multimodal_video_features": MULTIMODAL_VIDEO_SQL})

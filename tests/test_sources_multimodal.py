@@ -294,3 +294,95 @@ class TestRealDecoders:
             multimodal.default_image_decoder(weird)
             == multimodal.fake_image_decoder(weird)
         )
+
+
+class TestVideoDecoders:
+    """Real GIF/AVI structure walks (VERDICT r7 task 5 — the last
+    fake-decoder media type de-stubbed): golden bytes, synth round
+    trips, truncation handling, and Spark plumbing."""
+
+    def test_golden_1x1_gif(self):
+        from odibi_spark.llm import multimodal
+
+        # the canonical minimal GIF89a: 1x1, one frame, 2-color table
+        golden = (
+            b"GIF89a" + b"\x01\x00\x01\x00" + b"\x80\x00\x00"
+            + b"\x00\x00\x00\xff\xff\xff"
+            + b"\x21\xf9\x04\x01\x00\x00\x00\x00"
+            + b"\x2c\x00\x00\x00\x00\x01\x00\x01\x00\x00"
+            + b"\x02\x02\x44\x01\x00" + b"\x3b"
+        )
+        got = multimodal.gif_video_decoder(golden)
+        assert (got["width"], got["height"], got["n_frames"]) == (1, 1, 1)
+
+    def test_gif_synth_round_trip_multiframe(self):
+        from odibi_spark.llm import multimodal
+
+        payload = multimodal.synth_gif(12, 7, [4, 10, 25])
+        got = multimodal.gif_video_decoder(payload)
+        assert got["width"] == 12 and got["height"] == 7
+        assert got["n_frames"] == 3
+        assert got["duration_s"] == (4 + 10 + 25) / 100.0
+
+    def test_avi_synth_round_trip(self):
+        from odibi_spark.llm import multimodal
+
+        payload = multimodal.synth_avi(320, 240, 50, fps=25.0)
+        got = multimodal.avi_video_decoder(payload)
+        assert (got["width"], got["height"], got["n_frames"]) == (320, 240, 50)
+        assert got["duration_s"] == 2.0
+
+    def test_dispatch_and_fallback(self):
+        from odibi_spark.llm import multimodal
+
+        gif = multimodal.synth_gif(2, 2, [1])
+        assert multimodal.default_video_decoder(gif)["n_frames"] == 1
+        # truncated GIF -> fake, not an exception
+        got = multimodal.default_video_decoder(gif[:15])
+        assert got == multimodal.fake_video_decoder(gif[:15])
+        # arbitrary bytes -> fake
+        blob = b"\x00\x01mystery-codec"
+        assert (
+            multimodal.default_video_decoder(blob)
+            == multimodal.fake_video_decoder(blob)
+        )
+
+    def test_truncated_payloads_raise_not_hang(self):
+        import pytest as _pytest
+
+        from odibi_spark.llm import multimodal
+
+        gif = multimodal.synth_gif(4, 4, [2, 2])
+        avi = multimodal.synth_avi(64, 48, 10)
+        for cut in (8, 12, 20, len(gif) - 2):
+            with _pytest.raises(ValueError):
+                multimodal.gif_video_decoder(gif[:cut])
+        with _pytest.raises(ValueError):
+            # RIFF/AVI magic intact but avih unreachable
+            multimodal.avi_video_decoder(avi[:16])
+
+    def test_real_video_through_spark_plumbing(self, spark):
+        from odibi_spark.llm import multimodal
+
+        rows = [
+            (i, multimodal.synth_gif(8 + i, 6, [5] * (1 + i % 3)))
+            for i in range(12)
+        ] + [
+            (100 + i, multimodal.synth_avi(160, 120, 25 * (i + 1), fps=25.0))
+            for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, ["media_id", "payload"])
+        out = {
+            r.media_id: r
+            for r in multimodal.extract_video_features(df).collect()
+        }
+        assert len(out) == 16
+        for i in range(12):
+            r = out[i]
+            assert (r.width, r.height) == (8 + i, 6)
+            assert r.n_frames == 1 + i % 3
+            assert r.duration_s == (1 + i % 3) * 5 / 100.0
+        for i in range(4):
+            r = out[100 + i]
+            assert r.n_frames == 25 * (i + 1)
+            assert r.duration_s == float(i + 1)
