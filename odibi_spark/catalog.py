@@ -52,8 +52,16 @@ class Catalog:
         self.root = root.rstrip("/")
 
     def _append(self, name: str, rows: list[tuple], schema: str) -> None:
-        df = self.spark.createDataFrame(rows, schema)
-        df.write.mode("append").parquet(f"{self.root}/meta_{name}")
+        """Concurrent-writer-safe append: one uniquely-named file per
+        call via :func:`odibi_spark.io.append.atomic_append`, so two
+        pipelines recording runs/metrics into the same catalog at once
+        cannot clobber each other's staging (the reference's catalog
+        retries concurrent Delta commits instead —
+        odibi/state/__init__.py:43-107; on an object store without
+        atomic rename, that Delta-MERGE backend is the upgrade path)."""
+        from odibi_spark.io.append import atomic_append
+
+        atomic_append(self.spark, f"{self.root}/meta_{name}", rows, schema)
 
     def record_run(
         self,
@@ -456,7 +464,7 @@ class Catalog:
         out = {}
         for name in (
             "runs", "metrics", "tables", "daily_stats",
-            "pipelines", "nodes", "schemas",
+            "pipelines", "nodes", "schemas", "state",
         ):
             if self._exists(name):
                 out[name] = compact_small_files(

@@ -53,7 +53,17 @@ class JsonStateBackend(StateBackend):
 
 
 class ParquetStateBackend(StateBackend):
-    """Key-value parquet table (Delta ``meta_state`` analogue)."""
+    """Key-value parquet table (Delta ``meta_state`` analogue).
+
+    Concurrency: each ``set`` appends ONE uniquely-named file carrying
+    (key, value, seq) — never a read-modify-overwrite of the whole
+    table — so concurrent writers of DIFFERENT keys both land, and
+    same-key races resolve last-seq-wins (the same outcome a retried
+    Delta MERGE gives the reference, odibi/state/__init__.py:43-107).
+    Readers resolve the latest seq per key; files from the pre-append
+    overwrite layout read as seq 0. ``Catalog.optimize()`` bin-packs
+    the accreted files; on an object store without atomic rename the
+    upgrade path is the Delta MERGE backend."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -63,22 +73,31 @@ class ParquetStateBackend(StateBackend):
         if not os.path.exists(self.path):
             return {}
         try:
-            return {
-                r.key: r.value for r in self.spark.read.parquet(self.path).collect()
-            }
+            rows = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(self.path)
+                .collect()
+            )
         except Exception:
             return {}
+        data: dict[str, str] = {}
+        for r in sorted(rows, key=lambda r: getattr(r, "seq", None) or 0):
+            data[r.key] = r.value
+        return data
 
     def get(self, key: str) -> str | None:
         return self._read().get(key)
 
     def set(self, key: str, value: str) -> None:
-        data = self._read()
-        data[key] = value
-        df = self.spark.createDataFrame(
-            [(k, v) for k, v in sorted(data.items())], "key string, value string"
+        import time
+
+        from odibi_spark.io.append import atomic_append
+
+        atomic_append(
+            self.spark, self.path,
+            [(key, value, time.time_ns())],
+            "key string, value string, seq bigint",
         )
-        df.localCheckpoint(eager=True).write.mode("overwrite").parquet(self.path)
 
 
 def incremental_filter(

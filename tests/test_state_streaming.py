@@ -33,6 +33,67 @@ class TestHWM:
         b.set("other", "x")
         assert b.get("hwm") == "v2" and b.get("other") == "x"
 
+    def test_parquet_backend_concurrent_writers(self, spark, tmp_path):
+        """Two threads setting DIFFERENT keys concurrently must both
+        land (VERDICT r7 task 6 — the pre-fix read-modify-overwrite
+        lost one writer's keys; appends with unique filenames cannot).
+        """
+        import threading
+
+        b = ParquetStateBackend(spark, str(tmp_path / "state_cc"))
+        errors: list[Exception] = []
+
+        def writer(prefix: str) -> None:
+            try:
+                for i in range(8):
+                    b.set(f"{prefix}{i}", f"v{i}")
+            except Exception as ex:  # pragma: no cover - failure path
+                errors.append(ex)
+
+        threads = [
+            threading.Thread(target=writer, args=(p,)) for p in ("a", "b")
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        for p in ("a", "b"):
+            for i in range(8):
+                assert b.get(f"{p}{i}") == f"v{i}"
+
+    def test_parquet_backend_same_key_race_is_last_seq_wins(self, spark, tmp_path):
+        import threading
+
+        b = ParquetStateBackend(spark, str(tmp_path / "state_race"))
+        barrier = threading.Barrier(2)
+
+        def writer(val: str) -> None:
+            barrier.wait()
+            b.set("k", val)
+
+        threads = [
+            threading.Thread(target=writer, args=(v,)) for v in ("x", "y")
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        # one of the two values, never a crash or a missing key
+        assert b.get("k") in {"x", "y"}
+
+    def test_parquet_backend_reads_pre_append_layout(self, spark, tmp_path):
+        """Stores written by the old overwrite layout (no seq column)
+        still read, and a new set() supersedes them."""
+        path = str(tmp_path / "state_old")
+        spark.createDataFrame(
+            [("hwm", "old")], "key string, value string"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        b = ParquetStateBackend(spark, path)
+        assert b.get("hwm") == "old"
+        b.set("hwm", "new")
+        assert b.get("hwm") == "new"
+
     def test_incremental_cycle(self, spark, tmp_path):
         b = JsonStateBackend(str(tmp_path / "s.json"))
         batch1 = spark.createDataFrame(

@@ -105,6 +105,49 @@ class TestCleanup:
         assert {r.table_path for r in hist} == {"/t/a", "/t/b"}
 
 
+class TestConcurrentWriters:
+    def test_two_pipelines_record_runs_concurrently(self, spark, tmp_path):
+        """Two threads recording runs + metrics into the SAME catalog
+        root concurrently: every row must land (VERDICT r7 task 6 —
+        Spark append-mode staging is single-writer; the atomic
+        unique-filename appends are not)."""
+        import threading
+
+        cat = Catalog(spark, str(tmp_path / "_cc"))
+        now = time.time()
+        errors: list[Exception] = []
+
+        def writer(pipeline: str) -> None:
+            try:
+                for i in range(6):
+                    cat.record_run(
+                        run_id=f"{pipeline}-{i}", pipeline=pipeline,
+                        results={"a": R()}, started_at=now - 60,
+                        finished_at=now - 30,
+                    )
+                    cat.record_metrics(
+                        run_id=f"{pipeline}-{i}", pipeline=pipeline,
+                        node="a", metrics={"rows": float(i)},
+                    )
+            except Exception as ex:  # pragma: no cover - failure path
+                errors.append(ex)
+
+        threads = [
+            threading.Thread(target=writer, args=(p,)) for p in ("p1", "p2")
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        assert cat.runs().count() == 12
+        assert cat.metrics().count() == 12
+        got = {(r.pipeline, r.run_id) for r in cat.runs().collect()}
+        assert got == {
+            (p, f"{p}-{i}") for p in ("p1", "p2") for i in range(6)
+        }
+
+
 class TestRebuild:
     def test_rebuild_matches_incremental_fold(self, spark, tmp_path):
         """A drifted (here: deleted) daily_stats table rebuilt from
