@@ -180,14 +180,22 @@ class LocalConnection(Connection):
         import pyarrow.parquet as pq
 
         p = self.get_path(dataset)
+        candidates = [p]
         if os.path.isdir(p):
-            parts = sorted(glob.glob(os.path.join(p, "part-*")))
-            if not parts:
+            candidates = sorted(glob.glob(os.path.join(p, "part-*")))
+            if not candidates:
                 raise FileNotFoundError(f"no part files under {p}")
-            p = parts[0]
+            p = candidates[0]
         if p.endswith(".parquet") or "part-" in os.path.basename(p):
-            pf = pq.ParquetFile(p)
-            return next(pf.iter_batches(batch_size=rows)).to_pandas()
+            # a many-partition write leaves empty part files; skip them
+            # until a batch materializes (empty dataset → empty frame)
+            pf = None
+            for part in candidates:
+                pf = pq.ParquetFile(part)
+                batch = next(pf.iter_batches(batch_size=rows), None)
+                if batch is not None:
+                    return batch.to_pandas()
+            return pf.schema_arrow.empty_table().to_pandas()
         import pandas as pd
 
         if p.endswith((".csv", ".tsv")):
