@@ -491,6 +491,8 @@ def main() -> None:
         "heavy_hitter_terms",
         # new in round 7: LM quality + spherical k-means
         "lm_quality_docs", "kmeans_clusters_embeddings",
+        # new in round 8: SemDeDup + fuzzy decontamination
+        "semantic_dedup_embeddings", "neardup_decontamination_hits",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(

@@ -649,11 +649,34 @@ def main(argv: list[str] | None = None) -> int:
         print(f"run_id: {run_id}")
     else:
         results = pipe.run(parallel=args.parallel)
-    if getattr(args, "story", None):
+    story_cfg = cfg.story
+    story_path = getattr(args, "story", None) or (story_cfg.path if story_cfg else None)
+    if story_path:
         from odibi_spark.lineage import render_story
 
-        render_story(cfg, results, path=args.story, context=pipe.context)
-        print(f"story: {args.story}")
+        render_story(
+            cfg, results, path=story_path, context=pipe.context,
+            sample_rows=story_cfg.sample_rows if story_cfg else 5,
+        )
+        print(f"story: {story_path}")
+    if story_cfg and story_cfg.docs and story_cfg.docs.enabled:
+        from odibi_spark.story_docs import DocGenerator, DocsConfig
+
+        d = story_cfg.docs
+        arts = DocGenerator(DocsConfig(
+            output_path=d.output_path,
+            readme=d.outputs.readme,
+            technical_details=d.outputs.technical_details,
+            node_cards=d.outputs.node_cards,
+            run_history=d.outputs.run_memo,
+            max_history=d.max_history,
+            project=d.project,
+        )).generate(
+            cfg, results, context=pipe.context,
+            story_html_path=story_path,
+            sample_rows=story_cfg.sample_rows,
+        )
+        print(f"docs: {len(arts)} artifacts -> {d.output_path}")
     summary = {k: v.status for k, v in results.items()}
     print(json.dumps(summary, indent=2))
     return 0 if all(s == "success" for s in summary.values()) else 1

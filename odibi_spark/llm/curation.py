@@ -186,6 +186,87 @@ def decontaminate(
     return corpus.join(hits, id_col, "left_anti")
 
 
+def neardup_decontaminate_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    hasher: str = "xxhash64",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate benchmark decontamination: MinHash-LSH *across*
+    corpora. Exact n-gram decontamination (``contamination_hits``)
+    misses lightly-edited eval leakage — paraphrased prompts,
+    re-wrapped few-shot examples — which is why published pipelines
+    pair the exact pass with a fuzzy one (GPT-3 used 13-gram overlap;
+    Llama/Gopher-style cleanups use near-dup matching). A corpus doc
+    is flagged when it shares an LSH band with a benchmark doc AND
+    exact shingle-set Jaccard reaches ``threshold``. Returns
+    (id_col, bench_id_col, jaccard) hit rows.
+
+    Scale shape: the benchmark side is eval-suite-sized, so its band
+    keys and shingle sets broadcast — the corpus is scanned map-side
+    for banding and never shuffles on content. The candidate set
+    (band-collision pairs) is the only corpus-derived relation that
+    moves, and the hint on the candidates join is left to AQE because
+    its size is corpus-proportional in the worst case (same reasoning
+    as ``decontaminate``). Verification re-uses the persisted corpus
+    shingle sets rather than re-shingling.
+    """
+    from pyspark import StorageLevel
+
+    rows_per_band = num_perm // bands
+    c_sets = dedup.word_shingles(corpus, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        b_sets = dedup.word_shingles(
+            benchmark, bench_id_col, bench_text_col, n
+        ).select(F.col("id").alias("bid"), F.col("shingles").alias("bsh"))
+        c_bands = dedup.band_keys(
+            dedup.signatures_from_sets(c_sets, num_perm, hasher, seed),
+            bands, rows_per_band, hasher,
+        )
+        b_bands = dedup.band_keys(
+            dedup.signatures_from_sets(
+                b_sets.select(F.col("bid").alias("id"), F.col("bsh").alias("shingles")),
+                num_perm, hasher, seed,
+            ),
+            bands, rows_per_band, hasher,
+        ).select(F.col("id").alias("bid"), "band", "bh")
+        cands = (
+            c_bands.join(F.broadcast(b_bands), ["band", "bh"])
+            .select("id", "bid")
+            .distinct()
+        )
+        out = (
+            c_sets.join(cands, "id")
+            .join(F.broadcast(b_sets), "bid")
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("shingles", "bsh"))
+                / F.size(F.array_union("shingles", "bsh")),
+            )
+            .filter(F.col("jaccard") >= F.lit(float(threshold)))
+            .select(
+                F.col("id").alias(id_col),
+                F.col("bid").alias(bench_id_col),
+                "jaccard",
+            )
+        )
+        # materialize while the persisted corpus sets are alive
+        return out.localCheckpoint(eager=True)
+    finally:
+        c_sets.unpersist()
+
+
 def _hash_unit(key, seed: int):
     """Deterministic uniform-ish [0, 1) value per key: portable 60-bit
     md5 fold of 'seed:key' — identical in DuckDB via

@@ -180,6 +180,21 @@ def minhash_signatures(
     return proj.groupBy("id").agg(*_minhash_aggs(num_perm, hasher, seed))
 
 
+def signatures_from_sets(
+    sets: DataFrame,
+    num_perm: int = 32,
+    hasher: str = "xxhash64",
+    seed: int = 42,
+) -> DataFrame:
+    """Minhash signatures from an already-shingled (id, shingles)
+    frame — the reuse point when the shingle sets are persisted and
+    shared with a downstream exact-Jaccard verification (see
+    minhash_dedup_pairs / curation.neardup_decontaminate_hits)."""
+    exploded = sets.select("id", F.explode("shingles").alias("shingle"))
+    proj = _minhash_projection(exploded, hasher, seed)
+    return proj.groupBy("id").agg(*_minhash_aggs(num_perm, hasher, seed))
+
+
 def band_keys(
     signatures: DataFrame,
     bands: int = 8,
@@ -254,9 +269,7 @@ def minhash_dedup_pairs(
         # signature formulation: see minhash_signatures — codegen'd
         # explode + map-side partial min shuffles one row per doc, and
         # its exchange is reused by both sides of the band self-join
-        exploded = sets.select("id", F.explode("shingles").alias("shingle"))
-        proj = _minhash_projection(exploded, hasher, seed)
-        sigs = proj.groupBy("id").agg(*_minhash_aggs(num_perm, hasher, seed))
+        sigs = signatures_from_sets(sets, num_perm, hasher, seed)
         cands = lsh_candidate_pairs(sigs, bands, rows_per_band, hasher)
         a = sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
         b = sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))

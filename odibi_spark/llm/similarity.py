@@ -553,3 +553,77 @@ def kmeans_clusters(
             ).alias("sim"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    threshold: float = 0.95,
+    iters: int = 0,
+    exact_mean: bool = False,
+    round_digits: int = 6,
+    inline_limit: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540, public): cluster embeddings with spherical
+    k-means, then inside each cluster drop every vector whose cosine
+    to a LOWER-id cluster-mate reaches ``threshold``. Returns one row
+    per input vector: (id, cluster, dup_of, keep) where ``dup_of`` is
+    the smallest dominating id (NULL for keepers).
+
+    The keep rule is the deterministic "dominated by any earlier id"
+    greedy: a vector is dropped iff SOME smaller-id vector in its
+    cluster is within the threshold — not the transitive-closure
+    variant (a dropped vector can itself dominate). That makes the
+    result a pure EXISTS over within-cluster pairs: order-independent,
+    engine-replayable, and one aggregation.
+
+    Scale shape: the near-dup search never leaves a cluster — the
+    pair join shuffles both sides once on the cluster id and the
+    quadratic term is bounded per cluster (sum of n_c^2, the reason
+    the paper clusters first). Size k so n/k keeps n_c^2 tractable
+    (k ~ n/50k at corpus scale); a pathological mega-cluster is the
+    skew signal to raise k or pre-band inside the cluster with
+    ``embedding_neardup_pairs``. Centroid assignment itself is the
+    kmeans/IVF narrow map (inlined literals below the plan-size gate,
+    broadcast join above it) — no shuffle.
+    """
+    centroids = ivf_centroids(
+        df, id_col, vec_col, nlist=k, iters=iters,
+        exact_mean=exact_mean, normalize=True, inline_limit=inline_limit,
+    )
+    a = ivf_assign(df, id_col, vec_col, centroids, inline_limit=inline_limit)
+    left = a.select("id", "cell", "vec")
+    right = a.select(
+        F.col("id").alias("rid"),
+        F.col("cell").alias("rcell"),
+        F.col("vec").alias("rvec"),
+    )
+    dom = (
+        left.join(
+            right,
+            (F.col("cell") == F.col("rcell")) & (F.col("rid") < F.col("id")),
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot("vec", "rvec") / (_norm("vec") * _norm("rvec")),
+                round_digits,
+            ),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .groupBy("id")
+        .agg(F.min("rid").alias("dup_of"))
+    )
+    return (
+        a.select("id", "cell")
+        .join(dom, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cell").cast("int").alias("cluster"),
+            "dup_of",
+            F.col("dup_of").isNull().alias("keep"),
+        )
+    )

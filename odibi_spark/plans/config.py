@@ -281,6 +281,33 @@ class ConnectionConfig(StrictModel):
     type: str
 
 
+class DocsOutputsConfig(StrictModel):
+    readme: bool = True
+    technical_details: bool = True
+    node_cards: bool = True
+    run_memo: bool = True
+
+
+class DocsYamlConfig(StrictModel):
+    """Markdown docs generation (reference: odibi/config.py:5381 DocsConfig
+    nested under story:; rendered by story_docs.DocGenerator)."""
+
+    enabled: bool = True
+    output_path: str = "docs/generated"
+    outputs: DocsOutputsConfig = DocsOutputsConfig()
+    max_history: int = 50
+    project: str | None = None
+
+
+class StoryConfig(StrictModel):
+    """Run-report config (reference: odibi/config.py:5343 story: block —
+    HTML story path + nested docs generation)."""
+
+    path: str | None = None        # HTML story file target
+    sample_rows: int = 5
+    docs: DocsYamlConfig | None = None
+
+
 class PipelineConfig(StrictModel):
     name: str
     nodes: list[NodeConfig]
@@ -288,6 +315,7 @@ class PipelineConfig(StrictModel):
     connections: dict[str, ConnectionConfig] = {}
     plugins: list[str] = []
     alerts: list[AlertConfig] = []
+    story: StoryConfig | None = None
 
     @model_validator(mode="after")
     def _unique_names(self) -> "PipelineConfig":

@@ -1267,7 +1267,111 @@ SELECT id AS vec_id, CAST(cell AS INTEGER) AS cluster, sim FROM (
 """
 
 
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-then-prune dedup (similarity.semantic_dedup)
+    over the embeddings table. iters=0 keeps the oracle at the seed-
+    centroid assignment step (the ivf_ann_neighbors pattern); threshold
+    0.35 fits the synthetic near-orthogonal embeddings (max within-
+    cluster cosine ~0.49 — real corpora run ~0.95) so the dup path is
+    actually exercised (~75/500 dropped at sf0.01)."""
+    _prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings", cpu_heavy=True)
+    return similarity.semantic_dedup(
+        emb, "vec_id", "embedding", k=8, threshold=0.35, iters=0
+    ).orderBy("vec_id")
+
+
+SEMANTIC_DEDUP_SQL = """
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+seeds0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cell,
+         vec AS cvec
+  FROM (SELECT id, vec FROM v ORDER BY id LIMIT 8)
+),
+seeds AS (  -- spherical: unit-normalized seeds
+  SELECT cell,
+         CASE WHEN sqrt(list_dot_product(cvec, cvec)) > 0
+              THEN list_transform(
+                     cvec, x -> x / sqrt(list_dot_product(cvec, cvec)))
+              ELSE cvec END AS cvec
+  FROM seeds0
+),
+a AS (  -- assignment: argmax dot, lowest cell wins ties
+  SELECT id, vec, cell FROM (
+    SELECT v.id, v.vec, s.cell,
+           row_number() OVER (
+             PARTITION BY v.id
+             ORDER BY list_dot_product(v.vec, s.cvec) DESC, s.cell
+           ) AS rn
+    FROM v CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+dom AS (  -- dominated-by-any-smaller-id within the cluster
+  SELECT x.id, MIN(y.id) AS dup_of
+  FROM a x JOIN a y ON x.cell = y.cell AND y.id < x.id
+  WHERE round(list_dot_product(x.vec, y.vec)
+              / (sqrt(list_dot_product(x.vec, x.vec))
+                 * sqrt(list_dot_product(y.vec, y.vec))), 6) >= 0.35
+  GROUP BY x.id
+)
+SELECT a.id AS vec_id, CAST(a.cell AS INTEGER) AS cluster,
+       d.dup_of, (d.dup_of IS NULL) AS keep
+FROM a LEFT JOIN dom d ON d.id = a.id
+ORDER BY vec_id
+"""
+
+
+def neardup_decontamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination twin of decontamination_hits: MinHash-LSH
+    across corpora catches lightly-edited eval leakage that exact
+    n-gram overlap misses (curation.neardup_decontaminate_hits). Docs
+    with doc_id % 5 == 0 play the eval set — a wide 20% split because
+    the small synthetic corpus has few cross-split near-dups (14 hits
+    at sf0.01; the 2% split used by the exact twin yields 1)."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    corpus = docs.filter("doc_id % 5 <> 0")
+    bench = docs.filter("doc_id % 5 = 0").select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return curation.neardup_decontaminate_hits(
+        corpus, bench, n=3, num_perm=32, bands=8, threshold=0.2,
+        hasher="portable",
+    ).orderBy("doc_id", "bench_id")
+
+
+def _neardup_decon_oracle_sql(
+    n: int = 3, num_perm: int = 32, bands: int = 8, threshold: float = 0.2,
+    seed: int = 42,
+) -> str:
+    """DuckDB replica of the cross-corpus MinHash decontamination —
+    signatures over ALL docs with the shared portable constants
+    (per-doc, so computing them unsplit is equivalent), candidates
+    restricted to corpus x bench band collisions."""
+    return f"""
+{_minhash_sig_ctes(n, num_perm, bands, seed)},
+xcands AS (
+  SELECT DISTINCT a.doc_id AS did, b.doc_id AS bench_id
+  FROM bands a JOIN bands b USING (band, bh)
+  WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+)
+SELECT did AS doc_id, bench_id,
+       len(list_intersect(sa.sh, sb.sh))
+         / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+FROM xcands
+JOIN sets sa ON sa.doc_id = did
+JOIN sets sb ON sb.doc_id = bench_id
+WHERE len(list_intersect(sa.sh, sb.sh))
+        / len(list_distinct(list_concat(sa.sh, sb.sh))) >= {threshold}
+ORDER BY doc_id, bench_id
+"""
+
+
 QUERIES = {
+    "semantic_dedup_embeddings": semantic_dedup_embeddings,
+    "neardup_decontamination_hits": neardup_decontamination_hits,
     "lm_quality_docs": lm_quality_docs,
     "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
     "text_quality": text_quality,
@@ -1304,6 +1408,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "semantic_dedup_embeddings": SEMANTIC_DEDUP_SQL,
+    "neardup_decontamination_hits": _neardup_decon_oracle_sql(),
     "lm_quality_docs": LM_QUALITY_SQL,
     "kmeans_clusters_embeddings": KMEANS_SQL,
     "text_quality": TEXT_QUALITY_SQL,

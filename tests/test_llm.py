@@ -1459,3 +1459,143 @@ class TestKmeansClusters:
             "cluster_embeddings", make_ec(emb), {"k": 4}
         ).df
         assert set(out.columns) == {"vec_id", "cluster", "sim"}
+
+
+class TestSemanticDedup:
+    def _emb(self, spark):
+        from odibi_spark.io import read_table as rt
+
+        return rt(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def test_keep_rule_invariants(self, spark):
+        """dup_of always points at a smaller id in the SAME cluster, and
+        the smallest id of every cluster is always kept."""
+        from pyspark.sql import functions as F
+
+        from odibi_spark.llm.similarity import semantic_dedup
+
+        out = semantic_dedup(
+            self._emb(spark), "vec_id", "embedding", k=4, threshold=0.3
+        ).cache()
+        assert out.filter("dup_of >= vec_id").count() == 0
+        assert out.filter("keep <> (dup_of IS NULL)").count() == 0
+        mins = out.groupBy("cluster").agg(F.min("vec_id").alias("vec_id"))
+        assert out.join(mins, ["cluster", "vec_id"]).filter("NOT keep").count() == 0
+        # dup_of stays inside the cluster
+        peer = out.select(
+            F.col("vec_id").alias("dup_of"), F.col("cluster").alias("pcluster")
+        )
+        crossed = out.filter("dup_of IS NOT NULL").join(peer, "dup_of")
+        assert crossed.filter("cluster <> pcluster").count() == 0
+        out.unpersist()
+
+    def test_impossible_threshold_keeps_everything(self, spark):
+        from odibi_spark.llm.similarity import semantic_dedup
+
+        out = semantic_dedup(
+            self._emb(spark), "vec_id", "embedding", k=4, threshold=1.01
+        )
+        assert out.filter("NOT keep").count() == 0
+
+    def test_planted_duplicate_is_dropped(self, spark):
+        """A cloned vector must land in the clone's cluster and be
+        dropped in favor of the original's (lower) id."""
+        from pyspark.sql import functions as F
+
+        from odibi_spark.llm.similarity import semantic_dedup
+
+        emb = self._emb(spark).select("vec_id", "embedding")
+        low = emb.orderBy("vec_id").limit(1)
+        clone = low.select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+        out = semantic_dedup(
+            emb.unionByName(clone), "vec_id", "embedding", k=4, threshold=0.99
+        )
+        orig_id = low.first().vec_id
+        dup = out.filter(F.col("vec_id") == orig_id + 1_000_000).first()
+        assert dup.keep is False and dup.dup_of == orig_id
+
+    def test_broadcast_join_path_matches_inline(self, spark):
+        from odibi_spark.llm.similarity import semantic_dedup
+
+        emb = self._emb(spark)
+        a = sorted(
+            (r.vec_id, r.cluster, r.dup_of, r.keep)
+            for r in semantic_dedup(
+                emb, "vec_id", "embedding", k=4, threshold=0.3
+            ).collect()
+        )
+        b = sorted(
+            (r.vec_id, r.cluster, r.dup_of, r.keep)
+            for r in semantic_dedup(
+                emb, "vec_id", "embedding", k=4, threshold=0.3, inline_limit=0
+            ).collect()
+        )
+        assert a == b
+
+
+class TestNeardupDecontaminate:
+    def test_planted_neardup_is_flagged(self, spark):
+        """A corpus doc that is a light edit of a benchmark doc is
+        caught even though no long exact n-gram run survives."""
+        from pyspark.sql import Row
+
+        from odibi_spark.llm.curation import neardup_decontaminate_hits
+
+        bench_text = (
+            "the quick brown fox jumps over the lazy dog near the old river bank "
+            "while morning light settles across the quiet valley floor"
+        )
+        edited = bench_text.replace("quick", "swift").replace("quiet", "silent")
+        corpus = spark.createDataFrame([
+            Row(doc_id=10, text=edited),
+            Row(doc_id=11, text="completely unrelated text about spark shuffles "
+                                "and partition pruning in columnar scans today"),
+        ])
+        bench = spark.createDataFrame([Row(bench_id=1, text=bench_text)])
+        hits = neardup_decontaminate_hits(
+            corpus, bench, n=3, num_perm=32, bands=16, threshold=0.3
+        ).collect()
+        assert [(h.doc_id, h.bench_id) for h in hits] == [(10, 1)]
+        assert 0.3 <= hits[0].jaccard < 1.0
+
+    def test_identical_doc_hits_jaccard_one(self, spark):
+        from pyspark.sql import Row
+
+        from odibi_spark.llm.curation import neardup_decontaminate_hits
+
+        t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        corpus = spark.createDataFrame([Row(doc_id=5, text=t)])
+        bench = spark.createDataFrame([Row(bench_id=2, text=t)])
+        hits = neardup_decontaminate_hits(corpus, bench, threshold=0.5).collect()
+        assert len(hits) == 1 and hits[0].jaccard == 1.0
+
+    def test_portable_hasher_matches_xxhash_semantics(self, spark):
+        """Both hashers are candidate GENERATORS only — after exact
+        Jaccard verification the hit sets must agree on this corpus
+        (recall differences would surface as missing rows)."""
+        from pyspark.sql import functions as F
+
+        from odibi_spark.io import read_table as rt
+        from odibi_spark.llm.curation import neardup_decontaminate_hits
+
+        docs = rt(spark, "/root/testdata/sf0.001", "documents")
+        corpus = docs.filter("doc_id % 5 <> 0")
+        bench = docs.filter("doc_id % 5 = 0").select(
+            F.col("doc_id").alias("bench_id"), "text"
+        )
+        kw = dict(n=3, num_perm=32, bands=8, threshold=0.2)
+        a = sorted(
+            (h.doc_id, h.bench_id, round(h.jaccard, 9))
+            for h in neardup_decontaminate_hits(
+                corpus, bench, hasher="xxhash64", **kw
+            ).collect()
+        )
+        b = sorted(
+            (h.doc_id, h.bench_id, round(h.jaccard, 9))
+            for h in neardup_decontaminate_hits(
+                corpus, bench, hasher="portable", **kw
+            ).collect()
+        )
+        assert a == b and len(a) >= 1

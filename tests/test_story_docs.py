@@ -147,3 +147,48 @@ def test_disabled_is_noop(tmp_path):
     out = _gen(tmp_path, enabled=False).generate(_pipeline(), _ok_results())
     assert out == {}
     assert not (tmp_path / "docs/generated").exists()
+
+
+class TestYamlDocsSurface:
+    """story: + docs: blocks in the pipeline YAML drive generation from
+    the CLI run verb (reference: odibi/config.py:5343 story.docs)."""
+
+    def test_cli_run_generates_story_and_docs(self, spark, tmp_path, capsys):
+        from odibi_spark.cli import main
+
+        y = tmp_path / "p.yaml"
+        y.write_text(f"""
+name: docs_demo
+story:
+  path: {tmp_path}/story.html
+  sample_rows: 3
+  docs:
+    output_path: {tmp_path}/docs
+    project: Docs Demo
+    outputs: {{technical_details: false}}
+nodes:
+  - name: nations
+    read: {{format: parquet, path: /root/testdata/sf0.001/nation.parquet}}
+    write: {{format: parquet, path: {tmp_path}/out, mode: overwrite}}
+""")
+        assert main(["run", str(y)]) == 0
+        out = capsys.readouterr().out
+        assert "story:" in out and "docs:" in out
+        assert (tmp_path / "story.html").exists()
+        assert (tmp_path / "docs/README.md").exists()
+        assert not (tmp_path / "docs/TECHNICAL_DETAILS.md").exists()  # disabled
+        card = (tmp_path / "docs/node_cards/docs_demo/nations.md").read_text()
+        assert "## Output schema" in card and "n_nationkey" in card
+        assert (tmp_path / "docs/RUN_HISTORY.md").exists()
+        readme = (tmp_path / "docs/README.md").read_text()
+        assert "# Docs Demo" in readme
+
+    def test_story_config_rejects_unknown_keys(self):
+        from odibi_spark.plans.config import PipelineConfig
+
+        with pytest.raises(Exception, match="bogus"):
+            PipelineConfig(
+                name="x",
+                story={"bogus": 1},
+                nodes=[{"name": "a", "read": {"path": "/tmp/x"}}],
+            )
