@@ -491,8 +491,9 @@ def main() -> None:
         "heavy_hitter_terms",
         # new in round 7: LM quality + spherical k-means
         "lm_quality_docs", "kmeans_clusters_embeddings",
-        # new in round 8: SemDeDup + fuzzy decontamination
+        # new in round 8: SemDeDup + fuzzy decontamination + DSIR
         "semantic_dedup_embeddings", "neardup_decontamination_hits",
+        "dsir_sample_docs",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(

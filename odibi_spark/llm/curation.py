@@ -267,6 +267,106 @@ def neardup_decontaminate_hits(
         c_sets.unpersist()
 
 
+def importance_resample(
+    source: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: str | None = None,
+    k: int = 100,
+    temperature: float = 1.0,
+    seed: int = 42,
+    min_count: int = 1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169,
+    public): score every source document by an importance weight
+    between add-one-smoothed unigram LMs of the target and source
+    corpora — ``logw = sum_tok ln p_target(tok) - ln p_source(tok)``
+    — then draw an exact-k sample with probability proportional to
+    ``exp(logw / temperature)`` via the Gumbel top-k trick, using the
+    portable hash unit as the Gumbel noise so selection is a pure
+    function of (id, seed): reproducible across runs, partitionings,
+    and engines. Returns the k selected rows:
+    (id, n_tokens, logw, gumbel_key), highest key first.
+
+    Determinism contract (the ngram_lm_scores pattern): each token's
+    log-ratio and the Gumbel term are rounded to ``round_digits``
+    BEFORE the exact DECIMAL sum / the key addition, so the ranking
+    doubles are bit-identical across engines; ties (quantized keys)
+    break on the id.
+
+    Scale: two vocabulary aggregates (map-side combined, O(V)), two
+    token->vocab joins on the token key (AQE handles Zipf-head skew),
+    a per-doc aggregate, and a TakeOrderedAndProject top-k — O(k) per
+    partition, never a single-partition global sort. The target corpus
+    is a curated sample by construction (DSIR trains its target LM on
+    the wanted distribution), so its vocab aggregate is the cheap side.
+    """
+    target_text_col = target_text_col or text_col
+
+    def _toks(df: DataFrame, col: str, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if with_id else []
+        return df.select(
+            *cols,
+            F.explode(F.split(F.trim(F.lower(F.col(col))), " ")).alias("tok"),
+        ).filter(F.col("tok") != "")
+
+    def _lm(toks: DataFrame):
+        vocab = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= min_count)
+        )
+        totals = vocab.agg(
+            F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+        )
+        return vocab, totals
+
+    src_toks = _toks(source, text_col, with_id=True)
+    sv, st = _lm(src_toks.select("tok"))
+    tv, tt = _lm(_toks(target, target_text_col, with_id=False))
+    scored = (
+        src_toks.join(tv.select("tok", F.col("c").alias("tc")), "tok", "left")
+        .join(sv.select("tok", F.col("c").alias("sc")), "tok", "left")
+        .crossJoin(F.broadcast(
+            tt.select(F.col("n").alias("tn"), F.col("v").alias("tv"))
+        ))
+        .crossJoin(F.broadcast(
+            st.select(F.col("n").alias("sn"), F.col("v").alias("sv"))
+        ))
+        .withColumn(
+            "lr",
+            F.round(
+                F.log((F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0))
+                      / (F.col("tn") + F.col("tv")))
+                - F.log((F.coalesce(F.col("sc"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("sn") + F.col("sv"))),
+                round_digits,
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("lr").cast("decimal(18,6)")).cast("double").alias("logw"),
+    )
+    # strictly-interior uniform (h + 0.5) / 2^60 so -ln(-ln u) is always
+    # finite — Spark's log(0) is NULL while DuckDB's is -inf, and the
+    # half-step keeps the two engines off that measure-zero edge
+    u = (
+        dedup.portable_hash60(
+            F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+        ).cast("double") + F.lit(0.5)
+    ) / F.lit(PH60_MAX)
+    keyed = per_doc.withColumn(
+        "gumbel_key",
+        F.round(F.col("logw") / F.lit(float(temperature)), round_digits)
+        + F.round(-F.log(-F.log(u)), round_digits),
+    )
+    return keyed.orderBy(F.desc("gumbel_key"), F.asc(id_col)).limit(int(k))
+
+
 def _hash_unit(key, seed: int):
     """Deterministic uniform-ish [0, 1) value per key: portable 60-bit
     md5 fold of 'seed:key' — identical in DuckDB via

@@ -442,3 +442,84 @@ def cluster_embeddings_transform(
             ctx.df, id_col, vec_col, k=k, iters=iters
         )
     )
+
+
+@transform("semantic_dedup")
+def semantic_dedup_transform(
+    ctx: EngineContext,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    threshold: float = 0.95,
+    iters: int = 1,
+    keep_only: bool = True,
+) -> EngineContext:
+    """SemDeDup cluster-then-prune over an embedding column
+    (similarity.semantic_dedup). ``keep_only=True`` filters the frame
+    to the keepers and preserves the input columns; ``False`` returns
+    the full (id, cluster, dup_of, keep) decision table."""
+    decisions = similarity.semantic_dedup(
+        ctx.df, id_col, vec_col, k=k, threshold=threshold, iters=iters
+    )
+    if not keep_only:
+        return ctx.with_df(decisions)
+    keep_ids = decisions.filter("keep").select(id_col)
+    return ctx.with_df(ctx.df.join(keep_ids, id_col, "left_semi"))
+
+
+@transform("neardup_decontaminate")
+def neardup_decontaminate_transform(
+    ctx: EngineContext,
+    *,
+    benchmark_view: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> EngineContext:
+    """Drop docs that are NEAR-duplicates of a benchmark table
+    (registered temp view) — the fuzzy twin of ``decontaminate``
+    (curation.neardup_decontaminate_hits)."""
+    from odibi_spark.llm import curation
+
+    bench = ctx.spark.table(benchmark_view)
+    hits = curation.neardup_decontaminate_hits(
+        ctx.df, bench,
+        id_col=id_col, text_col=text_col,
+        bench_id_col=bench_id_col, bench_text_col=bench_text_col,
+        n=n, num_perm=num_perm, bands=bands, threshold=threshold, seed=seed,
+    ).select(id_col).distinct()
+    return ctx.with_df(ctx.df.join(hits, id_col, "left_anti"))
+
+
+@transform("importance_resample")
+def importance_resample_transform(
+    ctx: EngineContext,
+    *,
+    target_view: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: str | None = None,
+    k: int = 100,
+    temperature: float = 1.0,
+    seed: int = 42,
+) -> EngineContext:
+    """DSIR data selection toward a target table (registered temp
+    view): keep the k source rows drawn by Gumbel top-k over the
+    unigram-LM importance weights (curation.importance_resample),
+    preserving the input columns."""
+    from odibi_spark.llm import curation
+
+    target = ctx.spark.table(target_view)
+    picked = curation.importance_resample(
+        ctx.df, target,
+        id_col=id_col, text_col=text_col, target_text_col=target_text_col,
+        k=k, temperature=temperature, seed=seed,
+    ).select(id_col)
+    return ctx.with_df(ctx.df.join(picked, id_col, "left_semi"))

@@ -1369,9 +1369,64 @@ ORDER BY doc_id, bench_id
 """
 
 
+def dsir_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (curation.importance_resample): docs
+    with doc_id % 7 == 0 play the target-distribution sample; k=100 of
+    the remaining source docs are selected by Gumbel top-k over the
+    unigram-LM importance weights — selection is a pure function of
+    (doc_id, seed), replayed exactly by the DuckDB oracle."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    source = docs.filter("doc_id % 7 <> 0")
+    target = docs.filter("doc_id % 7 = 0")
+    return curation.importance_resample(source, target, k=100, seed=42)
+
+
+DSIR_SAMPLE_SQL = """
+WITH stoks AS (
+  SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS tok
+  FROM documents WHERE doc_id % 7 <> 0
+),
+ttoks AS (
+  SELECT unnest(string_split(trim(lower(text)), ' ')) AS tok
+  FROM documents WHERE doc_id % 7 = 0
+),
+sv AS (SELECT tok, COUNT(*) AS c FROM stoks WHERE tok <> '' GROUP BY tok),
+st AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM sv),
+tv AS (SELECT tok, COUNT(*) AS c FROM ttoks WHERE tok <> '' GROUP BY tok),
+tt AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM tv),
+scored AS (
+  SELECT s.doc_id,
+         round(ln((COALESCE(tv.c, 0) + 1.0) / (tt.n + tt.v))
+               - ln((COALESCE(sv.c, 0) + 1.0) / (st.n + st.v)), 6) AS lr
+  FROM stoks s
+  LEFT JOIN tv USING (tok)
+  LEFT JOIN sv USING (tok)
+  CROSS JOIN tt CROSS JOIN st
+  WHERE s.tok <> ''
+),
+perdoc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(CAST(lr AS DECIMAL(18,6))) AS DOUBLE) AS logw
+  FROM scored GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id, n_tokens, logw,
+         round(logw / 1.0, 6)
+         + round(-ln(-ln((CAST(concat('0x', substring(
+               md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 15))
+               AS BIGINT) + 0.5) / 1152921504606846976.0)), 6) AS gumbel_key
+  FROM perdoc
+)
+SELECT doc_id, n_tokens, logw, gumbel_key
+FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 100
+"""
+
+
 QUERIES = {
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "neardup_decontamination_hits": neardup_decontamination_hits,
+    "dsir_sample_docs": dsir_sample_docs,
     "lm_quality_docs": lm_quality_docs,
     "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
     "text_quality": text_quality,
@@ -1410,6 +1465,7 @@ QUERIES = {
 ORACLES = {
     "semantic_dedup_embeddings": SEMANTIC_DEDUP_SQL,
     "neardup_decontamination_hits": _neardup_decon_oracle_sql(),
+    "dsir_sample_docs": DSIR_SAMPLE_SQL,
     "lm_quality_docs": LM_QUALITY_SQL,
     "kmeans_clusters_embeddings": KMEANS_SQL,
     "text_quality": TEXT_QUALITY_SQL,

@@ -1599,3 +1599,61 @@ class TestNeardupDecontaminate:
             ).collect()
         )
         assert a == b and len(a) >= 1
+
+
+class TestImportanceResample:
+    def _split(self, spark):
+        from odibi_spark.io import read_table as rt
+
+        docs = rt(spark, "/root/testdata/sf0.001", "documents")
+        return docs.filter("doc_id % 7 <> 0"), docs.filter("doc_id % 7 = 0")
+
+    def test_returns_exactly_k_ranked_rows(self, spark):
+        from odibi_spark.llm.curation import importance_resample
+
+        source, target = self._split(spark)
+        out = importance_resample(source, target, k=10).collect()
+        assert len(out) == 10
+        keys = [r.gumbel_key for r in out]
+        assert keys == sorted(keys, reverse=True)
+
+    def test_deterministic_across_partitionings(self, spark):
+        from odibi_spark.llm.curation import importance_resample
+
+        source, target = self._split(spark)
+        a = [(r.doc_id, r.logw) for r in importance_resample(source, target, k=15).collect()]
+        b = [
+            (r.doc_id, r.logw)
+            for r in importance_resample(source.repartition(7), target.repartition(3), k=15).collect()
+        ]
+        assert a == b
+
+    def test_seed_changes_selection(self, spark):
+        from odibi_spark.llm.curation import importance_resample
+
+        source, target = self._split(spark)
+        a = {r.doc_id for r in importance_resample(source, target, k=15, seed=1).collect()}
+        b = {r.doc_id for r in importance_resample(source, target, k=15, seed=2).collect()}
+        # Gumbel noise differs, weights don't — overlapping but not equal
+        assert a != b
+
+    def test_target_like_docs_outweigh_off_target(self, spark):
+        """Importance weights must favor source docs drawn from the
+        target vocabulary over ones from a disjoint vocabulary."""
+        from pyspark.sql import Row, functions as F
+
+        from odibi_spark.llm.curation import importance_resample
+
+        tvocab = "solar flux plasma corona magnet field sunspot cycle"
+        ovocab = "ledger invoice audit balance credit debit payroll tax"
+        target = spark.createDataFrame(
+            [Row(doc_id=100 + i, text=tvocab) for i in range(5)]
+        )
+        source = spark.createDataFrame(
+            [Row(doc_id=i, text=(tvocab if i % 2 == 0 else ovocab)) for i in range(40)]
+        )
+        scored = importance_resample(source, target, k=40)  # keep all, inspect logw
+        rows = {r.doc_id: r.logw for r in scored.collect()}
+        on_t = [v for k, v in rows.items() if k % 2 == 0]
+        off_t = [v for k, v in rows.items() if k % 2 == 1]
+        assert min(on_t) > max(off_t)
