@@ -493,7 +493,7 @@ def main() -> None:
         "lm_quality_docs", "kmeans_clusters_embeddings",
         # new in round 8: SemDeDup + fuzzy decontamination + DSIR
         "semantic_dedup_embeddings", "neardup_decontamination_hits",
-        "dsir_sample_docs",
+        "dsir_sample_docs", "quantized_embedding_fidelity",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(

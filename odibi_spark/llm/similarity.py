@@ -627,3 +627,122 @@ def semantic_dedup(
             F.col("dup_of").isNull().alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — the memory-scale leg of the ANN family: a
+# 64-dim float32 embedding is 256 bytes; per-dimension asymmetric int8
+# (min/max trained on the corpus, faiss-SQ8-style) stores 64 bytes + a
+# shared dim-sized codebook, a 4x reduction that moves a 100 TB
+# embedding store under the broadcast/cache thresholds its float form
+# blows through. Quantize/dequantize are narrow maps over literal
+# codebook arrays — no shuffle, same inline pattern (and plan-size
+# caveat) as the k-means centroids.
+
+
+def quantization_params(
+    df: DataFrame, vec_col: str
+) -> list[tuple[float, float]]:
+    """Per-dimension (min, max) codebook, collected driver-side —
+    O(dim) floats, the corpus itself never leaves the executors."""
+    rows = (
+        df.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .orderBy("pos")
+        .collect()
+    )
+    return [(float(r.mn), float(r.mx)) for r in rows]
+
+
+def _param_arrays(params: list[tuple[float, float]]):
+    mn = F.array(*[F.lit(m) for m, _ in params])
+    mx = F.array(*[F.lit(m) for _, m in params])
+    return mn, mx
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    params: list[tuple[float, float]] | None = None,
+    out_col: str = "qvec",
+) -> DataFrame:
+    """Asymmetric per-dimension int8: q_i = floor((x_i - mn_i) /
+    (mx_i - mn_i) * 255 + 0.5), clamped to [0, 255]. ``floor(z + 0.5)``
+    instead of round() because floor is bit-identical across engines
+    while round's half-way rule is not — the quantized codes are part
+    of the cross-engine oracle contract. Keeps all input columns and
+    appends ``out_col`` (array<int>)."""
+    params = params if params is not None else quantization_params(df, vec_col)
+    mn, mx = _param_arrays(params)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.when(
+            F.get(mx, i) == F.get(mn, i), F.lit(0)
+        ).otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(255),
+                    F.floor(
+                        (x.cast("double") - F.get(mn, i))
+                        / (F.get(mx, i) - F.get(mn, i))
+                        * F.lit(255.0)
+                        + F.lit(0.5)
+                    ).cast("int"),
+                ),
+            )
+        ),
+    )
+    return df.withColumn(out_col, q)
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    qvec_col: str,
+    params: list[tuple[float, float]],
+    out_col: str = "dvec",
+) -> DataFrame:
+    """Reconstruct x̂_i = mn_i + q_i * (mx_i - mn_i) / 255 — the
+    approximate vectors distance computations run against."""
+    mn, mx = _param_arrays(params)
+    d = F.transform(
+        F.col(qvec_col),
+        lambda q, i: F.get(mn, i)
+        + q.cast("double") * (F.get(mx, i) - F.get(mn, i)) / F.lit(255.0),
+    )
+    return df.withColumn(out_col, d)
+
+
+def quantization_fidelity(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    params: list[tuple[float, float]] | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-vector quantization error report: cosine between the
+    original and its int8 reconstruction plus the max absolute
+    per-dimension error — the go/no-go measurement before switching a
+    search path to quantized vectors. One narrow map, no shuffle."""
+    params = params if params is not None else quantization_params(df, vec_col)
+    q = quantize_embeddings(df, id_col, vec_col, params, out_col="__q")
+    d = dequantize_embeddings(q, "__q", params, out_col="__d")
+    err = F.array_max(
+        F.zip_with(
+            F.col(vec_col), F.col("__d"),
+            lambda x, y: F.abs(x.cast("double") - y),
+        )
+    )
+    return d.select(
+        F.col(id_col),
+        F.round(
+            _dot(vec_col, "__d") / (_norm(vec_col) * _norm("__d")),
+            round_digits,
+        ).alias("recon_cosine"),
+        F.round(err, round_digits).alias("max_abs_err"),
+    )

@@ -523,3 +523,21 @@ def importance_resample_transform(
         k=k, temperature=temperature, seed=seed,
     ).select(id_col)
     return ctx.with_df(ctx.df.join(picked, id_col, "left_semi"))
+
+
+@transform("quantize_embeddings")
+def quantize_embeddings_transform(
+    ctx: EngineContext,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+    drop_original: bool = False,
+) -> EngineContext:
+    """Append int8 codes for an embedding column (corpus-trained
+    per-dimension codebook; similarity.quantize_embeddings).
+    ``drop_original=True`` keeps only the 4x-smaller codes."""
+    out = similarity.quantize_embeddings(ctx.df, id_col, vec_col, out_col=out_col)
+    if drop_original:
+        out = out.drop(vec_col)
+    return ctx.with_df(out)

@@ -65,7 +65,7 @@ _R8_NEW = [
     "merge_upsert_customers", "pipeline_health_runs",
     "sla_status_pipelines", "multimodal_video_features",
     "semantic_dedup_embeddings", "neardup_decontamination_hits",
-    "dsir_sample_docs",
+    "dsir_sample_docs", "quantized_embedding_fidelity",
 ]
 
 # Oldest r6-checked entries (in their r6 head order) — fill the head
@@ -87,9 +87,9 @@ _R6_CHECKED_REFRESH = [
 # the r7-checked set in its r7 head order.
 _R9_ROTATE_IN = [
     "sample_k_docs_per_lang",  # bumped from the r8 fill by the late-r8 video workload
-    # bumped from the r8 fill by the three late-r8 curation workloads
-    "heavy_hitter_terms", "streaming_ewma_user_values",
-    "streaming_shards_docs",
+    # bumped from the r8 fill by the four late-r8 curation workloads
+    "psychrometrics_events", "heavy_hitter_terms",
+    "streaming_ewma_user_values", "streaming_shards_docs",
     "cast_trim_clean_parts", "decontamination_bloom_hits",
     "q1_pricing_summary", "q3_top_orders", "q5_revenue_by_nation",
     "q10_returned_revenue", "sessionize_events", "cube_flag_status",

@@ -1423,10 +1423,61 @@ FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 100
 """
 
 
+def quantized_embedding_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantization fidelity over the embeddings table
+    (similarity.quantization_fidelity): per-vector cosine between the
+    original and its reconstruction + max per-dimension error. The
+    codes use floor(z + 0.5) so the quantization itself — not just the
+    report — replays bit-identically in DuckDB."""
+    _prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings", cpu_heavy=True)
+    return similarity.quantization_fidelity(
+        emb, "vec_id", "embedding"
+    ).orderBy("vec_id")
+
+
+QUANT_FIDELITY_SQL = """
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+dims AS (
+  SELECT generate_subscripts(vec, 1) AS pos, unnest(vec) AS x FROM v
+),
+p AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY pos),
+pl AS (
+  SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM p
+),
+q AS (
+  SELECT id, vec,
+         list_transform(range(1, len(vec) + 1), i ->
+           CASE WHEN mxs[i] = mns[i] THEN 0
+                ELSE greatest(0, least(255, CAST(floor(
+                  (vec[i] - mns[i]) / (mxs[i] - mns[i]) * 255.0 + 0.5
+                ) AS BIGINT)))
+           END) AS qv
+  FROM v CROSS JOIN pl
+),
+d AS (
+  SELECT id, vec,
+         list_transform(range(1, len(vec) + 1), i ->
+           mns[i] + qv[i] * (mxs[i] - mns[i]) / 255.0) AS dv
+  FROM q CROSS JOIN pl
+)
+SELECT id AS vec_id,
+       round(list_dot_product(vec, dv)
+             / (sqrt(list_dot_product(vec, vec))
+                * sqrt(list_dot_product(dv, dv))), 6) AS recon_cosine,
+       round(list_max(list_transform(range(1, len(vec) + 1),
+             i -> abs(vec[i] - dv[i]))), 6) AS max_abs_err
+FROM d ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "neardup_decontamination_hits": neardup_decontamination_hits,
     "dsir_sample_docs": dsir_sample_docs,
+    "quantized_embedding_fidelity": quantized_embedding_fidelity,
     "lm_quality_docs": lm_quality_docs,
     "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
     "text_quality": text_quality,
@@ -1466,6 +1517,7 @@ ORACLES = {
     "semantic_dedup_embeddings": SEMANTIC_DEDUP_SQL,
     "neardup_decontamination_hits": _neardup_decon_oracle_sql(),
     "dsir_sample_docs": DSIR_SAMPLE_SQL,
+    "quantized_embedding_fidelity": QUANT_FIDELITY_SQL,
     "lm_quality_docs": LM_QUALITY_SQL,
     "kmeans_clusters_embeddings": KMEANS_SQL,
     "text_quality": TEXT_QUALITY_SQL,

@@ -1657,3 +1657,84 @@ class TestImportanceResample:
         on_t = [v for k, v in rows.items() if k % 2 == 0]
         off_t = [v for k, v in rows.items() if k % 2 == 1]
         assert min(on_t) > max(off_t)
+
+
+class TestEmbeddingQuantization:
+    def _emb(self, spark):
+        from odibi_spark.io import read_table as rt
+
+        return rt(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def test_codes_in_range_and_error_bounded(self, spark):
+        """int8 codes live in [0,255] and every reconstruction error is
+        within half a quantization step of its dimension."""
+        from pyspark.sql import functions as F
+
+        from odibi_spark.llm.similarity import (
+            dequantize_embeddings,
+            quantization_params,
+            quantize_embeddings,
+        )
+
+        emb = self._emb(spark)
+        params = quantization_params(emb, "embedding")
+        q = quantize_embeddings(emb, "vec_id", "embedding", params)
+        assert q.filter(
+            F.exists("qvec", lambda c: (c < 0) | (c > 255))
+        ).count() == 0
+        d = dequantize_embeddings(q, "qvec", params)
+        half_step = max((mx - mn) / 255.0 / 2.0 for mn, mx in params)
+        worst = d.select(
+            F.array_max(F.zip_with(
+                "embedding", "dvec",
+                lambda x, y: F.abs(x.cast("double") - y),
+            )).alias("e")
+        ).agg(F.max("e")).first()[0]
+        assert worst <= half_step + 1e-12
+
+    def test_constant_dimension_reconstructs_exactly(self, spark):
+        from pyspark.sql import Row
+
+        from odibi_spark.llm.similarity import (
+            dequantize_embeddings,
+            quantization_params,
+            quantize_embeddings,
+        )
+
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[7.5, float(i)]) for i in range(4)]
+        )
+        params = quantization_params(df, "embedding")
+        assert params[0] == (7.5, 7.5)
+        d = dequantize_embeddings(
+            quantize_embeddings(df, "vec_id", "embedding", params),
+            "qvec", params,
+        )
+        assert all(r.dvec[0] == 7.5 for r in d.collect())
+
+    def test_quantized_topk_matches_exact_topk(self, spark):
+        """recall@5 of brute-force cosine over reconstructed vectors vs
+        the float originals — int8 at this fidelity must not change the
+        neighbor sets materially."""
+        from pyspark.sql import functions as F
+
+        from odibi_spark.llm.similarity import (
+            cosine_topk,
+            dequantize_embeddings,
+            quantization_params,
+            quantize_embeddings,
+        )
+
+        emb = self._emb(spark).select("vec_id", "embedding")
+        qids = [r.vec_id for r in emb.orderBy("vec_id").limit(10).collect()]
+        exact = cosine_topk(emb, "vec_id", "embedding", query_ids=qids, k=5)
+        params = quantization_params(emb, "embedding")
+        deq = dequantize_embeddings(
+            quantize_embeddings(emb, "vec_id", "embedding", params),
+            "qvec", params,
+        ).select("vec_id", F.col("dvec").cast("array<float>").alias("embedding"))
+        approx = cosine_topk(deq, "vec_id", "embedding", query_ids=qids, k=5)
+        a = {(r.query_id, r.nbr_id) for r in exact.collect()}
+        b = {(r.query_id, r.nbr_id) for r in approx.collect()}
+        recall = len(a & b) / len(a)
+        assert recall >= 0.9, recall
