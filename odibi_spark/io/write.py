@@ -147,6 +147,28 @@ def write_sink(
     table creation (clustering cannot be bolted on after path writes).
     """
     spark = df.sparkSession
+    if format == "webdataset":
+        # training-shard tar sink (llm/webdataset.py) — its layout IS
+        # the partitioning, so layout directives conflict by definition
+        if partition_by or bucket_by or keys or sort_by or zorder_by:
+            raise ValueError(
+                "webdataset manages its own layout; partition_by/"
+                "bucket_by/keys/sort_by/zorder_by do not apply"
+            )
+        from odibi_spark.llm.webdataset import write_webdataset_shards
+
+        opts = dict(options or {})
+        kwargs = {
+            "key_col": opts.pop("key_col"),
+            "members": opts.pop("members"),
+            "samples_per_shard": int(opts.pop("samples_per_shard", 1000)),
+            "order_by": opts.pop("order_by", None),
+            "prefix": opts.pop("prefix", "shard"),
+        }
+        if opts:
+            raise ValueError(f"unknown webdataset options: {sorted(opts)}")
+        write_webdataset_shards(df, path, mode=mode, **kwargs)
+        return
     if cluster_by and format == "delta":
         from odibi_spark.io import delta_ops
 
