@@ -424,3 +424,23 @@ def cloudfiles_read_options(
             "DDL schema or schema evolution will not be tracked", format,
         )
     return out
+
+
+def _read_webdataset(spark, path, opts):
+    """Builtin-registered reader for WebDataset tar shards (the
+    llm/webdataset.py sink's counterpart): one row per sample, binary
+    member columns. ``members`` option accepts a dict (YAML) or its
+    JSON/py-literal string form."""
+    import ast
+
+    from odibi_spark.llm.webdataset import read_webdataset
+
+    members = opts.get("members")
+    if isinstance(members, str):
+        members = ast.literal_eval(members)
+    return read_webdataset(
+        spark, path, members=members, key_type=opts.get("key_type", "string")
+    )
+
+
+register_format("webdataset", _read_webdataset)

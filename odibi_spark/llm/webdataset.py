@@ -148,3 +148,67 @@ def write_webdataset_shards(
         json.dump(manifest, fh, indent=2, sort_keys=True)
     os.replace(tmp, os.path.join(path, "_manifest.json"))
     return manifest
+
+
+def read_webdataset(
+    spark,
+    path: str,
+    *,
+    members: dict[str, str] | None = None,
+    key_type: str = "string",
+) -> DataFrame:
+    """Read WebDataset tar shards back as one row per sample.
+
+    Columns: ``key`` plus one BINARY column per member extension —
+    pass ``members`` (ext -> output column) to select/rename, or None
+    to take the extensions recorded in ``_manifest.json`` (written by
+    :func:`write_webdataset_shards`; required when members is None).
+    Decode/parse downstream (utf-8 cast, from_json, the multimodal
+    decoders) — this reader stays payload-agnostic on purpose.
+
+    Scale shape: ``binaryFile`` hands each tar to one task whole (a
+    shard is the unit of sequential IO by design), and the un-tar is a
+    mapInPandas over the file column — samples never ride through the
+    driver. Shards must fit executor memory (they are sized by
+    ``samples_per_shard`` at write time; the usual 100-1000 MB shard
+    is far under an executor's heap).
+    """
+    import pandas as pd
+
+    if members is None:
+        with open(os.path.join(path, "_manifest.json")) as fh:
+            manifest = json.load(fh)
+        members = {ext: ext for ext in manifest["members"]}
+    exts = dict(sorted(members.items()))
+
+    files = spark.read.format("binaryFile").load(
+        os.path.join(path, "*.tar")
+    ).select("path", "content")
+
+    out_cols = ["key"] + list(exts.values())
+
+    def _untar(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tar:
+                    samples: dict[str, dict] = {}
+                    order: list[str] = []
+                    for m in tar.getmembers():
+                        key, _, ext = m.name.rpartition(".")
+                        if ext not in exts:
+                            continue
+                        if key not in samples:
+                            samples[key] = {}
+                            order.append(key)
+                        samples[key][exts[ext]] = tar.extractfile(m).read()
+                    for key in order:
+                        rows.append(
+                            [key] + [samples[key].get(c) for c in exts.values()]
+                        )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    schema = ", ".join(
+        [f"key {key_type}"] + [f"`{c}` binary" for c in exts.values()]
+    )
+    return files.mapInPandas(_untar, schema=schema)

@@ -178,3 +178,34 @@ nodes:
                 options={"key_col": "doc_id", "members": {"txt": "text"},
                          "bogus": 1},
             )
+
+
+class TestReadWebdataset:
+    def test_roundtrip_through_sink_and_source(self, spark, tmp_path):
+        from odibi_spark.llm.webdataset import read_webdataset
+
+        write_webdataset_shards(
+            _df(spark), str(tmp_path), key_col="doc_id",
+            members=MEMBERS, samples_per_shard=10,
+        )
+        back = read_webdataset(spark, str(tmp_path))  # members from manifest
+        assert back.count() == 25
+        row = back.filter("key = '3'").first()
+        assert bytes(row.txt) == b"document number 3"
+        assert bytes(row.png) == bytes([3, 0x89, 0x50]) * 4
+        assert json.loads(bytes(row.json)) == {"lang": "fr"}
+
+    def test_read_via_declarative_format(self, spark, tmp_path):
+        from odibi_spark.io import read_source
+
+        write_webdataset_shards(
+            _df(spark, 8), str(tmp_path), key_col="doc_id",
+            members={"txt": "text"}, samples_per_shard=4,
+        )
+        df = read_source(
+            spark, format="webdataset", path=str(tmp_path),
+            options={"members": {"txt": "text_bytes"}},
+        )
+        assert sorted(df.columns) == ["key", "text_bytes"]
+        got = {r.key: bytes(r.text_bytes).decode() for r in df.collect()}
+        assert got["5"] == "document number 5" and len(got) == 8
