@@ -774,7 +774,8 @@ def test_full_curation_example_yaml_runs(spark, tmp_path):
     for node in (
         "benchmark_docs", "scored_docs", "clean_docs", "training_chunks",
         "pps_subsample", "eval_pool", "long_docs", "vocab_overlap",
-        "takedown_list", "publishable_docs",
+        "takedown_list", "publishable_docs", "fuzzy_clean_docs",
+        "dsir_selected", "embedding_dedup", "training_shards",
     ):
         assert results[node].status == "success", (node, results[node].error)
     chunks = spark.read.parquet(str(tmp_path / "chunks"))
@@ -808,6 +809,26 @@ def test_full_curation_example_yaml_runs(spark, tmp_path):
     pub = spark.read.parquet(str(tmp_path / "publishable"))
     assert pub.filter("doc_id % 97 = 0").count() == 0
     assert pub.count() == clean.filter("doc_id % 97 != 0").count()
+    # r8 tail: fuzzy decontamination keeps a subset of clean
+    fuzzy = spark.read.parquet(str(tmp_path / "fuzzy_clean"))
+    assert 0 < fuzzy.count() <= clean.count()
+    # DSIR selected exactly k (or the whole pool if smaller)
+    dsir = spark.read.parquet(str(tmp_path / "dsir_selected"))
+    assert dsir.count() == min(40, fuzzy.count())
+    assert "text" in dsir.columns  # input columns preserved
+    # embedding dedup + quantization: codes only, originals dropped
+    emb = spark.read.parquet(str(tmp_path / "emb_dedup"))
+    assert "qvec" in emb.columns and "embedding" not in emb.columns
+    assert 0 < emb.count() <= 500
+    # webdataset shards: manifest agrees with the fuzzy-clean count
+    import json as _json
+    import tarfile as _tarfile
+    man = _json.loads((tmp_path / "wds/_manifest.json").read_text())
+    assert man["n_samples"] == fuzzy.count()
+    shard0 = tmp_path / "wds/shard-000000.tar"
+    with _tarfile.open(shard0) as tar:
+        names = tar.getnames()
+    assert names and all(n.rsplit(".", 1)[1] in ("txt", "json") for n in names)
 
 
 class TestIncrementalDedup:
