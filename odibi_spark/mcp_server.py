@@ -177,6 +177,14 @@ class Dispatcher:
         A("run_node", "execution", X, self._run_node,
           "Execute one node of a pipeline (args: path, node, env=None).")
 
+        # Onboarding (reference: list_docs / get_doc / search_docs)
+        A("list_docs", "onboarding", P, self._list_docs,
+          "List the repo's markdown docs.")
+        A("get_doc", "onboarding", P, self._get_doc,
+          "Return one doc's text (args: name; optional max_chars=20000).")
+        A("search_docs", "onboarding", P, self._search_docs,
+          "Case-insensitive substring search over docs (args: query, limit=20).")
+
         # Catalog (reference: story_read / run inspection)
         A("catalog_runs", "catalog", S, self._catalog_runs,
           "Recent meta_runs rows (args: root, pipeline=None, limit=20).")
@@ -324,6 +332,50 @@ class Dispatcher:
         r = Pipeline(cfg, self.spark()).run_node(node)
         return {"node": node, "status": r.status, "rows_written": r.rows_written,
                 "duration_s": r.duration_s, "error": r.error}
+
+    # onboarding ---------------------------------------------------------
+
+    _DOC_NAMES = ("README.md", "SURVEY.md", "COVERAGE.md", "BASELINE.md",
+                  "TESTDATA.md", "FIXTURES.md")
+
+    def _doc_root(self) -> str:
+        import os
+
+        return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def _docs(self) -> dict[str, str]:
+        import os
+
+        root = self._doc_root()
+        out = {}
+        for name in self._DOC_NAMES:
+            p = os.path.join(root, name)
+            if os.path.exists(p):
+                with open(p, encoding="utf-8") as fh:
+                    out[name] = fh.read()
+        return out
+
+    def _list_docs(self) -> dict:
+        return {"docs": sorted(self._docs())}
+
+    def _get_doc(self, name: str, max_chars: int = 20000) -> dict:
+        docs = self._docs()
+        if name not in docs:
+            return {"error": f"unknown doc '{name}'", "docs": sorted(docs)}
+        text = docs[name]
+        return {"name": name, "text": text[: int(max_chars)],
+                "truncated": len(text) > int(max_chars)}
+
+    def _search_docs(self, query: str, limit: int = 20) -> dict:
+        q = query.lower()
+        hits = []
+        for name, text in self._docs().items():
+            for i, line in enumerate(text.splitlines(), 1):
+                if q in line.lower():
+                    hits.append({"doc": name, "line": i, "text": line.strip()[:200]})
+                    if len(hits) >= int(limit):
+                        return {"query": query, "hits": hits, "capped": True}
+        return {"query": query, "hits": hits, "capped": False}
 
     # catalog ------------------------------------------------------------
 

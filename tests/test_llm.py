@@ -1759,3 +1759,65 @@ class TestEmbeddingQuantization:
         b = {(r.query_id, r.nbr_id) for r in approx.collect()}
         recall = len(a & b) / len(a)
         assert recall >= 0.9, recall
+
+
+class TestCurationProperties:
+    """Hypothesis invariants for the r8 curation family."""
+
+    def test_quantization_error_bound_random_vectors(self, spark):
+        from hypothesis import given, settings, strategies as st
+
+        from pyspark.sql import Row
+
+        from odibi_spark.llm.similarity import (
+            dequantize_embeddings,
+            quantization_params,
+            quantize_embeddings,
+        )
+
+        @settings(max_examples=10, deadline=None)
+        @given(
+            st.lists(
+                st.lists(
+                    st.floats(-1e3, 1e3, allow_nan=False, width=32),
+                    min_size=4, max_size=4,
+                ),
+                min_size=2, max_size=12,
+            )
+        )
+        def check(vectors):
+            df = spark.createDataFrame(
+                [Row(vec_id=i, embedding=v) for i, v in enumerate(vectors)]
+            )
+            params = quantization_params(df, "embedding")
+            d = dequantize_embeddings(
+                quantize_embeddings(df, "vec_id", "embedding", params),
+                "qvec", params,
+            ).collect()
+            steps = [(mx - mn) / 255.0 for mn, mx in params]
+            for r in d:
+                for x, xh, step in zip(r.embedding, r.dvec, steps):
+                    assert abs(float(x) - xh) <= step / 2 + 1e-9
+
+        check()
+
+    def test_gumbel_selection_is_weight_monotone(self, spark):
+        """Doubling a doc's tokens toward the target only ever raises
+        its logw — the importance weight is monotone in target-vocab
+        mass (per-token contributions are fixed by the corpora)."""
+        from pyspark.sql import Row
+
+        from odibi_spark.llm.curation import importance_resample
+
+        target = spark.createDataFrame(
+            [Row(doc_id=100, text="nova pulse quanta flux")] * 2
+        )
+        source = spark.createDataFrame([
+            Row(doc_id=1, text="nova pulse ledger audit"),
+            Row(doc_id=2, text="nova pulse quanta flux"),
+            Row(doc_id=3, text="ledger audit payroll tax"),
+        ])
+        rows = {r.doc_id: r.logw for r in importance_resample(
+            source, target, k=3
+        ).collect()}
+        assert rows[2] > rows[1] > rows[3]

@@ -249,3 +249,22 @@ def test_stdio_subprocess_handshake():
         assert "filter_rows" in body["transformers"]
     finally:
         proc.kill()
+
+
+class TestOnboardingDocs:
+    def test_list_get_search(self):
+        d = Dispatcher()
+        docs = d.dispatch("list_docs")["docs"]
+        assert "README.md" in docs and "SURVEY.md" in docs
+        doc = d.dispatch("get_doc", name="README.md", max_chars=500)
+        assert doc["text"].startswith("# odibi_spark") and doc["truncated"]
+        bad = d.dispatch("get_doc", name="nope.md")
+        assert "unknown doc" in bad["error"]
+        # display text is truncated to 200 chars; the MATCH is on the
+        # full line, so assert on doc/line presence instead
+        hits = d.dispatch("search_docs", query="webdataset", limit=5)
+        assert hits["hits"] and {h["doc"] for h in hits["hits"]} & {
+            "README.md", "SURVEY.md", "COVERAGE.md",
+        }
+        none = d.dispatch("search_docs", query="zzz-not-a-real-token")
+        assert none["hits"] == [] and none["capped"] is False
