@@ -177,6 +177,12 @@ class Dispatcher:
         A("run_node", "execution", X, self._run_node,
           "Execute one node of a pipeline (args: path, node, env=None).")
 
+        # Task guidance (reference: get_task_guidance / list_task_types)
+        A("list_task_types", "guidance", P, self._list_task_types,
+          "List guided task types with descriptions.")
+        A("get_task_guidance", "guidance", P, self._get_task_guidance,
+          "Structured questions + call template for a task (args: task_type).")
+
         # Onboarding (reference: list_docs / get_doc / search_docs)
         A("list_docs", "onboarding", P, self._list_docs,
           "List the repo's markdown docs.")
@@ -332,6 +338,18 @@ class Dispatcher:
         r = Pipeline(cfg, self.spark()).run_node(node)
         return {"node": node, "status": r.status, "rows_written": r.rows_written,
                 "duration_s": r.duration_s, "error": r.error}
+
+    # guidance -----------------------------------------------------------
+
+    def _list_task_types(self) -> dict:
+        from odibi_spark.guidance import list_task_types
+
+        return list_task_types()
+
+    def _get_task_guidance(self, task_type: str) -> dict:
+        from odibi_spark.guidance import get_task_guidance
+
+        return get_task_guidance(task_type)
 
     # onboarding ---------------------------------------------------------
 

@@ -268,3 +268,44 @@ class TestOnboardingDocs:
         }
         none = d.dispatch("search_docs", query="zzz-not-a-real-token")
         assert none["hits"] == [] and none["capped"] is False
+
+
+class TestTaskGuidance:
+    def test_list_and_get(self):
+        d = Dispatcher()
+        types = d.dispatch("list_task_types")["task_types"]
+        assert {"profile_data", "curate_training_data", "dedup_corpus"} <= {
+            t["task_type"] for t in types
+        }
+        g = d.dispatch("get_task_guidance", task_type="build_pipeline")
+        assert g["next_tool"] == "scaffold_pipeline"
+        assert any(q["param"] == "name" for q in g["questions"])
+        bad = d.dispatch("get_task_guidance", task_type="nope")
+        assert "unknown task_type" in bad["error"]
+
+    def test_guidance_never_drifts_from_registry(self):
+        """Every next_tool / discover_with in TASK_GUIDANCE must be a
+        real dispatcher action, every call_template placeholder a
+        declared question param, and option-values naming transforms
+        must exist in the function registry."""
+        import re
+
+        import odibi_spark.llm.transforms  # noqa: F401 - registers
+        import odibi_spark.operators  # noqa: F401
+
+        from odibi_spark.guidance import TASK_GUIDANCE
+        from odibi_spark.registry import get_registry
+
+        actions = set(Dispatcher()._actions)
+        registry = set(get_registry().list())
+        for task, g in TASK_GUIDANCE.items():
+            assert g["next_tool"] in actions, (task, g["next_tool"])
+            params = {q["param"] for q in g["questions"]}
+            for q in g["questions"]:
+                if "discover_with" in q:
+                    assert q["discover_with"] in actions, (task, q)
+            for ph in re.findall(r"\{(\w+)\}", g["call_template"]):
+                assert ph in params, (task, ph)
+            if task == "dedup_corpus":
+                for opt in g["questions"][0]["options"]:
+                    assert opt["value"] in registry, opt
