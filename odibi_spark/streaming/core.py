@@ -351,6 +351,52 @@ def streaming_shard_writer(
     )
 
 
+def streaming_webdataset_writer(
+    stream: DataFrame,
+    *,
+    path: str,
+    checkpoint: str,
+    key_col: str,
+    members: dict[str, str],
+    samples_per_shard: int = 1000,
+    order_by: list[str] | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    trigger: dict | None = None,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """Streaming WebDataset production — the tar twin of
+    ``streaming_shard_writer``: each micro-batch is laid out as its own
+    shard set under ``path/batch_id=<epoch>/`` via
+    ``llm.webdataset.write_webdataset_shards`` (training readers glob
+    ``batch_id=*/*.tar``). The per-epoch directory gives exactly-once
+    replay semantics for free: a replayed epoch overwrites exactly its
+    own directory with byte-identical tars (the sink zeroes tar
+    metadata and orders samples deterministically), so at-least-once
+    foreachBatch execution converges to the exactly-once layout.
+
+    ``transform`` applies the curation chain per micro-batch (one code
+    path for backfill and live ingestion, same contract as the jsonl
+    writer). Size triggers so a micro-batch stays executor-sized.
+    """
+    from odibi_spark.llm.webdataset import write_webdataset_shards
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        df = transform(batch) if transform is not None else batch
+        if not df.take(1):
+            return
+        write_webdataset_shards(
+            df, f"{path}/batch_id={epoch_id}",
+            key_col=key_col, members=members,
+            samples_per_shard=int(samples_per_shard),
+            order_by=order_by, mode="overwrite",
+        )
+
+    return start_stream_write(
+        stream, checkpoint=checkpoint, foreach_batch=write_batch,
+        trigger=trigger or {"availableNow": True}, query_name=query_name,
+    )
+
+
 def streaming_interval_join(
     left: DataFrame,
     right: DataFrame,

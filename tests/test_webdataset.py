@@ -209,3 +209,55 @@ class TestReadWebdataset:
         assert sorted(df.columns) == ["key", "text_bytes"]
         got = {r.key: bytes(r.text_bytes).decode() for r in df.collect()}
         assert got["5"] == "document number 5" and len(got) == 8
+
+
+class TestStreamingWebdataset:
+    def test_per_epoch_shards_and_incremental_pickup(self, spark, tmp_path):
+        import time
+
+        from odibi_spark.streaming.core import streaming_webdataset_writer
+
+        src = tmp_path / "src"
+        src.mkdir()
+        out, ckpt = str(tmp_path / "wds"), str(tmp_path / "ckpt")
+
+        def put(name, ids):
+            spark.createDataFrame(
+                [(i, f"doc {i}") for i in ids], "doc_id long, text string"
+            ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+        put("f1", range(0, 6))
+        put("f2", range(6, 10))
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src) + "/*")
+        q = streaming_webdataset_writer(
+            stream, path=out, checkpoint=ckpt, key_col="doc_id",
+            members={"txt": "text"}, samples_per_shard=4,
+        )
+        q.awaitTermination(120)
+        epochs = sorted(p.name for p in Path(out).glob("batch_id=*"))
+        assert len(epochs) == 2  # one dir per micro-batch
+        tars = sorted(Path(out).glob("batch_id=*/*.tar"))
+        # 6 docs @4/shard = 2 tars + 4 docs = 1 tar
+        assert len(tars) == 3
+        names = []
+        for t in tars:
+            with tarfile.open(t) as tf:
+                names += tf.getnames()
+        assert sorted(names) == [f"{i}.txt" for i in range(10)]
+
+        # restart with a NEW file: only the new epoch is added
+        before = {p: p.stat().st_mtime for p in tars}
+        put("f3", range(10, 12))
+        q2 = streaming_webdataset_writer(
+            spark.readStream.schema("doc_id long, text string").option(
+                "maxFilesPerTrigger", "1"
+            ).parquet(str(src) + "/*"),
+            path=out, checkpoint=ckpt, key_col="doc_id",
+            members={"txt": "text"}, samples_per_shard=4,
+        )
+        q2.awaitTermination(120)
+        assert len(sorted(Path(out).glob("batch_id=*"))) == 3
+        for p, m in before.items():
+            assert p.stat().st_mtime == m  # old epochs untouched
