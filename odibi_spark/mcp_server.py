@@ -38,6 +38,7 @@ class ActionEffect(str, Enum):
 
     PUBLIC_READ = "public_read"
     SENSITIVE_READ = "sensitive_read"
+    SESSION_MUTATION = "session_mutation"   # in-memory builder state only
     EXECUTION = "execution"
 
 
@@ -130,6 +131,7 @@ class Dispatcher:
     def _register_all(self) -> None:
         A = self._add
         P, S, X = ActionEffect.PUBLIC_READ, ActionEffect.SENSITIVE_READ, ActionEffect.EXECUTION
+        M = ActionEffect.SESSION_MUTATION
 
         # Workloads (reference category: Workflows)
         A("list_workloads", "workloads", P, self._list_workloads,
@@ -176,6 +178,31 @@ class Dispatcher:
           "Execute a pipeline YAML end-to-end (args: path, env=None).")
         A("run_node", "execution", X, self._run_node,
           "Execute one node of a pipeline (args: path, node, env=None).")
+
+        # Session builder (reference: create_pipeline ... discard_pipeline —
+        # incremental YAML assembly; mutates in-process session state only,
+        # so it gets its own effect class, excluded from bare stdio like
+        # the reference's SESSION_MUTATION actions)
+        A("create_pipeline", "builder", M, self._b("create", "pipeline_name"),
+          "Start a builder session (args: pipeline_name).")
+        A("add_node", "builder", M, self._b("add_node", "session_id", "name", "depends_on"),
+          "Add a node (args: session_id, name, depends_on=[]).")
+        A("configure_read", "builder", M, self._b_kw("configure_read"),
+          "Set a node's read (args: session_id, node, format, path/table, ...).")
+        A("configure_transform", "builder", M, self._b("configure_transform", "session_id", "node", "steps"),
+          "Append transform steps (args: session_id, node, steps=[{function,params}|{sql}]).")
+        A("configure_write", "builder", M, self._b_kw("configure_write"),
+          "Set a node's write (args: session_id, node, format, path, mode, ...).")
+        A("configure_validation", "builder", M, self._b("configure_validation", "session_id", "node", "tests"),
+          "Set a node's validation tests (args: session_id, node, tests).")
+        A("get_pipeline_state", "builder", M, self._b("state", "session_id"),
+          "Inspect a session's nodes + what each still needs.")
+        A("render_pipeline_yaml", "builder", M, self._b("render_yaml", "session_id"),
+          "Serialize + strict-validate the session; returns yaml or the error.")
+        A("list_sessions", "builder", M, self._b("list_sessions"),
+          "List active builder sessions.")
+        A("discard_pipeline", "builder", M, self._b("discard", "session_id"),
+          "Drop a builder session.")
 
         # Task guidance (reference: get_task_guidance / list_task_types)
         A("list_task_types", "guidance", P, self._list_task_types,
@@ -338,6 +365,32 @@ class Dispatcher:
         r = Pipeline(cfg, self.spark()).run_node(node)
         return {"node": node, "status": r.status, "rows_written": r.rows_written,
                 "duration_s": r.duration_s, "error": r.error}
+
+    # builder ------------------------------------------------------------
+
+    @property
+    def builder(self):
+        if getattr(self, "_builder", None) is None:
+            from odibi_spark.builder import PipelineBuilder
+
+            self._builder = PipelineBuilder()
+        return self._builder
+
+    def _b(self, method: str, *arg_names: str):
+        def call(**kwargs):
+            known = {k: v for k, v in kwargs.items() if k in arg_names}
+            extra = set(kwargs) - set(arg_names)
+            if extra:
+                raise ValueError(f"unknown args for {method}: {sorted(extra)}")
+            return getattr(self.builder, method)(**known)
+
+        return call
+
+    def _b_kw(self, method: str):
+        def call(session_id: str, node: str, **kwargs):
+            return getattr(self.builder, method)(session_id, node, **kwargs)
+
+        return call
 
     # guidance -----------------------------------------------------------
 
@@ -564,7 +617,7 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="odibi_spark MCP stdio server")
     ap.add_argument(
         "--allow", default="",
-        help="comma list of extra effect grants: sensitive,execution "
+        help="comma list of extra effect grants: sensitive,session,execution "
              "(default: public reads only — reference stdio posture)",
     )
     args = ap.parse_args(argv)
@@ -572,6 +625,7 @@ def main(argv: list[str] | None = None) -> int:
     for tok in filter(None, args.allow.split(",")):
         allow.add({
             "sensitive": ActionEffect.SENSITIVE_READ,
+            "session": ActionEffect.SESSION_MUTATION,
             "execution": ActionEffect.EXECUTION,
         }[tok.strip()])
     MCPServer(Dispatcher(allow=allow)).serve()
