@@ -162,6 +162,13 @@ class Dispatcher:
           "Render a starter pipeline YAML (args: name, source_path, target_path).")
         A("pipeline_json_schema", "construction", P, self._json_schema,
           "JSON Schema for the pipeline YAML config.")
+        A("list_patterns", "construction", P, self._list_patterns,
+          "Warehouse pattern types with a one-line description.")
+        A("apply_pattern_template", "construction", P, self._pattern_template,
+          "Starter YAML node for a warehouse pattern (args: type).")
+        A("suggest_pipeline", "construction", S, self._suggest_pipeline,
+          "Profile a source and generate a pipeline YAML with data-aware "
+          "validation tests (args: name, source_path, target_path).")
 
         # Validation / inspection
         A("validate_yaml", "validation", P, self._validate_yaml,
@@ -304,6 +311,22 @@ class Dispatcher:
         from odibi_spark.scaffold import pipeline_json_schema
 
         return pipeline_json_schema()
+
+    def _list_patterns(self) -> dict:
+        from odibi_spark.scaffold import list_patterns
+
+        return {"patterns": list_patterns()}
+
+    def _pattern_template(self, type: str) -> dict:
+        from odibi_spark.scaffold import pattern_node_template
+
+        return {"type": type, "yaml": pattern_node_template(type)}
+
+    def _suggest_pipeline(self, name: str, source_path: str,
+                          target_path: str) -> dict:
+        from odibi_spark.scaffold import suggest_pipeline
+
+        return {"yaml": suggest_pipeline(name, source_path, target_path)}
 
     # validation ---------------------------------------------------------
 

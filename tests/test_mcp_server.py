@@ -309,3 +309,41 @@ class TestTaskGuidance:
             if task == "dedup_corpus":
                 for opt in g["questions"][0]["options"]:
                     assert opt["value"] in registry, opt
+
+
+class TestConstructionPatterns:
+    def test_list_patterns_and_template(self):
+        d = Dispatcher()
+        pats = d.dispatch("list_patterns")["patterns"]
+        assert set(pats) == {
+            "scd2", "merge", "dimension", "fact", "date_dimension",
+            "aggregation_incremental", "delete_detection", "snapshot_cdc",
+        }
+        t = d.dispatch("apply_pattern_template", type="scd2")
+        assert "type: scd2" in t["yaml"]
+        assert "target_path: <str>   # required" in t["yaml"]
+        assert "# valid_from_col: 'valid_from'" in t["yaml"]
+
+    def test_every_pattern_template_renders(self):
+        d = Dispatcher()
+        for ptype in d.dispatch("list_patterns")["patterns"]:
+            y = d.dispatch("apply_pattern_template", type=ptype)["yaml"]
+            assert f"type: {ptype}" in y
+
+    def test_suggest_pipeline_is_profile_aware_and_runnable(self, spark, tmp_path):
+        d = Dispatcher(
+            spark=spark,
+            allow={ActionEffect.SENSITIVE_READ, ActionEffect.EXECUTION},
+        )
+        out = d.dispatch(
+            "suggest_pipeline", name="nation_load",
+            source_path="/root/testdata/sf0.001/nation.parquet",
+            target_path=str(tmp_path / "out"),
+        )
+        y = out["yaml"]
+        assert "n_nationkey_unique" in y and "volume_floor" in y
+        ypath = tmp_path / "suggested.yaml"
+        ypath.write_text(y)
+        run = d.dispatch("run_pipeline", path=str(ypath))
+        assert run["results"]["load"]["status"] == "success"
+        assert run["results"]["load"]["rows_written"] == 25
