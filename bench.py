@@ -234,6 +234,31 @@ def zorder_probe(spark, sf_dir: str) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def semantic_probe(spark, sf_dir: str) -> dict:
+    """SemDeDup candidate-bound probe (r8): the operator's scale claim
+    is that near-dup search never leaves a cluster, so the pairwise
+    term is sum n_c*(n_c-1)/2 — measured here directly from the
+    cluster assignment (one groupBy; no pairs materialized) as a
+    fraction of all-pairs, at k=8 and k=32. Raising k must shrink the
+    fraction ~linearly (balanced clusters give 1/k of all-pairs)."""
+    from odibi_spark.llm.similarity import kmeans_clusters
+    from odibi_spark.workloads.common import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings", cpu_heavy=True)
+    n = emb.count()
+    allpairs = n * (n - 1) / 2 or 1
+    out = {"n_vectors": n}
+    for k in (8, 32):
+        cand = (
+            kmeans_clusters(emb, "vec_id", "embedding", k=k, iters=0)
+            .groupBy("cluster").count()
+            .selectExpr("sum(count * (count - 1) / 2) AS pairs")
+            .collect()[0].pairs or 0
+        )
+        out[f"candidate_fraction_k{k}"] = round(float(cand) / allpairs, 4)
+    return out
+
+
 def cc_chain_probe(spark, chain_len: int = 1024) -> dict:
     """Connected-components stress probe (VERDICT r4 task 6): a planted
     duplicate CHAIN — the worst-case topology for label propagation
@@ -542,6 +567,10 @@ def main() -> None:
     out["zorder_probe"] = zorder_probe(spark, sf_dir)
     print(f"# zorder_probe: {out['zorder_probe']}", file=sys.stderr)
 
+    # SemDeDup within-cluster candidate bound (r8)
+    out["semantic_probe"] = semantic_probe(spark, sf_dir)
+    print(f"# semantic_probe: {out['semantic_probe']}", file=sys.stderr)
+
     # connected-components chain stress probe (rounds-to-convergence)
     out["cc_chain"] = cc_chain_probe(spark)
     print(f"# cc_chain: {out['cc_chain']}", file=sys.stderr)
@@ -636,6 +665,11 @@ def _slim(out: dict, out_path: str) -> dict:
         slim["zorder_probe"] = {
             "zorder": z["rowgroup_fraction_touched_zorder"],
             "timesorted": z["rowgroup_fraction_touched_timesorted"],
+        }
+    if "semantic_probe" in out:
+        sp = out["semantic_probe"]
+        slim["semantic_probe"] = {
+            "k8": sp["candidate_fraction_k8"], "k32": sp["candidate_fraction_k32"],
         }
     if "cc_chain" in out:
         c = out["cc_chain"]

@@ -224,6 +224,10 @@ class Dispatcher:
           "Return one doc's text (args: name; optional max_chars=20000).")
         A("search_docs", "onboarding", P, self._search_docs,
           "Case-insensitive substring search over docs (args: query, limit=20).")
+        A("list_examples", "onboarding", P, self._list_examples,
+          "List runnable example pipeline YAMLs with their headline comment.")
+        A("get_example", "onboarding", P, self._get_example,
+          "Return one example YAML's text (args: name).")
 
         # Catalog (reference: story_read / run inspection)
         A("catalog_runs", "catalog", S, self._catalog_runs,
@@ -459,6 +463,36 @@ class Dispatcher:
         text = docs[name]
         return {"name": name, "text": text[: int(max_chars)],
                 "truncated": len(text) > int(max_chars)}
+
+    def _examples_dir(self) -> str:
+        import os
+
+        return os.path.join(self._doc_root(), "examples")
+
+    def _list_examples(self) -> dict:
+        import os
+
+        root = self._examples_dir()
+        out = []
+        for f in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+            if not f.endswith((".yaml", ".yml")):
+                continue
+            with open(os.path.join(root, f), encoding="utf-8") as fh:
+                first = fh.readline().strip().lstrip("# ")
+            out.append({"name": f, "headline": first})
+        return {"examples": out}
+
+    def _get_example(self, name: str) -> dict:
+        import os
+
+        if os.path.basename(name) != name:  # no path traversal
+            return {"error": "name must be a bare filename"}
+        p = os.path.join(self._examples_dir(), name)
+        if not os.path.exists(p):
+            return {"error": f"unknown example '{name}'",
+                    "examples": [e["name"] for e in self._list_examples()["examples"]]}
+        with open(p, encoding="utf-8") as fh:
+            return {"name": name, "yaml": fh.read()}
 
     def _search_docs(self, query: str, limit: int = 20) -> dict:
         q = query.lower()

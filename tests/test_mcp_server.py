@@ -347,3 +347,14 @@ class TestConstructionPatterns:
         run = d.dispatch("run_pipeline", path=str(ypath))
         assert run["results"]["load"]["status"] == "success"
         assert run["results"]["load"]["rows_written"] == 25
+
+
+def test_onboarding_examples():
+    d = Dispatcher()
+    ex = d.dispatch("list_examples")["examples"]
+    names = {e["name"] for e in ex}
+    assert "training_data_prep.yaml" in names
+    got = d.dispatch("get_example", name="training_data_prep.yaml")
+    assert "neardup_decontaminate" in got["yaml"]
+    assert "error" in d.dispatch("get_example", name="nope.yaml")
+    assert "error" in d.dispatch("get_example", name="../SURVEY.md")
