@@ -186,6 +186,15 @@ class Dispatcher:
         A("run_node", "execution", X, self._run_node,
           "Execute one node of a pipeline (args: path, node, env=None).")
 
+        # Semantic layer (reference Download category: download_sql renders
+        # the SQL a semantic request compiles to; execution variant runs it)
+        A("semantic_sql", "semantics", P, self._semantic_sql,
+          "Compile a 'metrics BY dims WHERE ...' request to SQL without "
+          "running it (args: model, query).")
+        A("semantic_query", "semantics", X, self._semantic_query,
+          "Register source_path as the model source and execute the "
+          "semantic request (args: model, query, source_path, limit=100).")
+
         # Session builder (reference: create_pipeline ... discard_pipeline —
         # incremental YAML assembly; mutates in-process session state only,
         # so it gets its own effect class, excluded from bare stdio like
@@ -392,6 +401,38 @@ class Dispatcher:
         r = Pipeline(cfg, self.spark()).run_node(node)
         return {"node": node, "status": r.status, "rows_written": r.rows_written,
                 "duration_s": r.duration_s, "error": r.error}
+
+    # semantics ----------------------------------------------------------
+
+    def _sem(self, model):
+        import json as _json
+
+        from odibi_spark.semantics.metrics import SemanticModel
+        from odibi_spark.semantics.query import SemanticQuery
+
+        if isinstance(model, str):
+            model = _json.loads(model)
+        return SemanticQuery(SemanticModel.from_dict(model))
+
+    def _semantic_sql(self, model, query: str) -> dict:
+        return {"query": query, "sql": self._sem(model).to_sql(query)}
+
+    def _semantic_query(self, model, query: str, source_path: str,
+                        limit: int = 100) -> dict:
+        import json as _json
+
+        if isinstance(model, str):
+            model = _json.loads(model)
+        spark = self.spark()
+        from odibi_spark.io.read import read_parquet
+
+        read_parquet(spark, source_path).createOrReplaceTempView(model["source"])
+        df = self._sem(model).execute(spark, query)
+        return {
+            "query": query,
+            "columns": df.columns,
+            "rows": [r.asDict(recursive=True) for r in df.limit(int(limit)).collect()],
+        }
 
     # builder ------------------------------------------------------------
 

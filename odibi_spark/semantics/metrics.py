@@ -52,3 +52,22 @@ class SemanticModel:
     def add_dimension(self, d: Dimension) -> "SemanticModel":
         self.dimensions[d.name] = d
         return self
+
+    @classmethod
+    def from_dict(cls, doc: dict) -> "SemanticModel":
+        """YAML/JSON-friendly construction (the MCP gateway's input
+        shape)::
+
+            {source: sales,
+             metrics: {revenue: {expr: "sum(amount)"},
+                       aov: {formula: "revenue / orders"}},
+             dimensions: {day: {column: ts, grain: day}}}
+        """
+        m = cls(source=doc["source"])
+        for name, spec in (doc.get("metrics") or {}).items():
+            spec = {"expr": spec} if isinstance(spec, str) else dict(spec)
+            m.add_metric(Metric(name=name, **spec))
+        for name, spec in (doc.get("dimensions") or {}).items():
+            spec = {"column": spec} if isinstance(spec, str) else dict(spec)
+            m.add_dimension(Dimension(name=name, **spec))
+        return m

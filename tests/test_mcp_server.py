@@ -358,3 +358,42 @@ def test_onboarding_examples():
     assert "neardup_decontaminate" in got["yaml"]
     assert "error" in d.dispatch("get_example", name="nope.yaml")
     assert "error" in d.dispatch("get_example", name="../SURVEY.md")
+
+
+class TestSemanticActions:
+    MODEL = {
+        "source": "orders_src",
+        "metrics": {
+            "revenue": {"expr": "sum(o_totalprice)"},
+            "orders": {"expr": "count(*)"},
+            "aov": {"formula": "revenue / orders"},
+        },
+        "dimensions": {"status": {"column": "o_orderstatus"}},
+    }
+
+    def test_semantic_sql_is_public_and_pure(self):
+        out = Dispatcher().dispatch(
+            "semantic_sql", model=self.MODEL, query="revenue, aov BY status"
+        )
+        sql = out["sql"].lower()
+        assert "group by" in sql and "sum(o_totalprice)" in sql
+        assert "nullif" in sql  # derived-metric divisor guard
+
+    def test_semantic_query_executes_against_a_path(self, spark):
+        import duckdb
+
+        d = Dispatcher(spark=spark, allow={ActionEffect.EXECUTION})
+        out = d.dispatch(
+            "semantic_query", model=self.MODEL,
+            query="revenue, orders BY status",
+            source_path=f"{SF_SMALL}/orders.parquet",
+        )
+        got = {r["status"]: (round(r["revenue"], 2), r["orders"]) for r in out["rows"]}
+        exp = {
+            s: (round(float(rv), 2), n)
+            for s, rv, n in duckdb.sql(
+                f"SELECT o_orderstatus, sum(o_totalprice), count(*) "
+                f"FROM read_parquet('{SF_SMALL}/orders.parquet') GROUP BY 1"
+            ).fetchall()
+        }
+        assert got == exp
