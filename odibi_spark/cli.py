@@ -196,7 +196,20 @@ def main(argv: list[str] | None = None) -> int:
         "of plain bin-packing",
     )
     sp.add_argument("--format", default="parquet")
+
+    sp = sub.add_parser(
+        "mcp", help="serve the MCP stdio gateway (same as odibi-spark-mcp)"
+    )
+    sp.add_argument(
+        "--allow", default="",
+        help="extra effect grants: sensitive,session,execution",
+    )
     args = p.parse_args(argv)
+
+    if args.cmd == "mcp":
+        from odibi_spark.mcp_server import main as mcp_main
+
+        return mcp_main(["--allow", args.allow] if args.allow else [])
 
     if args.cmd == "list":
         import odibi_spark.operators  # noqa: F401 — registers transforms

@@ -397,3 +397,19 @@ class TestSemanticActions:
             ).fetchall()
         }
         assert got == exp
+
+
+def test_cli_mcp_verb_serves_stdio():
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "odibi_spark.cli", "mcp"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+    )
+    try:
+        out, _ = proc.communicate(
+            json.dumps({"jsonrpc": "2.0", "id": 1, "method": "initialize",
+                        "params": {}}) + "\n",
+            timeout=120,
+        )
+        assert json.loads(out.splitlines()[0])["result"]["serverInfo"]["name"] == "odibi-spark"
+    finally:
+        proc.kill()
