@@ -36,55 +36,10 @@ _ALL_ORACLES = {
 # Dict order is sampling priority: the driver's correctness gate checks
 # the FIRST 50 entries. The sample ROTATES each round so every declared
 # workload gets a driver-side hash check within two rounds (VERDICT r4
-# task 2). Round 8 executes the queue staged in r7 (VERDICT r7 task 1):
-# the 27 remaining r5-checked entries plus the 3 entries displaced from
-# the r7 head, then this round's brand-new workloads, then the oldest
-# r6-checked entries (in their r6 head order) to fill the head to 50.
-_R8_ROTATE_IN = [
-    "convert_event_values", "unpivot_flag_metrics",
-    "window_price_change", "token_counts_by_source",
-    "fingerprint_by_source", "lang_stopword_profile",
-    "language_guesses", "approx_percentiles_by_source",
-    "dedup_incremental_docs", "q2_min_cost_supplier",
-    "q11_important_parts", "q12_ship_latency", "q16_supplier_variety",
-    "q20_excess_share_suppliers", "q21_waiting_suppliers",
-    "mixture_weighted_sample", "schema_polish_customers",
-    "convert_timezone_orders", "validate_orders_quality",
-    "star_fact_orders", "delete_detection_customers",
-    "incremental_agg_orders", "streaming_click_attribution",
-    "resample_user_events", "funnel_view_click_purchase",
-    "cohort_daily_retention", "outlier_events_zscore",
-    # displaced from the r7 head when the late-r7 workloads landed
-    "distinct_segment_nation", "lookup_nation_names",
-    "date_dimension_calendar",
-]
-
-# Workloads declared for the first time in round 8 — never driver-
-# checked, so they go right after the rotated-in block.
-_R8_NEW = [
-    "merge_upsert_customers", "pipeline_health_runs",
-    "sla_status_pipelines", "multimodal_video_features",
-    "semantic_dedup_embeddings", "neardup_decontamination_hits",
-    "dsir_sample_docs", "quantized_embedding_fidelity",
-]
-
-# Oldest r6-checked entries (in their r6 head order) — fill the head
-# to 50. The rest of the r6-checked set is staged in _R9_ROTATE_IN.
-_R6_CHECKED_REFRESH = [
-    "ewma_user_values", "outlier_events_mad", "fuzzy_match_parts",
-    "spatial_customers_near_suppliers", "snapshot_cdc_customers",
-    "decile_customer_spend", "split_documents_sets",
-    "resample_interp_user_events", "conversion_latency_quartiles",
-    "transition_matrix_events", "zorder_key_orders", "pps_sample_docs",
-    "psychrometrics_events", "heavy_hitter_terms",
-    "streaming_ewma_user_values", "streaming_shards_docs",
-]
-
-# ROUND-9 ROTATION QUEUE: the r6-checked entries that did not fit this
-# round's head — after r8 they are the oldest-checked set. Next round,
-# move these into the first-50 head (plus any r9-new workloads),
-# demoting the r8-checked entries; fill any remaining head slots from
-# the r7-checked set in its r7 head order.
+# task 2). Round 9 executes the queue staged in r8: the r6/r7-checked
+# entries that are now the oldest-checked set, then this round's
+# brand-new workloads, then the oldest r7-checked entries (in their r7
+# head order) to fill the head to 50.
 _R9_ROTATE_IN = [
     "sample_k_docs_per_lang",  # bumped from the r8 fill by the late-r8 video workload
     # bumped from the r8 fill by the four late-r8 curation workloads
@@ -105,9 +60,48 @@ _R9_ROTATE_IN = [
     "multimodal_image_features", "asof_click_purchase",
 ]
 
+# Workloads declared for the first time in round 9 — never driver-
+# checked, so they go right after the rotated-in block.
+_R9_NEW = []
+
+# Oldest r7-checked entries (in their r7 head order) — fill the head
+# to 50. The rest of the r7-checked set is staged in _R10_ROTATE_IN.
+_R7_CHECKED_FILL = [
+    "intersect_repeat_customers", "corpus_overlap_halves",
+    "approx_distinct_fingerprints", "range_clicks_per_purchase_hour",
+    "simulated_sensor_rollup", "scd2_customer_batches",
+    "detect_event_phases", "streaming_user_sessions",
+    "skew_salted_event_join", "median_acctbal_by_segment",
+    "cheapest_part_per_brand", "q6_forecast_revenue",
+]
+
+# ROUND-10 ROTATION QUEUE: after r9 the oldest-checked set is the rest
+# of the r7-checked head (everything in CORRECTNESS_r07.json's head not
+# re-checked above), then the r8-checked head in its r8 order. Next
+# round, move these into the first-50 head (plus any r10-new
+# workloads), demoting the r9-checked entries. Finalized at the end of
+# round 9 once _R9_NEW stops growing.
+_R10_ROTATE_IN = [
+    "q7_nation_volume", "q14_promo_revenue", "q18_large_orders",
+    "groupingsets_flag_status", "ivf_ann_neighbors",
+    "q4_order_priority", "q8_market_share", "q9_product_profit",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q19_bracket_revenue",
+    "q22_inactive_balances", "sample_seeded_docs",
+    "multimodal_audio_features", "bloom_semijoin_orders",
+    "lm_quality_docs", "kmeans_clusters_embeddings",
+    # r8-checked head, in its r8 order
+    "convert_event_values", "unpivot_flag_metrics",
+    "window_price_change", "token_counts_by_source",
+    "fingerprint_by_source", "lang_stopword_profile",
+    "language_guesses", "approx_percentiles_by_source",
+    "dedup_incremental_docs", "q2_min_cost_supplier",
+    "q11_important_parts", "q12_ship_latency", "q16_supplier_variety",
+]
+
 _unknown_rotate = (
-    set(_R8_ROTATE_IN) | set(_R8_NEW) | set(_R6_CHECKED_REFRESH)
-    | set(_R9_ROTATE_IN)
+    set(_R9_ROTATE_IN) | set(_R9_NEW) | set(_R7_CHECKED_FILL)
+    | set(_R10_ROTATE_IN)
 ) - set(_ALL_QUERIES)
 if _unknown_rotate:  # fail loudly: a stale queue would silently shrink
     raise RuntimeError(  # the next round's driver-checked head
@@ -115,7 +109,7 @@ if _unknown_rotate:  # fail loudly: a stale queue would silently shrink
     )
 
 _HEAD = [
-    k for k in _R8_ROTATE_IN + _R8_NEW + _R6_CHECKED_REFRESH
+    k for k in _R9_ROTATE_IN + _R9_NEW + _R7_CHECKED_FILL
     if k in _ALL_QUERIES
 ][:50]
 _ORDER = _HEAD + [k for k in _ALL_QUERIES if k not in set(_HEAD)]
