@@ -519,6 +519,10 @@ def main() -> None:
         # new in round 8: SemDeDup + fuzzy decontamination + DSIR
         "semantic_dedup_embeddings", "neardup_decontamination_hits",
         "dsir_sample_docs", "quantized_embedding_fidelity",
+        # new in round 9: Gopher rules + cross-doc span dedup +
+        # perplexity terciles + count-min sketch
+        "gopher_quality_docs", "duplicate_ngram_spans",
+        "lm_perplexity_buckets", "cms_heavy_terms",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(

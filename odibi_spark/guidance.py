@@ -96,6 +96,8 @@ TASK_GUIDANCE: dict[str, dict[str, Any]] = {
                  {"label": "byte-identical text", "value": "dedup_exact"},
                  {"label": "near-identical text (MinHash-LSH)",
                   "value": "dedup_minhash"},
+                 {"label": "repeated spans across docs (exact substring)",
+                  "value": "duplicate_spans"},
                  {"label": "semantically similar embeddings (SemDeDup)",
                   "value": "semantic_dedup"},
                  {"label": "daily incremental batches",

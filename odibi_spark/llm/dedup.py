@@ -520,3 +520,83 @@ def dedup_clusters(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def duplicate_span_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-corpus exact-substring duplication signals in the style of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better"): a span is a contiguous word ``ngram``-gram; a span is
+    *duplicated* when the same gram occurs in at least ``min_docs``
+    DISTINCT documents (distinct-doc counting deliberately ignores
+    within-document repetition — that is :func:`repetition_signals`'
+    job).
+
+    The published approach builds a corpus suffix array; that is a
+    sequential single-machine construction. The Spark-first
+    re-expression keeps the same detection semantics for fixed-length
+    spans as pure dataflow:
+
+      1. project the word array once, posexplode the ``ngram``-gram
+         windows (O(total tokens) rows, codegen, no Python)
+      2. hash each gram to md5 (portable, so differential oracles can
+         recompute it; collision odds at 128 bits are negligible)
+      3. groupBy gram-hash -> distinct-doc count (map-side partial
+         aggregate; AQE absorbs the Zipf-head skew)
+      4. join spans back on gram-hash and roll up per document
+
+    Returns one row per input document: ``total_spans``,
+    ``dup_spans``, and ``dup_span_ratio`` (0.0 for docs shorter than
+    ``ngram`` words). At 100 TB every stage is a linear scan plus two
+    key-hashed shuffles; nothing is ever all-pairs.
+    """
+    if ngram < 2:
+        raise ValueError("ngram must be >= 2")
+    words = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), " ").alias("__w"),
+    )
+    spans = words.select(
+        F.col(id_col),
+        F.explode(
+            # CASE guard: sequence(1, 0) is DESCENDING, not empty
+            F.expr(
+                f"CASE WHEN size(__w) >= {ngram} THEN "
+                f"transform(sequence(1, size(__w) - {ngram - 1}), "
+                f"i -> md5(concat_ws(' ', slice(__w, i, {ngram})))) "
+                f"ELSE array() END"
+            )
+        ).alias("gram_h"),
+    )
+    gram_docs = spans.groupBy("gram_h").agg(
+        F.count_distinct(F.col(id_col)).alias("__ndocs")
+    )
+    per_doc = (
+        spans.join(gram_docs, "gram_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_spans"),
+            F.sum(
+                F.when(F.col("__ndocs") >= min_docs, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("dup_spans"),
+        )
+    )
+    out = df.select(id_col).join(per_doc, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.coalesce("total_spans", F.lit(0)).alias("total_spans"),
+        F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+        F.when(
+            F.coalesce("total_spans", F.lit(0)) > 0,
+            F.col("dup_spans").cast("double") / F.col("total_spans"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_span_ratio"),
+    )

@@ -180,6 +180,82 @@ def repetition_signals(
     )
 
 
+# Stopwords from the published Gopher rule (Rae et al. 2021, A1.1):
+# a document must contain at least 2 of these to pass.
+GOPHER_STOPWORDS: list[str] = [
+    "the", "be", "to", "of", "and", "that", "have", "with",
+]
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher/MassiveText document-quality rule bundle (Rae et al.
+    2021, appendix A1.1 — the same rules RedPajama/Dolma reuse): word
+    count bounds, mean word length bounds, symbol-to-word ratio
+    (``#`` and ``...``), fraction of words containing an alphabetic
+    character, and a minimum stopword count.
+
+    Adds the measured features (``g_n_words``, ``g_mean_word_len``,
+    ``g_symbol_ratio``, ``g_alpha_word_ratio``, ``g_stopword_hits``),
+    one boolean per rule, and the conjunction ``gopher_keep``.
+
+    Pure column expressions over one projected word array — whole-
+    stage codegen, map-side, no shuffle; at 100 TB this is scan-bound
+    and composes with any downstream filter pushdown.
+    """
+    t = F.col(text_col)
+    out = df.withColumn("__w", F.split(F.trim(F.lower(t)), " "))
+    w = F.col("__w")
+    n_words = F.size(w)
+    # sum of word lengths via aggregate() over the SHARED projected
+    # array (interpreted HOFs don't CSE an inlined split)
+    char_sum = F.aggregate(
+        w, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    mean_len = char_sum.cast("double") / n_words
+    symbol_hits = F.regexp_count(t, F.lit("#")) + F.regexp_count(
+        t, F.lit(r"\.\.\.")
+    )
+    alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(*GOPHER_STOPWORDS)))
+    out = (
+        out.withColumn("g_n_words", n_words)
+        .withColumn("g_mean_word_len", mean_len)
+        .withColumn(
+            "g_symbol_ratio", symbol_hits.cast("double") / n_words
+        )
+        .withColumn(
+            "g_alpha_word_ratio", alpha_words.cast("double") / n_words
+        )
+        .withColumn("g_stopword_hits", stop_hits)
+    )
+    rules = {
+        "pass_word_count": (F.col("g_n_words") >= min_words)
+        & (F.col("g_n_words") <= max_words),
+        "pass_mean_word_len": (F.col("g_mean_word_len") >= min_mean_word_len)
+        & (F.col("g_mean_word_len") <= max_mean_word_len),
+        "pass_symbol_ratio": F.col("g_symbol_ratio") <= max_symbol_ratio,
+        "pass_alpha_ratio": F.col("g_alpha_word_ratio")
+        >= min_alpha_word_ratio,
+        "pass_stopwords": F.col("g_stopword_hits") >= min_stopword_hits,
+    }
+    keep = F.lit(True)
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+        keep = keep & cond
+    return out.withColumn("gopher_keep", keep).drop("__w")
+
+
 # PII patterns chosen to behave identically under Java regex (Spark)
 # and RE2 (DuckDB): no backrefs, no lookaround, no possessives.
 PII_PATTERNS: list[tuple[str, str, str]] = [

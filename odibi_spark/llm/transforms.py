@@ -541,3 +541,78 @@ def quantize_embeddings_transform(
     if drop_original:
         out = out.drop(vec_col)
     return ctx.with_df(out)
+
+
+@transform("gopher_quality")
+def gopher_quality_transform(
+    ctx: EngineContext,
+    *,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+    filter_to_keep: bool = False,
+) -> EngineContext:
+    """Gopher/MassiveText quality-rule flags (text.gopher_quality_flags);
+    ``filter_to_keep=True`` drops failing docs in the same step."""
+    out = text.gopher_quality_flags(
+        ctx.df, text_col,
+        min_words=min_words, max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_ratio=max_symbol_ratio,
+        min_alpha_word_ratio=min_alpha_word_ratio,
+        min_stopword_hits=min_stopword_hits,
+    )
+    if filter_to_keep:
+        out = out.filter(F.col("gopher_keep"))
+    return ctx.with_df(out)
+
+
+@transform("duplicate_spans")
+def duplicate_spans_transform(
+    ctx: EngineContext,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+    min_docs: int = 2,
+    max_dup_ratio: float | None = None,
+) -> EngineContext:
+    """Cross-corpus exact-substring duplication signals
+    (dedup.duplicate_span_signals) joined back onto the rows; a
+    ``max_dup_ratio`` drops docs whose duplicated-span share exceeds
+    it (the Lee-et-al-style dedup filter)."""
+    sig = dedup.duplicate_span_signals(
+        ctx.df, id_col, text_col, ngram=ngram, min_docs=min_docs
+    )
+    out = ctx.df.join(sig, id_col, "left")
+    if max_dup_ratio is not None:
+        out = out.filter(F.col("dup_span_ratio") <= F.lit(float(max_dup_ratio)))
+    return ctx.with_df(out)
+
+
+@transform("cms_frequencies")
+def cms_frequencies_transform(
+    ctx: EngineContext,
+    *,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    weight_col: str | None = None,
+    seed: int = 42,
+) -> EngineContext:
+    """Replace the frame with its count-min sketch (depth, bucket,
+    cnt) — a fixed-size mergeable frequency summary (llm.cms)."""
+    from odibi_spark.llm import cms
+
+    return ctx.with_df(
+        cms.cms_build(
+            ctx.df, key_col,
+            width=width, depth=depth, weight_col=weight_col, seed=seed,
+        )
+    )

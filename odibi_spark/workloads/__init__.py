@@ -62,7 +62,10 @@ _R9_ROTATE_IN = [
 
 # Workloads declared for the first time in round 9 — never driver-
 # checked, so they go right after the rotated-in block.
-_R9_NEW = []
+_R9_NEW = [
+    "gopher_quality_docs", "duplicate_ngram_spans",
+    "lm_perplexity_buckets", "cms_heavy_terms",
+]
 
 # Oldest r7-checked entries (in their r7 head order) — fill the head
 # to 50. The rest of the r7-checked set is staged in _R10_ROTATE_IN.

@@ -1608,3 +1608,262 @@ FROM (
 
 QUERIES.update({"heavy_hitter_terms": heavy_hitter_terms})
 ORACLES.update({"heavy_hitter_terms": HEAVY_HITTERS_SQL})
+
+
+def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText quality-rule bundle per document (Rae et al.
+    2021 A1.1: word-count bounds, mean word length, symbol ratio,
+    alphabetic-word fraction, stopword minimum). Every emitted ratio is
+    a single IEEE division of two exact integers — bit-identical across
+    engines with NO rounding (round() near decimal midpoints is the
+    engine-ambiguous trap; see resample_interp_user_events)."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    out = text.gopher_quality_flags(docs, "text")
+    return out.select(
+        "doc_id", "g_n_words", "g_mean_word_len", "g_symbol_ratio",
+        "g_alpha_word_ratio", "g_stopword_hits", "pass_word_count",
+        "pass_mean_word_len", "pass_symbol_ratio", "pass_alpha_ratio",
+        "pass_stopwords", "gopher_keep",
+    )
+
+
+GOPHER_QUALITY_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(trim(lower(text)), ' ') AS ws,
+         CAST(len(regexp_extract_all(text, '#')) AS INTEGER)
+           + CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS INTEGER)
+           AS symbol_hits
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         CAST(len(ws) AS INTEGER) AS g_n_words,
+         CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+           / len(ws) AS g_mean_word_len,
+         CAST(symbol_hits AS DOUBLE) / len(ws) AS g_symbol_ratio,
+         CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+              AS DOUBLE) / len(ws) AS g_alpha_word_ratio,
+         CAST(len(list_filter(ws, x -> x IN ('the','be','to','of','and',
+                                             'that','have','with')))
+              AS INTEGER) AS g_stopword_hits
+  FROM w
+)
+SELECT doc_id, g_n_words, g_mean_word_len, g_symbol_ratio,
+       g_alpha_word_ratio, g_stopword_hits,
+       (g_n_words >= 50 AND g_n_words <= 100000) AS pass_word_count,
+       (g_mean_word_len >= 3.0 AND g_mean_word_len <= 10.0)
+         AS pass_mean_word_len,
+       (g_symbol_ratio <= 0.1) AS pass_symbol_ratio,
+       (g_alpha_word_ratio >= 0.8) AS pass_alpha_ratio,
+       (g_stopword_hits >= 2) AS pass_stopwords,
+       ((g_n_words >= 50 AND g_n_words <= 100000)
+        AND (g_mean_word_len >= 3.0 AND g_mean_word_len <= 10.0)
+        AND (g_symbol_ratio <= 0.1)
+        AND (g_alpha_word_ratio >= 0.8)
+        AND (g_stopword_hits >= 2)) AS gopher_keep
+FROM f
+"""
+
+
+def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact-substring (8-gram span) duplication per
+    document — the Lee et al. 2021 dedup signal re-expressed as
+    dataflow (dedup.duplicate_span_signals): posexplode windows, count
+    distinct docs per gram hash, roll up. dup_span_ratio is one exact
+    int/int division (no rounding)."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    out = dedup.duplicate_span_signals(
+        docs, id_col="doc_id", text_col="text", ngram=8, min_docs=2
+    )
+    return out.select(
+        "doc_id",
+        F.col("total_spans").cast("long").alias("total_spans"),
+        F.col("dup_spans").cast("long").alias("dup_spans"),
+        "dup_span_ratio",
+    )
+
+
+DUP_SPANS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS gram_h
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w)-6)) AS i) r
+  WHERE len(w) >= 8
+),
+gd AS (
+  SELECT gram_h, COUNT(DISTINCT doc_id) AS ndocs FROM grams GROUP BY gram_h
+),
+per_doc AS (
+  SELECT g.doc_id, COUNT(*) AS total_spans,
+         SUM(CASE WHEN gd.ndocs >= 2 THEN 1 ELSE 0 END) AS dup_spans
+  FROM grams g JOIN gd USING (gram_h) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.total_spans, 0) AS BIGINT) AS total_spans,
+       CAST(COALESCE(p.dup_spans, 0) AS BIGINT) AS dup_spans,
+       CASE WHEN COALESCE(p.total_spans, 0) > 0
+            THEN CAST(p.dup_spans AS DOUBLE) / p.total_spans
+            ELSE 0.0 END AS dup_span_ratio
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2019): score
+    every doc with the corpus-unigram LM, split the corpus into
+    head/middle/tail terciles of avg_nll, and profile each bucket.
+    The tercile split runs through the DISTRIBUTED two-pass global
+    rank (operators/rank.py) — zero Exchange SinglePartition even
+    though the ranked set is the whole corpus. Bucket stats are
+    exact (counts, BIGINT token sums, min/max of bit-stable doubles)
+    so the oracle hashes byte-identically."""
+    _prep(spark)
+    from odibi_spark.operators.rank import global_ranks
+
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    scored = text.ngram_lm_scores(
+        docs, id_col="doc_id", text_col="text", min_count=1
+    )
+    ranked = global_ranks(
+        scored,
+        order_by=["avg_nll", "doc_id"],
+        columns={"tercile": {"function": "ntile", "buckets": 3}},
+    )
+    bucket = (
+        F.when(F.col("tercile") == 1, F.lit("head"))
+        .when(F.col("tercile") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        ranked.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("avg_nll").alias("min_nll"),
+            F.max("avg_nll").alias("max_nll"),
+        )
+    )
+
+
+LM_BUCKETS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id,
+               unnest(string_split(trim(lower(text)), ' ')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+),
+vocab AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+),
+tot AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS n_total,
+         CAST(COUNT(*) AS DOUBLE) AS v_size
+  FROM vocab
+),
+scored AS (
+  SELECT t.doc_id,
+         round(-ln((COALESCE(vb.c, 0) + 1.0)
+                   / (tot.n_total + tot.v_size)), 6) AS nll
+  FROM toks t LEFT JOIN vocab vb USING (tok) CROSS JOIN tot
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(CAST(SUM(CAST(nll AS {DEC})) AS DOUBLE) / COUNT(*) AS DOUBLE)
+           AS avg_nll
+  FROM scored GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, n_tokens, avg_nll,
+         NTILE(3) OVER (ORDER BY avg_nll, doc_id) AS tercile
+  FROM per_doc
+)
+SELECT CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+       ELSE 'tail' END AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(avg_nll) AS min_nll, MAX(avg_nll) AS max_nll
+FROM ranked GROUP BY 1
+"""
+
+
+def cms_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates vs exact truth for every
+    distinct token in the corpus (llm/cms.py: width=256, depth=3,
+    portable md5-fold row hashes). Because the hashes are
+    engine-portable, DuckDB rebuilds the IDENTICAL d x w table and the
+    oracle is an exact hash match — the one-sided guarantee
+    (est >= true) is visible in the checked output rather than only in
+    an error-bound pytest (contrast approx_distinct_fingerprints,
+    rows-only by design)."""
+    _prep(spark)
+    from odibi_spark.llm import cms
+
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    tokens = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    sketch = cms.cms_build(tokens, "tok", width=256, depth=3, seed=7)
+    truth = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms.cms_query(
+        sketch, truth.select("tok"), "tok", width=256, depth=3, seed=7
+    )
+    return truth.join(est, "tok").select(
+        "tok", "true_cnt",
+        F.col("est_cnt").cast("long").alias("est_cnt"),
+        (F.col("est_cnt") - F.col("true_cnt")).cast("long").alias("overcount"),
+    )
+
+
+CMS_HEAVY_TERMS_SQL = """
+WITH toks AS (
+  SELECT tok
+  FROM (SELECT unnest(string_split(trim(lower(text)), ' ')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+),
+depths AS (SELECT unnest(range(3)) AS depth),
+cells AS (
+  SELECT d.depth,
+         CAST(concat('0x', substring(md5(concat('7:', CAST(d.depth AS VARCHAR),
+                                            ':', tok)), 1, 15)) AS BIGINT)
+           % 256 AS bucket
+  FROM toks, depths d
+),
+cms AS (SELECT depth, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+truth AS (SELECT tok, COUNT(*) AS true_cnt FROM toks GROUP BY tok),
+probes AS (
+  SELECT t.tok, d.depth,
+         CAST(concat('0x', substring(md5(concat('7:', CAST(d.depth AS VARCHAR),
+                                            ':', t.tok)), 1, 15)) AS BIGINT)
+           % 256 AS bucket
+  FROM truth t, depths d
+),
+est AS (
+  SELECT p.tok, MIN(COALESCE(c.cnt, 0)) AS est_cnt
+  FROM probes p LEFT JOIN cms c USING (depth, bucket)
+  GROUP BY p.tok
+)
+SELECT t.tok, CAST(t.true_cnt AS BIGINT) AS true_cnt,
+       CAST(e.est_cnt AS BIGINT) AS est_cnt,
+       CAST(e.est_cnt - t.true_cnt AS BIGINT) AS overcount
+FROM truth t JOIN est e USING (tok)
+"""
+
+
+QUERIES.update({
+    "gopher_quality_docs": gopher_quality_docs,
+    "duplicate_ngram_spans": duplicate_ngram_spans,
+    "lm_perplexity_buckets": lm_perplexity_buckets,
+    "cms_heavy_terms": cms_heavy_terms,
+})
+ORACLES.update({
+    "gopher_quality_docs": GOPHER_QUALITY_SQL,
+    "duplicate_ngram_spans": DUP_SPANS_SQL,
+    "lm_perplexity_buckets": LM_BUCKETS_SQL,
+    "cms_heavy_terms": CMS_HEAVY_TERMS_SQL,
+})

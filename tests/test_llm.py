@@ -1821,3 +1821,204 @@ class TestCurationProperties:
             source, target, k=3
         ).collect()}
         assert rows[2] > rows[1] > rows[3]
+
+
+class TestGopherQuality:
+    def _flags(self, spark, texts):
+        rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+        return {
+            r.doc_id: r
+            for r in text.gopher_quality_flags(
+                spark.createDataFrame(rows), "text", min_words=5
+            ).collect()
+        }
+
+    def test_rule_bundle(self, spark):
+        good = "the cat and the dog have been walking with friends today"
+        short = "too few words"
+        no_stop = "quick brown fox jumps high above green fields tonight"
+        symbols = "the cat and ### dog have ### lots ### of ### symbols here"
+        out = self._flags(spark, [good, short, no_stop, symbols])
+        assert out[0].gopher_keep
+        assert not out[1].pass_word_count and not out[1].gopher_keep
+        assert not out[2].pass_stopwords and not out[2].gopher_keep
+        assert not out[3].pass_symbol_ratio and not out[3].gopher_keep
+
+    def test_measured_features(self, spark):
+        t = "aa bbb cccc"  # 3 words, 9 chars of words
+        r = self._flags(spark, [t])[0]
+        assert r.g_n_words == 3
+        assert abs(r.g_mean_word_len - 3.0) < 1e-12
+        assert r.g_stopword_hits == 0
+        assert abs(r.g_alpha_word_ratio - 1.0) < 1e-12
+
+    def test_alpha_ratio_counts_nonalpha_words(self, spark):
+        t = "123 456 the cat sat"  # 2 of 5 words lack letters
+        r = self._flags(spark, [t])[0]
+        assert abs(r.g_alpha_word_ratio - 0.6) < 1e-12
+
+    def test_transform_filter_to_keep(self, spark):
+        import odibi_spark.operators  # noqa: F401
+        from odibi_spark.context import Context, EngineContext
+        from odibi_spark.registry import get_registry
+
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="the cat and the dog have been "
+                                   "walking with friends today"),
+                Row(doc_id=2, text="too short"),
+            ]
+        )
+        ec = get_registry().apply(
+            "gopher_quality",
+            EngineContext(Context(spark), df),
+            {"min_words": 5, "filter_to_keep": True},
+        )
+        assert [r.doc_id for r in ec.df.collect()] == [1]
+
+
+class TestDuplicateSpans:
+    def test_cross_doc_spans_found(self, spark):
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=shared + " unique tail one here"),
+                Row(doc_id=2, text="prefix words " + shared),
+                Row(doc_id=3, text="totally different content with many "
+                                   "other words spread around here"),
+            ]
+        )
+        out = {
+            r.doc_id: r
+            for r in dedup.duplicate_span_signals(df, ngram=8).collect()
+        }
+        # docs 1 and 2 share exactly the one 8-gram
+        assert out[1].dup_spans == 1 and out[2].dup_spans == 1
+        assert out[3].dup_spans == 0
+        assert out[1].total_spans == 12 - 8 + 1
+        assert abs(out[1].dup_span_ratio - 1 / 5) < 1e-12
+
+    def test_within_doc_repeat_not_counted(self, spark):
+        span = "a b c d e f g h"
+        df = spark.createDataFrame(
+            # the same 8-gram twice INSIDE one doc, nowhere else
+            [Row(doc_id=1, text=span + " " + span),
+             Row(doc_id=2, text="other words entirely unrelated to the "
+                                "first document text body")]
+        )
+        out = {
+            r.doc_id: r
+            for r in dedup.duplicate_span_signals(df, ngram=8).collect()
+        }
+        assert out[1].dup_spans == 0  # min_docs counts DISTINCT docs
+
+    def test_short_docs_zero_ratio(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, text="just three words")])
+        r = dedup.duplicate_span_signals(df, ngram=8).collect()[0]
+        assert r.total_spans == 0 and r.dup_spans == 0
+        assert r.dup_span_ratio == 0.0
+
+    def test_transform_filter(self, spark):
+        import odibi_spark.operators  # noqa: F401
+        from odibi_spark.context import Context, EngineContext
+        from odibi_spark.registry import get_registry
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text=shared),
+             Row(doc_id=2, text=shared),
+             Row(doc_id=3, text="some completely different eight word "
+                                "sentence right here now")]
+        )
+        ec = get_registry().apply(
+            "duplicate_spans",
+            EngineContext(Context(spark), df),
+            {"max_dup_ratio": 0.5},
+        )
+        assert sorted(r.doc_id for r in ec.df.collect()) == [3]
+
+
+class TestCountMinSketch:
+    def _tokens(self, spark):
+        import itertools
+
+        # Zipf-ish: token_i appears (40 - i) times
+        rows = list(
+            itertools.chain.from_iterable(
+                [Row(tok=f"t{i}")] * (40 - i) for i in range(30)
+            )
+        )
+        return spark.createDataFrame(rows)
+
+    def test_never_undercounts_and_bounded(self, spark):
+        from odibi_spark.llm import cms
+
+        toks = self._tokens(spark)
+        sketch = cms.cms_build(toks, "tok", width=64, depth=4, seed=11)
+        truth = {
+            r.tok: r.c
+            for r in toks.groupBy("tok").count()
+            .withColumnRenamed("count", "c").collect()
+        }
+        probes = spark.createDataFrame([Row(tok=t) for t in truth])
+        est = {
+            r.tok: r.est_cnt
+            for r in cms.cms_query(
+                sketch, probes, "tok", width=64, depth=4, seed=11
+            ).collect()
+        }
+        n_total = sum(truth.values())
+        for t, true_c in truth.items():
+            assert est[t] >= true_c, f"{t} undercounted"
+            # CMS bound: overcount <= e/width * N whp; generous 4x margin
+            assert est[t] - true_c <= 4 * 2.718 * n_total / 64
+
+    def test_merge_equals_single_build(self, spark):
+        from odibi_spark.llm import cms
+
+        toks = self._tokens(spark)
+        half_a = toks.limit(300)
+        half_b = toks.exceptAll(half_a)
+        merged = cms.cms_merge(
+            cms.cms_build(half_a, "tok", width=32, depth=3, seed=5),
+            cms.cms_build(half_b, "tok", width=32, depth=3, seed=5),
+        )
+        full = cms.cms_build(toks, "tok", width=32, depth=3, seed=5)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+
+    def test_weighted_build(self, spark):
+        from odibi_spark.llm import cms
+
+        df = spark.createDataFrame(
+            [Row(tok="x", w=5), Row(tok="x", w=2), Row(tok="y", w=1)]
+        )
+        sketch = cms.cms_build(
+            df, "tok", width=16, depth=2, weight_col="w", seed=3
+        )
+        est = {
+            r.tok: r.est_cnt
+            for r in cms.cms_query(
+                sketch,
+                spark.createDataFrame([Row(tok="x"), Row(tok="y")]),
+                "tok", width=16, depth=2, seed=3,
+            ).collect()
+        }
+        assert est["x"] >= 7 and est["y"] >= 1
+
+    def test_sketch_size_capped(self, spark):
+        from odibi_spark.llm import cms
+
+        sketch = cms.cms_build(
+            self._tokens(spark), "tok", width=8, depth=2, seed=1
+        )
+        assert sketch.count() <= 8 * 2
+
+    def test_bad_params_raise(self, spark):
+        from odibi_spark.llm import cms
+
+        with pytest.raises(ValueError):
+            cms.cms_build(self._tokens(spark), "tok", width=0, depth=2)
+        with pytest.raises(ValueError):
+            cms.cms_merge()
