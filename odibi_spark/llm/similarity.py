@@ -746,3 +746,41 @@ def quantization_fidelity(
         ).alias("recon_cosine"),
         F.round(err, round_digits).alias("max_abs_err"),
     )
+
+
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    *,
+    query_col: str = "query_id",
+    nbr_col: str = "nbr_id",
+) -> DataFrame:
+    """Recall@k of an approximate-NN result against exact ground truth:
+    per query, the fraction of the exact neighbour set the approximate
+    index returned. The evaluation loop every ANN deployment needs —
+    run it on a sampled query subset before trusting an index at
+    100 TB (exact truth on a sample is cheap; the index serves the
+    rest).
+
+    Both inputs are (query, neighbour) frames (e.g. cosine_topk /
+    lsh_ann_topk / ivf_ann_topk outputs, already cut at their own k).
+    Queries present in ``exact`` but missing from ``approx`` (ANN
+    found no candidates) score recall 0.0. Two key-hashed aggregates
+    + one semi join — no all-pairs work beyond what the inputs did.
+    """
+    t = exact.select(query_col, nbr_col)
+    a = approx.select(query_col, nbr_col)
+    truth = t.groupBy(query_col).agg(F.count(F.lit(1)).alias("truth_n"))
+    hits = (
+        t.join(a, [query_col, nbr_col], "left_semi")
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return truth.join(hits, query_col, "left").select(
+        query_col,
+        "truth_n",
+        F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+        (
+            F.coalesce("hits", F.lit(0)).cast("double") / F.col("truth_n")
+        ).alias("recall"),
+    )

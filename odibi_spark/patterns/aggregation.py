@@ -149,3 +149,74 @@ def aggregate_incremental_sketches(
                 ).alias(f"{n}_p{int(round(q * 100))}")
             )
     return state.select(*grain, *est)
+
+
+def cms_incremental(
+    spark: SparkSession,
+    batch: DataFrame,
+    *,
+    target_path: str,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    weight_col: str | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental count-min sketch state: fold each batch's CMS
+    (llm/cms.py) into a parquet-stored running sketch, the frequency
+    analog of the HLL/KLL state above. Per-batch cost is O(batch) +
+    one merge over at most ``depth x width`` state rows, regardless
+    of history size — and unlike the DataSketches estimates, CMS
+    folding is EXACT cell arithmetic: the running sketch is
+    bit-identical to a one-shot build over the concatenated batches
+    (pinned by test), so replay order and partitioning never move the
+    estimates.
+
+    (width, depth, seed) must stay constant across batches — they are
+    pinned in ``_cms_meta.json`` BESIDE the state (written atomically
+    BEFORE the first state commit, the SignatureStore ordering from
+    ADVICE r7 #2) and a mismatch — or state with no meta, which could
+    have been built under anything — raises rather than silently
+    mixing incompatible hash spaces.
+
+    Layout: ``{target_path}/_cms_meta.json`` + ``{target_path}/state``
+    (parquet) — the meta sits outside the overwritten parquet dir so
+    state rewrites cannot wipe it.
+
+    Returns the merged sketch (depth, bucket, cnt); query it with
+    :func:`odibi_spark.llm.cms.cms_query`.
+    """
+    import json
+    import os
+
+    from odibi_spark.llm import cms
+
+    agged = cms.cms_build(
+        batch, key_col,
+        width=width, depth=depth, weight_col=weight_col, seed=seed,
+    )
+    meta_path = os.path.join(target_path, "_cms_meta.json")
+    params = {"width": int(width), "depth": int(depth), "seed": int(seed)}
+    target = ParquetTarget(spark, os.path.join(target_path, "state"))
+    if target.exists():
+        try:
+            with open(meta_path, encoding="utf-8") as fh:
+                stored = json.load(fh)
+        except FileNotFoundError:
+            stored = None
+        if stored != params:
+            raise ValueError(
+                f"CMS state at {target_path} was built with "
+                f"{stored if stored is not None else 'unknown params (no meta)'}; "
+                f"got {params} — rebuild the state or match the params"
+            )
+        state = cms.cms_merge(target.read(), agged)
+        target.overwrite(state)
+    else:
+        os.makedirs(target_path, exist_ok=True)
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(params, fh)
+        os.replace(tmp, meta_path)  # atomic: meta commits before state
+        target.write_initial(agged)
+    return target.read()

@@ -64,7 +64,7 @@ _R9_ROTATE_IN = [
 # checked, so they go right after the rotated-in block.
 _R9_NEW = [
     "gopher_quality_docs", "duplicate_ngram_spans",
-    "lm_perplexity_buckets", "cms_heavy_terms",
+    "lm_perplexity_buckets", "cms_heavy_terms", "ann_recall_lsh",
 ]
 
 # Oldest r7-checked entries (in their r7 head order) — fill the head

@@ -1867,3 +1867,50 @@ ORACLES.update({
     "lm_perplexity_buckets": LM_BUCKETS_SQL,
     "cms_heavy_terms": CMS_HEAVY_TERMS_SQL,
 })
+
+
+def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the SRP-LSH ANN index against brute-force cosine
+    truth for query vectors vec_id < 20 (similarity.ann_recall — the
+    index-quality evaluation loop). recall is one exact int/int
+    division; both inputs are the already-oracled topk pipelines."""
+    _prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings", cpu_heavy=True)
+    exact = similarity.cosine_topk(
+        emb, "vec_id", "embedding", query_filter="vec_id < 20", k=5
+    )
+    approx = similarity.lsh_ann_topk(
+        emb, "vec_id", "embedding", k=5, num_planes=8
+    ).filter(F.col("query_id") < 20)
+    return similarity.ann_recall(exact, approx)
+
+
+def _ann_recall_oracle_sql() -> str:
+    lsh = _lsh_ann_oracle_sql(k=5, num_planes=8)
+    return f"""
+WITH exact_nn AS (
+  {EMB_TOPK_SQL}
+),
+approx_nn AS (
+  {lsh}
+),
+truth AS (
+  SELECT query_id, COUNT(*) AS truth_n FROM exact_nn GROUP BY query_id
+),
+hits AS (
+  SELECT t.query_id, COUNT(*) AS hits
+  FROM exact_nn t
+  WHERE EXISTS (SELECT 1 FROM approx_nn a
+                WHERE a.query_id = t.query_id AND a.nbr_id = t.nbr_id
+                  AND a.query_id < 20)
+  GROUP BY t.query_id
+)
+SELECT t.query_id, t.truth_n,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       CAST(COALESCE(h.hits, 0) AS DOUBLE) / t.truth_n AS recall
+FROM truth t LEFT JOIN hits h USING (query_id)
+"""
+
+
+QUERIES.update({"ann_recall_lsh": ann_recall_lsh})
+ORACLES.update({"ann_recall_lsh": _ann_recall_oracle_sql()})

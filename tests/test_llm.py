@@ -2022,3 +2022,37 @@ class TestCountMinSketch:
             cms.cms_build(self._tokens(spark), "tok", width=0, depth=2)
         with pytest.raises(ValueError):
             cms.cms_merge()
+
+
+class TestAnnRecall:
+    def test_recall_math_and_missing_queries(self, spark):
+        from odibi_spark.llm.similarity import ann_recall
+
+        exact = spark.createDataFrame(
+            [Row(query_id=1, nbr_id=n) for n in (10, 11, 12, 13)]
+            + [Row(query_id=2, nbr_id=n) for n in (20, 21)]
+            + [Row(query_id=3, nbr_id=30)]
+        )
+        approx = spark.createDataFrame(
+            # q1: 3 of 4 right (one wrong extra ignored); q2: all; q3: absent
+            [Row(query_id=1, nbr_id=n) for n in (10, 11, 13, 99)]
+            + [Row(query_id=2, nbr_id=n) for n in (20, 21)]
+        )
+        out = {r.query_id: r for r in ann_recall(exact, approx).collect()}
+        assert out[1].hits == 3 and abs(out[1].recall - 0.75) < 1e-12
+        assert out[2].recall == 1.0
+        assert out[3].hits == 0 and out[3].recall == 0.0
+
+    def test_perfect_index_scores_one(self, spark):
+        from odibi_spark.llm import similarity
+
+        rows = [
+            Row(vec_id=i, embedding=[float((i * 7 + j) % 5) for j in range(8)])
+            for i in range(30)
+        ]
+        emb = spark.createDataFrame(rows)
+        exact = similarity.cosine_topk(
+            emb, "vec_id", "embedding", query_filter="vec_id < 5", k=3
+        )
+        out = similarity.ann_recall(exact, exact).collect()
+        assert all(r.recall == 1.0 for r in out)

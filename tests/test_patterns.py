@@ -418,3 +418,90 @@ class TestSketchIncremental:
             spark, b2, target_path=p, grain=["g"], distinct_of={"n": "u"}
         )
         assert {(r.g, r.n) for r in out.collect()} == {("a", 2), ("b", 1)}
+
+
+class TestCmsIncremental:
+    """cms_incremental: exact-arithmetic frequency state — the running
+    sketch must be BIT-IDENTICAL to a one-shot build over all batches
+    (unlike the path-dependent DataSketches estimates)."""
+
+    def _batch(self, spark, toks):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame([Row(tok=t) for t in toks])
+
+    def test_replay_equals_one_shot(self, spark, tmp_path):
+        from odibi_spark.llm import cms
+        from odibi_spark.patterns.aggregation import cms_incremental
+
+        b1 = ["a", "a", "b", "c"]
+        b2 = ["a", "b", "b", "d", "d", "d"]
+        path = str(tmp_path / "cms_state")
+        cms_incremental(
+            spark, self._batch(spark, b1),
+            target_path=path, key_col="tok", width=16, depth=3, seed=9,
+        )
+        running = cms_incremental(
+            spark, self._batch(spark, b2),
+            target_path=path, key_col="tok", width=16, depth=3, seed=9,
+        )
+        one_shot = cms.cms_build(
+            self._batch(spark, b1 + b2), "tok", width=16, depth=3, seed=9
+        )
+        assert sorted(map(tuple, running.collect())) == sorted(
+            map(tuple, one_shot.collect())
+        )
+
+    def test_query_after_fold(self, spark, tmp_path):
+        from odibi_spark.llm import cms
+        from odibi_spark.patterns.aggregation import cms_incremental
+
+        path = str(tmp_path / "cms_state")
+        for batch in (["x"] * 5, ["x"] * 3 + ["y"]):
+            state = cms_incremental(
+                spark, self._batch(spark, batch),
+                target_path=path, key_col="tok", width=16, depth=2, seed=4,
+            )
+        est = {
+            r.tok: r.est_cnt
+            for r in cms.cms_query(
+                state, self._batch(spark, ["x", "y"]), "tok",
+                width=16, depth=2, seed=4,
+            ).collect()
+        }
+        assert est["x"] >= 8 and est["y"] >= 1
+
+    def test_param_mismatch_raises(self, spark, tmp_path):
+        import pytest
+
+        from odibi_spark.patterns.aggregation import cms_incremental
+
+        path = str(tmp_path / "cms_state")
+        cms_incremental(
+            spark, self._batch(spark, ["a"]),
+            target_path=path, key_col="tok", width=16, depth=2, seed=4,
+        )
+        with pytest.raises(ValueError, match="built with"):
+            cms_incremental(
+                spark, self._batch(spark, ["b"]),
+                target_path=path, key_col="tok", width=32, depth=2, seed=4,
+            )
+
+    def test_missing_meta_is_untrusted(self, spark, tmp_path):
+        import os
+
+        import pytest
+
+        from odibi_spark.patterns.aggregation import cms_incremental
+
+        path = str(tmp_path / "cms_state")
+        cms_incremental(
+            spark, self._batch(spark, ["a"]),
+            target_path=path, key_col="tok", width=16, depth=2, seed=4,
+        )
+        os.remove(os.path.join(path, "_cms_meta.json"))
+        with pytest.raises(ValueError, match="no meta"):
+            cms_incremental(
+                spark, self._batch(spark, ["b"]),
+                target_path=path, key_col="tok", width=16, depth=2, seed=4,
+            )
