@@ -346,3 +346,99 @@ def ngram_lm_scores(
             / F.count(F.lit(1))
         ).alias("avg_nll"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a bag of query terms
+    (Robertson et al., TREC-3) — corpus-scale keyword retrieval as one
+    dataflow, the lexical complement to the embedding ANN surface.
+
+    score(d) = sum over matching terms of
+        idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    with idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1).
+
+    Bit-stability: each per-term partial is rounded to 6 decimals
+    BEFORE the exact DECIMAL sum (the ngram_lm_scores convention), so
+    scores hash identically across engines and partitionings.
+
+    Plan shape: tokens filter to the query terms IMMEDIATELY after the
+    explode (the scan-dominant stage emits only |query|-term rows);
+    doc lengths are a map-side aggregate of the same scan; (N, avgdl)
+    is a 1-row broadcast; per-term document frequencies are O(|query|)
+    rows broadcast back. Docs matching no term score 0.0 and are kept
+    (filter on score > 0 for retrieval). No Python in the row path.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    words = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), " ").alias("__w"),
+    )
+    doclen = words.select(
+        F.col(id_col), F.size("__w").cast("double").alias("dl")
+    )
+    # avgdl as exact-int sum / count: one division of two exact values,
+    # so the scalar is bit-identical across engines and partitionings
+    # (a double AVG would be accumulation-order-dependent)
+    totals = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    hits = (
+        words.select(F.col(id_col), F.explode("__w").alias("tok"))
+        .filter(F.col("tok").isin(*terms))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = hits.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("df_t")
+    )
+    scored = (
+        hits.join(F.broadcast(dfreq), "tok")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "part",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df_t") + 0.5)
+                    / (F.col("df_t") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("matched_terms"),
+            F.sum(F.col("part").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("bm25"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("matched_terms", F.lit(0)).alias("matched_terms"),
+            F.coalesce("bm25", F.lit(0.0)).alias("bm25"),
+        )
+    )

@@ -616,3 +616,51 @@ def cms_frequencies_transform(
             width=width, depth=depth, weight_col=weight_col, seed=seed,
         )
     )
+
+
+@transform("random_projection")
+def random_projection_transform(
+    ctx: EngineContext,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    seed: int = 42,
+    out_col: str = "rp_vec",
+    keep_original: bool = False,
+) -> EngineContext:
+    """Johnson-Lindenstrauss projection to out_dim dims
+    (similarity.random_projection); keep_original=False replaces the
+    wide vector with the narrow one."""
+    proj = similarity.random_projection(
+        ctx.df, id_col, vec_col, out_dim=out_dim, seed=seed, out_col=out_col
+    )
+    if keep_original:
+        return ctx.with_df(ctx.df.join(proj, id_col))
+    return ctx.with_df(
+        ctx.df.drop(vec_col).join(proj, id_col)
+    )
+
+
+@transform("bm25_score")
+def bm25_score_transform(
+    ctx: EngineContext,
+    *,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    min_score: float | None = None,
+) -> EngineContext:
+    """Okapi BM25 relevance to a bag of query terms (text.bm25_scores)
+    joined onto the rows; min_score keeps only sufficiently relevant
+    docs (retrieval-as-a-filter)."""
+    scores = text.bm25_scores(
+        ctx.df, list(query_terms), id_col=id_col, text_col=text_col,
+        k1=k1, b=b,
+    )
+    out = ctx.df.join(scores, id_col, "left")
+    if min_score is not None:
+        out = out.filter(F.col("bm25") >= F.lit(float(min_score)))
+    return ctx.with_df(out)

@@ -1914,3 +1914,106 @@ FROM truth t LEFT JOIN hits h USING (query_id)
 
 QUERIES.update({"ann_recall_lsh": ann_recall_lsh})
 ORACLES.update({"ann_recall_lsh": _ann_recall_oracle_sql()})
+
+
+def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection of the embedding table
+    to 8 dims (similarity.random_projection, inline-literal path).
+    Projections round to 6 decimals (cosine_topk convention) so the
+    oracle — the identical seeded matrix inlined as DuckDB literals —
+    hashes bit-identically. Components unpacked to scalar columns
+    (the driver's comparator sorts by value; list cells don't sort)."""
+    _prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings", cpu_heavy=True)
+    out = similarity.random_projection(
+        emb, "vec_id", "embedding", out_dim=8, seed=42
+    )
+    return out.select(
+        "vec_id",
+        *[F.col("rp_vec")[i].alias(f"rp{i}") for i in range(8)],
+    )
+
+
+def _random_projection_oracle_sql(out_dim: int = 8, dim: int = 64,
+                                  seed: int = 42) -> str:
+    import numpy as np
+
+    mat = np.random.default_rng(seed).standard_normal((out_dim, dim))
+    mat = mat / np.sqrt(out_dim)
+    comps = ",\n       ".join(
+        "round(list_dot_product(vec, [{vals}]), 6) AS rp{i}".format(
+            vals=", ".join(repr(float(x)) for x in mat[i]), i=i
+        )
+        for i in range(out_dim)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+)
+SELECT vec_id,
+       {comps}
+FROM v
+"""
+
+
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword retrieval over the corpus for a fixed query
+    (text.bm25_scores): per-doc matched-term count + score, docs with
+    no match scoring 0.0. Per-term partials round to 6 decimals before
+    the exact DECIMAL sum (lm_quality convention)."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    return text.bm25_scores(
+        docs, ["spark", "table", "fast"], id_col="doc_id", text_col="text"
+    )
+
+
+BM25_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(trim(lower(text)), ' ') AS ws FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM w),
+tot AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+hits AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS tok FROM w)
+  WHERE tok IN ('spark', 'table', 'fast')
+  GROUP BY doc_id, tok
+),
+dfreq AS (
+  SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df_t FROM hits GROUP BY tok
+),
+parts AS (
+  SELECT h.doc_id,
+         round(ln((tot.n_docs - d.df_t + 0.5) / (d.df_t + 0.5) + 1.0)
+               * (h.tf * (1.2 + 1.0))
+               / (h.tf + 1.2 * ((1.0 - 0.75)
+                                + (0.75 * l.dl) / tot.avgdl)),
+               6) AS part
+  FROM hits h JOIN dfreq d USING (tok) JOIN dl l USING (doc_id)
+  CROSS JOIN tot
+),
+sc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS matched_terms,
+         CAST(SUM(CAST(part AS {DEC})) AS DOUBLE) AS bm25
+  FROM parts GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.matched_terms, 0) AS matched_terms,
+       COALESCE(s.bm25, 0.0) AS bm25
+FROM documents d LEFT JOIN sc s USING (doc_id)
+"""
+
+
+QUERIES.update({
+    "random_projection_embeddings": random_projection_embeddings,
+    "bm25_search_docs": bm25_search_docs,
+})
+ORACLES.update({
+    "random_projection_embeddings": _random_projection_oracle_sql(),
+    "bm25_search_docs": BM25_SQL,
+})

@@ -2056,3 +2056,123 @@ class TestAnnRecall:
         )
         out = similarity.ann_recall(exact, exact).collect()
         assert all(r.recall == 1.0 for r in out)
+
+
+class TestRandomProjection:
+    def _emb(self, spark, n=40, dim=16):
+        import random
+
+        rng = random.Random(3)
+        rows = [
+            Row(vec_id=i, embedding=[rng.gauss(0, 1) for _ in range(dim)])
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_join_path_matches_inline(self, spark):
+        from odibi_spark.llm.similarity import random_projection
+
+        emb = self._emb(spark)
+        inline = random_projection(
+            emb, "vec_id", "embedding", out_dim=4, seed=5
+        ).collect()
+        joined = random_projection(
+            emb, "vec_id", "embedding", out_dim=4, seed=5, inline_limit=0
+        ).collect()
+        assert {r.vec_id: r.rp_vec for r in inline} == {
+            r.vec_id: r.rp_vec for r in joined
+        }
+
+    def test_distances_roughly_preserved(self, spark):
+        """JL sanity: with out_dim comparable to dim, relative pairwise
+        distances survive within a loose factor."""
+        import math
+
+        from odibi_spark.llm.similarity import random_projection
+
+        emb = self._emb(spark, n=20, dim=16)
+        orig = {r.vec_id: r.embedding for r in emb.collect()}
+        proj = {
+            r.vec_id: r.rp_vec
+            for r in random_projection(
+                emb, "vec_id", "embedding", out_dim=12, seed=7
+            ).collect()
+        }
+
+        def dist(a, b):
+            return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+        ratios = [
+            dist(proj[i], proj[j]) / dist(orig[i], orig[j])
+            for i in range(5)
+            for j in range(i + 1, 10)
+        ]
+        # unbiased in expectation; generous band for 12-of-16 dims
+        assert 0.4 < sum(ratios) / len(ratios) < 1.6
+
+    def test_output_width(self, spark):
+        from odibi_spark.llm.similarity import random_projection
+
+        out = random_projection(
+            self._emb(spark), "vec_id", "embedding", out_dim=6, seed=1
+        ).first()
+        assert len(out.rp_vec) == 6
+
+
+class TestBm25:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                Row(doc_id=1, text="spark spark spark table join"),
+                Row(doc_id=2, text="spark appears once in here body"),
+                Row(doc_id=3, text="no relevant terms at all friend"),
+                Row(doc_id=4, text="table table table table table table"),
+            ]
+        )
+
+    def test_match_counts_and_zero_for_no_match(self, spark):
+        from odibi_spark.llm.text import bm25_scores
+
+        out = {
+            r.doc_id: r
+            for r in bm25_scores(
+                self._docs(spark), ["spark", "table"]
+            ).collect()
+        }
+        assert out[1].matched_terms == 2
+        assert out[2].matched_terms == 1
+        assert out[3].matched_terms == 0 and out[3].bm25 == 0.0
+        # doc 1 matches both terms with high tf -> best score
+        assert out[1].bm25 > out[2].bm25 > 0
+
+    def test_rarer_term_scores_higher(self, spark):
+        from odibi_spark.llm.text import bm25_scores
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text="common filler words here") for i in range(8)]
+            + [
+                Row(doc_id=100, text="rare common filler words"),
+            ]
+        )
+        out = {
+            r.doc_id: r.bm25
+            for r in bm25_scores(docs, ["rare", "common"]).collect()
+        }
+        # 'rare' appears in 1/9 docs, 'common' in all 9: the rare-term
+        # doc must beat any common-only doc
+        assert out[100] > max(out[i] for i in range(8))
+
+    def test_empty_query_raises(self, spark):
+        from odibi_spark.llm.text import bm25_scores
+
+        with pytest.raises(ValueError):
+            bm25_scores(self._docs(spark), [])
+
+    def test_query_terms_lowercased(self, spark):
+        from odibi_spark.llm.text import bm25_scores
+
+        out = {
+            r.doc_id: r.matched_terms
+            for r in bm25_scores(self._docs(spark), ["SPARK"]).collect()
+        }
+        assert out[1] == 1

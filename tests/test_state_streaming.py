@@ -625,3 +625,56 @@ class TestStreamingIncrementalDedup:
         assert store.read().count() == 5
         bands = store.read_bands()
         assert bands.select("id").distinct().count() == 5
+
+
+class TestStreamingCmsHeavyHitters:
+    def test_foreach_batch_cms_fold_equals_one_shot(self, spark, tmp_path):
+        """Streaming heavy-hitter state: each micro-batch folds its CMS
+        into the parquet running sketch via foreachBatch +
+        cms_incremental; because CMS folding is exact cell arithmetic,
+        the final sketch is BIT-IDENTICAL to a one-shot build over the
+        whole stream (the property the DataSketches estimates lack)."""
+        from pyspark.sql import Row, functions as F
+
+        from odibi_spark.llm import cms
+        from odibi_spark.patterns.aggregation import cms_incremental
+
+        src = str(tmp_path / "src")
+        rows = [Row(tok=f"t{i % 7}") for i in range(200)]
+        batch = spark.createDataFrame(rows)
+        batch.repartition(4).write.mode("overwrite").parquet(src)
+
+        state_path = str(tmp_path / "cms_state")
+
+        def fold(bdf, _bid):
+            cms_incremental(
+                bdf.sparkSession, bdf,
+                target_path=state_path, key_col="tok",
+                width=32, depth=3, seed=13,
+            )
+
+        q = (
+            spark.readStream.schema("tok string").parquet(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .option("maxFilesPerTrigger", "2")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        state = spark.read.parquet(state_path + "/state")
+        one_shot = cms.cms_build(batch, "tok", width=32, depth=3, seed=13)
+        assert sorted(map(tuple, state.collect())) == sorted(
+            map(tuple, one_shot.collect())
+        )
+        est = {
+            r.tok: r.est_cnt
+            for r in cms.cms_query(
+                state,
+                spark.createDataFrame([Row(tok=f"t{i}") for i in range(7)]),
+                "tok", width=32, depth=3, seed=13,
+            ).collect()
+        }
+        truth = {r.tok: r["count"] for r in batch.groupBy("tok").count().collect()}
+        assert all(est[t] >= truth[t] for t in truth)
