@@ -520,9 +520,12 @@ def main() -> None:
         "semantic_dedup_embeddings", "neardup_decontamination_hits",
         "dsir_sample_docs", "quantized_embedding_fidelity",
         # new in round 9: Gopher rules + cross-doc span dedup +
-        # perplexity terciles + count-min sketch
+        # perplexity terciles + count-min sketch + ANN recall eval +
+        # JL projection + BM25 retrieval
         "gopher_quality_docs", "duplicate_ngram_spans",
-        "lm_perplexity_buckets", "cms_heavy_terms",
+        "lm_perplexity_buckets", "cms_heavy_terms", "ann_recall_lsh",
+        "random_projection_embeddings", "bm25_search_docs",
+        "remove_dup_spans_docs",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(

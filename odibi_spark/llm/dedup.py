@@ -600,3 +600,103 @@ def duplicate_span_signals(
         .otherwise(F.lit(0.0))
         .alias("dup_span_ratio"),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+    min_docs: int = 2,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rewrite documents with cross-corpus duplicated spans REMOVED —
+    the second half of Lee et al. 2021's exact-substring dedup (where
+    :func:`duplicate_span_signals` only measures, this edits): for
+    every word ``ngram``-gram occurring in >= ``min_docs`` distinct
+    documents, the globally FIRST occurrence (lowest (id, position))
+    keeps its tokens; every other occurrence's covered tokens are cut,
+    and the surviving tokens are re-joined in order.
+
+    A doc containing a corpus-duplicated gram twice keeps only the
+    occurrence that is the global keeper (within-doc extra copies of a
+    cross-corpus duplicate are cut too); docs shorter than ``ngram``
+    words pass through untouched.
+
+    Plan shape, all linear: tokens and spans are two posexplodes of
+    the same projected word array; the keeper election is one groupBy
+    on the md5 gram key (min(struct(id, pos)) — map-side partial);
+    removed spans explode to covered (id, pos) rows; kept tokens are a
+    left-anti join on (id, pos); the rewrite is a per-document
+    collect_list + sort (bounded by doc length, never corpus-wide).
+    Adds ``n_kept_tokens`` / ``n_removed_tokens``; the rewritten text
+    lands in ``out_col`` (default: replaces ``text_col``).
+    """
+    if ngram < 2:
+        raise ValueError("ngram must be >= 2")
+    out_col = out_col or text_col
+    words = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), " ").alias("__w")
+    )
+    toks = words.select(
+        F.col(id_col),
+        F.posexplode("__w").alias("pos0", "tok"),
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "tok")
+    spans = words.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(__w) >= {ngram} THEN "
+                f"transform(sequence(1, size(__w) - {ngram - 1}), "
+                f"i -> struct(i AS start, "
+                f"md5(concat_ws(' ', slice(__w, i, {ngram}))) AS h)) "
+                f"ELSE array() END"
+            )
+        ).alias("s"),
+    ).select(F.col(id_col), F.col("s.start").alias("start"), F.col("s.h").alias("h"))
+    stats = spans.groupBy("h").agg(
+        F.count_distinct(F.col(id_col)).alias("__ndocs"),
+        F.min(F.struct(F.col(id_col).alias("kid"), F.col("start").alias("kstart"))
+              ).alias("__keeper"),
+    )
+    removed = (
+        spans.join(stats, "h")
+        .filter(
+            (F.col("__ndocs") >= min_docs)
+            & ~(
+                (F.col(id_col) == F.col("__keeper.kid"))
+                & (F.col("start") == F.col("__keeper.kstart"))
+            )
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(ngram - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(removed, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+        ).alias("__new_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept_tokens"),
+    )
+    out = df.join(rebuilt, id_col, "left")
+    orig_words = F.size(F.split(F.trim(F.col(text_col)), " "))
+    return (
+        out.withColumn(
+            "n_kept_tokens", F.coalesce("n_kept_tokens", F.lit(0).cast("long"))
+        )
+        .withColumn(
+            "n_removed_tokens",
+            (orig_words.cast("long") - F.col("n_kept_tokens")),
+        )
+        .withColumn(out_col, F.coalesce("__new_text", F.lit("")))
+        .drop("__new_text")
+    )

@@ -664,3 +664,23 @@ def bm25_score_transform(
     if min_score is not None:
         out = out.filter(F.col("bm25") >= F.lit(float(min_score)))
     return ctx.with_df(out)
+
+
+@transform("remove_duplicate_spans")
+def remove_duplicate_spans_transform(
+    ctx: EngineContext,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+    min_docs: int = 2,
+    out_col: str | None = None,
+) -> EngineContext:
+    """Cut cross-corpus duplicated spans out of the text, keeping the
+    globally-first occurrence (dedup.remove_duplicate_spans)."""
+    return ctx.with_df(
+        dedup.remove_duplicate_spans(
+            ctx.df, id_col, text_col,
+            ngram=ngram, min_docs=min_docs, out_col=out_col,
+        )
+    )

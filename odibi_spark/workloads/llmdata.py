@@ -2017,3 +2017,66 @@ ORACLES.update({
     "random_projection_embeddings": _random_projection_oracle_sql(),
     "bm25_search_docs": BM25_SQL,
 })
+
+
+def remove_dup_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup with REWRITE (dedup.remove_duplicate_spans):
+    the globally-first occurrence of each cross-corpus 8-gram keeps its
+    tokens, every other occurrence is cut, text re-joined in order.
+    Output hashes the full rewritten strings — the strongest possible
+    check of the edit semantics."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    out = dedup.remove_duplicate_spans(docs, ngram=8, min_docs=2)
+    return out.select("doc_id", "text", "n_kept_tokens", "n_removed_tokens")
+
+
+REMOVE_DUP_SPANS_SQL = """
+WITH toks0 AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+),
+toks AS (
+  SELECT doc_id, i AS pos, w[i] AS tok
+  FROM toks0, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) r
+),
+spans AS (
+  SELECT doc_id, i AS start, md5(array_to_string(w[i:i+7], ' ')) AS h
+  FROM toks0, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) r
+  WHERE len(w) >= 8
+),
+stats AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM spans GROUP BY h
+),
+marked AS (
+  SELECT s.doc_id, s.start, st.ndocs,
+         ROW_NUMBER() OVER (PARTITION BY s.h
+                            ORDER BY s.doc_id, s.start) AS rn
+  FROM spans s JOIN stats st USING (h)
+),
+removed AS (
+  SELECT DISTINCT doc_id, start + j.j AS pos
+  FROM marked, LATERAL (SELECT unnest(range(0, 8)) AS j) j
+  WHERE ndocs >= 2 AND rn > 1
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM toks t
+  WHERE NOT EXISTS (SELECT 1 FROM removed r
+                    WHERE r.doc_id = t.doc_id AND r.pos = t.pos)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS new_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(r.new_text, '') AS text,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept_tokens,
+       CAST(len(string_split(trim(d.text), ' '))
+            - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed_tokens
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+QUERIES.update({"remove_dup_spans_docs": remove_dup_spans_docs})
+ORACLES.update({"remove_dup_spans_docs": REMOVE_DUP_SPANS_SQL})

@@ -2176,3 +2176,67 @@ class TestBm25:
             for r in bm25_scores(self._docs(spark), ["SPARK"]).collect()
         }
         assert out[1] == 1
+
+
+class TestRemoveDuplicateSpans:
+    def test_keeper_keeps_others_lose(self, spark):
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=shared + " own tail words"),
+                Row(doc_id=2, text="lead in " + shared + " trailing bit"),
+                Row(doc_id=3, text="entirely unrelated body of text right "
+                                   "here with enough words"),
+            ]
+        )
+        out = {
+            r.doc_id: r
+            for r in dedup.remove_duplicate_spans(df, ngram=8).collect()
+        }
+        # doc 1 is the global keeper: untouched
+        assert out[1].text == shared + " own tail words"
+        assert out[1].n_removed_tokens == 0
+        # doc 2 loses exactly the 8 shared tokens, keeps its own
+        assert out[2].text == "lead in trailing bit"
+        assert out[2].n_removed_tokens == 8
+        assert out[3].n_removed_tokens == 0
+
+    def test_within_doc_second_copy_of_corpus_dup_removed(self, spark):
+        span = "a b c d e f g h"
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=span + " mid " + span),
+                Row(doc_id=2, text=span + " something else entirely here"),
+            ]
+        )
+        out = {
+            r.doc_id: r
+            for r in dedup.remove_duplicate_spans(df, ngram=8).collect()
+        }
+        # doc 1 pos 1 is the keeper; its second copy AND doc 2's are cut
+        assert out[1].text == span + " mid"
+        assert out[2].text == "something else entirely here"
+
+    def test_short_docs_untouched(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="just a few words"),
+             Row(doc_id=2, text="just a few words")]
+        )
+        out = dedup.remove_duplicate_spans(df, ngram=8).collect()
+        assert all(r.text == "just a few words" for r in out)
+        assert all(r.n_removed_tokens == 0 for r in out)
+
+    def test_out_col_preserves_original(self, spark):
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text=shared), Row(doc_id=2, text=shared)]
+        )
+        out = {
+            r.doc_id: r
+            for r in dedup.remove_duplicate_spans(
+                df, ngram=8, out_col="clean_text"
+            ).collect()
+        }
+        assert out[2].text == shared  # original intact
+        assert out[2].clean_text == ""
+        assert out[1].clean_text == shared
