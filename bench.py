@@ -525,7 +525,7 @@ def main() -> None:
         "gopher_quality_docs", "duplicate_ngram_spans",
         "lm_perplexity_buckets", "cms_heavy_terms", "ann_recall_lsh",
         "random_projection_embeddings", "bm25_search_docs",
-        "remove_dup_spans_docs",
+        "remove_dup_spans_docs", "curation_funnel_docs",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(

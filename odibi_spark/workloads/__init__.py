@@ -66,7 +66,7 @@ _R9_NEW = [
     "gopher_quality_docs", "duplicate_ngram_spans",
     "lm_perplexity_buckets", "cms_heavy_terms", "ann_recall_lsh",
     "random_projection_embeddings", "bm25_search_docs",
-    "remove_dup_spans_docs",
+    "remove_dup_spans_docs", "curation_funnel_docs",
 ]
 
 # Oldest r7-checked entries (in their r7 head order) — fill the head

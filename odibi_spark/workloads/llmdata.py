@@ -2080,3 +2080,113 @@ FROM documents d LEFT JOIN rebuilt r USING (doc_id)
 
 QUERIES.update({"remove_dup_spans_docs": remove_dup_spans_docs})
 ORACLES.update({"remove_dup_spans_docs": REMOVE_DUP_SPANS_SQL})
+
+
+def curation_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel as ONE query — per source, how many
+    docs survive each gate and all gates together: Gopher quality
+    rules (min_words=20 for this corpus' length profile), exact-dup
+    keeper election (lowest doc_id per content hash), and the
+    cross-doc span-duplication cap (dup_span_ratio <= 0.8). The
+    operator-composition showcase: three independent signal pipelines
+    joined once on doc_id, then a single per-source rollup — at
+    100 TB each signal is a linear pass and the rollup is O(sources).
+    """
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    flagged = text.gopher_quality_flags(docs, "text", min_words=20)
+    from pyspark.sql.window import Window
+
+    keeper = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy(F.md5(F.col("text")))
+    )
+    spans = dedup.duplicate_span_signals(
+        docs, id_col="doc_id", text_col="text", ngram=8, min_docs=2
+    ).select("doc_id", "dup_span_ratio")
+    staged = (
+        flagged.withColumn("is_keeper", keeper)
+        .join(spans, "doc_id")
+        .withColumn("span_ok", F.col("dup_span_ratio") <= 0.8)
+    )
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("gopher_keep"), 1).otherwise(0))
+        .cast("long").alias("n_gopher"),
+        F.sum(F.when(F.col("is_keeper"), 1).otherwise(0))
+        .cast("long").alias("n_unique"),
+        F.sum(F.when(F.col("span_ok"), 1).otherwise(0))
+        .cast("long").alias("n_span_ok"),
+        F.sum(
+            F.when(
+                F.col("gopher_keep") & F.col("is_keeper") & F.col("span_ok"),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_survivors"),
+    )
+
+
+CURATION_FUNNEL_SQL = """
+WITH w AS (
+  SELECT doc_id, source, text, string_split(trim(lower(text)), ' ') AS ws,
+         CAST(len(regexp_extract_all(text, '#')) AS INTEGER)
+           + CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS INTEGER)
+           AS symbol_hits
+  FROM documents
+),
+gf AS (
+  SELECT doc_id, source, text,
+         (CAST(len(ws) AS INTEGER) >= 20
+          AND CAST(len(ws) AS INTEGER) <= 100000
+          AND CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+              / len(ws) BETWEEN 3.0 AND 10.0
+          AND CAST(symbol_hits AS DOUBLE) / len(ws) <= 0.1
+          AND CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+                   AS DOUBLE) / len(ws) >= 0.8
+          AND CAST(len(list_filter(ws,
+                x -> x IN ('the','be','to','of','and','that','have','with')))
+                   AS INTEGER) >= 2) AS gopher_keep
+  FROM w
+),
+keepers AS (
+  SELECT doc_id,
+         doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
+  FROM documents
+),
+toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS gram_h
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w)-6)) AS i) r
+  WHERE len(w) >= 8
+),
+gd AS (
+  SELECT gram_h, COUNT(DISTINCT doc_id) AS ndocs FROM grams GROUP BY gram_h
+),
+per_doc AS (
+  SELECT g.doc_id, COUNT(*) AS total_spans,
+         SUM(CASE WHEN gd.ndocs >= 2 THEN 1 ELSE 0 END) AS dup_spans
+  FROM grams g JOIN gd USING (gram_h) GROUP BY g.doc_id
+),
+spans AS (
+  SELECT d.doc_id,
+         (CASE WHEN COALESCE(p.total_spans, 0) > 0
+               THEN CAST(p.dup_spans AS DOUBLE) / p.total_spans
+               ELSE 0.0 END) <= 0.8 AS span_ok
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT gf.source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN gf.gopher_keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gopher,
+       CAST(SUM(CASE WHEN k.is_keeper THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique,
+       CAST(SUM(CASE WHEN s.span_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_span_ok,
+       CAST(SUM(CASE WHEN gf.gopher_keep AND k.is_keeper AND s.span_ok
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+FROM gf JOIN keepers k USING (doc_id) JOIN spans s USING (doc_id)
+GROUP BY gf.source
+"""
+
+
+QUERIES.update({"curation_funnel_docs": curation_funnel_docs})
+ORACLES.update({"curation_funnel_docs": CURATION_FUNNEL_SQL})
