@@ -82,11 +82,18 @@ _R7_CHECKED_FILL = [
 
 # ROUND-10 ROTATION QUEUE: after r9 the oldest-checked set is the rest
 # of the r7-checked head (everything in CORRECTNESS_r07.json's head not
-# re-checked above), then the r8-checked head in its r8 order. Next
-# round, move these into the first-50 head (plus any r10-new
-# workloads), demoting the r9-checked entries. Finalized at the end of
-# round 9 once _R9_NEW stops growing.
+# re-checked above — including the 9 fill entries the r9-new workloads
+# displaced from this round's head), then the r8-checked head in its r8
+# order. Next round, move these into the first-50 head (plus any
+# r10-new workloads), demoting the r9-checked entries.
 _R10_ROTATE_IN = [
+    # _R7_CHECKED_FILL entries displaced from the r9 head by _R9_NEW
+    "range_clicks_per_purchase_hour", "simulated_sensor_rollup",
+    "scd2_customer_batches", "detect_event_phases",
+    "streaming_user_sessions", "skew_salted_event_join",
+    "median_acctbal_by_segment", "cheapest_part_per_brand",
+    "q6_forecast_revenue",
+    # rest of the r7-checked head
     "q7_nation_volume", "q14_promo_revenue", "q18_large_orders",
     "groupingsets_flag_status", "ivf_ann_neighbors",
     "q4_order_priority", "q8_market_share", "q9_product_profit",
