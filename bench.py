@@ -526,6 +526,10 @@ def main() -> None:
         "lm_perplexity_buckets", "cms_heavy_terms", "ann_recall_lsh",
         "random_projection_embeddings", "bm25_search_docs",
         "remove_dup_spans_docs", "curation_funnel_docs",
+        # rp_ann_recall only: cms_incremental_terms is a two-batch
+        # replay-identity demonstration (its per-pass CMS cost is
+        # already benched via cms_heavy_terms)
+        "rp_ann_recall",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(

@@ -2190,3 +2190,172 @@ GROUP BY gf.source
 
 QUERIES.update({"curation_funnel_docs": curation_funnel_docs})
 ORACLES.update({"curation_funnel_docs": CURATION_FUNNEL_SQL})
+
+
+def cms_incremental_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch incremental CMS replay under the correctness gate:
+    fold the even-doc_id batch then the odd-doc_id batch into a
+    cms_incremental parquet state, then point-query every distinct
+    token. Because CMS folding is exact cell arithmetic, the oracle is
+    simply the ONE-SHOT sketch built over the whole corpus in DuckDB —
+    the replay-equals-one-shot property as a driver-checked hash match
+    (the frequency analog of dedup_incremental_docs)."""
+    import shutil
+    import tempfile
+
+    _prep(spark)
+    from odibi_spark.llm import cms
+    from odibi_spark.patterns.aggregation import cms_incremental
+
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tmp = tempfile.mkdtemp(prefix="cms_incr_wl_")
+    try:
+        for parity in (0, 1):
+            state = cms_incremental(
+                spark, tokens.filter(F.col("doc_id") % 2 == parity),
+                target_path=f"{tmp}/state", key_col="tok",
+                width=128, depth=3, seed=21,
+            )
+        truth = tokens.groupBy("tok").agg(
+            F.count(F.lit(1)).alias("true_cnt")
+        )
+        est = cms.cms_query(
+            state, truth.select("tok"), "tok", width=128, depth=3, seed=21
+        )
+        out = truth.join(est, "tok").select(
+            "tok", "true_cnt", F.col("est_cnt").cast("long").alias("est_cnt")
+        )
+        out = out.localCheckpoint(eager=True)  # state dir is deleted below
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+CMS_INCR_SQL = """
+WITH toks AS (
+  SELECT tok
+  FROM (SELECT unnest(string_split(trim(lower(text)), ' ')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+),
+depths AS (SELECT unnest(range(3)) AS depth),
+cells AS (
+  SELECT d.depth,
+         CAST(concat('0x', substring(md5(concat('21:', CAST(d.depth AS VARCHAR),
+                                            ':', tok)), 1, 15)) AS BIGINT)
+           % 128 AS bucket
+  FROM toks, depths d
+),
+cms AS (SELECT depth, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+truth AS (SELECT tok, COUNT(*) AS true_cnt FROM toks GROUP BY tok),
+probes AS (
+  SELECT t.tok, d.depth,
+         CAST(concat('0x', substring(md5(concat('21:', CAST(d.depth AS VARCHAR),
+                                            ':', t.tok)), 1, 15)) AS BIGINT)
+           % 128 AS bucket
+  FROM truth t, depths d
+),
+est AS (
+  SELECT p.tok, MIN(COALESCE(c.cnt, 0)) AS est_cnt
+  FROM probes p LEFT JOIN cms c USING (depth, bucket)
+  GROUP BY p.tok
+)
+SELECT t.tok, CAST(t.true_cnt AS BIGINT) AS true_cnt,
+       CAST(e.est_cnt AS BIGINT) AS est_cnt
+FROM truth t JOIN est e USING (tok)
+"""
+
+
+def rp_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL projection quality as a driver-checked number: recall@5 of
+    brute-force cosine top-k computed in the 16-dim PROJECTED space
+    against top-k in the original 64-dim space (queries vec_id < 20).
+    The measurement loop for 'can downstream ANN run on the 4x
+    narrower vectors' — composed from random_projection + cosine_topk
+    + ann_recall, every stage already oracled."""
+    _prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings", cpu_heavy=True)
+    proj = similarity.random_projection(
+        emb, "vec_id", "embedding", out_dim=16, seed=11
+    )
+    exact = similarity.cosine_topk(
+        emb, "vec_id", "embedding", query_filter="vec_id < 20", k=5
+    )
+    approx = similarity.cosine_topk(
+        proj, "vec_id", "rp_vec", query_filter="vec_id < 20", k=5
+    )
+    return similarity.ann_recall(exact, approx)
+
+
+def _rp_ann_recall_oracle_sql(out_dim: int = 16, dim: int = 64,
+                              seed: int = 11, k: int = 5) -> str:
+    import numpy as np
+
+    mat = np.random.default_rng(seed).standard_normal((out_dim, dim))
+    mat = mat / np.sqrt(out_dim)
+    comps = ",\n    ".join(
+        "round(list_dot_product(vec, [{vals}]), 6)".format(
+            vals=", ".join(repr(float(x)) for x in mat[i])
+        )
+        for i in range(out_dim)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+p AS (
+  SELECT vec_id, [{comps}] AS vec FROM v
+),
+exact_nn AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(q.vec, c.vec)
+                 / (sqrt(list_dot_product(q.vec, q.vec))
+                    * sqrt(list_dot_product(c.vec, c.vec))), 6) DESC,
+               c.vec_id) AS rank
+    FROM v q JOIN v c ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+  ) WHERE rank <= {k}
+),
+approx_nn AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(q.vec, c.vec)
+                 / (sqrt(list_dot_product(q.vec, q.vec))
+                    * sqrt(list_dot_product(c.vec, c.vec))), 6) DESC,
+               c.vec_id) AS rank
+    FROM p q JOIN p c ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+  ) WHERE rank <= {k}
+),
+truth AS (
+  SELECT query_id, COUNT(*) AS truth_n FROM exact_nn GROUP BY query_id
+),
+hits AS (
+  SELECT t.query_id, COUNT(*) AS hits
+  FROM exact_nn t
+  WHERE EXISTS (SELECT 1 FROM approx_nn a
+                WHERE a.query_id = t.query_id AND a.nbr_id = t.nbr_id)
+  GROUP BY t.query_id
+)
+SELECT t.query_id, t.truth_n,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       CAST(COALESCE(h.hits, 0) AS DOUBLE) / t.truth_n AS recall
+FROM truth t LEFT JOIN hits h USING (query_id)
+"""
+
+
+QUERIES.update({
+    "cms_incremental_terms": cms_incremental_terms,
+    "rp_ann_recall": rp_ann_recall,
+})
+ORACLES.update({
+    "cms_incremental_terms": CMS_INCR_SQL,
+    "rp_ann_recall": _rp_ann_recall_oracle_sql(),
+})

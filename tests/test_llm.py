@@ -2240,3 +2240,99 @@ class TestRemoveDuplicateSpans:
         assert out[2].text == shared  # original intact
         assert out[2].clean_text == ""
         assert out[1].clean_text == shared
+
+
+def test_gopher_and_bm25_work_on_streams(spark, tmp_path):
+    """The r9 stateless column ops stream unchanged: gopher_quality_flags
+    is pure column exprs, so the SAME call works on a streaming frame
+    (bm25/span-dedup need corpus aggregates — batch/foreachBatch ops by
+    design, documented here by exclusion)."""
+    from odibi_spark.llm.text import gopher_quality_flags
+
+    src_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(i, "the cat and the dog have been walking with friends today")
+         for i in range(6)],
+        ["doc_id", "text"],
+    ).write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(src_dir)
+    out = gopher_quality_flags(stream, "text", min_words=5)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("gopher_stream")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM gopher_stream").collect()
+    assert len(rows) == 6 and all(r.gopher_keep for r in rows)
+
+
+class TestRemoveDuplicateSpansProperties:
+    """Hypothesis invariants for the span-rewrite operator."""
+
+    def test_token_conservation_and_order(self, spark):
+        import random
+
+        rng = random.Random(17)
+        vocab = [f"w{i}" for i in range(12)]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+            for i in range(25)
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        out = dedup.remove_duplicate_spans(df, ngram=5).collect()
+        orig = dict(docs)
+        for r in out:
+            o_toks = orig[r.doc_id].split(" ")
+            # conservation: kept + removed = original word count
+            assert r.n_kept_tokens + r.n_removed_tokens == len(o_toks)
+            # kept text is a SUBSEQUENCE of the original token stream
+            kept = r.text.split(" ") if r.text else []
+            it = iter(o_toks)
+            assert all(tok in it for tok in kept), (r.doc_id, r.text)
+
+    def test_matches_python_reference_semantics(self, spark):
+        """Exact differential check against an independent pure-Python
+        replica of the removal semantics (keeper = globally lowest
+        (doc_id, start) per duplicated gram; every other occurrence's
+        covered positions cut). NOTE: a keeper's own tokens CAN still
+        be cut when they overlap a DIFFERENT duplicated gram's removed
+        occurrence — inherent to span removal, shared with the
+        suffix-array original — so 'keeper text always survives' is
+        deliberately NOT asserted."""
+        import random
+        from collections import defaultdict
+
+        rng = random.Random(5)
+        vocab = ["a", "b", "c"]  # tiny vocab -> guaranteed cross-doc dups
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 30))))
+            for i in range(12)
+        ]
+        n = 5
+        occ = defaultdict(list)
+        toks = {i: t.split(" ") for i, t in docs}
+        for i, _ in docs:
+            for s in range(len(toks[i]) - n + 1):
+                occ[" ".join(toks[i][s:s + n])].append((i, s + 1))
+        removed = defaultdict(set)
+        for g, places in occ.items():
+            if len({i for i, _ in places}) >= 2:
+                keeper = min(places)
+                for i, s in places:
+                    if (i, s) != keeper:
+                        removed[i].update(range(s, s + n))
+        expected = {
+            i: " ".join(
+                tok for p, tok in enumerate(toks[i], start=1)
+                if p not in removed[i]
+            )
+            for i, _ in docs
+        }
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        out = {
+            r.doc_id: r.text
+            for r in dedup.remove_duplicate_spans(df, ngram=n).collect()
+        }
+        assert out == expected
+        assert any(removed.values())  # the tiny vocab produced real cuts
