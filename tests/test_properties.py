@@ -513,3 +513,73 @@ class TestBloomJoinProperties:
         assert sorted((r.k, r.v) for r in anti.collect()) == sorted(
             (r.k, r.v) for r in want_anti.collect()
         )
+
+
+class TestCmsProperties:
+    """Count-min sketch invariants over hypothesis-generated multisets."""
+
+    @given(
+        counts=st.lists(st.integers(1, 12), min_size=1, max_size=25),
+        width=st.sampled_from([8, 32, 128]),
+        depth=st.integers(1, 4),
+        seed=st.integers(0, 3),
+    )
+    @settings(**SETTINGS)
+    def test_one_sided_error_and_total_mass(
+        self, spark, counts, width, depth, seed
+    ):
+        from pyspark.sql import functions as F
+
+        from odibi_spark.llm import cms
+
+        rows = [
+            Row(tok=f"k{i}") for i, c in enumerate(counts) for _ in range(c)
+        ]
+        df = spark.createDataFrame(rows)
+        sketch = cms.cms_build(df, "tok", width=width, depth=depth, seed=seed)
+        n_total = sum(counts)
+        # each depth-row preserves total mass exactly
+        per_depth = {
+            r.depth: r.s
+            for r in sketch.groupBy("depth")
+            .agg(F.sum("cnt").alias("s")).collect()
+        }
+        assert all(per_depth[d] == n_total for d in range(depth))
+        probes = spark.createDataFrame(
+            [Row(tok=f"k{i}") for i in range(len(counts))]
+        )
+        est = {
+            r.tok: r.est_cnt
+            for r in cms.cms_query(
+                sketch, probes, "tok", width=width, depth=depth, seed=seed
+            ).collect()
+        }
+        for i, c in enumerate(counts):
+            e = est[f"k{i}"]
+            # never undercounts; can never exceed total mass
+            assert c <= e <= n_total
+
+
+class TestGopherProperties:
+    @given(
+        words=st.lists(
+            st.sampled_from(["the", "be", "cat", "runs", "x1", "zz"]),
+            min_size=1, max_size=40,
+        )
+    )
+    @settings(**SETTINGS)
+    def test_features_match_python(self, spark, words):
+        from odibi_spark.llm.text import GOPHER_STOPWORDS, gopher_quality_flags
+
+        text = " ".join(words)
+        r = gopher_quality_flags(
+            spark.createDataFrame([Row(doc_id=1, text=text)]), "text",
+            min_words=1,
+        ).collect()[0]
+        assert r.g_n_words == len(words)
+        assert abs(
+            r.g_mean_word_len - sum(map(len, words)) / len(words)
+        ) < 1e-9
+        assert r.g_stopword_hits == sum(w in GOPHER_STOPWORDS for w in words)
+        expect_alpha = sum(any(c.isalpha() for c in w) for w in words) / len(words)
+        assert abs(r.g_alpha_word_ratio - expect_alpha) < 1e-9
