@@ -112,6 +112,8 @@ TASK_GUIDANCE: dict[str, dict[str, Any]] = {
         "questions": [
             {"param": "scale", "question": "Corpus size?",
              "options": [
+                 {"label": "keyword/lexical (Okapi BM25)",
+                  "value": "bm25_score"},
                  {"label": "small (brute-force exact)", "value": "cosine_topk"},
                  {"label": "large (LSH buckets)", "value": "lsh_ann_topk"},
                  {"label": "very large (IVF cells)", "value": "ivf_topk"},
