@@ -67,7 +67,7 @@ _R9_NEW = [
     "lm_perplexity_buckets", "cms_heavy_terms", "ann_recall_lsh",
     "random_projection_embeddings", "bm25_search_docs",
     "remove_dup_spans_docs", "curation_funnel_docs",
-    "cms_incremental_terms", "rp_ann_recall",
+    "cms_incremental_terms", "rp_ann_recall", "streaming_cms_terms",
 ]
 
 # Oldest r7-checked entries (in their r7 head order) — fill the head
@@ -89,6 +89,7 @@ _R7_CHECKED_FILL = [
 # r10-new workloads), demoting the r9-checked entries.
 _R10_ROTATE_IN = [
     # _R7_CHECKED_FILL entries displaced from the r9 head by _R9_NEW
+    "intersect_repeat_customers",
     "corpus_overlap_halves", "approx_distinct_fingerprints",
     "range_clicks_per_purchase_hour", "simulated_sensor_rollup",
     "scd2_customer_batches", "detect_event_phases",

@@ -2359,3 +2359,106 @@ ORACLES.update({
     "cms_incremental_terms": CMS_INCR_SQL,
     "rp_ann_recall": _rp_ann_recall_oracle_sql(),
 })
+
+
+def streaming_cms_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy-hitter state (§2.14 x sketches): the documents
+    token stream is driven through foreachBatch in MULTIPLE micro-
+    batches (maxFilesPerTrigger=1 over a multi-file source), each
+    folding its count-min sketch into the parquet running state via
+    cms_incremental; the final point-queries hash-equal the ONE-SHOT
+    DuckDB sketch because CMS folding is exact cell arithmetic — a
+    streaming pipeline under the full hash gate, no rows-only waiver.
+    """
+    import shutil
+    import tempfile
+
+    _prep(spark)
+    from odibi_spark.llm import cms
+    from odibi_spark.patterns.aggregation import cms_incremental
+
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    tmp = tempfile.mkdtemp(prefix="cms_stream_wl_")
+    try:
+        src = f"{tmp}/src"
+        # >=3 files -> >=3 micro-batches at maxFilesPerTrigger=1
+        docs.select("doc_id", "text").repartition(3).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = spark.readStream.schema("doc_id bigint, text string") \
+            .option("maxFilesPerTrigger", "1").parquet(src)
+        state_path = f"{tmp}/state"
+
+        def fold(bdf, _bid):
+            toks = bdf.select(
+                F.explode(
+                    F.split(F.trim(F.lower(F.col("text"))), " ")
+                ).alias("tok")
+            ).filter(F.col("tok") != "")
+            cms_incremental(
+                bdf.sparkSession, toks,
+                target_path=state_path, key_col="tok",
+                width=64, depth=3, seed=33,
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        state = spark.read.parquet(f"{state_path}/state")
+        tokens = docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias("tok")
+        ).filter(F.col("tok") != "")
+        truth = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+        est = cms.cms_query(
+            state, truth.select("tok"), "tok", width=64, depth=3, seed=33
+        )
+        out = truth.join(est, "tok").select(
+            "tok", "true_cnt", F.col("est_cnt").cast("long").alias("est_cnt")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+STREAMING_CMS_SQL = """
+WITH toks AS (
+  SELECT tok
+  FROM (SELECT unnest(string_split(trim(lower(text)), ' ')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+),
+depths AS (SELECT unnest(range(3)) AS depth),
+cells AS (
+  SELECT d.depth,
+         CAST(concat('0x', substring(md5(concat('33:', CAST(d.depth AS VARCHAR),
+                                            ':', tok)), 1, 15)) AS BIGINT)
+           % 64 AS bucket
+  FROM toks, depths d
+),
+cms AS (SELECT depth, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+truth AS (SELECT tok, COUNT(*) AS true_cnt FROM toks GROUP BY tok),
+probes AS (
+  SELECT t.tok, d.depth,
+         CAST(concat('0x', substring(md5(concat('33:', CAST(d.depth AS VARCHAR),
+                                            ':', t.tok)), 1, 15)) AS BIGINT)
+           % 64 AS bucket
+  FROM truth t, depths d
+),
+est AS (
+  SELECT p.tok, MIN(COALESCE(c.cnt, 0)) AS est_cnt
+  FROM probes p LEFT JOIN cms c USING (depth, bucket)
+  GROUP BY p.tok
+)
+SELECT t.tok, CAST(t.true_cnt AS BIGINT) AS true_cnt,
+       CAST(e.est_cnt AS BIGINT) AS est_cnt
+FROM truth t JOIN est e USING (tok)
+"""
+
+
+QUERIES.update({"streaming_cms_terms": streaming_cms_terms})
+ORACLES.update({"streaming_cms_terms": STREAMING_CMS_SQL})
