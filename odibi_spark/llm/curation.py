@@ -659,3 +659,63 @@ def corpus_overlap(
         )
         .otherwise(F.lit(0.0)).alias("jaccard_est"),
     )
+
+
+def epoch_repeat_sample(
+    df: DataFrame,
+    *,
+    factors: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    seed: int = 42,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Fractional per-stratum epoch repetition — the data-constrained
+    mixing move (Muennighoff et al. 2023: repeat scarce high-quality
+    sources ~2-4 epochs rather than diluting with junk): a stratum
+    with factor 2.5 keeps every row twice (epochs 0 and 1) plus a
+    deterministic half of the rows a third time (epoch 2).
+
+    Each row is replicated ``ceil(factor)`` times map-side (one
+    explode, no shuffle); the final fractional epoch keeps rows whose
+    portable hash unit u(key:epoch, seed) < frac(factor), so the
+    selection is a pure function of (key, epoch, seed) — stable across
+    re-runs, partitionings, engines, and corpus growth, and each
+    epoch's fractional subset is INDEPENDENT of the hash-sample used
+    elsewhere (the epoch index is folded into the hash input). Strata
+    missing from ``factors`` default to factor 1.0 (one epoch);
+    factor 0 drops the stratum.
+
+    Output keeps every input column plus ``epoch_col``; downstream
+    shard writers treat (key, epoch) as the sample identity.
+    """
+    import math
+
+    if any(f < 0 for f in factors.values()):
+        raise ValueError("epoch factors must be >= 0")
+    ceil_expr = F.lit(1)
+    frac_expr = F.lit(0.0)
+    whole_expr = F.lit(1)
+    for name, f in factors.items():
+        c = int(math.ceil(f)) if f > 0 else 0
+        w = int(math.floor(f))
+        cond = F.col(strata_col) == name
+        ceil_expr = F.when(cond, F.lit(c)).otherwise(ceil_expr)
+        whole_expr = F.when(cond, F.lit(w)).otherwise(whole_expr)
+        frac_expr = F.when(cond, F.lit(float(f - w))).otherwise(frac_expr)
+    out = df.withColumn(
+        epoch_col,
+        F.explode(
+            F.when(ceil_expr > 0, F.sequence(F.lit(0), ceil_expr - 1))
+            .otherwise(F.expr("array()").cast("array<int>"))
+        ),
+    )
+    u = _hash_unit(
+        F.concat_ws(
+            "#", F.col(key_col).cast("string"), F.col(epoch_col).cast("string")
+        ),
+        seed,
+    )
+    return out.filter(
+        (F.col(epoch_col) < whole_expr) | (u < frac_expr)
+    )

@@ -684,3 +684,28 @@ def remove_duplicate_spans_transform(
             ngram=ngram, min_docs=min_docs, out_col=out_col,
         )
     )
+
+
+@transform("epoch_repeat")
+def epoch_repeat_transform(
+    ctx: EngineContext,
+    *,
+    factors: dict,
+    strata_col: str,
+    key_col: str,
+    seed: int = 42,
+    epoch_col: str = "epoch",
+) -> EngineContext:
+    """Fractional per-stratum epoch repetition for data-constrained
+    mixing (curation.epoch_repeat_sample): factor 2.5 keeps every row
+    twice plus a deterministic half a third time."""
+    from odibi_spark.llm import curation
+
+    return ctx.with_df(
+        curation.epoch_repeat_sample(
+            ctx.df,
+            factors={str(k): float(v) for k, v in factors.items()},
+            strata_col=strata_col, key_col=key_col,
+            seed=seed, epoch_col=epoch_col,
+        )
+    )

@@ -2462,3 +2462,58 @@ FROM truth t JOIN est e USING (tok)
 
 QUERIES.update({"streaming_cms_terms": streaming_cms_terms})
 ORACLES.update({"streaming_cms_terms": STREAMING_CMS_SQL})
+
+
+def epoch_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch mixing (curation.epoch_repeat_sample):
+    en repeats 2.5 epochs, fr 1.5, de 0.25, es 1.0, everything else
+    defaults to 1 — fractional epochs keep the deterministic hash-unit
+    subset (pure function of (doc_id, epoch, seed)). Factors use exact
+    binary fractions so frac() is bit-identical across engines.
+    Rolled up to (lang, epoch) counts."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    out = curation.epoch_repeat_sample(
+        docs,
+        factors={"en": 2.5, "fr": 1.5, "de": 0.25, "es": 1.0},
+        strata_col="lang", key_col="doc_id", seed=42,
+    )
+    return out.groupBy("lang", "epoch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+    )
+
+
+EPOCH_MIXTURE_SQL = """
+WITH f AS (
+  SELECT * FROM (VALUES ('en', 2.5), ('fr', 1.5), ('de', 0.25),
+                        ('es', 1.0)) t(lang_f, factor)
+),
+d AS (
+  SELECT doc_id, lang, COALESCE(f.factor, 1.0) AS factor
+  FROM documents LEFT JOIN f ON lang = lang_f
+),
+e AS (
+  SELECT doc_id, lang,
+         CAST(floor(factor) AS INTEGER) AS whole,
+         factor - floor(factor) AS frac,
+         CAST(unnest(range(CAST(ceil(factor) AS BIGINT))) AS INTEGER)
+           AS epoch
+  FROM d WHERE factor > 0
+),
+kept AS (
+  SELECT lang, epoch, doc_id FROM e
+  WHERE epoch < whole
+     OR CAST(concat('0x', substring(md5(concat('42:',
+          CAST(doc_id AS VARCHAR), '#', CAST(epoch AS VARCHAR))), 1, 15))
+          AS BIGINT) / 1152921504606846976.0 < frac
+)
+SELECT lang, epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM kept GROUP BY lang, epoch
+"""
+
+
+QUERIES.update({"epoch_mixture_docs": epoch_mixture_docs})
+ORACLES.update({"epoch_mixture_docs": EPOCH_MIXTURE_SQL})

@@ -2336,3 +2336,59 @@ class TestRemoveDuplicateSpansProperties:
         }
         assert out == expected
         assert any(removed.values())  # the tiny vocab produced real cuts
+
+
+class TestEpochRepeatSample:
+    def _docs(self, spark, n=200):
+        return spark.createDataFrame(
+            [Row(doc_id=i, lang="en" if i % 2 == 0 else "fr") for i in range(n)]
+        )
+
+    def test_whole_epochs_exact_and_fraction_approx(self, spark):
+        from odibi_spark.llm.curation import epoch_repeat_sample
+
+        out = epoch_repeat_sample(
+            self._docs(spark), factors={"en": 2.5, "fr": 0.0},
+            strata_col="lang", key_col="doc_id", seed=1,
+        ).collect()
+        assert all(r.lang == "en" for r in out)  # fr dropped at factor 0
+        per_epoch = {}
+        for r in out:
+            per_epoch[r.epoch] = per_epoch.get(r.epoch, 0) + 1
+        assert per_epoch[0] == 100 and per_epoch[1] == 100  # whole epochs
+        assert 20 <= per_epoch.get(2, 0) <= 80  # ~half, hash-deterministic
+
+    def test_default_factor_is_one_epoch(self, spark):
+        from odibi_spark.llm.curation import epoch_repeat_sample
+
+        out = epoch_repeat_sample(
+            self._docs(spark), factors={"en": 2.0},
+            strata_col="lang", key_col="doc_id", seed=1,
+        ).collect()
+        fr = [r for r in out if r.lang == "fr"]
+        assert len(fr) == 100 and all(r.epoch == 0 for r in fr)
+
+    def test_deterministic_and_epochs_independent(self, spark):
+        from odibi_spark.llm.curation import epoch_repeat_sample
+
+        a = epoch_repeat_sample(
+            self._docs(spark), factors={"en": 1.5, "fr": 1.5},
+            strata_col="lang", key_col="doc_id", seed=7,
+        )
+        b = epoch_repeat_sample(
+            self._docs(spark).repartition(7), factors={"en": 1.5, "fr": 1.5},
+            strata_col="lang", key_col="doc_id", seed=7,
+        )
+        ra = sorted((r.doc_id, r.epoch) for r in a.collect())
+        assert ra == sorted((r.doc_id, r.epoch) for r in b.collect())
+
+    def test_negative_factor_raises(self, spark):
+        import pytest as _pytest
+
+        from odibi_spark.llm.curation import epoch_repeat_sample
+
+        with _pytest.raises(ValueError):
+            epoch_repeat_sample(
+                self._docs(spark), factors={"en": -1.0},
+                strata_col="lang", key_col="doc_id",
+            )
