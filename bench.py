@@ -529,7 +529,7 @@ def main() -> None:
         # rp_ann_recall only: cms_incremental_terms is a two-batch
         # replay-identity demonstration (its per-pass CMS cost is
         # already benched via cms_heavy_terms)
-        "rp_ann_recall", "epoch_mixture_docs",
+        "rp_ann_recall", "epoch_mixture_docs", "hybrid_search_docs",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(

@@ -842,3 +842,51 @@ def random_projection(
             lambda s: s.getField("val"),
         ).alias(out_col)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    out_col: str = "rrf_score",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N rankers:
+    score(d) = sum over rankers of 1 / (k + rank_r(d)) — the standard
+    hybrid-retrieval combiner (e.g. BM25 lexical + embedding cosine),
+    robust to incomparable score scales because only RANKS enter.
+
+    Each input is an (id, rank) frame (1-based ranks, already cut to
+    each ranker's top-k). Items missing from a ranker contribute 0 for
+    it. Union + one groupBy on the id — no joins; at 100 TB the inputs
+    are top-k-bounded so the fusion is trivially small. Bit-stability:
+    the per-id addends 1/(k+rank) are folded in a FIXED order (ranks
+    collected then array_sort'ed before the aggregate fold), so the
+    double sum is identical across engines and partitionings.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse requires at least one ranking")
+    parts = [
+        r.select(F.col(id_col), F.col(rank_col).cast("long").alias("__rank"))
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    # fold 1/(k+rank) over the per-id SORTED rank list: a fixed
+    # summation order makes the double total bit-identical across
+    # engines and partitionings (N is ranker count — tiny)
+    return (
+        u.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("__rank")).alias("__ranks"))
+        .select(
+            F.col(id_col),
+            F.size("__ranks").cast("long").alias("n_rankers"),
+            F.aggregate(
+                "__ranks",
+                F.lit(0.0),
+                lambda acc, r: acc + F.lit(1.0) / (F.lit(float(k)) + r),
+            ).alias(out_col),
+        )
+    )

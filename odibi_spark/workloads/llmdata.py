@@ -2517,3 +2517,108 @@ FROM kept GROUP BY lang, epoch
 
 QUERIES.update({"epoch_mixture_docs": epoch_mixture_docs})
 ORACLES.update({"epoch_mixture_docs": EPOCH_MIXTURE_SQL})
+
+
+def hybrid_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (similarity.rrf_fuse,
+    k=60) of the BM25 lexical top-20 for a fixed term query with the
+    embedding-cosine top-20 for the vec_id=0 query vector (vec ids
+    align with doc ids in the synthetic corpus). The BM25 ranks come
+    from the DISTRIBUTED two-pass global rank over the
+    TakeOrderedAndProject'd top-20 — no SinglePartition window. With
+    two rankers the per-doc double sum is order-invariant (pairwise
+    IEEE addition commutes), so the fused scores hash identically."""
+    _prep(spark)
+    from odibi_spark.operators.rank import global_ranks
+
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    emb = read_table(spark, sf_dir, "embeddings", cpu_heavy=True)
+
+    scored = text.bm25_scores(docs, ["spark", "table", "fast"])
+    top_lex = (
+        scored.filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn("neg_bm25", -F.col("bm25"))
+    )
+    lex_ranked = global_ranks(
+        top_lex,
+        order_by=["neg_bm25", "doc_id"],
+        columns={"rank": {"function": "row_number"}},
+    ).select("doc_id", "rank")
+
+    sem_ranked = similarity.cosine_topk(
+        emb, "vec_id", "embedding", query_ids=[0], k=20
+    ).select(F.col("nbr_id").alias("doc_id"), "rank")
+
+    return similarity.rrf_fuse(
+        [lex_ranked, sem_ranked], id_col="doc_id", k=60
+    )
+
+
+HYBRID_SEARCH_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(trim(lower(text)), ' ') AS ws FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM w),
+tot AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+hits AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS tok FROM w)
+  WHERE tok IN ('spark', 'table', 'fast')
+  GROUP BY doc_id, tok
+),
+dfreq AS (
+  SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df_t FROM hits GROUP BY tok
+),
+parts AS (
+  SELECT h.doc_id,
+         round(ln((tot.n_docs - d.df_t + 0.5) / (d.df_t + 0.5) + 1.0)
+               * (h.tf * (1.2 + 1.0))
+               / (h.tf + 1.2 * ((1.0 - 0.75)
+                                + (0.75 * l.dl) / tot.avgdl)),
+               6) AS part
+  FROM hits h JOIN dfreq d USING (tok) JOIN dl l USING (doc_id)
+  CROSS JOIN tot
+),
+bm AS (
+  SELECT doc_id, CAST(SUM(CAST(part AS {DEC})) AS DOUBLE) AS bm25
+  FROM parts GROUP BY doc_id
+),
+lex AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+    FROM bm WHERE bm25 > 0
+  ) WHERE rank <= 20
+),
+v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+sem AS (
+  SELECT doc_id, rank FROM (
+    SELECT c.vec_id AS doc_id,
+           row_number() OVER (
+             ORDER BY round(list_dot_product(q.vec, c.vec)
+                 / (sqrt(list_dot_product(q.vec, q.vec))
+                    * sqrt(list_dot_product(c.vec, c.vec))), 6) DESC,
+               c.vec_id) AS rank
+    FROM v q JOIN v c ON q.vec_id = 0 AND c.vec_id <> 0
+  ) WHERE rank <= 20
+),
+u AS (
+  SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM sem
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rankers,
+       SUM(1.0 / (60.0 + rank)) AS rrf_score
+FROM u GROUP BY doc_id
+"""
+
+
+QUERIES.update({"hybrid_search_docs": hybrid_search_docs})
+ORACLES.update({"hybrid_search_docs": HYBRID_SEARCH_SQL})

@@ -2392,3 +2392,41 @@ class TestEpochRepeatSample:
                 self._docs(spark), factors={"en": -1.0},
                 strata_col="lang", key_col="doc_id",
             )
+
+
+class TestRrfFuse:
+    def test_fusion_math(self, spark):
+        from odibi_spark.llm.similarity import rrf_fuse
+
+        a = spark.createDataFrame(
+            [Row(doc_id=1, rank=1), Row(doc_id=2, rank=2)]
+        )
+        b = spark.createDataFrame(
+            [Row(doc_id=2, rank=1), Row(doc_id=3, rank=2)]
+        )
+        out = {r.doc_id: r for r in rrf_fuse([a, b], k=60).collect()}
+        assert out[1].n_rankers == 1
+        assert abs(out[1].rrf_score - 1 / 61) < 1e-15
+        assert out[2].n_rankers == 2
+        assert abs(out[2].rrf_score - (1 / 62 + 1 / 61)) < 1e-15
+        # consensus doc 2 outranks either single-ranker doc
+        assert out[2].rrf_score > out[1].rrf_score > out[3].rrf_score
+
+    def test_fold_order_fixed(self, spark):
+        """Three rankers with ranks arriving in different orders must
+        produce identical doubles (sorted-fold bit-stability)."""
+        from odibi_spark.llm.similarity import rrf_fuse
+
+        rs = [
+            spark.createDataFrame([Row(doc_id=1, rank=r)])
+            for r in (7, 3, 11)
+        ]
+        fwd = rrf_fuse(rs, k=60).collect()[0].rrf_score
+        rev = rrf_fuse(list(reversed(rs)), k=60).collect()[0].rrf_score
+        assert fwd == rev
+
+    def test_empty_raises(self, spark):
+        from odibi_spark.llm.similarity import rrf_fuse
+
+        with pytest.raises(ValueError):
+            rrf_fuse([])
