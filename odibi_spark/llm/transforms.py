@@ -709,3 +709,22 @@ def epoch_repeat_transform(
             seed=seed, epoch_col=epoch_col,
         )
     )
+
+
+@transform("rrf_fuse")
+def rrf_fuse_transform(
+    ctx: EngineContext,
+    *,
+    ranking_views: list[str],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+) -> EngineContext:
+    """Reciprocal-rank fusion of the current frame (an (id, rank)
+    ranking) with the named ranking views (similarity.rrf_fuse)."""
+    frames = [ctx.df] + [ctx.spark.table(v) for v in ranking_views]
+    return ctx.with_df(
+        similarity.rrf_fuse(
+            frames, id_col=id_col, rank_col=rank_col, k=int(k)
+        )
+    )

@@ -2430,3 +2430,21 @@ class TestRrfFuse:
 
         with pytest.raises(ValueError):
             rrf_fuse([])
+
+
+def test_rrf_fuse_transform_with_views(spark):
+    import odibi_spark.operators  # noqa: F401
+    from odibi_spark.context import Context, EngineContext
+    from odibi_spark.registry import get_registry
+
+    spark.createDataFrame(
+        [Row(doc_id=2, rank=1), Row(doc_id=3, rank=2)]
+    ).createOrReplaceTempView("ranker_b")
+    a = spark.createDataFrame([Row(doc_id=1, rank=1), Row(doc_id=2, rank=2)])
+    ec = get_registry().apply(
+        "rrf_fuse",
+        EngineContext(Context(spark), a),
+        {"ranking_views": ["ranker_b"], "k": 60},
+    )
+    out = {r.doc_id: r for r in ec.df.collect()}
+    assert out[2].n_rankers == 2 and out[1].n_rankers == 1
