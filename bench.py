@@ -530,6 +530,7 @@ def main() -> None:
         # replay-identity demonstration (its per-pass CMS cost is
         # already benched via cms_heavy_terms)
         "rp_ann_recall", "epoch_mixture_docs", "hybrid_search_docs",
+        "source_kl_docs",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(

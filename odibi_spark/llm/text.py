@@ -442,3 +442,57 @@ def bm25_scores(
             F.coalesce("bm25", F.lit(0.0)).alias("bm25"),
         )
     )
+
+
+def source_divergence(
+    df: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+    round_digits: int = 8,
+) -> DataFrame:
+    """Unigram KL divergence of each stratum's token distribution from
+    the whole corpus: KL(P_s || Q) = sum_tok P_s(tok) * ln(P_s/Q) —
+    the domain-drift / outlier-source signal mixture tuning needs
+    (a stratum of gibberish or wrong-language text scores far from the
+    corpus; near-zero means the stratum looks like everything else).
+
+    Bit-stability (cross-engine oracle discipline): P_s and Q are exact
+    integer-count divisions (deterministic IEEE doubles); each
+    per-token term is rounded to ``round_digits`` BEFORE the exact
+    DECIMAL sum, so the 1-ulp libm ln() difference cannot move the
+    total (the ngram_lm_scores convention).
+
+    Plan shape: one token explode feeds two map-side-combined
+    aggregates — (stratum, tok) counts and tok counts — joined on the
+    token key (AQE absorbs the Zipf head); stratum and corpus totals
+    are O(strata)+1-row broadcasts. At 100 TB the scan dominates; the
+    join moves one row per distinct (stratum, token).
+    """
+    tokens = df.select(
+        F.col(strata_col).alias("__s"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), " ")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    st_counts = tokens.groupBy("__s", "tok").agg(
+        F.count(F.lit(1)).alias("c_s")
+    )
+    corpus_counts = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    st_totals = st_counts.groupBy("__s").agg(F.sum("c_s").alias("n_s"))
+    corpus_total = corpus_counts.agg(F.sum("c").alias("n"))
+    p = F.col("c_s").cast("double") / F.col("n_s")
+    q = F.col("c").cast("double") / F.col("n")
+    term = F.round(p * F.log(p / q), round_digits)
+    scored = (
+        st_counts.join(corpus_counts, "tok")
+        .join(F.broadcast(st_totals), "__s")
+        .crossJoin(F.broadcast(corpus_total))
+        .withColumn("__term", term)
+    )
+    return scored.groupBy("__s").agg(
+        F.max("n_s").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+        F.sum(F.col("__term").cast("decimal(28,8)"))
+        .cast("double")
+        .alias("kl_to_corpus"),
+    ).withColumnRenamed("__s", strata_col)

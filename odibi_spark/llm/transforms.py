@@ -728,3 +728,18 @@ def rrf_fuse_transform(
             frames, id_col=id_col, rank_col=rank_col, k=int(k)
         )
     )
+
+
+@transform("source_divergence")
+def source_divergence_transform(
+    ctx: EngineContext,
+    *,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> EngineContext:
+    """Per-stratum unigram KL divergence from the corpus distribution
+    (text.source_divergence) — replaces the frame with the per-stratum
+    drift report."""
+    return ctx.with_df(
+        text.source_divergence(ctx.df, strata_col=strata_col, text_col=text_col)
+    )

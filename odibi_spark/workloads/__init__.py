@@ -56,7 +56,7 @@ _R9_ROTATE_IN = [
     "token_budget_by_source", "stratified_sample_langs",
     "chunk_documents_docs", "pack_sequences_docs", "scrub_pii_docs",
     "neardup_clusters", "percentiles_by_source", "tfidf_top_terms",
-    "semantic_revenue_by_segment", "streaming_hourly_events",
+    "semantic_revenue_by_segment",
 ]
 
 # Workloads declared for the first time in round 9 — never driver-
@@ -67,7 +67,7 @@ _R9_NEW = [
     "random_projection_embeddings", "bm25_search_docs",
     "remove_dup_spans_docs", "curation_funnel_docs",
     "cms_incremental_terms", "rp_ann_recall", "streaming_cms_terms",
-    "epoch_mixture_docs", "hybrid_search_docs",
+    "epoch_mixture_docs", "hybrid_search_docs", "source_kl_docs",
 ]
 
 # Oldest r7-checked entries (in their r7 head order) — fill the head
@@ -88,9 +88,10 @@ _R7_CHECKED_FILL = [
 # order. Next round, move these into the first-50 head (plus any
 # r10-new workloads), demoting the r9-checked entries.
 _R10_ROTATE_IN = [
-    # _R9_ROTATE_IN tail displaced from the r9 head by the 13th/14th
+    # _R9_ROTATE_IN tail displaced from the r9 head by the late-r9
     # new workloads, then the displaced _R7_CHECKED_FILL entries
-    "multimodal_image_features", "asof_click_purchase",
+    "streaming_hourly_events", "multimodal_image_features",
+    "asof_click_purchase",
     "intersect_repeat_customers",
     "corpus_overlap_halves", "approx_distinct_fingerprints",
     "range_clicks_per_purchase_hour", "simulated_sensor_rollup",

@@ -2622,3 +2622,44 @@ FROM u GROUP BY doc_id
 
 QUERIES.update({"hybrid_search_docs": hybrid_search_docs})
 ORACLES.update({"hybrid_search_docs": HYBRID_SEARCH_SQL})
+
+
+def source_kl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus distribution
+    (text.source_divergence) — the domain-drift signal for mixture
+    tuning: gibberish or off-distribution sources score high."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    return text.source_divergence(docs, strata_col="source")
+
+
+SOURCE_KL_SQL = """
+WITH toks AS (
+  SELECT source AS s, tok
+  FROM (SELECT source,
+               unnest(string_split(trim(lower(text)), ' ')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+),
+sc AS (SELECT s, tok, COUNT(*) AS c_s FROM toks GROUP BY s, tok),
+cc AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+stot AS (SELECT s, SUM(c_s) AS n_s FROM sc GROUP BY s),
+ctot AS (SELECT SUM(c) AS n FROM cc),
+terms AS (
+  SELECT sc.s,
+         round((CAST(sc.c_s AS DOUBLE) / stot.n_s)
+               * ln((CAST(sc.c_s AS DOUBLE) / stot.n_s)
+                    / (CAST(cc.c AS DOUBLE) / ctot.n)), 8) AS term,
+         stot.n_s AS n_s
+  FROM sc JOIN cc USING (tok) JOIN stot USING (s) CROSS JOIN ctot
+)
+SELECT s AS source,
+       CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+       CAST(SUM(CAST(term AS DECIMAL(28,8))) AS DOUBLE) AS kl_to_corpus
+FROM terms GROUP BY s
+"""
+
+
+QUERIES.update({"source_kl_docs": source_kl_docs})
+ORACLES.update({"source_kl_docs": SOURCE_KL_SQL})

@@ -2448,3 +2448,33 @@ def test_rrf_fuse_transform_with_views(spark):
     )
     out = {r.doc_id: r for r in ec.df.collect()}
     assert out[2].n_rankers == 2 and out[1].n_rankers == 1
+
+
+class TestSourceDivergence:
+    def test_identical_strata_score_zero(self, spark):
+        from odibi_spark.llm.text import source_divergence
+
+        df = spark.createDataFrame(
+            [Row(source=s, text="a b c") for s in ("x", "y") for _ in range(3)]
+        )
+        out = {r.source: r for r in source_divergence(df).collect()}
+        # both strata have the corpus distribution exactly -> KL 0
+        assert abs(out["x"].kl_to_corpus) < 1e-9
+        assert abs(out["y"].kl_to_corpus) < 1e-9
+
+    def test_divergent_stratum_scores_higher(self, spark):
+        import math
+
+        from odibi_spark.llm.text import source_divergence
+
+        df = spark.createDataFrame(
+            [Row(source="normal", text="a b c d") for _ in range(5)]
+            + [Row(source="weird", text="zzz zzz zzz zzz")]
+        )
+        out = {r.source: r for r in source_divergence(df).collect()}
+        assert out["weird"].kl_to_corpus > out["normal"].kl_to_corpus
+        assert out["weird"].kl_to_corpus > 0
+        # closed form: weird is all 'zzz', q(zzz) = 4/24
+        assert abs(out["weird"].kl_to_corpus - math.log(24 / 4)) < 1e-6
+        assert out["weird"].n_tokens == 4
+        assert out["weird"].n_distinct_tokens == 1

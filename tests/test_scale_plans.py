@@ -481,6 +481,7 @@ class TestNoUndocumentedSinglePartition:
         "corpus_overlap_halves",  # 1-row sketch profile
         "lm_quality_docs",  # 1-row (N, V) totals broadcast to scorer
         "bm25_search_docs",  # 1-row (N, avgdl) totals broadcast to scorer
+        "source_kl_docs",  # 1-row corpus-total N broadcast to the KL terms
         # 1-row (N, V) totals x2 (target + source LMs) broadcast to the
         # scorer; the top-k itself is TakeOrderedAndProject
         "dsir_sample_docs",
