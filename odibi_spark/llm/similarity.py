@@ -796,6 +796,7 @@ def random_projection(
     round_digits: int = 6,
     out_col: str = "rp_vec",
     inline_limit: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Johnson-Lindenstrauss random projection: map each embedding to
     ``out_dim`` dimensions via a seeded Gaussian matrix scaled by
@@ -816,12 +817,46 @@ def random_projection(
     """
     import numpy as np
 
-    first = df.select(F.size(vec_col)).first()
-    dim = int(first[0]) if first else 0
+    if dim is None:
+        # infer from the first NON-NULL vector (a null first row must
+        # not crash the inference — ADVICE r9); explicit dim= skips
+        # this extra job entirely
+        first = (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.size(vec_col))
+            .first()
+        )
+        if first is None:
+            raise ValueError(
+                "random_projection: no non-null vectors to infer the "
+                "input dimension from — pass dim= explicitly"
+            )
+        dim = int(first[0])
+    if dim < 1:
+        raise ValueError(f"random_projection: input dim must be >= 1, got {dim}")
     rng = np.random.default_rng(seed)
     mat = rng.standard_normal((out_dim, dim)) / np.sqrt(out_dim)
     rows = [[float(x) for x in mat[i]] for i in range(out_dim)]
-    sel = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    # runtime guard: a null or ragged vector would otherwise be
+    # silently mis-projected (zip_with truncates to the shorter array)
+    checked = F.when(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == F.lit(int(dim))),
+        F.col(vec_col),
+    ).otherwise(
+        # raise_error is NullType — it coerces to the WHEN branch's
+        # exact array type, so the vector's element type (and thus the
+        # dot-product precision the oracle pins) never changes
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"random_projection: expected non-null {dim}-dim "
+                    "vector, got size "
+                ),
+                F.coalesce(F.size(vec_col), F.lit(-1)).cast("string"),
+            )
+        )
+    )
+    sel = df.select(F.col(id_col), checked.alias("__v"))
     if _use_inline(rows, inline_limit):
         proj = F.array(
             *[F.round(_dot_lit("__v", r), round_digits) for r in rows]

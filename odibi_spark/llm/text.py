@@ -226,7 +226,11 @@ def gopher_quality_flags(
     symbol_hits = F.regexp_count(t, F.lit("#")) + F.regexp_count(
         t, F.lit(r"\.\.\.")
     )
-    alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    # Unicode letter class, not [a-z]: the published Gopher rule is
+    # "contains at least one ALPHABETIC character" — \p{L} keeps
+    # non-Latin scripts (ru/zh/ar) from failing the ratio wholesale
+    # (ADVICE r9), and Java regex + RE2 agree on it exactly
+    alpha_words = F.size(F.filter(w, lambda x: x.rlike(r"\p{L}")))
     stop_hits = F.size(F.filter(w, lambda x: x.isin(*GOPHER_STOPWORDS)))
     out = (
         out.withColumn("g_n_words", n_words)

@@ -151,6 +151,48 @@ def aggregate_incremental_sketches(
     return state.select(*grain, *est)
 
 
+def _cms_meta_path(target_path: str) -> str:
+    import os
+
+    return os.path.join(target_path, "_cms_meta.json")
+
+
+def _cms_read_meta(target_path: str) -> dict | None:
+    import json
+
+    try:
+        with open(_cms_meta_path(target_path), encoding="utf-8") as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def _cms_write_meta(target_path: str, meta: dict) -> None:
+    import json
+    import os
+
+    path = _cms_meta_path(target_path)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, path)  # atomic pointer commit
+
+
+def _cms_state_dir(target_path: str, version: int) -> str:
+    import os
+
+    return os.path.join(target_path, f"state_v{version}")
+
+
+def cms_state_read(spark: SparkSession, target_path: str) -> DataFrame:
+    """Read the current committed CMS state (the version the meta
+    pointer names). Raises if no fold has ever committed."""
+    meta = _cms_read_meta(target_path)
+    if meta is None or meta.get("version") is None:
+        raise ValueError(f"no committed CMS state at {target_path}")
+    return spark.read.parquet(_cms_state_dir(target_path, meta["version"]))
+
+
 def cms_incremental(
     spark: SparkSession,
     batch: DataFrame,
@@ -161,6 +203,7 @@ def cms_incremental(
     depth: int = 4,
     weight_col: str | None = None,
     seed: int = 42,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """Incremental count-min sketch state: fold each batch's CMS
     (llm/cms.py) into a parquet-stored running sketch, the frequency
@@ -173,50 +216,103 @@ def cms_incremental(
     estimates.
 
     (width, depth, seed) must stay constant across batches — they are
-    pinned in ``_cms_meta.json`` BESIDE the state (written atomically
-    BEFORE the first state commit, the SignatureStore ordering from
-    ADVICE r7 #2) and a mismatch — or state with no meta, which could
-    have been built under anything — raises rather than silently
-    mixing incompatible hash spaces.
+    pinned in ``_cms_meta.json`` (written atomically BEFORE the first
+    state commit, the SignatureStore ordering from ADVICE r7 #2) and a
+    mismatch — or state with no meta, which could have been built
+    under anything — raises rather than silently mixing incompatible
+    hash spaces.
 
-    Layout: ``{target_path}/_cms_meta.json`` + ``{target_path}/state``
-    (parquet) — the meta sits outside the overwritten parquet dir so
-    state rewrites cannot wipe it.
+    Exactly-once folding (ADVICE r9): each fold writes a NEW versioned
+    state dir (``state_v{N+1}``) and then atomically advances the meta
+    pointer ``{version, last_batch_id}``. A crash between the state
+    write and the pointer commit leaves the pointer on v{N}; the retry
+    re-reads v{N} and rewrites v{N+1} — no double count. From
+    Structured Streaming ``foreachBatch``, pass the epoch id as
+    ``batch_id``: a micro-batch retry AFTER the pointer committed but
+    before the checkpoint did is detected (``batch_id <=
+    last_batch_id``, foreachBatch ids are monotonic) and skipped, so
+    replays are idempotent end to end. A meta pointer naming an
+    unreadable state dir raises (partial state) instead of silently
+    reinitializing over history.
 
-    Returns the merged sketch (depth, bucket, cnt); query it with
+    Layout: ``{target_path}/_cms_meta.json`` + ``{target_path}/
+    state_v{N}`` (parquet). Read the committed state with
+    :func:`cms_state_read`; query it with
     :func:`odibi_spark.llm.cms.cms_query`.
+
+    Returns the merged sketch (depth, bucket, cnt).
     """
-    import json
     import os
+    import shutil
 
     from odibi_spark.llm import cms
+
+    params = {"width": int(width), "depth": int(depth), "seed": int(seed)}
+    meta = _cms_read_meta(target_path)
+    if meta is None:
+        leftovers = (
+            sorted(
+                d
+                for d in os.listdir(target_path)
+                if d == "state" or d.startswith("state_v")
+            )
+            if os.path.isdir(target_path)
+            else []
+        )
+        if leftovers:
+            raise ValueError(
+                f"CMS state at {target_path} was built with unknown params "
+                f"(no meta); got {params} — rebuild the state or restore "
+                "the meta"
+            )
+        os.makedirs(target_path, exist_ok=True)
+        meta = {**params, "version": None, "last_batch_id": None}
+        _cms_write_meta(target_path, meta)  # params pin before any state
+    else:
+        stored = {k: meta.get(k) for k in ("width", "depth", "seed")}
+        if stored != params:
+            raise ValueError(
+                f"CMS state at {target_path} was built with {stored}; "
+                f"got {params} — rebuild the state or match the params"
+            )
+
+    last = meta.get("last_batch_id")
+    if batch_id is not None and last is not None and int(batch_id) <= int(last):
+        # foreachBatch replay of an already-folded epoch: skip
+        return cms_state_read(spark, target_path)
 
     agged = cms.cms_build(
         batch, key_col,
         width=width, depth=depth, weight_col=weight_col, seed=seed,
     )
-    meta_path = os.path.join(target_path, "_cms_meta.json")
-    params = {"width": int(width), "depth": int(depth), "seed": int(seed)}
-    target = ParquetTarget(spark, os.path.join(target_path, "state"))
-    if target.exists():
-        try:
-            with open(meta_path, encoding="utf-8") as fh:
-                stored = json.load(fh)
-        except FileNotFoundError:
-            stored = None
-        if stored != params:
-            raise ValueError(
-                f"CMS state at {target_path} was built with "
-                f"{stored if stored is not None else 'unknown params (no meta)'}; "
-                f"got {params} — rebuild the state or match the params"
-            )
-        state = cms.cms_merge(target.read(), agged)
-        target.overwrite(state)
+    version = meta.get("version")
+    if version is None:
+        new_version, state = 0, agged
     else:
-        os.makedirs(target_path, exist_ok=True)
-        tmp = meta_path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(params, fh)
-        os.replace(tmp, meta_path)  # atomic: meta commits before state
-        target.write_initial(agged)
-    return target.read()
+        cur = _cms_state_dir(target_path, version)
+        try:
+            existing = spark.read.parquet(cur)
+            existing.schema
+        except Exception as exc:
+            raise RuntimeError(
+                f"CMS meta at {target_path} names version {version} but "
+                f"{cur} is unreadable — partial state; restore or rebuild "
+                "it rather than letting a fold reinitialize over history"
+            ) from exc
+        new_version = version + 1
+        state = cms.cms_merge(existing, agged)
+    new_dir = _cms_state_dir(target_path, new_version)
+    # mode=overwrite: a retried fold rewrites its own uncommitted dir
+    state.write.mode("overwrite").parquet(new_dir)
+    _cms_write_meta(
+        target_path,
+        {
+            **params,
+            "version": new_version,
+            "last_batch_id": int(batch_id) if batch_id is not None else last,
+        },
+    )
+    for d in os.listdir(target_path):  # sweep superseded versions
+        if d.startswith("state_v") and d != f"state_v{new_version}":
+            shutil.rmtree(os.path.join(target_path, d), ignore_errors=True)
+    return spark.read.parquet(new_dir)

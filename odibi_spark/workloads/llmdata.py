@@ -1641,7 +1641,7 @@ WITH w AS (
          CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
            / len(ws) AS g_mean_word_len,
          CAST(symbol_hits AS DOUBLE) / len(ws) AS g_symbol_ratio,
-         CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+         CAST(len(list_filter(ws, x -> regexp_matches(x, '\\p{L}')))
               AS DOUBLE) / len(ws) AS g_alpha_word_ratio,
          CAST(len(list_filter(ws, x -> x IN ('the','be','to','of','and',
                                              'that','have','with')))
@@ -2389,7 +2389,7 @@ def streaming_cms_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1").parquet(src)
         state_path = f"{tmp}/state"
 
-        def fold(bdf, _bid):
+        def fold(bdf, bid):
             toks = bdf.select(
                 F.explode(
                     F.split(F.trim(F.lower(F.col("text"))), " ")
@@ -2398,7 +2398,7 @@ def streaming_cms_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             cms_incremental(
                 bdf.sparkSession, toks,
                 target_path=state_path, key_col="tok",
-                width=64, depth=3, seed=33,
+                width=64, depth=3, seed=33, batch_id=bid,
             )
 
         q = (
@@ -2409,7 +2409,9 @@ def streaming_cms_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
-        state = spark.read.parquet(f"{state_path}/state")
+        from odibi_spark.patterns.aggregation import cms_state_read
+
+        state = cms_state_read(spark, state_path)
         tokens = docs.select(
             F.explode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias("tok")
         ).filter(F.col("tok") != "")

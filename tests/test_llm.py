@@ -1844,6 +1844,16 @@ class TestGopherQuality:
         assert not out[2].pass_stopwords and not out[2].gopher_keep
         assert not out[3].pass_symbol_ratio and not out[3].gopher_keep
 
+    def test_non_latin_scripts_count_alphabetic(self, spark):
+        """The published rule is 'contains at least one ALPHABETIC
+        character' — \\p{L}, not [a-z]: Cyrillic/Greek/CJK words must
+        score alpha ratio 1.0, not 0 (ADVICE r9)."""
+        ru = "привет мир это тест слова ещё немного текста здесь да"
+        zh = "这是 一个 测试 文本 的 例子 句子 词语 更多 字"
+        out = self._flags(spark, [ru, zh])
+        assert out[0].g_alpha_word_ratio == 1.0 and out[0].pass_alpha_ratio
+        assert out[1].g_alpha_word_ratio == 1.0 and out[1].pass_alpha_ratio
+
     def test_measured_features(self, spark):
         t = "aa bbb cccc"  # 3 words, 9 chars of words
         r = self._flags(spark, [t])[0]
@@ -2117,6 +2127,57 @@ class TestRandomProjection:
             self._emb(spark), "vec_id", "embedding", out_dim=6, seed=1
         ).first()
         assert len(out.rp_vec) == 6
+
+    def test_explicit_dim_matches_inferred(self, spark):
+        from odibi_spark.llm.similarity import random_projection
+
+        emb = self._emb(spark, n=10, dim=8)
+        inferred = random_projection(
+            emb, "vec_id", "embedding", out_dim=3, seed=2
+        ).collect()
+        explicit = random_projection(
+            emb, "vec_id", "embedding", out_dim=3, seed=2, dim=8
+        ).collect()
+        assert {r.vec_id: r.rp_vec for r in inferred} == {
+            r.vec_id: r.rp_vec for r in explicit
+        }
+
+    def test_null_and_ragged_vectors_raise(self, spark):
+        """A null or wrong-length vector must raise, not silently
+        mis-project via zip_with truncation (ADVICE r9)."""
+        import pytest
+
+        from odibi_spark.llm.similarity import random_projection
+
+        with_null = spark.createDataFrame(
+            [Row(vec_id=1, embedding=[1.0, 2.0]), Row(vec_id=2, embedding=None)]
+        )
+        with pytest.raises(Exception, match="random_projection"):
+            random_projection(
+                with_null, "vec_id", "embedding", out_dim=2, seed=1
+            ).collect()
+        ragged = spark.createDataFrame(
+            [
+                Row(vec_id=1, embedding=[1.0, 2.0]),
+                Row(vec_id=2, embedding=[1.0, 2.0, 3.0]),
+            ]
+        )
+        with pytest.raises(Exception, match="expected non-null"):
+            random_projection(
+                ragged, "vec_id", "embedding", out_dim=2, seed=1
+            ).collect()
+
+    def test_all_null_inference_raises_with_guidance(self, spark):
+        import pytest
+
+        from odibi_spark.llm.similarity import random_projection
+
+        all_null = spark.createDataFrame(
+            [Row(vec_id=1, embedding=None)],
+            "vec_id int, embedding array<float>",
+        )
+        with pytest.raises(ValueError, match="pass dim="):
+            random_projection(all_null, "vec_id", "embedding", out_dim=2)
 
 
 class TestBm25:

@@ -505,3 +505,165 @@ class TestCmsIncremental:
                 spark, self._batch(spark, ["b"]),
                 target_path=path, key_col="tok", width=16, depth=2, seed=4,
             )
+
+    def test_batch_id_replay_is_idempotent(self, spark, tmp_path):
+        """foreachBatch retry semantics (ADVICE r9): re-folding an
+        already-committed batch_id must be a no-op, not a silent
+        double count."""
+        from odibi_spark.llm import cms
+        from odibi_spark.patterns.aggregation import cms_incremental
+
+        path = str(tmp_path / "cms_state")
+        b1, b2 = ["a", "a", "b"], ["b", "c", "c", "c"]
+        cms_incremental(
+            spark, self._batch(spark, b1),
+            target_path=path, key_col="tok", width=16, depth=2, seed=4,
+            batch_id=0,
+        )
+        cms_incremental(
+            spark, self._batch(spark, b2),
+            target_path=path, key_col="tok", width=16, depth=2, seed=4,
+            batch_id=1,
+        )
+        # replay batch 1 (checkpoint never committed -> retry)
+        replayed = cms_incremental(
+            spark, self._batch(spark, b2),
+            target_path=path, key_col="tok", width=16, depth=2, seed=4,
+            batch_id=1,
+        )
+        one_shot = cms.cms_build(
+            self._batch(spark, b1 + b2), "tok", width=16, depth=2, seed=4
+        )
+        assert sorted(map(tuple, replayed.collect())) == sorted(
+            map(tuple, one_shot.collect())
+        )
+
+    def test_partial_state_raises_not_reinitializes(self, spark, tmp_path):
+        """Meta pointer naming an unreadable state dir = interrupted
+        write; the next fold must raise, never silently restart the
+        history from scratch (ADVICE r9)."""
+        import json
+        import os
+        import shutil
+
+        import pytest
+
+        from odibi_spark.patterns.aggregation import cms_incremental
+
+        path = str(tmp_path / "cms_state")
+        cms_incremental(
+            spark, self._batch(spark, ["a", "b"]),
+            target_path=path, key_col="tok", width=16, depth=2, seed=4,
+        )
+        with open(os.path.join(path, "_cms_meta.json")) as fh:
+            version = json.load(fh)["version"]
+        shutil.rmtree(os.path.join(path, f"state_v{version}"))
+        with pytest.raises(RuntimeError, match="partial state"):
+            cms_incremental(
+                spark, self._batch(spark, ["c"]),
+                target_path=path, key_col="tok", width=16, depth=2, seed=4,
+            )
+
+    def test_crash_between_state_write_and_meta_commit_is_safe(
+        self, spark, tmp_path
+    ):
+        """Versioned-state property: a state dir written WITHOUT the
+        meta pointer advancing (crash window) is simply rewritten by
+        the retry — the committed history never double-counts."""
+        import json
+        import os
+
+        from odibi_spark.llm import cms
+        from odibi_spark.patterns.aggregation import cms_incremental
+
+        path = str(tmp_path / "cms_state")
+        b1, b2 = ["a", "a"], ["b", "b", "b"]
+        cms_incremental(
+            spark, self._batch(spark, b1),
+            target_path=path, key_col="tok", width=16, depth=2, seed=4,
+            batch_id=0,
+        )
+        # simulate the crash: batch 2's state_v1 got written but the
+        # meta pointer still names v0 / batch 0
+        orphan = cms.cms_build(
+            self._batch(spark, b2), "tok", width=16, depth=2, seed=4
+        )
+        orphan.write.mode("overwrite").parquet(
+            os.path.join(path, "state_v1")
+        )
+        with open(os.path.join(path, "_cms_meta.json")) as fh:
+            assert json.load(fh)["version"] == 0
+        # retry of batch 1 folds from the COMMITTED v0, overwriting the
+        # orphan — result equals the clean one-shot
+        out = cms_incremental(
+            spark, self._batch(spark, b2),
+            target_path=path, key_col="tok", width=16, depth=2, seed=4,
+            batch_id=1,
+        )
+        one_shot = cms.cms_build(
+            self._batch(spark, b1 + b2), "tok", width=16, depth=2, seed=4
+        )
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, one_shot.collect())
+        )
+
+
+class TestParquetTargetCrashSafety:
+    """Staged-swap overwrite (ADVICE r9): no crash window may leave a
+    state the next fold silently reinitializes over."""
+
+    def _target(self, spark, tmp_path):
+        from odibi_spark.patterns.merge_target import ParquetTarget
+
+        return ParquetTarget(spark, str(tmp_path / "tgt"))
+
+    def test_interrupted_swap_auto_recovers_backup(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import Row
+
+        t = self._target(spark, tmp_path)
+        t.write_initial(spark.createDataFrame([Row(k=1, v="old")]))
+        # simulate: overwrite renamed live -> __old then died
+        os.rename(t.path, t.path + "__old")
+        assert t.exists()  # restores __old as the live dir
+        assert [r.v for r in t.read().collect()] == ["old"]
+
+    def test_unreadable_live_dir_raises(self, spark, tmp_path):
+        import os
+
+        import pytest
+
+        t = self._target(spark, tmp_path)
+        os.makedirs(t.path)
+        with open(os.path.join(t.path, "part-00000.parquet"), "wb") as fh:
+            fh.write(b"not parquet at all")
+        with pytest.raises(RuntimeError, match="unreadable"):
+            t.exists()
+
+    def test_stale_staging_is_cleaned(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import Row
+
+        t = self._target(spark, tmp_path)
+        t.write_initial(spark.createDataFrame([Row(k=1, v="live")]))
+        spark.createDataFrame([Row(k=2, v="staged")]).write.parquet(
+            t.path + "__staging"
+        )
+        assert t.exists()
+        assert not os.path.exists(t.path + "__staging")
+        assert [r.v for r in t.read().collect()] == ["live"]
+
+    def test_overwrite_roundtrip(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import Row
+
+        t = self._target(spark, tmp_path)
+        t.write_initial(spark.createDataFrame([Row(k=1, v="old")]))
+        assert t.exists()
+        t.overwrite(spark.createDataFrame([Row(k=1, v="new")]))
+        assert [r.v for r in t.read().collect()] == ["new"]
+        assert not os.path.exists(t.path + "__old")
+        assert not os.path.exists(t.path + "__staging")

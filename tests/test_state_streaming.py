@@ -646,11 +646,11 @@ class TestStreamingCmsHeavyHitters:
 
         state_path = str(tmp_path / "cms_state")
 
-        def fold(bdf, _bid):
+        def fold(bdf, bid):
             cms_incremental(
                 bdf.sparkSession, bdf,
                 target_path=state_path, key_col="tok",
-                width=32, depth=3, seed=13,
+                width=32, depth=3, seed=13, batch_id=bid,
             )
 
         q = (
@@ -663,7 +663,9 @@ class TestStreamingCmsHeavyHitters:
         )
         q.awaitTermination()
 
-        state = spark.read.parquet(state_path + "/state")
+        from odibi_spark.patterns.aggregation import cms_state_read
+
+        state = cms_state_read(spark, state_path)
         one_shot = cms.cms_build(batch, "tok", width=32, depth=3, seed=13)
         assert sorted(map(tuple, state.collect())) == sorted(
             map(tuple, one_shot.collect())
