@@ -278,3 +278,249 @@ def psychrometrics_native(
             output_prefix=output_prefix,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Saturation properties (reference: odibi/transformers/thermodynamics.py
+# :560-656 SaturationPropertiesParams + saturation_properties — CoolProp
+# PropsSI at quality Q=0/1). Registered under the SAME name so a YAML
+# pipeline ported from the reference resolves (VERDICT r9 task 3).
+# ---------------------------------------------------------------------------
+
+# saturation backend: (fluid, prop, phase, key 'T'|'P', values_si:
+# pd.Series) -> pd.Series, all SI (K / Pa / J/kg)
+_SAT_BACKEND: Callable[..., pd.Series] | None = None
+
+try:  # pragma: no cover — CoolProp present only on a real cluster
+    from CoolProp.CoolProp import PropsSI as _PropsSI  # type: ignore
+
+    def _coolprop_sat_backend(fluid, prop, phase, key, values):
+        q = 0.0 if phase == "liquid" else 1.0
+        return pd.Series([_PropsSI(prop, key, v, "Q", q, fluid) for v in values])
+
+    _SAT_BACKEND = _coolprop_sat_backend
+except ImportError:
+    pass
+
+
+def register_sat_backend(fn: Callable[..., pd.Series]) -> None:
+    global _SAT_BACKEND
+    _SAT_BACKEND = fn
+
+
+_PSI_PA = 6894.757293168
+_P_TO_PA = {
+    "pa": 1.0, "kpa": 1e3, "mpa": 1e6, "bar": 1e5,
+    "atm": 101325.0, "psia": _PSI_PA, "psi": _PSI_PA,
+}
+_H_FROM_J_KG = {"j/kg": 1.0, "kj/kg": 1e-3, "btu/lb": 1.0 / 2326.0}
+
+
+def _pressure_to_pa(col, unit: str, gauge_offset: float):
+    u = unit.lower()
+    if u == "psig":  # reference gauge handling: (v + offset) psia
+        return (col + F.lit(float(gauge_offset))) * F.lit(_PSI_PA)
+    if u in _P_TO_PA:
+        return col * F.lit(_P_TO_PA[u])
+    raise ValueError(f"unsupported pressure unit '{unit}'")
+
+
+def _temperature_to_k(col, unit: str):
+    u = unit.upper()
+    if u in ("C", "DEGC"):
+        return col + F.lit(273.15)
+    if u in ("F", "DEGF"):
+        return (col - F.lit(32.0)) * F.lit(5.0 / 9.0) + F.lit(273.15)
+    if u == "K":
+        return col
+    raise ValueError(f"unsupported temperature unit '{unit}'")
+
+
+# IAPWS-IF97 region-4 saturation equations (Wagner & Pruss / IAPWS
+# R7-97(2012), eqs. 30-31): closed-form quartic-root formulation valid
+# 273.15-647.096 K with <0.02% deviation from steam tables and an
+# EXACT psat<->Tsat round trip — pure column expressions, whole-stage
+# codegen, no CoolProp.
+_IF97_N = (
+    0.11670521452767e4, -0.72421316703206e6, -0.17073846940092e2,
+    0.12020824702470e5, -0.32325550322333e7, 0.14915108613530e2,
+    -0.48232657361591e4, 0.40511340542057e6, -0.23855557567849,
+    0.65017534844798e3,
+)
+
+
+def _water_psat_pa(t_k):
+    n = _IF97_N
+    th = t_k + F.lit(n[8]) / (t_k - F.lit(n[9]))
+    a = th * th + F.lit(n[0]) * th + F.lit(n[1])
+    b = F.lit(n[2]) * th * th + F.lit(n[3]) * th + F.lit(n[4])
+    c = F.lit(n[5]) * th * th + F.lit(n[6]) * th + F.lit(n[7])
+    root = (F.lit(2.0) * c) / (
+        -b + F.sqrt(b * b - F.lit(4.0) * a * c)
+    )
+    return F.pow(root, F.lit(4.0)) * F.lit(1e6)
+
+
+def _water_tsat_k(p_pa):
+    n = _IF97_N
+    beta = F.pow(p_pa / F.lit(1e6), F.lit(0.25))
+    e = beta * beta + F.lit(n[2]) * beta + F.lit(n[5])
+    f = F.lit(n[0]) * beta * beta + F.lit(n[3]) * beta + F.lit(n[6])
+    g = F.lit(n[1]) * beta * beta + F.lit(n[4]) * beta + F.lit(n[7])
+    d = (F.lit(2.0) * g) / (-f - F.sqrt(f * f - F.lit(4.0) * e * g))
+    s = F.lit(n[9]) + d
+    return (
+        s - F.sqrt(s * s - F.lit(4.0) * (F.lit(n[8]) + F.lit(n[9]) * d))
+    ) / F.lit(2.0)
+
+
+def _water_sat_enthalpy_j_kg(t_k, phase: str):
+    """hf ~= 4.1868 t kJ/kg (liquid); hg ~= 2501 + 1.84 t kJ/kg
+    (vapor), t in degC — the standard engineering approximations
+    (ASHRAE-grade below ~150 degC; keep CoolProp for certified work)."""
+    t_c = t_k - F.lit(273.15)
+    if phase == "liquid":
+        return F.lit(4186.8) * t_c
+    return (F.lit(2501.0) + F.lit(1.84) * t_c) * F.lit(1000.0)
+
+
+@transform("saturation_properties")
+def saturation_properties(
+    ctx: EngineContext,
+    *,
+    fluid: str = "Water",
+    phase: str = "vapor",
+    pressure_col: str | None = None,
+    pressure: float | None = None,
+    temperature_col: str | None = None,
+    temperature: float | None = None,
+    pressure_unit: str = "Pa",
+    temperature_unit: str = "K",
+    gauge_offset: float = 14.696,
+    outputs: list[dict] | None = None,
+    properties: list[str] | None = None,
+    prefix: str = "sat_",
+) -> EngineContext:
+    """Saturated liquid (Q=0) / vapor (Q=1) properties — the reference's
+    convenience wrapper (thermodynamics.py:631-656: sets quality from
+    ``phase`` and delegates to fluid_properties), same registered name
+    and parameter surface (pressure OR temperature, col or fixed;
+    psig gauge offset; per-output unit + output_column).
+
+    Two execution paths:
+    - a registered saturation backend (CoolProp ``PropsSI(prop, key,
+      v, 'Q', q, fluid)`` auto-registers; ``register_sat_backend`` for
+      anything else) runs as a vectorized Pandas UDF over Arrow
+      batches — any fluid, any property key;
+    - WITHOUT a backend, fluid='Water' with properties in {T, P, H}
+      takes a closed-form whole-stage-codegen path: IAPWS-IF97
+      region-4 saturation equations (<0.02% vs steam tables, exact
+      psat<->Tsat round trip) and the standard hf/hg linear
+      approximations — pytest-pinned against published steam-table
+      values, zero Python in the executor.
+
+    ``outputs``: reference-style ``[{property, unit, output_column}]``
+    (default ``[{property: 'H'}]``); ``properties: [str]`` is the
+    house-style sugar. Output units: T in K/degC/degF, P in
+    Pa/kPa/bar/psia, H in J/kg / kJ/kg / BTU/lb.
+    """
+    has_p = pressure_col is not None or pressure is not None
+    has_t = temperature_col is not None or temperature is not None
+    if not has_p and not has_t:
+        raise ValueError(
+            "either pressure or temperature must be provided for saturation"
+        )
+    if has_p and has_t:
+        raise ValueError("give pressure OR temperature, not both")
+    if phase not in ("liquid", "vapor"):
+        raise ValueError(f"phase must be 'liquid' or 'vapor', got '{phase}'")
+    if properties and outputs:
+        raise ValueError("give outputs OR properties, not both")
+    specs = (
+        [{"property": p} for p in properties]
+        if properties
+        else (outputs or [{"property": "H"}])
+    )
+
+    if has_p:
+        raw = (
+            F.col(pressure_col).cast("double")
+            if pressure_col
+            else F.lit(float(pressure))
+        )
+        key, key_si = "P", _pressure_to_pa(raw, pressure_unit, gauge_offset)
+    else:
+        raw = (
+            F.col(temperature_col).cast("double")
+            if temperature_col
+            else F.lit(float(temperature))
+        )
+        key, key_si = "T", _temperature_to_k(raw, temperature_unit)
+
+    df = ctx.df.withColumn("__sat_key", key_si)
+
+    def out_name(spec: dict) -> str:
+        return spec.get("output_column") or f"{prefix}{spec['property']}"
+
+    def convert(col, prop: str, unit: str | None):
+        if not unit:
+            return col
+        u = unit.lower()
+        if prop == "T":
+            if u in ("k",):
+                return col
+            if u in ("c", "degc"):
+                return col - F.lit(273.15)
+            if u in ("f", "degf"):
+                return (col - F.lit(273.15)) * F.lit(9.0 / 5.0) + F.lit(32.0)
+        elif prop == "P":
+            if u in _P_TO_PA:
+                return col / F.lit(_P_TO_PA[u])
+        elif u in _H_FROM_J_KG:
+            return col * F.lit(_H_FROM_J_KG[u])
+        raise ValueError(f"unsupported output unit '{unit}' for {prop}")
+
+    if _SAT_BACKEND is not None:
+        backend, fl, ph, k_ = _SAT_BACKEND, fluid, phase, key
+        fields = [
+            T.StructField(s["property"], T.DoubleType()) for s in specs
+        ]
+
+        @F.pandas_udf(T.StructType(fields))
+        def sat_udf(v: pd.Series) -> pd.DataFrame:
+            return pd.DataFrame(
+                {s["property"]: backend(fl, s["property"], ph, k_, v)
+                 for s in specs}
+            )
+
+        df = df.withColumn("__sat", sat_udf(F.col("__sat_key")))
+        for s in specs:
+            df = df.withColumn(
+                out_name(s),
+                convert(F.col(f"__sat.{s['property']}"), s["property"],
+                        s.get("unit")),
+            )
+        return ctx.with_df(df.drop("__sat", "__sat_key"))
+
+    if fluid.lower() != "water":
+        raise NotImplementedError(
+            f"no saturation backend available for fluid '{fluid}': install "
+            "CoolProp or call odibi_spark.operators.thermo."
+            "register_sat_backend(fn); the built-in closed-form path "
+            "covers Water only"
+        )
+    unsupported = [s["property"] for s in specs if s["property"] not in
+                   ("T", "P", "H")]
+    if unsupported:
+        raise NotImplementedError(
+            f"closed-form Water path supports properties T/P/H, got "
+            f"{unsupported}: install CoolProp or register_sat_backend(fn)"
+        )
+    t_k = F.col("__sat_key") if key == "T" else _water_tsat_k(F.col("__sat_key"))
+    p_pa = F.col("__sat_key") if key == "P" else _water_psat_pa(F.col("__sat_key"))
+    si = {"T": t_k, "P": p_pa, "H": _water_sat_enthalpy_j_kg(t_k, phase)}
+    for s in specs:
+        df = df.withColumn(
+            out_name(s), convert(si[s["property"]], s["property"], s.get("unit"))
+        )
+    return ctx.with_df(df.drop("__sat_key"))

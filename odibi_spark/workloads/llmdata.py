@@ -606,25 +606,72 @@ def decontamination_bloom_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def corpus_overlap_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theta-sketch corpus overlap (r6, beyond reference): estimated
-    distinct / union / intersection / Jaccard of the word vocabulary
-    between the even- and odd-doc_id halves of the corpus — the
-    "how much does snapshot N overlap snapshot N-1" profile, computed
-    in ONE map-side pass with no join and no value-set
-    materialization. Rows-only by design: sketch estimates are
-    engine-specific (like the HLL profile); the error bound is
-    pytest-pinned (tests/test_llm.py)."""
+    """Corpus overlap profile under the FULL hash gate (r10 — VERDICT
+    r9 task 2): distinct / union / intersection / Jaccard of the
+    3-gram shingle sets between the even- and odd-doc_id halves, via
+    the portable KMV sketch (llm/kmv.py). Unlike the r6 theta-sketch
+    version (curation.corpus_overlap, kept with its error-bound
+    pytests), the KMV state is a pure function of the value set, so
+    DuckDB rebuilds sketch AND estimates bit-identically — the former
+    rows-only waiver is gone. At sf0.01 the shingle universe (~16k)
+    exceeds margin*k, so the driver check exercises the HLL-thresholded
+    map-side prefilter, not just the exact path."""
     _prep(spark)
-    docs = read_table(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias("w"),
+    from odibi_spark.llm.dedup import word_shingles
+    from odibi_spark.llm.kmv import kmv_overlap
+
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    sh = word_shingles(docs, "doc_id", "text", n=3).select(
+        "id", F.explode("shingles").alias("sh")
     )
-    return curation.corpus_overlap(
-        words.filter("doc_id % 2 = 0"),
-        words.filter("doc_id % 2 = 1"),
-        col="w", label_a="even_docs", label_b="odd_docs",
+    return kmv_overlap(
+        sh.filter("id % 2 = 0"),
+        sh.filter("id % 2 = 1"),
+        col="sh", k=256, label_a="even_docs", label_b="odd_docs",
     )
+
+
+_KMV_EST = (
+    "CASE WHEN {kept} < {k} THEN CAST({kept} AS DOUBLE) "
+    "ELSE (CAST({k} - 1 AS DOUBLE) * 1152921504606846976) "
+    "/ CAST({kth} AS DOUBLE) END"
+)
+
+CORPUS_OVERLAP_SQL = f"""
+WITH sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(string_split(trim(text), ' ')) - 1),
+           i -> array_to_string(string_split(trim(text), ' ')[i:i+2], ' ')
+         )) AS sh
+  FROM documents
+  WHERE len(string_split(trim(text), ' ')) >= 3
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+h AS (
+  SELECT CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) AS h,
+         MAX(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS a,
+         MAX(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS b
+  FROM ex GROUP BY 1
+),
+su AS (SELECT h, a, b FROM h ORDER BY h LIMIT 256),
+sa AS (SELECT h FROM h WHERE a = 1 ORDER BY h LIMIT 256),
+sb AS (SELECT h FROM h WHERE b = 1 ORDER BY h LIMIT 256),
+au AS (SELECT COUNT(*) AS ku, MAX(h) AS hu, SUM(a * b) AS m FROM su),
+aa AS (SELECT COUNT(*) AS ka, MAX(h) AS ha FROM sa),
+ab AS (SELECT COUNT(*) AS kb, MAX(h) AS hb FROM sb)
+SELECT 'even_docs' AS corpus_a, 'odd_docs' AS corpus_b,
+  {_KMV_EST.format(kept='ka', kth='ha', k=256)} AS distinct_a,
+  {_KMV_EST.format(kept='kb', kth='hb', k=256)} AS distinct_b,
+  {_KMV_EST.format(kept='ku', kth='hu', k=256)} AS union_est,
+  LEAST(LEAST({_KMV_EST.format(kept='ka', kth='ha', k=256)},
+              {_KMV_EST.format(kept='kb', kth='hb', k=256)}),
+        (CAST(m AS DOUBLE) / CAST(ku AS DOUBLE))
+          * {_KMV_EST.format(kept='ku', kth='hu', k=256)})
+    AS intersection_est,
+  CAST(m AS DOUBLE) / CAST(ku AS DOUBLE) AS jaccard_est
+FROM au, aa, ab
+"""
 
 
 def token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1068,23 +1115,48 @@ FROM documents GROUP BY source
 
 
 def approx_distinct_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fingerprint-uniqueness profile per source via
-    approx_count_distinct (HyperLogLog++, rsd=0.05): the scale path
-    for "how many unique documents does each source contribute" —
-    no exact-distinct shuffle of the fingerprint set, the HLL sketch
-    merges map-side. Declared rows-only (HLL estimates are engine-
-    specific by design); the 3-sigma error bound vs the exact count
-    is pinned in pytest (test_approx_bounds)."""
+    """Fingerprint-uniqueness profile per source via the portable KMV
+    distinct sketch (llm/kmv.py, k=16 so the (k-1)*2^60/h_k estimator
+    path — not just the exact-below-k path — is exercised at every SF):
+    the scale answer to "how many unique documents does each source
+    contribute" with a bounded exchange (HLL-thresholded prefilter
+    keeps O(groups*margin*k) rows). Upgraded r10 from HyperLogLog++
+    (VERDICT r9 task 2): KMV is a pure function of the value set, so
+    the estimate itself is now under the cross-engine hash gate — the
+    former rows-only waiver is gone."""
     _prep(spark)
+    from odibi_spark.llm.kmv import kmv_distinct_by
+
     df = read_table(spark, sf_dir, "documents")
-    return (
-        df.select("source", F.md5(F.col("text")).alias("fp"))
-        .groupBy("source")
-        .agg(
-            F.approx_count_distinct("fp", 0.05).alias("approx_unique_docs"),
-            F.count(F.lit(1)).alias("n_docs"),
-        )
+    counts = df.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    est = kmv_distinct_by(
+        df, "source", "text", k=16, out_col="approx_unique_docs"
     )
+    return est.join(counts, "source")
+
+
+APPROX_DISTINCT_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT source,
+         CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) AS h
+  FROM documents
+), r AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM h
+), s AS (
+  SELECT source,
+         {_KMV_EST.format(kept='COUNT(*)',
+                          kth='MAX(CASE WHEN rn = 16 THEN h END)',
+                          k=16)} AS approx_unique_docs
+  FROM r WHERE rn <= 16 GROUP BY source
+)
+SELECT s.source, s.approx_unique_docs, n.n_docs
+FROM s JOIN (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+) n USING (source)
+"""
 
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1547,10 +1619,12 @@ ORACLES = {
     "dedup_incremental_docs": _incr_dedup_oracle_sql(),
     # approx_percentiles: GK sketch is lossless below accuracy rows/group
     # -> exact discrete percentiles, hash-checkable vs quantile_disc.
-    # approx_distinct_fingerprints is deliberately ABSENT: HLL estimates
-    # are engine-specific; the driver records a rows-only check and the
-    # pytest error-bound test pins the values.
     "approx_percentiles_by_source": APPROX_PERCENTILES_SQL,
+    # r10: the two former rows-only sketch workloads are now exact
+    # oracles — the portable KMV sketch is a pure function of the value
+    # set (VERDICT r9 task 2), so the rows-only class is EMPTY
+    "approx_distinct_fingerprints": APPROX_DISTINCT_SQL,
+    "corpus_overlap_halves": CORPUS_OVERLAP_SQL,
     "mixture_weighted_sample": MIXTURE_SAMPLE_SQL,
     "percentiles_by_source": PERCENTILES_SQL,
     "tfidf_top_terms": TFIDF_SQL,

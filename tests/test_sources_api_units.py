@@ -231,6 +231,140 @@ nodes:
         assert "lin" in html_doc and "success" in html_doc and "has_rows" in html_doc
 
 
+class TestSaturationProperties:
+    """Registered name parity with the reference (thermodynamics.py
+    :560-656) + the closed-form IAPWS-IF97 Water path pinned against
+    published steam-table values (VERDICT r9 task 3)."""
+
+    def _apply(self, make_ec, df, params):
+        from odibi_spark.registry import get_registry
+
+        return get_registry().apply(
+            "saturation_properties", make_ec(df), params
+        ).df
+
+    def test_tsat_from_pressure_published_values(self, spark, make_ec):
+        # steam tables: Tsat(101325 Pa) = 100.00 degC,
+        # Tsat(1.5549 MPa) = 200.00 degC
+        df = spark.createDataFrame(
+            [Row(p=101325.0), Row(p=1554900.0)]
+        )
+        out = self._apply(
+            make_ec, df,
+            {"pressure_col": "p", "properties": ["T"], "phase": "vapor"},
+        )
+        t = [r.sat_T - 273.15 for r in out.orderBy("p").collect()]
+        assert t[0] == pytest.approx(100.0, abs=0.05)
+        assert t[1] == pytest.approx(200.0, abs=0.05)
+
+    def test_psat_from_temperature_published_values(self, spark, make_ec):
+        # steam tables: psat(25 degC) = 3.1699 kPa, psat(150) = 476.16
+        # kPa, psat(300) = 8587.9 kPa
+        df = spark.createDataFrame([Row(t=25.0), Row(t=150.0), Row(t=300.0)])
+        out = self._apply(
+            make_ec, df,
+            {"temperature_col": "t", "temperature_unit": "C",
+             "properties": ["P"]},
+        )
+        p = [r.sat_P for r in out.orderBy("t").collect()]
+        assert p[0] == pytest.approx(3169.9, rel=2e-3)
+        assert p[1] == pytest.approx(476160.0, rel=2e-3)
+        assert p[2] == pytest.approx(8587900.0, rel=2e-3)
+
+    def test_enthalpy_liquid_and_vapor(self, spark, make_ec):
+        # steam tables at 100 degC: hf = 419.04 kJ/kg, hg = 2676.1
+        df = spark.createDataFrame([Row(t=100.0)])
+        hf = self._apply(
+            make_ec, df,
+            {"temperature_col": "t", "temperature_unit": "C",
+             "phase": "liquid", "properties": ["H"]},
+        ).first().sat_H
+        hg = self._apply(
+            make_ec, df,
+            {"temperature_col": "t", "temperature_unit": "C",
+             "phase": "vapor", "properties": ["H"]},
+        ).first().sat_H
+        assert hf == pytest.approx(419040.0, rel=0.01)
+        assert hg == pytest.approx(2676100.0, rel=0.01)
+
+    def test_reference_yaml_shape_psig_and_output_units(self, spark, make_ec):
+        """The reference docstring scenario: saturated steam at psig
+        with outputs [{property, unit, output_column}] — 0 psig =
+        1 atm absolute -> sat temp ~212 degF, hg ~1150 BTU/lb."""
+        df = spark.createDataFrame([Row(steam_pressure=0.0)])
+        out = self._apply(
+            make_ec, df,
+            {"fluid": "Water", "pressure_col": "steam_pressure",
+             "pressure_unit": "psig", "phase": "vapor",
+             "outputs": [
+                 {"property": "H", "unit": "BTU/lb", "output_column": "hg"},
+                 {"property": "T", "unit": "degF", "output_column": "sat_temp"},
+             ]},
+        ).first()
+        assert out.sat_temp == pytest.approx(212.0, abs=0.2)
+        assert out.hg == pytest.approx(1150.3, rel=0.01)
+
+    def test_roundtrip_psat_tsat(self, spark, make_ec):
+        """IF97's quartic formulation inverts exactly: Tsat(psat(T))
+        returns T to ~1e-6 K."""
+        df = spark.createDataFrame([Row(t=310.0), Row(t=450.0), Row(t=600.0)])
+        p = self._apply(make_ec, df, {"temperature_col": "t",
+                                      "properties": ["P"]})
+        t2 = self._apply(make_ec, p, {"pressure_col": "sat_P",
+                                      "properties": ["T"],
+                                      "prefix": "rt_"})
+        for r in t2.collect():
+            assert r.rt_T == pytest.approx(r.t, abs=1e-6)
+
+    def test_backend_path_and_reset(self, spark, make_ec):
+        """An injected backend (CoolProp seam) takes over from the
+        closed-form path: fluid/phase/key all reach it."""
+        from odibi_spark.operators import thermo
+
+        def fake(fluid, prop, phase, key, values):
+            import pandas as pd
+
+            base = {"liquid": 1.0, "vapor": 2.0}[phase]
+            return pd.Series(values) * base + (100.0 if key == "P" else 0.0)
+
+        thermo.register_sat_backend(fake)
+        try:
+            df = spark.createDataFrame([Row(p=10.0)])
+            out = self._apply(
+                make_ec, df,
+                {"fluid": "Ammonia", "pressure_col": "p",
+                 "phase": "vapor", "properties": ["T"]},
+            ).first()
+            assert out.sat_T == pytest.approx(10.0 * 2.0 + 100.0)
+        finally:
+            thermo.register_sat_backend(None)
+            thermo._SAT_BACKEND = None
+
+    def test_validation_errors(self, spark, make_ec):
+        df = spark.createDataFrame([Row(p=1.0, t=1.0)])
+        with pytest.raises(ValueError, match="pressure or temperature"):
+            self._apply(make_ec, df, {"properties": ["T"]})
+        with pytest.raises(ValueError, match="not both"):
+            self._apply(make_ec, df, {"pressure_col": "p",
+                                      "temperature_col": "t",
+                                      "properties": ["T"]})
+        with pytest.raises(NotImplementedError, match="CoolProp"):
+            self._apply(make_ec, df, {"pressure_col": "p",
+                                      "fluid": "Ammonia",
+                                      "properties": ["T"]})
+        with pytest.raises(NotImplementedError, match="T/P/H"):
+            self._apply(make_ec, df, {"pressure_col": "p",
+                                      "properties": ["D"]})
+
+    def test_registry_name_parity(self):
+        """The reference registers 'saturation_properties'
+        (odibi/transformers/__init__.py:137-138); a ported YAML must
+        resolve the name here too."""
+        from odibi_spark.registry import get_registry
+
+        assert get_registry().has("saturation_properties")
+
+
 class TestPsychrometricsNative:
     def test_matches_published_values(self, spark):
         """20 degC / 50% RH at sea level: the ASHRAE/Magnus/Stull
