@@ -414,6 +414,42 @@ def bloom_join_probe(spark, sf_dir: str) -> dict:
     }
 
 
+def ann_recall_probe(spark, sf_dir: str, k: int = 5) -> dict:
+    """Standing index-quality gate (VERDICT r9 task 8): mean recall@k
+    of the SRP-LSH and IVF ANN indexes against brute-force cosine
+    truth on a 50-query sample. Emitted every round so a future
+    hashing/centroid change that silently degrades an index is caught
+    by a number, not by luck; floors are asserted in pytest
+    (tests/test_llm.py TestAnnRecallFloors). num_planes=4 is the
+    single-probe SRP operating point for this corpus size (2^4
+    buckets); production recall paths use the banded/multi-probe
+    variants — this number is a regression canary, not a showcase."""
+    from pyspark.sql import functions as F
+
+    from odibi_spark.llm import similarity
+    from odibi_spark.workloads.common import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings", cpu_heavy=True)
+    exact = similarity.cosine_topk(
+        emb, "vec_id", "embedding", query_filter="vec_id < 50", k=k
+    )
+    lsh = similarity.lsh_ann_topk(
+        emb, "vec_id", "embedding", k=k, num_planes=4
+    ).filter(F.col("query_id") < 50)
+    ivf = similarity.ivf_topk(
+        emb, "vec_id", "embedding", k=k, nlist=8, nprobe=2
+    ).filter(F.col("query_id") < 50)
+    out = {}
+    for name, approx in (("lsh", lsh), ("ivf", ivf)):
+        m = (
+            similarity.ann_recall(exact, approx)
+            .agg(F.avg("recall").alias("m"))
+            .first()["m"]
+        )
+        out[f"recall_at_{k}_{name}"] = round(float(m), 4)
+    return out
+
+
 def compare_prev(out: dict, prev_path: str) -> dict:
     """n-vs-n-1 per-query ratio table (VERDICT r6 task 10): compare
     this run's per-query timings against a prior BENCH artifact,
@@ -531,6 +567,9 @@ def main() -> None:
         # already benched via cms_heavy_terms)
         "rp_ann_recall", "epoch_mixture_docs", "hybrid_search_docs",
         "source_kl_docs",
+        # new in round 10: Unicode repair + the KMV corpus overlap
+        # (approx_distinct_fingerprints above now also runs on KMV)
+        "clean_unicode_docs", "corpus_overlap_halves",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(
@@ -583,6 +622,11 @@ def main() -> None:
     out["semantic_probe"] = semantic_probe(spark, sf_dir)
     print(f"# semantic_probe: {out['semantic_probe']}", file=sys.stderr)
 
+    # ANN index-quality gate: mean recall@5 vs brute-force truth (r10)
+    if os.environ.get("SPARK_GRAFT_ANN_PROBE", "1") != "0":
+        out["ann_recall"] = ann_recall_probe(spark, sf_dir)
+        print(f"# ann_recall: {out['ann_recall']}", file=sys.stderr)
+
     # connected-components chain stress probe (rounds-to-convergence)
     out["cc_chain"] = cc_chain_probe(spark)
     print(f"# cc_chain: {out['cc_chain']}", file=sys.stderr)
@@ -624,11 +668,16 @@ def main() -> None:
         import glob
 
         here = os.path.dirname(os.path.abspath(__file__))
-        # prefer the committed full-precision artifact of the last local
-        # run (has curation/analytics per-query detail the driver's slim
-        # capture drops); fall back to the newest driver recording
+        # FROZEN reference board first (VERDICT r9 task 4): committed
+        # best-of-N idle per-query baseline that neither drivers nor
+        # builders overwrite, so the ratio protocol is mechanical and
+        # host-noise adjudication prose dies. Fall back to the last
+        # local full-precision run, then the newest driver recording.
+        frozen = os.path.join(here, "BENCH_BASELINE.json")
         full = os.path.join(here, "BENCH.json")
-        if os.path.exists(full):
+        if os.path.exists(frozen):
+            prev_path = frozen
+        elif os.path.exists(full):
             prev_path = full
         else:
             cands = sorted(glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")))
@@ -683,6 +732,8 @@ def _slim(out: dict, out_path: str) -> dict:
         slim["semantic_probe"] = {
             "k8": sp["candidate_fraction_k8"], "k32": sp["candidate_fraction_k32"],
         }
+    if "ann_recall" in out:
+        slim["ann_recall"] = out["ann_recall"]
     if "cc_chain" in out:
         c = out["cc_chain"]
         slim["cc_chain"] = {

@@ -292,6 +292,118 @@ def scrub_pii(
     return df.withColumns({out_col: scrubbed, "pii_hits": hits})
 
 
+# Common UTF-8-read-as-Latin-1/cp1252 mojibake digraphs (the ftfy
+# headline cases), LONGEST first so three-byte punctuation sequences
+# repair before their two-byte prefixes. Plain string replaces — no
+# regex — so Spark and a differential oracle apply the identical chain.
+MOJIBAKE_REPAIRS: list[tuple[str, str]] = [
+    ("â€™", "’"),   # â€™ -> right single quote
+    ("â€˜", "‘"),   # â€˜ -> left single quote
+    ("â€œ", "“"),   # â€œ -> left double quote
+    ("â€”", "—"),   # â€” -> em dash
+    ("â€“", "–"),   # â€“ -> en dash
+    ("â€¦", "…"),   # â€¦ -> ellipsis
+    ("Ã©", "é"),  # Ã© -> é
+    ("Ã¨", "è"),  # Ã¨ -> è
+    ("Ãª", "ê"),  # Ãª -> ê
+    ("Ã ", "à"),  # Ã  -> à
+    ("Ã¡", "á"),  # Ã¡ -> á
+    ("Ã¤", "ä"),  # Ã¤ -> ä
+    ("Ã§", "ç"),  # Ã§ -> ç
+    ("Ã­", "í"),  # Ã­ -> í
+    ("Ã¯", "ï"),  # Ã¯ -> ï
+    ("Ã±", "ñ"),  # Ã± -> ñ
+    ("Ã³", "ó"),  # Ã³ -> ó
+    ("Ã¶", "ö"),  # Ã¶ -> ö
+    ("Ãº", "ú"),  # Ãº -> ú
+    ("Ã¼", "ü"),  # Ã¼ -> ü
+    ("Ã‰", "É"),  # Ã‰ -> É
+]
+
+# C0/C1 controls (keeping \t \n \r), DEL, zero-widths, BOM — the
+# characters no tokenizer should ever see. Literal chars inside one
+# regex class; \xNN two-digit escapes parse identically in Java regex
+# and RE2.
+CONTROL_ZW_CLASS: str = (
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
+    + chr(0x200B) + "-" + chr(0x200D)  # ZWSP / ZWNJ / ZWJ
+    + chr(0xFEFF)                      # BOM
+    + "]"
+)
+
+
+def clean_unicode_expr(col, *, repair_mojibake: bool = True,
+                       strip_controls: bool = True):
+    """The column-expression (whole-stage-codegen) stages of
+    :func:`clean_unicode`: mojibake repair + control/zero-width strip.
+    Exposed separately so plan-hygiene-sensitive call sites (e.g. the
+    curation funnel's unicode gate) can stay entirely JVM-side."""
+    if repair_mojibake:
+        for bad, good in MOJIBAKE_REPAIRS:
+            col = F.replace(col, F.lit(bad), F.lit(good))
+    if strip_controls:
+        col = F.regexp_replace(col, CONTROL_ZW_CLASS, "")
+    return col
+
+
+def clean_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str | None = None,
+    normalize: str | None = "NFC",
+    repair_mojibake: bool = True,
+    strip_controls: bool = True,
+) -> DataFrame:
+    """ftfy-class Unicode repair — the missing FIRST stage of a web-
+    corpus curation funnel (VERDICT r9 task 6): run it before
+    tokenization, Gopher rules, or dedup so mojibake and zero-width
+    junk can't split words or defeat fingerprints.
+
+    Three stages, in order:
+    1. repair the common UTF-8-read-as-Latin-1/cp1252 mojibake
+       digraphs (``MOJIBAKE_REPAIRS``) — plain replace chain, codegen;
+    2. strip C0/C1 controls (except tab/newline/CR), DEL, zero-width
+       joiners, and the BOM — one regexp_replace, codegen;
+    3. Unicode-normalize (``normalize``: NFC/NFKC/NFD/NFKD or None to
+       skip) via stdlib ``unicodedata`` in an Arrow-batched pandas
+       UDF — the ONLY Python stage; a real cluster would swap in an
+       ICU expression, and differential oracles mirror it with
+       DuckDB's utf8proc-backed ``nfc_normalize``.
+
+    Adds ``unicode_changed`` (cleaned != original). Stages 1-2 are
+    map-side column expressions; at 100 TB the pass is scan-bound
+    (skip stage 3 with ``normalize=None`` for a zero-Python plan).
+    """
+    out_col = out_col or text_col
+    src = F.col(text_col)
+    col = clean_unicode_expr(
+        src, repair_mojibake=repair_mojibake, strip_controls=strip_controls
+    )
+    if normalize:
+        form = normalize.upper()
+        if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+            raise ValueError(f"unknown normalization form '{normalize}'")
+        import pandas as pd  # noqa: F401 — pandas_udf needs it importable
+
+        @F.pandas_udf("string")
+        def _norm(s):  # pragma: no cover — executes in workers
+            import unicodedata
+
+            return s.map(
+                lambda x: unicodedata.normalize(form, x)
+                if x is not None
+                else None
+            )
+
+        col = _norm(col)
+    # withColumns: both resolve against the ORIGINAL column even when
+    # out_col == text_col (the scrub_pii convention)
+    return df.withColumns(
+        {out_col: col, "unicode_changed": col != src}
+    )
+
+
 def ngram_lm_scores(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -543,6 +543,31 @@ def quantize_embeddings_transform(
     return ctx.with_df(out)
 
 
+@transform("clean_unicode")
+def clean_unicode_transform(
+    ctx: EngineContext,
+    *,
+    text_col: str = "text",
+    out_col: str | None = None,
+    normalize: str | None = "NFC",
+    repair_mojibake: bool = True,
+    strip_controls: bool = True,
+    filter_to_clean: bool = False,
+) -> EngineContext:
+    """ftfy-class Unicode repair (text.clean_unicode): mojibake
+    digraph repair + control/zero-width strip + NFC/NFKC — run it as
+    the FIRST curation stage; ``filter_to_clean=True`` keeps only docs
+    that needed no repair (a provenance-quality gate)."""
+    out = text.clean_unicode(
+        ctx.df, text_col,
+        out_col=out_col, normalize=normalize,
+        repair_mojibake=repair_mojibake, strip_controls=strip_controls,
+    )
+    if filter_to_clean:
+        out = out.filter(~F.col("unicode_changed"))
+    return ctx.with_df(out)
+
+
 @transform("gopher_quality")
 def gopher_quality_transform(
     ctx: EngineContext,

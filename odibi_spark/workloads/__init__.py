@@ -35,11 +35,13 @@ _ALL_ORACLES = {
 
 # Dict order is sampling priority: the driver's correctness gate checks
 # the FIRST 50 entries. The sample ROTATES each round so every declared
-# workload gets a driver-side hash check within two rounds (VERDICT r4
-# task 2). Round 9 executes the queue staged in r8: the r6/r7-checked
-# entries that are now the oldest-checked set, then this round's
-# brand-new workloads, then the oldest r7-checked entries (in their r7
-# head order) to fill the head to 50.
+# workload gets a driver-side hash check within ~3 rounds (VERDICT r4
+# task 2). Round 10 executes the queue staged in r9 (_R10_ROTATE_IN:
+# the r9-rotation tail displaced by late-r9 additions, the displaced
+# r7-checked fill, the rest of the r7-checked head, then the r8-checked
+# head), then this round's brand-new workloads, then the oldest
+# r9-checked entries (in their r9 head order) to fill to 50. The
+# r9-checked head (minus whatever fills r10) is staged as _R11.
 _R9_ROTATE_IN = [
     "sample_k_docs_per_lang",  # bumped from the r8 fill by the late-r8 video workload
     # bumped from the r8 fill by the four late-r8 curation workloads
@@ -117,9 +119,21 @@ _R10_ROTATE_IN = [
     "q11_important_parts", "q12_ship_latency", "q16_supplier_variety",
 ]
 
+# Workloads declared for the first time in round 10 — never driver-
+# checked, so they go right after the rotated-in block.
+_R10_NEW = [
+    "clean_unicode_docs",
+]
+
+# The r9-checked head, in its r9 head order (= CORRECTNESS_r09.json's
+# key set): fills r10 to 50 from the front; the remainder is the
+# ROUND-11 ROTATION QUEUE. Next round: head = _R11_ROTATE_IN + any
+# r11-new workloads + fill from the r10-checked head in ITS order.
+_R9_CHECKED_HEAD = _R9_ROTATE_IN + _R9_NEW
+
 _unknown_rotate = (
     set(_R9_ROTATE_IN) | set(_R9_NEW) | set(_R7_CHECKED_FILL)
-    | set(_R10_ROTATE_IN)
+    | set(_R10_ROTATE_IN) | set(_R10_NEW)
 ) - set(_ALL_QUERIES)
 if _unknown_rotate:  # fail loudly: a stale queue would silently shrink
     raise RuntimeError(  # the next round's driver-checked head
@@ -127,9 +141,10 @@ if _unknown_rotate:  # fail loudly: a stale queue would silently shrink
     )
 
 _HEAD = [
-    k for k in _R9_ROTATE_IN + _R9_NEW + _R7_CHECKED_FILL
+    k for k in _R10_ROTATE_IN + _R10_NEW + _R9_CHECKED_HEAD
     if k in _ALL_QUERIES
 ][:50]
+_R11_ROTATE_IN = [k for k in _R9_CHECKED_HEAD if k not in set(_HEAD)]
 _ORDER = _HEAD + [k for k in _ALL_QUERIES if k not in set(_HEAD)]
 QUERIES = {k: _ALL_QUERIES[k] for k in _ORDER}
 ORACLES = {k: _ALL_ORACLES[k] for k in _ORDER if k in _ALL_ORACLES}

@@ -2177,13 +2177,20 @@ def curation_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = dedup.duplicate_span_signals(
         docs, id_col="doc_id", text_col="text", ngram=8, min_docs=2
     ).select("doc_id", "dup_span_ratio")
+    # unicode gate (r10): the funnel's FIRST real-world stage — doc
+    # needed no mojibake/control repair. Column-expression stages only
+    # (clean_unicode_expr), so the gate stays whole-stage codegen.
+    uni_ok = text.clean_unicode_expr(F.col("text")) == F.col("text")
     staged = (
         flagged.withColumn("is_keeper", keeper)
+        .withColumn("unicode_ok", uni_ok)
         .join(spans, "doc_id")
         .withColumn("span_ok", F.col("dup_span_ratio") <= 0.8)
     )
     return staged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("unicode_ok"), 1).otherwise(0))
+        .cast("long").alias("n_unicode_ok"),
         F.sum(F.when(F.col("gopher_keep"), 1).otherwise(0))
         .cast("long").alias("n_gopher"),
         F.sum(F.when(F.col("is_keeper"), 1).otherwise(0))
@@ -2192,11 +2199,24 @@ def curation_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("n_span_ok"),
         F.sum(
             F.when(
-                F.col("gopher_keep") & F.col("is_keeper") & F.col("span_ok"),
+                F.col("unicode_ok") & F.col("gopher_keep")
+                & F.col("is_keeper") & F.col("span_ok"),
                 1,
             ).otherwise(0)
         ).cast("long").alias("n_survivors"),
     )
+
+
+def _clean_unicode_sql(col: str, nfc: bool = False) -> str:
+    """DuckDB twin of text.clean_unicode_expr: the IDENTICAL mojibake
+    replace chain (same order) + the same control/zero-width class
+    (RE2 'g' flag = Spark's replace-all); nfc=True appends DuckDB's
+    utf8proc-backed nfc_normalize, mirroring the pandas-UDF stage."""
+    e = col
+    for bad, good in text.MOJIBAKE_REPAIRS:
+        e = "replace({}, '{}', '{}')".format(e, bad, good)
+    e = "regexp_replace({}, '{}', '', 'g')".format(e, text.CONTROL_ZW_CLASS)
+    return f"nfc_normalize({e})" if nfc else e
 
 
 CURATION_FUNNEL_SQL = """
@@ -2214,12 +2234,15 @@ gf AS (
           AND CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
               / len(ws) BETWEEN 3.0 AND 10.0
           AND CAST(symbol_hits AS DOUBLE) / len(ws) <= 0.1
-          AND CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+          AND CAST(len(list_filter(ws, x -> regexp_matches(x, '\\p{L}')))
                    AS DOUBLE) / len(ws) >= 0.8
           AND CAST(len(list_filter(ws,
                 x -> x IN ('the','be','to','of','and','that','have','with')))
                    AS INTEGER) >= 2) AS gopher_keep
   FROM w
+),
+uni AS (
+  SELECT doc_id, (__CLEAN_EXPR__ = text) AS unicode_ok FROM documents
 ),
 keepers AS (
   SELECT doc_id,
@@ -2249,21 +2272,82 @@ spans AS (
 )
 SELECT gf.source,
        CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN u.unicode_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unicode_ok,
        CAST(SUM(CASE WHEN gf.gopher_keep THEN 1 ELSE 0 END) AS BIGINT)
          AS n_gopher,
        CAST(SUM(CASE WHEN k.is_keeper THEN 1 ELSE 0 END) AS BIGINT)
          AS n_unique,
        CAST(SUM(CASE WHEN s.span_ok THEN 1 ELSE 0 END) AS BIGINT)
          AS n_span_ok,
-       CAST(SUM(CASE WHEN gf.gopher_keep AND k.is_keeper AND s.span_ok
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
-FROM gf JOIN keepers k USING (doc_id) JOIN spans s USING (doc_id)
+       CAST(SUM(CASE WHEN u.unicode_ok AND gf.gopher_keep AND k.is_keeper
+                AND s.span_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+FROM gf JOIN uni u USING (doc_id) JOIN keepers k USING (doc_id)
+     JOIN spans s USING (doc_id)
 GROUP BY gf.source
 """
 
 
+# inject the unicode-gate twin (the replace chain contains braces-free
+# literals, so plain .replace beats f-string brace escaping here)
+CURATION_FUNNEL_SQL = CURATION_FUNNEL_SQL.replace(
+    "__CLEAN_EXPR__", _clean_unicode_sql("text")
+)
+
 QUERIES.update({"curation_funnel_docs": curation_funnel_docs})
 ORACLES.update({"curation_funnel_docs": CURATION_FUNNEL_SQL})
+
+
+_UNICODE_TRAP = (
+    " cafÃ© itâ€™s â€œquote"
+    "â€¦ étude​zwctl"
+    " dÃ©jÃ vu"
+)
+
+
+def clean_unicode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-class Unicode repair under the FULL hash gate (r10 —
+    VERDICT r9 task 6): even-doc_id rows get a deterministic mojibake
+    trap appended (UTF-8-as-Latin-1 digraphs, cp1252 punctuation, an
+    NFD combining sequence, a zero-width space, a BEL control), then
+    text.clean_unicode repairs + strips + NFC-normalizes. The DuckDB
+    twin applies the IDENTICAL replace chain and regex class plus
+    utf8proc's nfc_normalize — cross-engine proof that the repair is a
+    pure deterministic function, not best-effort cleanup. Repair and
+    strip are codegen column exprs; NFC is the one Arrow-batched
+    stage (llm/text.py clean_unicode)."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    corrupted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit(_UNICODE_TRAP)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = text.clean_unicode(
+        corrupted, "text", out_col="clean_text", normalize="NFC"
+    )
+    return out.select("doc_id", "clean_text", "unicode_changed")
+
+
+CLEAN_UNICODE_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN text || '__TRAP__'
+              ELSE text END AS text
+  FROM documents
+), cl AS (
+  SELECT doc_id, text, __CLEAN_NFC__ AS clean_text FROM c
+)
+SELECT doc_id, clean_text, (clean_text != text) AS unicode_changed
+FROM cl
+""".replace("__TRAP__", _UNICODE_TRAP).replace(
+    "__CLEAN_NFC__", _clean_unicode_sql("text", nfc=True)
+)
+
+QUERIES.update({"clean_unicode_docs": clean_unicode_docs})
+ORACLES.update({"clean_unicode_docs": CLEAN_UNICODE_SQL})
 
 
 def cms_incremental_terms(spark: SparkSession, sf_dir: str) -> DataFrame:

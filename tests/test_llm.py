@@ -720,6 +720,122 @@ class TestChunkingPacking:
         assert (got[3].pack_id, got[3].pack_offset, got[3].n_packs_spanned) == (2, 2, 1)
 
 
+class TestAnnRecallFloors:
+    """Index-quality regression floors for the bench ann_recall probe
+    (VERDICT r9 task 8): mean recall@5 over 50 queries must stay above
+    floors chosen well under the measured values (lsh/planes=4 ~0.15,
+    ivf ~0.55 at these SFs) — a hashing or centroid change that
+    degrades an index toward zero fails HERE, not in a later round's
+    eyeballing."""
+
+    def test_recall_floors_sf0001(self, spark):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        from bench import ann_recall_probe
+
+        r = ann_recall_probe(spark, "/root/testdata/sf0.001")
+        assert r["recall_at_5_lsh"] >= 0.05, r
+        assert r["recall_at_5_ivf"] >= 0.35, r
+
+
+class TestCleanUnicode:
+    """ftfy-class Unicode repair (llm/text.py clean_unicode, r10)."""
+
+    def _clean(self, spark, texts, **kw):
+        rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+        out = text.clean_unicode(
+            spark.createDataFrame(rows), "text", out_col="clean", **kw
+        )
+        return {r.doc_id: r for r in out.collect()}
+
+    def test_mojibake_repairs(self, spark):
+        got = self._clean(spark, [
+            "cafÃ© naÃ¯ve rÃ©sumÃ©",
+            "itâ€™s â€œquotedâ€¦ â€” done",
+        ])
+        assert got[0].clean == "café naïve résumé"
+        assert got[1].clean == "it’s “quoted… — done"
+        assert got[0].unicode_changed and got[1].unicode_changed
+
+    def test_control_and_zero_width_strip(self, spark):
+        junk = "a" + chr(0x00) + "b" + chr(0x200B) + "c" + chr(0xFEFF) + "d"
+        keep = "tab\there\nnewline\rcr"
+        got = self._clean(spark, [junk, keep], normalize=None)
+        assert got[0].clean == "abcd"
+        assert got[1].clean == keep and not got[1].unicode_changed
+
+    def test_nfc_normalization(self, spark):
+        nfd = "e" + chr(0x0301) + "tude"  # e + combining acute
+        got = self._clean(spark, [nfd])
+        assert got[0].clean == "étude" and len(got[0].clean) == 5
+        assert got[0].unicode_changed
+
+    def test_nfkc_folds_compatibility_chars(self, spark):
+        got = self._clean(spark, ["ﬁle №5"], normalize="NFKC")
+        assert got[0].clean == "file No5"
+
+    def test_clean_text_is_untouched(self, spark):
+        t = "perfectly ordinary ascii text"
+        got = self._clean(spark, [t])
+        assert got[0].clean == t and not got[0].unicode_changed
+
+    def test_null_passthrough(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text=None)], "doc_id int, text string"
+        )
+        r = text.clean_unicode(df, "text", out_col="clean").first()
+        assert r.clean is None and r.unicode_changed is None
+
+    def test_stage_toggles(self, spark):
+        moj = "cafÃ©" + chr(0x07)
+        no_repair = self._clean(
+            spark, [moj], repair_mojibake=False, normalize=None
+        )
+        assert no_repair[0].clean == "cafÃ©"  # control stripped only
+        no_strip = self._clean(
+            spark, [moj], strip_controls=False, normalize=None
+        )
+        assert no_strip[0].clean == "café" + chr(0x07)
+
+    def test_unknown_form_raises(self, spark):
+        import pytest
+
+        df = spark.createDataFrame([Row(doc_id=1, text="x")])
+        with pytest.raises(ValueError, match="normalization form"):
+            text.clean_unicode(df, "text", normalize="NFX")
+
+    def test_duckdb_twin_bit_identical(self, spark):
+        """The oracle contract: DuckDB's identical replace chain +
+        regex class + nfc_normalize reproduces the cleaned text
+        byte-for-byte."""
+        import duckdb
+
+        texts = [
+            "cafÃ© itâ€™s â€œmixedâ€¦",
+            "e" + chr(0x0301) + "tude" + chr(0x200B) + "zw" + chr(0x07),
+            "dÃ©jÃ" + chr(0xA0) + "vu plain tail",
+        ]
+        got = self._clean(spark, texts)
+        expr = "text"
+        for bad, good in text.MOJIBAKE_REPAIRS:
+            expr = f"replace({expr}, '{bad}', '{good}')"
+        expr = (
+            f"nfc_normalize(regexp_replace({expr}, "
+            f"'{text.CONTROL_ZW_CLASS}', '', 'g'))"
+        )
+        con = duckdb.connect()
+        import pandas as pd
+
+        con.register(
+            "t", pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        want = dict(con.execute(
+            f"SELECT doc_id, {expr} FROM t"
+        ).fetchall())
+        assert {i: got[i].clean for i in range(len(texts))} == want
+
+
 class TestScrubPii:
     def test_redaction_and_counts(self, spark):
         from pyspark.sql import Row
