@@ -360,6 +360,13 @@ def run_incremental_dedup(
         source, column=id_col, state=state, state_key=state_key,
         target_exists=store.exists(),
     )
+    # the delta feeds THREE consumers (signature build, HWM capture,
+    # and the flagged output the caller executes): persist it so each
+    # is a cache read, not a fresh source scan + ingest fan-out
+    # (measured ~1.9x end-to-end at sf0.1, VERDICT r9 task 5).
+    # MEMORY_AND_DISK spills; the delta is the daily SLICE, not the
+    # corpus, so pinning it is the standard incremental-run trade.
+    delta = delta.persist()
     flagged, sigs_new = flag_incremental_dups(
         delta, store, id_col=id_col, text_col=text_col, n=n,
         num_perm=num_perm, bands=bands, threshold=threshold,
