@@ -567,9 +567,12 @@ def main() -> None:
         # already benched via cms_heavy_terms)
         "rp_ann_recall", "epoch_mixture_docs", "hybrid_search_docs",
         "source_kl_docs",
-        # new in round 10: Unicode repair + the KMV corpus overlap
-        # (approx_distinct_fingerprints above now also runs on KMV)
+        # new in round 10: Unicode repair, the KMV corpus overlap
+        # (approx_distinct_fingerprints above now also runs on KMV),
+        # boilerplate line dedup, global shuffle, temperature mixture
         "clean_unicode_docs", "corpus_overlap_halves",
+        "boilerplate_lines_docs", "shuffle_order_docs",
+        "temperature_mixture_docs",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(

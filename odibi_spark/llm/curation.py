@@ -556,6 +556,101 @@ def token_budget_sample(
     )
 
 
+def temperature_mixture_sample(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    key_col: str,
+    target_rows: int,
+    alpha: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-based mixture sampling — the multilingual-LM
+    convention (mT5/XLM-R style): stratum sampling mass ∝ n_i^alpha,
+    so low-resource strata are UP-weighted relative to raw frequency
+    (alpha=1 keeps natural proportions, alpha→0 approaches uniform).
+    Keep-fraction per stratum: f_i = min(1, (n_i^alpha / Σ n_j^alpha)
+    * target_rows / n_i); row selection is the portable hash unit, so
+    the sample is a pure function of (key, seed) like every other
+    sampler here.
+
+    Cross-engine exactness: at the default alpha=0.5 the weights use
+    sqrt (IEEE-correctly-rounded in both engines, unlike pow) and the
+    normalizer folds through DECIMAL(38,12) (exact, order-independent)
+    before one double division — a DuckDB oracle reproduces every
+    fraction bit-for-bit. Other alphas stay deterministic per engine
+    but lose the bit-exact oracle guarantee (libm pow differs).
+
+    One O(strata) count collect; the filter is a map-side hash
+    compare — no shuffle beyond the count.
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if target_rows < 0:
+        raise ValueError("target_rows must be >= 0")
+    counts = {
+        r[0]: int(r[1])
+        for r in df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    if alpha == 0.5:
+        raw = {s: math.sqrt(float(n)) for s, n in counts.items()}
+    else:
+        raw = {s: float(n) ** float(alpha) for s, n in counts.items()}
+    # normalizer via 12-dp DECIMAL quanta: exact, order-independent sum
+    # (mirrors SUM(CAST(x AS DECIMAL(38,12))) in the oracle)
+    q = Decimal("0.000000000001")
+    norm = float(
+        sum(Decimal(v).quantize(q, rounding=ROUND_HALF_UP) for v in raw.values())
+    )
+    fractions = {
+        s: min(1.0, raw[s] / norm * float(target_rows) / counts[s])
+        for s in counts
+    }
+    return stratified_hash_sample(
+        df, fractions, strata_col=strata_col, key_col=key_col, seed=seed
+    )
+
+
+def global_shuffle(
+    df: DataFrame,
+    key_col: str,
+    *,
+    seed: int = 42,
+    out_col: str = "shuffle_idx",
+) -> DataFrame:
+    """Deterministic global training-order permutation: rank every row
+    by the portable md5 fold of (seed, key) — the 'shuffle the corpus
+    before sharding' step every training run needs, reproducible
+    across engines, partitionings, and reruns (a pure function of the
+    key set + seed, NOT of cluster layout like orderBy(rand())).
+
+    The global rank comes from the distributed two-pass row_number
+    (operators/rank.py): one range shuffle + O(partitions) offset
+    collect — no Exchange SinglePartition, so at 100 TB the sort
+    capacity scales with the cluster. Change ``seed`` per epoch for a
+    fresh permutation.
+    """
+    from odibi_spark.operators.rank import global_ranks
+
+    hashed = df.withColumn(
+        "__sk",
+        dedup.portable_hash60(
+            F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string"))
+        ),
+    )
+    out = global_ranks(
+        hashed,
+        order_by=["__sk", key_col],
+        columns={out_col: {"function": "row_number"}},
+    )
+    return out.drop("__sk")
+
+
 def mixture_fractions(
     df: DataFrame,
     weights: dict[str, float],

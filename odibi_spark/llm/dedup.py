@@ -700,3 +700,79 @@ def remove_duplicate_spans(
         .withColumn(out_col, F.coalesce("__new_text", F.lit("")))
         .drop("__new_text")
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_docs: int = 2,
+    scope_col: str | None = None,
+    delim: str = "\n",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Line-level boilerplate removal (the RefinedWeb/CCNet line-dedup
+    stage): a LINE occurring in >= ``min_docs`` DISTINCT documents —
+    optionally scoped per ``scope_col`` (source/domain, where nav
+    bars, cookie banners, and copyright footers repeat) — is
+    boilerplate; drop every occurrence and re-join the survivors in
+    order. Complements :func:`remove_duplicate_spans` (word-gram
+    spans, first occurrence kept): boilerplate repeats are junk in
+    EVERY document, so no keeper survives.
+
+    Plan shape, all linear: one posexplode on the projected line
+    array; the frequency side groups on the md5 LINE KEY (narrow rows
+    through the shuffle, count_distinct doc partials map-side); kept
+    lines are a left-anti join on the key; the rewrite is a
+    per-document collect_list + sort bounded by doc line count. Adds
+    ``n_kept_lines`` / ``n_boilerplate_lines``; docs whose every line
+    is boilerplate come back as '' (kept, flagged — dropping rows is
+    the caller's policy decision).
+    """
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2")
+    out_col = out_col or text_col
+    import re as _re
+
+    split_pat = _re.escape(delim)
+    scope = [F.col(scope_col)] if scope_col else []
+    lines = df.select(
+        F.col(id_col),
+        *scope,
+        F.posexplode(F.split(F.col(text_col), split_pat)).alias(
+            "pos", "line"
+        ),
+    ).withColumn("__lh", F.md5(F.col("line")))
+    freq_keys = [*(
+        [scope_col] if scope_col else []
+    ), "__lh"]
+    boiler = (
+        lines.groupBy(*freq_keys)
+        .agg(F.count_distinct(F.col(id_col)).alias("__ndocs"))
+        .filter(F.col("__ndocs") >= min_docs)
+        .select(*freq_keys)
+    )
+    kept = lines.join(boiler, freq_keys, "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            delim,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.getField("line"),
+            ),
+        ).alias("__new_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept_lines"),
+    )
+    out = df.join(rebuilt, id_col, "left")
+    n_lines = F.size(F.split(F.col(text_col), split_pat)).cast("long")
+    return (
+        out.withColumn(
+            "n_kept_lines", F.coalesce("n_kept_lines", F.lit(0).cast("long"))
+        )
+        .withColumn(
+            "n_boilerplate_lines", n_lines - F.col("n_kept_lines")
+        )
+        .withColumn(out_col, F.coalesce("__new_text", F.lit("")))
+        .drop("__new_text")
+    )

@@ -543,6 +543,70 @@ def quantize_embeddings_transform(
     return ctx.with_df(out)
 
 
+@transform("remove_boilerplate")
+def remove_boilerplate_transform(
+    ctx: EngineContext,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    scope_col: str | None = None,
+    delim: str = "\n",
+    out_col: str | None = None,
+) -> EngineContext:
+    """Line-level boilerplate removal (dedup.remove_boilerplate_lines):
+    lines repeating across >= min_docs docs (per scope_col, e.g. the
+    source/domain) are dropped and the text re-joined."""
+    return ctx.with_df(
+        dedup.remove_boilerplate_lines(
+            ctx.df, id_col, text_col,
+            min_docs=min_docs, scope_col=scope_col, delim=delim,
+            out_col=out_col,
+        )
+    )
+
+
+@transform("global_shuffle")
+def global_shuffle_transform(
+    ctx: EngineContext,
+    *,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    out_col: str = "shuffle_idx",
+) -> EngineContext:
+    """Deterministic global training-order permutation
+    (curation.global_shuffle): rank by the portable hash of
+    (seed, key) via the two-pass distributed row_number."""
+    from odibi_spark.llm import curation
+
+    return ctx.with_df(
+        curation.global_shuffle(ctx.df, key_col, seed=seed, out_col=out_col)
+    )
+
+
+@transform("temperature_mixture")
+def temperature_mixture_transform(
+    ctx: EngineContext,
+    *,
+    strata_col: str,
+    key_col: str,
+    target_rows: int,
+    alpha: float = 0.5,
+    seed: int = 42,
+) -> EngineContext:
+    """Temperature-based mixture sampling
+    (curation.temperature_mixture_sample): stratum mass ∝ n^alpha,
+    selection by the portable hash unit."""
+    from odibi_spark.llm import curation
+
+    return ctx.with_df(
+        curation.temperature_mixture_sample(
+            ctx.df, strata_col=strata_col, key_col=key_col,
+            target_rows=target_rows, alpha=alpha, seed=seed,
+        )
+    )
+
+
 @transform("clean_unicode")
 def clean_unicode_transform(
     ctx: EngineContext,

@@ -122,7 +122,8 @@ _R10_ROTATE_IN = [
 # Workloads declared for the first time in round 10 — never driver-
 # checked, so they go right after the rotated-in block.
 _R10_NEW = [
-    "clean_unicode_docs",
+    "clean_unicode_docs", "boilerplate_lines_docs",
+    "shuffle_order_docs", "temperature_mixture_docs",
 ]
 
 # The r9-checked head, in its r9 head order (= CORRECTNESS_r09.json's

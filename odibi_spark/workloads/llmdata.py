@@ -2350,6 +2350,146 @@ QUERIES.update({"clean_unicode_docs": clean_unicode_docs})
 ORACLES.update({"clean_unicode_docs": CLEAN_UNICODE_SQL})
 
 
+def boilerplate_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (RefinedWeb/CCNet line dedup)
+    under the FULL hash gate (r10): every doc is staged with a global
+    nav header and a per-source copyright footer (deterministic
+    in-query construction, the clean_unicode_docs convention), then
+    dedup.remove_boilerplate_lines drops lines occurring in >= 5
+    distinct docs of the same source and re-joins the survivors. The
+    oracle hashes the full rewritten text, the kept-line counts, and
+    the boilerplate counts."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    staged = docs.select(
+        "doc_id", "source",
+        F.concat_ws(
+            "\n",
+            F.lit("SITE NAV home about contact"),
+            F.col("text"),
+            F.concat(F.lit("COPYRIGHT "), F.col("source")),
+        ).alias("text"),
+    )
+    out = dedup.remove_boilerplate_lines(
+        staged, min_docs=5, scope_col="source", delim="\n",
+        out_col="clean_text",
+    )
+    return out.select(
+        "doc_id", "clean_text", "n_kept_lines", "n_boilerplate_lines"
+    )
+
+
+BOILERPLATE_LINES_SQL = """
+WITH c AS (
+  SELECT doc_id, source,
+         'SITE NAV home about contact' || chr(10) || text ||
+         chr(10) || 'COPYRIGHT ' || source AS text
+  FROM documents
+),
+l AS (
+  SELECT t.doc_id, t.source, g.i - 1 AS pos, t.ws[g.i] AS line
+  FROM (SELECT doc_id, source, string_split(text, chr(10)) AS ws FROM c) t,
+       LATERAL (SELECT unnest(range(1, len(t.ws) + 1)) AS i) g
+),
+b AS (
+  SELECT source, md5(line) AS lh
+  FROM l GROUP BY source, md5(line)
+  HAVING COUNT(DISTINCT doc_id) >= 5
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM l LEFT JOIN b ON b.source = l.source AND b.lh = md5(l.line)
+  WHERE b.lh IS NULL
+),
+r AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept_lines
+  FROM kept GROUP BY doc_id
+)
+SELECT c.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(COALESCE(r.n_kept_lines, 0) AS BIGINT) AS n_kept_lines,
+       CAST(len(string_split(c.text, chr(10))) AS BIGINT)
+         - CAST(COALESCE(r.n_kept_lines, 0) AS BIGINT)
+         AS n_boilerplate_lines
+FROM c LEFT JOIN r USING (doc_id)
+"""
+
+QUERIES.update({"boilerplate_lines_docs": boilerplate_lines_docs})
+ORACLES.update({"boilerplate_lines_docs": BOILERPLATE_LINES_SQL})
+
+
+def shuffle_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle (r10): every doc
+    gets a shuffle_idx = its rank under the portable md5 fold of
+    (seed=7, doc_id) — reproducible across engines/partitionings
+    (unlike orderBy(rand())), computed by the distributed two-pass
+    row_number (no Exchange SinglePartition)."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return curation.global_shuffle(docs, "doc_id", seed=7).select(
+        "doc_id", "shuffle_idx"
+    )
+
+
+SHUFFLE_ORDER_SQL = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY CAST(concat('0x', substring(
+           md5(concat('7:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT),
+           doc_id
+       ) AS BIGINT) AS shuffle_idx
+FROM documents
+"""
+
+QUERIES.update({"shuffle_order_docs": shuffle_order_docs})
+ORACLES.update({"shuffle_order_docs": SHUFFLE_ORDER_SQL})
+
+
+def temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (r10, the mT5/XLM-R
+    low-resource up-weighting convention): per-lang keep fraction
+    min(1, (sqrt(n_i)/Σ sqrt(n_j)) * 300 / n_i), row selection by the
+    portable hash unit. alpha=0.5 keeps the oracle bit-exact: sqrt is
+    IEEE-correctly-rounded in both engines and the normalizer folds
+    through DECIMAL(38,12) (exact, order-independent) before one
+    double division."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return curation.temperature_mixture_sample(
+        docs, strata_col="lang", key_col="doc_id",
+        target_rows=300, alpha=0.5, seed=42,
+    ).select("doc_id", "lang")
+
+
+TEMPERATURE_MIXTURE_SQL = """
+WITH tot AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+),
+s AS (
+  SELECT CAST(SUM(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(38, 12)))
+              AS DOUBLE) AS nrm
+  FROM tot
+),
+fr AS (
+  SELECT lang,
+         LEAST(1.0, sqrt(CAST(n AS DOUBLE)) / nrm * 300.0 / n) AS f
+  FROM tot, s
+),
+h AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substring(
+           md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+           / 1152921504606846976.0 AS u
+  FROM documents
+)
+SELECT h.doc_id, h.lang FROM h JOIN fr USING (lang) WHERE u < f
+"""
+
+QUERIES.update({"temperature_mixture_docs": temperature_mixture_docs})
+ORACLES.update({"temperature_mixture_docs": TEMPERATURE_MIXTURE_SQL})
+
+
 def cms_incremental_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-batch incremental CMS replay under the correctness gate:
     fold the even-doc_id batch then the odd-doc_id batch into a

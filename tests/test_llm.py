@@ -720,6 +720,169 @@ class TestChunkingPacking:
         assert (got[3].pack_id, got[3].pack_offset, got[3].n_packs_spanned) == (2, 2, 1)
 
 
+class TestRemoveBoilerplateLines:
+    """RefinedWeb/CCNet line-level boilerplate removal (r10)."""
+
+    def _docs(self, spark, texts, sources=None):
+        sources = sources or ["s"] * len(texts)
+        return spark.createDataFrame(
+            [Row(doc_id=i, source=s, text=t)
+             for i, (t, s) in enumerate(zip(texts, sources))]
+        )
+
+    def test_repeated_lines_dropped_everywhere(self, spark):
+        from odibi_spark.llm.dedup import remove_boilerplate_lines
+
+        texts = [f"NAV BAR\nbody {i}\nfooter legal" for i in range(4)]
+        out = {
+            r.doc_id: r
+            for r in remove_boilerplate_lines(
+                self._docs(spark, texts), min_docs=3
+            ).collect()
+        }
+        for i in range(4):
+            assert out[i].text == f"body {i}"
+            assert out[i].n_kept_lines == 1
+            assert out[i].n_boilerplate_lines == 2
+
+    def test_scope_limits_the_frequency_count(self, spark):
+        """The same line in 2 docs of source A and 2 of source B is
+        NOT boilerplate at min_docs=3 when scoped, but is unscoped."""
+        from odibi_spark.llm.dedup import remove_boilerplate_lines
+
+        texts = ["shared\nbody %d" % i for i in range(4)]
+        docs = self._docs(spark, texts, ["a", "a", "b", "b"])
+        scoped = remove_boilerplate_lines(
+            docs, min_docs=3, scope_col="source"
+        )
+        assert all(r.n_boilerplate_lines == 0 for r in scoped.collect())
+        unscoped = remove_boilerplate_lines(docs, min_docs=3)
+        assert all(r.n_boilerplate_lines == 1 for r in unscoped.collect())
+
+    def test_all_boilerplate_doc_survives_empty(self, spark):
+        from odibi_spark.llm.dedup import remove_boilerplate_lines
+
+        texts = ["only junk", "only junk", "only junk", "keep me\nonly junk"]
+        out = {
+            r.doc_id: r
+            for r in remove_boilerplate_lines(
+                self._docs(spark, texts), min_docs=2
+            ).collect()
+        }
+        assert out[0].text == "" and out[0].n_kept_lines == 0
+        assert out[3].text == "keep me"
+
+    def test_line_order_preserved(self, spark):
+        from odibi_spark.llm.dedup import remove_boilerplate_lines
+
+        texts = ["junk\na\njunk\nb\nc", "junk\nx\njunk"]
+        out = {
+            r.doc_id: r.text
+            for r in remove_boilerplate_lines(
+                self._docs(spark, texts), min_docs=2
+            ).collect()
+        }
+        assert out[0] == "a\nb\nc" and out[1] == "x"
+
+    def test_custom_delimiter(self, spark):
+        from odibi_spark.llm.dedup import remove_boilerplate_lines
+
+        texts = ["junk. body one", "junk. body two"]
+        out = {
+            r.doc_id: r.text
+            for r in remove_boilerplate_lines(
+                self._docs(spark, texts), min_docs=2, delim=". "
+            ).collect()
+        }
+        assert out[0] == "body one" and out[1] == "body two"
+
+
+class TestGlobalShuffle:
+    def test_permutation_properties(self, spark):
+        from odibi_spark.llm.curation import global_shuffle
+
+        df = spark.range(200).withColumnRenamed("id", "k")
+        out = global_shuffle(df, "k", seed=3).collect()
+        idxs = sorted(r.shuffle_idx for r in out)
+        assert idxs == list(range(1, 201))  # a true permutation
+        by_k = sorted(out, key=lambda r: r.k)
+        assert [r.shuffle_idx for r in by_k] != list(range(1, 201))  # shuffled
+
+    def test_partitioning_invariant_and_seeded(self, spark):
+        from odibi_spark.llm.curation import global_shuffle
+
+        df = spark.range(300).withColumnRenamed("id", "k")
+        a = {r.k: r.shuffle_idx for r in
+             global_shuffle(df.repartition(1), "k", seed=5).collect()}
+        b = {r.k: r.shuffle_idx for r in
+             global_shuffle(df.repartition(13), "k", seed=5).collect()}
+        c = {r.k: r.shuffle_idx for r in
+             global_shuffle(df, "k", seed=6).collect()}
+        assert a == b       # pure function of (key set, seed)
+        assert a != c       # new seed, new epoch order
+
+
+class TestTemperatureMixture:
+    def _docs(self, spark, sizes):
+        rows = []
+        i = 0
+        for lang, n in sizes.items():
+            for _ in range(n):
+                rows.append(Row(doc_id=i, lang=lang))
+                i += 1
+        return spark.createDataFrame(rows)
+
+    def test_upweights_low_resource_strata(self, spark):
+        """alpha=0.5 keeps a HIGHER fraction of the small stratum than
+        of the big one (the whole point of temperature sampling)."""
+        from odibi_spark.llm.curation import temperature_mixture_sample
+
+        df = self._docs(spark, {"en": 900, "yo": 100})
+        out = temperature_mixture_sample(
+            df, strata_col="lang", key_col="doc_id", target_rows=300
+        )
+        kept = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+        frac_en = kept.get("en", 0) / 900
+        frac_yo = kept.get("yo", 0) / 100
+        assert frac_yo > frac_en
+        # sqrt weights: yo gets 1/4 the mass of en at 1/9 the size
+        assert 0.5 * 300 / 4 < kept.get("yo", 0) + kept.get("en", 0) < 400
+
+    def test_alpha_one_is_proportional(self, spark):
+        from odibi_spark.llm.curation import temperature_mixture_sample
+
+        df = self._docs(spark, {"a": 400, "b": 100})
+        out = temperature_mixture_sample(
+            df, strata_col="lang", key_col="doc_id",
+            target_rows=250, alpha=1.0,
+        )
+        kept = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+        # alpha=1: every stratum keeps the SAME fraction (250/500)
+        assert abs(kept["a"] / 400 - kept["b"] / 100) < 0.15
+
+    def test_fraction_caps_at_one(self, spark):
+        from odibi_spark.llm.curation import temperature_mixture_sample
+
+        df = self._docs(spark, {"a": 10, "b": 1000})
+        out = temperature_mixture_sample(
+            df, strata_col="lang", key_col="doc_id", target_rows=5000
+        )
+        kept = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+        assert kept["a"] == 10  # capped: the whole small stratum kept
+
+    def test_deterministic_across_partitionings(self, spark):
+        from odibi_spark.llm.curation import temperature_mixture_sample
+
+        df = self._docs(spark, {"a": 300, "b": 60})
+        a = {r.doc_id for r in temperature_mixture_sample(
+            df.repartition(1), strata_col="lang", key_col="doc_id",
+            target_rows=100).collect()}
+        b = {r.doc_id for r in temperature_mixture_sample(
+            df.repartition(7), strata_col="lang", key_col="doc_id",
+            target_rows=100).collect()}
+        assert a == b
+
+
 class TestAnnRecallFloors:
     """Index-quality regression floors for the bench ann_recall probe
     (VERDICT r9 task 8): mean recall@5 over 50 queries must stay above
