@@ -572,7 +572,8 @@ def main() -> None:
         # boilerplate line dedup, global shuffle, temperature mixture
         "clean_unicode_docs", "corpus_overlap_halves",
         "boilerplate_lines_docs", "shuffle_order_docs",
-        "temperature_mixture_docs",
+        "temperature_mixture_docs", "winnow_signals_docs",
+        "lexical_diversity_sources", "script_profile_docs",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(

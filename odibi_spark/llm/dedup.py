@@ -702,6 +702,63 @@ def remove_duplicate_spans(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every word ``k``-gram, slide a
+    ``window`` of consecutive gram hashes, and keep the MINIMUM hash
+    of each window. The selected hash set is the document's
+    fingerprint sketch, with the winnowing guarantee: any two
+    documents sharing a run of >= ``window + k - 1`` words share at
+    least one fingerprint — local like MinHash bands but with a
+    DETERMINISTIC match-length floor instead of a probabilistic one.
+
+    This is the value-set variant (positions dropped, values
+    deduplicated) — what candidate joins need; sketch size is
+    ~2/(window+1) of the gram count.
+
+    Returns (id, fp) exploded rows. Plan: the gram-hash array and the
+    window minima are per-row column expressions over ONE projected
+    word array (no shuffle); the only exchange is whatever the caller
+    does with the fingerprints. Hashes are the portable md5 fold, so
+    a DuckDB oracle reproduces the sketch exactly.
+    """
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), " ").alias("__w"),
+    ).filter(F.size("__w") >= k + window - 1)
+    # gram hashes projected into their own column first (interpreted
+    # HOFs don't CSE an inlined split — the word_shingles lesson)
+    grams = words.withColumn(
+        "__gh",
+        F.expr(
+            f"transform(sequence(1, size(__w) - {k - 1}), i -> "
+            f"CAST(conv(substring(md5(concat_ws(' ', slice(__w, i, {k}))),"
+            f" 1, 15), 16, 10) AS BIGINT))"
+        ),
+    )
+    fps = grams.select(
+        "id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(__gh) - {window - 1}), "
+                    f"i -> array_min(slice(__gh, i, {window})))"
+                )
+            )
+        ).alias("fp"),
+    )
+    return fps
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -404,6 +404,101 @@ def clean_unicode(
     )
 
 
+def lexical_diversity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group lexical-diversity profile — the corpus-QA numbers a
+    curation run reports per source/domain before mixing: token count,
+    type (distinct-token) count, type-token ratio, hapax legomena
+    count (tokens occurring exactly once) and hapax ratio. A source
+    whose TTR or hapax ratio collapses is template/boilerplate spam;
+    one whose hapax ratio explodes is OCR noise or mojibake.
+
+    Plan: one explode + a (group, token) groupBy (vocabulary-bounded
+    shuffle, map-side partials), then an O(groups x vocab) rollup.
+    Ratios are single exact-int IEEE divisions — hash-oracle stable.
+    """
+    toks = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per_tok = toks.groupBy("g", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_tok.groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long").alias("n_hapax"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_tokens", "n_types", "n_hapax",
+            (F.col("n_types").cast("double") / F.col("n_tokens"))
+            .alias("type_token_ratio"),
+            (F.col("n_hapax").cast("double") / F.col("n_types"))
+            .alias("hapax_ratio"),
+        )
+    )
+
+
+# Unicode scripts a web corpus actually triages on. Patterns are the
+# Unicode Script property: Java regex spells it \p{IsLatin}, RE2
+# (DuckDB) spells it \p{Latin} — same classes, so counts match
+# exactly. (script, java_class, re2_class)
+SCRIPT_CLASSES: list[tuple[str, str, str]] = [
+    ("latin", r"\p{IsLatin}", r"\p{Latin}"),
+    ("cyrillic", r"\p{IsCyrillic}", r"\p{Cyrillic}"),
+    ("han", r"\p{IsHan}", r"\p{Han}"),
+    ("arabic", r"\p{IsArabic}", r"\p{Arabic}"),
+    ("greek", r"\p{IsGreek}", r"\p{Greek}"),
+]
+
+
+def script_profile(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Unicode-script profile: letter counts for the
+    major scripts (``SCRIPT_CLASSES``), the total letter count, an
+    ``other_letters`` remainder, and the ``dominant_script`` (max
+    count among the KNOWN classes; ties broken by list order, 'none'
+    when no known-script letter occurs — an other-script-only doc is
+    exactly what the filter should surface, not silently classify).
+    The script signal is what language-ID models key on
+    first — and the cheapest wrong-script / mixed-script junk filter
+    at 100 TB.
+
+    Pure ``regexp_count`` column expressions (one pass per script
+    class, all map-side, whole-stage codegen).
+    """
+    t = F.col(text_col)
+    out = df
+    for name, java_cls, _ in SCRIPT_CLASSES:
+        out = out.withColumn(
+            f"script_{name}", F.regexp_count(t, F.lit(java_cls)).cast("long")
+        )
+    out = out.withColumn(
+        "script_letters", F.regexp_count(t, F.lit(r"\p{L}")).cast("long")
+    )
+    known = None
+    for name, _, _ in SCRIPT_CLASSES:
+        c = F.col(f"script_{name}")
+        known = c if known is None else known + c
+    out = out.withColumn(
+        "script_other", (F.col("script_letters") - known).cast("long")
+    )
+    dominant = F.lit("none")
+    best = F.lit(0).cast("long")
+    for name, _, _ in SCRIPT_CLASSES:  # earlier entries win ties (>)
+        c = F.col(f"script_{name}")
+        dominant = F.when(c > best, F.lit(name)).otherwise(dominant)
+        best = F.greatest(best, c)
+    return out.withColumn("dominant_script", dominant)
+
+
 def ngram_lm_scores(
     df: DataFrame,
     id_col: str = "doc_id",

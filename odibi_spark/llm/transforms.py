@@ -543,6 +543,48 @@ def quantize_embeddings_transform(
     return ctx.with_df(out)
 
 
+@transform("winnow_fingerprints")
+def winnow_fingerprints_transform(
+    ctx: EngineContext,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> EngineContext:
+    """MOSS winnowing fingerprints (dedup.winnow_fingerprints):
+    (id, fp) rows — any shared run of >= window+k-1 words shares a
+    fingerprint (deterministic guarantee, unlike MinHash bands)."""
+    return ctx.with_df(
+        dedup.winnow_fingerprints(
+            ctx.df, id_col, text_col, k=k, window=window
+        )
+    )
+
+
+@transform("lexical_diversity")
+def lexical_diversity_transform(
+    ctx: EngineContext,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> EngineContext:
+    """Per-group token/type/hapax profile (text.lexical_diversity) —
+    the TTR/hapax corpus-QA report."""
+    return ctx.with_df(text.lexical_diversity(ctx.df, group_col, text_col))
+
+
+@transform("script_profile")
+def script_profile_transform(
+    ctx: EngineContext,
+    *,
+    text_col: str = "text",
+) -> EngineContext:
+    """Unicode-script letter counts + dominant script per row
+    (text.script_profile) — the cheapest wrong-script junk filter."""
+    return ctx.with_df(text.script_profile(ctx.df, text_col))
+
+
 @transform("remove_boilerplate")
 def remove_boilerplate_transform(
     ctx: EngineContext,

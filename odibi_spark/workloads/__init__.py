@@ -124,6 +124,8 @@ _R10_ROTATE_IN = [
 _R10_NEW = [
     "clean_unicode_docs", "boilerplate_lines_docs",
     "shuffle_order_docs", "temperature_mixture_docs",
+    "winnow_signals_docs", "lexical_diversity_sources",
+    "script_profile_docs",
 ]
 
 # The r9-checked head, in its r9 head order (= CORRECTNESS_r09.json's

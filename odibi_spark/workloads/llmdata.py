@@ -2490,6 +2490,185 @@ QUERIES.update({"temperature_mixture_docs": temperature_mixture_docs})
 ORACLES.update({"temperature_mixture_docs": TEMPERATURE_MIXTURE_SQL})
 
 
+def winnow_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003 / MOSS) as a
+    per-doc duplication signal (r10): k=5 word-gram hashes, window=4
+    minima — the deterministic-guarantee counterpart of MinHash (any
+    shared run of >= 8 words shares a fingerprint). Emits the sketch
+    size and how many of the doc's fingerprints are shared with at
+    least one other document; short docs (< 8 words) report 0/0.
+    Portable md5-fold hashes, so DuckDB rebuilds the exact sketch."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    fps = dedup.winnow_fingerprints(docs, "doc_id", "text", k=5, window=4)
+    freq = fps.groupBy("fp").agg(
+        F.count_distinct("id").alias("nd")
+    )
+    per_doc = (
+        fps.join(freq, "fp")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fps"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("long").alias("n_shared_fps"),
+        )
+    )
+    return docs.join(per_doc, docs.doc_id == per_doc.id, "left").select(
+        "doc_id",
+        F.coalesce("n_fps", F.lit(0).cast("long")).alias("n_fps"),
+        F.coalesce("n_shared_fps", F.lit(0).cast("long"))
+        .alias("n_shared_fps"),
+    )
+
+
+WINNOW_SIGNALS_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws
+  FROM documents
+  WHERE len(string_split(trim(text), ' ')) >= 8
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ws) - 3), i ->
+           CAST(concat('0x', substring(
+             md5(array_to_string(ws[i:i+4], ' ')), 1, 15)) AS BIGINT)
+         ) AS gh
+  FROM w
+),
+f AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(gh) - 2),
+           i -> list_min(gh[i:i+3])))) AS fp
+  FROM g
+),
+fr AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM f GROUP BY fp),
+pd AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+         CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_fps
+  FROM f JOIN fr USING (fp) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(pd.n_fps, 0) AS BIGINT) AS n_fps,
+       CAST(COALESCE(pd.n_shared_fps, 0) AS BIGINT) AS n_shared_fps
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+QUERIES.update({"winnow_signals_docs": winnow_signals_docs})
+ORACLES.update({"winnow_signals_docs": WINNOW_SIGNALS_SQL})
+
+
+def lexical_diversity_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-diversity report (r10): token/type/hapax
+    counts, type-token ratio, hapax ratio — the corpus-QA numbers that
+    flag template spam (collapsing TTR) and OCR/mojibake noise
+    (exploding hapax ratio) before mixing."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return text.lexical_diversity(docs, "source", "text")
+
+
+LEXDIV_SQL = """
+WITH toks AS (
+  SELECT source, t.tok
+  FROM documents,
+       LATERAL unnest(string_split(trim(lower(text)), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+pt AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY source, tok)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT)
+         AS type_token_ratio,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS hapax_ratio
+FROM pt GROUP BY source
+"""
+
+QUERIES.update({"lexical_diversity_sources": lexical_diversity_sources})
+ORACLES.update({"lexical_diversity_sources": LEXDIV_SQL})
+
+
+# full-text substitutions so dominant_script actually varies (the
+# corpus is ASCII); real multi-script strings, built once and shared
+# with the SQL twin
+_SCRIPT_RU = "привет мир это простой русский текст для проверки"
+_SCRIPT_ZH = "这是一个用于测试的中文句子包含很多汉字"
+_SCRIPT_MIX = "αβγδε σλαμ سلام عليكم ورحمة الله plus latin tail"
+
+
+def script_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script triage (r10): doc_id % 4 selects all-Cyrillic /
+    all-Han / Greek+Arabic-mixed substitute texts (the corpus itself
+    is ASCII), then text.script_profile counts letters per script
+    class and elects the dominant script. Java regex \\p{IsX} and RE2
+    \\p{X} name the same Unicode Script property, so counts hash-match
+    across engines."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    staged = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 1, F.lit(_SCRIPT_RU))
+        .when(F.col("doc_id") % 4 == 2, F.lit(_SCRIPT_ZH))
+        .when(F.col("doc_id") % 4 == 3, F.lit(_SCRIPT_MIX))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = text.script_profile(staged, "text")
+    return out.select(
+        "doc_id", "script_latin", "script_cyrillic", "script_han",
+        "script_arabic", "script_greek", "script_letters", "script_other",
+        "dominant_script",
+    )
+
+
+def _script_profile_sql() -> str:
+    cnt = {
+        name: (
+            f"CAST(len(regexp_extract_all(text, '{re2}')) AS BIGINT)"
+        )
+        for name, _java, re2 in text.SCRIPT_CLASSES
+    }
+    known = " + ".join(f"script_{n}" for n in cnt)
+    # dominant: earlier list entries win ties (mirror the Spark fold)
+    dom = "'none'"
+    prev_names: list = []
+    for name in cnt:  # rebuild the running strictly-greater election
+        gt_prior = " AND ".join(
+            [f"script_{name} > script_{p}" for p in prev_names] + [f"script_{name} > 0"]
+        )
+        dom = f"CASE WHEN {gt_prior} THEN '{name}' ELSE {dom} END"
+        prev_names.append(name)
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 1 THEN '{_SCRIPT_RU}'
+              WHEN doc_id % 4 = 2 THEN '{_SCRIPT_ZH}'
+              WHEN doc_id % 4 = 3 THEN '{_SCRIPT_MIX}'
+              ELSE text END AS text
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         {", ".join(f"{e} AS script_{n}" for n, e in cnt.items())},
+         CAST(len(regexp_extract_all(text, '\\p{{L}}')) AS BIGINT)
+           AS script_letters
+  FROM c
+)
+SELECT doc_id, script_latin, script_cyrillic, script_han, script_arabic,
+       script_greek, script_letters,
+       CAST(script_letters - ({known}) AS BIGINT) AS script_other,
+       {dom} AS dominant_script
+FROM s
+"""
+
+
+QUERIES.update({"script_profile_docs": script_profile_docs})
+ORACLES.update({"script_profile_docs": _script_profile_sql()})
+
+
 def cms_incremental_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-batch incremental CMS replay under the correctness gate:
     fold the even-doc_id batch then the odd-doc_id batch into a

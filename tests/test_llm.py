@@ -797,6 +797,104 @@ class TestRemoveBoilerplateLines:
         assert out[0] == "body one" and out[1] == "body two"
 
 
+class TestWinnowFingerprints:
+    """Schleimer et al. 2003 winnowing: deterministic local
+    fingerprinting with a guaranteed match-length floor."""
+
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+        )
+
+    def test_shared_long_run_guarantees_shared_fp(self, spark):
+        """The winnowing guarantee: docs sharing >= window+k-1 = 8
+        consecutive words share at least one fingerprint."""
+        from odibi_spark.llm.dedup import winnow_fingerprints
+
+        run = "one two three four five six seven eight"
+        docs = self._docs(spark, [
+            f"alpha beta {run} gamma delta",
+            f"zeta eta theta {run}",
+            "totally different words everywhere nothing shared here at all",
+        ])
+        fps = winnow_fingerprints(docs, k=5, window=4)
+        by_doc: dict = {i: set() for i in range(3)}
+        for r in fps.collect():
+            by_doc[r.id].add(r.fp)
+        assert by_doc[0] & by_doc[1]          # shared run -> shared fp
+        assert not (by_doc[0] & by_doc[2])    # disjoint text -> none
+
+    def test_sketch_is_smaller_than_gram_set(self, spark):
+        from odibi_spark.llm.dedup import winnow_fingerprints
+
+        words = " ".join(f"w{i}" for i in range(100))
+        fps = winnow_fingerprints(self._docs(spark, [words]), k=5, window=4)
+        n = fps.count()
+        assert 0 < n < 96  # 96 grams; winnowed sketch must compress
+
+    def test_short_docs_emit_nothing(self, spark):
+        from odibi_spark.llm.dedup import winnow_fingerprints
+
+        fps = winnow_fingerprints(
+            self._docs(spark, ["only seven words live in here now"]),
+            k=5, window=4,
+        )
+        assert fps.count() == 0
+
+    def test_deterministic_across_partitionings(self, spark):
+        from odibi_spark.llm.dedup import winnow_fingerprints
+
+        texts = [" ".join(f"t{(i * 7 + j) % 23}" for j in range(40))
+                 for i in range(12)]
+        a = set(map(tuple, winnow_fingerprints(
+            self._docs(spark, texts).repartition(1)).collect()))
+        b = set(map(tuple, winnow_fingerprints(
+            self._docs(spark, texts).repartition(5)).collect()))
+        assert a == b
+
+
+class TestLexicalDiversity:
+    def test_counts_and_ratios(self, spark):
+        from odibi_spark.llm.text import lexical_diversity
+
+        docs = spark.createDataFrame([
+            Row(source="a", text="x x y z"),
+            Row(source="a", text="x w"),
+            Row(source="b", text="q q q q"),
+        ])
+        out = {r.source: r for r in lexical_diversity(docs).collect()}
+        # source a: tokens x,x,y,z,x,w -> 6 tokens, 4 types, hapax y/z/w
+        assert out["a"].n_tokens == 6 and out["a"].n_types == 4
+        assert out["a"].n_hapax == 3
+        assert out["a"].type_token_ratio == 4 / 6
+        assert out["a"].hapax_ratio == 3 / 4
+        # source b: one type, no hapax
+        assert out["b"].n_types == 1 and out["b"].n_hapax == 0
+
+
+class TestScriptProfile:
+    def test_counts_and_dominant(self, spark):
+        from odibi_spark.llm.text import script_profile
+
+        docs = spark.createDataFrame([
+            Row(doc_id=1, text="hello world"),
+            Row(doc_id=2, text="привет мир"),
+            Row(doc_id=3, text="中文 text here"),
+            Row(doc_id=4, text="12345 !!!"),
+            Row(doc_id=5, text="한국어"),  # known letters, unknown script
+        ])
+        out = {r.doc_id: r for r in script_profile(docs).collect()}
+        assert out[1].dominant_script == "latin"
+        assert out[2].dominant_script == "cyrillic"
+        assert out[2].script_cyrillic == 9
+        assert out[3].script_han == 2
+        assert out[3].dominant_script == "latin"  # 8 latin > 2 han
+        assert out[4].dominant_script == "none"
+        assert out[4].script_letters == 0
+        assert out[5].dominant_script == "none"
+        assert out[5].script_other == 3 and out[5].script_letters == 3
+
+
 class TestGlobalShuffle:
     def test_permutation_properties(self, spark):
         from odibi_spark.llm.curation import global_shuffle
