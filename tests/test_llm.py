@@ -1153,6 +1153,7 @@ def test_full_curation_example_yaml_runs(spark, tmp_path):
         "pps_subsample", "eval_pool", "long_docs", "vocab_overlap",
         "takedown_list", "publishable_docs", "fuzzy_clean_docs",
         "dsir_selected", "embedding_dedup", "training_shards",
+        "source_quality_report", "script_gated_docs", "mixed_shuffled_docs",
     ):
         assert results[node].status == "success", (node, results[node].error)
     chunks = spark.read.parquet(str(tmp_path / "chunks"))
@@ -1206,6 +1207,16 @@ def test_full_curation_example_yaml_runs(spark, tmp_path):
     with _tarfile.open(shard0) as tar:
         names = tar.getnames()
     assert names and all(n.rsplit(".", 1)[1] in ("txt", "json") for n in names)
+    # r10 tail: corpus-QA report, script gate (ASCII corpus -> all
+    # latin survive), temperature mix + deterministic global shuffle
+    qa = spark.read.parquet(str(tmp_path / "source_qa"))
+    assert {"n_tokens", "n_types", "type_token_ratio"} <= set(qa.columns)
+    assert qa.count() > 0
+    gated = spark.read.parquet(str(tmp_path / "script_gated"))
+    assert gated.count() == clean.count()  # ASCII corpus: all latin
+    mixed = spark.read.parquet(str(tmp_path / "mixed"))
+    idxs = sorted(r.shuffle_idx for r in mixed.select("shuffle_idx").collect())
+    assert idxs == list(range(1, mixed.count() + 1))  # a true permutation
 
 
 class TestIncrementalDedup:
