@@ -75,46 +75,72 @@ def kmv_distinct_by(
     h = df.select(
         F.col(group_col), portable_hash60(F.col(value_col)).alias("__h")
     )
+    sd = None
     if prefilter:
-        thr = h.groupBy(group_col).agg(
-            F.approx_count_distinct("__h").alias("__n")
-        ).select(
-            group_col,
-            F.when(F.col("__n") <= margin * k, F.lit(TWO60))
-            .otherwise(
-                F.floor(
-                    F.lit(float(TWO60)) * (margin * k) / F.col("__n")
-                ).cast("long")
-            )
-            .alias("__thr"),
-        )
-        surv = (
-            h.join(F.broadcast(thr), group_col)
-            .filter(F.col("__h") < F.col("__thr"))
-            .select(group_col, "__h", "__thr")
-        )
-        sd = surv.groupBy(group_col, "__h").agg(F.first("__thr").alias("__thr"))
-        # validation: a FILTERED group must keep >= k distinct hashes,
-        # else the k-min set may be incomplete -> rebuild those groups
-        # unfiltered (margin 16 over a 5%-rsd HLL makes this ~never)
-        counts = sd.groupBy(group_col).agg(
-            F.count(F.lit(1)).alias("__d"), F.min("__thr").alias("__thr")
-        )
-        bad = [
-            r[0]
-            for r in counts.filter(
-                (F.col("__thr") < TWO60) & (F.col("__d") < k)
-            ).select(group_col).collect()
-        ]
-        sd = sd.select(group_col, "__h")
-        if bad:
-            redo = (
-                h.filter(F.col(group_col).isin(bad))
-                .select(group_col, "__h")
+        # O(groups) driver collect of the HLL estimates; thresholds
+        # computed here so groups small enough to skip filtering
+        # (n <= margin*k) cost NOTHING extra — no join, no validation
+        est = {
+            r[0]: int(r[1])
+            for r in h.groupBy(group_col)
+            .agg(F.approx_count_distinct("__h").alias("__n"))
+            .collect()
+        }
+        thr = {
+            g: int(float(TWO60) * (margin * k) / n)
+            for g, n in est.items()
+            if n > margin * k
+        }
+        if thr:
+            if len(thr) <= 64:  # literal predicate: zero extra plan nodes
+                cond = F.lit(False)
+                for g, t in sorted(thr.items()):  # filtered groups only
+                    cond = cond | (
+                        (F.col(group_col) == F.lit(g))
+                        & (F.col("__h") < F.lit(t))
+                    )
+                cond = cond | ~F.col(group_col).isin(list(thr))
+                filtered = h.filter(cond)
+            else:  # many filtered groups: broadcast the threshold table
+                tdf = df.sparkSession.createDataFrame(
+                    sorted(thr.items()), f"{group_col} string, __thr long"
+                )
+                filtered = (
+                    h.join(F.broadcast(tdf), group_col, "left")
+                    .filter(
+                        F.col("__thr").isNull()
+                        | (F.col("__h") < F.col("__thr"))
+                    )
+                )
+            # pin the survivor set (bounded: filtered groups keep
+            # ~margin*k distinct hashes, unfiltered groups had
+            # n <= margin*k to begin with) — the validation count and
+            # the final window would otherwise both recompute the scan
+            sd = (
+                filtered.select(group_col, "__h")
                 .distinct()
+                .localCheckpoint(eager=True)
             )
-            sd = sd.filter(~F.col(group_col).isin(bad)).unionByName(redo)
-    else:
+            # validation: a FILTERED group must keep >= k distinct
+            # hashes, else its k-min set may be incomplete -> rebuild
+            # those groups unfiltered (margin 16 over a 5%-rsd HLL
+            # makes this ~never)
+            counts = {
+                r[0]: int(r[1])
+                for r in sd.filter(F.col(group_col).isin(list(thr)))
+                .groupBy(group_col)
+                .agg(F.count(F.lit(1)).alias("__d"))
+                .collect()
+            }
+            bad = [g for g in thr if counts.get(g, 0) < k]
+            if bad:
+                redo = (
+                    h.filter(F.col(group_col).isin(bad))
+                    .select(group_col, "__h")
+                    .distinct()
+                )
+                sd = sd.filter(~F.col(group_col).isin(bad)).unionByName(redo)
+    if sd is None:
         sd = h.select(group_col, "__h").distinct()
     w = Window.partitionBy(group_col).orderBy("__h")
     ranked = sd.withColumn("__rn", F.row_number().over(w)).filter(
@@ -195,6 +221,10 @@ def kmv_overlap(
             threshold = int(float(TWO60) * (margin * k) / n_min)
     surv = build(threshold)
     if threshold is not None:
+        # pin the survivor set (bounded ~margin*k*(n_union/n_min) rows):
+        # the three k-min scans + the validation aggregate would
+        # otherwise each recompute the full tagged-hash pipeline
+        surv = surv.localCheckpoint(eager=True)
         chk = surv.agg(
             F.count(F.lit(1)).alias("du"),
             F.sum("__a").alias("da"),
