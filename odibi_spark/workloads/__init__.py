@@ -143,11 +143,19 @@ if _unknown_rotate:  # fail loudly: a stale queue would silently shrink
         f"rotation queue names unknown workloads: {sorted(_unknown_rotate)}"
     )
 
-_HEAD = [
-    k for k in _R10_ROTATE_IN + _R10_NEW + _R9_CHECKED_HEAD
-    if k in _ALL_QUERIES
-][:50]
-_R11_ROTATE_IN = [k for k in _R9_CHECKED_HEAD if k not in set(_HEAD)]
+# Head assembly (self-balancing): never-driver-checked NEW workloads
+# are guaranteed a slot; the rotate-in queue fills the rest and its
+# displaced TAIL rolls into next round's queue (the r9 convention);
+# if room remains, refresh from the r9-checked head in its r9 order.
+_rotate_room = max(0, 50 - len(_R10_NEW))
+_HEAD = (
+    _R10_ROTATE_IN[:_rotate_room] + _R10_NEW + _R9_CHECKED_HEAD
+)[:50]
+# next round's queue: the displaced rotate tail FIRST (oldest checked,
+# already overdue), then the r9-checked head remainder
+_R11_ROTATE_IN = _R10_ROTATE_IN[_rotate_room:] + [
+    k for k in _R9_CHECKED_HEAD if k not in set(_HEAD)
+]
 _ORDER = _HEAD + [k for k in _ALL_QUERIES if k not in set(_HEAD)]
 QUERIES = {k: _ALL_QUERIES[k] for k in _ORDER}
 ORACLES = {k: _ALL_ORACLES[k] for k in _ORDER if k in _ALL_ORACLES}
