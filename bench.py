@@ -574,6 +574,7 @@ def main() -> None:
         "boilerplate_lines_docs", "shuffle_order_docs",
         "temperature_mixture_docs", "winnow_signals_docs",
         "lexical_diversity_sources", "script_profile_docs",
+        "bpe_merge_candidates", "corpus_datacard",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(

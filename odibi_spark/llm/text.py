@@ -499,6 +499,56 @@ def script_profile(
     return out.withColumn("dominant_script", dominant)
 
 
+def bpe_pair_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    top_k: int = 20,
+    lowercase: bool = True,
+) -> DataFrame:
+    """The first iteration of byte-pair-encoding tokenizer training at
+    corpus scale (Sennrich et al. 2016): word frequencies, then
+    adjacent character-pair counts weighted by word frequency — the
+    statistics the first BPE merge is chosen from. Returns the top
+    ``top_k`` (pair, pair_count) rows, count-desc with a
+    deterministic pair tiebreak.
+
+    Scale shape: the corpus collapses to its VOCABULARY first (one
+    token groupBy, map-side partials — at 100 TB the vocab is
+    millions, not trillions), then pairs explode off the vocab table
+    weighted by the word counts, one more bounded groupBy, and the
+    top-k is TakeOrderedAndProject. An iterative trainer would loop
+    merge -> re-pair on the vocab table only; this exposes the
+    per-iteration statistics primitive.
+    """
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    words = (
+        df.select(F.explode(F.split(F.trim(t), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    # length-1 words first: sequence(1, 0) would count DOWN ([1, 0])
+    # and fabricate pairs from empty substrings
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), i -> "
+                "concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))"
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(top_k)
+    )
+
+
 def ngram_lm_scores(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -543,6 +543,21 @@ def quantize_embeddings_transform(
     return ctx.with_df(out)
 
 
+@transform("bpe_pairs")
+def bpe_pairs_transform(
+    ctx: EngineContext,
+    *,
+    text_col: str = "text",
+    top_k: int = 20,
+    lowercase: bool = True,
+) -> EngineContext:
+    """First-iteration BPE merge statistics (text.bpe_pair_stats):
+    top-k adjacent character pairs weighted by word frequency."""
+    return ctx.with_df(
+        text.bpe_pair_stats(ctx.df, text_col, top_k=top_k, lowercase=lowercase)
+    )
+
+
 @transform("winnow_fingerprints")
 def winnow_fingerprints_transform(
     ctx: EngineContext,

@@ -125,7 +125,7 @@ _R10_NEW = [
     "clean_unicode_docs", "boilerplate_lines_docs",
     "shuffle_order_docs", "temperature_mixture_docs",
     "winnow_signals_docs", "lexical_diversity_sources",
-    "script_profile_docs",
+    "script_profile_docs", "bpe_merge_candidates", "corpus_datacard",
 ]
 
 # The r9-checked head, in its r9 head order (= CORRECTNESS_r09.json's

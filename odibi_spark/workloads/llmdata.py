@@ -2669,6 +2669,133 @@ QUERIES.update({"script_profile_docs": script_profile_docs})
 ORACLES.update({"script_profile_docs": _script_profile_sql()})
 
 
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-iteration BPE tokenizer-training statistics (r10,
+    Sennrich et al. 2016): the corpus collapses to its vocabulary,
+    adjacent character pairs explode off the vocab table weighted by
+    word frequency, and the top-20 merge candidates come back
+    count-desc with a deterministic pair tiebreak."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    return text.bpe_pair_stats(docs, "text", top_k=20)
+
+
+BPE_PAIRS_SQL = """
+WITH words AS (
+  SELECT t.w, COUNT(*) AS wc
+  FROM documents,
+       LATERAL unnest(string_split(trim(lower(text)), ' ')) AS t(w)
+  WHERE t.w <> '' GROUP BY t.w
+),
+pairs AS (
+  SELECT p.pair, wc
+  FROM words,
+       LATERAL unnest(list_transform(range(1, length(w)),
+         i -> w[i:i] || ' ' || w[i+1:i+1])) AS p(pair)
+  WHERE length(w) >= 2
+)
+SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair ASC
+LIMIT 20
+"""
+
+QUERIES.update({"bpe_merge_candidates": bpe_merge_candidates})
+ORACLES.update({"bpe_merge_candidates": BPE_PAIRS_SQL})
+
+
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus data card (r10) — the summary block a dataset
+    release ships: doc/source/lang counts, exact token and char
+    totals, exact-duplicate rate, Gopher pass rate (min_words=20 for
+    this corpus), and doc-length percentiles. A composition query:
+    every number reuses an already-oracled operator; the final 1-row
+    aggregate is an ALLOWED SinglePartition (scalar summary)."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    flagged = text.gopher_quality_flags(docs, "text", min_words=20)
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    n_tokens = toks.count()  # O(1) driver scalar, injected as literal
+    dup_docs = (
+        docs.groupBy(F.md5("text"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter("c > 1")
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("extra"))
+        .first()["extra"]
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.lit(int(n_tokens)).cast("long").alias("n_tokens"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.lit(int(dup_docs)).cast("long").alias("n_exact_dup_docs"),
+        F.sum(F.when(F.col("gopher_keep"), 1).otherwise(0))
+        .cast("long").alias("n_gopher_pass"),
+        # interpolated percentiles: Spark `percentile` == DuckDB
+        # `quantile_cont` (the percentiles_by_source convention)
+        F.expr("percentile(n_chars, 0.5)").alias("len_p50"),
+        F.expr("percentile(n_chars, 0.9)").alias("len_p90"),
+    )
+
+
+def _datacard_sql() -> str:
+    # reuse the gopher rule bundle CTEs (identical thresholds at
+    # min_words=20) for the pass count
+    return """
+WITH w AS (
+  SELECT doc_id, n_chars, string_split(trim(lower(text)), ' ') AS ws,
+         length(text) AS txt_len,
+         CAST(len(regexp_extract_all(text, '#')) AS INTEGER)
+           + CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS INTEGER)
+           AS symbol_hits
+  FROM documents
+),
+gf AS (
+  SELECT doc_id, n_chars, txt_len,
+         (CAST(len(ws) AS INTEGER) >= 20
+          AND CAST(len(ws) AS INTEGER) <= 100000
+          AND CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+              / len(ws) BETWEEN 3.0 AND 10.0
+          AND CAST(symbol_hits AS DOUBLE) / len(ws) <= 0.1
+          AND CAST(len(list_filter(ws, x -> regexp_matches(x, '\\p{L}')))
+                   AS DOUBLE) / len(ws) >= 0.8
+          AND CAST(len(list_filter(ws,
+                x -> x IN ('the','be','to','of','and','that','have','with')))
+                   AS INTEGER) >= 2) AS gopher_keep
+  FROM w
+),
+tok AS (
+  SELECT COUNT(*) AS n_tokens
+  FROM documents,
+       LATERAL unnest(string_split(trim(lower(text)), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+dup AS (
+  SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS n_exact_dup_docs
+  FROM (SELECT md5(text) AS h, COUNT(*) AS c FROM documents
+        GROUP BY md5(text) HAVING COUNT(*) > 1)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs,
+       CAST((SELECT n_tokens FROM tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(gf.txt_len) AS BIGINT) AS n_chars,
+       (SELECT n_exact_dup_docs FROM dup) AS n_exact_dup_docs,
+       CAST(SUM(CASE WHEN gf.gopher_keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gopher_pass,
+       quantile_cont(d.n_chars, 0.5) AS len_p50,
+       quantile_cont(d.n_chars, 0.9) AS len_p90
+FROM documents d JOIN gf USING (doc_id)
+"""
+
+
+QUERIES.update({"corpus_datacard": corpus_datacard})
+ORACLES.update({"corpus_datacard": _datacard_sql()})
+
+
 def cms_incremental_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-batch incremental CMS replay under the correctness gate:
     fold the even-doc_id batch then the odd-doc_id batch into a

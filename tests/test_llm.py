@@ -895,6 +895,42 @@ class TestScriptProfile:
         assert out[5].script_other == 3 and out[5].script_letters == 3
 
 
+class TestBpePairStats:
+    def test_counts_weighted_by_word_frequency(self, spark):
+        from odibi_spark.llm.text import bpe_pair_stats
+
+        docs = spark.createDataFrame([
+            Row(doc_id=1, text="aba aba cd"),
+            Row(doc_id=2, text="aba x"),
+        ])
+        out = {r.pair: r.pair_count
+               for r in bpe_pair_stats(docs, top_k=10).collect()}
+        # 'aba' occurs 3x -> pairs 'a b' and 'b a' 3 each; 'cd' once;
+        # single-char 'x' contributes nothing
+        assert out["a b"] == 3 and out["b a"] == 3 and out["c d"] == 1
+        assert "x" not in " ".join(out)
+
+    def test_top_k_and_deterministic_tiebreak(self, spark):
+        from odibi_spark.llm.text import bpe_pair_stats
+
+        docs = spark.createDataFrame([Row(doc_id=1, text="ab cd ab cd ef")])
+        rows = bpe_pair_stats(docs, top_k=2).collect()
+        assert [(r.pair, r.pair_count) for r in rows] == [
+            ("a b", 2), ("c d", 2),  # count desc, then pair asc
+        ]
+
+    def test_lowercase_folding(self, spark):
+        from odibi_spark.llm.text import bpe_pair_stats
+
+        docs = spark.createDataFrame([Row(doc_id=1, text="AB ab")])
+        out = {r.pair: r.pair_count
+               for r in bpe_pair_stats(docs, top_k=5).collect()}
+        assert out == {"a b": 2}
+        raw = {r.pair: r.pair_count
+               for r in bpe_pair_stats(docs, top_k=5, lowercase=False).collect()}
+        assert raw == {"A B": 1, "a b": 1}
+
+
 class TestGlobalShuffle:
     def test_permutation_properties(self, spark):
         from odibi_spark.llm.curation import global_shuffle

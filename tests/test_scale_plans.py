@@ -479,6 +479,7 @@ class TestNoUndocumentedSinglePartition:
         "q6_forecast_revenue", "q14_promo_revenue",
         "q17_small_quantity_revenue", "q19_bracket_revenue",
         "corpus_overlap_halves",  # 1-row sketch profile
+        "corpus_datacard",  # 1-row corpus summary (scalar aggregate)
         "lm_quality_docs",  # 1-row (N, V) totals broadcast to scorer
         "bm25_search_docs",  # 1-row (N, avgdl) totals broadcast to scorer
         "source_kl_docs",  # 1-row corpus-total N broadcast to the KL terms
