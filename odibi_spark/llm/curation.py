@@ -651,6 +651,47 @@ def global_shuffle(
     return out.drop("__sk")
 
 
+def winsorize(
+    df: DataFrame,
+    col: str,
+    *,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    group_col: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Percentile-clamp outliers (winsorization) — the standard
+    pre-step before any mean/variance-based quality score or length
+    normalization: values below the ``lower`` or above the ``upper``
+    interpolated percentile (optionally per ``group_col``) are clamped
+    to the boundary, never dropped (dropping is a sampling decision;
+    clamping is a robustness one).
+
+    Plan: ONE aggregate computes both bounds (per group or globally
+    joined back as a broadcast/literal), then a map-side
+    least/greatest clamp — no sort of the data itself. Spark
+    ``percentile`` == DuckDB ``quantile_cont`` (same interpolation),
+    so clamped outputs hash-match cross-engine.
+    """
+    if not (0.0 <= lower < upper <= 1.0):
+        raise ValueError("need 0 <= lower < upper <= 1")
+    out_col = out_col or col
+    bounds_exprs = [
+        F.expr(f"percentile({col}, {float(lower)})").alias("__lo"),
+        F.expr(f"percentile({col}, {float(upper)})").alias("__hi"),
+    ]
+    src = F.col(col).cast("double")
+    if group_col:
+        bounds = df.groupBy(group_col).agg(*bounds_exprs)
+        joined = df.join(F.broadcast(bounds), group_col)
+        clamped = F.least(F.greatest(src, F.col("__lo")), F.col("__hi"))
+        return joined.withColumn(out_col, clamped).drop("__lo", "__hi")
+    row = df.agg(*bounds_exprs).first()
+    lo, hi = float(row["__lo"]), float(row["__hi"])
+    clamped = F.least(F.greatest(src, F.lit(lo)), F.lit(hi))
+    return df.withColumn(out_col, clamped)
+
+
 def mixture_fractions(
     df: DataFrame,
     weights: dict[str, float],

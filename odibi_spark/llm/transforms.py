@@ -543,6 +543,28 @@ def quantize_embeddings_transform(
     return ctx.with_df(out)
 
 
+@transform("winsorize")
+def winsorize_transform(
+    ctx: EngineContext,
+    *,
+    column: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    group_col: str | None = None,
+    out_col: str | None = None,
+) -> EngineContext:
+    """Percentile-clamp outliers (curation.winsorize): one bounds
+    aggregate + a map-side least/greatest clamp."""
+    from odibi_spark.llm import curation
+
+    return ctx.with_df(
+        curation.winsorize(
+            ctx.df, column,
+            lower=lower, upper=upper, group_col=group_col, out_col=out_col,
+        )
+    )
+
+
 @transform("bpe_pairs")
 def bpe_pairs_transform(
     ctx: EngineContext,

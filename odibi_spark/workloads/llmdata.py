@@ -2796,6 +2796,38 @@ QUERIES.update({"corpus_datacard": corpus_datacard})
 ORACLES.update({"corpus_datacard": _datacard_sql()})
 
 
+def winsorize_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorized doc lengths (r10): n_chars clamped to the
+    per-source [p05, p95] interpolated percentiles — the robustness
+    pre-step before any mean/variance length normalization. ONE
+    aggregate computes both bounds per source; the clamp is map-side.
+    Spark percentile == DuckDB quantile_cont, so the clamped doubles
+    hash-match."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    out = curation.winsorize(
+        docs, "n_chars", lower=0.05, upper=0.95,
+        group_col="source", out_col="n_chars_w",
+    )
+    return out.select("doc_id", "source", "n_chars", "n_chars_w")
+
+
+WINSORIZE_SQL = """
+WITH b AS (
+  SELECT source,
+         quantile_cont(n_chars, 0.05) AS lo,
+         quantile_cont(n_chars, 0.95) AS hi
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_chars,
+       LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), b.lo), b.hi) AS n_chars_w
+FROM documents d JOIN b USING (source)
+"""
+
+QUERIES.update({"winsorize_doc_lengths": winsorize_doc_lengths})
+ORACLES.update({"winsorize_doc_lengths": WINSORIZE_SQL})
+
+
 def cms_incremental_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-batch incremental CMS replay under the correctness gate:
     fold the even-doc_id batch then the odd-doc_id batch into a

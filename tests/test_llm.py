@@ -895,6 +895,43 @@ class TestScriptProfile:
         assert out[5].script_other == 3 and out[5].script_letters == 3
 
 
+class TestWinsorize:
+    def test_clamps_to_percentile_bounds(self, spark):
+        from odibi_spark.llm.curation import winsorize
+
+        rows = [Row(g="a", v=float(x)) for x in range(1, 101)]
+        df = spark.createDataFrame(rows)
+        out = winsorize(df, "v", lower=0.10, upper=0.90, out_col="w")
+        vals = [r.w for r in out.collect()]
+        # interpolated p10/p90 over 1..100 = 10.9 / 90.1
+        assert min(vals) == pytest.approx(10.9)
+        assert max(vals) == pytest.approx(90.1)
+        inner = [r for r in out.collect() if 11 <= r.v <= 90]
+        assert all(r.w == r.v for r in inner)  # interior untouched
+
+    def test_per_group_bounds(self, spark):
+        from odibi_spark.llm.curation import winsorize
+
+        rows = [Row(g="small", v=float(x)) for x in range(1, 11)] + \
+               [Row(g="big", v=float(x * 100)) for x in range(1, 11)]
+        out = winsorize(
+            spark.createDataFrame(rows), "v",
+            lower=0.0, upper=0.5, group_col="g", out_col="w",
+        )
+        by = {}
+        for r in out.collect():
+            by.setdefault(r.g, []).append(r.w)
+        assert max(by["small"]) == pytest.approx(5.5)   # p50 of 1..10
+        assert max(by["big"]) == pytest.approx(550.0)
+
+    def test_validation(self, spark):
+        from odibi_spark.llm.curation import winsorize
+
+        df = spark.createDataFrame([Row(v=1.0)])
+        with pytest.raises(ValueError, match="lower < upper"):
+            winsorize(df, "v", lower=0.9, upper=0.1)
+
+
 class TestBpePairStats:
     def test_counts_weighted_by_word_frequency(self, spark):
         from odibi_spark.llm.text import bpe_pair_stats
