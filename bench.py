@@ -575,7 +575,7 @@ def main() -> None:
         "temperature_mixture_docs", "winnow_signals_docs",
         "lexical_diversity_sources", "script_profile_docs",
         "bpe_merge_candidates", "corpus_datacard",
-        "winsorize_doc_lengths",
+        "winsorize_doc_lengths", "mmr_diverse_topk",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(

@@ -879,6 +879,113 @@ def random_projection(
     )
 
 
+def mmr_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 5,
+    n_candidates: int = 10,
+    lam: float = 0.5,
+    query_ids: list[int] | None = None,
+    query_filter: str | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance diverse reranking (Carbonell &
+    Goldstein 1998): per query, greedily pick k results from the
+    top-``n_candidates`` cosine candidates, each step maximizing
+    ``lam * relevance - (1 - lam) * max_similarity_to_already_picked``
+    — the standard redundancy-vs-relevance trade for retrieval and for
+    diverse few-shot/example selection in training-data pipelines.
+
+    Returns (query_id, nbr_id, mmr_rank, mmr_score); step 1's score is
+    the pure relevance (nothing picked yet), ties break on the smaller
+    neighbour id at every step.
+
+    Scale shape: candidate generation is :func:`cosine_topk` (bounded
+    n_candidates per query); pairwise candidate similarities are a
+    per-query join bounded by n_candidates^2; the greedy selection is
+    inherently sequential IN k but embarrassingly parallel ACROSS
+    queries — a cogrouped ``applyInPandas`` (Arrow-batched, one group
+    per query, group size <= n_candidates + n_candidates^2 rows).
+    Relevances and similarities are rounded to ``round_digits``
+    JVM-side before the Python step, so the greedy argmax compares the
+    exact same doubles a differential oracle sees — selections (and
+    scores: one multiply-subtract per step) are bit-stable
+    cross-engine.
+    """
+    import pandas as pd
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    cands = cosine_topk(
+        df, id_col, vec_col,
+        query_ids=query_ids, query_filter=query_filter,
+        k=n_candidates, round_digits=round_digits,
+    )
+    vecs = df.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+    with_vec = cands.join(
+        vecs, cands.nbr_id == vecs.__vid
+    ).select("query_id", "nbr_id", "cosine", "__v")
+    a, b = with_vec.alias("a"), with_vec.alias("b")
+    sims = (
+        a.join(b, F.col("a.query_id") == F.col("b.query_id"))
+        .filter(F.col("a.nbr_id") != F.col("b.nbr_id"))
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.nbr_id").alias("sa"),
+            F.col("b.nbr_id").alias("sb"),
+            F.round(
+                _dot("a.__v", "b.__v") / (_norm("a.__v") * _norm("b.__v")),
+                round_digits,
+            ).alias("sim"),
+        )
+    )
+    lam_, k_ = float(lam), int(k)
+
+    def greedy(cand_pdf: pd.DataFrame, sim_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty:
+            return pd.DataFrame(
+                columns=["query_id", "nbr_id", "mmr_rank", "mmr_score"]
+            )
+        qid = int(cand_pdf["query_id"].iloc[0])
+        rel = dict(zip(cand_pdf["nbr_id"], cand_pdf["cosine"]))
+        sim = {
+            (int(r.sa), int(r.sb)): float(r.sim)
+            for r in sim_pdf.itertuples()
+        }
+        selected: list[int] = []
+        rows = []
+        while len(selected) < min(k_, len(rel)):
+            best = None
+            for cid, r in rel.items():
+                cid = int(cid)
+                if cid in selected:
+                    continue
+                if not selected:
+                    score = float(r)
+                else:
+                    pen = max(sim[(cid, s)] for s in selected)
+                    score = lam_ * float(r) - (1.0 - lam_) * pen
+                key = (score, -cid)
+                if best is None or key > best[0]:
+                    best = (key, cid, score)
+            selected.append(best[1])
+            rows.append((qid, best[1], len(selected), best[2]))
+        return pd.DataFrame(
+            rows, columns=["query_id", "nbr_id", "mmr_rank", "mmr_score"]
+        )
+
+    return (
+        cands.groupBy("query_id")
+        .cogroup(sims.groupBy("query_id"))
+        .applyInPandas(
+            greedy,
+            "query_id long, nbr_id long, mmr_rank int, mmr_score double",
+        )
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     *,

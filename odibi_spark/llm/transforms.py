@@ -543,6 +543,28 @@ def quantize_embeddings_transform(
     return ctx.with_df(out)
 
 
+@transform("mmr_rerank")
+def mmr_rerank_transform(
+    ctx: EngineContext,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_candidates: int = 10,
+    lam: float = 0.5,
+    query_filter: str | None = None,
+) -> EngineContext:
+    """MMR diverse top-k (similarity.mmr_topk): greedy
+    relevance-vs-redundancy reranking of the cosine candidates."""
+    return ctx.with_df(
+        similarity.mmr_topk(
+            ctx.df, id_col, vec_col,
+            k=k, n_candidates=n_candidates, lam=lam,
+            query_filter=query_filter,
+        )
+    )
+
+
 @transform("winsorize")
 def winsorize_transform(
     ctx: EngineContext,

@@ -126,7 +126,7 @@ _R10_NEW = [
     "shuffle_order_docs", "temperature_mixture_docs",
     "winnow_signals_docs", "lexical_diversity_sources",
     "script_profile_docs", "bpe_merge_candidates", "corpus_datacard",
-    "winsorize_doc_lengths",
+    "winsorize_doc_lengths", "mmr_diverse_topk",
 ]
 
 # The r9-checked head, in its r9 head order (= CORRECTNESS_r09.json's

@@ -2828,6 +2828,95 @@ QUERIES.update({"winsorize_doc_lengths": winsorize_doc_lengths})
 ORACLES.update({"winsorize_doc_lengths": WINSORIZE_SQL})
 
 
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diverse reranking (r10, Carbonell & Goldstein 1998) under
+    the FULL hash gate: for queries vec_id < 20, greedily pick 5 of
+    the top-10 cosine candidates maximizing lam*rel - (1-lam)*max-sim
+    -to-picked (lam=0.5). The greedy loop runs as a cogrouped
+    applyInPandas over JVM-rounded doubles; the DuckDB twin replays
+    the identical greedy via a RECURSIVE CTE with a lexicographic
+    struct-max argmax — selections AND scores hash-match, proving the
+    Python step is a deterministic function of the rounded inputs,
+    not a best-effort heuristic."""
+    _prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings", cpu_heavy=True)
+    return similarity.mmr_topk(
+        emb, "vec_id", "embedding",
+        k=5, n_candidates=10, lam=0.5, query_filter="vec_id < 20",
+    )
+
+
+MMR_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS nbr_id, CAST(embedding AS DOUBLE[]) AS nv
+      FROM embeddings),
+scored AS (
+  SELECT query_id, nbr_id, qv, nv,
+         round(list_dot_product(qv, nv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(nv, nv))), 6) AS cosine
+  FROM q JOIN c ON nbr_id <> query_id
+),
+cand AS (
+  SELECT query_id, nbr_id, cosine, nv
+  FROM (
+    SELECT query_id, nbr_id, cosine, nv,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, nbr_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= 10
+),
+sims AS (
+  SELECT a.query_id, a.nbr_id AS sa, b.nbr_id AS sb,
+         round(list_dot_product(a.nv, b.nv)
+               / (sqrt(list_dot_product(a.nv, a.nv))
+                  * sqrt(list_dot_product(b.nv, b.nv))), 6) AS sim
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.nbr_id <> b.nbr_id
+),
+g AS (
+  WITH RECURSIVE gr AS (
+    SELECT query_id, 1 AS mmr_rank,
+           -((max(struct_pack(sc := cosine, nid := -nbr_id))).nid)
+             AS nbr_id,
+           (max(struct_pack(sc := cosine, nid := -nbr_id))).sc
+             AS mmr_score,
+           [-((max(struct_pack(sc := cosine, nid := -nbr_id))).nid)]
+             AS sel
+    FROM cand GROUP BY query_id
+    UNION ALL
+    SELECT query_id, mmr_rank + 1,
+           -((max(struct_pack(sc := mmr, nid := -nbr_id))).nid),
+           (max(struct_pack(sc := mmr, nid := -nbr_id))).sc,
+           list_append(sel,
+             -((max(struct_pack(sc := mmr, nid := -nbr_id))).nid))
+    FROM (
+      SELECT gr.query_id, gr.mmr_rank, gr.sel, cd.nbr_id,
+             0.5 * cd.cosine - 0.5 * (
+               SELECT MAX(s.sim) FROM sims s
+               WHERE s.query_id = cd.query_id AND s.sa = cd.nbr_id
+                 AND list_contains(gr.sel, s.sb)
+             ) AS mmr
+      FROM gr JOIN cand cd
+        ON cd.query_id = gr.query_id
+       AND NOT list_contains(gr.sel, cd.nbr_id)
+      WHERE gr.mmr_rank < 5
+    ) GROUP BY query_id, mmr_rank, sel
+  )
+  SELECT query_id, nbr_id, mmr_rank, mmr_score FROM gr
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(nbr_id AS BIGINT) AS nbr_id,
+       CAST(mmr_rank AS INTEGER) AS mmr_rank,
+       CAST(mmr_score AS DOUBLE) AS mmr_score
+FROM g
+"""
+
+QUERIES.update({"mmr_diverse_topk": mmr_diverse_topk})
+ORACLES.update({"mmr_diverse_topk": MMR_SQL})
+
+
 def cms_incremental_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-batch incremental CMS replay under the correctness gate:
     fold the even-doc_id batch then the odd-doc_id batch into a

@@ -895,6 +895,84 @@ class TestScriptProfile:
         assert out[5].script_other == 3 and out[5].script_letters == 3
 
 
+class TestMmrTopk:
+    """MMR diverse reranking (similarity.mmr_topk, r10)."""
+
+    def _emb(self, spark):
+        # two tight clusters + one outlier: pure relevance would pick
+        # the near-duplicates; MMR must interleave the far cluster
+        rows = [
+            Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),        # query
+            Row(vec_id=1, embedding=[0.99, 0.1, 0.0]),       # near A
+            Row(vec_id=2, embedding=[0.98, 0.12, 0.0]),      # near A dup
+            Row(vec_id=3, embedding=[0.7, -0.7, 0.0]),       # cluster B
+            Row(vec_id=4, embedding=[0.69, -0.71, 0.02]),    # B dup
+            Row(vec_id=5, embedding=[0.1, 0.1, 0.99]),       # outlier
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_diversity_beats_pure_relevance(self, spark):
+        from odibi_spark.llm.similarity import mmr_topk
+
+        out = mmr_topk(
+            self._emb(spark), "vec_id", "embedding",
+            k=3, n_candidates=5, lam=0.5, query_ids=[0],
+        ).orderBy("mmr_rank").collect()
+        picks = [r.nbr_id for r in out]
+        assert picks[0] == 1            # most relevant first
+        assert picks[1] != 2            # NOT the near-duplicate of 1
+        assert len(set(picks)) == 3
+        assert [r.mmr_rank for r in out] == [1, 2, 3]
+
+    def test_lam_one_is_pure_relevance(self, spark):
+        from odibi_spark.llm.similarity import cosine_topk, mmr_topk
+
+        emb = self._emb(spark)
+        mmr = mmr_topk(
+            emb, "vec_id", "embedding",
+            k=3, n_candidates=5, lam=1.0, query_ids=[0],
+        ).orderBy("mmr_rank").collect()
+        rel = cosine_topk(
+            emb, "vec_id", "embedding", query_ids=[0], k=3
+        ).orderBy("rank").collect()
+        assert [r.nbr_id for r in mmr] == [r.nbr_id for r in rel]
+
+    def test_partitioning_invariant(self, spark):
+        from odibi_spark.llm.similarity import mmr_topk
+
+        emb = self._emb(spark)
+        a = mmr_topk(
+            emb.repartition(1), "vec_id", "embedding",
+            k=3, n_candidates=5, query_ids=[0, 3],
+        ).collect()
+        b = mmr_topk(
+            emb.repartition(7), "vec_id", "embedding",
+            k=3, n_candidates=5, query_ids=[0, 3],
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_fewer_candidates_than_k(self, spark):
+        from odibi_spark.llm.similarity import mmr_topk
+
+        emb = spark.createDataFrame([
+            Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[0.9, 0.1]),
+        ])
+        out = mmr_topk(
+            emb, "vec_id", "embedding", k=5, n_candidates=5,
+            query_ids=[0],
+        ).collect()
+        assert len(out) == 1  # only one candidate exists
+
+    def test_lam_validation(self, spark):
+        import pytest
+
+        from odibi_spark.llm.similarity import mmr_topk
+
+        with pytest.raises(ValueError, match="lam"):
+            mmr_topk(self._emb(spark), "vec_id", "embedding", lam=1.5)
+
+
 class TestWinsorize:
     def test_clamps_to_percentile_bounds(self, spark):
         from odibi_spark.llm.curation import winsorize
