@@ -102,8 +102,10 @@ def kmv_distinct_by(
                 cond = cond | ~F.col(group_col).isin(list(thr))
                 filtered = h.filter(cond)
             else:  # many filtered groups: broadcast the threshold table
+                # schema inferred from the key values — the group col
+                # is not necessarily a string
                 tdf = df.sparkSession.createDataFrame(
-                    sorted(thr.items()), f"{group_col} string, __thr long"
+                    sorted(thr.items()), [group_col, "__thr"]
                 )
                 filtered = (
                     h.join(F.broadcast(tdf), group_col, "left")

@@ -75,6 +75,26 @@ class TestKmvDistinct:
         assert out.first().distinct_est == ref.first().distinct_est
 
 
+class TestKmvBroadcastThresholdPath:
+    def test_many_filtered_groups_with_numeric_group_col(self, spark):
+        """>64 filtered groups route through the broadcast threshold
+        table — with a NON-string group column (schema is inferred,
+        not hardcoded) — and must match the unfiltered build exactly."""
+        from odibi_spark.llm.kmv import kmv_distinct_by
+
+        rows = [
+            Row(g=gi, v=f"{gi}:{i}")
+            for gi in range(70)
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows)
+        filt = kmv_distinct_by(df, "g", "v", k=4, margin=1)
+        ref = kmv_distinct_by(df, "g", "v", k=4, prefilter=False)
+        assert sorted(map(tuple, filt.collect())) == sorted(
+            map(tuple, ref.collect())
+        )
+
+
 class TestKmvOverlap:
     def _halves(self, spark, shared, only_a, only_b):
         a = spark.createDataFrame(
