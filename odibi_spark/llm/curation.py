@@ -595,6 +595,13 @@ def temperature_mixture_sample(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    if None in counts:
+        # a None key would poison sorted(fractions.items()) downstream
+        # and `col == lit(None)` can never match a row anyway
+        raise ValueError(
+            f"temperature_mixture_sample: {strata_col!r} contains NULLs;"
+            " fill or filter null strata before sampling"
+        )
     if not counts:
         return df.filter(F.lit(False))
     if alpha == 0.5:
@@ -682,11 +689,28 @@ def winsorize(
     ]
     src = F.col(col).cast("double")
     if group_col:
-        bounds = df.groupBy(group_col).agg(*bounds_exprs)
-        joined = df.join(F.broadcast(bounds), group_col)
+        # null-safe join key: groupBy emits a NULL-group bounds row, and
+        # an equi-join would silently drop those source rows — eqNullSafe
+        # keeps them clamped against their own group's bounds
+        bounds = (
+            df.groupBy(group_col)
+            .agg(*bounds_exprs)
+            .withColumnRenamed(group_col, "__gk")
+        )
+        joined = df.join(
+            F.broadcast(bounds),
+            F.col(group_col).eqNullSafe(F.col("__gk")),
+        )
         clamped = F.least(F.greatest(src, F.col("__lo")), F.col("__hi"))
-        return joined.withColumn(out_col, clamped).drop("__lo", "__hi")
+        return joined.withColumn(out_col, clamped).drop(
+            "__gk", "__lo", "__hi"
+        )
     row = df.agg(*bounds_exprs).first()
+    if row is None or row["__lo"] is None or row["__hi"] is None:
+        raise ValueError(
+            f"winsorize: no non-null values in {col!r} to compute "
+            "percentile bounds from (empty input?)"
+        )
     lo, hi = float(row["__lo"]), float(row["__hi"])
     clamped = F.least(F.greatest(src, F.lit(lo)), F.lit(hi))
     return df.withColumn(out_col, clamped)

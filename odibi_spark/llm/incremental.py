@@ -367,17 +367,25 @@ def run_incremental_dedup(
     # MEMORY_AND_DISK spills; the delta is the daily SLICE, not the
     # corpus, so pinning it is the standard incremental-run trade.
     delta = delta.persist()
-    flagged, sigs_new = flag_incremental_dups(
-        delta, store, id_col=id_col, text_col=text_col, n=n,
-        num_perm=num_perm, bands=bands, threshold=threshold,
-        hasher=hasher, seed=seed,
-    )
-    # the HWM must come from the DELTA, not the signature frame:
-    # minhash_signatures drops docs shorter than n words, so a
-    # signature-derived mark can regress below the delta's true max id
-    # and re-admit (or permanently reprocess) the short docs
-    new_hwm = capture_hwm(delta, id_col)
-    store.append(sigs_new, batch_id)
-    if new_hwm is not None:
-        state.set(state_key, new_hwm)
+    try:
+        flagged, sigs_new = flag_incremental_dups(
+            delta, store, id_col=id_col, text_col=text_col, n=n,
+            num_perm=num_perm, bands=bands, threshold=threshold,
+            hasher=hasher, seed=seed,
+        )
+        # the HWM must come from the DELTA, not the signature frame:
+        # minhash_signatures drops docs shorter than n words, so a
+        # signature-derived mark can regress below the delta's true max
+        # id and re-admit (or permanently reprocess) the short docs
+        new_hwm = capture_hwm(delta, id_col)
+        store.append(sigs_new, batch_id)
+        if new_hwm is not None:
+            state.set(state_key, new_hwm)
+    finally:
+        # cache scope ends with the run: the dup-id set inside
+        # `flagged` is already checkpointed, so the caller's later
+        # execution re-reads the delta from source exactly once —
+        # without this, long-lived sessions accumulate cached blocks
+        # until executor storage is evicted under pressure
+        delta.unpersist()
     return flagged

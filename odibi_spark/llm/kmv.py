@@ -86,10 +86,14 @@ def kmv_distinct_by(
             .agg(F.approx_count_distinct("__h").alias("__n"))
             .collect()
         }
+        # NULL group keys never enter thr: they route through the
+        # unfiltered branch below (isNull in the literal predicate;
+        # the broadcast equi-join never matches a null key, leaving
+        # __thr null -> kept), and sorted() stays type-homogeneous
         thr = {
             g: int(float(TWO60) * (margin * k) / n)
             for g, n in est.items()
-            if n > margin * k
+            if g is not None and n > margin * k
         }
         if thr:
             if len(thr) <= 64:  # literal predicate: zero extra plan nodes
@@ -100,6 +104,7 @@ def kmv_distinct_by(
                         & (F.col("__h") < F.lit(t))
                     )
                 cond = cond | ~F.col(group_col).isin(list(thr))
+                cond = cond | F.col(group_col).isNull()
                 filtered = h.filter(cond)
             else:  # many filtered groups: broadcast the threshold table
                 # schema inferred from the key values — the group col
@@ -141,7 +146,10 @@ def kmv_distinct_by(
                     .select(group_col, "__h")
                     .distinct()
                 )
-                sd = sd.filter(~F.col(group_col).isin(bad)).unionByName(redo)
+                sd = sd.filter(  # NOT-IN is NULL for null keys: keep them
+                    ~F.col(group_col).isin(bad)
+                    | F.col(group_col).isNull()
+                ).unionByName(redo)
     if sd is None:
         sd = h.select(group_col, "__h").distinct()
     w = Window.partitionBy(group_col).orderBy("__h")

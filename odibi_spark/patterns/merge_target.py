@@ -44,17 +44,25 @@ class ParquetTarget:
     def _backup(self) -> str:
         return self.path + "__old"
 
-    def exists(self) -> bool:
+    def _recover(self) -> bool:
+        """Restore the pre-overwrite state after an interrupted swap
+        (live dir renamed away but the new state never renamed in).
+        Returns whether a live dir exists after recovery. Called from
+        every entry point that reads the live dir, so a caller that
+        goes straight to read() after a crash sees the recovered
+        history instead of FileNotFoundError."""
         live = os.path.exists(self.path) and bool(os.listdir(self.path))
         if not live and os.path.exists(self._backup()):
-            # interrupted swap: live dir was renamed away but the new
-            # state never renamed in — restore the pre-overwrite state
-            # (the overwrite never committed; the caller's retry redoes
-            # it against the restored history)
+            # the overwrite never committed; the caller's retry redoes
+            # it against the restored history
             if os.path.exists(self.path):
                 os.rmdir(self.path)
             os.replace(self._backup(), self.path)
             live = True
+        return live
+
+    def exists(self) -> bool:
+        live = self._recover()
         if live:
             # stale swap leftovers: __old after a committed swap,
             # __staging from an overwrite that died before the swap —
@@ -77,6 +85,7 @@ class ParquetTarget:
         return False
 
     def read(self) -> DataFrame:
+        self._recover()
         return self.spark.read.parquet(self.path)
 
     def overwrite(self, df: DataFrame) -> None:

@@ -204,3 +204,91 @@ class TestKmvDuckdbParity:
             """).fetchall()
         }
         assert got == want
+
+
+class TestKmvNullGroupKeys:
+    """ADVICE r10: NULL group keys must survive every dispatch path —
+    routed through the unfiltered branch, never a None in sorted()."""
+
+    def _mixed(self, spark, n_null=500, n_named=2000):
+        rows = [Row(g=None, v=f"null-{i}") for i in range(n_null)] + [
+            Row(g="big", v=f"big-{i}") for i in range(n_named)
+        ]
+        return spark.createDataFrame(rows, "g string, v string")
+
+    def test_literal_path_keeps_null_group(self, spark):
+        from odibi_spark.llm.kmv import kmv_distinct_by
+
+        df = self._mixed(spark)
+        out = {r[0]: r[1] for r in
+               kmv_distinct_by(df, "g", "v", k=64, margin=1).collect()}
+        ref = {r[0]: r[1] for r in
+               kmv_distinct_by(df, "g", "v", k=64,
+                               prefilter=False).collect()}
+        assert None in out and out == ref
+
+    def test_broadcast_path_keeps_null_group(self, spark):
+        from odibi_spark.llm.kmv import kmv_distinct_by
+
+        rows = [Row(g=None, v=f"null-{i}") for i in range(300)] + [
+            Row(g=gi, v=f"{gi}:{i}")
+            for gi in range(70)
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "g int, v string")
+        out = kmv_distinct_by(df, "g", "v", k=4, margin=1)
+        ref = kmv_distinct_by(df, "g", "v", k=4, prefilter=False)
+        got = {r[0]: r[1] for r in out.collect()}
+        want = {r[0]: r[1] for r in ref.collect()}
+        assert None in got and got == want
+
+
+class TestKmvDispatchPathsProperty:
+    """VERDICT r10 task 7: drive the filtered-group count across the
+    64-group literal<->broadcast seam for int/string/date keys and
+    assert filtered == unfiltered by construction."""
+
+    import datetime as _dt
+
+    _KEYERS = {
+        "int": lambda i: i,
+        "string": lambda i: f"grp-{i:03d}",
+        "date": lambda i: (
+            TestKmvDispatchPathsProperty._dt.date(2024, 1, 1)
+            + TestKmvDispatchPathsProperty._dt.timedelta(days=i)
+        ),
+    }
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        key_type=st.sampled_from(["int", "string", "date"]),
+        n_groups=st.sampled_from([3, 63, 64, 65, 70]),
+        per_group=st.integers(18, 40),
+    )
+    @settings(
+        max_examples=10, deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture, HealthCheck.too_slow,
+        ],
+    )
+    def test_filtered_equals_unfiltered(
+        self, spark, key_type, n_groups, per_group
+    ):
+        from odibi_spark.llm.kmv import kmv_distinct_by
+
+        keyer = self._KEYERS[key_type]
+        rows = [
+            Row(g=keyer(gi), v=f"{gi}:{i}")
+            for gi in range(n_groups)
+            for i in range(per_group)
+        ]
+        df = spark.createDataFrame(rows)
+        # k=4, margin=1: per_group >= 18 > margin*k forces EVERY group
+        # through the prefilter, so n_groups alone picks the path
+        filt = kmv_distinct_by(df, "g", "v", k=4, margin=1)
+        ref = kmv_distinct_by(df, "g", "v", k=4, prefilter=False)
+        assert sorted(map(tuple, filt.collect())) == sorted(
+            map(tuple, ref.collect())
+        )

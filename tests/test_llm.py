@@ -1009,6 +1009,30 @@ class TestWinsorize:
         with pytest.raises(ValueError, match="lower < upper"):
             winsorize(df, "v", lower=0.9, upper=0.1)
 
+    def test_null_group_rows_survive(self, spark):
+        """ADVICE r10: NULL group keys must clamp against their own
+        group's bounds, not vanish through an equi-join."""
+        from odibi_spark.llm.curation import winsorize
+
+        rows = [Row(g=None, v=float(x)) for x in range(1, 11)] + \
+               [Row(g="a", v=float(x * 10)) for x in range(1, 11)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = winsorize(df, "v", lower=0.0, upper=0.5,
+                        group_col="g", out_col="w")
+        by = {}
+        for r in out.collect():
+            by.setdefault(r.g, []).append(r.w)
+        assert len(by[None]) == 10  # nothing dropped
+        assert max(by[None]) == pytest.approx(5.5)
+        assert max(by["a"]) == pytest.approx(55.0)
+
+    def test_empty_input_raises_clearly(self, spark):
+        from odibi_spark.llm.curation import winsorize
+
+        df = spark.createDataFrame([], "v double")
+        with pytest.raises(ValueError, match="no non-null values"):
+            winsorize(df, "v")
+
 
 class TestBpePairStats:
     def test_counts_weighted_by_word_frequency(self, spark):
@@ -1118,6 +1142,20 @@ class TestTemperatureMixture:
         )
         kept = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
         assert kept["a"] == 10  # capped: the whole small stratum kept
+
+    def test_null_strata_fail_fast(self, spark):
+        """ADVICE r10: a NULL stratum would poison sorted(fractions)
+        and silently match no rows — reject it up front."""
+        from odibi_spark.llm.curation import temperature_mixture_sample
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, lang="en"), Row(doc_id=2, lang=None)],
+            "doc_id int, lang string",
+        )
+        with pytest.raises(ValueError, match="contains NULLs"):
+            temperature_mixture_sample(
+                df, strata_col="lang", key_col="doc_id", target_rows=2
+            )
 
     def test_deterministic_across_partitionings(self, spark):
         from odibi_spark.llm.curation import temperature_mixture_sample
@@ -1406,6 +1444,33 @@ class TestIncrementalDedup:
                 df, store, state, batch_id=batch_id, **kw
             ).collect()
         }
+
+    def test_delta_cache_scope_ends_with_run(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """ADVICE r10: the delta persist must be unpersisted before
+        run_incremental_dedup returns — long-lived sessions would
+        otherwise accumulate cached blocks run after run."""
+        from pyspark.sql import DataFrame
+
+        live = []
+        orig_persist, orig_unpersist = (
+            DataFrame.persist, DataFrame.unpersist
+        )
+
+        def persist(self, *a, **kw):
+            live.append(id(self))
+            return orig_persist(self, *a, **kw)
+
+        def unpersist(self, *a, **kw):
+            live[:] = [i for i in live if i != id(self)]
+            return orig_unpersist(self, *a, **kw)
+
+        monkeypatch.setattr(DataFrame, "persist", persist)
+        monkeypatch.setattr(DataFrame, "unpersist", unpersist)
+        df, store, state = self._setup(spark, tmp_path / "scope")
+        self._run(df, store, state, "b1")
+        assert live == []  # every persist matched by an unpersist
 
     def test_store_geometry_mismatch_raises(self, spark, tmp_path):
         """A probe with different band geometry than the persisted

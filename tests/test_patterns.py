@@ -629,6 +629,19 @@ class TestParquetTargetCrashSafety:
         assert t.exists()  # restores __old as the live dir
         assert [r.v for r in t.read().collect()] == ["old"]
 
+    def test_read_straight_after_crash_recovers(self, spark, tmp_path):
+        """ADVICE r10: a caller that skips exists() and goes straight
+        to read() after an interrupted swap must see the recovered
+        pre-overwrite state, not FileNotFoundError."""
+        import os
+
+        from pyspark.sql import Row
+
+        t = self._target(spark, tmp_path)
+        t.write_initial(spark.createDataFrame([Row(k=1, v="old")]))
+        os.rename(t.path, t.path + "__old")
+        assert [r.v for r in t.read().collect()] == ["old"]
+
     def test_unreadable_live_dir_raises(self, spark, tmp_path):
         import os
 
