@@ -767,32 +767,50 @@ def remove_boilerplate_lines(
     min_docs: int = 2,
     scope_col: str | None = None,
     delim: str = "\n",
+    granularity: str = "line",
     out_col: str | None = None,
 ) -> DataFrame:
-    """Line-level boilerplate removal (the RefinedWeb/CCNet line-dedup
-    stage): a LINE occurring in >= ``min_docs`` DISTINCT documents —
-    optionally scoped per ``scope_col`` (source/domain, where nav
-    bars, cookie banners, and copyright footers repeat) — is
-    boilerplate; drop every occurrence and re-join the survivors in
-    order. Complements :func:`remove_duplicate_spans` (word-gram
+    """Line- or paragraph-level boilerplate removal (the RefinedWeb/
+    CCNet line-dedup stage — RefinedWeb applies it at BOTH
+    granularities): a unit occurring in >= ``min_docs`` DISTINCT
+    documents — optionally scoped per ``scope_col`` (source/domain,
+    where nav bars, cookie banners, and copyright footers repeat) —
+    is boilerplate; drop every occurrence and re-join the survivors
+    in order. Complements :func:`remove_duplicate_spans` (word-gram
     spans, first occurrence kept): boilerplate repeats are junk in
     EVERY document, so no keeper survives.
 
-    Plan shape, all linear: one posexplode on the projected line
-    array; the frequency side groups on the md5 LINE KEY (narrow rows
-    through the shuffle, count_distinct doc partials map-side); kept
-    lines are a left-anti join on the key; the rewrite is a
-    per-document collect_list + sort bounded by doc line count. Adds
-    ``n_kept_lines`` / ``n_boilerplate_lines``; docs whose every line
-    is boilerplate come back as '' (kept, flagged — dropping rows is
-    the caller's policy decision).
+    ``granularity='line'`` splits on ``delim`` exactly;
+    ``granularity='paragraph'`` treats a run of >= 2 delimiters
+    (a blank line) as the separator and re-joins survivors with a
+    double ``delim`` — whole paragraphs (multi-line blocks) are the
+    frequency unit, so a footer whose lines individually vary but
+    whose block repeats still dies as one unit.
+
+    Plan shape identical at both granularities, all linear: one
+    posexplode on the projected unit array; the frequency side groups
+    on the md5 UNIT KEY (narrow rows through the shuffle,
+    count_distinct doc partials map-side); kept units are a left-anti
+    join on the key; the rewrite is a per-document collect_list +
+    sort bounded by doc unit count. Adds ``n_kept_lines`` /
+    ``n_boilerplate_lines`` (unit counts); docs whose every unit is
+    boilerplate come back as '' (kept, flagged — dropping rows is the
+    caller's policy decision).
     """
     if min_docs < 2:
         raise ValueError("min_docs must be >= 2")
+    if granularity not in ("line", "paragraph"):
+        raise ValueError("granularity must be 'line' or 'paragraph'")
     out_col = out_col or text_col
     import re as _re
 
-    split_pat = _re.escape(delim)
+    if granularity == "paragraph":
+        # RE2-compatible (the DuckDB oracle splits with the same
+        # pattern): a blank line = 2+ consecutive delimiters
+        split_pat = f"(?:{_re.escape(delim)}){{2,}}"
+        delim = delim * 2
+    else:
+        split_pat = _re.escape(delim)
     scope = [F.col(scope_col)] if scope_col else []
     lines = df.select(
         F.col(id_col),

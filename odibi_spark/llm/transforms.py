@@ -653,16 +653,20 @@ def remove_boilerplate_transform(
     min_docs: int = 2,
     scope_col: str | None = None,
     delim: str = "\n",
+    granularity: str = "line",
     out_col: str | None = None,
 ) -> EngineContext:
-    """Line-level boilerplate removal (dedup.remove_boilerplate_lines):
-    lines repeating across >= min_docs docs (per scope_col, e.g. the
-    source/domain) are dropped and the text re-joined."""
+    """Line- or paragraph-level boilerplate removal
+    (dedup.remove_boilerplate_lines): units repeating across >=
+    min_docs docs (per scope_col, e.g. the source/domain) are dropped
+    and the text re-joined. granularity='paragraph' makes the
+    blank-line-separated block the frequency unit (RefinedWeb runs
+    both passes)."""
     return ctx.with_df(
         dedup.remove_boilerplate_lines(
             ctx.df, id_col, text_col,
             min_docs=min_docs, scope_col=scope_col, delim=delim,
-            out_col=out_col,
+            granularity=granularity, out_col=out_col,
         )
     )
 

@@ -2419,6 +2419,90 @@ QUERIES.update({"boilerplate_lines_docs": boilerplate_lines_docs})
 ORACLES.update({"boilerplate_lines_docs": BOILERPLATE_LINES_SQL})
 
 
+def boilerplate_paragraphs_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Paragraph-level boilerplate removal (VERDICT r10 task 8 —
+    RefinedWeb runs the dedup stage at BOTH line and paragraph
+    granularity): every doc is staged with a TWO-LINE nav header
+    block and a two-line per-source footer block separated by blank
+    lines, so the repeated unit is a multi-line paragraph that line
+    granularity could only remove piecemeal.
+    dedup.remove_boilerplate_lines(granularity='paragraph') drops
+    blocks occurring in >= 5 distinct docs of the same source; the
+    oracle replays the identical (?:\\n){2,} split in DuckDB and
+    hashes the rewritten text plus both unit counts."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    staged = docs.select(
+        "doc_id", "source",
+        F.concat_ws(
+            "\n\n",
+            F.lit("SITE NAV\nhome about contact"),
+            F.col("text"),
+            F.concat(
+                F.lit("COPYRIGHT "), F.col("source"),
+                F.lit("\nall rights reserved"),
+            ),
+        ).alias("text"),
+    )
+    out = dedup.remove_boilerplate_lines(
+        staged, min_docs=5, scope_col="source", delim="\n",
+        granularity="paragraph", out_col="clean_text",
+    )
+    return out.select(
+        "doc_id", "clean_text",
+        F.col("n_kept_lines").alias("n_kept_paragraphs"),
+        F.col("n_boilerplate_lines").alias("n_boilerplate_paragraphs"),
+    )
+
+
+BOILERPLATE_PARAGRAPHS_SQL = r"""
+WITH c AS (
+  SELECT doc_id, source,
+         'SITE NAV' || chr(10) || 'home about contact' ||
+         chr(10) || chr(10) || text || chr(10) || chr(10) ||
+         'COPYRIGHT ' || source || chr(10) || 'all rights reserved'
+           AS text
+  FROM documents
+),
+l AS (
+  SELECT t.doc_id, t.source, g.i - 1 AS pos, t.ws[g.i] AS par
+  FROM (SELECT doc_id, source,
+               regexp_split_to_array(text, '(?:\n){2,}') AS ws
+        FROM c) t,
+       LATERAL (SELECT unnest(range(1, len(t.ws) + 1)) AS i) g
+),
+b AS (
+  SELECT source, md5(par) AS ph
+  FROM l GROUP BY source, md5(par)
+  HAVING COUNT(DISTINCT doc_id) >= 5
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.par
+  FROM l LEFT JOIN b ON b.source = l.source AND b.ph = md5(l.par)
+  WHERE b.ph IS NULL
+),
+r AS (
+  SELECT doc_id,
+         string_agg(par, chr(10) || chr(10) ORDER BY pos) AS clean_text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept_paragraphs
+  FROM kept GROUP BY doc_id
+)
+SELECT c.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(COALESCE(r.n_kept_paragraphs, 0) AS BIGINT)
+         AS n_kept_paragraphs,
+       CAST(len(regexp_split_to_array(c.text, '(?:\n){2,}')) AS BIGINT)
+         - CAST(COALESCE(r.n_kept_paragraphs, 0) AS BIGINT)
+         AS n_boilerplate_paragraphs
+FROM c LEFT JOIN r USING (doc_id)
+"""
+
+QUERIES.update({"boilerplate_paragraphs_docs": boilerplate_paragraphs_docs})
+ORACLES.update({"boilerplate_paragraphs_docs": BOILERPLATE_PARAGRAPHS_SQL})
+
+
 def shuffle_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training-order shuffle (r10): every doc
     gets a shuffle_idx = its rank under the portable md5 fold of

@@ -796,6 +796,79 @@ class TestRemoveBoilerplateLines:
         }
         assert out[0] == "body one" and out[1] == "body two"
 
+    def test_paragraph_granularity_drops_whole_blocks(self, spark):
+        """VERDICT r10 task 8: at granularity='paragraph' the
+        frequency unit is the blank-line-separated BLOCK — a repeated
+        two-line footer dies as one unit even though its second line
+        alone repeats less often than min_docs at line level."""
+        from odibi_spark.llm.dedup import remove_boilerplate_lines
+
+        footer = "COPYRIGHT site\nall rights reserved"
+        texts = [f"body {i}\nstill body {i}\n\n{footer}" for i in range(3)]
+        out = {
+            r.doc_id: r
+            for r in remove_boilerplate_lines(
+                self._docs(spark, texts), min_docs=3,
+                granularity="paragraph",
+            ).collect()
+        }
+        for i in range(3):
+            assert out[i].text == f"body {i}\nstill body {i}"
+            assert out[i].n_kept_lines == 1  # unit = paragraph
+            assert out[i].n_boilerplate_lines == 1
+
+    def test_paragraph_mode_spares_line_level_repeats(self, spark):
+        """A line repeating inside OTHERWISE-DIFFERENT paragraphs is
+        not boilerplate at paragraph granularity (the block differs),
+        but is at line granularity."""
+        from odibi_spark.llm.dedup import remove_boilerplate_lines
+
+        texts = [f"shared line\nunique {i}\n\ntail {i}" for i in range(3)]
+        docs = self._docs(spark, texts)
+        par = remove_boilerplate_lines(
+            docs, min_docs=3, granularity="paragraph"
+        )
+        assert all(r.n_boilerplate_lines == 0 for r in par.collect())
+        line = remove_boilerplate_lines(docs, min_docs=3)
+        # line level: 'shared line' AND the blank separator line repeat
+        assert all(r.n_boilerplate_lines == 2 for r in line.collect())
+
+    def test_paragraph_rejoin_uses_blank_lines(self, spark):
+        from odibi_spark.llm.dedup import remove_boilerplate_lines
+
+        texts = ["junk\n\na\n\njunk\n\nb", "junk\n\nx\n\njunk"]
+        out = {
+            r.doc_id: r.text
+            for r in remove_boilerplate_lines(
+                self._docs(spark, texts), min_docs=2,
+                granularity="paragraph",
+            ).collect()
+        }
+        assert out[0] == "a\n\nb" and out[1] == "x"
+
+    def test_runs_of_blank_lines_are_one_separator(self, spark):
+        """2+ consecutive delimiters collapse to ONE paragraph break
+        (RefinedWeb convention) — no phantom empty paragraphs."""
+        from odibi_spark.llm.dedup import remove_boilerplate_lines
+
+        texts = ["junk\n\n\n\na\n\n\nb", "junk\n\nz"]
+        out = {
+            r.doc_id: r
+            for r in remove_boilerplate_lines(
+                self._docs(spark, texts), min_docs=2,
+                granularity="paragraph",
+            ).collect()
+        }
+        assert out[0].text == "a\n\nb" and out[0].n_kept_lines == 2
+
+    def test_granularity_validation(self, spark):
+        from odibi_spark.llm.dedup import remove_boilerplate_lines
+
+        with pytest.raises(ValueError, match="granularity"):
+            remove_boilerplate_lines(
+                self._docs(spark, ["x"]), granularity="sentence"
+            )
+
 
 class TestWinnowFingerprints:
     """Schleimer et al. 2003 winnowing: deterministic local
