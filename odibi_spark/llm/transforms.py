@@ -937,3 +937,76 @@ def source_divergence_transform(
     return ctx.with_df(
         text.source_divergence(ctx.df, strata_col=strata_col, text_col=text_col)
     )
+
+
+@transform("url_normalize")
+def url_normalize_transform(
+    ctx: EngineContext,
+    *,
+    url_col: str = "url",
+    out_col: str | None = None,
+    host_col: str | None = "host",
+) -> EngineContext:
+    """RFC 3986 URL canonicalization (url.url_normalize): lowercase
+    scheme/host, strip default port / fragment / tracking params —
+    the stage-1 key-cleaning step of every web-corpus pipeline."""
+    from odibi_spark.llm import url as _url
+
+    return ctx.with_df(
+        _url.url_normalize(
+            ctx.df, url_col, out_col, host_col=host_col
+        )
+    )
+
+
+@transform("registered_domain")
+def registered_domain_transform(
+    ctx: EngineContext,
+    *,
+    host_col: str = "host",
+    out_col: str = "registered_domain",
+    extra_suffixes: list[str] | None = None,
+) -> EngineContext:
+    """Registered (pay-level) domain per host against the static
+    public-suffix snapshot (url.registered_domain)."""
+    from odibi_spark.llm import url as _url
+
+    return ctx.with_df(
+        _url.registered_domain(
+            ctx.df, host_col, out_col,
+            extra_suffixes=tuple(extra_suffixes or ()),
+        )
+    )
+
+
+@transform("filter_blocked_domains")
+def filter_blocked_domains_transform(
+    ctx: EngineContext,
+    *,
+    blocklist: list[str],
+    domain_col: str = "registered_domain",
+) -> EngineContext:
+    """Blocklist gate on the registered domain
+    (url.filter_blocked_domains): literal NOT-IN for small lists,
+    broadcast anti-join above the cap."""
+    from odibi_spark.llm import url as _url
+
+    return ctx.with_df(
+        _url.filter_blocked_domains(
+            ctx.df, list(blocklist), domain_col=domain_col
+        )
+    )
+
+
+@transform("dedup_by_url")
+def dedup_by_url_transform(
+    ctx: EngineContext,
+    *,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> EngineContext:
+    """Exact URL-key dedup, lowest id per normalized URL survives
+    (url.dedup_by_url)."""
+    from odibi_spark.llm import url as _url
+
+    return ctx.with_df(_url.dedup_by_url(ctx.df, id_col, url_col))

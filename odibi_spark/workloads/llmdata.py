@@ -3474,3 +3474,222 @@ FROM terms GROUP BY s
 
 QUERIES.update({"source_kl_docs": source_kl_docs})
 ORACLES.update({"source_kl_docs": SOURCE_KL_SQL})
+
+
+# ---------------------------------------------------------------------------
+# URL curation family (VERDICT r10 task 2): a deterministic URL column
+# is synthesized in-query from (doc_id, source, lang) — the multimodal-
+# payload convention — then normalized / domain-extracted / blocklist-
+# gated / URL-deduped, with a DuckDB twin replaying the identical
+# RE2-compatible rules.
+
+def _synth_url_spark(key):
+    """Deterministic messy URL: mixed-case scheme+host, five suffix
+    families, default and non-default ports, tracking params, and
+    fragments — every branch selected by ``key`` so the DuckDB twin
+    rebuilds the same string."""
+    from odibi_spark.llm import url as urlmod  # noqa: F401 (parity anchor)
+
+    src, lang = F.col("source"), F.col("lang")
+    host = (
+        F.when(key % 5 == 0, F.concat(F.lit("WWW."), src, F.lit(".COM")))
+        .when(key % 5 == 1, F.concat(F.lit("news."), src, F.lit(".co.uk")))
+        .when(key % 5 == 2, F.concat(F.upper(src), F.lit(".ORG")))
+        .when(key % 5 == 3, F.concat(F.lit("a.b."), src, F.lit(".com.au")))
+        .otherwise(F.concat(F.lit("CDN."), src, F.lit(".io")))
+    )
+    scheme = F.when(key % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
+    port = (
+        F.when(key % 4 == 0, F.lit(":443"))
+        .when(key % 4 == 1, F.lit(":80"))
+        .when(key % 4 == 2, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.when(key % 7 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("/Articles/"), (key % 50).cast("string"))
+    )
+    query = (
+        F.when(key % 11 == 0, F.lit(""))
+        .when(
+            key % 2 == 0,
+            F.concat(
+                F.lit("?id="), key.cast("string"),
+                F.lit("&utm_source=feed&ref=tw&q="), lang,
+            ),
+        )
+        .otherwise(F.lit("?utm_campaign=Spring&fbclid=abc"))
+    )
+    frag = F.when(key % 3 == 1, F.lit("#Section-2")).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+
+
+def _synth_url_sql(key: str) -> str:
+    """DuckDB twin of :func:`_synth_url_spark` (same key expression)."""
+    return f"""
+        (CASE WHEN ({key}) % 3 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+        (CASE WHEN ({key}) % 5 = 0 THEN 'WWW.' || source || '.COM'
+              WHEN ({key}) % 5 = 1 THEN 'news.' || source || '.co.uk'
+              WHEN ({key}) % 5 = 2 THEN upper(source) || '.ORG'
+              WHEN ({key}) % 5 = 3 THEN 'a.b.' || source || '.com.au'
+              ELSE 'CDN.' || source || '.io' END) ||
+        (CASE WHEN ({key}) % 4 = 0 THEN ':443'
+              WHEN ({key}) % 4 = 1 THEN ':80'
+              WHEN ({key}) % 4 = 2 THEN ':8080' ELSE '' END) ||
+        (CASE WHEN ({key}) % 7 = 0 THEN ''
+              ELSE '/Articles/' || CAST(({key}) % 50 AS VARCHAR) END) ||
+        (CASE WHEN ({key}) % 11 = 0 THEN ''
+              WHEN ({key}) % 2 = 0 THEN
+                   '?id=' || CAST(({key}) AS VARCHAR) ||
+                   '&utm_source=feed&ref=tw&q=' || lang
+              ELSE '?utm_campaign=Spring&fbclid=abc' END) ||
+        (CASE WHEN ({key}) % 3 = 1 THEN '#Section-2' ELSE '' END)
+    """
+
+
+def _url_norm_ctes(synth_sql: str) -> str:
+    """DuckDB CTE chain replaying url.url_normalize +
+    url.registered_domain rule-for-rule (same anchored regexes, same
+    tracking list, same suffix alternation — both generated from the
+    llm/url constants)."""
+    from odibi_spark.llm import url as urlmod
+
+    trk = ", ".join(f"'{p}'" for p in urlmod.TRACKING_PARAMS)
+    alt = urlmod.suffix_alternation()
+    return f"""
+u0 AS (SELECT doc_id, trim({synth_sql}) AS u FROM src),
+d1 AS (
+  SELECT doc_id, u,
+    lower(COALESCE(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1), '')) AS scheme,
+    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS after
+  FROM u0
+),
+d2 AS (
+  SELECT doc_id, u, scheme,
+    COALESCE(regexp_extract(after, '^([^/?#]*)', 1), '') AS auth,
+    regexp_replace(after, '^[^/?#]*', '') AS tail
+  FROM d1
+),
+d3 AS (
+  SELECT *, regexp_replace(tail, '#.*$', '') AS nofrag,
+    COALESCE(regexp_extract(auth, '^([^@]*)@', 1), '') AS userinfo,
+    regexp_replace(auth, '^[^@]*@', '') AS hostport
+  FROM d2
+),
+d4 AS (
+  SELECT *, lower(COALESCE(regexp_extract(hostport, '^([^:]*)', 1), '')) AS host0,
+    COALESCE(regexp_extract(hostport, ':([0-9]+)$', 1), '') AS port0,
+    COALESCE(regexp_extract(nofrag, '^([^?]*)', 1), '') AS path0,
+    COALESCE(regexp_extract(nofrag, '\\?(.*)$', 1), '') AS query0
+  FROM d3
+),
+d5 AS (
+  SELECT *,
+    CASE WHEN (scheme = 'http' AND port0 = '80')
+           OR (scheme = 'https' AND port0 = '443')
+         THEN '' ELSE port0 END AS port1,
+    COALESCE(array_to_string(list_filter(string_split(query0, '&'),
+      p -> p <> ''
+           AND NOT lower(split_part(p, '=', 1)) IN ({trk})
+           AND NOT starts_with(lower(split_part(p, '=', 1)), 'utm_')
+    ), '&'), '') AS query1,
+    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path1
+  FROM d4
+),
+norm AS (
+  SELECT doc_id,
+    CASE WHEN scheme = '' THEN u
+         ELSE scheme || '://' ||
+              (CASE WHEN userinfo = '' THEN '' ELSE userinfo || '@' END) ||
+              host0 ||
+              (CASE WHEN port1 = '' THEN '' ELSE ':' || port1 END) ||
+              path1 ||
+              (CASE WHEN query1 = '' THEN '' ELSE '?' || query1 END)
+    END AS url,
+    CASE WHEN scheme = '' THEN NULL ELSE host0 END AS host
+  FROM d5
+),
+reg AS (
+  SELECT doc_id, url, host,
+    CASE WHEN host IS NULL THEN NULL
+         WHEN regexp_matches(host, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$')
+           THEN host
+         ELSE COALESCE(
+           NULLIF(COALESCE(regexp_extract(host, '([^.]+\\.(?:{alt}))$', 1), ''), ''),
+           NULLIF(COALESCE(regexp_extract(host, '([^.]+\\.[^.]+)$', 1), ''), ''),
+           host)
+    END AS registered_domain
+  FROM norm
+)"""
+
+
+def url_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registered-domain extraction (the CCNet/
+    RefinedWeb stage-1 key cleaning) under the full hash gate: a messy
+    deterministic URL per document (mixed case, default/odd ports,
+    tracking params, fragments, five public-suffix families), then
+    url.url_normalize + url.registered_domain — all whole-stage-
+    codegen regexp/HOF exprs, zero shuffle."""
+    from odibi_spark.llm import url as urlmod
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    staged = docs.select(
+        "doc_id", "source", "lang",
+        _synth_url_spark(F.col("doc_id")).alias("url"),
+    )
+    out = urlmod.registered_domain(
+        urlmod.url_normalize(staged, "url", host_col="host"), "host"
+    )
+    return out.select("doc_id", "url", "host", "registered_domain")
+
+
+URL_NORMALIZE_SQL = f"""
+WITH src AS (SELECT doc_id, source, lang FROM documents),
+{_url_norm_ctes(_synth_url_sql("doc_id"))}
+SELECT doc_id, url, host, registered_domain FROM reg
+"""
+
+QUERIES.update({"url_normalize_docs": url_normalize_docs})
+ORACLES.update({"url_normalize_docs": URL_NORMALIZE_SQL})
+
+
+_URL_BLOCKLIST = ("src1.co.uk", "src2.org", "src4.com.au", "src5.io",
+                  "src0.com", "src13.co.uk")
+
+
+def domain_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full URL funnel: normalize -> registered domain ->
+    blocklist anti-gate -> URL-key exact dedup. The synthesis keys
+    every URL by doc_id % 200 so tracking/case variants of the same
+    page genuinely collide across documents; the lowest doc_id per
+    normalized URL survives. Blocklist holds NORMALIZED registered
+    domains across three suffix families (literal NOT-IN path —
+    pushed down, zero plan nodes)."""
+    from odibi_spark.llm import url as urlmod
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    staged = docs.select(
+        "doc_id", "source", "lang",
+        _synth_url_spark(F.col("doc_id") % 200).alias("url"),
+    )
+    out = urlmod.registered_domain(
+        urlmod.url_normalize(staged, "url", host_col="host"), "host"
+    )
+    out = urlmod.filter_blocked_domains(out, list(_URL_BLOCKLIST))
+    out = urlmod.dedup_by_url(out, "doc_id", "url")
+    return out.select("doc_id", "url", "registered_domain")
+
+
+DOMAIN_FILTER_SQL = f"""
+WITH src AS (SELECT doc_id, source, lang FROM documents),
+{_url_norm_ctes(_synth_url_sql("doc_id % 200"))}
+SELECT doc_id, url, registered_domain
+FROM reg
+WHERE (registered_domain IS NULL
+       OR registered_domain NOT IN ({", ".join(f"'{d}'" for d in _URL_BLOCKLIST)}))
+QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(url))
+"""
+
+QUERIES.update({"domain_filter_docs": domain_filter_docs})
+ORACLES.update({"domain_filter_docs": DOMAIN_FILTER_SQL})

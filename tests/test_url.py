@@ -1,0 +1,184 @@
+"""URL curation family (llm/url.py) — stage 1 of the web-corpus
+funnel: RFC 3986 normalization, public-suffix registered-domain
+extraction, domain blocklist gate, URL-key exact dedup."""
+
+import pytest
+from pyspark.sql import Row
+
+from odibi_spark.llm.url import (
+    TRACKING_PARAMS,
+    dedup_by_url,
+    filter_blocked_domains,
+    registered_domain,
+    url_normalize,
+)
+
+
+def _urls(spark, urls):
+    return spark.createDataFrame(
+        [Row(doc_id=i, url=u) for i, u in enumerate(urls)]
+    )
+
+
+def _norm(spark, url):
+    return url_normalize(_urls(spark, [url])).first()
+
+
+class TestUrlNormalize:
+    def test_scheme_and_host_lowercased(self, spark):
+        r = _norm(spark, "HTTPS://WWW.Example.COM/KeepCase/Path")
+        assert r.url == "https://www.example.com/KeepCase/Path"
+        assert r.host == "www.example.com"
+
+    def test_default_port_stripped_nondefault_kept(self, spark):
+        assert _norm(spark, "http://a.com:80/x").url == "http://a.com/x"
+        assert _norm(spark, "https://a.com:443/x").url == "https://a.com/x"
+        assert (
+            _norm(spark, "https://a.com:8443/x").url
+            == "https://a.com:8443/x"
+        )
+        # 80 is NOT https's default
+        assert (
+            _norm(spark, "https://a.com:80/x").url == "https://a.com:80/x"
+        )
+
+    def test_fragment_stripped(self, spark):
+        assert _norm(spark, "http://a.com/x#sec-2").url == "http://a.com/x"
+
+    def test_tracking_params_stripped_order_preserved(self, spark):
+        r = _norm(
+            spark,
+            "http://a.com/x?z=1&utm_source=nl&id=9&fbclid=abc&UTM_Medium=e&a=2",
+        )
+        assert r.url == "http://a.com/x?z=1&id=9&a=2"
+
+    def test_emptied_query_drops_question_mark(self, spark):
+        r = _norm(spark, "http://a.com/x?utm_source=nl&gclid=1")
+        assert r.url == "http://a.com/x"
+
+    def test_empty_path_becomes_slash(self, spark):
+        assert _norm(spark, "http://A.com").url == "http://a.com/"
+        assert _norm(spark, "http://A.com?id=1").url == "http://a.com/?id=1"
+
+    def test_userinfo_preserved(self, spark):
+        r = _norm(spark, "ftp://User@Host.ORG/f")
+        assert r.url == "ftp://User@host.org/f"
+
+    def test_malformed_untouched_with_null_host(self, spark):
+        r = _norm(spark, "  not a url  ")
+        assert r.url == "not a url" and r.host is None
+
+    def test_all_tracking_names_covered(self, spark):
+        q = "&".join(f"{p}=v" for p in TRACKING_PARAMS)
+        r = _norm(spark, f"http://a.com/x?{q}&keep=1")
+        assert r.url == "http://a.com/x?keep=1"
+
+
+class TestRegisteredDomain:
+    def _reg(self, spark, host):
+        df = spark.createDataFrame([Row(host=host)], "host string")
+        return registered_domain(df).first().registered_domain
+
+    def test_multi_label_public_suffix(self, spark):
+        assert self._reg(spark, "a.b.example.co.uk") == "example.co.uk"
+        assert self._reg(spark, "news.site.com.au") == "site.com.au"
+
+    def test_plain_tld(self, spark):
+        assert self._reg(spark, "www.example.com") == "example.com"
+        assert self._reg(spark, "example.com") == "example.com"
+
+    def test_unknown_tld_psl_star_rule(self, spark):
+        assert self._reg(spark, "x.y.example.zz") == "example.zz"
+
+    def test_single_label_and_ip_unchanged(self, spark):
+        assert self._reg(spark, "localhost") == "localhost"
+        assert self._reg(spark, "10.0.0.1") == "10.0.0.1"
+
+    def test_null_host_stays_null(self, spark):
+        assert self._reg(spark, None) is None
+
+    def test_extra_suffixes_extend_snapshot(self, spark):
+        from odibi_spark.llm.url import registered_domain_expr
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([Row(host="a.example.priv.at")])
+        got = df.select(
+            registered_domain_expr(
+                F.col("host"), extra_suffixes=("priv.at",)
+            ).alias("r")
+        ).first().r
+        assert got == "example.priv.at"
+
+
+class TestFilterBlockedDomains:
+    def _df(self, spark):
+        rows = [
+            Row(doc_id=1, registered_domain="spam.com"),
+            Row(doc_id=2, registered_domain="good.org"),
+            Row(doc_id=3, registered_domain=None),
+            Row(doc_id=4, registered_domain="bad.co.uk"),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id int, registered_domain string"
+        )
+
+    def test_literal_predicate_path(self, spark):
+        out = filter_blocked_domains(
+            self._df(spark), ["Spam.COM", "bad.co.uk"]
+        )
+        assert sorted(r.doc_id for r in out.collect()) == [2, 3]
+
+    def test_dataframe_broadcast_path(self, spark):
+        bl = spark.createDataFrame([("SPAM.com",)], ["d"])
+        out = filter_blocked_domains(self._df(spark), bl)
+        assert sorted(r.doc_id for r in out.collect()) == [2, 3, 4]
+
+    def test_over_literal_cap_uses_join(self, spark):
+        big = [f"junk{i}.com" for i in range(300)] + ["spam.com"]
+        out = filter_blocked_domains(self._df(spark), big, max_literal=256)
+        assert sorted(r.doc_id for r in out.collect()) == [2, 3, 4]
+
+    def test_null_domain_always_kept(self, spark):
+        out = filter_blocked_domains(self._df(spark), ["spam.com"])
+        assert 3 in {r.doc_id for r in out.collect()}
+
+    def test_empty_blocklist_is_identity(self, spark):
+        assert filter_blocked_domains(self._df(spark), []).count() == 4
+
+
+class TestDedupByUrl:
+    def test_lowest_id_survives(self, spark):
+        df = spark.createDataFrame([
+            Row(doc_id=5, url="http://a.com/"),
+            Row(doc_id=2, url="http://a.com/"),
+            Row(doc_id=7, url="http://b.com/"),
+        ])
+        out = dedup_by_url(df)
+        assert sorted(r.doc_id for r in out.collect()) == [2, 7]
+
+    def test_partitioning_invariant(self, spark):
+        rows = [Row(doc_id=i, url=f"http://s{i % 13}.com/") for i in range(200)]
+        df = spark.createDataFrame(rows)
+        a = {r.doc_id for r in dedup_by_url(df.repartition(1)).collect()}
+        b = {r.doc_id for r in dedup_by_url(df.repartition(17)).collect()}
+        assert a == b and len(a) == 13
+
+    def test_full_row_preserved(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, url="http://a.com/", extra="payload")]
+        )
+        r = dedup_by_url(df).first()
+        assert r.extra == "payload" and "__uk" not in df.columns
+
+
+class TestNormalizeThenDedupPipeline:
+    def test_variants_collapse(self, spark):
+        """The funnel composition: tracking/case/port variants of one
+        page collapse to a single survivor."""
+        df = _urls(spark, [
+            "https://WWW.Example.com:443/p?id=1&utm_source=a",
+            "https://www.example.com/p?id=1",
+            "https://www.example.com/p?id=2",
+        ])
+        out = dedup_by_url(url_normalize(df))
+        assert sorted(r.doc_id for r in out.collect()) == [0, 2]
