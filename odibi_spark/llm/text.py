@@ -549,6 +549,127 @@ def bpe_pair_stats(
     )
 
 
+def bpe_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    lowercase: bool = True,
+    end_of_word: str | None = "</w>",
+) -> DataFrame:
+    """Word-frequency vocabulary with each word exploded into its
+    initial BPE symbol sequence (characters, plus the end-of-word
+    marker Sennrich et al. 2016 use so merges can't cross word
+    boundaries when detokenizing): (word, wc, syms array<string>).
+
+    This is the ONLY corpus-sized pass of BPE training: after it, the
+    trainer loops over the vocabulary table alone (millions of rows
+    at 100 TB, never trillions)."""
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    words = (
+        df.select(F.explode(F.split(F.trim(t), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    chars = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    syms = (
+        F.concat(chars, F.array(F.lit(end_of_word)))
+        if end_of_word
+        else chars
+    )
+    return words.withColumn("syms", syms)
+
+
+def _merge_pair_expr(a: str, b: str):
+    """Greedy left-to-right merge of one symbol pair inside ``syms``
+    as a single fold (Sennrich's re.sub semantics): an occurrence is
+    taken iff its left symbol was not itself just consumed — the
+    accumulator's last element is the merged token after a take, so
+    ``a a a`` under pair (a,a) becomes [aa, a], never [aa, aa]."""
+    merged = a + b
+    return F.aggregate(
+        F.col("syms"),
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    num_merges: int = 20,
+    lowercase: bool = True,
+    end_of_word: str | None = "</w>",
+) -> DataFrame:
+    """Iterative byte-pair-encoding tokenizer training (Sennrich,
+    Haddow & Birch 2016 — "Neural Machine Translation of Rare Words
+    with Subword Units", the algorithm behind GPT-2/RoBERTa-family
+    vocabularies): ``num_merges`` rounds of (count adjacent symbol
+    pairs weighted by word frequency -> take the most frequent pair,
+    ties broken lexicographically -> merge it greedily in every
+    word's symbol sequence).
+
+    Returns the learned merge table: (merge_rank, left, right,
+    pair_count) — the artifact a tokenizer ships.
+
+    Scale contract (the documented bound): the corpus is read ONCE
+    (:func:`bpe_vocab`); every iteration is one bounded groupBy over
+    the VOCABULARY table plus a map-side fold, the driver holds
+    exactly the O(num_merges) merge list plus one 1-row argmax
+    collect per round, and the vocabulary is eagerly localCheckpointed
+    each round so plan depth stays O(1) instead of O(num_merges).
+    Training stops early if no pair occurs twice (vocabulary
+    exhausted).
+    """
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    spark = df.sparkSession
+    vocab = bpe_vocab(
+        df, text_col, lowercase=lowercase, end_of_word=end_of_word
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    pair_expr = F.explode(
+        F.expr(
+            "transform(sequence(1, size(syms) - 1), "
+            "i -> struct(element_at(syms, i) AS l, "
+            "element_at(syms, i + 1) AS r))"
+        )
+    ).alias("p")
+    for rank in range(1, num_merges + 1):
+        best = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(pair_expr, "wc")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("wc").cast("long").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["c"] < 2:
+            break  # nothing left worth merging
+        a, b, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((rank, a, b, c))
+        vocab = vocab.withColumn(
+            "syms", _merge_pair_expr(a, b)
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count long"
+    )
+
+
 def ngram_lm_scores(
     df: DataFrame,
     id_col: str = "doc_id",

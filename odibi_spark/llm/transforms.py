@@ -1010,3 +1010,24 @@ def dedup_by_url_transform(
     from odibi_spark.llm import url as _url
 
     return ctx.with_df(_url.dedup_by_url(ctx.df, id_col, url_col))
+
+
+@transform("bpe_train")
+def bpe_train_transform(
+    ctx: EngineContext,
+    *,
+    text_col: str = "text",
+    num_merges: int = 20,
+    lowercase: bool = True,
+    end_of_word: str | None = "</w>",
+) -> EngineContext:
+    """Full iterative BPE tokenizer training (text.bpe_train, Sennrich
+    et al. 2016): replaces the frame with the learned merge table
+    (merge_rank, left, right, pair_count). O(num_merges) driver loop;
+    every round shuffles only the vocabulary table."""
+    return ctx.with_df(
+        text.bpe_train(
+            ctx.df, text_col, num_merges=int(num_merges),
+            lowercase=lowercase, end_of_word=end_of_word,
+        )
+    )

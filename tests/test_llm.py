@@ -1107,6 +1107,152 @@ class TestWinsorize:
             winsorize(df, "v")
 
 
+def _ref_bpe(texts, k, eow="</w>"):
+    """Pure-Python Sennrich et al. 2016 reference trainer (greedy
+    left-to-right merge, count-desc / pair-asc tiebreak)."""
+    from collections import Counter
+
+    wc = Counter()
+    for t in texts:
+        for w in t.strip().lower().split(" "):
+            if w:
+                wc[w] += 1
+    vocab = {
+        w: (tuple(w) + ((eow,) if eow else ()), c) for w, c in wc.items()
+    }
+    merges = []
+    for rank in range(1, k + 1):
+        pairs = Counter()
+        for syms, c in vocab.values():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        pairs = {p: c for p, c in pairs.items() if c >= 2}
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, c))
+        new = {}
+        for w, (syms, cnt) in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[w] = (tuple(out), cnt)
+        vocab = new
+    return merges
+
+
+class TestBpeTrain:
+    """Iterative BPE trainer (VERDICT r10 task 3): the real Sennrich
+    et al. 2016 loop, differentially pinned to a pure-Python replay."""
+
+    def test_sennrich_canonical_example(self, spark):
+        from odibi_spark.llm.text import bpe_train
+
+        text = " ".join(
+            ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+        )
+        df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+        got = [
+            (r.merge_rank, r.left, r.right, r.pair_count)
+            for r in bpe_train(df, num_merges=5).collect()
+        ]
+        assert got == [
+            (1, "e", "s", 9), (2, "es", "t", 9), (3, "est", "</w>", 9),
+            (4, "l", "o", 7), (5, "lo", "w", 7),
+        ]
+
+    def test_differential_vs_python(self, spark):
+        from odibi_spark.llm.text import bpe_train
+
+        texts = [
+            "the cat sat on the mat",
+            "the bat and the cat chat",
+            "that hat is flat flat flat",
+            "rats chase cats that chatter",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+        )
+        got = [
+            (r.merge_rank, r.left, r.right, r.pair_count)
+            for r in bpe_train(df, num_merges=15).collect()
+        ]
+        assert got == _ref_bpe(texts, 15)
+
+    def test_overlapping_run_merges_greedily(self, spark):
+        """'bbbb' under pair (b,b): greedy left-to-right gives
+        [bb, bb], the fold must not re-merge across a taken match."""
+        from odibi_spark.llm.text import bpe_train
+
+        df = spark.createDataFrame(
+            [(1, "bbbb bbbb bbbb")], "doc_id int, text string"
+        )
+        got = [
+            (r.merge_rank, r.left, r.right, r.pair_count)
+            for r in bpe_train(df, num_merges=3, end_of_word=None).collect()
+        ]
+        assert got == _ref_bpe(["bbbb bbbb bbbb"], 3, eow=None)
+        # first merge: (b,b) counted at every adjacent position (3x3)
+        assert got[0] == (1, "b", "b", 9)
+        # second: the two bb symbols per word pair up
+        assert got[1] == (2, "bb", "bb", 3)
+
+    def test_early_stop_when_nothing_repeats(self, spark):
+        from odibi_spark.llm.text import bpe_train
+
+        df = spark.createDataFrame(
+            [(1, "ab cd ef")], "doc_id int, text string"
+        )
+        out = bpe_train(df, num_merges=50).collect()
+        # every pair occurs once -> no merge reaches count 2
+        assert out == []
+
+    def test_eow_marker_blocks_cross_word_merges(self, spark):
+        from odibi_spark.llm.text import bpe_train
+
+        df = spark.createDataFrame(
+            [(1, "go go go od od od")], "doc_id int, text string"
+        )
+        got = [
+            (r.merge_rank, r.left, r.right, r.pair_count)
+            for r in bpe_train(df, num_merges=4).collect()
+        ]
+        assert got == _ref_bpe(["go go go od od od"], 4)
+        # no merge ever pairs across a word boundary: a symbol ending
+        # in </w> never appears as the LEFT side of a merge
+        assert all(not l.endswith("</w>") for _, l, r, _ in got)
+
+    @pytest.mark.parametrize("k", [1, 7])
+    def test_property_random_corpus(self, spark, k):
+        import random
+
+        from odibi_spark.llm.text import bpe_train
+
+        rng = random.Random(1234 + k)
+        alphabet = "abcxyz"
+        texts = [
+            " ".join(
+                "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(3, 25))
+            )
+            for _ in range(12)
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+        )
+        got = [
+            (r.merge_rank, r.left, r.right, r.pair_count)
+            for r in bpe_train(df, num_merges=k).collect()
+        ]
+        assert got == _ref_bpe(texts, k)
+
+
 class TestBpePairStats:
     def test_counts_weighted_by_word_frequency(self, spark):
         from odibi_spark.llm.text import bpe_pair_stats
