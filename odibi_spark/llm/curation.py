@@ -879,3 +879,132 @@ def epoch_repeat_sample(
     return out.filter(
         (F.col(epoch_col) < whole_expr) | (u < frac_expr)
     )
+
+
+QL_INLINE_LIMIT = 16384  # literal weight-array nodes before broadcast
+
+
+def quality_classifier_weights(
+    buckets: int, *, seed: int = 42
+) -> tuple[list[float], float]:
+    """Seeded 6-decimal weight vector + bias for the hashed linear
+    quality classifier — deterministic stand-in for trained weights
+    (tests / workloads); production passes weights exported from a
+    fastText / logistic-regression fit. 6-dp values survive
+    double<->DECIMAL(18,6) round-trips exactly in both engines."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    w = [rng.randrange(-1_000_000, 1_000_001) / 1e6 for _ in range(buckets)]
+    bias = rng.randrange(-1_000_000, 1_000_001) / 1e6
+    return w, bias
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    weights: list[float],
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+    lowercase: bool = True,
+    out_prefix: str = "ql_",
+    inline_limit: int | None = None,
+) -> DataFrame:
+    """fastText-style linear quality classifier inference (Joulin et
+    al. 2016, "Bag of Tricks for Efficient Text Classification" — the
+    industry-standard quality gate in GPT-3/LLaMA-family pipelines,
+    complementing the rule-based Gopher flags and DSIR importance
+    weights): hash word unigrams (+ bigrams) into ``len(weights)``
+    buckets, average the bucket weights, add the bias, squash.
+
+    Adds ``{prefix}n_features`` (long), ``{prefix}logit`` (double,
+    bit-exact cross-engine: the weight sum folds through
+    DECIMAL(38,6) — exact and order-independent — before ONE double
+    division and ONE add), and ``{prefix}prob`` (sigmoid, rounded to
+    6 dp — a 1-ulp exp() difference cannot move the 6th decimal of an
+    irrational value, the ngram_lm_scores convention). Docs with no
+    tokens score ``bias``.
+
+    Plan-size gate (the random_projection convention): weight arrays
+    up to ``QL_INLINE_LIMIT`` literals inline — the whole score is a
+    zero-shuffle codegen map over the token array. Larger
+    vocabularies switch to explode + broadcast-joined weight table +
+    one groupBy(id) rebuild. Feature hashing is the portable 60-bit
+    md5 fold, so a DuckDB oracle rebuilds every bucket id."""
+    buckets = len(weights)
+    if buckets < 1:
+        raise ValueError("weights must be non-empty")
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    staged = df.withColumn(
+        "__ql_toks",
+        F.filter(F.split(F.trim(t), " "), lambda x: x != ""),
+    )
+    h60 = (
+        "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+        f" % {buckets}"
+    )
+    uni = f"transform(__ql_toks, t -> {h60.format(x='t')})"
+    big = (
+        "transform(sequence(1, size(__ql_toks) - 1), i -> "
+        + h60.format(
+            x="concat(element_at(__ql_toks, i), ' ', "
+            "element_at(__ql_toks, i + 1))"
+        )
+        + ")"
+    )
+    feats = (
+        f"concat({uni}, CASE WHEN size(__ql_toks) >= 2 THEN {big} "
+        f"ELSE CAST(array() AS array<bigint>) END)"
+        if bigrams
+        else uni
+    )
+    staged = staged.withColumn("__ql_feats", F.expr(feats)).drop(
+        "__ql_toks"
+    )
+    n = F.size("__ql_feats").cast("long")
+    limit = QL_INLINE_LIMIT if inline_limit is None else inline_limit
+    if buckets <= limit:
+        wlit = "array(" + ", ".join(
+            f"CAST({w:.6f} AS DECIMAL(18,6))" for w in weights
+        ) + ")"
+        wsum = F.expr(
+            f"aggregate(__ql_feats, CAST(0 AS DECIMAL(38,6)), "
+            f"(acc, h) -> acc + element_at({wlit}, CAST(h + 1 AS INT)))"
+        )
+        scored = staged.withColumn("__ql_wsum", wsum)
+    else:
+        wdf = df.sparkSession.createDataFrame(
+            [(i, f"{w:.6f}") for i, w in enumerate(weights)],
+            "__b long, __w string",
+        ).select("__b", F.col("__w").cast("decimal(18,6)").alias("__w"))
+        ex = staged.select(
+            id_col, F.explode("__ql_feats").alias("__b")
+        )
+        sums = (
+            ex.join(F.broadcast(wdf), "__b")
+            .groupBy(id_col)
+            .agg(F.sum("__w").cast("decimal(38,6)").alias("__ql_wsum"))
+        )
+        scored = staged.join(sums, id_col, "left")
+    logit = F.when(
+        n > 0,
+        F.lit(float(bias)) + F.col("__ql_wsum").cast("double") / n,
+    ).otherwise(F.lit(float(bias)))
+    out = (
+        scored.withColumn(f"{out_prefix}n_features", n)
+        .withColumn(f"{out_prefix}logit", logit)
+        .withColumn(
+            f"{out_prefix}prob",
+            F.round(
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-F.col(f"{out_prefix}logit"))),
+                6,
+            ),
+        )
+        .drop("__ql_feats", "__ql_wsum")
+    )
+    return out

@@ -1031,3 +1031,38 @@ def bpe_train_transform(
             lowercase=lowercase, end_of_word=end_of_word,
         )
     )
+
+
+@transform("quality_classifier")
+def quality_classifier_transform(
+    ctx: EngineContext,
+    *,
+    text_col: str = "text",
+    weights: list[float] | None = None,
+    bias: float | None = None,
+    buckets: int = 512,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+    out_prefix: str = "ql_",
+) -> EngineContext:
+    """fastText-style hashed linear quality scoring
+    (curation.quality_classifier, Joulin et al. 2016). Pass trained
+    ``weights``/``bias`` for production; omitting them uses the
+    seeded deterministic vector (buckets, seed) — enough for
+    reproducible pipeline wiring and demos."""
+    from odibi_spark.llm import curation
+
+    if weights is None:
+        weights, gen_bias = curation.quality_classifier_weights(
+            int(buckets), seed=int(seed)
+        )
+        bias = gen_bias if bias is None else bias
+    return ctx.with_df(
+        curation.quality_classifier(
+            ctx.df, text_col,
+            weights=[float(w) for w in weights],
+            bias=float(bias or 0.0), id_col=id_col,
+            bigrams=bigrams, out_prefix=out_prefix,
+        )
+    )

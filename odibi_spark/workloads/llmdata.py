@@ -2181,9 +2181,18 @@ def curation_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # needed no mojibake/control repair. Column-expression stages only
     # (clean_unicode_expr), so the gate stays whole-stage codegen.
     uni_ok = text.clean_unicode_expr(F.col("text")) == F.col("text")
+    # classifier gate (r11): fastText-style hashed linear score with
+    # the seeded 512-bucket weights — another zero-shuffle codegen map
+    from odibi_spark.llm import curation as _cur
+
+    _qw, _qb = _cur.quality_classifier_weights(512, seed=42)
+    flagged = _cur.quality_classifier(
+        flagged, "text", weights=_qw, bias=_qb
+    )
     staged = (
         flagged.withColumn("is_keeper", keeper)
         .withColumn("unicode_ok", uni_ok)
+        .withColumn("classifier_ok", F.col("ql_logit") > 0)
         .join(spans, "doc_id")
         .withColumn("span_ok", F.col("dup_span_ratio") <= 0.8)
     )
@@ -2197,10 +2206,13 @@ def curation_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("n_unique"),
         F.sum(F.when(F.col("span_ok"), 1).otherwise(0))
         .cast("long").alias("n_span_ok"),
+        F.sum(F.when(F.col("classifier_ok"), 1).otherwise(0))
+        .cast("long").alias("n_classifier_ok"),
         F.sum(
             F.when(
                 F.col("unicode_ok") & F.col("gopher_keep")
-                & F.col("is_keeper") & F.col("span_ok"),
+                & F.col("is_keeper") & F.col("span_ok")
+                & F.col("classifier_ok"),
                 1,
             ).otherwise(0)
         ).cast("long").alias("n_survivors"),
@@ -3778,3 +3790,141 @@ BPE_TRAIN_SQL = _bpe_oracle_sql(20)
 
 QUERIES.update({"bpe_trained_merges": bpe_trained_merges})
 ORACLES.update({"bpe_trained_merges": BPE_TRAIN_SQL})
+
+
+def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier inference
+    (VERDICT r10 task 4, Joulin et al. 2016) with fixed seeded
+    weights: 512 buckets, unigram+bigram features over the portable
+    md5 hash, DECIMAL-folded weight mean + bias, sigmoid rounded to
+    6 dp. Literal-path plan: one zero-shuffle codegen map. The oracle
+    rebuilds every bucket id, the exact DECIMAL sum, and the
+    threshold flag."""
+    from odibi_spark.llm import curation
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    w, b = curation.quality_classifier_weights(512, seed=42)
+    out = curation.quality_classifier(docs, "text", weights=w, bias=b)
+    return out.select(
+        "doc_id", "ql_n_features", "ql_logit", "ql_prob",
+        (F.col("ql_logit") > 0).alias("is_quality"),
+    )
+
+
+def _ql_weights_cte(buckets: int = 512, seed: int = 42) -> tuple[str, float]:
+    """(weights CTE SQL, bias) from the SAME seeded generator the
+    Spark side uses — the two engines share one weight vector by
+    construction."""
+    from odibi_spark.llm import curation
+
+    w, b = curation.quality_classifier_weights(buckets, seed=seed)
+    lits = ", ".join(f"{x:.6f}" for x in w)
+    cte = (
+        f"qlw AS (SELECT unnest(range(0, {buckets})) AS b, "
+        f"unnest([{lits}]) AS wt)"
+    )
+    return cte, b
+
+
+_QL_CTE, _QL_BIAS = _ql_weights_cte()
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH {_QL_CTE},
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(lower(text)), ' '), t -> t <> '')
+           AS tk
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, unnest(list_concat(
+    list_transform(tk, t ->
+      CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 512),
+    list_transform(range(1, len(tk)), i ->
+      CAST(concat('0x', substring(md5(tk[CAST(i AS INTEGER)] || ' ' ||
+                                       tk[CAST(i + 1 AS INTEGER)]),
+                                  1, 15)) AS BIGINT) % 512)
+  )) AS b
+  FROM toks
+),
+s AS (
+  SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(qlw.wt AS DECIMAL(38,6))) AS ws
+  FROM feats f JOIN qlw USING (b) GROUP BY f.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n, 0) AS BIGINT) AS ql_n_features,
+       CASE WHEN COALESCE(s.n, 0) > 0
+            THEN {_QL_BIAS!r} + CAST(s.ws AS DOUBLE) / s.n
+            ELSE {_QL_BIAS!r} END AS ql_logit,
+       round(1.0 / (1.0 + exp(-(CASE WHEN COALESCE(s.n, 0) > 0
+            THEN {_QL_BIAS!r} + CAST(s.ws AS DOUBLE) / s.n
+            ELSE {_QL_BIAS!r} END))), 6) AS ql_prob,
+       (CASE WHEN COALESCE(s.n, 0) > 0
+            THEN {_QL_BIAS!r} + CAST(s.ws AS DOUBLE) / s.n
+            ELSE {_QL_BIAS!r} END) > 0 AS is_quality
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+QUERIES.update({"quality_classifier_docs": quality_classifier_docs})
+ORACLES.update({"quality_classifier_docs": QUALITY_CLASSIFIER_SQL})
+
+
+# r11: splice the classifier gate into the curation-funnel oracle (the
+# weight CTE is defined just above, so this rewrite happens here, after
+# both sides share the generated vector)
+CURATION_FUNNEL_SQL = (
+    CURATION_FUNNEL_SQL
+    .replace(
+        "\nSELECT gf.source,",
+        f""",
+{_QL_CTE},
+qltoks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(lower(text)), ' '), t -> t <> '')
+           AS tk
+  FROM documents
+),
+qlfeats AS (
+  SELECT doc_id, unnest(list_concat(
+    list_transform(tk, t ->
+      CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 512),
+    list_transform(range(1, len(tk)), i ->
+      CAST(concat('0x', substring(md5(tk[CAST(i AS INTEGER)] || ' ' ||
+                                       tk[CAST(i + 1 AS INTEGER)]),
+                                  1, 15)) AS BIGINT) % 512)
+  )) AS b
+  FROM qltoks
+),
+qls AS (
+  SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(qlw.wt AS DECIMAL(38,6))) AS ws
+  FROM qlfeats f JOIN qlw USING (b) GROUP BY f.doc_id
+),
+clf AS (
+  SELECT d.doc_id,
+         (CASE WHEN COALESCE(s.n, 0) > 0
+               THEN {_QL_BIAS!r} + CAST(s.ws AS DOUBLE) / s.n
+               ELSE {_QL_BIAS!r} END) > 0 AS classifier_ok
+  FROM documents d LEFT JOIN qls s USING (doc_id)
+)
+SELECT gf.source,""",
+    )
+    .replace(
+        "AS n_span_ok,",
+        "AS n_span_ok,\n"
+        "       CAST(SUM(CASE WHEN c.classifier_ok THEN 1 ELSE 0 END)"
+        " AS BIGINT)\n         AS n_classifier_ok,",
+    )
+    .replace(
+        "AND s.span_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors",
+        "AND s.span_ok AND c.classifier_ok THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_survivors",
+    )
+    .replace(
+        "JOIN spans s USING (doc_id)",
+        "JOIN spans s USING (doc_id) JOIN clf c USING (doc_id)",
+    )
+)
+ORACLES.update({"curation_funnel_docs": CURATION_FUNNEL_SQL})

@@ -1253,6 +1253,132 @@ class TestBpeTrain:
         assert got == _ref_bpe(texts, k)
 
 
+class TestQualityClassifier:
+    """fastText-style hashed linear quality classifier (VERDICT r10
+    task 4, Joulin et al. 2016)."""
+
+    def _ref_logit(self, text, weights, bias, bigrams=True):
+        import hashlib
+        from decimal import Decimal
+
+        b = len(weights)
+        toks = [t for t in text.strip().lower().split(" ") if t]
+        feats = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % b
+            for t in toks
+        ]
+        if bigrams:
+            feats += [
+                int(
+                    hashlib.md5(
+                        f"{toks[i]} {toks[i + 1]}".encode()
+                    ).hexdigest()[:15], 16
+                ) % b
+                for i in range(len(toks) - 1)
+            ]
+        if not feats:
+            return float(bias)
+        s = sum(Decimal(f"{weights[h]:.6f}") for h in feats)
+        return bias + float(s) / len(feats)
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "The quick Brown fox jumps over the lazy dog"),
+                (2, "spam spam spam click here buy now"),
+                (3, ""),
+                (4, "single"),
+                (5, "a b a b a b a b"),
+            ],
+            "doc_id int, text string",
+        )
+
+    def test_differential_vs_python(self, spark):
+        from odibi_spark.llm.curation import (
+            quality_classifier, quality_classifier_weights,
+        )
+
+        w, b = quality_classifier_weights(128, seed=3)
+        out = quality_classifier(self._df(spark), weights=w, bias=b)
+        texts = {r.doc_id: r.text for r in self._df(spark).collect()}
+        for r in out.collect():
+            assert r.ql_logit == self._ref_logit(texts[r.doc_id], w, b), (
+                r.doc_id
+            )
+
+    def test_dispatch_paths_identical(self, spark):
+        """Literal and broadcast-join paths must produce bit-identical
+        logits (DECIMAL sums are order-independent)."""
+        from odibi_spark.llm.curation import (
+            quality_classifier, quality_classifier_weights,
+        )
+
+        w, b = quality_classifier_weights(64, seed=11)
+        df = self._df(spark)
+        lit = quality_classifier(df, weights=w, bias=b)
+        join = quality_classifier(df, weights=w, bias=b, inline_limit=1)
+        key = lambda rows: sorted(
+            (r.doc_id, r.ql_n_features, r.ql_logit, r.ql_prob)
+            for r in rows
+        )
+        assert key(lit.collect()) == key(join.collect())
+
+    def test_empty_text_scores_bias(self, spark):
+        from odibi_spark.llm.curation import (
+            quality_classifier, quality_classifier_weights,
+        )
+
+        w, b = quality_classifier_weights(32, seed=5)
+        out = {
+            r.doc_id: r
+            for r in quality_classifier(
+                self._df(spark), weights=w, bias=b
+            ).collect()
+        }
+        assert out[3].ql_n_features == 0 and out[3].ql_logit == b
+
+    def test_bigrams_flag(self, spark):
+        from odibi_spark.llm.curation import (
+            quality_classifier, quality_classifier_weights,
+        )
+
+        w, b = quality_classifier_weights(64, seed=9)
+        uni = quality_classifier(
+            self._df(spark), weights=w, bias=b, bigrams=False
+        )
+        got = {r.doc_id: r for r in uni.collect()}
+        # unigram-only: n_features == token count
+        assert got[1].ql_n_features == 9
+        assert got[1].ql_logit == self._ref_logit(
+            "The quick Brown fox jumps over the lazy dog", w, b,
+            bigrams=False,
+        )
+
+    def test_partitioning_invariant(self, spark):
+        from odibi_spark.llm.curation import (
+            quality_classifier, quality_classifier_weights,
+        )
+        from pyspark.sql import Row
+
+        w, b = quality_classifier_weights(64, seed=2)
+        rows = [Row(doc_id=i, text=f"word{i % 17} common text {i % 5}")
+                for i in range(300)]
+        df = spark.createDataFrame(rows)
+        a = {(r.doc_id, r.ql_logit) for r in quality_classifier(
+            df.repartition(1), weights=w, bias=b).collect()}
+        c = {(r.doc_id, r.ql_logit) for r in quality_classifier(
+            df.repartition(13), weights=w, bias=b).collect()}
+        assert a == c
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from odibi_spark.llm.curation import quality_classifier
+
+        with _pytest.raises(ValueError, match="non-empty"):
+            quality_classifier(self._df(spark), weights=[])
+
+
 class TestBpePairStats:
     def test_counts_weighted_by_word_frequency(self, spark):
         from odibi_spark.llm.text import bpe_pair_stats
@@ -1562,6 +1688,7 @@ def test_full_curation_example_yaml_runs(spark, tmp_path):
         "takedown_list", "publishable_docs", "fuzzy_clean_docs",
         "dsir_selected", "embedding_dedup", "training_shards",
         "source_quality_report", "script_gated_docs", "mixed_shuffled_docs",
+        "classifier_gated_docs", "bpe_merges",
     ):
         assert results[node].status == "success", (node, results[node].error)
     chunks = spark.read.parquet(str(tmp_path / "chunks"))
@@ -1625,6 +1752,13 @@ def test_full_curation_example_yaml_runs(spark, tmp_path):
     mixed = spark.read.parquet(str(tmp_path / "mixed"))
     idxs = sorted(r.shuffle_idx for r in mixed.select("shuffle_idx").collect())
     assert idxs == list(range(1, mixed.count() + 1))  # a true permutation
+    # r11 tail: fastText-style classifier gate + BPE merge table
+    gated_ql = spark.read.parquet(str(tmp_path / "classifier_gated"))
+    assert 0 < gated_ql.count() < clean.count()
+    assert gated_ql.agg(F.min("ql_prob")).first()[0] >= 0.5
+    merges = spark.read.parquet(str(tmp_path / "bpe_merges"))
+    assert merges.count() == 8
+    assert sorted(r.merge_rank for r in merges.collect()) == list(range(1, 9))
 
 
 class TestIncrementalDedup:
