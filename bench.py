@@ -576,6 +576,13 @@ def main() -> None:
         "lexical_diversity_sources", "script_profile_docs",
         "bpe_merge_candidates", "corpus_datacard",
         "winsorize_doc_lengths", "mmr_diverse_topk",
+        # new in round 11: paragraph-level boilerplate, the URL
+        # funnel (normalize / domain gate + URL dedup), the iterative
+        # BPE trainer (20 rounds over the vocab table), and the
+        # fastText-style hashed linear quality classifier
+        "boilerplate_paragraphs_docs", "url_normalize_docs",
+        "domain_filter_docs", "bpe_trained_merges",
+        "quality_classifier_docs",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(
