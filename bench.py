@@ -582,7 +582,8 @@ def main() -> None:
         # fastText-style hashed linear quality classifier
         "boilerplate_paragraphs_docs", "url_normalize_docs",
         "domain_filter_docs", "bpe_trained_merges",
-        "quality_classifier_docs",
+        "quality_classifier_docs", "pii_card_scrub_docs",
+        "domain_reputation_docs", "bpe_subword_stats_docs",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(

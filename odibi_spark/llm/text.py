@@ -292,6 +292,85 @@ def scrub_pii(
     return df.withColumns({out_col: scrubbed, "pii_hits": hits})
 
 
+# Payment-card candidates: 13-19 digits with optional single space/
+# dash separators, word-bounded. RE2-safe (\b works in Java regex and
+# RE2) so the oracle extracts the identical candidate set; Luhn then
+# decides validity — a phone-shaped digit run that happens to pass
+# both the length gate and the checksum is exactly what the standard
+# scrubbers redact too.
+CARD_CANDIDATE_PATTERN: str = r"\b(?:\d[ -]?){12,18}\d\b"
+
+
+def _luhn_sql(d: str) -> str:
+    """Luhn checksum (ISO/IEC 7812) over a digit-string SQL expression
+    as a pure fold: from the right, double every second digit
+    (subtract 9 above 4), sum, valid iff % 10 == 0. Valid card lengths
+    are 13-19. Identical text works as a DuckDB lambda body (CASE/
+    CAST/substring/length all match), so oracles replay the checksum.
+    """
+    v = f"CAST(substring({d}, i, 1) AS INT)"
+    return (
+        f"(length({d}) BETWEEN 13 AND 19 AND aggregate("
+        f"sequence(1, length({d})), 0, (acc, i) -> acc + "
+        f"CASE WHEN (length({d}) - i) % 2 = 1 "
+        f"THEN 2 * {v} - IF({v} > 4, 9, 0) ELSE {v} END) % 10 = 0)"
+    )
+
+
+def scrub_cards(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    *,
+    placeholder: str = "<CARD>",
+) -> DataFrame:
+    """Redact Luhn-valid payment-card numbers — the PII class
+    :func:`scrub_pii`'s shape-only rules can't safely match: a
+    16-digit run is only a card if the ISO/IEC 7812 checksum holds,
+    and shape-only redaction would eat order ids and EAN barcodes.
+    Adds ``card_hits`` (redacted occurrence count; a number appearing
+    twice counts twice).
+
+    Plan: regexp_extract_all candidates -> per-candidate Luhn fold ->
+    one replace fold over the (tiny) valid list — all JVM-side column
+    expressions over one projected candidate array, zero shuffle,
+    linear in text size. Candidate regex and checksum fold are
+    RE2/DuckDB-replayable, so redacted text hash-matches cross-engine
+    (``pii_card_scrub_docs``).
+    """
+    out_col = out_col or text_col
+    # one SQL expr end-to-end: the filter lambda's variable `c` must
+    # be referenceable inside the nested Luhn fold, which a
+    # Python-lambda Column cannot splice into
+    staged = df.withColumn(
+        "__card_valid",
+        F.expr(
+            "filter(regexp_extract_all(" + text_col + ", "
+            + f"'{_sql_str(CARD_CANDIDATE_PATTERN)}', 0), c -> "
+            + _luhn_sql("regexp_replace(c, '[ -]', '')") + ")"
+        ),
+    )
+    scrubbed = F.expr(
+        f"aggregate(__card_valid, {text_col}, "
+        f"(acc, c) -> replace(acc, c, '{placeholder}'))"
+    )
+    return (
+        staged.withColumns(
+            {
+                out_col: scrubbed,
+                "card_hits": F.size("__card_valid").cast("long"),
+            }
+        ).drop("__card_valid")
+    )
+
+
+def _sql_str(pattern: str) -> str:
+    """Escape a regex for embedding in a Spark SQL single-quoted
+    literal (non-ANSI string parsing treats backslashes as escapes, so
+    each must double)."""
+    return pattern.replace("\\", "\\\\")
+
+
 # Common UTF-8-read-as-Latin-1/cp1252 mojibake digraphs (the ftfy
 # headline cases), LONGEST first so three-byte punctuation sequences
 # repair before their two-byte prefixes. Plain string replaces — no
@@ -634,9 +713,50 @@ def bpe_train(
     Training stops early if no pair occurs twice (vocabulary
     exhausted).
     """
+    merges, _ = _bpe_run(
+        df, text_col, num_merges=num_merges, lowercase=lowercase,
+        end_of_word=end_of_word,
+    )
+    return df.sparkSession.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count long"
+    )
+
+
+def bpe_segmented_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    num_merges: int = 20,
+    lowercase: bool = True,
+    end_of_word: str | None = "</w>",
+) -> DataFrame:
+    """Train BPE AND return the segmentation it induces: the
+    vocabulary table (word, wc, syms) after all ``num_merges`` merges
+    — i.e. the trained tokenizer APPLIED to every corpus word (a
+    corpus token's subwords = its word's ``syms``). Encoding the
+    corpus is then one join from the token stream to this table; the
+    quadratic-free shape tokenizer deployment needs at 100 TB (the
+    segmentation is computed once per DISTINCT word, never per
+    token). Training and application share one loop, so this costs no
+    more than :func:`bpe_train` itself."""
+    _, vocab = _bpe_run(
+        df, text_col, num_merges=num_merges, lowercase=lowercase,
+        end_of_word=end_of_word,
+    )
+    return vocab
+
+
+def _bpe_run(
+    df: DataFrame,
+    text_col: str,
+    *,
+    num_merges: int,
+    lowercase: bool,
+    end_of_word: str | None,
+):
+    """Shared trainer loop: returns (merge list, final vocab frame)."""
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
-    spark = df.sparkSession
     vocab = bpe_vocab(
         df, text_col, lowercase=lowercase, end_of_word=end_of_word
     ).localCheckpoint(eager=True)
@@ -665,9 +785,7 @@ def bpe_train(
         vocab = vocab.withColumn(
             "syms", _merge_pair_expr(a, b)
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "merge_rank int, left string, right string, pair_count long"
-    )
+    return merges, vocab
 
 
 def ngram_lm_scores(

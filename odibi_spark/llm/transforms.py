@@ -1066,3 +1066,62 @@ def quality_classifier_transform(
             bigrams=bigrams, out_prefix=out_prefix,
         )
     )
+
+
+@transform("scrub_cards")
+def scrub_cards_transform(
+    ctx: EngineContext,
+    *,
+    text_col: str = "text",
+    out_col: str | None = None,
+    placeholder: str = "<CARD>",
+) -> EngineContext:
+    """Luhn-validated payment-card redaction (text.scrub_cards) —
+    the checksum-gated PII class shape-only rules can't safely match."""
+    return ctx.with_df(
+        text.scrub_cards(
+            ctx.df, text_col, out_col, placeholder=placeholder
+        )
+    )
+
+
+@transform("domain_rollup")
+def domain_rollup_transform(
+    ctx: EngineContext,
+    *,
+    domain_col: str = "registered_domain",
+    size_col: str | None = None,
+    quality_col: str | None = None,
+    min_docs: int = 1,
+) -> EngineContext:
+    """Per-registered-domain reputation aggregate (url.domain_rollup):
+    the row-quality -> domain-stats -> next-crawl-blocklist loop."""
+    from odibi_spark.llm import url as _url
+
+    return ctx.with_df(
+        _url.domain_rollup(
+            ctx.df, domain_col=domain_col, size_col=size_col,
+            quality_col=quality_col, min_docs=int(min_docs),
+        )
+    )
+
+
+@transform("bpe_segment")
+def bpe_segment_transform(
+    ctx: EngineContext,
+    *,
+    text_col: str = "text",
+    num_merges: int = 20,
+    lowercase: bool = True,
+    end_of_word: str | None = "</w>",
+) -> EngineContext:
+    """Train BPE and replace the frame with the segmented vocabulary
+    (word, wc, syms) — the tokenizer applied to every distinct corpus
+    word (text.bpe_segmented_vocab); encode the corpus by joining its
+    token stream to this table."""
+    return ctx.with_df(
+        text.bpe_segmented_vocab(
+            ctx.df, text_col, num_merges=int(num_merges),
+            lowercase=lowercase, end_of_word=end_of_word,
+        )
+    )

@@ -307,3 +307,42 @@ def dedup_by_url(
         .agg(F.min(id_col).alias(id_col))
     )
     return keyed.join(keep, ["__uk", id_col], "left_semi").drop("__uk")
+
+
+def domain_rollup(
+    df: DataFrame,
+    *,
+    domain_col: str = "registered_domain",
+    size_col: str | None = None,
+    quality_col: str | None = None,
+    min_docs: int = 1,
+) -> DataFrame:
+    """Per-registered-domain reputation aggregate — the RefinedWeb-
+    style domain-level statistics pass that turns row-level quality
+    signals into the NEXT crawl's blocklist/allowlist: doc count,
+    total size, and mean quality per domain, dropping domains below
+    ``min_docs`` (too few observations to judge).
+
+    ONE map-side-combined groupBy on the domain key; the mean folds
+    the quality column through DECIMAL(38,6) (exact, order-
+    independent) before a single double division, so the report
+    hash-matches cross-engine. Output is O(domains) — feed it to
+    :func:`filter_blocked_domains` for the feedback loop."""
+    if min_docs < 1:
+        raise ValueError("min_docs must be >= 1")
+    n = F.count(F.lit(1))
+    aggs = [n.cast("long").alias("n_docs")]
+    if size_col:
+        aggs.append(F.sum(size_col).cast("long").alias("total_size"))
+    if quality_col:
+        aggs.append(
+            (
+                F.sum(F.col(quality_col).cast("decimal(38,6)"))
+                .cast("double") / n
+            ).alias("mean_quality")
+        )
+    return (
+        df.groupBy(domain_col)
+        .agg(*aggs)
+        .filter(F.col("n_docs") >= int(min_docs))
+    )

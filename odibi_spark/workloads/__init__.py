@@ -75,7 +75,8 @@ _R11_ROTATE_IN = [
 _R11_NEW = [
     "boilerplate_paragraphs_docs", "url_normalize_docs",
     "domain_filter_docs", "bpe_trained_merges",
-    "quality_classifier_docs",
+    "quality_classifier_docs", "pii_card_scrub_docs",
+    "domain_reputation_docs", "bpe_subword_stats_docs",
 ]
 
 # Workloads whose Spark+oracle definition changed in round 11 (the

@@ -3786,6 +3786,15 @@ v{i} AS MATERIALIZED (
     return "WITH " + ",".join(stages) + "\n" + unions
 
 
+def _bpe_vocab_oracle_sql(k: int, final_select: str) -> str:
+    """Same generated k-iteration CTE chain, but ending in a caller
+    query over the FINAL segmented vocabulary ``v{k}`` instead of the
+    merge-table union."""
+    full = _bpe_oracle_sql(k)
+    cut = full.rindex("\nSELECT CAST(1 AS INTEGER)")
+    return full[:cut] + "\n" + final_select.replace("__VK__", f"v{k}")
+
+
 BPE_TRAIN_SQL = _bpe_oracle_sql(20)
 
 QUERIES.update({"bpe_trained_merges": bpe_trained_merges})
@@ -3928,3 +3937,189 @@ SELECT gf.source,""",
     )
 )
 ORACLES.update({"curation_funnel_docs": CURATION_FUNNEL_SQL})
+
+
+def pii_card_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated payment-card redaction (r11): every doc gains a
+    deterministic payment line — valid Visa/MC/Amex/Discover test
+    numbers in spaced/dashed/bare formats, one Luhn-INVALID number
+    (must survive), and a no-card case — then text.scrub_cards
+    redacts exactly the checksum-valid candidates. The oracle replays
+    candidate extraction, the Luhn fold, and the replace fold."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    card = (
+        F.when(F.col("doc_id") % 6 == 0, F.lit("4111 1111 1111 1111"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("5500-0000-0000-0004"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("340000000000009"))
+        .when(F.col("doc_id") % 6 == 3, F.lit("4111111111111112"))
+        .when(F.col("doc_id") % 6 == 4, F.lit("6011000000000004"))
+        .otherwise(F.lit("none on file"))
+    )
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\nPayment: "), card,
+            F.lit(" ref "), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = text.scrub_cards(staged, "text", out_col="clean_text")
+    return out.select("doc_id", "clean_text", "card_hits")
+
+
+_LUHN_DUCK = """
+length(regexp_replace(cd, '[ -]', '', 'g')) BETWEEN 13 AND 19
+AND list_sum(list_transform(
+      range(1, length(regexp_replace(cd, '[ -]', '', 'g')) + 1),
+      i -> CASE WHEN (length(regexp_replace(cd, '[ -]', '', 'g')) - i)
+                     % 2 = 1
+           THEN 2 * CAST(regexp_replace(cd, '[ -]', '', 'g')
+                         [CAST(i AS INTEGER)] AS INTEGER)
+                - CASE WHEN CAST(regexp_replace(cd, '[ -]', '', 'g')
+                            [CAST(i AS INTEGER)] AS INTEGER) > 4
+                       THEN 9 ELSE 0 END
+           ELSE CAST(regexp_replace(cd, '[ -]', '', 'g')
+                     [CAST(i AS INTEGER)] AS INTEGER) END)) % 10 = 0
+"""
+
+PII_CARD_SCRUB_SQL = rf"""
+WITH c AS (
+  SELECT doc_id,
+         text || chr(10) || 'Payment: ' ||
+         (CASE WHEN doc_id % 6 = 0 THEN '4111 1111 1111 1111'
+               WHEN doc_id % 6 = 1 THEN '5500-0000-0000-0004'
+               WHEN doc_id % 6 = 2 THEN '340000000000009'
+               WHEN doc_id % 6 = 3 THEN '4111111111111112'
+               WHEN doc_id % 6 = 4 THEN '6011000000000004'
+               ELSE 'none on file' END) ||
+         ' ref ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+),
+s AS (
+  SELECT doc_id, text,
+         list_filter(
+           regexp_extract_all(text, '\b(?:\d[ -]?){{12,18}}\d\b'),
+           cd -> ({_LUHN_DUCK})
+         ) AS valid
+  FROM c
+)
+SELECT doc_id,
+       list_reduce(list_prepend(text, valid),
+                   (acc, x) -> replace(acc, x, '<CARD>')) AS clean_text,
+       CAST(len(valid) AS BIGINT) AS card_hits
+FROM s
+"""
+
+QUERIES.update({"pii_card_scrub_docs": pii_card_scrub_docs})
+ORACLES.update({"pii_card_scrub_docs": PII_CARD_SCRUB_SQL})
+
+
+def domain_reputation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level reputation rollup (r11, the RefinedWeb feedback
+    loop: row-level quality -> per-registered-domain stats -> the
+    next crawl's blocklist): synth URLs -> normalize -> registered
+    domain -> fastText-style quality score -> url.domain_rollup
+    (doc count, total chars, DECIMAL-exact mean quality, min_docs
+    observation floor)."""
+    from odibi_spark.llm import curation, url as urlmod
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    staged = docs.select(
+        "doc_id", "source", "lang", "n_chars", "text",
+        _synth_url_spark(F.col("doc_id")).alias("url"),
+    )
+    staged = urlmod.registered_domain(
+        urlmod.url_normalize(staged, "url", host_col="host"), "host"
+    )
+    w, b = curation.quality_classifier_weights(512, seed=42)
+    staged = curation.quality_classifier(staged, "text", weights=w, bias=b)
+    return urlmod.domain_rollup(
+        staged, size_col="n_chars", quality_col="ql_prob", min_docs=2
+    )
+
+
+DOMAIN_REPUTATION_SQL = f"""
+WITH src AS (SELECT doc_id, source, lang FROM documents),
+{_url_norm_ctes(_synth_url_sql("doc_id"))},
+{_QL_CTE},
+qltoks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(lower(text)), ' '), t -> t <> '')
+           AS tk
+  FROM documents
+),
+qlfeats AS (
+  SELECT doc_id, unnest(list_concat(
+    list_transform(tk, t ->
+      CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 512),
+    list_transform(range(1, len(tk)), i ->
+      CAST(concat('0x', substring(md5(tk[CAST(i AS INTEGER)] || ' ' ||
+                                       tk[CAST(i + 1 AS INTEGER)]),
+                                  1, 15)) AS BIGINT) % 512)
+  )) AS b
+  FROM qltoks
+),
+qls AS (
+  SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(qlw.wt AS DECIMAL(38,6))) AS ws
+  FROM qlfeats f JOIN qlw USING (b) GROUP BY f.doc_id
+),
+scored AS (
+  SELECT d.doc_id,
+         round(1.0 / (1.0 + exp(-(CASE WHEN COALESCE(s.n, 0) > 0
+               THEN {_QL_BIAS!r} + CAST(s.ws AS DOUBLE) / s.n
+               ELSE {_QL_BIAS!r} END))), 6) AS ql_prob,
+         d.n_chars
+  FROM documents d LEFT JOIN qls s USING (doc_id)
+)
+SELECT r.registered_domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(sc.n_chars) AS BIGINT) AS total_size,
+       CAST(SUM(CAST(sc.ql_prob AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+         AS mean_quality
+FROM reg r JOIN scored sc USING (doc_id)
+GROUP BY r.registered_domain
+HAVING COUNT(*) >= 2
+"""
+
+QUERIES.update({"domain_reputation_docs": domain_reputation_docs})
+ORACLES.update({"domain_reputation_docs": DOMAIN_REPUTATION_SQL})
+
+
+def bpe_subword_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer APPLIED (r11): after the same 20 BPE
+    merges as bpe_trained_merges, the corpus' subword inventory —
+    top-30 subwords by frequency-weighted occurrence. Segmentation is
+    computed once per DISTINCT word on the vocabulary table (never
+    per token), so applying a tokenizer at 100 TB is one vocab join;
+    the rollup here is one bounded groupBy + TakeOrderedAndProject.
+    Oracle: the same generated 20-stage CTE chain, final query over
+    the segmented vocabulary v20."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    vocab = text.bpe_segmented_vocab(docs, "text", num_merges=20)
+    return (
+        vocab.select(F.explode("syms").alias("subword"), "wc")
+        .groupBy("subword")
+        .agg(
+            F.sum("wc").cast("long").alias("occurrences"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+        .orderBy(F.desc("occurrences"), F.asc("subword"))
+        .limit(30)
+    )
+
+
+BPE_SUBWORD_STATS_SQL = _bpe_vocab_oracle_sql(20, """
+SELECT sym AS subword,
+       CAST(SUM(wc) AS BIGINT) AS occurrences,
+       CAST(COUNT(*) AS BIGINT) AS n_words
+FROM (SELECT unnest(syms) AS sym, wc FROM __VK__)
+GROUP BY sym
+ORDER BY occurrences DESC, subword
+LIMIT 30
+""")
+
+QUERIES.update({"bpe_subword_stats_docs": bpe_subword_stats_docs})
+ORACLES.update({"bpe_subword_stats_docs": BPE_SUBWORD_STATS_SQL})

@@ -1379,6 +1379,34 @@ class TestQualityClassifier:
             quality_classifier(self._df(spark), weights=[])
 
 
+class TestBpeSegmentedVocab:
+    def test_segmentation_reconstructs_words(self, spark):
+        """Invariant: concatenating a word's subwords (minus the EOW
+        marker) gives back the word, at any merge count."""
+        from odibi_spark.llm.text import bpe_segmented_vocab
+
+        df = spark.createDataFrame(
+            [(1, "low lower lowest newest new")], "doc_id int, text string"
+        )
+        vocab = bpe_segmented_vocab(df, num_merges=6)
+        for r in vocab.collect():
+            assert "".join(r.syms) == r.word + "</w>"
+
+    def test_merges_actually_applied(self, spark):
+        from odibi_spark.llm.text import bpe_segmented_vocab, bpe_vocab
+
+        text = " ".join(["low"] * 9 + ["lowest"] * 3)
+        df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+        seg = {r.word: list(r.syms)
+               for r in bpe_segmented_vocab(df, num_merges=4).collect()}
+        raw = {r.word: list(r.syms) for r in bpe_vocab(df).collect()}
+        # after 4 merges over this corpus 'low' collapses below its
+        # character count
+        assert len(seg["low"]) < len(raw["low"])
+        # and the heavy word is fully or nearly fused
+        assert len(seg["low"]) <= 2
+
+
 class TestBpePairStats:
     def test_counts_weighted_by_word_frequency(self, spark):
         from odibi_spark.llm.text import bpe_pair_stats
@@ -3496,3 +3524,61 @@ class TestSourceDivergence:
         assert abs(out["weird"].kl_to_corpus - math.log(24 / 4)) < 1e-6
         assert out["weird"].n_tokens == 4
         assert out["weird"].n_distinct_tokens == 1
+
+
+class TestScrubCards:
+    """Luhn-validated payment-card redaction (r11): checksum-gated,
+    never shape-only."""
+
+    def _scrub(self, spark, text):
+        from odibi_spark.llm.text import scrub_cards
+
+        df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+        return scrub_cards(df, out_col="clean").first()
+
+    def test_valid_cards_redacted_all_formats(self, spark):
+        for t in (
+            "pay 4111 1111 1111 1111 now",
+            "pay 5500-0000-0000-0004 now",
+            "pay 340000000000009 now",          # 15-digit amex
+            "pay 6011000000000004 now",
+        ):
+            r = self._scrub(spark, t)
+            assert r.clean == "pay <CARD> now" and r.card_hits == 1, t
+
+    def test_luhn_invalid_survives(self, spark):
+        r = self._scrub(spark, "order 4111111111111112 shipped")
+        assert r.clean == "order 4111111111111112 shipped"
+        assert r.card_hits == 0
+
+    def test_short_digit_runs_survive(self, spark):
+        r = self._scrub(spark, "call 555-123-4567 ref 123456789012")
+        assert r.card_hits == 0 and "555-123-4567" in r.clean
+
+    def test_multiple_and_duplicate_occurrences(self, spark):
+        r = self._scrub(
+            spark,
+            "a 4111111111111111 b 340000000000009 c 4111111111111111",
+        )
+        assert r.clean == "a <CARD> b <CARD> c <CARD>"
+        assert r.card_hits == 3
+
+    def test_python_differential(self, spark):
+        """Luhn fold vs the textbook Python implementation over a
+        digit sweep (candidate = 15 fixed digits + trial check)."""
+        from odibi_spark.llm.text import scrub_cards
+
+        def luhn_ok(d):
+            s = 0
+            for i, ch in enumerate(reversed(d)):
+                v = int(ch)
+                s += (2 * v - 9 if v > 4 else 2 * v) if i % 2 == 1 else v
+            return s % 10 == 0
+
+        base = "401288888888188"
+        texts = [(k, f"pay {base}{k} now") for k in range(10)]
+        df = spark.createDataFrame(texts, "doc_id int, text string")
+        out = {r.doc_id: r.card_hits
+               for r in scrub_cards(df, out_col="c").collect()}
+        want = {k: int(luhn_ok(f"{base}{k}")) for k in range(10)}
+        assert out == want and sum(want.values()) == 1

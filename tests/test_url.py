@@ -182,3 +182,42 @@ class TestNormalizeThenDedupPipeline:
         ])
         out = dedup_by_url(url_normalize(df))
         assert sorted(r.doc_id for r in out.collect()) == [0, 2]
+
+
+class TestDomainRollup:
+    def _df(self, spark):
+        rows = [
+            Row(registered_domain="a.com", n_chars=100, q=0.8),
+            Row(registered_domain="a.com", n_chars=200, q=0.6),
+            Row(registered_domain="b.org", n_chars=50, q=0.1),
+            Row(registered_domain="lone.io", n_chars=10, q=0.9),
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_rollup_and_min_docs_floor(self, spark):
+        from odibi_spark.llm.url import domain_rollup
+
+        out = {
+            r.registered_domain: r
+            for r in domain_rollup(
+                self._df(spark), size_col="n_chars", quality_col="q",
+                min_docs=2,
+            ).collect()
+        }
+        assert set(out) == {"a.com"}  # singletons dropped
+        assert out["a.com"].n_docs == 2
+        assert out["a.com"].total_size == 300
+        assert out["a.com"].mean_quality == pytest.approx(0.7)
+
+    def test_optional_metrics(self, spark):
+        from odibi_spark.llm.url import domain_rollup
+
+        out = domain_rollup(self._df(spark))
+        assert set(out.columns) == {"registered_domain", "n_docs"}
+        assert out.count() == 3
+
+    def test_validation(self, spark):
+        from odibi_spark.llm.url import domain_rollup
+
+        with pytest.raises(ValueError, match="min_docs"):
+            domain_rollup(self._df(spark), min_docs=0)
