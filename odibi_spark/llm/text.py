@@ -371,6 +371,84 @@ def _sql_str(pattern: str) -> str:
     return pattern.replace("\\", "\\\\")
 
 
+# Social-counter lines ("17 likes", "3 Comments") — the RefinedWeb
+# line-wise correction rule; RE2-safe, replayed verbatim by oracles.
+SOCIAL_COUNTER_PATTERN: str = (
+    r"^[0-9]+ (likes?|comments?|shares?|views?|upvotes?|retweets?)$"
+)
+
+
+def remove_junk_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_chars: int = 3,
+    max_numeric_ratio: float = 0.5,
+    max_punct_ratio: float = 0.5,
+    delim: str = "\n",
+    out_col: str | None = None,
+) -> DataFrame:
+    """RefinedWeb-style RULE-BASED line corrections (Penedo et al.
+    2023 §3.3, the "line-wise corrections" stage) — the per-line
+    complement of frequency-based boilerplate removal: a line is junk
+    if it is shorter than ``min_chars`` (after trim), mostly digits
+    (> ``max_numeric_ratio`` of its non-space chars), mostly
+    punctuation (> ``max_punct_ratio`` non-alphanumeric non-space),
+    or a social counter ("17 likes"). Junk lines are dropped and the
+    survivors re-joined in order; adds ``n_kept_lines`` /
+    ``n_junk_lines``.
+
+    Unlike :func:`odibi_spark.llm.dedup.remove_boilerplate_lines`
+    there is NO frequency side at all: the keep decision is per-line
+    map-side column exprs, so the only shuffle is the per-document
+    rebuild groupBy — strictly cheaper, which is why real pipelines
+    run the rule pass first. All regex classes are RE2-safe and
+    replayed verbatim by the DuckDB oracle (``line_corrections_docs``).
+    """
+    import re as _re
+
+    out_col = out_col or text_col
+    split_pat = _re.escape(delim)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), split_pat)).alias(
+            "pos", "line"
+        ),
+    )
+    t = F.trim(F.col("line"))
+    nonspace = F.regexp_count(F.col("line"), F.lit(r"\S"))
+    digits = F.regexp_count(F.col("line"), F.lit("[0-9]"))
+    punct = F.regexp_count(F.col("line"), F.lit(r"[^\p{L}0-9\s]"))
+    junk = (
+        (F.length(t) < int(min_chars))
+        | ((nonspace > 0) & (digits / nonspace > float(max_numeric_ratio)))
+        | ((nonspace > 0) & (punct / nonspace > float(max_punct_ratio)))
+        | F.lower(t).rlike(SOCIAL_COUNTER_PATTERN)
+    )
+    kept = lines.filter(~junk)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            delim,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.getField("line"),
+            ),
+        ).alias("__new_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept_lines"),
+    )
+    out = df.join(rebuilt, id_col, "left")
+    n_lines = F.size(F.split(F.col(text_col), split_pat)).cast("long")
+    return (
+        out.withColumn(
+            "n_kept_lines", F.coalesce("n_kept_lines", F.lit(0).cast("long"))
+        )
+        .withColumn("n_junk_lines", n_lines - F.col("n_kept_lines"))
+        .withColumn(out_col, F.coalesce("__new_text", F.lit("")))
+        .drop("__new_text")
+    )
+
+
 # Common UTF-8-read-as-Latin-1/cp1252 mojibake digraphs (the ftfy
 # headline cases), LONGEST first so three-byte punctuation sequences
 # repair before their two-byte prefixes. Plain string replaces — no

@@ -1125,3 +1125,30 @@ def bpe_segment_transform(
             lowercase=lowercase, end_of_word=end_of_word,
         )
     )
+
+
+@transform("line_corrections")
+def line_corrections_transform(
+    ctx: EngineContext,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 3,
+    max_numeric_ratio: float = 0.5,
+    max_punct_ratio: float = 0.5,
+    delim: str = "\n",
+    out_col: str | None = None,
+) -> EngineContext:
+    """RefinedWeb rule-based line-wise corrections
+    (text.remove_junk_lines): too-short / mostly-numeric / mostly-
+    punctuation / social-counter lines dropped, survivors re-joined.
+    Map-side rules, one per-doc rebuild shuffle — run BEFORE the
+    frequency-based remove_boilerplate pass."""
+    return ctx.with_df(
+        text.remove_junk_lines(
+            ctx.df, id_col, text_col, min_chars=int(min_chars),
+            max_numeric_ratio=float(max_numeric_ratio),
+            max_punct_ratio=float(max_punct_ratio),
+            delim=delim, out_col=out_col,
+        )
+    )

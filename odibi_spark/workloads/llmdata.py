@@ -4123,3 +4123,80 @@ LIMIT 30
 
 QUERIES.update({"bpe_subword_stats_docs": bpe_subword_stats_docs})
 ORACLES.update({"bpe_subword_stats_docs": BPE_SUBWORD_STATS_SQL})
+
+
+def line_corrections_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb line-wise corrections (r11, rule-based — the cheap
+    pass that runs BEFORE frequency boilerplate removal): every doc
+    is staged with injected junk (social counters, punctuation bars,
+    numeric runs, a too-short line) plus a legitimate sentence, then
+    text.remove_junk_lines drops exactly the rule-matching lines. The
+    oracle replays every ratio and regex verbatim."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    junk = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("17 likes"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("#### ----"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("2024 12 31"))
+        .otherwise(F.lit("Short but this line is fine to keep."))
+    )
+    staged = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.col("text"), junk, F.lit("ab"),
+            F.lit("A solid closing line."),
+        ).alias("text"),
+    )
+    out = text.remove_junk_lines(staged, "doc_id", "text",
+                                 out_col="clean_text")
+    return out.select(
+        "doc_id", "clean_text", "n_kept_lines", "n_junk_lines"
+    )
+
+
+LINE_CORRECTIONS_SQL = r"""
+WITH c AS (
+  SELECT doc_id,
+         text || chr(10) ||
+         (CASE WHEN doc_id % 4 = 0 THEN '17 likes'
+               WHEN doc_id % 4 = 1 THEN '#### ----'
+               WHEN doc_id % 4 = 2 THEN '2024 12 31'
+               ELSE 'Short but this line is fine to keep.' END) ||
+         chr(10) || 'ab' || chr(10) || 'A solid closing line.' AS text
+  FROM documents
+),
+l AS (
+  SELECT t.doc_id, g.i - 1 AS pos, t.ws[g.i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ws FROM c) t,
+       LATERAL (SELECT unnest(range(1, len(t.ws) + 1)) AS i) g
+),
+f AS (
+  SELECT doc_id, pos, line,
+         len(regexp_extract_all(line, '\S')) AS ns,
+         len(regexp_extract_all(line, '[0-9]')) AS dg,
+         len(regexp_extract_all(line, '[^\p{L}0-9\s]')) AS pc
+  FROM l
+),
+kept AS (
+  SELECT doc_id, pos, line FROM f
+  WHERE NOT (length(trim(line)) < 3
+             OR (ns > 0 AND dg / ns > 0.5)
+             OR (ns > 0 AND pc / ns > 0.5)
+             OR regexp_matches(lower(trim(line)),
+  '^[0-9]+ (likes?|comments?|shares?|views?|upvotes?|retweets?)$'))
+),
+r AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept_lines
+  FROM kept GROUP BY doc_id
+)
+SELECT c.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(COALESCE(r.n_kept_lines, 0) AS BIGINT) AS n_kept_lines,
+       CAST(len(string_split(c.text, chr(10))) AS BIGINT)
+         - CAST(COALESCE(r.n_kept_lines, 0) AS BIGINT) AS n_junk_lines
+FROM c LEFT JOIN r USING (doc_id)
+"""
+
+QUERIES.update({"line_corrections_docs": line_corrections_docs})
+ORACLES.update({"line_corrections_docs": LINE_CORRECTIONS_SQL})

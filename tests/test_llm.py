@@ -1716,7 +1716,7 @@ def test_full_curation_example_yaml_runs(spark, tmp_path):
         "takedown_list", "publishable_docs", "fuzzy_clean_docs",
         "dsir_selected", "embedding_dedup", "training_shards",
         "source_quality_report", "script_gated_docs", "mixed_shuffled_docs",
-        "classifier_gated_docs", "bpe_merges",
+        "classifier_gated_docs", "bpe_merges", "line_corrected_docs",
     ):
         assert results[node].status == "success", (node, results[node].error)
     chunks = spark.read.parquet(str(tmp_path / "chunks"))
@@ -3582,3 +3582,45 @@ class TestScrubCards:
                for r in scrub_cards(df, out_col="c").collect()}
         want = {k: int(luhn_ok(f"{base}{k}")) for k in range(10)}
         assert out == want and sum(want.values()) == 1
+
+
+class TestRemoveJunkLines:
+    """RefinedWeb rule-based line corrections (r11)."""
+
+    def _run(self, spark, text, **kw):
+        from odibi_spark.llm.text import remove_junk_lines
+
+        df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+        return remove_junk_lines(df, out_col="clean", **kw).first()
+
+    def test_each_rule_fires(self, spark):
+        r = self._run(
+            spark,
+            "A good line stays here.\n17 likes\n#### ----\n99 1234\nab",
+        )
+        assert r.clean == "A good line stays here."
+        assert r.n_kept_lines == 1 and r.n_junk_lines == 4
+
+    def test_counters_case_insensitive_and_plural(self, spark):
+        r = self._run(spark, "keep this line\n3 Comments\n1 view")
+        assert r.clean == "keep this line"
+
+    def test_mixed_numeric_below_threshold_kept(self, spark):
+        # "born in 1984 in Ohio" — digits are a minority of non-space
+        r = self._run(spark, "born in 1984 in Ohio\nkeep")
+        assert "born in 1984 in Ohio" in r.clean
+
+    def test_thresholds_configurable(self, spark):
+        strict = self._run(spark, "a1 b2 c3 keep\nxx", max_numeric_ratio=0.1)
+        assert strict.n_kept_lines == 0  # 3/10 digits > 0.1
+        loose = self._run(spark, "a1 b2 c3 keep\nxx", max_numeric_ratio=0.9)
+        assert loose.n_kept_lines == 1
+
+    def test_all_junk_doc_survives_empty(self, spark):
+        r = self._run(spark, "42\n###")
+        assert r.clean == "" and r.n_kept_lines == 0
+
+    def test_unicode_letters_not_punctuation(self, spark):
+        # Cyrillic/CJK letters must count as letters (\p{L}), not punct
+        r = self._run(spark, "привет мир это строка\n你好 世界 这 是 文字\n###")
+        assert r.n_kept_lines == 2
