@@ -295,18 +295,22 @@ def dedup_by_url(
     URL should already be normalized (:func:`url_normalize`), so
     tracking-param and case variants of one page collapse first.
 
-    Plan: groupBy on the md5 URL key with a min-by struct — ONE
-    narrow-key shuffle carrying (key, id), then a semi join back on
-    (key, id) to recover full rows; both sides hash-partition on the
-    same key, and the aggregate is map-side-partial.
+    Plan: ONE hash-partitioned window over the md5 URL key (the
+    ``dedup_exact`` idiom) — the rows shuffle exactly once. A
+    groupBy-min + semi-join-back shape was measured and rejected: the
+    keeper set is O(distinct URLs), far above broadcast size at
+    corpus scale, so the join would shuffle the wide side a second
+    time for nothing.
     """
-    keyed = df.withColumn("__uk", F.md5(F.col(url_col)))
-    keep = (
-        keyed.select("__uk", id_col)
-        .groupBy("__uk")
-        .agg(F.min(id_col).alias(id_col))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__uk").orderBy(id_col)
+    return (
+        df.withColumn("__uk", F.md5(F.col(url_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .drop("__uk", "__rn")
     )
-    return keyed.join(keep, ["__uk", id_col], "left_semi").drop("__uk")
 
 
 def domain_rollup(

@@ -3624,3 +3624,18 @@ class TestRemoveJunkLines:
         # Cyrillic/CJK letters must count as letters (\p{L}), not punct
         r = self._run(spark, "привет мир это строка\n你好 世界 这 是 文字\n###")
         assert r.n_kept_lines == 2
+
+
+def test_r11_transforms_registered():
+    """Every r11 operator is reachable from the YAML surface."""
+    import odibi_spark.operators  # noqa: F401 (registration side effects)
+    import odibi_spark.llm  # noqa: F401
+
+    from odibi_spark.registry import get_registry
+
+    names = set(get_registry().list())
+    assert {
+        "url_normalize", "registered_domain", "filter_blocked_domains",
+        "dedup_by_url", "domain_rollup", "bpe_train", "bpe_segment",
+        "quality_classifier", "scrub_cards", "line_corrections",
+    } <= names
