@@ -584,7 +584,8 @@ def main() -> None:
         "domain_filter_docs", "bpe_trained_merges",
         "quality_classifier_docs", "pii_card_scrub_docs",
         "domain_reputation_docs", "bpe_subword_stats_docs",
-        "line_corrections_docs",
+        "line_corrections_docs", "html_strip_docs",
+        "cluster_best_keeper_docs",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(

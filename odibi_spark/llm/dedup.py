@@ -522,6 +522,51 @@ def dedup_clusters(
     return df.join(losers, id_col, "left_anti")
 
 
+def dedup_clusters_by_quality(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Keep the BEST document per duplicate cluster — keeper election
+    by ``quality_col`` (ties broken by lowest id) instead of
+    :func:`dedup_clusters`' min-id rule. This is what production
+    pipelines actually want: near-dup groups usually contain one
+    clean original and N mangled syndications, and min-id keeps
+    whichever was crawled first, not whichever is best.
+
+    Docs in no pair are their own singleton cluster and always
+    survive. Adds ``cluster_col`` to the output.
+
+    Plan: one component resolution (O(diameter) rounds over EDGES,
+    never documents), one left join of docs x labels (AQE chooses
+    broadcast vs shuffle — the label set is corpus-proportional in
+    the worst case, same reasoning as dedup_clusters), and ONE
+    hash-partitioned window per cluster for the argmax."""
+    from pyspark.sql.window import Window
+
+    comp = connected_components(pairs, id_a, id_b)
+    joined = df.join(
+        comp, df[id_col] == comp["id"], "left"
+    ).drop("id")
+    joined = joined.withColumn(
+        cluster_col, F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    if cluster_col != "cluster_id":
+        joined = joined.drop("cluster_id")
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .drop("__rn")
+    )
+
+
 def duplicate_span_signals(
     df: DataFrame,
     id_col: str = "doc_id",

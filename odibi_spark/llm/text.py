@@ -371,6 +371,55 @@ def _sql_str(pattern: str) -> str:
     return pattern.replace("\\", "\\\\")
 
 
+# HTML entity decode chain, applied AFTER tag removal and in this
+# exact order: '&amp;' decodes LAST so double-escaped entities
+# ('&amp;lt;') come out as their literal single-escaped text, the
+# standard decode semantics. Plain string replaces — no regex — so
+# oracles replay the identical chain.
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def strip_html(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Cheap regex-level HTML removal — the tag-strip stage of a web
+    pipeline (comments, <script>/<style> blocks with their contents,
+    then every remaining tag -> space, the :data:`HTML_ENTITIES`
+    decode chain, whitespace squeeze + trim). Adds ``html_tag_count``
+    (tags removed, measured before stripping).
+
+    Deliberately NOT a DOM-grade main-content extractor (trafilatura/
+    jusText class — those need an HTML parser and belong in an
+    Arrow-batched seam if ever added); this is the deterministic
+    codegen-only pass that makes downstream text stats meaningful.
+    Every pattern is RE2-safe ((?is) inline flags, non-greedy spans),
+    so the DuckDB oracle replays the chain verbatim
+    (``html_strip_docs``). Map-side only; zero shuffle.
+    """
+    out_col = out_col or text_col
+    t = F.col(text_col)
+    tag_count = F.regexp_count(t, F.lit("<[^>]+>"))
+    e = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    e = F.regexp_replace(e, r"(?is)<script[^>]*>.*?</script>", " ")
+    e = F.regexp_replace(e, r"(?is)<style[^>]*>.*?</style>", " ")
+    e = F.regexp_replace(e, "<[^>]+>", " ")
+    for ent, rep in HTML_ENTITIES:
+        e = F.replace(e, F.lit(ent), F.lit(rep))
+    e = F.trim(F.regexp_replace(e, r"\s+", " "))
+    return df.withColumns(
+        {out_col: e, "html_tag_count": tag_count.cast("long")}
+    )
+
+
 # Social-counter lines ("17 likes", "3 Comments") — the RefinedWeb
 # line-wise correction rule; RE2-safe, replayed verbatim by oracles.
 SOCIAL_COUNTER_PATTERN: str = (

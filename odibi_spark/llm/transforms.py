@@ -1152,3 +1152,38 @@ def line_corrections_transform(
             delim=delim, out_col=out_col,
         )
     )
+
+
+@transform("strip_html")
+def strip_html_transform(
+    ctx: EngineContext,
+    *,
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> EngineContext:
+    """Regex-level HTML removal (text.strip_html): comments, script/
+    style blocks, tags -> space, standard-order entity decode,
+    whitespace squeeze. Map-side only."""
+    return ctx.with_df(text.strip_html(ctx.df, text_col, out_col))
+
+
+@transform("dedup_clusters_by_quality")
+def dedup_clusters_by_quality_transform(
+    ctx: EngineContext,
+    *,
+    pairs_view: str,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    cluster_col: str = "cluster_id",
+) -> EngineContext:
+    """Quality-aware near-dup keeper election
+    (dedup.dedup_clusters_by_quality): per duplicate cluster keep the
+    highest-``quality_col`` doc (ties -> lowest id). ``pairs_view``
+    names a registered (id_a, id_b) pair view."""
+    pairs = ctx.spark.table(pairs_view)
+    return ctx.with_df(
+        dedup.dedup_clusters_by_quality(
+            ctx.df, pairs, id_col=id_col, quality_col=quality_col,
+            cluster_col=cluster_col,
+        )
+    )

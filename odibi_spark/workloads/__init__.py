@@ -77,7 +77,8 @@ _R11_NEW = [
     "domain_filter_docs", "bpe_trained_merges",
     "quality_classifier_docs", "pii_card_scrub_docs",
     "domain_reputation_docs", "bpe_subword_stats_docs",
-    "line_corrections_docs",
+    "line_corrections_docs", "html_strip_docs",
+    "cluster_best_keeper_docs",
 ]
 
 # Workloads whose Spark+oracle definition changed in round 11 (the

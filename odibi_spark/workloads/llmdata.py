@@ -4200,3 +4200,157 @@ FROM c LEFT JOIN r USING (doc_id)
 
 QUERIES.update({"line_corrections_docs": line_corrections_docs})
 ORACLES.update({"line_corrections_docs": LINE_CORRECTIONS_SQL})
+
+
+def html_strip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-level HTML removal (r11): docs staged inside
+    deterministic markup (tags, comments, script/style blocks with
+    decoy tags in their bodies, escaped entities, a no-markup case);
+    text.strip_html removes structure, decodes entities in the
+    standard order (&amp; last), and squeezes whitespace. The oracle
+    replays the identical RE2 chain with the 'g'+inline-flag forms."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    wrapped = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<html><body><h1>T '),
+                F.col("doc_id").cast("string"),
+                F.lit('</h1><p class="a">'), F.col("text"),
+                F.lit('</p><!-- nav\nbar --><script type="text/js">'
+                      'var x="<div>";</script></body></html>'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit('<div id="m">'), F.col("text"),
+                F.lit(' &amp;lt; more &lt;raw&gt;&nbsp;tail</div>'
+                      '<style media="all">.x{color:red}</style>'),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    staged = docs.select("doc_id", wrapped.alias("text"))
+    out = text.strip_html(staged, "text", out_col="clean_text")
+    return out.select("doc_id", "clean_text", "html_tag_count")
+
+
+HTML_STRIP_SQL = r"""
+WITH c AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN
+      '<html><body><h1>T ' || CAST(doc_id AS VARCHAR) ||
+      '</h1><p class="a">' || text ||
+      '</p><!-- nav' || chr(10) ||
+      'bar --><script type="text/js">var x="<div>";</script></body></html>'
+    WHEN doc_id % 3 = 1 THEN
+      '<div id="m">' || text ||
+      ' &amp;lt; more &lt;raw&gt;&nbsp;tail</div>' ||
+      '<style media="all">.x{color:red}</style>'
+    ELSE text END AS text
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '<[^>]+>')) AS BIGINT)
+      AS html_tag_count,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, '(?s)<!--.*?-->', ' ', 'g'),
+          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      '<[^>]+>', ' ', 'g') AS e
+  FROM c
+)
+SELECT doc_id,
+  trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(
+      e, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+      '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+    '\s+', ' ', 'g')) AS clean_text,
+  html_tag_count
+FROM s
+"""
+
+QUERIES.update({"html_strip_docs": html_strip_docs})
+ORACLES.update({"html_strip_docs": HTML_STRIP_SQL})
+
+
+# shared classifier-scoring CTE block (qlw..scored) for composition
+# oracles — the SAME seeded 512-bucket vector as quality_classifier_docs
+_QL_SCORED_CTES = f"""
+{_QL_CTE},
+qltoks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(lower(text)), ' '), t -> t <> '')
+           AS tk
+  FROM documents
+),
+qlfeats AS (
+  SELECT doc_id, unnest(list_concat(
+    list_transform(tk, t ->
+      CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 512),
+    list_transform(range(1, len(tk)), i ->
+      CAST(concat('0x', substring(md5(tk[CAST(i AS INTEGER)] || ' ' ||
+                                       tk[CAST(i + 1 AS INTEGER)]),
+                                  1, 15)) AS BIGINT) % 512)
+  )) AS b
+  FROM qltoks
+),
+qls AS (
+  SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(qlw.wt AS DECIMAL(38,6))) AS ws
+  FROM qlfeats f JOIN qlw USING (b) GROUP BY f.doc_id
+),
+scored AS (
+  SELECT d.doc_id,
+         round(1.0 / (1.0 + exp(-(CASE WHEN COALESCE(s.n, 0) > 0
+               THEN {_QL_BIAS!r} + CAST(s.ws AS DOUBLE) / s.n
+               ELSE {_QL_BIAS!r} END))), 6) AS ql_prob
+  FROM documents d LEFT JOIN qls s USING (doc_id)
+)"""
+
+
+def cluster_best_keeper_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup keeper election (r11): connected
+    components over the 3-gram Jaccard pairs, then per cluster keep
+    the HIGHEST-classifier-score doc (ties -> lowest doc_id) —
+    production pipelines keep the clean original, not whichever
+    syndication was crawled first. Composition of three oracled
+    operators; the oracle replays closure + scoring + argmax."""
+    from odibi_spark.llm import curation
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, max_df=None
+    )
+    w, b = curation.quality_classifier_weights(512, seed=42)
+    scored = curation.quality_classifier(docs, "text", weights=w, bias=b)
+    out = dedup.dedup_clusters_by_quality(
+        scored.select("doc_id", "text", "ql_prob"),
+        pairs.select("id_a", "id_b"),
+        quality_col="ql_prob",
+    )
+    return out.select("doc_id", "cluster_id", "ql_prob")
+
+
+CLUSTER_BEST_KEEPER_SQL = (
+    "WITH comp AS (" + NEARDUP_CLUSTERS_SQL + "),\n"
+    + _QL_SCORED_CTES.strip()
+    + """
+SELECT s.doc_id,
+       COALESCE(c.cluster_id, s.doc_id) AS cluster_id,
+       s.ql_prob
+FROM scored s LEFT JOIN comp c ON c.id = s.doc_id
+QUALIFY row_number() OVER (
+  PARTITION BY COALESCE(c.cluster_id, s.doc_id)
+  ORDER BY s.ql_prob DESC, s.doc_id) = 1
+"""
+)
+
+QUERIES.update({"cluster_best_keeper_docs": cluster_best_keeper_docs})
+ORACLES.update({"cluster_best_keeper_docs": CLUSTER_BEST_KEEPER_SQL})

@@ -3639,3 +3639,68 @@ def test_r11_transforms_registered():
         "dedup_by_url", "domain_rollup", "bpe_train", "bpe_segment",
         "quality_classifier", "scrub_cards", "line_corrections",
     } <= names
+
+
+class TestStripHtml:
+    def _strip(self, spark, text):
+        from odibi_spark.llm.text import strip_html
+
+        df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+        return strip_html(df, out_col="clean").first()
+
+    def test_tags_comments_blocks_removed(self, spark):
+        r = self._strip(
+            spark,
+            '<html><style>p{}</style><!-- c --><p a="1">Hi <b>x</b></p>'
+            '<script>var s="<div>";</script>done</html>',
+        )
+        assert r.clean == "Hi x done"
+        assert r.html_tag_count > 0
+
+    def test_entities_standard_decode_order(self, spark):
+        # &amp; decodes LAST: double-escaped text stays single-escaped
+        r = self._strip(spark, "a &amp;lt; b &lt; c &nbsp;&quot;&#39;")
+        assert r.clean == "a &lt; b < c \"'"
+
+    def test_plain_text_untouched(self, spark):
+        r = self._strip(spark, "no markup, just   spaced text")
+        assert r.clean == "no markup, just spaced text"
+        assert r.html_tag_count == 0
+
+    def test_multiline_blocks(self, spark):
+        r = self._strip(
+            spark, "<script>\nline1\nline2</script>keep\n<!--\nhidden\n-->",
+        )
+        assert r.clean == "keep"
+
+
+class TestDedupClustersByQuality:
+    def test_best_quality_survives_per_cluster(self, spark):
+        from pyspark.sql import Row
+
+        from odibi_spark.llm.dedup import dedup_clusters_by_quality
+
+        docs = spark.createDataFrame([
+            Row(doc_id=1, quality=0.3), Row(doc_id=2, quality=0.9),
+            Row(doc_id=3, quality=0.9), Row(doc_id=4, quality=0.1),
+            Row(doc_id=9, quality=0.5),
+        ])
+        pairs = spark.createDataFrame(
+            [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=4, id_b=1)]
+        )
+        out = {r.doc_id: r.cluster_id
+               for r in dedup_clusters_by_quality(docs, pairs).collect()}
+        # chain 1-2-3-4 is ONE cluster; keeper = highest quality,
+        # tie broken by lowest id (2 beats 3); singleton 9 survives
+        assert out == {2: 1, 9: 9}
+
+    def test_singletons_always_survive(self, spark):
+        from pyspark.sql import Row
+
+        from odibi_spark.llm.dedup import dedup_clusters_by_quality
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, quality=float(i)) for i in range(5)]
+        )
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        assert dedup_clusters_by_quality(docs, pairs).count() == 5
