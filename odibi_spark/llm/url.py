@@ -15,6 +15,9 @@ content):
   like the other small-side joins here).
 - :func:`dedup_by_url` — exact URL-key dedup (first doc per
   normalized URL wins), the cheapest dedup pass in the funnel.
+- :func:`domain_rollup` — per-registered-domain reputation stats
+  (doc count / size / mean quality), the feedback loop into the next
+  crawl's blocklist.
 
 Everything is pure whole-stage-codegen column expressions
 (regexp_extract / higher-order filter on the split query) — no UDFs,
