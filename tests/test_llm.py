@@ -3704,3 +3704,48 @@ class TestDedupClustersByQuality:
         )
         pairs = spark.createDataFrame([], "id_a long, id_b long")
         assert dedup_clusters_by_quality(docs, pairs).count() == 5
+
+
+class TestStripHtmlSinglePass:
+    def test_decoded_entities_not_restripped(self, spark):
+        """Single-pass semantics (the classic sanitizer bug is
+        re-stripping after decode): '&lt;div&gt;' becomes the literal
+        text '<div>' and MUST survive — it was escaped content, not
+        markup."""
+        from odibi_spark.llm.text import strip_html
+
+        df = spark.createDataFrame(
+            [(1, "<p>say &lt;div&gt; aloud</p>")],
+            "doc_id int, text string",
+        )
+        r = strip_html(df, out_col="clean").first()
+        assert r.clean == "say <div> aloud"
+
+
+class TestQualityKeeperVsMinId:
+    def test_same_clusters_different_keeper_rule(self, spark):
+        """dedup_clusters (min-id) and dedup_clusters_by_quality agree
+        on survivor COUNT (one per cluster) and on cluster membership;
+        only the elected representative differs."""
+        from pyspark.sql import Row
+
+        from odibi_spark.llm.dedup import (
+            dedup_clusters, dedup_clusters_by_quality,
+        )
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=f"t{i}", quality=float(10 - i))
+             for i in range(8)]
+        )
+        pairs = spark.createDataFrame(
+            [Row(id_a=0, id_b=1), Row(id_a=2, id_b=3), Row(id_a=3, id_b=4)]
+        )
+        by_id = dedup_clusters(docs, pairs)
+        by_q = dedup_clusters_by_quality(docs, pairs, quality_col="quality")
+        assert by_id.count() == by_q.count() == 5  # 2 clusters + 3 singles
+        # min-id keeps {0, 2}; quality (=10-i, higher for LOWER i)
+        # also keeps {0, 2} here — flip the quality to invert
+        flipped = docs.withColumn("quality", docs.doc_id.cast("double"))
+        inv = dedup_clusters_by_quality(flipped, pairs, quality_col="quality")
+        kept = {r.doc_id for r in inv.collect()}
+        assert {1, 4} <= kept and 0 not in kept and 2 not in kept

@@ -221,3 +221,72 @@ class TestDomainRollup:
 
         with pytest.raises(ValueError, match="min_docs"):
             domain_rollup(self._df(spark), min_docs=0)
+
+
+class TestUrlNormalizeDifferential:
+    """Pure-Python replay of the normalization rules over a seeded
+    messy-URL generator — catches expression-staging and escaping
+    regressions in the staged column pipeline."""
+
+    @staticmethod
+    def _ref(url):
+        import re
+
+        from odibi_spark.llm.url import TRACKING_PARAMS
+
+        u = url.strip()
+        m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*)://", u)
+        if not m:
+            return u, None
+        scheme = m.group(1).lower()
+        after = u[m.end():]
+        am = re.match(r"^([^/?#]*)", after)
+        auth, tail = am.group(1), after[am.end():]
+        tail = re.sub(r"#.*$", "", tail, flags=re.S)
+        um = re.match(r"^([^@]*)@", auth)
+        userinfo = um.group(1) if um else ""
+        hostport = auth[um.end():] if um else auth
+        host = re.match(r"^([^:]*)", hostport).group(1).lower()
+        pm = re.search(r":([0-9]+)$", hostport)
+        port = pm.group(1) if pm else ""
+        path = re.match(r"^([^?]*)", tail).group(1)
+        qm = re.search(r"\?(.*)$", tail, flags=re.S)
+        query = qm.group(1) if qm else ""
+        if (scheme, port) in (("http", "80"), ("https", "443")):
+            port = ""
+        keep = [
+            p for p in query.split("&")
+            if p and not p.split("=", 1)[0].lower().startswith("utm_")
+            and p.split("=", 1)[0].lower() not in TRACKING_PARAMS
+        ]
+        q2 = "&".join(keep)
+        path = path or "/"
+        return (
+            scheme + "://" + (userinfo + "@" if userinfo else "") + host
+            + (":" + port if port else "") + path
+            + ("?" + q2 if q2 else "")
+        ), host
+
+    def test_seeded_messy_urls(self, spark):
+        import random
+
+        rng = random.Random(77)
+        schemes = ["http", "HTTPS", "ftp", "Http"]
+        hosts = ["WWW.Ex.COM", "a.B.co.uk", "X.org", "10.0.0.1",
+                 "Sub.Domain.Example.com.au"]
+        ports = ["", ":80", ":443", ":8080"]
+        paths = ["", "/", "/A/b", "/x%20y"]
+        queries = ["", "?id=1", "?utm_source=a&id=2",
+                   "?REF=x&q=Z&fbclid=1", "?utm_a=1&utm_b=2"]
+        frags = ["", "#f", "#Sec-2"]
+        urls = [
+            rng.choice(schemes) + "://"
+            + (rng.choice(["", "user@"]))
+            + rng.choice(hosts) + rng.choice(ports)
+            + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+            for _ in range(60)
+        ] + ["not a url", "  spaced  "]
+        out = url_normalize(_urls(spark, urls))
+        got = {r.doc_id: (r.url, r.host) for r in out.collect()}
+        for i, u in enumerate(urls):
+            assert got[i] == self._ref(u), (u, got[i], self._ref(u))
