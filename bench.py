@@ -66,6 +66,78 @@ HEADLINE = [
 ]
 
 
+class Calibration:
+    """Contention canary (VERDICT r11 task 2): a PINNED workload —
+    a fixed CPU+shuffle leg (spark.range hash-agg) plus a fixed IO leg
+    (scan of a 2M-row parquet written once per run) — timed at the
+    start, middle, and end of the bench. Query code changes cannot
+    move it, so when its samples inflate vs the frozen board value
+    (or drift apart within one run) the RUN is contended, and the
+    per-query numbers carry a machine-noise health bit instead of
+    needing a judge re-run to adjudicate (r11: 11 false >=2x
+    "regressions" from one contended driver run)."""
+
+    def __init__(self, spark):
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        self.spark = spark
+        self._F = F
+        self._shutil = shutil
+        self.tmp = tempfile.mkdtemp(prefix="bench_calib_")
+        # fixed IO fixture: content is a pure function of range(2M),
+        # so the leg reads identical bytes on every host and round
+        spark.range(2_000_000).select(
+            "id", ((F.col("id") * 2654435761) % 1_000_003).alias("k")
+        ).repartition(8).write.parquet(f"{self.tmp}/t")
+        self.samples: dict[str, float] = {}
+        self._run()  # warm codegen + page cache: sample 1 is steady-state
+
+    def _run(self) -> float:
+        F = self._F
+        t0 = time.time()
+        # CPU + shuffle leg (SF-independent)
+        (
+            self.spark.range(8_000_000)
+            .select(((F.col("id") * 2654435761) % 1_000_003).alias("k"), "id")
+            .repartition(32, "k")
+            .groupBy("k").agg(F.sum("id").alias("s"))
+            .select(F.expr("bit_xor(xxhash64(k, s))")).collect()
+        )
+        # IO leg: fixed 2M-row parquet scan + agg
+        (
+            self.spark.read.parquet(f"{self.tmp}/t")
+            .groupBy((F.col("k") % 64).alias("b")).agg(F.sum("id").alias("s"))
+            .select(F.expr("bit_xor(xxhash64(b, s))")).collect()
+        )
+        return time.time() - t0
+
+    def sample(self, label: str) -> None:
+        self.samples[label] = round(self._run(), 4)
+        print(f"# calibration[{label}]: {self.samples[label]:.2f}s",
+              file=sys.stderr)
+
+    def result(self, frozen: float | None) -> dict:
+        vals = list(self.samples.values())
+        worst = max(vals)
+        drift = round(worst / min(vals), 3) if min(vals) > 0 else None
+        ratio = round(worst / frozen, 3) if frozen else None
+        contended = bool(
+            (drift is not None and drift > 1.3)
+            or (ratio is not None and ratio > 1.3)
+        )
+        self._shutil.rmtree(self.tmp, ignore_errors=True)
+        return {
+            "samples": dict(self.samples),
+            "frozen_sec": frozen,
+            "worst_vs_frozen": ratio,
+            "intra_run_drift": drift,
+            "contended": contended,
+        }
+
+
 def scale_docs_bench(spark, sf_dir: str, factor: int = 10) -> dict:
     """Dedup-at-scale probe (SCALING.md 'no-quadratic guarantee'):
     synthesize a factor-x corpus where every doc gains (factor-1)
@@ -521,20 +593,31 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
+    calib = Calibration(spark)
+    calib.sample("start")
+
     timings: dict[str, float] = {}
+    headline_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        # hash-reduce over every column: forces full evaluation of the
-        # plan (a bare count() lets Catalyst prune unused projections,
-        # e.g. window columns) while returning one row to the driver
-        df.select(
-            F.expr("bit_xor(xxhash64(struct(*)))").alias("h"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()
-        timings[name] = round(time.time() - t0, 4)
-        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+        runs = []
+        for _ in range(2):  # best-of-2 (VERDICT r11 task 2): one
+            # transient scheduling hiccup must not read as a regression
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            # hash-reduce over every column: forces full evaluation of
+            # the plan (a bare count() lets Catalyst prune unused
+            # projections, e.g. window columns) while returning one row
+            df.select(
+                F.expr("bit_xor(xxhash64(struct(*)))").alias("h"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()
+            runs.append(round(time.time() - t0, 4))
+        headline_runs[name] = runs
+        timings[name] = min(runs)
+        print(f"# {name}: {timings[name]:.2f}s (runs {runs})", file=sys.stderr)
+
+    calib.sample("mid")
 
     headline_total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -621,6 +704,7 @@ def main() -> None:
         "unit": "sec",
         "headline_total_sec": headline_total,
         "queries": timings,
+        "headline_runs": headline_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "curation_queries": extra,
         "curation_total_sec": curation_total,
@@ -673,6 +757,25 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BLOOM_PROBE", "1") != "0":
         out["bloom_join"] = bloom_join_probe(spark, sf_dir)
         print(f"# bloom_join: {out['bloom_join']}", file=sys.stderr)
+
+    calib.sample("end")
+    frozen_calib = None
+    try:
+        with open(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
+        )) as fh:
+            frozen_calib = json.load(fh).get("calibration_sec")
+    except (OSError, ValueError):
+        pass
+    out["calibration"] = calib.result(frozen_calib)
+    print(f"# calibration: {out['calibration']}", file=sys.stderr)
+    if out["calibration"]["contended"]:
+        print(
+            "# WARNING: calibration probe inflated — this HOST was "
+            "CONTENDED during the run; per-query timings are noise, "
+            "not regressions. Re-run on an idle machine.",
+            file=sys.stderr,
+        )
 
     # n-vs-n-1 ratio table: --prev PATH, or auto-pick the newest
     # committed BENCH_r*.json next to this script
@@ -774,6 +877,13 @@ def _slim(out: dict, out_path: str) -> dict:
         b = out["bloom_join"]
         slim["bloom_join"] = {
             "sel": b["selectivity"], "ratio": b["bloom_vs_plain"],
+        }
+    if "calibration" in out:
+        c = out["calibration"]
+        slim["calibration"] = {
+            "contended": c["contended"],
+            "vs_frozen": c["worst_vs_frozen"],
+            "drift": c["intra_run_drift"],
         }
     if "vs_prev" in out:
         v = out["vs_prev"]

@@ -548,15 +548,20 @@ def dedup_clusters_by_quality(
     hash-partitioned window per cluster for the argmax."""
     from pyspark.sql.window import Window
 
-    comp = connected_components(pairs, id_a, id_b)
-    joined = df.join(
-        comp, df[id_col] == comp["id"], "left"
-    ).drop("id")
-    joined = joined.withColumn(
-        cluster_col, F.coalesce(F.col("cluster_id"), F.col(id_col))
+    # reserved '__'-prefixed names for the component frame (ADVICE
+    # r11): joining on the raw 'id'/'cluster_id' names collides when
+    # the caller's frame already carries either column — drop("id")
+    # would remove both copies / F.col("cluster_id") turns ambiguous
+    comp = connected_components(pairs, id_a, id_b).select(
+        F.col("id").alias("__cc_id"),
+        F.col("cluster_id").alias("__cc_cluster"),
     )
-    if cluster_col != "cluster_id":
-        joined = joined.drop("cluster_id")
+    joined = df.join(
+        comp, df[id_col] == comp["__cc_id"], "left"
+    ).drop("__cc_id")
+    joined = joined.withColumn(
+        cluster_col, F.coalesce(F.col("__cc_cluster"), F.col(id_col))
+    ).drop("__cc_cluster")
     w = Window.partitionBy(cluster_col).orderBy(
         F.desc(quality_col), F.asc(id_col)
     )

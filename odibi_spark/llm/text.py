@@ -350,9 +350,15 @@ def scrub_cards(
             + _luhn_sql("regexp_replace(c, '[ -]', '')") + ")"
         ),
     )
+    # \b-anchored replace (ADVICE r11): extraction is word-bounded, so
+    # replacement must be too — a plain substring replace() would also
+    # mangle a longer digit run that merely CONTAINS a valid candidate.
+    # Candidates are digits/spaces/dashes only (regex-literal chars),
+    # so the candidate can be embedded in the pattern unescaped.
     scrubbed = F.expr(
         f"aggregate(__card_valid, {text_col}, "
-        f"(acc, c) -> replace(acc, c, '{placeholder}'))"
+        "(acc, c) -> regexp_replace(acc, concat('\\\\b', c, '\\\\b'), "
+        f"'{placeholder}'))"
     )
     return (
         staged.withColumns(
@@ -909,9 +915,14 @@ def _bpe_run(
             break  # nothing left worth merging
         a, b, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
         merges.append((rank, a, b, c))
+        prev = vocab
         vocab = vocab.withColumn(
             "syms", _merge_pair_expr(a, b)
         ).localCheckpoint(eager=True)
+        # the new checkpoint is materialized (eager) — release the
+        # previous round's copy or the session pins O(num_merges)
+        # full vocabularies in executor storage (ADVICE r11)
+        prev.unpersist()
     return merges, vocab
 
 

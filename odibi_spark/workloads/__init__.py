@@ -78,12 +78,20 @@ _R12_ROTATE_IN = [
 
 # Workloads declared for the first time in round 12 — never driver-
 # checked, so they get guaranteed head slots.
-_R12_NEW = []
+_R12_NEW = [
+    "psl_domains_docs",
+]
 
 # Workloads whose Spark+oracle definition changed in round 12:
 # guaranteed a re-check slot even though their queue position would
-# have missed the head.
-_R12_REBASED = []
+# have missed the head (the URL family gained full PSL semantics —
+# private section / wildcards / exceptions / bare-suffix NULL — and
+# IPv6-literal parsing; the card scrub's replace fold became
+# \b-anchored).
+_R12_REBASED = [
+    "url_normalize_docs", "domain_filter_docs",
+    "domain_reputation_docs", "pii_card_scrub_docs",
+]
 
 # The r11-checked head, in its r11 head order (= CORRECTNESS_r11.json
 # key set): fills r12 to 50 from the front if room remains; the

@@ -3566,7 +3566,7 @@ def _url_norm_ctes(synth_sql: str) -> str:
     from odibi_spark.llm import url as urlmod
 
     trk = ", ".join(f"'{p}'" for p in urlmod.TRACKING_PARAMS)
-    alt = urlmod.suffix_alternation()
+    reg_case = urlmod.registered_domain_sql("host")
     return f"""
 u0 AS (SELECT doc_id, trim({synth_sql}) AS u FROM src),
 d1 AS (
@@ -3588,8 +3588,8 @@ d3 AS (
   FROM d2
 ),
 d4 AS (
-  SELECT *, lower(COALESCE(regexp_extract(hostport, '^([^:]*)', 1), '')) AS host0,
-    COALESCE(regexp_extract(hostport, ':([0-9]+)$', 1), '') AS port0,
+  SELECT *, lower(COALESCE(regexp_extract(hostport, '^(\\[[^\\]]*\\]|[^:]*)', 1), '')) AS host0,
+    COALESCE(regexp_extract(hostport, '^(?:\\[[^\\]]*\\]|[^:]*):([0-9]+)$', 1), '') AS port0,
     COALESCE(regexp_extract(nofrag, '^([^?]*)', 1), '') AS path0,
     COALESCE(regexp_extract(nofrag, '\\?(.*)$', 1), '') AS query0
   FROM d3
@@ -3622,14 +3622,7 @@ norm AS (
 ),
 reg AS (
   SELECT doc_id, url, host,
-    CASE WHEN host IS NULL THEN NULL
-         WHEN regexp_matches(host, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$')
-           THEN host
-         ELSE COALESCE(
-           NULLIF(COALESCE(regexp_extract(host, '([^.]+\\.(?:{alt}))$', 1), ''), ''),
-           NULLIF(COALESCE(regexp_extract(host, '([^.]+\\.[^.]+)$', 1), ''), ''),
-           host)
-    END AS registered_domain
+    {reg_case} AS registered_domain
   FROM norm
 )"""
 
@@ -4005,7 +3998,9 @@ s AS (
 )
 SELECT doc_id,
        list_reduce(list_prepend(text, valid),
-                   (acc, x) -> replace(acc, x, '<CARD>')) AS clean_text,
+                   (acc, x) -> regexp_replace(
+                     acc, '\b' || x || '\b', '<CARD>', 'g'
+                   )) AS clean_text,
        CAST(len(valid) AS BIGINT) AS card_hits
 FROM s
 """
@@ -4085,6 +4080,64 @@ HAVING COUNT(*) >= 2
 
 QUERIES.update({"domain_reputation_docs": domain_reputation_docs})
 ORACLES.update({"domain_reputation_docs": DOMAIN_REPUTATION_SQL})
+
+
+# One host per PSL rule class (VERDICT r11 task 3): private-section
+# platform suffixes, wildcard *.kawasaki.jp / *.ck, the !city / !www
+# exceptions, a bare listed suffix (-> NULL), unknown-TLD * rule,
+# single-label (-> NULL), IPv4 and bracketed-IPv6 literals.
+_PSL_HOSTS = (
+    "alice.github.io", "deep.alice.github.io", "github.io",
+    "city.kawasaki.jp", "a.city.kawasaki.jp", "x.sub.kawasaki.jp",
+    "sub.kawasaki.jp", "www.ck", "shop.acme.ck", "acme.ck",
+    "a.b.example.co.uk", "co.uk", "www.example.com", "x.y.site.zz",
+    "localhost", "10.0.0.1", "[2001:db8::1]", "blog.wordpress.com",
+    "b.s3.amazonaws.com", "news.example.org",
+)
+
+
+def psl_domains_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full public-suffix-list semantics under the hash gate (r12):
+    every document keyed to one of 20 hosts spanning every PSL rule
+    class — exact ICANN suffixes, PRIVATE-section platform suffixes
+    (alice.github.io must NOT conflate into github.io), wildcard
+    rules, ``!`` exception carve-outs, bare suffixes (NULL), the
+    ``*`` default rule, single-label hosts (NULL), and IP literals —
+    through url.registered_domain. The oracle replays the identical
+    branch chain via url.registered_domain_sql (one generator, two
+    engines). Pure codegen regexp branches, zero shuffle."""
+    from odibi_spark.llm import url as urlmod
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(h) for h in _PSL_HOSTS]),
+            (F.col("doc_id") % len(_PSL_HOSTS) + 1).cast("int"),
+        ).alias("host"),
+    )
+    return urlmod.registered_domain(staged, "host")
+
+
+def _psl_domains_sql() -> str:
+    from odibi_spark.llm import url as urlmod
+
+    hosts = ", ".join(f"'{h}'" for h in _PSL_HOSTS)
+    case = urlmod.registered_domain_sql("host")
+    return f"""
+WITH staged AS (
+  SELECT doc_id,
+         ([{hosts}])[CAST(doc_id % {len(_PSL_HOSTS)} + 1 AS INTEGER)]
+           AS host
+  FROM documents
+)
+SELECT doc_id, host, {case} AS registered_domain FROM staged
+"""
+
+
+QUERIES.update({"psl_domains_docs": psl_domains_docs})
+ORACLES.update({"psl_domains_docs": _psl_domains_sql()})
 
 
 def bpe_subword_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

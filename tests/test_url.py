@@ -68,6 +68,22 @@ class TestUrlNormalize:
         r = _norm(spark, "  not a url  ")
         assert r.url == "not a url" and r.host is None
 
+    def test_ipv6_literal_host_parsed_intact(self, spark):
+        # ADVICE r11: '^([^:]*)' truncated bracketed hosts to '['
+        r = _norm(spark, "http://[2001:DB8::1]/x")
+        assert r.url == "http://[2001:db8::1]/x"
+        assert r.host == "[2001:db8::1]"
+
+    def test_ipv6_literal_with_port(self, spark):
+        assert (
+            _norm(spark, "http://[2001:db8::1]:8080/x").url
+            == "http://[2001:db8::1]:8080/x"
+        )
+        # default port still stripped for bracketed hosts
+        assert (
+            _norm(spark, "http://[::1]:80/x").url == "http://[::1]/x"
+        )
+
     def test_all_tracking_names_covered(self, spark):
         q = "&".join(f"{p}=v" for p in TRACKING_PARAMS)
         r = _norm(spark, f"http://a.com/x?{q}&keep=1")
@@ -90,12 +106,42 @@ class TestRegisteredDomain:
     def test_unknown_tld_psl_star_rule(self, spark):
         assert self._reg(spark, "x.y.example.zz") == "example.zz"
 
-    def test_single_label_and_ip_unchanged(self, spark):
-        assert self._reg(spark, "localhost") == "localhost"
+    def test_single_label_null_ip_unchanged(self, spark):
+        # PSL-strict: a single-label host is itself a public suffix
+        # under the `*` default rule — no registrable domain
+        assert self._reg(spark, "localhost") is None
         assert self._reg(spark, "10.0.0.1") == "10.0.0.1"
+        assert self._reg(spark, "[2001:db8::1]") == "[2001:db8::1]"
 
     def test_null_host_stays_null(self, spark):
         assert self._reg(spark, None) is None
+
+    def test_bare_public_suffix_is_null(self, spark):
+        # ADVICE r11: a host that IS a listed suffix has no
+        # registrable domain — it must not become a rollup key
+        assert self._reg(spark, "co.uk") is None
+        assert self._reg(spark, "github.io") is None
+
+    def test_private_section_platform_suffixes(self, spark):
+        assert self._reg(spark, "alice.github.io") == "alice.github.io"
+        assert (
+            self._reg(spark, "deep.alice.github.io") == "alice.github.io"
+        )
+        assert self._reg(spark, "blog.wordpress.com") == "blog.wordpress.com"
+        # a plain .io site is NOT conflated with the platform rule
+        assert self._reg(spark, "www.example.io") == "example.io"
+
+    def test_wildcard_and_exception_rules(self, spark):
+        # *.kawasaki.jp: every label under the base is a suffix
+        assert self._reg(spark, "x.sub.kawasaki.jp") == "x.sub.kawasaki.jp"
+        # host IS the wildcard suffix -> no registrable domain
+        assert self._reg(spark, "sub.kawasaki.jp") is None
+        # !city.kawasaki.jp carve-out: the rule itself is registrable
+        assert self._reg(spark, "city.kawasaki.jp") == "city.kawasaki.jp"
+        assert self._reg(spark, "a.city.kawasaki.jp") == "city.kawasaki.jp"
+        assert self._reg(spark, "www.ck") == "www.ck"
+        assert self._reg(spark, "shop.acme.ck") == "shop.acme.ck"
+        assert self._reg(spark, "acme.ck") is None
 
     def test_extra_suffixes_extend_snapshot(self, spark):
         from odibi_spark.llm.url import registered_domain_expr
@@ -108,6 +154,106 @@ class TestRegisteredDomain:
             ).alias("r")
         ).first().r
         assert got == "example.priv.at"
+
+
+class TestPslRules:
+    PSL_TEXT = """\
+// ===BEGIN ICANN DOMAINS===
+com
+co.uk
+*.ck
+!www.ck
+// a comment line
+jp
+*.kawasaki.jp
+!city.kawasaki.jp
+// ===END ICANN DOMAINS===
+// ===BEGIN PRIVATE DOMAINS===
+github.io
+blogspot.com
+// ===END PRIVATE DOMAINS===
+"""
+
+    def test_parse_sections_and_rule_kinds(self):
+        from odibi_spark.llm.url import parse_psl
+
+        r = parse_psl(self.PSL_TEXT)
+        # single-label exact rules (com, jp) dropped: redundant with *
+        assert r.exact == ("blogspot.com", "co.uk", "github.io")
+        assert r.wildcards == ("ck", "kawasaki.jp")
+        assert r.exceptions == ("city.kawasaki.jp", "www.ck")
+
+    def test_private_section_gate(self):
+        from odibi_spark.llm.url import parse_psl
+
+        r = parse_psl(self.PSL_TEXT, include_private=False)
+        assert r.exact == ("co.uk",)
+
+    def test_load_psl_and_registered_domain_path(self, spark, tmp_path):
+        from odibi_spark.llm.url import registered_domain
+
+        p = tmp_path / "psl.dat"
+        p.write_text(self.PSL_TEXT)
+        df = spark.createDataFrame(
+            [("a.b.example.co.uk",), ("alice.github.io",)], ["host"]
+        )
+        got = {
+            r.host: r.registered_domain
+            for r in registered_domain(df, suffixes_path=str(p)).collect()
+        }
+        assert got == {
+            "a.b.example.co.uk": "example.co.uk",
+            "alice.github.io": "alice.github.io",
+        }
+
+
+class TestRegisteredDomainLookupPath:
+    """The broadcast-join scale path must agree with the regexp
+    expression path on every rule class — the differential that lets
+    a full 9k-rule PSL file ride the join plan safely."""
+
+    HOSTS = [
+        "a.b.example.co.uk", "example.co.uk", "co.uk",
+        "www.example.com", "example.com", "localhost",
+        "10.0.0.1", "[2001:db8::1]", None,
+        "alice.github.io", "deep.alice.github.io", "github.io",
+        "x.sub.kawasaki.jp", "sub.kawasaki.jp", "kawasaki.jp",
+        "city.kawasaki.jp", "a.city.kawasaki.jp",
+        "www.ck", "shop.acme.ck", "acme.ck", "ck",
+        "x.y.example.zz", "s3.amazonaws.com", "b.s3.amazonaws.com",
+    ]
+
+    def test_lookup_agrees_with_expr(self, spark):
+        from odibi_spark.llm.url import (
+            default_rules,
+            registered_domain,
+            registered_domain_lookup,
+        )
+
+        rules = default_rules()
+        df = spark.createDataFrame(
+            [(h,) for h in self.HOSTS], "host string"
+        )
+        expr_out = {
+            r.host: r.registered_domain
+            for r in registered_domain(df, rules=rules).collect()
+        }
+        join_out = {
+            r.host: r.registered_domain
+            for r in registered_domain_lookup(df, rules=rules).collect()
+        }
+        assert expr_out == join_out
+
+    def test_dispatch_over_threshold(self, spark):
+        from odibi_spark.llm.url import default_rules, registered_domain
+
+        df = spark.createDataFrame([("a.b.example.co.uk",)], ["host"])
+        out = registered_domain(
+            df, rules=default_rules(), max_regex_rules=1
+        )
+        assert out.first().registered_domain == "example.co.uk"
+        # the join plan leaves no helper columns behind
+        assert set(out.columns) == {"host", "registered_domain"}
 
 
 class TestFilterBlockedDomains:
@@ -169,6 +315,17 @@ class TestDedupByUrl:
         )
         r = dedup_by_url(df).first()
         assert r.extra == "payload" and "__uk" not in df.columns
+
+    def test_null_urls_pass_through_unexamined(self, spark):
+        # VERDICT r11 watch item: NULL urls are "no URL", not one
+        # shared identity — every NULL-url row must survive
+        df = spark.createDataFrame(
+            [(1, None), (2, None), (3, "http://a.com/"),
+             (4, "http://a.com/")],
+            "doc_id int, url string",
+        )
+        out = dedup_by_url(df)
+        assert sorted(r.doc_id for r in out.collect()) == [1, 2, 3]
 
 
 class TestNormalizeThenDedupPipeline:
@@ -246,8 +403,8 @@ class TestUrlNormalizeDifferential:
         um = re.match(r"^([^@]*)@", auth)
         userinfo = um.group(1) if um else ""
         hostport = auth[um.end():] if um else auth
-        host = re.match(r"^([^:]*)", hostport).group(1).lower()
-        pm = re.search(r":([0-9]+)$", hostport)
+        host = re.match(r"^(\[[^\]]*\]|[^:]*)", hostport).group(1).lower()
+        pm = re.match(r"^(?:\[[^\]]*\]|[^:]*):([0-9]+)$", hostport)
         port = pm.group(1) if pm else ""
         path = re.match(r"^([^?]*)", tail).group(1)
         qm = re.search(r"\?(.*)$", tail, flags=re.S)

@@ -71,6 +71,16 @@ def main() -> None:
     board["value"] = round(
         sum(board[t] for t in TOTALS.values()), 4
     )
+    # frozen contention-canary value: median over runs of each run's
+    # BEST calibration sample (contention only inflates the probe, so
+    # the idle min is the machine's true capability; bench.py flags a
+    # future run whose worst sample exceeds this by >1.3x)
+    calib_mins = [
+        min(o["calibration"]["samples"].values())
+        for o in outs if "calibration" in o
+    ]
+    if calib_mins:
+        board["calibration_sec"] = round(statistics.median(calib_mins), 4)
     stamp = datetime.date.today().isoformat()
     board["provenance"] = (
         "FROZEN per-query reference board: per-query MEDIAN over "
