@@ -900,6 +900,49 @@ def quality_classifier_weights(
     return w, bias
 
 
+def _ql_features(
+    df: DataFrame,
+    text_col: str,
+    *,
+    buckets: int,
+    bigrams: bool,
+    lowercase: bool,
+) -> DataFrame:
+    """Shared hashed-feature staging for the quality classifier
+    (inference AND training): word unigrams (+ bigrams) hashed into
+    ``buckets`` via the portable 60-bit md5 fold, projected as the
+    ``__ql_feats`` array column. Pure codegen expressions."""
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    staged = df.withColumn(
+        "__ql_toks",
+        F.filter(F.split(F.trim(t), " "), lambda x: x != ""),
+    )
+    h60 = (
+        "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+        f" % {buckets}"
+    )
+    uni = f"transform(__ql_toks, t -> {h60.format(x='t')})"
+    big = (
+        "transform(sequence(1, size(__ql_toks) - 1), i -> "
+        + h60.format(
+            x="concat(element_at(__ql_toks, i), ' ', "
+            "element_at(__ql_toks, i + 1))"
+        )
+        + ")"
+    )
+    feats = (
+        f"concat({uni}, CASE WHEN size(__ql_toks) >= 2 THEN {big} "
+        f"ELSE CAST(array() AS array<bigint>) END)"
+        if bigrams
+        else uni
+    )
+    return staged.withColumn("__ql_feats", F.expr(feats)).drop(
+        "__ql_toks"
+    )
+
+
 def quality_classifier(
     df: DataFrame,
     text_col: str = "text",
@@ -936,34 +979,9 @@ def quality_classifier(
     buckets = len(weights)
     if buckets < 1:
         raise ValueError("weights must be non-empty")
-    t = F.col(text_col)
-    if lowercase:
-        t = F.lower(t)
-    staged = df.withColumn(
-        "__ql_toks",
-        F.filter(F.split(F.trim(t), " "), lambda x: x != ""),
-    )
-    h60 = (
-        "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
-        f" % {buckets}"
-    )
-    uni = f"transform(__ql_toks, t -> {h60.format(x='t')})"
-    big = (
-        "transform(sequence(1, size(__ql_toks) - 1), i -> "
-        + h60.format(
-            x="concat(element_at(__ql_toks, i), ' ', "
-            "element_at(__ql_toks, i + 1))"
-        )
-        + ")"
-    )
-    feats = (
-        f"concat({uni}, CASE WHEN size(__ql_toks) >= 2 THEN {big} "
-        f"ELSE CAST(array() AS array<bigint>) END)"
-        if bigrams
-        else uni
-    )
-    staged = staged.withColumn("__ql_feats", F.expr(feats)).drop(
-        "__ql_toks"
+    staged = _ql_features(
+        df, text_col, buckets=buckets, bigrams=bigrams,
+        lowercase=lowercase,
     )
     n = F.size("__ql_feats").cast("long")
     limit = QL_INLINE_LIMIT if inline_limit is None else inline_limit
@@ -1008,3 +1026,108 @@ def quality_classifier(
         .drop("__ql_feats", "__ql_wsum")
     )
     return out
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero — the semantics BOTH
+    Spark's DIV and DuckDB's BIGINT ``//`` implement (Python's ``//``
+    floors, which differs on negative gradients)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def quality_classifier_train(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    *,
+    buckets: int = 512,
+    epochs: int = 3,
+    lr: tuple[int, int] = (1, 4),
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+    lowercase: bool = True,
+) -> tuple[list[float], float]:
+    """Train the hashed linear quality classifier by full-batch
+    gradient descent (Joulin et al. 2016's model, standard logistic-
+    regression updates) — the distributed twin of a fastText fit, no
+    MLlib dependency. Returns ``(weights, bias)`` ready for
+    :func:`quality_classifier`; the learned weights are a
+    DETERMINISTIC function of the data (full-batch: no sampling, no
+    partition-order dependence), and every epoch is replayable
+    bit-exactly by a DuckDB oracle (``quality_classifier_train_docs``).
+
+    The loop is the ``bpe_train`` pattern: the corpus is hashed to
+    the per-doc feature-array frame ONCE (localCheckpoint); each
+    epoch is (a) one zero-shuffle map computing every doc's margin
+    from the current weights as a LITERAL array — no join, and (b)
+    ONE map-side-combined groupBy(bucket) gradient aggregate whose
+    O(buckets) result is collected. Driver state is O(buckets),
+    corpus passes are O(epochs).
+
+    Bit-exact protocol (the cross-engine determinism rules SURVEY
+    §7.3 established): weights live in integer MICRO-units, so the
+    per-doc weight sum is an exact integer fold; the margin and the
+    Elliott fast sigmoid ``0.5 + z/(2*(1+|z|))`` (rational — no
+    exp(), whose last-ulp differs between JVM and libm) are computed
+    with one pinned IEEE operation order; each doc's residual is
+    quantized by an unambiguous FLOOR to integer micro-units before
+    the order-independent integer gradient sum; the weight update is
+    integer arithmetic with truncating division. Two engines that
+    agree on IEEE doubles therefore agree on every epoch's weights
+    EXACTLY — compounding rounds cannot drift.
+    """
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    if epochs < 1:
+        raise ValueError("epochs must be >= 1")
+    lr_num, lr_den = lr
+    if lr_num < 1 or lr_den < 1:
+        raise ValueError("lr must be a positive rational (num, den)")
+    feats = (
+        _ql_features(
+            df, text_col, buckets=buckets, bigrams=bigrams,
+            lowercase=lowercase,
+        )
+        .select(
+            F.col(id_col),
+            F.col(label_col).cast("int").alias("__y"),
+            "__ql_feats",
+            F.size("__ql_feats").cast("long").alias("__n"),
+        )
+        .filter(F.col("__n") > 0)
+        .localCheckpoint(eager=True)
+    )
+    n_docs = feats.count()
+    if n_docs == 0:
+        raise ValueError("no documents with features to train on")
+    w_mu = [0] * buckets
+    for _ in range(epochs):
+        wlit = "array(" + ", ".join(
+            f"{w}L" for w in w_mu
+        ) + ")"
+        # exact integer fold of the doc's micro-unit weight sum, then
+        # margin + Elliott sigmoid + FLOOR-quantized residual — one
+        # pinned IEEE operation order shared with the DuckDB replay
+        q_expr = (
+            "CAST(floor((((0.5 + (CAST(aggregate(__ql_feats, 0L, "
+            f"(acc, h) -> acc + element_at({wlit}, CAST(h + 1 AS INT))"
+            ") AS DOUBLE) / (1000000.0 * __n)) / (2.0 * (1.0 + "
+            "abs(CAST(aggregate(__ql_feats, 0L, (acc, h) -> acc + "
+            f"element_at({wlit}, CAST(h + 1 AS INT))) AS DOUBLE) "
+            "/ (1000000.0 * __n))))) - CAST(__y AS DOUBLE)) "
+            "* 1000000.0) / __n) AS BIGINT)"
+        )
+        grad = (
+            feats.withColumn("__q", F.expr(q_expr))
+            .select(F.explode("__ql_feats").alias("__b"), "__q")
+            .groupBy("__b")
+            .agg(F.sum("__q").alias("__g"))
+            .collect()
+        )
+        for row in grad:
+            w_mu[int(row["__b"])] -= _trunc_div(
+                lr_num * int(row["__g"]), lr_den * n_docs
+            )
+    feats.unpersist()
+    return [w / 1e6 for w in w_mu], 0.0

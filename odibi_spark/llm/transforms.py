@@ -1068,6 +1068,58 @@ def quality_classifier_transform(
     )
 
 
+@transform("quality_classifier_train")
+def quality_classifier_train_transform(
+    ctx: EngineContext,
+    *,
+    text_col: str = "text",
+    label_col: str | None = None,
+    label_condition: str | None = None,
+    buckets: int = 512,
+    epochs: int = 3,
+    lr_num: int = 1,
+    lr_den: int = 4,
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+    out_prefix: str = "ql_",
+) -> EngineContext:
+    """Train the hashed linear quality classifier on the CURRENT frame
+    (full-batch logistic regression, curation.quality_classifier_train
+    — deterministic in the data, no MLlib) and immediately score the
+    frame with the learned weights: the trained->inference chain as
+    one YAML node. The label is either an existing ``label_col`` or a
+    ``label_condition`` SQL expression evaluated to 0/1 (e.g.
+    ``"lang = 'en'"`` for a seed-quality heuristic)."""
+    from odibi_spark.llm import curation
+
+    df = ctx.df
+    label = label_col
+    if label_condition is not None:
+        if label_col is not None:
+            raise ValueError("pass label_col or label_condition, not both")
+        df = df.withColumn(
+            "__ql_label", F.expr(label_condition).cast("int")
+        )
+        label = "__ql_label"
+    if label is None:
+        raise ValueError(
+            "quality_classifier_train needs label_col or label_condition"
+        )
+    weights, bias = curation.quality_classifier_train(
+        df, text_col, label,
+        buckets=int(buckets), epochs=int(epochs),
+        lr=(int(lr_num), int(lr_den)), id_col=id_col, bigrams=bigrams,
+    )
+    if label == "__ql_label":
+        df = df.drop("__ql_label")
+    return ctx.with_df(
+        curation.quality_classifier(
+            df, text_col, weights=weights, bias=bias, id_col=id_col,
+            bigrams=bigrams, out_prefix=out_prefix,
+        )
+    )
+
+
 @transform("scrub_cards")
 def scrub_cards_transform(
     ctx: EngineContext,

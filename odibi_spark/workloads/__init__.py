@@ -79,7 +79,7 @@ _R12_ROTATE_IN = [
 # Workloads declared for the first time in round 12 — never driver-
 # checked, so they get guaranteed head slots.
 _R12_NEW = [
-    "psl_domains_docs",
+    "psl_domains_docs", "quality_classifier_train_docs",
 ]
 
 # Workloads whose Spark+oracle definition changed in round 12:

@@ -3873,6 +3873,114 @@ QUERIES.update({"quality_classifier_docs": quality_classifier_docs})
 ORACLES.update({"quality_classifier_docs": QUALITY_CLASSIFIER_SQL})
 
 
+_QLT_BUCKETS, _QLT_EPOCHS, _QLT_LR = 128, 3, (1, 4)
+
+
+def quality_classifier_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression TRAINING for the hashed quality
+    classifier (VERDICT r11 task 4): 3 full-batch gradient epochs over
+    the documents corpus, label = (lang = 'en'), 128 hashed buckets.
+    Each epoch is one zero-shuffle margin map (weights inlined as a
+    literal micro-unit array) + ONE map-side-combined groupBy(bucket)
+    gradient aggregate; driver state is O(buckets), like bpe_train.
+    Output is the learned micro-unit weight vector; the oracle replays
+    all 3 epochs as generated CTE stages — the integer/Elliott-sigmoid
+    protocol makes every epoch bit-exact cross-engine, so hash
+    equality here proves the whole compounding training loop."""
+    from odibi_spark.llm import curation
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    staged = docs.withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    w, _b = curation.quality_classifier_train(
+        staged, "text", "label",
+        buckets=_QLT_BUCKETS, epochs=_QLT_EPOCHS, lr=_QLT_LR,
+    )
+    rows = [(i, int(round(x * 1e6))) for i, x in enumerate(w)]
+    return spark.createDataFrame(rows, "b bigint, w_mu bigint")
+
+
+def _ql_train_sql(
+    buckets: int = _QLT_BUCKETS,
+    epochs: int = _QLT_EPOCHS,
+    lr: tuple[int, int] = _QLT_LR,
+) -> str:
+    """Generated multi-epoch replay: stage t joins the feature table
+    to the previous weight CTE, quantizes each doc's residual with
+    the pinned IEEE order (Elliott sigmoid — no exp()), and applies
+    the truncating integer update (DuckDB BIGINT // == Spark DIV ==
+    the driver's _trunc_div). MATERIALIZED CTEs: feats/docs_n/w_t are
+    each referenced by every later stage (the r11 2^k-inline lesson).
+    """
+    lr_num, lr_den = lr
+    sig = (
+        "(0.5 + (CAST(s.sw AS DOUBLE) / (1000000.0 * d.n)) / "
+        "(2.0 * (1.0 + abs(CAST(s.sw AS DOUBLE) / (1000000.0 * d.n)))))"
+    )
+    parts = [f"""
+toks AS MATERIALIZED (
+  SELECT doc_id, (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS y,
+         list_filter(string_split(trim(lower(text)), ' '), t -> t <> '')
+           AS tk
+  FROM documents
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, unnest(list_concat(
+    list_transform(tk, t ->
+      CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % {buckets}),
+    list_transform(range(1, len(tk)), i ->
+      CAST(concat('0x', substring(md5(tk[CAST(i AS INTEGER)] || ' ' ||
+                                       tk[CAST(i + 1 AS INTEGER)]),
+                                  1, 15)) AS BIGINT) % {buckets})
+  )) AS b
+  FROM toks
+),
+docs_n AS MATERIALIZED (
+  SELECT t.doc_id, t.y, CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks t JOIN feats f USING (doc_id)
+  GROUP BY t.doc_id, t.y
+),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n_docs FROM docs_n),
+w0 AS MATERIALIZED (
+  SELECT unnest(range(0, {buckets})) AS b, CAST(0 AS BIGINT) AS wmu
+)"""]
+    for t in range(1, epochs + 1):
+        parts.append(f""",
+s{t} AS MATERIALIZED (
+  SELECT f.doc_id, SUM(w.wmu) AS sw
+  FROM feats f JOIN w{t - 1} w USING (b) GROUP BY f.doc_id
+),
+q{t} AS MATERIALIZED (
+  SELECT d.doc_id,
+         CAST(floor(((({sig}) - CAST(d.y AS DOUBLE)) * 1000000.0)
+                    / d.n) AS BIGINT) AS q
+  FROM docs_n d JOIN s{t} s USING (doc_id)
+),
+g{t} AS MATERIALIZED (
+  SELECT f.b, CAST(SUM(q.q) AS BIGINT) AS g
+  FROM feats f JOIN q{t} q USING (doc_id) GROUP BY f.b
+),
+w{t} AS MATERIALIZED (
+  SELECT w.b,
+         w.wmu - COALESCE(
+           ({lr_num} * g.g) // ({lr_den} * (SELECT n_docs FROM nn)),
+           0) AS wmu
+  FROM w{t - 1} w LEFT JOIN g{t} g USING (b)
+)""")
+    return (
+        "WITH " + "".join(parts)
+        + f"\nSELECT b, wmu AS w_mu FROM w{epochs}"
+    )
+
+
+QUERIES.update(
+    {"quality_classifier_train_docs": quality_classifier_train_docs}
+)
+ORACLES.update({"quality_classifier_train_docs": _ql_train_sql()})
+
+
 # r11: splice the classifier gate into the curation-funnel oracle (the
 # weight CTE is defined just above, so this rewrite happens here, after
 # both sides share the generated vector)

@@ -1379,6 +1379,151 @@ class TestQualityClassifier:
             quality_classifier(self._df(spark), weights=[])
 
 
+class TestQualityClassifierTrain:
+    """Distributed full-batch logistic regression on the hashed
+    features (VERDICT r11 task 4): deterministic in the data,
+    bit-exactly replayable (Elliott sigmoid + integer protocol)."""
+
+    def _df(self, spark):
+        good = [
+            "the quick brown fox jumps over the lazy dog",
+            "a well written article about science and history",
+            "the committee published the annual report today",
+            "researchers described the method in careful detail",
+        ]
+        bad = [
+            "buy now click here spam spam spam",
+            "win win win free free casino casino",
+            "click click buy buy cheap cheap now now",
+            "spam offer free click casino win buy",
+        ]
+        rows = [(i, t, 1) for i, t in enumerate(good)] + [
+            (100 + i, t, 0) for i, t in enumerate(bad)
+        ]
+        return spark.createDataFrame(rows, "doc_id int, text string, label int")
+
+    @staticmethod
+    def _ref_train(rows, buckets, epochs, lr):
+        """Pure-Python replay of the exact protocol."""
+        import hashlib
+        import math
+
+        from odibi_spark.llm.curation import _trunc_div
+
+        def feats(text):
+            toks = [t for t in text.strip().lower().split(" ") if t]
+            out = [
+                int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % buckets
+                for t in toks
+            ]
+            out += [
+                int(hashlib.md5(f"{toks[i]} {toks[i+1]}".encode())
+                    .hexdigest()[:15], 16) % buckets
+                for i in range(len(toks) - 1)
+            ]
+            return out
+
+        docs = [(feats(t), y) for t, y in rows]
+        docs = [(f, y) for f, y in docs if f]
+        n_docs = len(docs)
+        w = [0] * buckets
+        ln, ld = lr
+        for _ in range(epochs):
+            g = [0] * buckets
+            for f, y in docs:
+                n = len(f)
+                s = float(sum(w[h] for h in f))
+                z = s / (1000000.0 * n)
+                sig = 0.5 + z / (2.0 * (1.0 + abs(z)))
+                q = math.floor(((sig - y) * 1000000.0) / n)
+                for h in f:
+                    g[h] += q
+            for b in range(buckets):
+                w[b] -= _trunc_div(ln * g[b], ld * n_docs)
+        return w
+
+    def test_differential_vs_python(self, spark):
+        from odibi_spark.llm.curation import quality_classifier_train
+
+        df = self._df(spark)
+        w, bias = quality_classifier_train(
+            df, buckets=64, epochs=3, lr=(1, 4)
+        )
+        rows = [(r.text, r.label) for r in df.collect()]
+        ref = self._ref_train(rows, 64, 3, (1, 4))
+        assert bias == 0.0
+        assert [round(x * 1e6) for x in w] == ref
+
+    def test_learned_weights_separate_classes(self, spark):
+        from odibi_spark.llm.curation import (
+            quality_classifier, quality_classifier_train,
+        )
+
+        df = self._df(spark)
+        w, b = quality_classifier_train(
+            df, buckets=64, epochs=10, lr=(1, 1)
+        )
+        scored = {
+            r.doc_id: r.ql_logit
+            for r in quality_classifier(
+                df, weights=w, bias=b
+            ).collect()
+        }
+        good = [v for k, v in scored.items() if k < 100]
+        bad = [v for k, v in scored.items() if k >= 100]
+        assert min(good) > max(bad)
+
+    def test_partitioning_invariant(self, spark):
+        from odibi_spark.llm.curation import quality_classifier_train
+
+        df = self._df(spark)
+        w1, _ = quality_classifier_train(
+            df.repartition(1), buckets=32, epochs=2
+        )
+        w7, _ = quality_classifier_train(
+            df.repartition(7), buckets=32, epochs=2
+        )
+        assert w1 == w7
+
+    def test_trunc_div_matches_engines(self):
+        import duckdb
+
+        from odibi_spark.llm.curation import _trunc_div
+
+        for a, b in [(-7, 2), (7, 2), (-7, -2), (9, 4), (-9, 4), (0, 5)]:
+            duck = duckdb.sql(f"SELECT ({a}) // ({b})").fetchone()[0]
+            assert _trunc_div(a, b) == duck, (a, b)
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from odibi_spark.llm.curation import quality_classifier_train
+
+        df = self._df(spark)
+        with _pytest.raises(ValueError, match="epochs"):
+            quality_classifier_train(df, epochs=0)
+        with _pytest.raises(ValueError, match="lr"):
+            quality_classifier_train(df, lr=(0, 1))
+        empty = spark.createDataFrame(
+            [(1, "   ", 0)], "doc_id int, text string, label int"
+        )
+        with _pytest.raises(ValueError, match="no documents"):
+            quality_classifier_train(empty)
+
+    def test_transform_label_condition(self, spark):
+        from odibi_spark import Context, EngineContext, get_registry
+
+        df = self._df(spark)
+        out = get_registry().apply(
+            "quality_classifier_train",
+            EngineContext(Context(spark), df),
+            {"label_condition": "label = 1", "buckets": 32, "epochs": 2},
+        ).df
+        assert {"ql_logit", "ql_prob", "ql_n_features"} <= set(out.columns)
+        assert "__ql_label" not in out.columns
+        assert out.count() == df.count()
+
+
 class TestBpeSegmentedVocab:
     def test_segmentation_reconstructs_words(self, spark):
         """Invariant: concatenating a word's subwords (minus the EOW
@@ -1717,6 +1862,7 @@ def test_full_curation_example_yaml_runs(spark, tmp_path):
         "dsir_selected", "embedding_dedup", "training_shards",
         "source_quality_report", "script_gated_docs", "mixed_shuffled_docs",
         "classifier_gated_docs", "bpe_merges", "line_corrected_docs",
+        "classifier_trained_docs",
     ):
         assert results[node].status == "success", (node, results[node].error)
     chunks = spark.read.parquet(str(tmp_path / "chunks"))
