@@ -325,6 +325,52 @@ def simhash64(
     return sums.select("id", F.expr(bit_terms).alias("simhash"))
 
 
+def hash64_near_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    *,
+    band_bits: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Hamming-band near-dup pairs over ANY 64-bit-or-less perceptual
+    hash column (SimHash for text, dHash for images, ...): split the
+    hash into ``n_bands`` bands of ``band_bits``, candidate pairs
+    share >= 1 band (pigeonhole: two hashes within hamming distance
+    ``n_bands - 1`` always do), verified with exact popcount. Rows
+    with a NULL hash (undecodable payloads) are skipped. The only
+    shuffle is the band-key equi-join — candidates, never all pairs."""
+    bands = df.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("__h64"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.expr(
+                        f"(`{hash_col}` >> {band_bits * b})"
+                        f" & {(1 << band_bits) - 1}"
+                    ).alias("bh"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "__h64", "bb.band", "bb.bh")
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bh"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.expr("bit_count(a.__h64 ^ b.__h64)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str,
@@ -338,31 +384,8 @@ def simhash_near_pairs(
     band), verified with exact popcount hamming distance."""
     band_bits = 16 if hasher == "xxhash64" else 15
     sh = simhash64(df, id_col, text_col, hasher)
-    bands = sh.select(
-        "id", "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.expr(
-                        f"(simhash >> {band_bits * b}) & {(1 << band_bits) - 1}"
-                    ).alias("bh"),
-                )
-                for b in range(4)
-            ])
-        ).alias("bb"),
-    ).select("id", "simhash", "bb.band", "bb.bh")
-    return (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "bh"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+    return hash64_near_pairs(
+        sh, "id", "simhash", max_hamming, band_bits=band_bits, n_bands=4
     )
 
 

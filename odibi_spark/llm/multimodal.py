@@ -551,3 +551,151 @@ def extract_audio_features(
             yield out
 
     return df.select(id_col, binary_col).mapInPandas(batches, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (r12): dHash over REAL BMP pixel decode — the
+# image twin of SimHash-for-text. Standard published algorithm (difference
+# hash, e.g. Krawetz "Kind of Like That", 2013): grayscale, downsample to
+# (cols+1) x rows, one bit per horizontal neighbor comparison.
+# ---------------------------------------------------------------------------
+
+
+def synth_bmp24(grid: list[list[int]]) -> bytes:
+    """Encode a row-major TOP-DOWN grayscale grid (values 0-255) as a
+    real 24-bpp BITMAPINFOHEADER BMP (bottom-up rows, 4-byte row
+    padding, gray replicated to BGR) — the deterministic executor-side
+    payload generator for the dhash workloads/tests (the synth_wav
+    convention: payloads are built AND decoded executor-side)."""
+    height = len(grid)
+    width = len(grid[0]) if height else 0
+    row_size = (width * 3 + 3) & ~3
+    img_size = row_size * height
+    header = b"BM" + struct.pack(
+        "<IHHI", 54 + img_size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 0, 0, 0, 0
+    )
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage order
+        row = bytearray()
+        for v in grid[y]:
+            b = int(v) & 0xFF
+            row += bytes((b, b, b))
+        row += b"\x00" * (row_size - len(row))
+        rows.append(bytes(row))
+    return header + b"".join(rows)
+
+
+def decode_bmp24_gray(payload: bytes) -> list[list[int]]:
+    """REAL pixel decode for 24-bpp uncompressed BMP: returns the
+    row-major top-down grayscale grid (integer mean (r+g+b)//3 per
+    pixel — exact, no float). Handles bottom-up (positive height) and
+    top-down (negative) row order. Raises ValueError on anything that
+    is not a plain 24-bpp BITMAPINFOHEADER BMP."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, height = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"not an uncompressed 24-bpp BMP (bpp={bpp})")
+    top_down = height < 0
+    height = abs(height)
+    row_size = (width * 3 + 3) & ~3
+    if len(payload) < data_off + row_size * height:
+        raise ValueError("truncated BMP pixel array")
+    grid = []
+    for r in range(height):
+        src = r if top_down else height - 1 - r
+        off = data_off + src * row_size
+        row = []
+        for x in range(width):
+            b, g, rr = payload[off + 3 * x: off + 3 * x + 3]
+            row.append((int(rr) + int(g) + int(b)) // 3)
+        grid.append(row)
+    return grid
+
+
+def dhash64_from_grid(grid: list[list[int]], *, rows: int = 8, cols: int = 8) -> int:
+    """Difference hash of a grayscale grid as a SIGNED 64-bit int (bit
+    i = rows*cols-1 maps to the sign bit, matching Spark/DuckDB BIGINT
+    semantics). The grid is downsampled to (cols+1) x rows: exact
+    integer box averages (sum // area) when the dimensions divide
+    evenly, nearest-neighbor sampling (src = dst * size // target)
+    otherwise — both deterministic, no float, no image library. Bit
+    (y*cols + x) is set when cell (x,y) < cell (x+1,y)."""
+    h = len(grid)
+    w = len(grid[0]) if h else 0
+    tw, th = cols + 1, rows
+    if w < tw or h < th:
+        raise ValueError(f"grid {w}x{h} smaller than dhash target {tw}x{th}")
+    if w % tw == 0 and h % th == 0:
+        bw, bh = w // tw, h // th
+        cells = [
+            [
+                sum(
+                    grid[cy * bh + dy][cx * bw + dx]
+                    for dy in range(bh) for dx in range(bw)
+                ) // (bw * bh)
+                for cx in range(tw)
+            ]
+            for cy in range(th)
+        ]
+    else:
+        cells = [
+            [grid[cy * h // th][cx * w // tw] for cx in range(tw)]
+            for cy in range(th)
+        ]
+    bits = 0
+    for y in range(th):
+        for x in range(cols):
+            if cells[y][x] < cells[y][x + 1]:
+                bits |= 1 << (y * cols + x)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def image_dhash(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    *,
+    out_col: str = "dhash",
+    rows: int = 8,
+    cols: int = 8,
+) -> DataFrame:
+    """Per-image perceptual hash: decode the BMP payload (real pixel
+    parse; non-BMP payloads get NULL — flag, don't guess), downsample,
+    dHash. One Arrow-batched mapInPandas pass, zero shuffle; output is
+    (id, width, height, dhash BIGINT) ready for
+    :func:`odibi_spark.llm.dedup.hash64_near_pairs` banding."""
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField(out_col, T.LongType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for mid, payload in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    grid = decode_bmp24_gray(bytes(payload))
+                    recs.append((
+                        mid, len(grid[0]), len(grid),
+                        dhash64_from_grid(grid, rows=rows, cols=cols),
+                    ))
+                except ValueError:
+                    recs.append((mid, None, None, None))
+            yield pd.DataFrame(
+                recs, columns=[id_col, "width", "height", out_col]
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(batches, out_schema)

@@ -2068,3 +2068,98 @@ FROM documents
 
 QUERIES.update({"multimodal_video_features": multimodal_video_features})
 ORACLES.update({"multimodal_video_features": MULTIMODAL_VIDEO_SQL})
+
+
+def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup (r12, VERDICT r11 task 5): every document
+    keyed to an 18x16 grayscale image (g = doc_id % 200 picks the base
+    pattern; non-canonical docs perturb ONE pixel by +128), encoded as
+    a REAL 24-bpp BMP executor-side, pixel-decoded back, box-averaged
+    to 9x8, dHashed (64-bit difference hash), then near-dup pairs by
+    4x16-bit hamming banding + exact popcount verify (the SimHash
+    banding, reused via dedup.hash64_near_pairs). Payloads are built
+    AND decoded executor-side (the synth_wav convention); the oracle
+    replays pixels -> box means -> bits -> bands -> pairs as pure
+    integer SQL, so the whole decode+hash+band pipeline is hash-gated.
+    Scale: one mapInPandas pass + the band-key equi-join — candidates,
+    never all pairs."""
+    _prep(spark)
+    from odibi_spark.llm.dedup import hash64_near_pairs
+    from odibi_spark.llm.multimodal import image_dhash, synth_bmp24
+
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def synth(it):
+        for pdf in it:
+            ids = pdf["media_id"].tolist()
+            payloads = []
+            for d in ids:
+                g = d % 200
+                xd, yd = d % 18, (d * 7) % 16
+                grid = [
+                    [
+                        (g * 37 + x * x * (g % 7 + 2)
+                         + y * y * (g % 11 + 3) + x * y * (g % 5 + 1)
+                         + (128 if d % 5 != 0 and x == xd and y == yd
+                            else 0)) % 256
+                        for x in range(18)
+                    ]
+                    for y in range(16)
+                ]
+                payloads.append(synth_bmp24(grid))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    bmps = docs.mapInPandas(synth, "media_id long, payload binary")
+    hashes = image_dhash(bmps, "payload", "media_id")
+    return hash64_near_pairs(hashes, "media_id", "dhash", max_hamming=4)
+
+
+IMAGE_DHASH_SQL = """
+WITH pix AS (
+  SELECT doc_id, gx.x, gy.y,
+         ((doc_id % 200) * 37
+          + gx.x * gx.x * ((doc_id % 200) % 7 + 2)
+          + gy.y * gy.y * ((doc_id % 200) % 11 + 3)
+          + gx.x * gy.y * ((doc_id % 200) % 5 + 1)
+          + (CASE WHEN doc_id % 5 <> 0 AND gx.x = doc_id % 18
+                       AND gy.y = (doc_id * 7) % 16
+                  THEN 128 ELSE 0 END)) % 256 AS v
+  FROM documents
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 17)) AS x) gx
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS y) gy
+),
+cells AS (
+  SELECT doc_id, x // 2 AS cx, y // 2 AS cy, SUM(v) // 4 AS m
+  FROM pix GROUP BY doc_id, x // 2, y // 2
+),
+diffs AS (
+  SELECT doc_id, cy, cx, m,
+         LEAD(m) OVER (PARTITION BY doc_id, cy ORDER BY cx) AS mn
+  FROM cells
+),
+h AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN cx < 8 AND m < mn THEN
+                    (CASE WHEN cy * 8 + cx = 63
+                          THEN -9223372036854775808
+                          ELSE (1::BIGINT << CAST(cy * 8 + cx AS INTEGER))
+                     END)
+                   ELSE 0 END) AS BIGINT) AS dhash
+  FROM diffs GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, dhash, b.band,
+         (dhash >> (16 * b.band)) & 65535 AS bh
+  FROM h CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS band) b
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b USING (band, bh)
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.dhash, b.dhash)) <= 4
+"""
+
+QUERIES.update({"image_dhash_dedup": image_dhash_dedup})
+ORACLES.update({"image_dhash_dedup": IMAGE_DHASH_SQL})

@@ -386,3 +386,93 @@ class TestVideoDecoders:
             r = out[100 + i]
             assert r.n_frames == 25 * (i + 1)
             assert r.duration_s == float(i + 1)
+
+
+class TestImageDhash:
+    """Perceptual image hashing (r12): real BMP pixel round-trip,
+    dHash invariants, hamming-band near-dup pairs."""
+
+    def _grid(self, w=18, h=16, f=lambda x, y: (x * 11 + y * 23) % 256):
+        return [[f(x, y) for x in range(w)] for y in range(h)]
+
+    def test_bmp24_round_trip(self):
+        from odibi_spark.llm import multimodal
+
+        g = self._grid()
+        assert multimodal.decode_bmp24_gray(multimodal.synth_bmp24(g)) == g
+
+    def test_bmp24_row_padding(self):
+        # 5-wide rows need 1 pad byte (5*3=15 -> 16)
+        from odibi_spark.llm import multimodal
+
+        g = self._grid(w=5, h=4)
+        assert multimodal.decode_bmp24_gray(multimodal.synth_bmp24(g)) == g
+
+    def test_decode_rejects_non_bmp(self):
+        import pytest as _pytest
+
+        from odibi_spark.llm import multimodal
+
+        with _pytest.raises(ValueError):
+            multimodal.decode_bmp24_gray(b"\x89PNG not a bmp" + b"\x00" * 60)
+
+    def test_dhash_brightness_invariant(self):
+        # dHash compares neighbors: a uniform brightness shift that
+        # doesn't wrap must not change the hash (the property that
+        # makes it a perceptual hash)
+        from odibi_spark.llm.multimodal import dhash64_from_grid
+
+        g = self._grid(f=lambda x, y: (x * 5 + y * 7) % 100)
+        shifted = [[v + 50 for v in row] for row in g]
+        assert dhash64_from_grid(g) == dhash64_from_grid(shifted)
+
+    def test_dhash_single_pixel_small_hamming(self):
+        from odibi_spark.llm.multimodal import dhash64_from_grid
+
+        g = self._grid()
+        p = [row[:] for row in g]
+        p[5][7] = (p[5][7] + 128) % 256
+        d = dhash64_from_grid(g) ^ dhash64_from_grid(p)
+        assert 0 <= bin(d & (2**64 - 1)).count("1") <= 2
+
+    def test_dhash_signed_64bit_range(self):
+        from odibi_spark.llm.multimodal import dhash64_from_grid
+
+        # descending gradient sets high bits -> exercises the sign bit
+        g = self._grid(f=lambda x, y: 255 - x * 14)
+        h = dhash64_from_grid(g)
+        assert -(2**63) <= h < 2**63
+
+    def test_grid_too_small_raises(self):
+        import pytest as _pytest
+
+        from odibi_spark.llm.multimodal import dhash64_from_grid
+
+        with _pytest.raises(ValueError, match="smaller"):
+            dhash64_from_grid(self._grid(w=8, h=8))
+
+    def test_image_dhash_and_near_pairs(self, spark):
+        from odibi_spark.llm import multimodal
+        from odibi_spark.llm.dedup import hash64_near_pairs
+
+        base = self._grid()
+        neardup = [row[:] for row in base]
+        neardup[3][4] = (neardup[3][4] + 128) % 256
+        distinct = self._grid(f=lambda x, y: (x * x * 3 + y * y * 5) % 256)
+        rows = [
+            (1, multimodal.synth_bmp24(base)),
+            (2, multimodal.synth_bmp24(neardup)),
+            (3, multimodal.synth_bmp24(distinct)),
+            (4, b"not an image"),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        hashes = multimodal.image_dhash(df)
+        got = {r.media_id: r for r in hashes.collect()}
+        assert got[1].dhash == multimodal.dhash64_from_grid(base)
+        assert got[4].dhash is None  # flag, don't guess
+        assert (got[1].width, got[1].height) == (18, 16)
+        pairs = hash64_near_pairs(
+            hashes, "media_id", "dhash", max_hamming=3
+        ).collect()
+        assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+        assert all(p.hamming <= 3 for p in pairs)
