@@ -389,3 +389,119 @@ def run_incremental_dedup(
         # until executor storage is evicted under pressure
         delta.unpersist()
     return flagged
+
+
+def incremental_dedup_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    store: SignatureStore,
+    state: StateBackend,
+    *,
+    output_path: str,
+    state_key: str = "dedup_hwm",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    hasher: str = "xxhash64",
+    seed: int = 42,
+) -> bool:
+    """One exactly-once micro-batch of the streaming near-dup ingest
+    (the foreachBatch body of :func:`streaming_incremental_dedup`,
+    callable directly for tests/replays). Returns False when the
+    epoch was already committed (idempotent skip), True when folded.
+
+    Exactly-once discipline (the ``cms_incremental`` pointer pattern +
+    this module's store/HWM ordering):
+
+    1. epoch guard — foreachBatch ids are monotonic per checkpoint; a
+       replay of an epoch whose commit landed is skipped outright;
+    2. HWM filter -> flag against store + self (identical logic to the
+       batch path);
+    3. flagged rows land in ``output_path`` partitioned by epoch with
+       DYNAMIC partition overwrite — a replayed epoch overwrites its
+       own partition, never duplicates;
+    4. signature append (idempotent: partitioned by batch id);
+    5. ONLY THEN the HWM and the epoch pointer commit. A crash in any
+       earlier window replays 2-4 byte-identically (the HWM is still
+       the old one, so the delta recomputes exactly); a crash between
+       5 and the stream's checkpoint commit is caught by 1.
+    """
+    committed = state.get(f"{state_key}__epoch")
+    if committed is not None and int(epoch_id) <= int(committed):
+        return False
+    delta = incremental_filter(
+        batch, column=id_col, state=state, state_key=state_key,
+        target_exists=store.exists(),
+    ).persist()
+    try:
+        flagged, sigs_new = flag_incremental_dups(
+            delta, store, id_col=id_col, text_col=text_col, n=n,
+            num_perm=num_perm, bands=bands, threshold=threshold,
+            hasher=hasher, seed=seed,
+        )
+        new_hwm = capture_hwm(delta, id_col)
+        # output BEFORE any state moves: once the HWM advances, a
+        # replayed epoch would see an empty delta and could never
+        # rebuild this partition
+        (
+            flagged.withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(output_path)
+        )
+        store.append(sigs_new, f"epoch={int(epoch_id)}")
+        if new_hwm is not None:
+            state.set(state_key, new_hwm)
+        state.set(f"{state_key}__epoch", str(int(epoch_id)))
+    finally:
+        delta.unpersist()
+    return True
+
+
+def streaming_hwm_incremental_dedup(
+    stream: DataFrame,
+    store: SignatureStore,
+    state: StateBackend,
+    *,
+    output_path: str,
+    checkpoint: str,
+    state_key: str = "dedup_hwm",
+    trigger: dict | None = None,
+    query_name: str | None = None,
+    **dedup_kwargs,
+):
+    """Streaming near-dup ingest (VERDICT r11 task 6): wrap the
+    HWM/SignatureStore incremental dedup in ``foreachBatch`` so the
+    signature store ingests a STREAM. (Distinct from
+    ``streaming.core.streaming_incremental_dedup``, the live
+    keep-only-nondups corpus filter: THIS variant carries the HWM
+    state, the epoch pointer, and the flagged — not filtered —
+    output, so batch backfills and the stream share one state
+    discipline.) — each micro-batch probes the
+    banded store + itself, appends its signatures, and lands its
+    flagged slice exactly once (see :func:`incremental_dedup_batch`).
+    Because batches arrive id-monotone in an append-only ingest, the
+    final flagged output equals the one-shot batch pass — the
+    ``streaming_incremental_dedup_docs`` workload hash-checks a
+    two-epoch replay against the same one-shot DuckDB oracle as the
+    batch path. Returns the started StreamingQuery."""
+
+    def _fold(batch: DataFrame, epoch_id: int) -> None:
+        incremental_dedup_batch(
+            batch, epoch_id, store, state,
+            output_path=output_path, state_key=state_key,
+            **dedup_kwargs,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    return writer.start()

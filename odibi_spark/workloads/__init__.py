@@ -80,7 +80,7 @@ _R12_ROTATE_IN = [
 # checked, so they get guaranteed head slots.
 _R12_NEW = [
     "psl_domains_docs", "quality_classifier_train_docs",
-    "image_dhash_dedup",
+    "image_dhash_dedup", "streaming_incremental_dedup_docs",
 ]
 
 # Workloads whose Spark+oracle definition changed in round 12:

@@ -3287,6 +3287,76 @@ QUERIES.update({"streaming_cms_terms": streaming_cms_terms})
 ORACLES.update({"streaming_cms_terms": STREAMING_CMS_SQL})
 
 
+def streaming_incremental_dedup_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming near-dup ingest (r12, VERDICT r11 task 6): the corpus
+    arrives as TWO sequential availableNow runs against one checkpoint
+    (the streaming_ewma convention — deterministic batch composition:
+    epoch 1 = doc_id <= mid, epoch 2 = the rest), each micro-batch
+    flowing through foreachBatch -> HWM filter -> banded-store probe ->
+    exactly-once partitioned output -> signature append -> HWM/epoch
+    commit. The flagged output hash-equals the SAME one-shot DuckDB
+    oracle as the batch-mode dedup_incremental_docs — streaming
+    ingestion is provably just a replay schedule of the batch rule."""
+    import os
+    import shutil
+    import tempfile
+
+    from odibi_spark.llm.incremental import (
+        SignatureStore,
+        streaming_hwm_incremental_dedup,
+    )
+    from odibi_spark.state.hwm import JsonStateBackend
+
+    _prep(spark)
+    df = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    mid = df.agg(F.max("doc_id")).collect()[0][0] // 2
+    tmp = tempfile.mkdtemp(prefix="incr_stream_wl_")
+    try:
+        src = f"{tmp}/src"
+        out_path = f"{tmp}/flagged"
+        store = SignatureStore(spark, os.path.join(tmp, "sigs"))
+        state = JsonStateBackend(os.path.join(tmp, "state.json"))
+        kw = dict(
+            id_col="doc_id", text_col="text", n=3, num_perm=32, bands=8,
+            threshold=0.2, hasher="portable", seed=42,
+        )
+        slices = [
+            df.filter(F.col("doc_id") <= mid),
+            df.filter(F.col("doc_id") > mid),
+        ]
+        for i, part in enumerate(slices):
+            part.select("doc_id", "text").coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            stream = spark.readStream.schema(
+                "doc_id bigint, text string"
+            ).parquet(src)
+            q = streaming_hwm_incremental_dedup(
+                stream, store, state,
+                output_path=out_path, checkpoint=f"{tmp}/ckpt",
+                trigger={"availableNow": True}, **kw,
+            )
+            q.awaitTermination()
+        out = (
+            spark.read.parquet(out_path)
+            .select("doc_id", "is_dup")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+QUERIES.update(
+    {"streaming_incremental_dedup_docs": streaming_incremental_dedup_docs}
+)
+ORACLES.update(
+    {"streaming_incremental_dedup_docs": _incr_dedup_oracle_sql()}
+)
+
+
 def epoch_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-constrained epoch mixing (curation.epoch_repeat_sample):
     en repeats 2.5 epochs, fr 1.5, de 0.25, es 1.0, everything else

@@ -680,3 +680,85 @@ class TestStreamingCmsHeavyHitters:
         }
         truth = {r.tok: r["count"] for r in batch.groupBy("tok").count().collect()}
         assert all(est[t] >= truth[t] for t in truth)
+
+
+class TestStreamingHwmIncrementalDedup:
+    """HWM-stateful streaming ingest (r12): epoch pointer guard,
+    crash-window replay convergence, and the flagged (not filtered)
+    output discipline — llm.incremental.streaming_hwm_incremental_dedup
+    / incremental_dedup_batch."""
+
+    SCHEMA = "doc_id long, text string"
+    DOCS = {
+        1: "the quick brown fox jumps over the lazy dog today",
+        2: "an entirely different document about spark pipelines here",
+        3: "the quick brown fox jumps over the lazy dog tonight",
+        4: "yet another unrelated text with its own words only",
+    }
+
+    def _paths(self, tmp_path):
+        return {k: str(tmp_path / k) for k in ("out", "store", "state")}
+
+    def _batch(self, spark, ids):
+        return spark.createDataFrame(
+            [(i, self.DOCS[i]) for i in ids], self.SCHEMA
+        )
+
+    def _fold(self, spark, p, ids, epoch):
+        from odibi_spark.llm.incremental import (
+            SignatureStore, incremental_dedup_batch,
+        )
+        from odibi_spark.state.hwm import JsonStateBackend
+
+        return incremental_dedup_batch(
+            self._batch(spark, ids), epoch,
+            SignatureStore(spark, p["store"]),
+            JsonStateBackend(p["state"] + ".json"),
+            output_path=p["out"], n=2, threshold=0.4,
+        )
+
+    def test_two_epochs_flag_across_store(self, spark, tmp_path):
+        p = self._paths(tmp_path)
+        assert self._fold(spark, p, [1, 2], 0) is True
+        assert self._fold(spark, p, [3, 4], 1) is True
+        got = {
+            r.doc_id: r.is_dup
+            for r in spark.read.parquet(p["out"]).collect()
+        }
+        # 3 matches 1 ACROSS the store boundary; output keeps all rows
+        assert got == {1: False, 2: False, 3: True, 4: False}
+
+    def test_committed_epoch_is_skipped(self, spark, tmp_path):
+        p = self._paths(tmp_path)
+        assert self._fold(spark, p, [1, 2], 0) is True
+        # full replay of a committed epoch: guard short-circuits
+        assert self._fold(spark, p, [1, 2], 0) is False
+        from odibi_spark.llm.incremental import SignatureStore
+
+        assert SignatureStore(spark, p["store"]).read().count() == 2
+
+    def test_crash_window_replay_converges(self, spark, tmp_path):
+        """Simulate a crash AFTER durable effects but BEFORE the epoch
+        pointer commit: rewind the pointer and replay — store, output,
+        and flags must converge byte-identically, nothing doubled."""
+        import json
+
+        p = self._paths(tmp_path)
+        self._fold(spark, p, [1, 2], 0)
+        self._fold(spark, p, [3, 4], 1)
+        state_file = p["state"] + ".json"
+        st = json.load(open(state_file))
+        st["dedup_hwm__epoch"] = "0"   # pointer rewound...
+        st["dedup_hwm"] = "2"          # ...and the HWM with it
+        json.dump(st, open(state_file, "w"))
+        assert self._fold(spark, p, [3, 4], 1) is True  # replays
+        got = {
+            r.doc_id: r.is_dup
+            for r in spark.read.parquet(p["out"]).collect()
+        }
+        assert got == {1: False, 2: False, 3: True, 4: False}
+        from odibi_spark.llm.incremental import SignatureStore
+
+        store = SignatureStore(spark, p["store"])
+        assert store.read().count() == 4  # one signature row per doc
+        assert json.load(open(state_file))["dedup_hwm__epoch"] == "1"
