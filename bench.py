@@ -669,6 +669,15 @@ def main() -> None:
         "domain_reputation_docs", "bpe_subword_stats_docs",
         "line_corrections_docs", "html_strip_docs",
         "cluster_best_keeper_docs",
+        # new in round 12: full-PSL domains, classifier TRAINING
+        # (2 epochs), perceptual image + audio dedup, Kneser-Ney
+        # bigram LM perplexity, hashed-feature DSIR selection
+        # (streaming_incremental_dedup_docs is a replay-identity
+        # demonstration like cms_incremental_terms: its per-batch
+        # dedup cost is benched via dedup_incremental_docs)
+        "psl_domains_docs", "quality_classifier_train_docs",
+        "image_dhash_dedup", "audio_ahash_dedup", "video_dhash_dedup",
+        "kn_perplexity_docs", "dsir_hashed_select_docs",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(

@@ -1131,3 +1131,180 @@ def quality_classifier_train(
             )
     feats.unpersist()
     return [w / 1e6 for w in w_mu], 0.0
+
+
+def dsir_log_ratios(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    *,
+    buckets: int = 512,
+    bigrams: bool = True,
+    lowercase: bool = True,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-bucket DSIR log importance ratios (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling" — the
+    paper's actual feature space: HASHED n-grams into a fixed bucket
+    count, which bounds the model at O(buckets) where the token-level
+    :func:`importance_resample` twin grows O(vocabulary)): hashed
+    word unigram (+ bigram) features of a small TARGET corpus vs the
+    big RAW corpus, add-one smoothed,
+
+        log_ratio(b) = ln( (c_t(b) + 1) / (N_t + B)
+                         / ((c_r(b) + 1) / (N_r + B)) )
+
+    rounded to ``round_digits`` and returned as DECIMAL so per-doc
+    sums fold exactly. Only buckets PRESENT in the raw corpus are
+    emitted — a bucket no raw doc hits can never contribute to a raw
+    doc's weight, so the frame stays O(min(buckets, distinct raw
+    features)).
+
+    Scale: two explode + map-side-combined groupBy(bucket) counts
+    (the target side is small by design); totals are 1-row
+    broadcasts; output is O(buckets) — the model, not the data.
+    """
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+
+    def bucket_counts(df: DataFrame) -> DataFrame:
+        return (
+            _ql_features(
+                df, text_col, buckets=buckets, bigrams=bigrams,
+                lowercase=lowercase,
+            )
+            .select(F.explode("__ql_feats").alias("__b"))
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+
+    raw_c = bucket_counts(raw_df)
+    tgt_c = bucket_counts(target_df).withColumnRenamed("__c", "__ct")
+    raw_tot = raw_c.agg(F.sum("__c").alias("__nr"))
+    tgt_tot = tgt_c.agg(F.sum("__ct").alias("__nt"))
+    b = F.lit(float(buckets))
+    p_t = (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1.0)) / (
+        F.coalesce(F.col("__nt"), F.lit(0)) + b
+    )
+    p_r = (F.col("__c") + F.lit(1.0)) / (F.col("__nr") + b)
+    return (
+        raw_c.join(tgt_c, "__b", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            F.col("__b"),
+            F.round(F.log(p_t / p_r), round_digits)
+            .cast("decimal(18,6)")
+            .alias("__lr"),
+        )
+    )
+
+
+def dsir_importance(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+    buckets: int = 512,
+    bigrams: bool = True,
+    lowercase: bool = True,
+    round_digits: int = 6,
+    inline_limit: int | None = None,
+    out_col: str = "dsir_logw",
+) -> DataFrame:
+    """Per-document DSIR log importance weight: the sum of
+    :func:`dsir_log_ratios` over the doc's hashed n-gram feature
+    OCCURRENCES — high when the doc's feature distribution looks like
+    the target corpus, low when it doesn't. Adds ``{out_col}``
+    (double, exact: 6-dp DECIMAL ratios summed exactly, ONE cast) and
+    ``{out_col}_n`` (feature count); docs with no tokens get NULL
+    weight (flag, don't guess).
+
+    Plan-size gate (the quality_classifier convention): up to
+    ``QL_INLINE_LIMIT`` buckets the ratio table is collected
+    (O(buckets) driver state, the trainer's budget) and inlined as a
+    literal DECIMAL array — scoring is a zero-shuffle codegen fold
+    over the feature array. Above the gate, scoring is explode +
+    broadcast ratio join + one groupBy(id) — the corpus shuffles
+    once on the id key, never on content.
+    """
+    ratios = dsir_log_ratios(
+        raw_df, target_df, text_col, buckets=buckets, bigrams=bigrams,
+        lowercase=lowercase, round_digits=round_digits,
+    )
+    staged = _ql_features(
+        raw_df, text_col, buckets=buckets, bigrams=bigrams,
+        lowercase=lowercase,
+    )
+    n = F.size("__ql_feats").cast("long")
+    limit = QL_INLINE_LIMIT if inline_limit is None else inline_limit
+    if buckets <= limit:
+        by_bucket = {int(r["__b"]): r["__lr"] for r in ratios.collect()}
+        rlit = "array(" + ", ".join(
+            f"CAST({by_bucket.get(i, 0):.6f} AS DECIMAL(18,6))"
+            for i in range(buckets)
+        ) + ")"
+        lsum = F.expr(
+            f"aggregate(__ql_feats, CAST(0 AS DECIMAL(38,6)), "
+            f"(acc, h) -> acc + element_at({rlit}, CAST(h + 1 AS INT)))"
+        )
+        scored = staged.withColumn("__lw", lsum)
+    else:
+        ex = staged.select(id_col, F.explode("__ql_feats").alias("__b"))
+        sums = (
+            ex.join(F.broadcast(ratios), "__b")
+            .groupBy(id_col)
+            .agg(F.sum("__lr").cast("decimal(38,6)").alias("__lw"))
+        )
+        scored = staged.join(sums, id_col, "left")
+    return (
+        scored.withColumn(f"{out_col}_n", n)
+        .withColumn(
+            out_col,
+            F.when(n > 0, F.col("__lw").cast("double")),
+        )
+        .drop("__ql_feats", "__lw")
+    )
+
+
+def dsir_gumbel_topk(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str = "dsir_logw",
+    seed: int = 42,
+    key_col: str = "dsir_key",
+) -> DataFrame:
+    """Gumbel-top-k importance RESAMPLING over DSIR log weights (the
+    exponential-clocks / Gumbel-max trick: adding i.i.d. Gumbel noise
+    to log weights and taking the top k draws a weighted sample
+    WITHOUT replacement): key = logw + Gumbel(0,1), noise derived
+    deterministically from (id, seed) via the portable hash unit —
+    a pure function of (data, seed), replayable by any engine.
+
+    NULL-weight rows (no features) are excluded — an unweighted doc
+    has no place in a weighted draw. The top-k is orderBy + limit
+    (TakeOrderedAndProject: per-partition heaps, no global sort).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    # strictly-interior uniform (h + 0.5) / 2^60: -ln(-ln u) stays
+    # finite and both engines stay off the log(0) edge (the
+    # importance_resample convention)
+    u = (
+        dedup.portable_hash60(
+            F.concat_ws(
+                ":", F.lit(str(seed)), F.col(id_col).cast("string")
+            )
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(PH60_MAX)
+    gumbel = F.round(-F.log(-F.log(u)), 6)
+    return (
+        df.filter(F.col(weight_col).isNotNull())
+        .withColumn(key_col, F.col(weight_col) + gumbel)
+        .orderBy(F.col(key_col).desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -699,3 +699,271 @@ def image_dhash(
             )
 
     return df.select(id_col, binary_col).mapInPandas(batches, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual audio hashing (r12): energy-profile difference hash over REAL
+# WAV PCM decode — the audio twin of image dHash. Same published idea
+# (difference hash, Krawetz 2013) applied to the time axis: mean |amplitude|
+# in 65 equal time buckets, one bit per neighboring-bucket comparison.
+# Robust to small sample perturbations; integer-exact, no FFT, no audio lib.
+# ---------------------------------------------------------------------------
+
+
+def decode_wav_pcm16_mono(payload: bytes) -> list[int]:
+    """Raw int16 samples of a MONO 16-bit PCM WAV (stdlib ``wave``).
+    Raises ValueError on anything else — the perceptual hash needs one
+    well-defined channel; callers map failures to NULL (flag, don't
+    guess)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError(
+                f"need mono 16-bit PCM, got {w.getnchannels()}ch "
+                f"{w.getsampwidth() * 8}-bit"
+            )
+        raw = w.readframes(w.getnframes())
+    return list(struct.unpack(f"<{len(raw) // 2}h", raw))
+
+
+def ahash64_from_samples(samples: list[int], *, bits: int = 64) -> int:
+    """Energy-profile difference hash as a SIGNED 64-bit int (bit
+    ``bits - 1`` maps to the sign bit, the dhash64_from_grid
+    convention): sample i lands in bucket ``i * (bits+1) // n``; each
+    bucket's energy is the exact integer mean of |sample| (sum //
+    count); bit b is set when energy(b) < energy(b+1). Every step is
+    integer arithmetic a SQL oracle replays verbatim."""
+    n = len(samples)
+    nb = bits + 1
+    if n < nb:
+        raise ValueError(f"{n} samples < {nb} energy buckets")
+    sums = [0] * nb
+    cnts = [0] * nb
+    for i, s in enumerate(samples):
+        j = i * nb // n
+        sums[j] += s if s >= 0 else -s
+        cnts[j] += 1
+    h = 0
+    for b in range(bits):
+        if sums[b] // cnts[b] < sums[b + 1] // cnts[b + 1]:
+            h |= 1 << b
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
+
+
+def audio_ahash(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    *,
+    out_col: str = "ahash",
+    bits: int = 64,
+) -> DataFrame:
+    """Per-clip perceptual hash: decode the WAV payload (real PCM
+    parse; undecodable payloads get NULL), bucket the energy profile,
+    difference-hash. One Arrow-batched mapInPandas pass, zero
+    shuffle; output is (id, n_samples, ahash BIGINT) ready for
+    :func:`odibi_spark.llm.dedup.hash64_near_pairs` banding — the
+    image_dhash contract with a time axis instead of pixels."""
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField(out_col, T.LongType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for mid, payload in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    samples = decode_wav_pcm16_mono(bytes(payload))
+                    recs.append((
+                        mid, len(samples),
+                        ahash64_from_samples(samples, bits=bits),
+                    ))
+                except (ValueError, wave.Error, struct.error, EOFError):
+                    recs.append((mid, None, None))
+            yield pd.DataFrame(
+                recs, columns=[id_col, "n_samples", out_col]
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(batches, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual video dedup (r12): frame-level dHash over REAL uncompressed-DIB
+# AVI decode — the video leg of the image/audio/video trilogy. Published
+# shape: sample frames, perceptual-hash each, compare videos by frame-hash
+# SET overlap (how production video dedup works; e.g. the TMK/VPDQ family
+# reduces to per-frame hashes + set/sequence matching).
+# ---------------------------------------------------------------------------
+
+
+def synth_avi_dib(
+    frames: list[list[list[int]]], fps: float = 25.0
+) -> bytes:
+    """Serialize grayscale frame grids as a REAL RIFF AVI with
+    uncompressed 24-bpp DIB '00db' frame chunks (BMP pixel-array
+    layout: bottom-up rows, 4-byte padding, gray replicated to BGR) —
+    a valid file any AVI demuxer can walk. All frames must share one
+    geometry. The executor-side payload generator for the video-dhash
+    workloads (the synth_bmp24 convention)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    height = len(frames[0])
+    width = len(frames[0][0]) if height else 0
+    mspf = int(round(1e6 / fps))
+    avih = struct.pack(
+        "<14I", mspf, 0, 0, 0, len(frames), 0, 1, 0,
+        width, height, 0, 0, 0, 0,
+    )
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    row_size = (width * 3 + 3) & ~3
+    movi = bytearray(b"movi")
+    for g in frames:
+        if len(g) != height or any(len(r) != width for r in g):
+            raise ValueError("all frames must share one geometry")
+        body = bytearray()
+        for y in range(height - 1, -1, -1):  # bottom-up storage order
+            row = bytearray()
+            for v in g[y]:
+                b = int(v) & 0xFF
+                row += bytes((b, b, b))
+            row += b"\x00" * (row_size - len(row))
+            body += row
+        movi += b"00db" + struct.pack("<I", len(body)) + bytes(body)
+        if len(body) & 1:
+            movi += b"\x00"  # RIFF chunks are word-aligned
+    body = (
+        b"AVI "
+        + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+        + b"LIST" + struct.pack("<I", len(movi)) + bytes(movi)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_dib_frames(payload: bytes) -> list[list[list[int]]]:
+    """REAL frame-pixel decode for AVIs whose movi stream is
+    uncompressed 24-bpp DIB ('00db') chunks: returns one row-major
+    top-down grayscale grid per frame (integer (r+g+b)//3, the
+    decode_bmp24_gray convention). Geometry comes from the avih
+    header; compressed ('00dc') or absent streams raise ValueError —
+    flag, don't guess."""
+    meta = avi_video_decoder(payload)  # validates RIFF/AVI + avih
+    width, height = meta["width"], meta["height"]
+    row_size = (width * 3 + 3) & ~3
+    frames: list[list[list[int]]] = []
+
+    def walk(start: int, end: int) -> None:
+        p = start
+        while p + 8 <= end:
+            fourcc = payload[p:p + 4]
+            size = struct.unpack("<I", payload[p + 4:p + 8])[0]
+            body = p + 8
+            if fourcc == b"LIST":
+                walk(body + 4, min(end, body + size))
+            elif fourcc[2:4] == b"db":
+                if size < row_size * height:
+                    raise ValueError("truncated DIB frame chunk")
+                grid = []
+                for r in range(height):
+                    off = body + (height - 1 - r) * row_size
+                    row = []
+                    for x in range(width):
+                        bb = payload[off + 3 * x]
+                        gg = payload[off + 3 * x + 1]
+                        rr = payload[off + 3 * x + 2]
+                        row.append((rr + gg + bb) // 3)
+                    grid.append(row)
+                frames.append(grid)
+            elif fourcc[2:4] == b"dc":
+                raise ValueError("compressed AVI frames unsupported")
+            p = body + size + (size & 1)
+
+    walk(12, len(payload))
+    if not frames:
+        raise ValueError("AVI without uncompressed DIB frames")
+    return frames
+
+
+def video_frame_dhashes(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    *,
+    out_col: str = "dhash",
+    rows: int = 8,
+    cols: int = 8,
+) -> DataFrame:
+    """Per-frame perceptual hashes: decode every DIB frame of the AVI
+    payload and dHash it (dhash64_from_grid). One Arrow-batched
+    mapInPandas pass emitting (id, frame_idx, dhash) — video bytes
+    never shuffle; undecodable payloads yield a single NULL-hash row
+    (flag, don't guess). Feed :func:`video_neardup_pairs` (set
+    overlap) or hash64_near_pairs (per-frame hamming banding)."""
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField(out_col, T.LongType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for mid, payload in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    grids = decode_avi_dib_frames(bytes(payload))
+                    for i, g in enumerate(grids):
+                        recs.append((
+                            mid, i, dhash64_from_grid(g, rows=rows, cols=cols),
+                        ))
+                except (ValueError, struct.error):
+                    recs.append((mid, None, None))
+            yield pd.DataFrame(
+                recs, columns=[id_col, "frame_idx", out_col]
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(batches, out_schema)
+
+
+def video_neardup_pairs(
+    frame_hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    *,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate videos by Jaccard overlap of their frame-hash
+    SETS: a re-encoded / lightly-edited copy shares most frame hashes
+    with the original even when a few frames changed. Candidate pairs
+    come from the frame-hash equi-join — two videos sharing zero
+    frames are never compared (the ngram_jaccard plan shape: one
+    distinct, one key join, one pair aggregate — candidates, never
+    all pairs). NULL-hash rows (undecodable payloads) are skipped."""
+    sets_ = (
+        frame_hashes.filter(F.col(hash_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(hash_col).alias("__h"))
+        .distinct()
+    )
+    sizes = sets_.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
+    shared = (
+        sets_.alias("a")
+        .join(sets_.alias("b"), "__h")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("id", "id_a"), "id_a")
+        .withColumnRenamed("__n", "__na")
+        .join(sizes.withColumnRenamed("id", "id_b"), "id_b")
+        .withColumnRenamed("__n", "__nb")
+        .select(
+            "id_a", "id_b",
+            (
+                F.col("__shared")
+                / (F.col("__na") + F.col("__nb") - F.col("__shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+    )

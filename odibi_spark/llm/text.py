@@ -1134,3 +1134,124 @@ def source_divergence(
         .cast("double")
         .alias("kl_to_corpus"),
     ).withColumnRenamed("__s", strata_col)
+
+
+def doc_bigrams(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document adjacent word pairs, MAP-SIDE: tokens stay an array
+    column (split + empty-filter preserves order), bigrams come from a
+    `transform(sequence(...))` HOF — no per-doc window, no shuffle
+    before the caller's aggregate. Docs with < 2 tokens produce no
+    rows (there is no bigram to emit — callers that must keep them
+    re-join on the id, see :func:`kn_bigram_scores`)."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), " "),
+        lambda t: t != "",
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__toks) - 1), i -> "
+                    "struct(element_at(__toks, i) AS w1, "
+                    "element_at(__toks, i + 1) AS w2))"
+                )
+            ).alias("__bg"),
+        )
+        .select(id_col, "__bg.w1", "__bg.w2")
+    )
+
+
+def kn_bigram_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    discount: float = 0.75,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM trained on the corpus itself,
+    scoring every document's cross-entropy and perplexity — the REAL
+    backoff-LM quality filter (CCNet filters on KenLM perplexity;
+    Chen & Goodman 1999 is the published estimator). Upgrades
+    :func:`ngram_lm_scores`' unigram shape with the full KN machinery:
+    absolute discounting, continuation counts, and interpolation
+    weights:
+
+        P(w2|w1) = max(c(w1,w2) - D, 0) / c(w1·)
+                   + (D · N1+(w1·) / c(w1·)) · (N1+(·w2) / N)
+
+    where c(w1·) is the left-context total, N1+(w1·)/N1+(·w2) are the
+    distinct-continuation counts, and N the distinct-bigram count.
+
+    Bit-stability: every probability is a chain of exact-integer
+    casts, IEEE divisions, and multiplications in a PINNED
+    parenthesization (correctly-rounded ops — bit-identical across
+    engines when the expression tree matches); per-bigram ``-ln p`` is
+    rounded to ``round_digits`` BEFORE the exact DECIMAL sum (the
+    ngram_lm_scores convention), and perplexity rounds ``exp`` to 4
+    decimals.
+
+    Self-scoring means every bigram/context is in the model; the left
+    joins + fallbacks (unseen bigram -> interpolation weight only,
+    unseen context -> continuation probability, unseen word ->
+    uniform 1/N floor) exist so a model trained here can score a
+    DIFFERENT corpus without NULLs.
+
+    Scale: one map-side bigram explode feeds three map-side-combined
+    aggregates (bigram, left-context, right-continuation counts); the
+    distinct-bigram total is a 1-row broadcast; scoring joins shuffle
+    on the bigram/word keys (AQE absorbs the Zipf head). Model size is
+    O(distinct bigrams), never O(corpus). Docs with < 2 tokens return
+    ``n_bigrams = 0`` with NULL scores (flag, don't guess).
+    """
+    bigrams = doc_bigrams(df, id_col, text_col)
+    bg_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    left_ctx = bg_counts.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n_post")
+    )
+    right_cont = bg_counts.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("n_pre")
+    )
+    n_types = bg_counts.agg(F.count(F.lit(1)).alias("n_types"))
+
+    d = F.lit(float(discount))
+    p_cont = F.coalesce(
+        F.col("n_pre").cast("double") / F.col("n_types"),
+        F.lit(1.0) / F.col("n_types"),  # unseen word floor
+    )
+    p_big = (
+        F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+        + ((d * F.col("n_post")) / F.col("c1")) * p_cont
+    )
+    p = F.when(F.col("c1").isNotNull(), p_big).otherwise(p_cont)
+    scored = (
+        bigrams.join(bg_counts, ["w1", "w2"], "left")
+        .join(left_ctx, "w1", "left")
+        .join(right_cont, "w2", "left")
+        .crossJoin(F.broadcast(n_types))
+        .withColumn("__nll", F.round(-F.log(p), round_digits))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.sum(F.col("__nll").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_nll"),
+    )
+    return (
+        df.select(id_col).distinct()
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.col("avg_nll"),
+            F.round(F.exp(F.col("avg_nll")), 4).alias("ppl"),
+        )
+    )

@@ -1239,3 +1239,112 @@ def dedup_clusters_by_quality_transform(
             cluster_col=cluster_col,
         )
     )
+
+
+@transform("kn_perplexity")
+def kn_perplexity_transform(
+    ctx: EngineContext,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> EngineContext:
+    """Interpolated Kneser-Ney bigram LM cross-entropy + perplexity
+    per doc, trained on the corpus itself (text.kn_bigram_scores) —
+    the backoff-LM quality-filter shape CCNet uses."""
+    return ctx.with_df(
+        text.kn_bigram_scores(
+            ctx.df, id_col=id_col, text_col=text_col,
+            discount=float(discount),
+        )
+    )
+
+
+@transform("dsir_hashed_select")
+def dsir_hashed_select_transform(
+    ctx: EngineContext,
+    *,
+    target_view: str,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 512,
+    bigrams: bool = True,
+    seed: int = 42,
+) -> EngineContext:
+    """Hashed-feature DSIR selection (curation.dsir_importance +
+    dsir_gumbel_topk): importance-weight the frame against a
+    registered target-corpus view over hashed n-gram buckets, then
+    draw k docs by Gumbel top-k. O(buckets) model, deterministic."""
+    from odibi_spark.llm import curation
+
+    target = ctx.spark.table(target_view)
+    scored = curation.dsir_importance(
+        ctx.df, target, text_col, id_col=id_col, buckets=int(buckets),
+        bigrams=bool(bigrams),
+    )
+    return ctx.with_df(
+        curation.dsir_gumbel_topk(
+            scored, int(k), id_col=id_col, seed=int(seed),
+        )
+    )
+
+
+@transform("audio_ahash")
+def audio_ahash_transform(
+    ctx: EngineContext,
+    *,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    out_col: str = "ahash",
+) -> EngineContext:
+    """Perceptual audio hash (multimodal.audio_ahash): WAV PCM decode
+    -> 65-bucket energy-profile difference hash, ready for
+    hash64_near_pairs banding."""
+    from odibi_spark.llm import multimodal
+
+    return ctx.with_df(
+        multimodal.audio_ahash(
+            ctx.df, binary_col, id_col, out_col=out_col,
+        )
+    )
+
+
+@transform("video_frame_dhashes")
+def video_frame_dhashes_transform(
+    ctx: EngineContext,
+    *,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    rows: int = 8,
+    cols: int = 8,
+) -> EngineContext:
+    """Per-frame perceptual hashes over uncompressed-DIB AVI payloads
+    (multimodal.video_frame_dhashes): (id, frame_idx, dhash) rows
+    ready for video_neardup_pairs or hash64_near_pairs."""
+    from odibi_spark.llm import multimodal
+
+    return ctx.with_df(
+        multimodal.video_frame_dhashes(
+            ctx.df, binary_col, id_col, rows=int(rows), cols=int(cols),
+        )
+    )
+
+
+@transform("video_neardup_pairs")
+def video_neardup_pairs_transform(
+    ctx: EngineContext,
+    *,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    threshold: float = 0.5,
+) -> EngineContext:
+    """Near-duplicate videos by frame-hash set Jaccard
+    (multimodal.video_neardup_pairs)."""
+    from odibi_spark.llm import multimodal
+
+    return ctx.with_df(
+        multimodal.video_neardup_pairs(
+            ctx.df, id_col, hash_col, threshold=float(threshold),
+        )
+    )

@@ -81,6 +81,8 @@ _R12_ROTATE_IN = [
 _R12_NEW = [
     "psl_domains_docs", "quality_classifier_train_docs",
     "image_dhash_dedup", "streaming_incremental_dedup_docs",
+    "kn_perplexity_docs", "dsir_hashed_select_docs",
+    "audio_ahash_dedup", "video_dhash_dedup",
 ]
 
 # Workloads whose Spark+oracle definition changed in round 12:

@@ -2163,3 +2163,200 @@ WHERE a.doc_id < b.doc_id
 
 QUERIES.update({"image_dhash_dedup": image_dhash_dedup})
 ORACLES.update({"image_dhash_dedup": IMAGE_DHASH_SQL})
+
+
+def audio_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio dedup (r12) — the audio twin of
+    image_dhash_dedup: every document keyed to a synthetic tone
+    pattern (g = doc_id % 200 picks the base; non-canonical docs
+    perturb ONE sample by +4096), serialized as a REAL mono 16-bit
+    PCM WAV executor-side, decoded back, energy-profile hashed into
+    65 time buckets (ahash64), then near-dup pairs by 4x16-bit
+    hamming banding + exact popcount verify. The oracle replays
+    samples -> bucket means -> bits -> bands -> pairs as pure integer
+    SQL. Scale: one mapInPandas pass + the band-key equi-join —
+    candidates, never all pairs."""
+    _prep(spark)
+    from odibi_spark.llm.dedup import hash64_near_pairs
+    from odibi_spark.llm.multimodal import audio_ahash, synth_wav_pcm16
+
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def synth(it):
+        for pdf in it:
+            ids = pdf["media_id"].tolist()
+            payloads = []
+            for d in ids:
+                g = d % 200
+                n = 1600 + (g % 7) * 64
+                p = (d * 11) % n
+                samples = [
+                    (g * 131 + i * i * (g % 5 + 2) + i * (g % 13 + 7))
+                    % 2048
+                    + (4096 if d % 5 != 0 and i == p else 0)
+                    for i in range(n)
+                ]
+                payloads.append(synth_wav_pcm16(samples))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    wavs = docs.mapInPandas(synth, "media_id long, payload binary")
+    hashes = audio_ahash(wavs, "payload", "media_id")
+    return hash64_near_pairs(hashes, "media_id", "ahash", max_hamming=4)
+
+
+AUDIO_AHASH_SQL = """
+WITH par AS (
+  SELECT doc_id, doc_id % 200 AS g,
+         1600 + ((doc_id % 200) % 7) * 64 AS n
+  FROM documents
+),
+smp AS (
+  SELECT doc_id, n, r.i,
+         (g * 131 + r.i * r.i * (g % 5 + 2) + r.i * (g % 13 + 7)) % 2048
+         + CASE WHEN doc_id % 5 <> 0 AND r.i = (doc_id * 11) % n
+                THEN 4096 ELSE 0 END AS v
+  FROM par, LATERAL (SELECT unnest(range(0, n)) AS i) r
+),
+buck AS (
+  SELECT doc_id, (i * 65) // n AS bkt, SUM(v) // COUNT(*) AS e
+  FROM smp GROUP BY doc_id, (i * 65) // n
+),
+diffs AS (
+  SELECT doc_id, bkt, e,
+         LEAD(e) OVER (PARTITION BY doc_id ORDER BY bkt) AS en
+  FROM buck
+),
+h AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN bkt < 64 AND e < en THEN
+                    (CASE WHEN bkt = 63
+                          THEN -9223372036854775808
+                          ELSE (1::BIGINT << CAST(bkt AS INTEGER))
+                     END)
+                   ELSE 0 END) AS BIGINT) AS ahash
+  FROM diffs GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, ahash, b.band,
+         (ahash >> (16 * b.band)) & 65535 AS bh
+  FROM h CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS band) b
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b USING (band, bh)
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.ahash, b.ahash)) <= 4
+"""
+
+QUERIES.update({"audio_ahash_dedup": audio_ahash_dedup})
+ORACLES.update({"audio_ahash_dedup": AUDIO_AHASH_SQL})
+
+
+def video_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual video dedup (r12) — completes the image/audio/video
+    trilogy: every document keyed to a short synthetic clip (g =
+    doc_id % 200 picks the base pattern, 3 + g % 3 frames; a
+    non-canonical doc perturbs ONE pixel of ONE frame by +128),
+    serialized as a REAL uncompressed-DIB AVI executor-side, frame
+    pixels decoded back, per-frame dHashed, then near-dup pairs by
+    frame-hash SET Jaccard (>= 0.45 — a one-frame edit of a 3-frame
+    clip scores (F-1)/(F+1) = 0.5). The oracle replays frames ->
+    pixels -> cells -> bits -> sets -> Jaccard as pure integer SQL.
+    Scale: one mapInPandas pass + the frame-hash equi-join —
+    candidates, never all pairs."""
+    _prep(spark)
+    from odibi_spark.llm.multimodal import (
+        synth_avi_dib, video_frame_dhashes, video_neardup_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def synth(it):
+        for pdf in it:
+            ids = pdf["media_id"].tolist()
+            payloads = []
+            for d in ids:
+                g = d % 200
+                nf = 3 + g % 3
+                fp, xd, yd = d % nf, d % 18, (d * 7) % 16
+                frames = [
+                    [
+                        [
+                            (g * 37 + f * 53
+                             + x * x * (g % 7 + 2) + y * y * (g % 11 + 3)
+                             + x * y * (g % 5 + 1)
+                             + (128 if d % 5 != 0 and f == fp
+                                and x == xd and y == yd else 0)) % 256
+                            for x in range(18)
+                        ]
+                        for y in range(16)
+                    ]
+                    for f in range(nf)
+                ]
+                payloads.append(synth_avi_dib(frames))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    avis = docs.mapInPandas(synth, "media_id long, payload binary")
+    hashes = video_frame_dhashes(avis, "payload", "media_id")
+    return video_neardup_pairs(hashes, "media_id", "dhash", threshold=0.45)
+
+
+VIDEO_DHASH_SQL = """
+WITH par AS (
+  SELECT doc_id, doc_id % 200 AS g,
+         3 + (doc_id % 200) % 3 AS nf
+  FROM documents
+),
+pix AS (
+  SELECT doc_id, fr.f, gx.x, gy.y,
+         (g * 37 + fr.f * 53
+          + gx.x * gx.x * (g % 7 + 2)
+          + gy.y * gy.y * (g % 11 + 3)
+          + gx.x * gy.y * (g % 5 + 1)
+          + (CASE WHEN doc_id % 5 <> 0 AND fr.f = doc_id % nf
+                       AND gx.x = doc_id % 18 AND gy.y = (doc_id * 7) % 16
+                  THEN 128 ELSE 0 END)) % 256 AS v
+  FROM par
+  , LATERAL (SELECT unnest(range(0, nf)) AS f) fr
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 17)) AS x) gx
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS y) gy
+),
+cells AS (
+  SELECT doc_id, f, x // 2 AS cx, y // 2 AS cy, SUM(v) // 4 AS m
+  FROM pix GROUP BY doc_id, f, x // 2, y // 2
+),
+diffs AS (
+  SELECT doc_id, f, cy, cx, m,
+         LEAD(m) OVER (PARTITION BY doc_id, f, cy ORDER BY cx) AS mn
+  FROM cells
+),
+h AS (
+  SELECT doc_id, f,
+         CAST(SUM(CASE WHEN cx < 8 AND m < mn THEN
+                    (CASE WHEN cy * 8 + cx = 63
+                          THEN -9223372036854775808
+                          ELSE (1::BIGINT << CAST(cy * 8 + cx AS INTEGER))
+                     END)
+                   ELSE 0 END) AS BIGINT) AS dh
+  FROM diffs GROUP BY doc_id, f
+),
+sets AS (SELECT DISTINCT doc_id, dh FROM h),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS s
+  FROM sets a JOIN sets b USING (dh)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b, s / (na.n + nb.n - s) AS jaccard
+FROM shared
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE s / (na.n + nb.n - s) >= 0.45
+"""
+
+QUERIES.update({"video_dhash_dedup": video_dhash_dedup})
+ORACLES.update({"video_dhash_dedup": VIDEO_DHASH_SQL})

@@ -4585,3 +4585,143 @@ QUALIFY row_number() OVER (
 
 QUERIES.update({"cluster_best_keeper_docs": cluster_best_keeper_docs})
 ORACLES.update({"cluster_best_keeper_docs": CLUSTER_BEST_KEEPER_SQL})
+
+
+def kn_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM perplexity per document (r12)
+    — the REAL backoff-LM quality filter (CCNet scores docs with a
+    KenLM model; Chen & Goodman 1999): absolute discounting D=0.75,
+    continuation counts, interpolation weights, trained on the corpus
+    itself. The oracle replays tokenization, the three count tables,
+    and the pinned-parenthesization probability chain; per-bigram
+    -ln p rounds to 6 decimals before the exact DECIMAL fold."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    return text.kn_bigram_scores(docs, id_col="doc_id", text_col="text")
+
+
+KN_PERPLEXITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(lower(text)), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+),
+bgc AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+),
+lctx AS (
+  SELECT w1, SUM(c12) AS c1, COUNT(*) AS n_post FROM bgc GROUP BY w1
+),
+rcont AS (
+  SELECT w2, COUNT(*) AS n_pre FROM bgc GROUP BY w2
+),
+nt AS (
+  SELECT COUNT(*) AS n_types FROM bgc
+),
+scored AS (
+  SELECT b.doc_id,
+         round(-ln(
+           (greatest(CAST(c.c12 AS DOUBLE) - 0.75, 0.0)
+              / CAST(l.c1 AS DOUBLE))
+           + ((0.75 * CAST(l.n_post AS DOUBLE)) / CAST(l.c1 AS DOUBLE))
+             * (CAST(rc.n_pre AS DOUBLE) / CAST(nt.n_types AS DOUBLE))
+         ), 6) AS nll
+  FROM bg b
+  JOIN bgc c USING (w1, w2)
+  JOIN lctx l USING (w1)
+  JOIN rcont rc USING (w2)
+  CROSS JOIN nt
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         CAST(CAST(SUM(CAST(nll AS {DEC})) AS DOUBLE) / COUNT(*) AS DOUBLE)
+           AS avg_nll
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       p.avg_nll,
+       round(exp(p.avg_nll), 4) AS ppl
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per_doc p USING (doc_id)
+"""
+
+QUERIES.update({"kn_perplexity_docs": kn_perplexity_docs})
+ORACLES.update({"kn_perplexity_docs": KN_PERPLEXITY_SQL})
+
+
+def dsir_hashed_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature DSIR selection (r12, Xie et al. 2023's actual
+    feature space — n-grams hashed into a FIXED bucket count, so the
+    importance model is O(buckets) where the token-level
+    dsir_sample_docs twin grows O(vocabulary)): docs with
+    doc_id % 7 == 0 play the target distribution; k=100 of the rest
+    are drawn by Gumbel top-k over per-doc sums of 512-bucket hashed
+    unigram+bigram log ratios. Selection is a pure function of
+    (data, seed); the oracle replays buckets, ratios, folds, noise."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    raw = docs.filter("doc_id % 7 <> 0")
+    target = docs.filter("doc_id % 7 = 0")
+    scored = curation.dsir_importance(
+        raw, target, "text", id_col="doc_id", buckets=512, bigrams=True,
+    )
+    return curation.dsir_gumbel_topk(
+        scored, 100, id_col="doc_id", weight_col="dsir_logw", seed=43,
+    ).select("doc_id", "dsir_logw_n", "dsir_logw", "dsir_key")
+
+
+_DSIR_H_FEATS = """
+  SELECT doc_id, unnest(list_concat(
+    list_transform(tk, t ->
+      CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 512),
+    list_transform(range(1, len(tk)), i ->
+      CAST(concat('0x', substring(md5(tk[CAST(i AS INTEGER)] || ' ' ||
+                                       tk[CAST(i + 1 AS INTEGER)]),
+                                  1, 15)) AS BIGINT) % 512)
+  )) AS b
+  FROM (SELECT doc_id,
+               list_filter(string_split(trim(lower(text)), ' '),
+                           t -> t <> '') AS tk
+        FROM documents WHERE doc_id % 7 {op} 0)
+"""
+
+DSIR_HASHED_SQL = f"""
+WITH rfeat AS ({_DSIR_H_FEATS.format(op='<>')}),
+tfeat AS ({_DSIR_H_FEATS.format(op='=')}),
+rc AS (SELECT b, COUNT(*) AS c FROM rfeat GROUP BY b),
+tc AS (SELECT b, COUNT(*) AS ct FROM tfeat GROUP BY b),
+rt AS (SELECT SUM(c) AS nr FROM rc),
+tt AS (SELECT SUM(ct) AS nt FROM tc),
+ratio AS (
+  SELECT rc.b,
+         CAST(round(ln(
+           ((COALESCE(tc.ct, 0) + 1.0) / (COALESCE(tt.nt, 0) + 512.0))
+           / ((rc.c + 1.0) / (rt.nr + 512.0))
+         ), 6) AS DECIMAL(18,6)) AS lr
+  FROM rc LEFT JOIN tc USING (b) CROSS JOIN rt CROSS JOIN tt
+),
+perdoc AS (
+  SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS dsir_logw_n,
+         CAST(SUM(CAST(r.lr AS DECIMAL(38,6))) AS DOUBLE) AS dsir_logw
+  FROM rfeat f JOIN ratio r USING (b) GROUP BY f.doc_id
+),
+keyed AS (
+  SELECT doc_id, dsir_logw_n, dsir_logw,
+         dsir_logw
+         + round(-ln(-ln((CAST(concat('0x', substring(
+               md5(concat('43:', CAST(doc_id AS VARCHAR))), 1, 15))
+               AS BIGINT) + 0.5) / 1152921504606846976.0)), 6) AS dsir_key
+  FROM perdoc
+)
+SELECT doc_id, dsir_logw_n, dsir_logw, dsir_key
+FROM keyed ORDER BY dsir_key DESC, doc_id LIMIT 100
+"""
+
+QUERIES.update({"dsir_hashed_select_docs": dsir_hashed_select_docs})
+ORACLES.update({"dsir_hashed_select_docs": DSIR_HASHED_SQL})

@@ -1,0 +1,113 @@
+"""Contention canary tests (VERDICT r11 task 2).
+
+bench.py's Calibration probe exists so a contended host can never
+masquerade as a code regression again (r11: 11 false >=2x headline
+"regressions" from one contended driver run needed a judge re-run to
+clear). These tests pin the flag logic and DEMONSTRATE that a
+deliberately loaded run flags itself.
+"""
+
+import multiprocessing
+import os
+import sys
+import time
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+from bench import Calibration  # noqa: E402
+
+
+def _calib_with(samples, tmpdir):
+    """Build a Calibration without running probes (logic-only tests)."""
+    import shutil
+
+    c = object.__new__(Calibration)
+    c.samples = dict(samples)
+    c._shutil = shutil
+    c.tmp = str(tmpdir)
+    return c
+
+
+class TestCalibrationFlagLogic:
+    def test_clean_run_not_contended(self, tmp_path):
+        c = _calib_with({"start": 1.00, "mid": 1.05, "end": 0.98}, tmp_path)
+        r = c.result(frozen=1.0)
+        assert r["contended"] is False
+        assert r["intra_run_drift"] == pytest.approx(1.05 / 0.98, abs=1e-3)
+        assert r["worst_vs_frozen"] == pytest.approx(1.05, abs=1e-3)
+
+    def test_intra_run_drift_flags(self, tmp_path):
+        # mid-run load spike: start/end fine, middle inflated
+        c = _calib_with({"start": 1.0, "mid": 1.6, "end": 1.0}, tmp_path)
+        r = c.result(frozen=1.0)
+        assert r["contended"] is True
+        assert r["intra_run_drift"] > 1.3
+
+    def test_uniform_inflation_vs_frozen_flags(self, tmp_path):
+        # whole run slow (background load for the full duration):
+        # drift alone would miss it; the frozen-board ratio catches it
+        c = _calib_with({"start": 2.0, "mid": 2.1, "end": 2.0}, tmp_path)
+        r = c.result(frozen=1.0)
+        assert r["intra_run_drift"] < 1.3
+        assert r["worst_vs_frozen"] > 1.3
+        assert r["contended"] is True
+
+    def test_no_frozen_value_still_detects_drift(self, tmp_path):
+        c = _calib_with({"start": 1.0, "end": 1.5}, tmp_path)
+        r = c.result(frozen=None)
+        assert r["worst_vs_frozen"] is None
+        assert r["contended"] is True
+
+    def test_result_shape_matches_bench_json_contract(self, tmp_path):
+        c = _calib_with({"start": 1.0}, tmp_path)
+        r = c.result(frozen=None)
+        assert set(r) == {
+            "samples", "frozen_sec", "worst_vs_frozen",
+            "intra_run_drift", "contended",
+        }
+
+
+def _busy(stop_ts):
+    x = 1.0
+    while time.time() < stop_ts:
+        x = x * 1.0000001 + 1.0
+
+
+@pytest.mark.slow
+def test_loaded_run_flags_itself(spark, tmp_path):
+    """End-to-end demonstration: the same pinned probe, idle then under
+    a deliberate 2x-nproc CPU storm, must flag the loaded sample.
+
+    The storm doubles the runnable-thread count, so the probe's CPU
+    leg (32-way hash-agg over range(8M)) slows well past the 1.3x
+    drift threshold. The assertion is on the CONTENDED bit — exactly
+    the signal the driver's BENCH JSON now carries.
+    """
+    calib = Calibration(spark)  # __init__ warms codegen + page cache
+    calib.sample("idle")
+    idle = calib.samples["idle"]
+
+    nproc = (os.cpu_count() or 8) * 2
+    stop_ts = time.time() + 120  # generous upper bound; killed below
+    procs = [
+        multiprocessing.Process(target=_busy, args=(stop_ts,), daemon=True)
+        for _ in range(nproc)
+    ]
+    for p in procs:
+        p.start()
+    try:
+        time.sleep(1.0)  # let the storm reach full occupancy
+        calib.sample("loaded")
+    finally:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            p.join(timeout=10)
+
+    r = calib.result(frozen=idle)
+    assert r["samples"]["loaded"] > idle, r
+    assert r["contended"] is True, (
+        f"loaded probe did not flag: idle={idle:.2f}s "
+        f"loaded={r['samples']['loaded']:.2f}s result={r}"
+    )

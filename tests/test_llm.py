@@ -3895,3 +3895,278 @@ class TestQualityKeeperVsMinId:
         inv = dedup_clusters_by_quality(flipped, pairs, quality_col="quality")
         kept = {r.doc_id for r in inv.collect()}
         assert {1, 4} <= kept and 0 not in kept and 2 not in kept
+
+
+class TestKnBigramScores:
+    """Interpolated Kneser-Ney bigram LM (r12)."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        return spark.createDataFrame([
+            Row(doc_id=1, text="a b a b a c"),
+            Row(doc_id=2, text="a b a b"),
+            Row(doc_id=3, text="c a b"),
+            Row(doc_id=4, text="solo"),          # 1 token -> no bigrams
+            Row(doc_id=5, text="  "),            # empty after trim
+        ])
+
+    def test_python_differential(self, corpus):
+        """avg_nll must equal a pure-Python replay of the KN formula."""
+        import math
+
+        texts = {1: "a b a b a c", 2: "a b a b", 3: "c a b"}
+        bgs = {}
+        doc_bgs = {}
+        for did, t in texts.items():
+            toks = [w for w in t.split(" ") if w]
+            pairs = list(zip(toks, toks[1:]))
+            doc_bgs[did] = pairs
+            for p in pairs:
+                bgs[p] = bgs.get(p, 0) + 1
+        c1, n_post, n_pre = {}, {}, {}
+        for (w1, w2), c in bgs.items():
+            c1[w1] = c1.get(w1, 0) + c
+            n_post[w1] = n_post.get(w1, 0) + 1
+            n_pre[w2] = n_pre.get(w2, 0) + 1
+        n_types = len(bgs)
+        want = {}
+        for did, pairs in doc_bgs.items():
+            nlls = []
+            for w1, w2 in pairs:
+                p = (max(bgs[(w1, w2)] - 0.75, 0.0) / c1[w1]) + (
+                    (0.75 * n_post[w1]) / c1[w1]
+                ) * (n_pre[w2] / n_types)
+                nlls.append(round(-math.log(p), 6))
+            want[did] = round(sum(nlls), 6) / len(nlls)
+        got = {
+            r["doc_id"]: r
+            for r in text.kn_bigram_scores(corpus).collect()
+        }
+        for did, avg in want.items():
+            assert got[did]["avg_nll"] == pytest.approx(avg, abs=1e-9)
+            assert got[did]["n_bigrams"] == len(doc_bgs[did])
+
+    def test_short_docs_flagged_not_guessed(self, corpus):
+        got = {r["doc_id"]: r for r in text.kn_bigram_scores(corpus).collect()}
+        assert len(got) == 5
+        for did in (4, 5):
+            assert got[did]["n_bigrams"] == 0
+            assert got[did]["avg_nll"] is None
+            assert got[did]["ppl"] is None
+
+    def test_context_probabilities_sum_to_one(self, spark, corpus):
+        """Interpolated KN is a proper distribution: for a seen context
+        w1, sum over the continuation vocabulary of P(w2|w1) == 1."""
+        import math
+
+        texts = ["a b a b a c", "a b a b", "c a b"]
+        bgs = {}
+        for t in texts:
+            toks = [w for w in t.split(" ") if w]
+            for p in zip(toks, toks[1:]):
+                bgs[p] = bgs.get(p, 0) + 1
+        c1, n_post, n_pre = {}, {}, {}
+        for (w1, w2), c in bgs.items():
+            c1[w1] = c1.get(w1, 0) + c
+            n_post[w1] = n_post.get(w1, 0) + 1
+            n_pre[w2] = n_pre.get(w2, 0) + 1
+        n_types = len(bgs)
+        vocab_w2 = set(n_pre)
+        for w1 in c1:
+            total = 0.0
+            for w2 in vocab_w2:
+                c12 = bgs.get((w1, w2), 0)
+                total += (max(c12 - 0.75, 0.0) / c1[w1]) + (
+                    (0.75 * n_post[w1]) / c1[w1]
+                ) * (n_pre[w2] / n_types)
+            assert math.isclose(total, 1.0, abs_tol=1e-12), (w1, total)
+
+
+class TestDsirHashed:
+    """Hashed-feature DSIR importance + Gumbel top-k (r12)."""
+
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        target = spark.createDataFrame([
+            Row(doc_id=100 + i, text="physics quantum energy field theory")
+            for i in range(3)
+        ])
+        raw = spark.createDataFrame(
+            [Row(doc_id=1, text="physics quantum energy field theory"),
+             Row(doc_id=2, text="quantum field energy physics notes"),
+             Row(doc_id=3, text="cheap pills buy now discount offer"),
+             Row(doc_id=4, text="celebrity gossip shocking photos today"),
+             Row(doc_id=5, text="")]
+        )
+        return raw, target
+
+    def test_target_like_docs_weigh_more(self, frames):
+        from odibi_spark.llm import curation
+
+        raw, target = frames
+        got = {
+            r["doc_id"]: r["dsir_logw"]
+            for r in curation.dsir_importance(raw, target).collect()
+        }
+        assert got[5] is None  # no tokens -> NULL, not a guess
+        assert got[1] > got[3] and got[1] > got[4]
+        assert got[2] > got[3]
+
+    def test_inline_and_broadcast_paths_agree(self, frames):
+        from odibi_spark.llm import curation
+
+        raw, target = frames
+        a = {
+            r["doc_id"]: r["dsir_logw"]
+            for r in curation.dsir_importance(raw, target).collect()
+        }
+        b = {
+            r["doc_id"]: r["dsir_logw"]
+            for r in curation.dsir_importance(
+                raw, target, inline_limit=0
+            ).collect()
+        }
+        assert a == b
+
+    def test_gumbel_topk_deterministic_and_k(self, frames):
+        from odibi_spark.llm import curation
+
+        raw, target = frames
+        scored = curation.dsir_importance(raw, target)
+        one = [r["doc_id"] for r in curation.dsir_gumbel_topk(scored, 2).collect()]
+        two = [r["doc_id"] for r in curation.dsir_gumbel_topk(scored, 2).collect()]
+        assert one == two and len(one) == 2
+        with pytest.raises(ValueError):
+            curation.dsir_gumbel_topk(scored, 0)
+
+
+class TestAudioAhash:
+    """Perceptual audio hash (r12): WAV decode -> energy dHash."""
+
+    def test_near_dup_close_distinct_far(self, spark):
+        from odibi_spark.llm.dedup import hash64_near_pairs
+        from odibi_spark.llm.multimodal import audio_ahash, synth_wav_pcm16
+
+        def pattern(g, n=1700):
+            return [(g * 131 + i * i * (g % 5 + 2)) % 2048 for i in range(n)]
+
+        a = pattern(3)
+        a2 = list(a)
+        a2[400] += 4096              # near dup: one perturbed sample
+        b = pattern(11)              # different pattern
+        df = spark.createDataFrame(
+            [(1, synth_wav_pcm16(a)), (2, synth_wav_pcm16(a2)),
+             (3, synth_wav_pcm16(b))],
+            "media_id long, payload binary",
+        )
+        hashes = audio_ahash(df, "payload", "media_id")
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in hash64_near_pairs(
+                hashes, "media_id", "ahash", max_hamming=4
+            ).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] <= 4
+        assert (1, 3) not in pairs
+
+    def test_undecodable_payloads_null_not_fatal(self, spark):
+        from odibi_spark.llm.multimodal import audio_ahash, synth_wav_pcm16
+        import io
+        import struct
+        import wave
+
+        buf = io.BytesIO()                       # stereo: rejected
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(struct.pack("<200h", *([5] * 200)))
+        good = synth_wav_pcm16([(i * 13) % 999 for i in range(1700)])
+        df = spark.createDataFrame(
+            [(1, good), (2, b"not audio at all"), (3, buf.getvalue())],
+            "media_id long, payload binary",
+        )
+        rows = {r["media_id"]: r for r in audio_ahash(df).collect()}
+        assert rows[1]["ahash"] is not None
+        assert rows[2]["ahash"] is None and rows[3]["ahash"] is None
+
+    def test_too_few_samples_raises(self):
+        from odibi_spark.llm.multimodal import ahash64_from_samples
+
+        with pytest.raises(ValueError):
+            ahash64_from_samples([1] * 64)
+
+    def test_sign_bit_convention(self):
+        from odibi_spark.llm.multimodal import ahash64_from_samples
+
+        # strictly increasing energy profile -> every diff bit set,
+        # including bit 63 -> negative BIGINT (image dhash convention)
+        samples = [i * 15 for i in range(1300)]
+        h = ahash64_from_samples(samples)
+        assert h == -1
+
+
+def test_r12_transforms_registered():
+    """Every r12 operator is reachable from the YAML surface."""
+    import odibi_spark.operators  # noqa: F401 (registration side effects)
+    import odibi_spark.llm  # noqa: F401
+
+    from odibi_spark.registry import get_registry
+
+    names = set(get_registry().list())
+    assert {
+        "kn_perplexity", "dsir_hashed_select", "audio_ahash",
+        "quality_classifier_train",
+    } <= names
+
+
+class TestVideoDhash:
+    """Perceptual video dedup (r12): DIB-AVI decode -> frame dHash ->
+    set Jaccard."""
+
+    def test_roundtrip_and_geometry_guard(self):
+        from odibi_spark.llm.multimodal import (
+            decode_avi_dib_frames, synth_avi_dib,
+        )
+
+        f1 = [[(x * 7 + y * 3) % 256 for x in range(18)] for y in range(16)]
+        f2 = [[(v + 9) % 256 for v in row] for row in f1]
+        assert decode_avi_dib_frames(synth_avi_dib([f1, f2])) == [f1, f2]
+        with pytest.raises(ValueError):
+            synth_avi_dib([f1, [[0] * 4] * 4])  # mixed geometry
+        with pytest.raises(ValueError):
+            decode_avi_dib_frames(b"RIFF\x00\x00\x00\x00AVI ")  # no avih
+
+    def test_one_frame_edit_is_near_dup(self, spark):
+        from odibi_spark.llm.multimodal import (
+            synth_avi_dib, video_frame_dhashes, video_neardup_pairs,
+        )
+
+        def frame(g, f):
+            return [
+                [(g * 37 + f * 53 + x * x * (g % 7 + 2)
+                  + y * y * (g % 11 + 3)) % 256 for x in range(18)]
+                for y in range(16)
+            ]
+
+        base = [frame(5, f) for f in range(4)]
+        edited = [list(map(list, fr)) for fr in base]
+        edited[2][7][11] = (edited[2][7][11] + 128) % 256
+        other = [frame(9, f) for f in range(4)]
+        df = spark.createDataFrame(
+            [(1, synth_avi_dib(base)), (2, synth_avi_dib(edited)),
+             (3, synth_avi_dib(other)), (4, b"junk bytes")],
+            "media_id long, payload binary",
+        )
+        hashes = video_frame_dhashes(df)
+        rows = hashes.collect()
+        assert {r["media_id"] for r in rows} == {1, 2, 3, 4}
+        assert all(
+            r["dhash"] is None for r in rows if r["media_id"] == 4
+        )  # undecodable -> NULL row, not fatal
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in video_neardup_pairs(hashes, threshold=0.45).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] >= 0.45
+        assert not any(3 in p or 4 in p for p in pairs)
