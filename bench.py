@@ -119,15 +119,36 @@ class Calibration:
         print(f"# calibration[{label}]: {self.samples[label]:.2f}s",
               file=sys.stderr)
 
-    def result(self, frozen: float | None) -> dict:
+    def result(self, frozen: float | dict | None) -> dict:
+        """Flag decision. ``frozen`` is the board's idle reference:
+        a PER-POSITION dict ({start: s, mid: s, end: s} — the r12
+        finding: the probe slows ~1.5x over a full bench session from
+        JVM/GC aging alone, so positions must compare like-for-like)
+        or a legacy scalar (compared against the worst sample). With
+        a dict, contended = any position > 1.3x its own reference;
+        intra-run drift is reported but no longer gates (session-age
+        drift is intrinsic). With no reference at all, only an
+        extreme drift (> 2.0x, beyond anything an idle session shows)
+        flags."""
         vals = list(self.samples.values())
         worst = max(vals)
         drift = round(worst / min(vals), 3) if min(vals) > 0 else None
-        ratio = round(worst / frozen, 3) if frozen else None
-        contended = bool(
-            (drift is not None and drift > 1.3)
-            or (ratio is not None and ratio > 1.3)
-        )
+        if isinstance(frozen, dict):
+            ratios = [
+                self.samples[k] / frozen[k]
+                for k in self.samples
+                if k in frozen and frozen[k]
+            ]
+            ratio = round(max(ratios), 3) if ratios else None
+            contended = bool(ratio is not None and ratio > 1.3)
+        elif frozen:
+            ratio = round(worst / frozen, 3)
+            contended = bool(
+                ratio > 1.3 or (drift is not None and drift > 1.3)
+            )
+        else:
+            ratio = None
+            contended = bool(drift is not None and drift > 2.0)
         self._shutil.rmtree(self.tmp, ignore_errors=True)
         return {
             "samples": dict(self.samples),

@@ -627,6 +627,20 @@ def registered_domain_lookup(
     return out.drop(*drop)
 
 
+def _is_derived_column(df: DataFrame, col_name: str) -> bool:
+    """True when ``col_name`` is the output of an expression (an
+    Alias in some Project) rather than a stored relation attribute —
+    the analyzed plan renders every alias as ``... AS name#id``.
+    Driver-side string probe; conservatively treats a renamed stored
+    column as derived (the safe direction for the pushdown choice
+    below)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # non-JVM frames (connect, mocks): assume derived
+        return True
+    return f" AS {col_name}#" in plan
+
+
 def filter_blocked_domains(
     df: DataFrame,
     blocklist,
@@ -635,12 +649,22 @@ def filter_blocked_domains(
     max_literal: int = 256,
 ) -> DataFrame:
     """Drop rows whose registered domain is blocklisted. ``blocklist``
-    is a Python sequence of domains (<= ``max_literal`` entries stay a
-    pushed-down NOT-IN literal predicate — zero plan nodes) or a
-    1-column DataFrame (broadcast left-anti join; the blocklist is the
-    small dimension by construction, so the corpus never shuffles).
-    NULL domains (malformed URLs) are KEPT — blocking them is a
-    separate validity policy, not a blocklist decision."""
+    is a Python sequence of domains or a 1-column DataFrame (always a
+    broadcast left-anti join; the blocklist is the small dimension by
+    construction, so the corpus never shuffles).
+
+    Plan dispatch for sequence blocklists: when ``domain_col`` is a
+    STORED column, <= ``max_literal`` entries stay a pushed-down
+    NOT-IN literal predicate (zero plan nodes, parquet row-group
+    skipping). When it is a DERIVED expression (the usual case — the
+    output of :func:`registered_domain`), the literal filter is a
+    trap: predicate pushdown substitutes the WHOLE derivation into
+    the scan filter, duplicating the PSL expression past the janino
+    codegen limit (measured r12: interpreted fallback, 4.3s vs 1.0s
+    for the same funnel at sf0.1) — so derived columns route to the
+    broadcast anti-join, whose join boundary evaluates the expression
+    exactly once. NULL domains (malformed URLs) are KEPT — blocking
+    them is a separate validity policy, not a blocklist decision."""
     if isinstance(blocklist, DataFrame):
         bl = blocklist.toDF(domain_col).select(
             F.lower(F.col(domain_col)).alias(domain_col)
@@ -649,7 +673,7 @@ def filter_blocked_domains(
     domains = sorted({str(d).lower() for d in blocklist})
     if not domains:
         return df
-    if len(domains) > max_literal:
+    if len(domains) > max_literal or _is_derived_column(df, domain_col):
         bl = df.sparkSession.createDataFrame(
             [(d,) for d in domains], [domain_col]
         )

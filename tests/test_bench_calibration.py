@@ -53,11 +53,34 @@ class TestCalibrationFlagLogic:
         assert r["worst_vs_frozen"] > 1.3
         assert r["contended"] is True
 
-    def test_no_frozen_value_still_detects_drift(self, tmp_path):
+    def test_no_frozen_only_extreme_drift_flags(self, tmp_path):
+        # session-age drift up to ~1.5x is intrinsic (r12 finding):
+        # without a reference, only drift beyond anything an idle
+        # session shows (> 2x) may flag
         c = _calib_with({"start": 1.0, "end": 1.5}, tmp_path)
         r = c.result(frozen=None)
         assert r["worst_vs_frozen"] is None
-        assert r["contended"] is True
+        assert r["contended"] is False
+        c2 = _calib_with({"start": 1.0, "end": 2.3}, tmp_path)
+        assert c2.result(frozen=None)["contended"] is True
+
+    def test_per_position_frozen_ignores_intrinsic_drift(self, tmp_path):
+        # an idle full bench: end sample 1.5x start from JVM aging —
+        # per-position references must NOT flag it...
+        frozen = {"start": 1.0, "mid": 1.3, "end": 1.5}
+        c = _calib_with(
+            {"start": 1.05, "mid": 1.35, "end": 1.55}, tmp_path
+        )
+        r = c.result(frozen=frozen)
+        assert r["contended"] is False
+        assert r["intra_run_drift"] > 1.3  # reported, not gating
+        # ...while a genuinely loaded position still flags
+        c2 = _calib_with(
+            {"start": 1.05, "mid": 1.9, "end": 1.55}, tmp_path
+        )
+        r2 = c2.result(frozen=frozen)
+        assert r2["contended"] is True
+        assert r2["worst_vs_frozen"] == pytest.approx(1.9 / 1.3, abs=1e-3)
 
     def test_result_shape_matches_bench_json_contract(self, tmp_path):
         c = _calib_with({"start": 1.0}, tmp_path)

@@ -1862,7 +1862,7 @@ def test_full_curation_example_yaml_runs(spark, tmp_path):
         "dsir_selected", "embedding_dedup", "training_shards",
         "source_quality_report", "script_gated_docs", "mixed_shuffled_docs",
         "classifier_gated_docs", "bpe_merges", "line_corrected_docs",
-        "classifier_trained_docs",
+        "classifier_trained_docs", "kn_gated_docs", "dsir_hashed_selected",
     ):
         assert results[node].status == "success", (node, results[node].error)
     chunks = spark.read.parquet(str(tmp_path / "chunks"))
@@ -1933,6 +1933,14 @@ def test_full_curation_example_yaml_runs(spark, tmp_path):
     merges = spark.read.parquet(str(tmp_path / "bpe_merges"))
     assert merges.count() == 8
     assert sorted(r.merge_rank for r in merges.collect()) == list(range(1, 9))
+    # r12 tail: KN-perplexity gate + hashed-feature DSIR selection
+    kn = spark.read.parquet(str(tmp_path / "kn_gated"))
+    assert 0 < kn.count() <= clean.count()
+    assert kn.agg(F.max("ppl")).first()[0] <= 40
+    assert kn.agg(F.min("n_bigrams")).first()[0] > 0
+    dsir_h = spark.read.parquet(str(tmp_path / "dsir_hashed"))
+    assert dsir_h.count() == min(40, fuzzy.count())
+    assert "dsir_key" in dsir_h.columns
 
 
 class TestIncrementalDedup:

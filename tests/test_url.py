@@ -291,6 +291,46 @@ class TestFilterBlockedDomains:
     def test_empty_blocklist_is_identity(self, spark):
         assert filter_blocked_domains(self._df(spark), []).count() == 4
 
+    def test_stored_column_keeps_pushdown_literal(self, spark):
+        """Stored-column input stays a plain Filter (no join node):
+        the NOT-IN literal reaches the scan for row-group skipping."""
+        out = filter_blocked_domains(self._df(spark), ["spam.com"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+
+    def test_derived_expression_routes_to_antijoin(self, spark):
+        """DERIVED domain columns must take the broadcast anti-join:
+        a literal filter would substitute the whole derivation into
+        the scan predicate (r12: the PSL expression blew the janino
+        codegen limit and fell back to interpreted rows — measured
+        4x slower at sf0.1)."""
+        from odibi_spark.llm.url import registered_domain, url_normalize
+
+        df = spark.createDataFrame(
+            [(1, "https://spam.com/x"), (2, "https://good.org/y")],
+            "doc_id int, url string",
+        )
+        reg = registered_domain(
+            url_normalize(df, "url", host_col="host"), "host"
+        )
+        out = filter_blocked_domains(reg, ["spam.com"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan
+        assert [r.doc_id for r in out.collect()] == [2]
+
+    def test_paths_result_identical(self, spark):
+        """Literal and anti-join paths agree row-for-row (incl. the
+        NULL-kept policy) on the same input."""
+        df = self._df(spark)
+        lit = filter_blocked_domains(df, ["spam.com", "bad.co.uk"])
+        bl = spark.createDataFrame(
+            [("spam.com",), ("bad.co.uk",)], ["d"]
+        )
+        joined = filter_blocked_domains(df, bl)
+        assert sorted(r.doc_id for r in lit.collect()) == sorted(
+            r.doc_id for r in joined.collect()
+        )
+
 
 class TestDedupByUrl:
     def test_lowest_id_survives(self, spark):

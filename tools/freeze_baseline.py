@@ -71,16 +71,21 @@ def main() -> None:
     board["value"] = round(
         sum(board[t] for t in TOTALS.values()), 4
     )
-    # frozen contention-canary value: median over runs of each run's
-    # BEST calibration sample (contention only inflates the probe, so
-    # the idle min is the machine's true capability; bench.py flags a
-    # future run whose worst sample exceeds this by >1.3x)
-    calib_mins = [
-        min(o["calibration"]["samples"].values())
-        for o in outs if "calibration" in o
+    # frozen contention-canary reference, PER POSITION (start/mid/end):
+    # the probe slows ~1.5x over a full bench session from JVM/GC aging
+    # alone (r12 finding), so each position freezes its own idle median
+    # and bench.py flags a run whose sample exceeds ITS position >1.3x
+    calib_runs = [
+        o["calibration"]["samples"] for o in outs if "calibration" in o
     ]
-    if calib_mins:
-        board["calibration_sec"] = round(statistics.median(calib_mins), 4)
+    if calib_runs:
+        labels = sorted({k for s in calib_runs for k in s})
+        board["calibration_sec"] = {
+            lab: round(statistics.median(
+                s[lab] for s in calib_runs if lab in s
+            ), 4)
+            for lab in labels
+        }
     stamp = datetime.date.today().isoformat()
     board["provenance"] = (
         "FROZEN per-query reference board: per-query MEDIAN over "
