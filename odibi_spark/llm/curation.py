@@ -943,6 +943,22 @@ def _ql_features(
     )
 
 
+def _explode_feats(staged: DataFrame, *keep_cols: str) -> DataFrame:
+    """Explode the ``__ql_feats`` array into ``__b`` WITHOUT the
+    non-empty predicate a plain ``explode`` makes Catalyst infer:
+    InferFiltersFromGenerate adds ``size(__ql_feats) > 0`` and
+    predicate pushdown substitutes the WHOLE md5 feature expression
+    into the scan filter — every row then hashes its features TWICE,
+    the second time through non-CSE interpreted HOF lambdas (r12
+    measured: the DSIR ratio pass went 9.4s -> sub-second at sf0.1).
+    ``explode_outer`` infers nothing; the one NULL row a featureless
+    doc produces is dropped by a cheap attribute filter ABOVE the
+    Generate, which cannot be pushed below it."""
+    return staged.select(
+        *keep_cols, F.explode_outer("__ql_feats").alias("__b")
+    ).filter(F.col("__b").isNotNull())
+
+
 def quality_classifier(
     df: DataFrame,
     text_col: str = "text",
@@ -999,9 +1015,7 @@ def quality_classifier(
             [(i, f"{w:.6f}") for i, w in enumerate(weights)],
             "__b long, __w string",
         ).select("__b", F.col("__w").cast("decimal(18,6)").alias("__w"))
-        ex = staged.select(
-            id_col, F.explode("__ql_feats").alias("__b")
-        )
+        ex = _explode_feats(staged, id_col)
         sums = (
             ex.join(F.broadcast(wdf), "__b")
             .groupBy(id_col)
@@ -1168,12 +1182,12 @@ def dsir_log_ratios(
         raise ValueError("buckets must be >= 1")
 
     def bucket_counts(df: DataFrame) -> DataFrame:
+        staged = _ql_features(
+            df, text_col, buckets=buckets, bigrams=bigrams,
+            lowercase=lowercase,
+        )
         return (
-            _ql_features(
-                df, text_col, buckets=buckets, bigrams=bigrams,
-                lowercase=lowercase,
-            )
-            .select(F.explode("__ql_feats").alias("__b"))
+            _explode_feats(staged)
             .groupBy("__b")
             .agg(F.count(F.lit(1)).alias("__c"))
         )
@@ -1251,7 +1265,7 @@ def dsir_importance(
         )
         scored = staged.withColumn("__lw", lsum)
     else:
-        ex = staged.select(id_col, F.explode("__ql_feats").alias("__b"))
+        ex = _explode_feats(staged, id_col)
         sums = (
             ex.join(F.broadcast(ratios), "__b")
             .groupBy(id_col)
@@ -1287,6 +1301,14 @@ def dsir_gumbel_topk(
     NULL-weight rows (no features) are excluded — an unweighted doc
     has no place in a weighted draw. The top-k is orderBy + limit
     (TakeOrderedAndProject: per-partition heaps, no global sort).
+
+    Plan note: the NULL exclusion is NULLS-LAST ordering + a filter
+    ABOVE the limit, not a pre-filter — a filter on the (derived)
+    weight column would be substituted back through the projection by
+    predicate pushdown, re-evaluating the whole importance fold per
+    row (the r12 _explode_feats lesson; measured 6s of the sf0.1
+    workload). NULLs sort behind every real key, so the k survivors
+    are identical.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -1303,8 +1325,8 @@ def dsir_gumbel_topk(
     ) / F.lit(PH60_MAX)
     gumbel = F.round(-F.log(-F.log(u)), 6)
     return (
-        df.filter(F.col(weight_col).isNotNull())
-        .withColumn(key_col, F.col(weight_col) + gumbel)
-        .orderBy(F.col(key_col).desc(), F.col(id_col))
+        df.withColumn(key_col, F.col(weight_col) + gumbel)
+        .orderBy(F.desc_nulls_last(key_col), F.col(id_col))
         .limit(k)
+        .filter(F.col(key_col).isNotNull())
     )
