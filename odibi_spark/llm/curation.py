@@ -137,11 +137,13 @@ def contamination_hits(
         raise ValueError("id_col and bench_id_col must differ (join output keeps both)")
     if prefilter not in ("broadcast", "bloom"):
         raise ValueError(f"unknown prefilter {prefilter!r}")
-    c = dedup.word_shingles(corpus, id_col, text_col, n).select(
-        F.col("id").alias(id_col), F.explode("shingles").alias("gram")
+    c = dedup.explode_nonempty(
+        dedup.word_shingles(corpus, id_col, text_col, n),
+        "shingles", "gram", F.col("id").alias(id_col),
     )
-    b = dedup.word_shingles(benchmark, bench_id_col, bench_text_col, n).select(
-        F.col("id").alias(bench_id_col), F.explode("shingles").alias("gram")
+    b = dedup.explode_nonempty(
+        dedup.word_shingles(benchmark, bench_id_col, bench_text_col, n),
+        "shingles", "gram", F.col("id").alias(bench_id_col),
     )
     if prefilter == "bloom":
         bloom, m, k = gram_bloom(

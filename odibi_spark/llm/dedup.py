@@ -55,6 +55,24 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> Da
     )
 
 
+def explode_nonempty(df: DataFrame, arr, alias: str, *keep) -> DataFrame:
+    """Explode a COMPUTED array column without the predicate a plain
+    ``explode`` makes Catalyst infer: InferFiltersFromGenerate adds
+    ``size(arr) > 0 AND arr IS NOT NULL`` and predicate pushdown
+    substitutes the whole array expression into the scan filter — for
+    interpreted HOF pipelines (shingles, n-gram hashes, winnowing
+    minima) every row then builds its array TWICE, the second time
+    with the projected word array re-split per lambda index (the
+    O(words^2) disease word_shingles stages columns to avoid; r12
+    measured the DSIR ratio pass 9.4s -> sub-second and the shingle
+    family ~1.3-2x end-to-end at sf0.1). ``explode_outer`` infers
+    nothing; the NULL row an empty/NULL array produces is dropped by
+    a cheap attribute filter ABOVE the Generate, which cannot be
+    pushed below it. Semantically identical to explode."""
+    out = df.select(*keep, F.explode_outer(arr).alias(alias))
+    return out.filter(F.col(alias).isNotNull())
+
+
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingles) with shingles = distinct sorted word n-grams.
 
@@ -95,7 +113,7 @@ def ngram_jaccard_pairs(
          |intersect| / |union| (exact int division in double)
     """
     sets = word_shingles(df, id_col, text_col, n)
-    exploded = sets.select("id", F.explode("shingles").alias("shingle"))
+    exploded = explode_nonempty(sets, "shingles", "shingle", "id")
     if max_df:
         freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
         exploded = exploded.join(freq.filter(F.col("df_") <= max_df), "shingle").drop("df_")
@@ -173,8 +191,8 @@ def minhash_signatures(
     exchange output is also reused by both sides of the LSH band
     self-join downstream (ReusedExchange).
     """
-    exploded = word_shingles(df, id_col, text_col, n).select(
-        "id", F.explode("shingles").alias("shingle")
+    exploded = explode_nonempty(
+        word_shingles(df, id_col, text_col, n), "shingles", "shingle", "id"
     )
     proj = _minhash_projection(exploded, hasher, seed)
     return proj.groupBy("id").agg(*_minhash_aggs(num_perm, hasher, seed))
@@ -190,7 +208,7 @@ def signatures_from_sets(
     frame — the reuse point when the shingle sets are persisted and
     shared with a downstream exact-Jaccard verification (see
     minhash_dedup_pairs / curation.neardup_decontaminate_hits)."""
-    exploded = sets.select("id", F.explode("shingles").alias("shingle"))
+    exploded = explode_nonempty(sets, "shingles", "shingle", "id")
     proj = _minhash_projection(exploded, hasher, seed)
     return proj.groupBy("id").agg(*_minhash_aggs(num_perm, hasher, seed))
 
@@ -304,9 +322,11 @@ def simhash64(
     id.
     """
     nbits = 64 if hasher == "xxhash64" else 60
-    words = df.select(
+    words = explode_nonempty(
+        df,
+        F.array_distinct(F.split(F.trim(F.col(text_col)), " ")),
+        "w",
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), " "))).alias("w"),
     )
     h = F.xxhash64("w") if hasher == "xxhash64" else portable_hash60(F.col("w"))
     words = words.withColumn("h", h)
@@ -634,17 +654,17 @@ def duplicate_span_signals(
         F.col(id_col),
         F.split(F.trim(F.col(text_col)), " ").alias("__w"),
     )
-    spans = words.select(
+    spans = explode_nonempty(
+        words,
+        # CASE guard: sequence(1, 0) is DESCENDING, not empty
+        F.expr(
+            f"CASE WHEN size(__w) >= {ngram} THEN "
+            f"transform(sequence(1, size(__w) - {ngram - 1}), "
+            f"i -> md5(concat_ws(' ', slice(__w, i, {ngram})))) "
+            f"ELSE array() END"
+        ),
+        "gram_h",
         F.col(id_col),
-        F.explode(
-            # CASE guard: sequence(1, 0) is DESCENDING, not empty
-            F.expr(
-                f"CASE WHEN size(__w) >= {ngram} THEN "
-                f"transform(sequence(1, size(__w) - {ngram - 1}), "
-                f"i -> md5(concat_ws(' ', slice(__w, i, {ngram})))) "
-                f"ELSE array() END"
-            )
-        ).alias("gram_h"),
     )
     gram_docs = spans.groupBy("gram_h").agg(
         F.count_distinct(F.col(id_col)).alias("__ndocs")
@@ -715,17 +735,17 @@ def remove_duplicate_spans(
         F.col(id_col),
         F.posexplode("__w").alias("pos0", "tok"),
     ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "tok")
-    spans = words.select(
+    spans = explode_nonempty(
+        words,
+        F.expr(
+            f"CASE WHEN size(__w) >= {ngram} THEN "
+            f"transform(sequence(1, size(__w) - {ngram - 1}), "
+            f"i -> struct(i AS start, "
+            f"md5(concat_ws(' ', slice(__w, i, {ngram}))) AS h)) "
+            f"ELSE array() END"
+        ),
+        "s",
         F.col(id_col),
-        F.explode(
-            F.expr(
-                f"CASE WHEN size(__w) >= {ngram} THEN "
-                f"transform(sequence(1, size(__w) - {ngram - 1}), "
-                f"i -> struct(i AS start, "
-                f"md5(concat_ws(' ', slice(__w, i, {ngram}))) AS h)) "
-                f"ELSE array() END"
-            )
-        ).alias("s"),
     ).select(F.col(id_col), F.col("s.start").alias("start"), F.col("s.h").alias("h"))
     stats = spans.groupBy("h").agg(
         F.count_distinct(F.col(id_col)).alias("__ndocs"),
@@ -818,16 +838,16 @@ def winnow_fingerprints(
             f" 1, 15), 16, 10) AS BIGINT))"
         ),
     )
-    fps = grams.select(
-        "id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, size(__gh) - {window - 1}), "
-                    f"i -> array_min(slice(__gh, i, {window})))"
-                )
+    fps = explode_nonempty(
+        grams,
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(__gh) - {window - 1}), "
+                f"i -> array_min(slice(__gh, i, {window})))"
             )
-        ).alias("fp"),
+        ),
+        "fp",
+        "id",
     )
     return fps
 

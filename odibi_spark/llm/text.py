@@ -1145,25 +1145,25 @@ def doc_bigrams(
     before the caller's aggregate. Docs with < 2 tokens produce no
     rows (there is no bigram to emit — callers that must keep them
     re-join on the id, see :func:`kn_bigram_scores`)."""
+    from odibi_spark.llm.dedup import explode_nonempty
+
     toks = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), " "),
         lambda t: t != "",
     )
-    return (
-        df.select(F.col(id_col), toks.alias("__toks"))
-        .filter(F.size("__toks") >= 2)
-        .select(
-            id_col,
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(__toks) - 1), i -> "
-                    "struct(element_at(__toks, i) AS w1, "
-                    "element_at(__toks, i + 1) AS w2))"
-                )
-            ).alias("__bg"),
-        )
-        .select(id_col, "__bg.w1", "__bg.w2")
+    staged = df.select(F.col(id_col), toks.alias("__toks")).filter(
+        F.size("__toks") >= 2
     )
+    return explode_nonempty(
+        staged,
+        F.expr(
+            "transform(sequence(1, size(__toks) - 1), i -> "
+            "struct(element_at(__toks, i) AS w1, "
+            "element_at(__toks, i + 1) AS w2))"
+        ),
+        "__bg",
+        id_col,
+    ).select(id_col, "__bg.w1", "__bg.w2")
 
 
 def kn_bigram_scores(
