@@ -534,6 +534,70 @@ class TestNoUndocumentedSinglePartition:
         )
 
 
+class TestNoExplodedExpressionInScanFilter:
+    """r12 pushdown-trap regression: explode(computed_array) lets
+    InferFiltersFromGenerate + predicate pushdown re-materialize the
+    WHOLE array expression in the scan filter (interpreted HOF
+    lambdas, word array re-split per index — measured 2-9x on the
+    shingle/DSIR paths). dedup.explode_nonempty is the idiom; these
+    assertions fail if any covered pipeline regresses to a plan whose
+    scan-side Filter contains a transform(...) lambda."""
+
+    def _no_transform_in_filter(self, df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        bad = [
+            line for line in plan.splitlines()
+            if "Filter" in line and "transform(" in line
+        ]
+        assert not bad, bad[0][:300]
+
+    def test_shingle_explode(self, spark):
+        from odibi_spark.llm import dedup
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        sets = dedup.word_shingles(docs, "doc_id", "text", 3)
+        self._no_transform_in_filter(
+            dedup.explode_nonempty(sets, "shingles", "shingle", "id")
+        )
+
+    def test_minhash_and_jaccard_pipelines(self, spark):
+        from odibi_spark.llm import dedup
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        self._no_transform_in_filter(
+            dedup.minhash_signatures(docs, "doc_id", num_perm=4)
+        )
+        self._no_transform_in_filter(
+            dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.3)
+        )
+
+    def test_hashed_feature_pipelines(self, spark):
+        from odibi_spark.llm import curation
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        target = docs.filter("doc_id % 7 = 0")
+        raw = docs.filter("doc_id % 7 <> 0")
+        self._no_transform_in_filter(
+            curation.dsir_log_ratios(raw, target, "text", buckets=64)
+        )
+
+    def test_kn_bigrams(self, spark):
+        from odibi_spark.llm import text
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        self._no_transform_in_filter(
+            text.doc_bigrams(docs, "doc_id", "text")
+        )
+
+
 class TestBloomSemijoin:
     """Bloom-prefiltered join (operators/runtime_filter.py): output
     row-identical to the plain join; the big side is filtered by the
