@@ -698,7 +698,8 @@ def main() -> None:
         # dedup cost is benched via dedup_incremental_docs)
         "psl_domains_docs", "quality_classifier_train_docs",
         "image_dhash_dedup", "audio_ahash_dedup", "video_dhash_dedup",
-        "kn_perplexity_docs", "dsir_hashed_select_docs",
+        "kn_perplexity_docs", "kn_trigram_perplexity_docs",
+        "dsir_hashed_select_docs",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(

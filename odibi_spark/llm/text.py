@@ -1255,3 +1255,129 @@ def kn_bigram_scores(
             F.round(F.exp(F.col("avg_nll")), 4).alias("ppl"),
         )
     )
+
+
+def doc_trigrams(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document adjacent word TRIPLES — the doc_bigrams contract
+    at order 3 (map-side HOF, explode_nonempty, docs with < 3 tokens
+    emit nothing)."""
+    from odibi_spark.llm.dedup import explode_nonempty
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), " "),
+        lambda t: t != "",
+    )
+    staged = df.select(F.col(id_col), toks.alias("__toks")).filter(
+        F.size("__toks") >= 3
+    )
+    return explode_nonempty(
+        staged,
+        F.expr(
+            "transform(sequence(1, size(__toks) - 2), i -> "
+            "struct(element_at(__toks, i) AS w1, "
+            "element_at(__toks, i + 1) AS w2, "
+            "element_at(__toks, i + 2) AS w3))"
+        ),
+        "__tg",
+        id_col,
+    ).select(id_col, "__tg.w1", "__tg.w2", "__tg.w3")
+
+
+def kn_trigram_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    discount: float = 0.75,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM LM with the full three-order
+    backoff chain (Chen & Goodman 1999) — :func:`kn_bigram_scores`
+    one order up, which is where a perplexity filter starts to see
+    real phrase structure (CCNet ships a 5-gram KenLM; the estimator
+    machinery is identical per order):
+
+        P3(w3|w1 w2) = max(c(w123) - D, 0) / c(w12·)
+                       + (D · N1+(w12·) / c(w12·)) · P2c(w3|w2)
+        P2c(w3|w2)   = max(N1+(·w2 w3) - D, 0) / N1+(·w2·)
+                       + (D · N1+(w2·*) / N1+(·w2·)) · P1c(w3)
+        P1c(w3)      = N1+(·· w3) / N2
+
+    where the lower orders use CONTINUATION counts (distinct left
+    contexts), N1+(w2·*) counts distinct continuations of w2 in the
+    continuation-bigram table, and N2 is the distinct-bigram total.
+
+    Same bit-stability contract as the bigram scorer: exact integer
+    counts, pinned IEEE parenthesization, per-trigram ``-ln p``
+    rounded before the exact DECIMAL fold. Docs with < 3 tokens get
+    ``n_trigrams = 0`` and NULL scores.
+
+    Scale: one map-side trigram explode feeds the count cascade —
+    trigram counts, (w1,w2) context totals, (w2,w3) continuation
+    counts, per-w2 middle-order totals, per-w3 continuation counts —
+    every one a map-side-combined groupBy whose output is O(distinct
+    n-grams); scoring joins on the trigram/bigram/word keys (AQE
+    absorbs the Zipf head); N2 is the single 1-row broadcast.
+    """
+    tri = doc_trigrams(df, id_col, text_col)
+    tri_c = tri.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c123")
+    )
+    ctx12 = tri_c.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("c12"), F.count(F.lit(1)).alias("n_post12")
+    )
+    cont23 = tri_c.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).alias("n_pre23")
+    )
+    mid2 = cont23.groupBy("w2").agg(
+        F.sum("n_pre23").alias("n_mid2"),
+        F.count(F.lit(1)).alias("n_post2"),
+    )
+    cont3 = cont23.groupBy("w3").agg(F.count(F.lit(1)).alias("n_pre3"))
+    n2 = cont23.agg(F.count(F.lit(1)).alias("n_types2"))
+
+    d = F.lit(float(discount))
+    p1 = F.coalesce(
+        F.col("n_pre3").cast("double") / F.col("n_types2"),
+        F.lit(1.0) / F.col("n_types2"),
+    )
+    p2 = F.when(
+        F.col("n_mid2").isNotNull(),
+        F.greatest(F.coalesce(F.col("n_pre23"), F.lit(0)) - d, F.lit(0.0))
+        / F.col("n_mid2")
+        + ((d * F.col("n_post2")) / F.col("n_mid2")) * p1,
+    ).otherwise(p1)
+    p3 = F.when(
+        F.col("c12").isNotNull(),
+        F.greatest(F.coalesce(F.col("c123"), F.lit(0)) - d, F.lit(0.0))
+        / F.col("c12")
+        + ((d * F.col("n_post12")) / F.col("c12")) * p2,
+    ).otherwise(p2)
+    scored = (
+        tri.join(tri_c, ["w1", "w2", "w3"], "left")
+        .join(ctx12, ["w1", "w2"], "left")
+        .join(cont23, ["w2", "w3"], "left")
+        .join(mid2, "w2", "left")
+        .join(cont3, "w3", "left")
+        .crossJoin(F.broadcast(n2))
+        .withColumn("__nll", F.round(-F.log(p3), round_digits))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        (
+            F.sum(F.col("__nll").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_nll"),
+    )
+    return (
+        df.select(id_col).distinct()
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_trigrams"), F.lit(0)).alias("n_trigrams"),
+            F.col("avg_nll"),
+            F.round(F.exp(F.col("avg_nll")), 4).alias("ppl"),
+        )
+    )

@@ -1348,3 +1348,21 @@ def video_neardup_pairs_transform(
             ctx.df, id_col, hash_col, threshold=float(threshold),
         )
     )
+
+
+@transform("kn_trigram_perplexity")
+def kn_trigram_perplexity_transform(
+    ctx: EngineContext,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> EngineContext:
+    """Interpolated Kneser-Ney TRIGRAM LM cross-entropy + perplexity
+    (text.kn_trigram_scores): the full three-order backoff chain."""
+    return ctx.with_df(
+        text.kn_trigram_scores(
+            ctx.df, id_col=id_col, text_col=text_col,
+            discount=float(discount),
+        )
+    )

@@ -4725,3 +4725,85 @@ FROM keyed ORDER BY dsir_key DESC, doc_id LIMIT 100
 
 QUERIES.update({"dsir_hashed_select_docs": dsir_hashed_select_docs})
 ORACLES.update({"dsir_hashed_select_docs": DSIR_HASHED_SQL})
+
+
+def kn_trigram_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM perplexity per document (r12)
+    — the full three-order backoff chain (trigram -> continuation
+    bigram -> continuation unigram), the order where a perplexity
+    filter starts to see phrase structure. The oracle replays the
+    count cascade and the pinned probability chain in SQL."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    return text.kn_trigram_scores(docs, id_col="doc_id", text_col="text")
+
+
+KN_TRIGRAM_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(lower(text)), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+tg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) r
+),
+tc AS (
+  SELECT w1, w2, w3, COUNT(*) AS c123 FROM tg GROUP BY w1, w2, w3
+),
+ctx12 AS (
+  SELECT w1, w2, SUM(c123) AS c12, COUNT(*) AS n_post12
+  FROM tc GROUP BY w1, w2
+),
+cont23 AS (
+  SELECT w2, w3, COUNT(*) AS n_pre23 FROM tc GROUP BY w2, w3
+),
+mid2 AS (
+  SELECT w2, SUM(n_pre23) AS n_mid2, COUNT(*) AS n_post2
+  FROM cont23 GROUP BY w2
+),
+cont3 AS (
+  SELECT w3, COUNT(*) AS n_pre3 FROM cont23 GROUP BY w3
+),
+n2 AS (
+  SELECT COUNT(*) AS n_types2 FROM cont23
+),
+scored AS (
+  SELECT g.doc_id,
+         round(-ln(
+           (greatest(CAST(c.c123 AS DOUBLE) - 0.75, 0.0)
+              / CAST(x.c12 AS DOUBLE))
+           + ((0.75 * CAST(x.n_post12 AS DOUBLE)) / CAST(x.c12 AS DOUBLE))
+             * (
+               (greatest(CAST(b.n_pre23 AS DOUBLE) - 0.75, 0.0)
+                  / CAST(m.n_mid2 AS DOUBLE))
+               + ((0.75 * CAST(m.n_post2 AS DOUBLE))
+                    / CAST(m.n_mid2 AS DOUBLE))
+                 * (CAST(u.n_pre3 AS DOUBLE) / CAST(n2.n_types2 AS DOUBLE))
+             )
+         ), 6) AS nll
+  FROM tg g
+  JOIN tc c USING (w1, w2, w3)
+  JOIN ctx12 x USING (w1, w2)
+  JOIN cont23 b USING (w2, w3)
+  JOIN mid2 m USING (w2)
+  JOIN cont3 u USING (w3)
+  CROSS JOIN n2
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_trigrams,
+         CAST(CAST(SUM(CAST(nll AS {DEC})) AS DOUBLE) / COUNT(*) AS DOUBLE)
+           AS avg_nll
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_trigrams, 0) AS n_trigrams,
+       p.avg_nll,
+       round(exp(p.avg_nll), 4) AS ppl
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per_doc p USING (doc_id)
+"""
+
+QUERIES.update({"kn_trigram_perplexity_docs": kn_trigram_perplexity_docs})
+ORACLES.update({"kn_trigram_perplexity_docs": KN_TRIGRAM_SQL})

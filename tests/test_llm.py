@@ -4178,3 +4178,67 @@ class TestVideoDhash:
         }
         assert (1, 2) in pairs and pairs[(1, 2)] >= 0.45
         assert not any(3 in p or 4 in p for p in pairs)
+
+
+class TestKnTrigramScores:
+    """Interpolated Kneser-Ney trigram LM (r12): full backoff chain."""
+
+    def test_python_differential(self, spark):
+        import math
+
+        texts = {1: "a b c a b c a d", 2: "a b c d", 3: "b c a b"}
+        corpus = spark.createDataFrame(
+            [Row(doc_id=k, text=v) for k, v in texts.items()]
+            + [Row(doc_id=4, text="x y")]  # < 3 tokens -> no trigrams
+        )
+        tri, doc_tri = {}, {}
+        for did, t in texts.items():
+            toks = t.split(" ")
+            trips = list(zip(toks, toks[1:], toks[2:]))
+            doc_tri[did] = trips
+            for g in trips:
+                tri[g] = tri.get(g, 0) + 1
+        c12, npost12, npre23 = {}, {}, {}
+        for (w1, w2, w3), c in tri.items():
+            c12[(w1, w2)] = c12.get((w1, w2), 0) + c
+            npost12[(w1, w2)] = npost12.get((w1, w2), 0) + 1
+            npre23[(w2, w3)] = npre23.get((w2, w3), 0) + 1
+        nmid2, npost2, npre3 = {}, {}, {}
+        for (w2, w3), c in npre23.items():
+            nmid2[w2] = nmid2.get(w2, 0) + c
+            npost2[w2] = npost2.get(w2, 0) + 1
+            npre3[w3] = npre3.get(w3, 0) + 1
+        n2 = len(npre23)
+        D = 0.75
+        want = {}
+        for did, trips in doc_tri.items():
+            nlls = []
+            for w1, w2, w3 in trips:
+                p1 = npre3[w3] / n2
+                p2 = (max(npre23[(w2, w3)] - D, 0.0) / nmid2[w2]) + (
+                    (D * npost2[w2]) / nmid2[w2]
+                ) * p1
+                p3 = (max(tri[(w1, w2, w3)] - D, 0.0) / c12[(w1, w2)]) + (
+                    (D * npost12[(w1, w2)]) / c12[(w1, w2)]
+                ) * p2
+                nlls.append(round(-math.log(p3), 6))
+            want[did] = round(sum(nlls), 6) / len(nlls)
+        got = {
+            r["doc_id"]: r
+            for r in text.kn_trigram_scores(corpus).collect()
+        }
+        for did, avg in want.items():
+            assert got[did]["avg_nll"] == pytest.approx(avg, abs=1e-9)
+            assert got[did]["n_trigrams"] == len(doc_tri[did])
+        assert got[4]["n_trigrams"] == 0 and got[4]["avg_nll"] is None
+
+    def test_trigram_model_discriminates(self, spark):
+        """A doc repeating the corpus's dominant phrase must score a
+        LOWER perplexity than one with the same words scrambled."""
+        common = "the quick brown fox jumps over the lazy dog"
+        corpus = spark.createDataFrame(
+            [Row(doc_id=i, text=common) for i in range(5)]
+            + [Row(doc_id=99, text="dog the over fox lazy quick jumps brown the")]
+        )
+        got = {r["doc_id"]: r["ppl"] for r in text.kn_trigram_scores(corpus).collect()}
+        assert got[0] < got[99]

@@ -481,9 +481,9 @@ class TestNoUndocumentedSinglePartition:
         "corpus_overlap_halves",  # 1-row sketch profile
         "corpus_datacard",  # 1-row corpus summary (scalar aggregate)
         "lm_quality_docs",  # 1-row (N, V) totals broadcast to scorer
-        # 1-row distinct-bigram total (n_types) broadcast to the KN
-        # probability chain — the lm_quality_docs class
-        "kn_perplexity_docs",
+        # 1-row distinct-bigram total (n_types / N2) broadcast to the
+        # KN probability chains — the lm_quality_docs class
+        "kn_perplexity_docs", "kn_trigram_perplexity_docs",
         "bm25_search_docs",  # 1-row (N, avgdl) totals broadcast to scorer
         "source_kl_docs",  # 1-row corpus-total N broadcast to the KL terms
         # 1-row (N, V) totals x2 (target + source LMs) broadcast to the
