@@ -699,7 +699,7 @@ def main() -> None:
         "psl_domains_docs", "quality_classifier_train_docs",
         "image_dhash_dedup", "audio_ahash_dedup", "video_dhash_dedup",
         "kn_perplexity_docs", "kn_trigram_perplexity_docs",
-        "dsir_hashed_select_docs",
+        "dsir_hashed_select_docs", "ccnet_pipeline_docs",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(

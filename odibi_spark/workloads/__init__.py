@@ -83,7 +83,7 @@ _R12_NEW = [
     "image_dhash_dedup", "streaming_incremental_dedup_docs",
     "kn_perplexity_docs", "dsir_hashed_select_docs",
     "audio_ahash_dedup", "video_dhash_dedup",
-    "kn_trigram_perplexity_docs",
+    "kn_trigram_perplexity_docs", "ccnet_pipeline_docs",
 ]
 
 # Workloads whose Spark+oracle definition changed in round 12:

@@ -4807,3 +4807,185 @@ LEFT JOIN per_doc p USING (doc_id)
 
 QUERIES.update({"kn_trigram_perplexity_docs": kn_trigram_perplexity_docs})
 ORACLES.update({"kn_trigram_perplexity_docs": KN_TRIGRAM_SQL})
+
+
+def ccnet_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet end-to-end (r12, Wenzek et al. 2019 — the published
+    pipeline this engine's pieces were built for, composed in its
+    published order): paragraph-hash dedup -> language ID -> LM
+    perplexity terciles PER LANGUAGE. Staging plants the nav/footer
+    paragraph blocks (the boilerplate_paragraphs fixture); the LM is
+    the interpolated Kneser-Ney bigram model trained on the CLEANED
+    corpus; terciles are a lang-partitioned ntile (no global window).
+    Output: per (lang_guess, bucket) doc counts, exact bigram totals,
+    min/max perplexity. Every stage is an already-oracled operator —
+    this workload hash-gates their COMPOSITION."""
+    from pyspark.sql.window import Window
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    staged = docs.select(
+        "doc_id", "source",
+        F.concat_ws(
+            "\n\n",
+            F.lit("SITE NAV\nhome about contact"),
+            F.col("text"),
+            F.concat(
+                F.lit("COPYRIGHT "), F.col("source"),
+                F.lit("\nall rights reserved"),
+            ),
+        ).alias("text"),
+    )
+    cleaned = dedup.remove_boilerplate_lines(
+        staged, min_docs=5, scope_col="source", delim="\n",
+        granularity="paragraph", out_col="clean_text",
+    ).select("doc_id", F.col("clean_text").alias("text"))
+    langed = text.with_language_guess(cleaned).select(
+        "doc_id", "lang_guess"
+    )
+    scored = text.kn_bigram_scores(cleaned).filter("n_bigrams > 0")
+    w = Window.partitionBy("lang_guess").orderBy("avg_nll", "doc_id")
+    ranked = (
+        scored.join(langed, "doc_id")
+        .withColumn("__t", F.ntile(3).over(w))
+        .withColumn(
+            "bucket",
+            F.when(F.col("__t") == 1, F.lit("head"))
+            .when(F.col("__t") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+    )
+    return ranked.groupBy("lang_guess", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").cast("long").alias("total_bigrams"),
+        F.min("ppl").alias("min_ppl"),
+        F.max("ppl").alias("max_ppl"),
+    )
+
+
+_CCNET_TAIL_TEMPLATE = """
+h AS (
+  SELECT doc_id,
+    len(list_filter(string_split(trim(lower(text)), ' '),
+        x -> x IN ({en}))) AS h_en,
+    len(list_filter(string_split(trim(lower(text)), ' '),
+        x -> x IN ({fr}))) AS h_fr,
+    len(list_filter(string_split(trim(lower(text)), ' '),
+        x -> x IN ({es}))) AS h_es,
+    len(list_filter(string_split(trim(lower(text)), ' '),
+        x -> x IN ({de}))) AS h_de
+  FROM cleaned
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN {g0} = 0 THEN 'und'
+              WHEN h_en = {g0} THEN 'en'
+              WHEN h_fr = {g0} THEN 'fr'
+              WHEN h_es = {g0} THEN 'es'
+              ELSE 'de' END AS lang_guess
+  FROM h
+),
+t AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(lower(text)), ' '),
+                     x -> x <> '') AS toks
+  FROM cleaned
+),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+),
+bgc AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+),
+lctx AS (
+  SELECT w1, SUM(c12) AS c1, COUNT(*) AS n_post FROM bgc GROUP BY w1
+),
+rcont AS (
+  SELECT w2, COUNT(*) AS n_pre FROM bgc GROUP BY w2
+),
+nt AS (
+  SELECT COUNT(*) AS n_types FROM bgc
+),
+scored AS (
+  SELECT b.doc_id,
+         round(-ln(
+           (greatest(CAST(cc.c12 AS DOUBLE) - 0.75, 0.0)
+              / CAST(lx.c1 AS DOUBLE))
+           + ((0.75 * CAST(lx.n_post AS DOUBLE)) / CAST(lx.c1 AS DOUBLE))
+             * (CAST(rc.n_pre AS DOUBLE) / CAST(nt.n_types AS DOUBLE))
+         ), 6) AS nll
+  FROM bg b
+  JOIN bgc cc USING (w1, w2)
+  JOIN lctx lx USING (w1)
+  JOIN rcont rc USING (w2)
+  CROSS JOIN nt
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         CAST(CAST(SUM(CAST(nll AS {dec})) AS DOUBLE) / COUNT(*) AS DOUBLE)
+           AS avg_nll
+  FROM scored GROUP BY doc_id
+),
+ranked AS (
+  SELECT g.lang_guess, p.doc_id, p.n_bigrams, p.avg_nll,
+         round(exp(p.avg_nll), 4) AS ppl,
+         NTILE(3) OVER (PARTITION BY g.lang_guess
+                        ORDER BY p.avg_nll, p.doc_id) AS t3
+  FROM per_doc p JOIN g USING (doc_id)
+)
+SELECT lang_guess,
+       CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+               ELSE 'tail' END AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+       MIN(ppl) AS min_ppl, MAX(ppl) AS max_ppl
+FROM ranked GROUP BY 1, 2
+"""
+
+_CCNET_TAIL = _CCNET_TAIL_TEMPLATE.format(
+    en=_STOP_LISTS["en"], fr=_STOP_LISTS["fr"], es=_STOP_LISTS["es"],
+    de=_STOP_LISTS["de"], g0="greatest(h_en, h_fr, h_es, h_de)", dec=DEC,
+)
+
+CCNET_PIPELINE_SQL = (
+    r"""
+WITH c AS (
+  SELECT doc_id, source,
+         'SITE NAV' || chr(10) || 'home about contact' ||
+         chr(10) || chr(10) || text || chr(10) || chr(10) ||
+         'COPYRIGHT ' || source || chr(10) || 'all rights reserved'
+           AS text
+  FROM documents
+),
+l AS (
+  SELECT t.doc_id, t.source, g.i - 1 AS pos, t.ws[g.i] AS par
+  FROM (SELECT doc_id, source,
+               regexp_split_to_array(text, '(?:\n){2,}') AS ws
+        FROM c) t,
+       LATERAL (SELECT unnest(range(1, len(t.ws) + 1)) AS i) g
+),
+bl AS (
+  SELECT source, md5(par) AS ph
+  FROM l GROUP BY source, md5(par)
+  HAVING COUNT(DISTINCT doc_id) >= 5
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.par
+  FROM l LEFT JOIN bl ON bl.source = l.source AND bl.ph = md5(l.par)
+  WHERE bl.ph IS NULL
+),
+cleaned AS (
+  SELECT c.doc_id,
+         COALESCE(r.clean_text, '') AS text
+  FROM c LEFT JOIN (
+    SELECT doc_id,
+           string_agg(par, chr(10) || chr(10) ORDER BY pos) AS clean_text
+    FROM kept GROUP BY doc_id
+  ) r USING (doc_id)
+),
+"""
+    + _CCNET_TAIL
+)
+QUERIES.update({"ccnet_pipeline_docs": ccnet_pipeline_docs})
+ORACLES.update({"ccnet_pipeline_docs": CCNET_PIPELINE_SQL})

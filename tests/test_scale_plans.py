@@ -484,6 +484,7 @@ class TestNoUndocumentedSinglePartition:
         # 1-row distinct-bigram total (n_types / N2) broadcast to the
         # KN probability chains — the lm_quality_docs class
         "kn_perplexity_docs", "kn_trigram_perplexity_docs",
+        "ccnet_pipeline_docs",  # same class via the embedded KN stage
         "bm25_search_docs",  # 1-row (N, avgdl) totals broadcast to scorer
         "source_kl_docs",  # 1-row corpus-total N broadcast to the KL terms
         # 1-row (N, V) totals x2 (target + source LMs) broadcast to the
