@@ -2112,7 +2112,13 @@ def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     bmps = docs.mapInPandas(synth, "media_id long, payload binary")
-    hashes = image_dhash(bmps, "payload", "media_id")
+    # checkpoint the tiny (id, hash) frame: Python map stages don't
+    # canonicalize for exchange reuse, so the banding self-join would
+    # otherwise synthesize+decode+hash the payloads TWICE (measured
+    # 5x end-to-end at sf0.1 on the audio twin)
+    hashes = image_dhash(bmps, "payload", "media_id").localCheckpoint(
+        eager=True
+    )
     return hash64_near_pairs(hashes, "media_id", "dhash", max_hamming=4)
 
 
@@ -2202,7 +2208,10 @@ def audio_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     wavs = docs.mapInPandas(synth, "media_id long, payload binary")
-    hashes = audio_ahash(wavs, "payload", "media_id")
+    # checkpoint before the self-join — see image_dhash_dedup
+    hashes = audio_ahash(wavs, "payload", "media_id").localCheckpoint(
+        eager=True
+    )
     return hash64_near_pairs(hashes, "media_id", "ahash", max_hamming=4)
 
 
@@ -2301,7 +2310,10 @@ def video_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     avis = docs.mapInPandas(synth, "media_id long, payload binary")
-    hashes = video_frame_dhashes(avis, "payload", "media_id")
+    # checkpoint before the set-overlap self-join — see image_dhash_dedup
+    hashes = video_frame_dhashes(
+        avis, "payload", "media_id"
+    ).localCheckpoint(eager=True)
     return video_neardup_pairs(hashes, "media_id", "dhash", threshold=0.45)
 
 
