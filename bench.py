@@ -140,7 +140,15 @@ class Calibration:
                 if k in frozen and frozen[k]
             ]
             ratio = round(max(ratios), 3) if ratios else None
-            contended = bool(ratio is not None and ratio > 1.3)
+            # extreme intra-run swing (> 1.8x, beyond session aging)
+            # gates even when each position squeaks under its
+            # reference: the per-query numbers are incomparable when
+            # the host speed changed mid-run (r12: a drift-2.3 run
+            # slipped through on per-position ratios alone)
+            contended = bool(
+                (ratio is not None and ratio > 1.3)
+                or (drift is not None and drift > 1.8)
+            )
         elif frozen:
             ratio = round(worst / frozen, 3)
             contended = bool(

@@ -82,6 +82,21 @@ class TestCalibrationFlagLogic:
         assert r2["contended"] is True
         assert r2["worst_vs_frozen"] == pytest.approx(1.9 / 1.3, abs=1e-3)
 
+    def test_extreme_drift_gates_despite_references(self, tmp_path):
+        """A host whose speed swings > 1.8x WITHIN the run produces
+        incomparable per-query numbers even when every position sits
+        under its own reference (r12: a drift-2.3 run slipped through
+        on per-position ratios alone — the references had been frozen
+        in a slow window)."""
+        frozen = {"start": 2.1, "mid": 2.0, "end": 2.7}
+        c = _calib_with(
+            {"start": 1.0, "mid": 1.8, "end": 2.3}, tmp_path
+        )
+        r = c.result(frozen=frozen)
+        assert r["worst_vs_frozen"] < 1.3
+        assert r["intra_run_drift"] > 1.8
+        assert r["contended"] is True
+
     def test_result_shape_matches_bench_json_contract(self, tmp_path):
         c = _calib_with({"start": 1.0}, tmp_path)
         r = c.result(frozen=None)
