@@ -134,11 +134,24 @@ class Calibration:
         worst = max(vals)
         drift = round(worst / min(vals), 3) if min(vals) > 0 else None
         if isinstance(frozen, dict):
-            ratios = [
-                self.samples[k] / frozen[k]
-                for k in self.samples
-                if k in frozen and frozen[k]
-            ]
+            # ADVICE r12: a sample whose label is absent from the
+            # frozen reference (renamed/new probe position) must not
+            # silently contribute NO ratio — it would then only be
+            # guarded by the 1.8x drift gate, which uniform
+            # contention passes. Fall back to the slowest frozen
+            # position (the most lenient like-for-like available)
+            # and surface the mismatch in the output.
+            frozen_vals = [v for v in frozen.values() if v]
+            fallback = max(frozen_vals) if frozen_vals else None
+            ratios, unmatched = [], []
+            for k, v in self.samples.items():
+                ref = frozen.get(k)
+                if ref:
+                    ratios.append(v / ref)
+                elif fallback:
+                    unmatched.append(k)
+                    ratios.append(v / fallback)
+            self._unmatched = sorted(unmatched)
             ratio = round(max(ratios), 3) if ratios else None
             # extreme intra-run swing (> 1.8x, beyond session aging)
             # gates even when each position squeaks under its
@@ -158,13 +171,16 @@ class Calibration:
             ratio = None
             contended = bool(drift is not None and drift > 2.0)
         self._shutil.rmtree(self.tmp, ignore_errors=True)
-        return {
+        out = {
             "samples": dict(self.samples),
             "frozen_sec": frozen,
             "worst_vs_frozen": ratio,
             "intra_run_drift": drift,
             "contended": contended,
         }
+        if getattr(self, "_unmatched", None):
+            out["unmatched_labels"] = self._unmatched
+        return out
 
 
 def scale_docs_bench(spark, sf_dir: str, factor: int = 10) -> dict:

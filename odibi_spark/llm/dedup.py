@@ -68,7 +68,16 @@ def explode_nonempty(df: DataFrame, arr, alias: str, *keep) -> DataFrame:
     family ~1.3-2x end-to-end at sf0.1). ``explode_outer`` infers
     nothing; the NULL row an empty/NULL array produces is dropped by
     a cheap attribute filter ABOVE the Generate, which cannot be
-    pushed below it. Semantically identical to explode."""
+    pushed below it.
+
+    PRECONDITION (ADVICE r12): the array's ELEMENTS must be non-NULL.
+    The post-Generate ``isNotNull`` filter cannot distinguish "row had
+    an empty/NULL array" (the marker row explode_outer adds, which
+    plain explode also drops) from "array contained a NULL element"
+    (which plain explode KEEPS) — so for arrays with nullable elements
+    this drops rows plain explode would emit. Every call site here
+    produces arrays of non-NULL strings/hashes (split/transform/
+    sequence outputs); pass such arrays only."""
     out = df.select(*keep, F.explode_outer(arr).alias(alias))
     return out.filter(F.col(alias).isNotNull())
 

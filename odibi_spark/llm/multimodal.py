@@ -863,7 +863,12 @@ def decode_avi_dib_frames(payload: bytes) -> list[list[list[int]]]:
             if fourcc == b"LIST":
                 walk(body + 4, min(end, body + size))
             elif fourcc[2:4] == b"db":
-                if size < row_size * height:
+                if size < row_size * height or body + size > len(payload):
+                    # declared size too small for the geometry, OR the
+                    # declared size overruns the actual payload (a
+                    # mid-chunk truncation would otherwise IndexError
+                    # out of the pixel loop and kill the Spark task
+                    # instead of yielding the NULL-hash row)
                     raise ValueError("truncated DIB frame chunk")
                 grid = []
                 for r in range(height):

@@ -629,16 +629,39 @@ def registered_domain_lookup(
 
 def _is_derived_column(df: DataFrame, col_name: str) -> bool:
     """True when ``col_name`` is the output of an expression (an
-    Alias in some Project) rather than a stored relation attribute —
-    the analyzed plan renders every alias as ``... AS name#id``.
-    Driver-side string probe; conservatively treats a renamed stored
-    column as derived (the safe direction for the pushdown choice
-    below)."""
+    Alias in some Project/Aggregate/Window) rather than a stored
+    relation attribute. Walks the analyzed plan's node expressions
+    via py4j instead of probing the plan's toString (ADVICE r12: the
+    rendered string elides expression lists past
+    spark.sql.debug.maxToStringFields — default 25 — so a derived
+    column in a wide projection was silently missed, re-selecting
+    the literal NOT-IN path and its janino codegen blowup).
+    Conservative on any introspection failure (non-JVM frames,
+    connect, mocks): derived — the anti-join is always correct."""
     try:
-        plan = df._jdf.queryExecution().analyzed().toString()
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            try:
+                exprs = node.expressions()
+                for i in range(exprs.size()):
+                    e = exprs.apply(i)
+                    if (
+                        e.getClass().getSimpleName() == "Alias"
+                        and e.name() == col_name
+                    ):
+                        return True
+            except Exception:
+                return True  # un-walkable node: assume derived
+            kids = node.children()
+            for i in range(kids.size()):
+                stack.append(kids.apply(i))
+            inner = node.innerChildren()  # CTEs / subquery plans
+            for i in range(inner.size()):
+                stack.append(inner.apply(i))
     except Exception:  # non-JVM frames (connect, mocks): assume derived
         return True
-    return f" AS {col_name}#" in plan
+    return False
 
 
 def filter_blocked_domains(

@@ -33,37 +33,22 @@ _ALL_ORACLES = {
     **_TPCH_ORACLES, **_TPCH2_ORACLES, **_TPCH3_ORACLES,
 }
 
-# Dict order is sampling priority: the driver's correctness gate checks
+# Dict order is sampling priority is sampling priority: the driver's correctness gate checks
 # the FIRST 50 entries. The sample ROTATES each round so every declared
 # workload gets a driver-side hash check within ~3 rounds (VERDICT r4
-# task 2). Round 12 executes the queue staged in r11 (_R12_ROTATE_IN:
-# the displaced r11 rotate-in tail — oldest checked, already overdue —
-# then the r10-checked head in its r10 order), then this round's
+# task 2). Round 13 executes the queue staged in r12 (_R13_ROTATE_IN:
+# the displaced r12 rotate-in tail — oldest checked, already overdue —
+# then the r11-checked head in its r11 order), then this round's
 # brand-new workloads, then the workloads whose DEFINITION changed
-# this round (re-based: treated like new — a changed query must not
-# wait out the queue for its driver re-check). The r11-checked head
-# (CORRECTNESS_r11.json keys in order) fills any remaining room and,
-# with the displaced tail first, forms the staged _R13_ROTATE_IN.
-_R12_ROTATE_IN = [
-    "neardup_clusters", "percentiles_by_source", "tfidf_top_terms",
-    "semantic_revenue_by_segment", "gopher_quality_docs",
-    "duplicate_ngram_spans", "lm_perplexity_buckets", "cms_heavy_terms",
-    "ann_recall_lsh", "random_projection_embeddings", "bm25_search_docs",
-    "remove_dup_spans_docs", "cms_incremental_terms", "rp_ann_recall",
-    "streaming_cms_terms", "epoch_mixture_docs", "hybrid_search_docs",
-    "source_kl_docs", "streaming_hourly_events",
-    "multimodal_image_features", "asof_click_purchase",
-    "intersect_repeat_customers", "corpus_overlap_halves",
-    "approx_distinct_fingerprints", "range_clicks_per_purchase_hour",
-    "simulated_sensor_rollup", "scd2_customer_batches",
-    "detect_event_phases", "streaming_user_sessions",
-    "skew_salted_event_join", "median_acctbal_by_segment",
-    "cheapest_part_per_brand", "q6_forecast_revenue", "q7_nation_volume",
-    "q14_promo_revenue", "q18_large_orders", "groupingsets_flag_status",
-    "ivf_ann_neighbors", "q4_order_priority", "q8_market_share",
-    "q9_product_profit", "q13_customer_distribution", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q19_bracket_revenue",
-    "q22_inactive_balances", "sample_seeded_docs",
+# this round (re-based: a changed query must not wait out the queue
+# for its driver re-check). The r12-checked head (CORRECTNESS_r12.json
+# keys in order) fills any remaining room and, with the displaced
+# tail first, forms the staged _R14_ROTATE_IN.
+_R13_ROTATE_IN = [
+    "groupingsets_flag_status", "ivf_ann_neighbors", "q4_order_priority",
+    "q8_market_share", "q9_product_profit", "q13_customer_distribution",
+    "q15_top_supplier", "q17_small_quantity_revenue",
+    "q19_bracket_revenue", "q22_inactive_balances", "sample_seeded_docs",
     "multimodal_audio_features", "bloom_semijoin_orders",
     "lm_quality_docs", "kmeans_clusters_embeddings",
     "convert_event_values", "unpivot_flag_metrics", "window_price_change",
@@ -73,35 +58,7 @@ _R12_ROTATE_IN = [
     "temperature_mixture_docs", "winnow_signals_docs",
     "lexical_diversity_sources", "script_profile_docs",
     "bpe_merge_candidates", "corpus_datacard", "winsorize_doc_lengths",
-    "mmr_diverse_topk",
-]
-
-# Workloads declared for the first time in round 12 — never driver-
-# checked, so they get guaranteed head slots.
-_R12_NEW = [
-    "psl_domains_docs", "quality_classifier_train_docs",
-    "image_dhash_dedup", "streaming_incremental_dedup_docs",
-    "kn_perplexity_docs", "dsir_hashed_select_docs",
-    "audio_ahash_dedup", "video_dhash_dedup",
-    "kn_trigram_perplexity_docs", "ccnet_pipeline_docs",
-]
-
-# Workloads whose Spark+oracle definition changed in round 12:
-# guaranteed a re-check slot even though their queue position would
-# have missed the head (the URL family gained full PSL semantics —
-# private section / wildcards / exceptions / bare-suffix NULL — and
-# IPv6-literal parsing; the card scrub's replace fold became
-# \b-anchored).
-_R12_REBASED = [
-    "url_normalize_docs", "domain_filter_docs",
-    "domain_reputation_docs", "pii_card_scrub_docs",
-]
-
-# The r11-checked head, in its r11 head order (= CORRECTNESS_r11.json
-# key set): fills r12 to 50 from the front if room remains; the
-# remainder seeds the ROUND-13 ROTATION QUEUE.
-_R11_CHECKED_HEAD = [
-    "language_guesses", "approx_percentiles_by_source",
+    "mmr_diverse_topk", "language_guesses", "approx_percentiles_by_source",
     "dedup_incremental_docs", "q2_min_cost_supplier",
     "q11_important_parts", "q12_ship_latency", "q16_supplier_variety",
     "sample_k_docs_per_lang", "psychrometrics_events",
@@ -117,16 +74,53 @@ _R11_CHECKED_HEAD = [
     "repetition_signals_docs", "decontamination_hits",
     "token_budget_by_source", "stratified_sample_langs",
     "chunk_documents_docs", "pack_sequences_docs", "scrub_pii_docs",
-    "boilerplate_paragraphs_docs", "url_normalize_docs",
-    "domain_filter_docs", "bpe_trained_merges", "quality_classifier_docs",
-    "pii_card_scrub_docs", "domain_reputation_docs",
-    "bpe_subword_stats_docs", "line_corrections_docs", "html_strip_docs",
-    "cluster_best_keeper_docs", "curation_funnel_docs",
+    "boilerplate_paragraphs_docs", "bpe_trained_merges",
+    "quality_classifier_docs", "bpe_subword_stats_docs",
+    "line_corrections_docs", "html_strip_docs", "cluster_best_keeper_docs",
+    "curation_funnel_docs",
+]
+
+# Workloads declared for the first time in round 13 — never driver-
+# checked, so they get guaranteed head slots.
+_R13_NEW = [
+]
+
+# Workloads whose Spark+oracle definition changed in round 13:
+# guaranteed a re-check slot even though their queue position would
+# have missed the head.
+_R13_REBASED = [
+]
+
+# The r12-checked head, in its r12 head order (= CORRECTNESS_r12.json
+# key set): fills r13 to 50 from the front if room remains; the
+# remainder seeds the ROUND-14 ROTATION QUEUE.
+_R12_CHECKED_HEAD = [
+    "neardup_clusters", "percentiles_by_source", "tfidf_top_terms",
+    "semantic_revenue_by_segment", "gopher_quality_docs",
+    "duplicate_ngram_spans", "lm_perplexity_buckets", "cms_heavy_terms",
+    "ann_recall_lsh", "random_projection_embeddings", "bm25_search_docs",
+    "remove_dup_spans_docs", "cms_incremental_terms", "rp_ann_recall",
+    "streaming_cms_terms", "epoch_mixture_docs", "hybrid_search_docs",
+    "source_kl_docs", "streaming_hourly_events",
+    "multimodal_image_features", "asof_click_purchase",
+    "intersect_repeat_customers", "corpus_overlap_halves",
+    "approx_distinct_fingerprints", "range_clicks_per_purchase_hour",
+    "simulated_sensor_rollup", "scd2_customer_batches",
+    "detect_event_phases", "streaming_user_sessions",
+    "skew_salted_event_join", "median_acctbal_by_segment",
+    "cheapest_part_per_brand", "q6_forecast_revenue", "q7_nation_volume",
+    "q14_promo_revenue", "q18_large_orders", "psl_domains_docs",
+    "quality_classifier_train_docs", "image_dhash_dedup",
+    "streaming_incremental_dedup_docs", "kn_perplexity_docs",
+    "dsir_hashed_select_docs", "audio_ahash_dedup", "video_dhash_dedup",
+    "kn_trigram_perplexity_docs", "ccnet_pipeline_docs",
+    "url_normalize_docs", "domain_filter_docs", "domain_reputation_docs",
+    "pii_card_scrub_docs",
 ]
 
 _unknown_rotate = (
-    set(_R12_ROTATE_IN) | set(_R12_NEW) | set(_R12_REBASED)
-    | set(_R11_CHECKED_HEAD)
+    set(_R13_ROTATE_IN) | set(_R13_NEW) | set(_R13_REBASED)
+    | set(_R12_CHECKED_HEAD)
 ) - set(_ALL_QUERIES)
 if _unknown_rotate:  # fail loudly: a stale queue would silently shrink
     raise RuntimeError(  # the next round's driver-checked head
@@ -137,12 +131,12 @@ if _unknown_rotate:  # fail loudly: a stale queue would silently shrink
 # and this round's re-based definitions are guaranteed slots; the
 # rotate-in queue fills the rest and its displaced TAIL rolls into
 # next round's queue first (oldest checked, already overdue), then
-# the r11-checked head in its r11 order.
-_queue = [k for k in _R12_ROTATE_IN if k not in set(_R12_REBASED)]
-_rotate_room = max(0, 50 - len(_R12_NEW) - len(_R12_REBASED))
-_HEAD = (_queue[:_rotate_room] + _R12_NEW + _R12_REBASED)[:50]
-_R13_ROTATE_IN = _queue[_rotate_room:] + [
-    k for k in _R11_CHECKED_HEAD if k not in set(_HEAD)
+# the r12-checked head in its r12 order.
+_queue = [k for k in _R13_ROTATE_IN if k not in set(_R13_REBASED)]
+_rotate_room = max(0, 50 - len(_R13_NEW) - len(_R13_REBASED))
+_HEAD = (_queue[:_rotate_room] + _R13_NEW + _R13_REBASED)[:50]
+_R14_ROTATE_IN = _queue[_rotate_room:] + [
+    k for k in _R12_CHECKED_HEAD if k not in set(_HEAD)
 ]
 _ORDER = _HEAD + [k for k in _ALL_QUERIES if k not in set(_HEAD)]
 QUERIES = {k: _ALL_QUERIES[k] for k in _ORDER}

@@ -64,6 +64,22 @@ class TestCalibrationFlagLogic:
         c2 = _calib_with({"start": 1.0, "end": 2.3}, tmp_path)
         assert c2.result(frozen=None)["contended"] is True
 
+    def test_unmatched_label_falls_back_to_worst_frozen(self, tmp_path):
+        # ADVICE r12: a renamed/new probe position must not silently
+        # contribute no ratio (uniform contention at that position
+        # would then pass under the 1.8x drift gate alone). It falls
+        # back to the slowest frozen position and is reported.
+        frozen = {"start": 1.0, "mid": 1.3, "end": 1.5}
+        c = _calib_with({"start": 1.0, "mid2": 2.5, "end": 1.5}, tmp_path)
+        r = c.result(frozen=frozen)
+        assert r["unmatched_labels"] == ["mid2"]
+        # 2.5 / max(frozen)=1.5 -> 1.667 > 1.3: flags
+        assert r["worst_vs_frozen"] == pytest.approx(2.5 / 1.5, abs=1e-3)
+        assert r["contended"] is True
+        # matched clean run carries no unmatched_labels key
+        c2 = _calib_with({"start": 1.0, "mid": 1.3, "end": 1.5}, tmp_path)
+        assert "unmatched_labels" not in c2.result(frozen=frozen)
+
     def test_per_position_frozen_ignores_intrinsic_drift(self, tmp_path):
         # an idle full bench: end sample 1.5x start from JVM aging —
         # per-position references must NOT flag it...

@@ -4145,6 +4145,22 @@ class TestVideoDhash:
         with pytest.raises(ValueError):
             decode_avi_dib_frames(b"RIFF\x00\x00\x00\x00AVI ")  # no avih
 
+    def test_mid_chunk_truncation_is_valueerror_not_indexerror(self):
+        # ADVICE r12: a payload cut mid-chunk keeps the DECLARED size
+        # plausible (size >= row_size*height) but the pixel loop would
+        # read past len(payload) -> IndexError, which is not in
+        # video_frame_dhashes' except tuple and would kill the task.
+        # The bounds check must surface it as ValueError instead.
+        from odibi_spark.llm.multimodal import (
+            decode_avi_dib_frames, synth_avi_dib,
+        )
+
+        f1 = [[(x * 5 + y) % 256 for x in range(18)] for y in range(16)]
+        payload = synth_avi_dib([f1])
+        truncated = payload[:-40]  # cut inside the 00db pixel body
+        with pytest.raises(ValueError):
+            decode_avi_dib_frames(truncated)
+
     def test_one_frame_edit_is_near_dup(self, spark):
         from odibi_spark.llm.multimodal import (
             synth_avi_dib, video_frame_dhashes, video_neardup_pairs,

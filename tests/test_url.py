@@ -318,6 +318,33 @@ class TestFilterBlockedDomains:
         assert "LeftAnti" in plan
         assert [r.doc_id for r in out.collect()] == [2]
 
+    def test_derived_detected_in_wide_projection(self, spark):
+        """ADVICE r12: plan toString elides expression lists past
+        spark.sql.debug.maxToStringFields (default 25), so the old
+        ' AS col#' string probe missed a derived domain hidden in a
+        wide projection and re-selected the literal NOT-IN codegen
+        trap. The py4j expression walk must see through the elision
+        — and still classify stored columns as stored."""
+        from pyspark.sql import functions as F
+
+        from odibi_spark.llm.url import _is_derived_column
+
+        wide = self._df(spark).select(
+            "doc_id",
+            F.upper(F.col("registered_domain")).alias("registered_domain"),
+            *[F.lit(i).alias(f"pad_{i}") for i in range(40)],
+        )
+        assert _is_derived_column(wide, "registered_domain") is True
+        out = filter_blocked_domains(wide, ["spam.com"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan
+        # stored column in an equally wide projection stays stored
+        stored = self._df(spark).select(
+            "doc_id", "registered_domain",
+            *[F.lit(i).alias(f"pad_{i}") for i in range(40)],
+        )
+        assert _is_derived_column(stored, "registered_domain") is False
+
     def test_paths_result_identical(self, spark):
         """Literal and anti-join paths agree row-for-row (incl. the
         NULL-kept policy) on the same input."""
