@@ -70,16 +70,16 @@ def explode_nonempty(df: DataFrame, arr, alias: str, *keep) -> DataFrame:
     a cheap attribute filter ABOVE the Generate, which cannot be
     pushed below it.
 
-    PRECONDITION (ADVICE r12): the array's ELEMENTS must be non-NULL.
-    The post-Generate ``isNotNull`` filter cannot distinguish "row had
-    an empty/NULL array" (the marker row explode_outer adds, which
-    plain explode also drops) from "array contained a NULL element"
-    (which plain explode KEEPS) — so for arrays with nullable elements
-    this drops rows plain explode would emit. Every call site here
-    produces arrays of non-NULL strings/hashes (split/transform/
-    sequence outputs); pass such arrays only."""
-    out = df.select(*keep, F.explode_outer(arr).alias(alias))
-    return out.filter(F.col(alias).isNotNull())
+    EXACTLY explode's semantics (ADVICE r12): the filter keys on the
+    ``posexplode_outer`` POSITION marker, which is NULL only for the
+    row an empty/NULL array produces — never for a NULL element — so
+    arrays with nullable elements keep those rows just like plain
+    explode would (a value-keyed isNotNull filter silently dropped
+    them)."""
+    out = df.select(
+        *keep, F.posexplode_outer(arr).alias("__xne_pos", alias)
+    )
+    return out.filter(F.col("__xne_pos").isNotNull()).drop("__xne_pos")
 
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -91,13 +91,22 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     index (O(words^2) string work per doc — measured 1.6x slower
     end-to-end at sf0.1). CollapseProject keeps the split separate
     because the column is referenced more than once.
+
+    Docs with < ``n`` words carry an EMPTY shingle array (r13: the
+    former ``filter(size(__w) >= n)`` pushed ``size(split(text))``
+    into the parquet scan filter, recomputing the split per row —
+    the CASE guard keeps the short-doc cutoff while the split stays
+    computed once). Every consumer explodes the array or joins back
+    by candidate id, so empty-array rows never surface downstream.
     """
     words = df.select(
         F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), " ").alias("__w")
-    ).filter(F.size("__w") >= n)
+    )
     sh = F.expr(
+        f"CASE WHEN size(__w) >= {n} THEN "
         f"array_sort(array_distinct(transform(sequence(1, size(__w) - {n - 1}), "
-        f"i -> concat_ws(' ', slice(__w, i, {n})))))"
+        f"i -> concat_ws(' ', slice(__w, i, {n}))))) "
+        f"ELSE array() END"
     )
     return words.select("id", sh.alias("shingles"))
 
@@ -740,10 +749,19 @@ def remove_duplicate_spans(
     words = df.select(
         F.col(id_col), F.split(F.trim(F.col(text_col)), " ").alias("__w")
     )
-    toks = words.select(
-        F.col(id_col),
-        F.posexplode("__w").alias("pos0", "tok"),
-    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "tok")
+    # posexplode_outer + marker filter: plain posexplode of the __w
+    # ATTRIBUTE lets InferFiltersFromGenerate add size(__w) > 0, and
+    # pushdown substitutes split(trim(text)) into the scan filter
+    # (the r13 sweep caught this recompute); the outer variant infers
+    # nothing and the NULL-position marker row is dropped above.
+    toks = (
+        words.select(
+            F.col(id_col),
+            F.posexplode_outer("__w").alias("pos0", "tok"),
+        )
+        .filter(F.col("pos0").isNotNull())
+        .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "tok")
+    )
     spans = explode_nonempty(
         words,
         F.expr(
@@ -836,23 +854,30 @@ def winnow_fingerprints(
     words = df.select(
         F.col(id_col).alias("id"),
         F.split(F.trim(F.col(text_col)), " ").alias("__w"),
-    ).filter(F.size("__w") >= k + window - 1)
+    )
     # gram hashes projected into their own column first (interpreted
-    # HOFs don't CSE an inlined split — the word_shingles lesson)
+    # HOFs don't CSE an inlined split — the word_shingles lesson).
+    # CASE guards replace the former filter(size(__w) >= k+window-1),
+    # which pushed size(split(text)) into the scan filter and
+    # recomputed the split per row (r13); short docs yield array()
+    # and explode to nothing, exactly as the filter dropped them.
     grams = words.withColumn(
         "__gh",
         F.expr(
+            f"CASE WHEN size(__w) >= {k + window - 1} THEN "
             f"transform(sequence(1, size(__w) - {k - 1}), i -> "
             f"CAST(conv(substring(md5(concat_ws(' ', slice(__w, i, {k}))),"
-            f" 1, 15), 16, 10) AS BIGINT))"
+            f" 1, 15), 16, 10) AS BIGINT)) ELSE array() END"
         ),
     )
     fps = explode_nonempty(
         grams,
         F.array_distinct(
             F.expr(
+                f"CASE WHEN size(__gh) >= {window} THEN "
                 f"transform(sequence(1, size(__gh) - {window - 1}), "
-                f"i -> array_min(slice(__gh, i, {window})))"
+                f"i -> array_min(slice(__gh, i, {window}))) "
+                f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
             )
         ),
         "fp",

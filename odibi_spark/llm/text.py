@@ -1014,6 +1014,8 @@ def bm25_scores(
     rows broadcast back. Docs matching no term score 0.0 and are kept
     (filter on score > 0 for retrieval). No Python in the row path.
     """
+    from odibi_spark.llm.dedup import explode_nonempty
+
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = [t.lower() for t in query_terms]
@@ -1034,8 +1036,12 @@ def bm25_scores(
             / F.count(F.lit(1))
         ).alias("avgdl"),
     )
+    # explode_nonempty, not explode: exploding the __w ATTRIBUTE lets
+    # InferFiltersFromGenerate add size(__w) > 0, and pushdown
+    # substitutes split(trim(lower(text))) into the scan filter —
+    # recomputing the split per row (r13 sweep)
     hits = (
-        words.select(F.col(id_col), F.explode("__w").alias("tok"))
+        explode_nonempty(words, "__w", "tok", F.col(id_col))
         .filter(F.col("tok").isin(*terms))
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
@@ -1151,15 +1157,19 @@ def doc_bigrams(
         F.split(F.trim(F.lower(F.col(text_col))), " "),
         lambda t: t != "",
     )
-    staged = df.select(F.col(id_col), toks.alias("__toks")).filter(
-        F.size("__toks") >= 2
-    )
+    # CASE guard instead of filter(size(__toks) >= 2): the explicit
+    # filter substituted the whole interpreted filter(split(...))
+    # lambda into the parquet scan filter (r13 sweep) — short docs
+    # now stage an empty array and explode to nothing, same contract.
+    staged = df.select(F.col(id_col), toks.alias("__toks"))
     return explode_nonempty(
         staged,
         F.expr(
+            "CASE WHEN size(__toks) >= 2 THEN "
             "transform(sequence(1, size(__toks) - 1), i -> "
             "struct(element_at(__toks, i) AS w1, "
-            "element_at(__toks, i + 1) AS w2))"
+            "element_at(__toks, i + 1) AS w2)) "
+            "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
         ),
         "__bg",
         id_col,
@@ -1269,16 +1279,19 @@ def doc_trigrams(
         F.split(F.trim(F.lower(F.col(text_col))), " "),
         lambda t: t != "",
     )
-    staged = df.select(F.col(id_col), toks.alias("__toks")).filter(
-        F.size("__toks") >= 3
-    )
+    # CASE guard instead of filter(size(__toks) >= 3) — see
+    # doc_bigrams (the filter pushed the interpreted lambda into the
+    # scan filter; the guard keeps the short-doc contract).
+    staged = df.select(F.col(id_col), toks.alias("__toks"))
     return explode_nonempty(
         staged,
         F.expr(
+            "CASE WHEN size(__toks) >= 3 THEN "
             "transform(sequence(1, size(__toks) - 2), i -> "
             "struct(element_at(__toks, i) AS w1, "
             "element_at(__toks, i + 1) AS w2, "
-            "element_at(__toks, i + 2) AS w3))"
+            "element_at(__toks, i + 2) AS w3)) ELSE CAST(array() AS "
+            "ARRAY<STRUCT<w1: STRING, w2: STRING, w3: STRING>>) END"
         ),
         "__tg",
         id_col,

@@ -202,10 +202,31 @@ def explode_list_column(
     output_column: str | None = None,
     keep_nulls: bool = False,
 ) -> EngineContext:
-    """explode / explode_outer (reference: advanced.py:119-202)."""
+    """explode / explode_outer (reference: advanced.py:119-202).
+
+    The keep_nulls=False path is posexplode_outer + a NULL-position
+    marker filter rather than plain explode: identical semantics
+    (the marker is NULL only for the empty/NULL-array row, never for
+    NULL elements), but InferFiltersFromGenerate adds nothing, so
+    predicate pushdown can't substitute a computed array expression
+    into the scan filter (the r13 plan sweep caught split(p_name)
+    being re-evaluated per row in the parquet scan filter here)."""
     out = output_column or column
-    fn = F.explode_outer if keep_nulls else F.explode
-    return ctx.with_df(ctx.df.withColumn(out, fn(F.col(column))))
+    if keep_nulls:
+        return ctx.with_df(
+            ctx.df.withColumn(out, F.explode_outer(F.col(column)))
+        )
+    pos, val = "__xlc_pos", "__xlc_val"
+    df = (
+        ctx.df.select(
+            "*", F.posexplode_outer(F.col(column)).alias(pos, val)
+        )
+        .filter(F.col(pos).isNotNull())
+        .drop(pos)
+        .withColumn(out, F.col(val))
+        .drop(val)
+    )
+    return ctx.with_df(df)
 
 
 @transform("validate_and_flag")

@@ -621,8 +621,10 @@ def corpus_overlap_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     from odibi_spark.llm.kmv import kmv_overlap
 
     docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
-    sh = word_shingles(docs, "doc_id", "text", n=3).select(
-        "id", F.explode("shingles").alias("sh")
+    from odibi_spark.llm.dedup import explode_nonempty
+
+    sh = explode_nonempty(
+        word_shingles(docs, "doc_id", "text", n=3), "shingles", "sh", "id"
     )
     return kmv_overlap(
         sh.filter("id % 2 = 0"),

@@ -514,7 +514,7 @@ class TestNoUndocumentedSinglePartition:
         from odibi_spark.workloads import QUERIES
 
         sf = "/root/testdata/sf0.001"
-        offenders, skipped = [], set()
+        offenders, skipped, filter_recompute = [], set(), []
         for name, fn in QUERIES.items():
             try:
                 plan = plan_of(fn(spark, sf))
@@ -523,6 +523,18 @@ class TestNoUndocumentedSinglePartition:
                 continue
             if "SinglePartition" in plan and name not in self.ALLOWED:
                 offenders.append(name)
+            # r13 extension of TestNoExplodedExpressionInScanFilter,
+            # fleet-wide: a Filter node re-evaluating split(...) or an
+            # interpreted lambda means pushdown substituted a computed
+            # array expression below its Generate/projection — the
+            # token pipelines then tokenize every row TWICE (plain
+            # split ~15%, interpreted HOFs 2-9x measured at sf0.1).
+            for line in plan.splitlines():
+                if "Filter" in line and (
+                    "split(" in line or "lambdafunction(" in line
+                ):
+                    filter_recompute.append((name, line.strip()[:160]))
+                    break
         assert skipped == set(self.EXPECTED_BUILD_SKIPS) & set(QUERIES), (
             f"workloads escaped the SinglePartition audit by raising at "
             f"build time: {sorted(skipped - self.EXPECTED_BUILD_SKIPS)}; "
@@ -532,6 +544,12 @@ class TestNoUndocumentedSinglePartition:
             f"undocumented Exchange SinglePartition in: {offenders}; "
             "either fix the plan or document why it is inherent and "
             "add it to ALLOWED"
+        )
+        assert not filter_recompute, (
+            "Filter nodes re-evaluating split()/HOF lambdas (scan-"
+            "side tokenizer recompute — use dedup.explode_nonempty / "
+            "a CASE size-guard instead of an explicit size filter): "
+            f"{filter_recompute[:5]}"
         )
 
 
@@ -548,7 +566,10 @@ class TestNoExplodedExpressionInScanFilter:
         plan = df._jdf.queryExecution().executedPlan().toString()
         bad = [
             line for line in plan.splitlines()
-            if "Filter" in line and "transform(" in line
+            if "Filter" in line and (
+                "transform(" in line or "split(" in line
+                or "lambdafunction(" in line
+            )
         ]
         assert not bad, bad[0][:300]
 
@@ -597,6 +618,82 @@ class TestNoExplodedExpressionInScanFilter:
         self._no_transform_in_filter(
             text.doc_bigrams(docs, "doc_id", "text")
         )
+        self._no_transform_in_filter(
+            text.doc_trigrams(docs, "doc_id", "text")
+        )
+
+    def test_r13_plain_split_sites(self, spark):
+        """r13 sweep fixes: bm25 token explode, winnowing size guard,
+        span-dedup posexplode, explode_list_column operator — none may
+        re-evaluate split()/lambdas in a scan-side Filter."""
+        from odibi_spark.llm import dedup, text
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        self._no_transform_in_filter(
+            text.bm25_scores(docs, ["the", "data"])
+        )
+        self._no_transform_in_filter(
+            dedup.winnow_fingerprints(docs, k=5, window=4)
+        )
+        self._no_transform_in_filter(
+            dedup.remove_duplicate_spans(docs, ngram=8)
+        )
+        self._no_transform_in_filter(
+            dedup.word_shingles(docs, "doc_id", "text", 3)
+        )
+
+    def test_explode_list_column_operator_no_inference(self, spark):
+        """The YAML explode operator (posexplode_outer + marker) must
+        not let InferFiltersFromGenerate push a computed array into
+        the scan filter — and must keep EXACT explode semantics,
+        including NULL elements (which a value-keyed filter drops)."""
+        from odibi_spark import Context, EngineContext
+        from odibi_spark.operators.advanced import explode_list_column
+
+        parts = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+        ec = EngineContext(Context(spark), parts.selectExpr(
+            "p_partkey", "split(p_name, ' ') AS words"
+        ))
+        out = explode_list_column(ec, column="words", output_column="word")
+        self._no_transform_in_filter(out.df)
+        # semantics vs plain explode: NULL elements kept, empty/NULL
+        # arrays dropped
+        df = spark.createDataFrame(
+            [(1, ["a", None, "b"]), (2, []), (3, None), (4, ["c"])],
+            "id int, arr array<string>",
+        )
+        got = explode_list_column(
+            EngineContext(Context(spark), df), column="arr",
+            output_column="v",
+        ).df.select("id", "v")
+        want = df.select("id", F.explode("arr").alias("v"))
+        key = lambda t: (t[0], t[1] is None, t[1] or "")
+        assert sorted(map(tuple, got.collect()), key=key) == sorted(
+            map(tuple, want.collect()), key=key
+        )
+
+    def test_explode_nonempty_keeps_null_elements(self, spark):
+        """ADVICE r12 item 2 follow-through: explode_nonempty now
+        matches plain explode exactly — NULL ELEMENTS survive; only
+        the empty/NULL-ARRAY marker row is dropped."""
+        from odibi_spark.llm.dedup import explode_nonempty
+
+        df = spark.createDataFrame(
+            [(1, ["a", None]), (2, []), (3, None)],
+            "id int, arr array<string>",
+        )
+        key = lambda t: (t[0], t[1] is None, t[1] or "")
+        got = sorted(
+            map(tuple, explode_nonempty(df, "arr", "v", "id").collect()),
+            key=key,
+        )
+        want = sorted(
+            map(tuple, df.select("id", F.explode("arr").alias("v")).collect()),
+            key=key,
+        )
+        assert got == want == [(1, "a"), (1, None)]
 
 
 class TestBloomSemijoin:
