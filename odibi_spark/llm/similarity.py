@@ -398,11 +398,25 @@ def ivf_assign(
       same fold, tiebreak is the same lowest-cell, so assignments are
       identical between paths.
     """
-    sel = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # NULL vectors are dropped explicitly (a stored-column predicate,
+    # scan-pushable for free): the inline path used to drop them
+    # implicitly at the downstream cell join while the broadcast path
+    # kept them under an arbitrary cell — now both paths agree
+    sel = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).filter(F.col("vec").isNotNull())
     if _use_inline(centroids, inline_limit):
         sims = F.array(*[_dot_lit("vec", c) for c in centroids])
-        # argmax: first index attaining the max (deterministic tiebreak)
-        cell = F.array_position(sims, F.array_max(sims)) - 1
+        # argmax: first index attaining the max (deterministic
+        # tiebreak). coalesce(-1) makes the column NON-NULLABLE
+        # (array_position can never miss here — the max is in the
+        # array — but Catalyst doesn't know that): downstream joins
+        # on cell otherwise infer isnotnull(cell) and pushdown
+        # substitutes ALL nlist dot products into the scan filter,
+        # re-scoring every row twice (caught by the r13 fleet audit).
+        cell = F.coalesce(
+            F.array_position(sims, F.array_max(sims)) - 1, F.lit(-1)
+        )
         return sel.withColumn("cell", cell.cast("int"))
     cent = _centroid_frame(df.sparkSession, centroids)
     scored = sel.crossJoin(F.broadcast(cent)).withColumn(

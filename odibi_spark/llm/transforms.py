@@ -1366,3 +1366,66 @@ def kn_trigram_perplexity_transform(
             discount=float(discount),
         )
     )
+
+
+@transform("lang_classifier_train")
+def lang_classifier_train_transform(
+    ctx: EngineContext,
+    *,
+    classes: list[str],
+    text_col: str = "text",
+    label_col: str = "lang",
+    buckets: int = 2048,
+    epochs: int = 3,
+    lr_num: int = 1,
+    lr_den: int = 1,
+    max_chars: int = 120,
+    id_col: str = "doc_id",
+    out_col: str = "lang_pred",
+) -> EngineContext:
+    """Train the multiclass fastText-style language classifier on the
+    CURRENT frame (langid.lang_classifier_train — coupled rational-
+    softmax full-batch GD, deterministic in the data, no MLlib) and
+    immediately classify the frame with the learned weights: the
+    trained->inference chain as one YAML node."""
+    from odibi_spark.llm import langid
+
+    weights = langid.lang_classifier_train(
+        ctx.df, text_col, label_col, classes=list(classes),
+        buckets=int(buckets), epochs=int(epochs),
+        lr=(int(lr_num), int(lr_den)), max_chars=int(max_chars),
+        id_col=id_col,
+    )
+    return ctx.with_df(
+        langid.lang_classify(
+            ctx.df, text_col, weights=weights, id_col=id_col,
+            max_chars=int(max_chars), out_col=out_col,
+        )
+    )
+
+
+@transform("lang_classify")
+def lang_classify_transform(
+    ctx: EngineContext,
+    *,
+    weights: dict[str, list[float]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chars: int = 120,
+    out_col: str = "lang_pred",
+    unknown: str = "und",
+) -> EngineContext:
+    """Argmax language prediction from exported per-class weights
+    (langid.lang_classify): pass the dict a lang_classifier_train fit
+    returned, or weights exported from an external fastText model
+    quantized to 6 decimals."""
+    from odibi_spark.llm import langid
+
+    return ctx.with_df(
+        langid.lang_classify(
+            ctx.df, text_col,
+            weights={k: list(v) for k, v in weights.items()},
+            id_col=id_col, max_chars=int(max_chars), out_col=out_col,
+            unknown=unknown,
+        )
+    )

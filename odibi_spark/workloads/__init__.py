@@ -83,6 +83,8 @@ _R13_ROTATE_IN = [
 # Workloads declared for the first time in round 13 — never driver-
 # checked, so they get guaranteed head slots.
 _R13_NEW = [
+    "lang_classifier_train_docs", "lang_classify_docs",
+    "ccnet_lid_pipeline_docs",
 ]
 
 # Workloads whose Spark+oracle definition changed in round 13:

@@ -4865,7 +4865,7 @@ def ccnet_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CCNET_TAIL_TEMPLATE = """
+_CCNET_LANG_TEMPLATE = """
 h AS (
   SELECT doc_id,
     len(list_filter(string_split(trim(lower(text)), ' '),
@@ -4886,7 +4886,12 @@ g AS (
               WHEN h_es = {g0} THEN 'es'
               ELSE 'de' END AS lang_guess
   FROM h
-),
+),"""
+
+# KN-perplexity + tercile tail shared by ccnet v1 (stopword lang
+# guess) and ccnet v2 (trained classifier): references `cleaned`
+# and a `g` CTE exposing (doc_id, lang_guess).
+_CCNET_KN_TAIL = """
 t AS (
   SELECT doc_id,
          list_filter(string_split(trim(lower(text)), ' '),
@@ -4945,13 +4950,15 @@ SELECT lang_guess,
 FROM ranked GROUP BY 1, 2
 """
 
+_CCNET_TAIL_TEMPLATE = _CCNET_LANG_TEMPLATE + _CCNET_KN_TAIL
+
+
 _CCNET_TAIL = _CCNET_TAIL_TEMPLATE.format(
     en=_STOP_LISTS["en"], fr=_STOP_LISTS["fr"], es=_STOP_LISTS["es"],
     de=_STOP_LISTS["de"], g0="greatest(h_en, h_fr, h_es, h_de)", dec=DEC,
 )
 
-CCNET_PIPELINE_SQL = (
-    r"""
+_CCNET_CLEAN_HEAD = r"""
 WITH c AS (
   SELECT doc_id, source,
          'SITE NAV' || chr(10) || 'home about contact' ||
@@ -4987,7 +4994,322 @@ cleaned AS (
   ) r USING (doc_id)
 ),
 """
-    + _CCNET_TAIL
-)
+
+CCNET_PIPELINE_SQL = _CCNET_CLEAN_HEAD + _CCNET_TAIL
 QUERIES.update({"ccnet_pipeline_docs": ccnet_pipeline_docs})
 ORACLES.update({"ccnet_pipeline_docs": CCNET_PIPELINE_SQL})
+
+
+# ---------------------------------------------------------------------------
+# r13: trainable fastText-style language-ID classifier (llm/langid.py)
+# ---------------------------------------------------------------------------
+
+_LID_CLASSES = ["de", "en", "es", "fr", "zh"]
+_LID_BUCKETS, _LID_EPOCHS, _LID_LR = 512, 2, (1, 1)
+_LID_MAXC = 120
+
+
+def _lid_h60(x: str, buckets: int) -> str:
+    """DuckDB twin of the portable 60-bit md5 fold mod buckets."""
+    return (
+        f"CAST(concat('0x', substring(md5({x}), 1, 15)) AS BIGINT)"
+        f" % {buckets}"
+    )
+
+
+def _lid_train_ctes(
+    src: str,
+    label_expr: str,
+    *,
+    classes: list[str] = _LID_CLASSES,
+    buckets: int = _LID_BUCKETS,
+    epochs: int = _LID_EPOCHS,
+    lr: tuple[int, int] = _LID_LR,
+    max_chars: int = _LID_MAXC,
+) -> str:
+    """Generated DuckDB replay of ``langid.lang_classifier_train``:
+    CTE fragments (for a WITH context) ending in the trained wide
+    weight table ``lw{epochs}`` (b, w_0..w_{K-1} micro-units) plus
+    ``lid_feats``/``lid_docs`` for downstream inference. ``src`` is
+    the corpus relation (must expose doc_id + text), ``label_expr``
+    the label SQL over it. The integer/Elliott/coupled-softmax
+    protocol is pinned to the Spark side expression-for-expression —
+    every epoch, and therefore every argmax prediction, is bit-exact.
+    """
+    kk = len(classes)
+    lr_num, lr_den = lr
+    wzeros = ", ".join(f"CAST(0 AS BIGINT) AS w_{k}" for k in range(kk))
+    parts = [f"""
+lid_base AS MATERIALIZED (
+  SELECT doc_id, {label_expr} AS y_lang,
+         substring(lower(trim(text)), 1, {max_chars}) AS t
+  FROM {src}
+),
+lid_feats AS MATERIALIZED (
+  SELECT doc_id, unnest(list_concat(
+    list_transform(range(1, length(t)),
+      i -> {_lid_h60("substring(t, CAST(i AS INTEGER), 2)", buckets)}),
+    list_transform(range(1, length(t) - 1),
+      i -> {_lid_h60("substring(t, CAST(i AS INTEGER), 3)", buckets)})
+  )) AS b
+  FROM lid_base
+),
+lid_docs AS MATERIALIZED (
+  SELECT d.doc_id, d.y_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lid_base d JOIN lid_feats f USING (doc_id)
+  GROUP BY d.doc_id, d.y_lang
+),
+lid_nn AS MATERIALIZED (SELECT COUNT(*) AS n_docs FROM lid_docs),
+lw0 AS MATERIALIZED (
+  SELECT unnest(range(0, {buckets})) AS b, {wzeros}
+)"""]
+    sigs = [
+        f"(0.5 + ((CAST(s.ws_{k} AS DOUBLE) / (1000000.0 * d.n))) / "
+        f"(2.0 * (1.0 + abs((CAST(s.ws_{k} AS DOUBLE) / "
+        f"(1000000.0 * d.n))))))"
+        for k in range(kk)
+    ]
+    ssum = "(" + " + ".join(sigs) + ")"
+    for t in range(1, epochs + 1):
+        wsums = ", ".join(
+            f"CAST(SUM(w.w_{k}) AS BIGINT) AS ws_{k}" for k in range(kk)
+        )
+        qcols = ", ".join(
+            f"CAST(floor(((({sigs[k]} / {ssum}) - (CASE WHEN d.y_lang = "
+            f"'{c}' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)) "
+            f"* 1000000.0) / d.n) AS BIGINT) AS q_{k}"
+            for k, c in enumerate(classes)
+        )
+        gcols = ", ".join(
+            f"CAST(SUM(q.q_{k}) AS BIGINT) AS g_{k}" for k in range(kk)
+        )
+        wcols = ", ".join(
+            f"w.w_{k} - COALESCE(({lr_num} * g.g_{k}) // "
+            f"({lr_den} * (SELECT n_docs FROM lid_nn)), 0) AS w_{k}"
+            for k in range(kk)
+        )
+        parts.append(f""",
+ls{t} AS MATERIALIZED (
+  SELECT f.doc_id, {wsums}
+  FROM lid_feats f JOIN lw{t - 1} w USING (b) GROUP BY f.doc_id
+),
+lq{t} AS MATERIALIZED (
+  SELECT d.doc_id, {qcols}
+  FROM lid_docs d JOIN ls{t} s USING (doc_id)
+),
+lg{t} AS MATERIALIZED (
+  SELECT f.b, {gcols}
+  FROM lid_feats f JOIN lq{t} q USING (doc_id) GROUP BY f.b
+),
+lw{t} AS MATERIALIZED (
+  SELECT w.b, {wcols}
+  FROM lw{t - 1} w LEFT JOIN lg{t} g USING (b)
+)""")
+    return "".join(parts)
+
+
+def _lid_classify_ctes(
+    *,
+    classes: list[str] = _LID_CLASSES,
+    epochs: int = _LID_EPOCHS,
+    guess_cte: str = "lid_pred",
+) -> str:
+    """CTE fragments (appended after :func:`_lid_train_ctes`) scoring
+    every featurized doc with the trained ``lw{epochs}`` weights and
+    arg-maxing: ``{guess_cte}`` exposes (doc_id, lang_pred). Logit =
+    (double of the exact micro-unit sum / 1e6) / n — the same two
+    correctly-rounded IEEE steps the Spark side takes — and the tie
+    break is the same first-match CASE chain over sorted classes."""
+    kk = len(classes)
+    wsums = ", ".join(
+        f"CAST(SUM(w.w_{k}) AS BIGINT) AS ws_{k}" for k in range(kk)
+    )
+    lcols = ", ".join(
+        f"((CAST(s.ws_{k} AS DOUBLE) / 1000000.0) / d.n) AS l_{k}"
+        for k in range(kk)
+    )
+    best = "greatest(" + ", ".join(f"l_{k}" for k in range(kk)) + ")"
+    chain = " ".join(
+        f"WHEN l_{k} = {best} THEN '{c}'" for k, c in enumerate(classes)
+    )
+    return f""",
+lid_cs AS MATERIALIZED (
+  SELECT f.doc_id, {wsums}
+  FROM lid_feats f JOIN lw{epochs} w USING (b) GROUP BY f.doc_id
+),
+lid_ll AS (
+  SELECT d.doc_id, d.n, {lcols}
+  FROM lid_docs d JOIN lid_cs s USING (doc_id)
+),
+{guess_cte} AS (
+  SELECT doc_id, n, CASE {chain} END AS lang_pred
+  FROM lid_ll
+)"""
+
+
+def lang_classifier_train_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distributed multiclass language-ID TRAINING (VERDICT r12 task
+    4): 2 coupled-softmax gradient epochs over the documents corpus,
+    5 language classes, 512 hashed char-2/3-gram buckets. Each epoch
+    is one broadcast weight join + groupBy(doc) exact integer sums,
+    one docs-sized residual projection, one map-side-combined
+    groupBy(bucket) K-gradient aggregate; driver state O(K x
+    buckets). Output is the learned micro-unit weight matrix in long
+    form; the oracle replays both epochs as generated CTE stages —
+    hash equality proves the whole compounding multiclass loop.
+    (The corpus's lang labels are synthetic/unlearnable — accuracy on
+    REAL language-distinct text is pinned in tests/test_langid.py.)"""
+    from odibi_spark.llm import langid
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    w = langid.lang_classifier_train(
+        docs, "text", "lang", classes=_LID_CLASSES,
+        buckets=_LID_BUCKETS, epochs=_LID_EPOCHS, lr=_LID_LR,
+        max_chars=_LID_MAXC,
+    )
+    rows = [
+        (c, b, int(round(x * 1e6)))
+        for c in _LID_CLASSES
+        for b, x in enumerate(w[c])
+    ]
+    return spark.createDataFrame(rows, "class string, b bigint, w_mu bigint")
+
+
+LANG_TRAIN_SQL = (
+    "WITH "
+    + _lid_train_ctes("documents", "lang")
+    + "\n"
+    + "\nUNION ALL ".join(
+        f"SELECT '{c}' AS class, b, w_{k} AS w_mu FROM lw{_LID_EPOCHS}"
+        for k, c in enumerate(_LID_CLASSES)
+    )
+)
+
+
+def lang_classify_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-classify chain: the 2-epoch trained weights score
+    every document and argmax to a predicted language (ties to the
+    lexicographically smallest class; featureless docs -> 'und').
+    Per-doc output hash-gates training AND inference bit-exactness
+    in one workload."""
+    from odibi_spark.llm import langid
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    w = langid.lang_classifier_train(
+        docs, "text", "lang", classes=_LID_CLASSES,
+        buckets=_LID_BUCKETS, epochs=_LID_EPOCHS, lr=_LID_LR,
+        max_chars=_LID_MAXC,
+    )
+    out = langid.lang_classify(
+        docs, "text", weights=w, max_chars=_LID_MAXC
+    )
+    return out.select("doc_id", "lang", "lang_pred", "lid_n_features")
+
+
+LANG_CLASSIFY_SQL = (
+    "WITH "
+    + _lid_train_ctes("documents", "lang")
+    + _lid_classify_ctes()
+    + """
+SELECT d.doc_id, d.lang,
+       COALESCE(p.lang_pred, 'und') AS lang_pred,
+       CAST(COALESCE(p.n, 0) AS BIGINT) AS lid_n_features
+FROM documents d LEFT JOIN lid_pred p USING (doc_id)
+"""
+)
+
+QUERIES.update({
+    "lang_classifier_train_docs": lang_classifier_train_docs,
+    "lang_classify_docs": lang_classify_docs,
+})
+ORACLES.update({
+    "lang_classifier_train_docs": LANG_TRAIN_SQL,
+    "lang_classify_docs": LANG_CLASSIFY_SQL,
+})
+
+
+def ccnet_lid_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet v2 (VERDICT r12 task 4): the published pipeline with the
+    language gate swapped from the stopword heuristic onto the
+    TRAINED fastText-style classifier — Wenzek et al. 2019 gate on a
+    fastText lang-id model, and this is that composition end-to-end:
+    paragraph-hash boilerplate removal -> 2-epoch coupled-softmax
+    lang-id training ON THE CLEANED CORPUS (labels joined from the
+    source table) -> argmax language prediction -> KN-bigram
+    perplexity terciles PER PREDICTED LANGUAGE. The oracle replays
+    boilerplate removal, both training epochs, the argmax, and the
+    KN chain in one generated query — hash equality gates the whole
+    trained-model composition."""
+    from pyspark.sql.window import Window
+
+    from odibi_spark.llm import langid
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    staged = docs.select(
+        "doc_id", "source",
+        F.concat_ws(
+            "\n\n",
+            F.lit("SITE NAV\nhome about contact"),
+            F.col("text"),
+            F.concat(
+                F.lit("COPYRIGHT "), F.col("source"),
+                F.lit("\nall rights reserved"),
+            ),
+        ).alias("text"),
+    )
+    cleaned = dedup.remove_boilerplate_lines(
+        staged, min_docs=5, scope_col="source", delim="\n",
+        granularity="paragraph", out_col="clean_text",
+    ).select("doc_id", F.col("clean_text").alias("text"))
+    lidsrc = cleaned.join(docs.select("doc_id", "lang"), "doc_id")
+    w = langid.lang_classifier_train(
+        lidsrc, "text", "lang", classes=_LID_CLASSES,
+        buckets=_LID_BUCKETS, epochs=_LID_EPOCHS, lr=_LID_LR,
+        max_chars=_LID_MAXC,
+    )
+    langed = langid.lang_classify(
+        cleaned, "text", weights=w, max_chars=_LID_MAXC
+    ).select("doc_id", F.col("lang_pred").alias("lang_guess"))
+    scored = text.kn_bigram_scores(cleaned).filter("n_bigrams > 0")
+    win = Window.partitionBy("lang_guess").orderBy("avg_nll", "doc_id")
+    ranked = (
+        scored.join(langed, "doc_id")
+        .withColumn("__t", F.ntile(3).over(win))
+        .withColumn(
+            "bucket",
+            F.when(F.col("__t") == 1, F.lit("head"))
+            .when(F.col("__t") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+    )
+    return ranked.groupBy("lang_guess", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").cast("long").alias("total_bigrams"),
+        F.min("ppl").alias("min_ppl"),
+        F.max("ppl").alias("max_ppl"),
+    )
+
+
+CCNET_LID_SQL = (
+    _CCNET_CLEAN_HEAD
+    + """
+lidsrc AS (
+  SELECT c2.doc_id, c2.text, d2.lang
+  FROM cleaned c2 JOIN documents d2 USING (doc_id)
+),"""
+    + _lid_train_ctes("lidsrc", "lang")
+    + _lid_classify_ctes()
+    + """,
+g AS (
+  SELECT doc_id, lang_pred AS lang_guess FROM lid_pred
+),"""
+    + _CCNET_KN_TAIL.format(dec=DEC)
+)
+
+QUERIES.update({"ccnet_lid_pipeline_docs": ccnet_lid_pipeline_docs})
+ORACLES.update({"ccnet_lid_pipeline_docs": CCNET_LID_SQL})

@@ -485,6 +485,9 @@ class TestNoUndocumentedSinglePartition:
         # KN probability chains — the lm_quality_docs class
         "kn_perplexity_docs", "kn_trigram_perplexity_docs",
         "ccnet_pipeline_docs",  # same class via the embedded KN stage
+        # same embedded KN 1-row total; the lang-id training stages
+        # are O(buckets) driver collects at build time, not plan nodes
+        "ccnet_lid_pipeline_docs",
         "bm25_search_docs",  # 1-row (N, avgdl) totals broadcast to scorer
         "source_kl_docs",  # 1-row corpus-total N broadcast to the KL terms
         # 1-row (N, V) totals x2 (target + source LMs) broadcast to the
