@@ -635,6 +635,14 @@ def main() -> None:
 
     for t in ("lineitem", "orders", "events", "documents"):
         read_table(spark, sf_dir, t).count()
+    # start the Python worker pool once (r13): the first mapInPandas
+    # query otherwise pays ~8s of worker fork/import — one-time session
+    # startup, same class as the JVM/page-cache warmup above, and it
+    # was charged to whichever media workload ran first (the r12 board
+    # had image_dhash_dedup at 18.4s; its steady-state is ~2s)
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     from pyspark.sql import functions as F
 

@@ -26,6 +26,7 @@ import struct
 import wave
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
@@ -510,12 +511,15 @@ def synth_wav_pcm16(
     (stdlib ``wave``) — test/workload payload generator whose decoded
     features a SQL oracle can recompute from the same sample
     formula."""
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.size and (arr.min() < -32768 or arr.max() > 32767):
+        raise struct.error("short format requires -32768 <= number <= 32767")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(n_channels)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        w.writeframes(arr.astype("<i2").tobytes())
     return buf.getvalue()
 
 
@@ -576,15 +580,14 @@ def synth_bmp24(grid: list[list[int]]) -> bytes:
     ) + struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 0, 0, 0, 0
     )
-    rows = []
-    for y in range(height - 1, -1, -1):  # bottom-up storage order
-        row = bytearray()
-        for v in grid[y]:
-            b = int(v) & 0xFF
-            row += bytes((b, b, b))
-        row += b"\x00" * (row_size - len(row))
-        rows.append(bytes(row))
-    return header + b"".join(rows)
+    if height == 0 or width == 0:
+        return header
+    # vectorized body (r13): bottom-up flip, gray -> BGR replication,
+    # row padding — byte-identical to the former per-pixel loop
+    g = (np.asarray(grid, dtype=np.int64) & 0xFF).astype(np.uint8)
+    body = np.zeros((height, row_size), dtype=np.uint8)
+    body[:, : width * 3] = np.repeat(g[::-1], 3, axis=1)
+    return header + body.tobytes()
 
 
 def decode_bmp24_gray(payload: bytes) -> list[list[int]]:
@@ -593,6 +596,12 @@ def decode_bmp24_gray(payload: bytes) -> list[list[int]]:
     pixel — exact, no float). Handles bottom-up (positive height) and
     top-down (negative) row order. Raises ValueError on anything that
     is not a plain 24-bpp BITMAPINFOHEADER BMP."""
+    return _bmp_gray_np(payload).tolist()
+
+
+def _bmp_gray_np(payload: bytes) -> "np.ndarray":
+    """decode_bmp24_gray's validating core, returning the (h, w)
+    int64 array — the hot path for image_dhash (no list round-trip)."""
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     data_off = struct.unpack("<I", payload[10:14])[0]
@@ -609,16 +618,28 @@ def decode_bmp24_gray(payload: bytes) -> list[list[int]]:
     row_size = (width * 3 + 3) & ~3
     if len(payload) < data_off + row_size * height:
         raise ValueError("truncated BMP pixel array")
-    grid = []
-    for r in range(height):
-        src = r if top_down else height - 1 - r
-        off = data_off + src * row_size
-        row = []
-        for x in range(width):
-            b, g, rr = payload[off + 3 * x: off + 3 * x + 3]
-            row.append((int(rr) + int(g) + int(b)) // 3)
-        grid.append(row)
-    return grid
+    return _bmp_rows_to_gray(
+        payload, data_off, width, height, row_size, top_down
+    )
+
+
+def _bmp_rows_to_gray(
+    payload: bytes,
+    data_off: int,
+    width: int,
+    height: int,
+    row_size: int,
+    top_down: bool,
+) -> "np.ndarray":
+    """Vectorized BGR-row -> integer-gray decode shared by the BMP and
+    AVI-DIB paths: (height, width) int64 grid, top-down row order,
+    exact (r+g+b)//3 per pixel (no float)."""
+    arr = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * height, offset=data_off
+    ).reshape(height, row_size)
+    px = arr[:, : width * 3].reshape(height, width, 3).astype(np.int64)
+    gray = px.sum(axis=2) // 3
+    return gray if top_down else gray[::-1]
 
 
 def dhash64_from_grid(grid: list[list[int]], *, rows: int = 8, cols: int = 8) -> int:
@@ -629,33 +650,23 @@ def dhash64_from_grid(grid: list[list[int]], *, rows: int = 8, cols: int = 8) ->
     evenly, nearest-neighbor sampling (src = dst * size // target)
     otherwise — both deterministic, no float, no image library. Bit
     (y*cols + x) is set when cell (x,y) < cell (x+1,y)."""
-    h = len(grid)
-    w = len(grid[0]) if h else 0
+    g = np.asarray(grid, dtype=np.int64)
+    h, w = (g.shape if g.ndim == 2 else (g.shape[0], 0))
     tw, th = cols + 1, rows
     if w < tw or h < th:
         raise ValueError(f"grid {w}x{h} smaller than dhash target {tw}x{th}")
     if w % tw == 0 and h % th == 0:
         bw, bh = w // tw, h // th
-        cells = [
-            [
-                sum(
-                    grid[cy * bh + dy][cx * bw + dx]
-                    for dy in range(bh) for dx in range(bw)
-                ) // (bw * bh)
-                for cx in range(tw)
-            ]
-            for cy in range(th)
-        ]
+        # exact integer box means: reshape to (th, bh, tw, bw) blocks
+        cells = g.reshape(th, bh, tw, bw).sum(axis=(1, 3)) // (bw * bh)
     else:
-        cells = [
-            [grid[cy * h // th][cx * w // tw] for cx in range(tw)]
-            for cy in range(th)
-        ]
+        ys = (np.arange(th) * h) // th
+        xs = (np.arange(tw) * w) // tw
+        cells = g[np.ix_(ys, xs)]
+    mask = (cells[:, :cols] < cells[:, 1:]).reshape(-1)
     bits = 0
-    for y in range(th):
-        for x in range(cols):
-            if cells[y][x] < cells[y][x + 1]:
-                bits |= 1 << (y * cols + x)
+    for idx in np.nonzero(mask)[0]:
+        bits |= 1 << int(idx)
     if bits >= 1 << 63:
         bits -= 1 << 64
     return bits
@@ -687,9 +698,9 @@ def image_dhash(
             recs = []
             for mid, payload in zip(pdf[id_col], pdf[binary_col]):
                 try:
-                    grid = decode_bmp24_gray(bytes(payload))
+                    grid = _bmp_gray_np(bytes(payload))
                     recs.append((
-                        mid, len(grid[0]), len(grid),
+                        mid, grid.shape[1], grid.shape[0],
                         dhash64_from_grid(grid, rows=rows, cols=cols),
                     ))
                 except ValueError:
@@ -722,7 +733,7 @@ def decode_wav_pcm16_mono(payload: bytes) -> list[int]:
                 f"{w.getsampwidth() * 8}-bit"
             )
         raw = w.readframes(w.getnframes())
-    return list(struct.unpack(f"<{len(raw) // 2}h", raw))
+    return np.frombuffer(raw, dtype="<i2").tolist()
 
 
 def ahash64_from_samples(samples: list[int], *, bits: int = 64) -> int:
@@ -732,20 +743,20 @@ def ahash64_from_samples(samples: list[int], *, bits: int = 64) -> int:
     bucket's energy is the exact integer mean of |sample| (sum //
     count); bit b is set when energy(b) < energy(b+1). Every step is
     integer arithmetic a SQL oracle replays verbatim."""
-    n = len(samples)
+    s = np.asarray(samples, dtype=np.int64)
+    n = int(s.shape[0])
     nb = bits + 1
     if n < nb:
         raise ValueError(f"{n} samples < {nb} energy buckets")
-    sums = [0] * nb
-    cnts = [0] * nb
-    for i, s in enumerate(samples):
-        j = i * nb // n
-        sums[j] += s if s >= 0 else -s
-        cnts[j] += 1
+    j = (np.arange(n, dtype=np.int64) * nb) // n
+    sums = np.zeros(nb, dtype=np.int64)
+    np.add.at(sums, j, np.abs(s))
+    cnts = np.bincount(j, minlength=nb)
+    means = sums // cnts
+    mask = means[:bits] < means[1 : bits + 1]
     h = 0
-    for b in range(bits):
-        if sums[b] // cnts[b] < sums[b + 1] // cnts[b + 1]:
-            h |= 1 << b
+    for idx in np.nonzero(mask)[0]:
+        h |= 1 << int(idx)
     if h >= 1 << 63:
         h -= 1 << 64
     return h
@@ -823,15 +834,13 @@ def synth_avi_dib(
     for g in frames:
         if len(g) != height or any(len(r) != width for r in g):
             raise ValueError("all frames must share one geometry")
-        body = bytearray()
-        for y in range(height - 1, -1, -1):  # bottom-up storage order
-            row = bytearray()
-            for v in g[y]:
-                b = int(v) & 0xFF
-                row += bytes((b, b, b))
-            row += b"\x00" * (row_size - len(row))
-            body += row
-        movi += b"00db" + struct.pack("<I", len(body)) + bytes(body)
+        # vectorized frame body (r13): bottom-up flip, gray -> BGR
+        # replication, row padding — byte-identical to the old loop
+        ga = (np.asarray(g, dtype=np.int64) & 0xFF).astype(np.uint8)
+        rows = np.zeros((height, row_size), dtype=np.uint8)
+        rows[:, : width * 3] = np.repeat(ga[::-1], 3, axis=1)
+        body = rows.tobytes()
+        movi += b"00db" + struct.pack("<I", len(body)) + body
         if len(body) & 1:
             movi += b"\x00"  # RIFF chunks are word-aligned
     body = (
@@ -849,10 +858,16 @@ def decode_avi_dib_frames(payload: bytes) -> list[list[list[int]]]:
     decode_bmp24_gray convention). Geometry comes from the avih
     header; compressed ('00dc') or absent streams raise ValueError —
     flag, don't guess."""
+    return [g.tolist() for g in _avi_frames_np(payload)]
+
+
+def _avi_frames_np(payload: bytes) -> list["np.ndarray"]:
+    """decode_avi_dib_frames' validating core, returning one (h, w)
+    int64 array per frame — the hot path for video_frame_dhashes."""
     meta = avi_video_decoder(payload)  # validates RIFF/AVI + avih
     width, height = meta["width"], meta["height"]
     row_size = (width * 3 + 3) & ~3
-    frames: list[list[list[int]]] = []
+    frames: list[np.ndarray] = []
 
     def walk(start: int, end: int) -> None:
         p = start
@@ -867,20 +882,12 @@ def decode_avi_dib_frames(payload: bytes) -> list[list[list[int]]]:
                     # declared size too small for the geometry, OR the
                     # declared size overruns the actual payload (a
                     # mid-chunk truncation would otherwise IndexError
-                    # out of the pixel loop and kill the Spark task
+                    # out of the pixel read and kill the Spark task
                     # instead of yielding the NULL-hash row)
                     raise ValueError("truncated DIB frame chunk")
-                grid = []
-                for r in range(height):
-                    off = body + (height - 1 - r) * row_size
-                    row = []
-                    for x in range(width):
-                        bb = payload[off + 3 * x]
-                        gg = payload[off + 3 * x + 1]
-                        rr = payload[off + 3 * x + 2]
-                        row.append((rr + gg + bb) // 3)
-                    grid.append(row)
-                frames.append(grid)
+                frames.append(_bmp_rows_to_gray(
+                    payload, body, width, height, row_size, False
+                ))
             elif fourcc[2:4] == b"dc":
                 raise ValueError("compressed AVI frames unsupported")
             p = body + size + (size & 1)
@@ -917,7 +924,7 @@ def video_frame_dhashes(
             recs = []
             for mid, payload in zip(pdf[id_col], pdf[binary_col]):
                 try:
-                    grids = decode_avi_dib_frames(bytes(payload))
+                    grids = _avi_frames_np(bytes(payload))
                     for i, g in enumerate(grids):
                         recs.append((
                             mid, i, dhash64_from_grid(g, rows=rows, cols=cols),

@@ -2092,24 +2092,27 @@ def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def synth(it):
+        import numpy as np
+
+        x = np.arange(18, dtype=np.int64)[None, None, :]
+        y = np.arange(16, dtype=np.int64)[None, :, None]
         for pdf in it:
-            ids = pdf["media_id"].tolist()
-            payloads = []
-            for d in ids:
-                g = d % 200
-                xd, yd = d % 18, (d * 7) % 16
-                grid = [
-                    [
-                        (g * 37 + x * x * (g % 7 + 2)
-                         + y * y * (g % 11 + 3) + x * y * (g % 5 + 1)
-                         + (128 if d % 5 != 0 and x == xd and y == yd
-                            else 0)) % 256
-                        for x in range(18)
-                    ]
-                    for y in range(16)
-                ]
-                payloads.append(synth_bmp24(grid))
-            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+            ids = pdf["media_id"].to_numpy(dtype=np.int64)
+            # whole-batch grid synthesis (r13): same polynomial per
+            # pixel as the former per-doc loops, broadcast over
+            # (docs, y, x) — value-identical, ~100x fewer Python ops
+            g = (ids % 200)[:, None, None]
+            grids = (
+                g * 37 + x * x * (g % 7 + 2) + y * y * (g % 11 + 3)
+                + x * y * (g % 5 + 1)
+            )
+            pert = ids % 5 != 0
+            grids[pert, (ids * 7)[pert] % 16, ids[pert] % 18] += 128
+            grids %= 256
+            payloads = [synth_bmp24(grids[i]) for i in range(len(ids))]
+            yield pd.DataFrame(
+                {"media_id": ids.tolist(), "payload": payloads}
+            )
 
     bmps = docs.mapInPandas(synth, "media_id long, payload binary")
     # checkpoint the tiny (id, hash) frame: Python map stages don't
@@ -2191,19 +2194,22 @@ def audio_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def synth(it):
+        import numpy as np
+
         for pdf in it:
             ids = pdf["media_id"].tolist()
             payloads = []
             for d in ids:
                 g = d % 200
                 n = 1600 + (g % 7) * 64
-                p = (d * 11) % n
-                samples = [
-                    (g * 131 + i * i * (g % 5 + 2) + i * (g % 13 + 7))
-                    % 2048
-                    + (4096 if d % 5 != 0 and i == p else 0)
-                    for i in range(n)
-                ]
+                # vectorized sample synthesis (r13): same per-sample
+                # polynomial as the former list comprehension
+                i = np.arange(n, dtype=np.int64)
+                samples = (
+                    g * 131 + i * i * (g % 5 + 2) + i * (g % 13 + 7)
+                ) % 2048
+                if d % 5 != 0:
+                    samples[(d * 11) % n] += 4096
                 payloads.append(synth_wav_pcm16(samples))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
@@ -2285,28 +2291,29 @@ def video_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def synth(it):
+        import numpy as np
+
+        x = np.arange(18, dtype=np.int64)[None, None, :]
+        y = np.arange(16, dtype=np.int64)[None, :, None]
         for pdf in it:
             ids = pdf["media_id"].tolist()
             payloads = []
             for d in ids:
                 g = d % 200
                 nf = 3 + g % 3
-                fp, xd, yd = d % nf, d % 18, (d * 7) % 16
-                frames = [
-                    [
-                        [
-                            (g * 37 + f * 53
-                             + x * x * (g % 7 + 2) + y * y * (g % 11 + 3)
-                             + x * y * (g % 5 + 1)
-                             + (128 if d % 5 != 0 and f == fp
-                                and x == xd and y == yd else 0)) % 256
-                            for x in range(18)
-                        ]
-                        for y in range(16)
-                    ]
-                    for f in range(nf)
-                ]
-                payloads.append(synth_avi_dib(frames))
+                # vectorized clip synthesis (r13): same per-pixel
+                # polynomial, broadcast over (frame, y, x)
+                f = np.arange(nf, dtype=np.int64)[:, None, None]
+                frames = (
+                    g * 37 + f * 53 + x * x * (g % 7 + 2)
+                    + y * y * (g % 11 + 3) + x * y * (g % 5 + 1)
+                )
+                if d % 5 != 0:
+                    frames[d % nf, (d * 7) % 16, d % 18] += 128
+                frames %= 256
+                payloads.append(
+                    synth_avi_dib([frames[i] for i in range(nf)])
+                )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     avis = docs.mapInPandas(synth, "media_id long, payload binary")
