@@ -553,11 +553,17 @@ def ann_recall_probe(spark, sf_dir: str, k: int = 5) -> dict:
     lsh = similarity.lsh_ann_topk(
         emb, "vec_id", "embedding", k=k, num_planes=4
     ).filter(F.col("query_id") < 50)
-    ivf = similarity.ivf_topk(
-        emb, "vec_id", "embedding", k=k, nlist=8, nprobe=2
+    # r13: the multi-probe SRP point (Lv et al. 2007 query-directed
+    # probing; nprobe/2^planes of the corpus probed per query) and
+    # the lifted IVF defaults (nlist=16/nprobe=4)
+    lsh_mp = similarity.lsh_ann_topk(
+        emb, "vec_id", "embedding", k=k, num_planes=8, nprobe=5
     ).filter(F.col("query_id") < 50)
-    out = {}
-    for name, approx in (("lsh", lsh), ("ivf", ivf)):
+    ivf = similarity.ivf_topk(
+        emb, "vec_id", "embedding", k=k
+    ).filter(F.col("query_id") < 50)
+    out = {"lsh_mp_probe_frac": round(5 / 256, 4), "ivf_probe_frac": 0.25}
+    for name, approx in (("lsh", lsh), ("lsh_mp", lsh_mp), ("ivf", ivf)):
         m = (
             similarity.ann_recall(exact, approx)
             .agg(F.avg("recall").alias("m"))

@@ -106,18 +106,22 @@ def ann_topk(
     vec_col: str,
     k: int = 5,
     method: str = "ivf",
-    nlist: int = 8,
-    nprobe: int = 2,
+    nlist: int = 16,
+    nprobe: int = 4,
     num_planes: int = 8,
+    lsh_nprobe: int = 1,
 ) -> EngineContext:
-    """Approximate NN: 'ivf' (coarse quantizer) or 'lsh' (hyperplane)."""
+    """Approximate NN: 'ivf' (coarse quantizer, nlist cells with
+    nprobe probed) or 'lsh' (hyperplane; lsh_nprobe > 1 turns on
+    query-directed multi-probe)."""
     if method == "ivf":
         out = similarity.ivf_topk(
             ctx.df, id_col, vec_col, k=k, nlist=nlist, nprobe=nprobe
         )
     elif method == "lsh":
         out = similarity.lsh_ann_topk(
-            ctx.df, id_col, vec_col, k=k, num_planes=num_planes
+            ctx.df, id_col, vec_col, k=k, num_planes=num_planes,
+            nprobe=lsh_nprobe,
         )
     else:
         raise ValueError(f"unknown ann method '{method}' (ivf | lsh)")

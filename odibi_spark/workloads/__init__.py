@@ -89,8 +89,10 @@ _R13_NEW = [
 
 # Workloads whose Spark+oracle definition changed in round 13:
 # guaranteed a re-check slot even though their queue position would
-# have missed the head.
+# have missed the head (ann_recall_lsh now measures the multi-probe
+# index — nprobe=5 query-directed probes).
 _R13_REBASED = [
+    "ann_recall_lsh",
 ]
 
 # The r12-checked head, in its r12 head order (= CORRECTNESS_r12.json

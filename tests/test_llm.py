@@ -86,6 +86,79 @@ def test_lsh_ann_bucket_recall(spark):
     assert 2 in nbrs  # near-identical vector lands in the same bucket
 
 
+class TestMultiProbeLsh:
+    """Query-directed multi-probe SRP (r13, Lv et al. 2007)."""
+
+    def _emb(self, spark, n=60, seed=11):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        rows = [
+            Row(vec_id=i, embedding=[float(x) for x in rng.standard_normal(64)])
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_probe_set_shape(self, spark):
+        df = self._emb(spark)
+        probes = similarity.lsh_probe_buckets(
+            df, "vec_id", "embedding", num_planes=8, nprobe=4
+        )
+        per_id = probes.groupBy("id").count().collect()
+        assert all(r["count"] == 4 for r in per_id)  # original + 3 flips
+        single = similarity.hyperplane_lsh_buckets(
+            df, "vec_id", "embedding", num_planes=8
+        ).select("id", "bucket")
+        # every probe set contains the vector's own bucket, and every
+        # flip differs from it in exactly one bit
+        joined = probes.join(
+            single.withColumnRenamed("bucket", "own"), "id"
+        ).selectExpr("id", "bucket", "own", "bit_count(bucket ^ own) AS hd")
+        hds = [r.hd for r in joined.collect()]
+        assert hds.count(0) == 60 and set(hds) <= {0, 1}
+
+    def test_nprobe1_matches_single_probe_topk(self, spark):
+        df = self._emb(spark)
+        a = similarity.lsh_ann_topk(
+            df, "vec_id", "embedding", k=3, num_planes=6
+        )
+        b = similarity.lsh_ann_topk(
+            df, "vec_id", "embedding", k=3, num_planes=6, nprobe=1
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
+
+    def test_multiprobe_superset_and_recall_lift(self, spark):
+        from pyspark.sql import functions as F
+
+        df = self._emb(spark, n=120)
+        exact = similarity.cosine_topk(
+            df, "vec_id", "embedding", query_filter="vec_id < 30", k=5
+        )
+
+        def recall(nprobe):
+            ap = similarity.lsh_ann_topk(
+                df, "vec_id", "embedding", k=5, num_planes=8,
+                nprobe=nprobe,
+            ).filter("query_id < 30")
+            return float(
+                similarity.ann_recall(exact, ap)
+                .agg(F.avg("recall")).first()[0]
+            )
+
+        r1, r5 = recall(1), recall(5)
+        assert r5 >= r1  # probing more buckets can only add candidates
+        assert r5 > 0.0
+
+    def test_nprobe_validation(self, spark):
+        df = self._emb(spark, n=5)
+        with pytest.raises(ValueError):
+            similarity.lsh_probe_buckets(
+                df, "vec_id", "embedding", num_planes=4, nprobe=6
+            )
+
+
 def test_text_stats_and_tokens(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="the cat sat on a mat")])
     st = text.with_text_stats(df).collect()[0]
@@ -1704,7 +1777,10 @@ class TestAnnRecallFloors:
 
         r = ann_recall_probe(spark, "/root/testdata/sf0.001")
         assert r["recall_at_5_lsh"] >= 0.05, r
-        assert r["recall_at_5_ivf"] >= 0.35, r
+        assert r["recall_at_5_ivf"] >= 0.45, r  # r13: nlist=16/nprobe=4
+        # multi-probe must clearly beat the same-table single probe
+        # (r13: measured 5-7x; planes=8 single-probe is ~0.01-0.04)
+        assert r["recall_at_5_lsh_mp"] >= 0.05, r
 
 
 class TestCleanUnicode:
