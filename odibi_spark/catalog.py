@@ -238,6 +238,21 @@ class Catalog:
             "to_at": hist[-1].updated_at,
         }
 
+    @property
+    def derived_guard(self):
+        """Exactly-once claim lifecycle for derived-table folds
+        (reference: odibi/derived_updater.py meta_derived_applied_runs
+        guard; open-format twin patterns/derived_guard.py). Rows are
+        queryable via ``derived_guard.claims(spark)`` — the
+        meta-table surface."""
+        from odibi_spark.patterns.derived_guard import DerivedGuard
+
+        if not hasattr(self, "_derived_guard"):
+            self._derived_guard = DerivedGuard(
+                f"{self.root}/meta_derived_applied_runs"
+            )
+        return self._derived_guard
+
     def state_backend(self):
         """HWM state stored IN the catalog as ``meta_state`` — the
         reference's catalog state backend posture
@@ -576,8 +591,15 @@ def run_pipeline_with_catalog(pipeline, *, catalog: Catalog, parallel: bool = Fa
         catalog.record_metrics(
             run_id=run_id, pipeline=name, node=node_name, metrics=metrics,
         )
-    catalog.update_daily_stats(
-        pipeline=name, results=results, started_at=t0, finished_at=t1,
+    # exactly-once derived fold (r13, reference derived_updater.py
+    # claim lifecycle): a replayed/retried run_id must not double-
+    # count into the meta_daily_stats rollup — the guard's first
+    # claimant folds, every later replay sees the claim and skips
+    catalog.derived_guard.apply_once(
+        "meta_daily_stats", run_id,
+        lambda: catalog.update_daily_stats(
+            pipeline=name, results=results, started_at=t0, finished_at=t1,
+        ),
     )
     for node in pipeline.config.nodes:
         if node.write and node.write.path and results[node.name].status == "success":
