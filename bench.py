@@ -738,6 +738,12 @@ def main() -> None:
         "image_dhash_dedup", "audio_ahash_dedup", "video_dhash_dedup",
         "kn_perplexity_docs", "kn_trigram_perplexity_docs",
         "dsir_hashed_select_docs", "ccnet_pipeline_docs",
+        # new in round 13: trained lang-id (2-epoch multiclass GD +
+        # argmax inference), CCNet v2 on the trained classifier,
+        # DoReMi-style mixture reweighting, semi-hard negative mining
+        "lang_classifier_train_docs", "lang_classify_docs",
+        "ccnet_lid_pipeline_docs", "domain_mixture_docs",
+        "hard_negatives_embeddings",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(

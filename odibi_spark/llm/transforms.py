@@ -1433,3 +1433,51 @@ def lang_classify_transform(
             unknown=unknown,
         )
     )
+
+
+@transform("domain_mixture_weights")
+def domain_mixture_weights_transform(
+    ctx: EngineContext,
+    *,
+    domain_col: str = "source",
+    nll_col: str = "nll",
+    rounds: int = 3,
+    eta_num: int = 1,
+    eta_den: int = 2,
+) -> EngineContext:
+    """DoReMi-style multiplicative-weights domain mixture search over
+    a token-level scored frame (llm/mixing.py): replaces the frame
+    with one (domain, n_items, loss, weight) row per domain — feed
+    the weights to temperature/PPS sampling as the mixture."""
+    from odibi_spark.llm import mixing
+
+    return ctx.with_df(
+        mixing.domain_mixture_weights(
+            ctx.df, domain_col, nll_col,
+            rounds=int(rounds), eta=(int(eta_num), int(eta_den)),
+        )
+    )
+
+
+@transform("hard_negative_pairs")
+def hard_negative_pairs_transform(
+    ctx: EngineContext,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    lo: float = 0.1,
+    hi: float = 0.9,
+    anchor_filter: str | None = None,
+) -> EngineContext:
+    """Semi-hard negative mining over an embedding column
+    (llm/mixing.py): (anchor_id, neg_id, cosine, rank) pairs for
+    contrastive training data."""
+    from odibi_spark.llm import mixing
+
+    return ctx.with_df(
+        mixing.hard_negative_pairs(
+            ctx.df, id_col, vec_col, k=int(k), lo=float(lo),
+            hi=float(hi), anchor_filter=anchor_filter,
+        )
+    )

@@ -84,7 +84,8 @@ _R13_ROTATE_IN = [
 # checked, so they get guaranteed head slots.
 _R13_NEW = [
     "lang_classifier_train_docs", "lang_classify_docs",
-    "ccnet_lid_pipeline_docs",
+    "ccnet_lid_pipeline_docs", "domain_mixture_docs",
+    "hard_negatives_embeddings",
 ]
 
 # Workloads whose Spark+oracle definition changed in round 13:

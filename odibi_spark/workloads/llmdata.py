@@ -5352,3 +5352,187 @@ g AS (
 
 QUERIES.update({"ccnet_lid_pipeline_docs": ccnet_lid_pipeline_docs})
 ORACLES.update({"ccnet_lid_pipeline_docs": CCNET_LID_SQL})
+
+
+# ---------------------------------------------------------------------------
+# r13: data mixing + contrastive pair mining (llm/mixing.py)
+# ---------------------------------------------------------------------------
+
+_MWU_ROUNDS, _MWU_ETA = 3, (1, 2)
+
+
+def domain_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain mixture reweighting (r13, Xie et al. 2023;
+    multiplicative-weights form — no exp()): per-source mean TOKEN
+    cross-entropy under the corpus unigram LM (6dp-rounded token nll,
+    exact DECIMAL sums), then 3 MWU rounds upweighting hard domains,
+    with the deterministic largest-remainder renormalization to
+    exactly 1e6 micro-units. The oracle replays the LM, the losses,
+    and every compounding round."""
+    from odibi_spark.llm.mixing import domain_mixture_weights
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    tokens = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    scored = (
+        tokens.join(vocab, "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "nll",
+            F.round(
+                -F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("n_total") + F.col("v_size"))
+                ),
+                6,
+            ),
+        )
+    )
+    return domain_mixture_weights(
+        scored, "source", "nll", rounds=_MWU_ROUNDS, eta=_MWU_ETA,
+    )
+
+
+def _mwu_oracle_sql(
+    rounds: int = _MWU_ROUNDS, eta: tuple[int, int] = _MWU_ETA
+) -> str:
+    """Generated replay of domain_mixture_docs: unigram-LM token
+    losses -> per-domain exact means -> T largest-remainder MWU
+    rounds (integer micro-units; remainder window ordered
+    (rem DESC, domain) = the Python tie-break)."""
+    e = eta[0] / eta[1]
+    parts = [f"""
+toks AS MATERIALIZED (
+  SELECT source, tok
+  FROM (SELECT source,
+               unnest(string_split(trim(lower(text)), ' ')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+),
+vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+tot AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS n_total,
+         CAST(COUNT(*) AS DOUBLE) AS v_size
+  FROM vocab
+),
+dl AS MATERIALIZED (
+  SELECT t.source AS domain, CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(CAST(SUM(CAST(round(-ln((vb.c + 1.0)
+                    / (tot.n_total + tot.v_size)), 6) AS {DEC})
+               ) AS DOUBLE) / COUNT(*) AS DOUBLE) AS loss
+  FROM toks t JOIN vocab vb USING (tok) CROSS JOIN tot
+  GROUP BY t.source
+),
+mm AS (SELECT MIN(loss) AS lo, MAX(loss) AS hi FROM dl),
+sc0 AS (SELECT domain, CAST(1 AS BIGINT) AS sw FROM dl)"""]
+    for t in range(rounds + 1):
+        # stage t renormalizes sc{t}; stages 1..rounds then scale
+        parts.append(f""",
+f{t} AS (
+  SELECT domain,
+         (sw * 1000000) // (SELECT SUM(sw) FROM sc{t}) AS fl,
+         (sw * 1000000) % (SELECT SUM(sw) FROM sc{t}) AS rem
+  FROM sc{t}
+),
+w{t} AS MATERIALIZED (
+  SELECT domain,
+         fl + (CASE WHEN rn <= 1000000 - (SELECT SUM(fl) FROM f{t})
+               THEN 1 ELSE 0 END) AS wmu
+  FROM (SELECT *, row_number() OVER (ORDER BY rem DESC, domain) AS rn
+        FROM f{t})
+)""")
+        if t < rounds:
+            parts.append(f""",
+sc{t + 1} AS (
+  SELECT w.domain,
+         CAST(floor(CAST(w.wmu AS DOUBLE) * (1.0 + {e!r} *
+              (CASE WHEN mm.hi = mm.lo THEN 0.0
+                    ELSE (d.loss - mm.lo) / (mm.hi - mm.lo) END)))
+              AS BIGINT) AS sw
+  FROM w{t} w JOIN dl d USING (domain) CROSS JOIN mm
+)""")
+    parts.append(f"""
+SELECT d.domain, d.n_items, d.loss, CAST(w.wmu AS BIGINT) AS weight
+FROM dl d JOIN w{rounds} w USING (domain)
+""")
+    return "WITH " + "".join(parts)
+
+
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-hard negative mining for contrastive training (r13,
+    FaceNet terminology): for anchors vec_id < 30, the 3 hardest
+    negatives with cosine in [0.1, 0.35), excluding each anchor's
+    exact top-1 neighbour (the likely positive) symmetrically. The
+    oracle replays the brute-force band, the exclusion anti-join,
+    and the ranked cut."""
+    from odibi_spark.llm import similarity
+    from odibi_spark.llm.mixing import hard_negative_pairs
+
+    _prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings", cpu_heavy=True)
+    top1 = similarity.cosine_topk(
+        emb, "vec_id", "embedding", query_filter="vec_id < 30", k=1
+    ).select("query_id", "nbr_id")
+    return hard_negative_pairs(
+        emb, "vec_id", "embedding",
+        k=3, lo=0.1, hi=0.35,
+        anchor_filter="vec_id < 30", exclude=top1,
+    )
+
+
+HARD_NEGATIVES_SQL = """
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+pairs AS (
+  SELECT a.id AS anchor_id, b.id AS neg_id,
+         round(list_dot_product(a.vec, b.vec)
+               / (sqrt(list_dot_product(a.vec, a.vec))
+                  * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+  FROM v a JOIN v b ON a.id <> b.id
+  WHERE a.id < 30
+),
+top1 AS (
+  SELECT anchor_id AS qa, neg_id AS qb
+  FROM (SELECT anchor_id, neg_id,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY cosine DESC, neg_id) AS rk
+        FROM pairs)
+  WHERE rk = 1
+),
+sym AS (
+  SELECT qa, qb FROM top1
+  UNION
+  SELECT qb AS qa, qa AS qb FROM top1
+),
+banded AS (
+  SELECT p.anchor_id, p.neg_id, p.cosine
+  FROM pairs p
+  WHERE p.cosine >= 0.1 AND p.cosine < 0.35
+    AND NOT EXISTS (SELECT 1 FROM sym s
+                    WHERE s.qa = p.anchor_id AND s.qb = p.neg_id)
+)
+SELECT anchor_id, neg_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT anchor_id, neg_id, cosine,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY cosine DESC, neg_id) AS rank
+  FROM banded
+) WHERE rank <= 3
+"""
+
+QUERIES.update({
+    "domain_mixture_docs": domain_mixture_docs,
+    "hard_negatives_embeddings": hard_negatives_embeddings,
+})
+ORACLES.update({
+    "domain_mixture_docs": _mwu_oracle_sql(),
+    "hard_negatives_embeddings": HARD_NEGATIVES_SQL,
+})
