@@ -743,7 +743,7 @@ def main() -> None:
         # DoReMi-style mixture reweighting, semi-hard negative mining
         "lang_classifier_train_docs", "lang_classify_docs",
         "ccnet_lid_pipeline_docs", "domain_mixture_docs",
-        "hard_negatives_embeddings",
+        "hard_negatives_embeddings", "mixture_sample_docs",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(

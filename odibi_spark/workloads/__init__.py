@@ -85,7 +85,7 @@ _R13_ROTATE_IN = [
 _R13_NEW = [
     "lang_classifier_train_docs", "lang_classify_docs",
     "ccnet_lid_pipeline_docs", "domain_mixture_docs",
-    "hard_negatives_embeddings",
+    "hard_negatives_embeddings", "mixture_sample_docs",
 ]
 
 # Workloads whose Spark+oracle definition changed in round 13:

@@ -5361,18 +5361,9 @@ ORACLES.update({"ccnet_lid_pipeline_docs": CCNET_LID_SQL})
 _MWU_ROUNDS, _MWU_ETA = 3, (1, 2)
 
 
-def domain_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DoReMi-style domain mixture reweighting (r13, Xie et al. 2023;
-    multiplicative-weights form — no exp()): per-source mean TOKEN
-    cross-entropy under the corpus unigram LM (6dp-rounded token nll,
-    exact DECIMAL sums), then 3 MWU rounds upweighting hard domains,
-    with the deterministic largest-remainder renormalization to
-    exactly 1e6 micro-units. The oracle replays the LM, the losses,
-    and every compounding round."""
-    from odibi_spark.llm.mixing import domain_mixture_weights
-
-    _prep(spark)
-    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+def _mixture_scored(docs: DataFrame) -> DataFrame:
+    """Token-level unigram-LM scored frame (source, tok, nll 6dp) —
+    shared by the mixture workloads."""
     tokens = docs.select(
         "source",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias("tok"),
@@ -5381,7 +5372,7 @@ def domain_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = vocab.agg(
         F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
     )
-    scored = (
+    return (
         tokens.join(vocab, "tok", "left")
         .crossJoin(F.broadcast(totals))
         .withColumn(
@@ -5395,18 +5386,33 @@ def domain_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def domain_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain mixture reweighting (r13, Xie et al. 2023;
+    multiplicative-weights form — no exp()): per-source mean TOKEN
+    cross-entropy under the corpus unigram LM (6dp-rounded token nll,
+    exact DECIMAL sums), then 3 MWU rounds upweighting hard domains,
+    with the deterministic largest-remainder renormalization to
+    exactly 1e6 micro-units. The oracle replays the LM, the losses,
+    and every compounding round."""
+    from odibi_spark.llm.mixing import domain_mixture_weights
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    scored = _mixture_scored(docs)
     return domain_mixture_weights(
         scored, "source", "nll", rounds=_MWU_ROUNDS, eta=_MWU_ETA,
     )
 
 
-def _mwu_oracle_sql(
+def _mwu_cte_chain(
     rounds: int = _MWU_ROUNDS, eta: tuple[int, int] = _MWU_ETA
 ) -> str:
-    """Generated replay of domain_mixture_docs: unigram-LM token
+    """Generated replay of the mixture machinery: unigram-LM token
     losses -> per-domain exact means -> T largest-remainder MWU
     rounds (integer micro-units; remainder window ordered
-    (rem DESC, domain) = the Python tie-break)."""
+    (rem DESC, domain) = the Python tie-break). Ends at w{rounds}."""
     e = eta[0] / eta[1]
     parts = [f"""
 toks AS MATERIALIZED (
@@ -5458,11 +5464,24 @@ sc{t + 1} AS (
               AS BIGINT) AS sw
   FROM w{t} w JOIN dl d USING (domain) CROSS JOIN mm
 )""")
-    parts.append(f"""
+    return "WITH " + "".join(parts)
+
+
+def _mwu_oracle_sql_ctes(
+    rounds: int = _MWU_ROUNDS, eta: tuple[int, int] = _MWU_ETA
+) -> str:
+    """The MWU CTE chain alone (ends at w{rounds}) — shared by the
+    mixture-weights and mixture-sampling oracles."""
+    return _mwu_cte_chain(rounds, eta)
+
+
+def _mwu_oracle_sql(
+    rounds: int = _MWU_ROUNDS, eta: tuple[int, int] = _MWU_ETA
+) -> str:
+    return _mwu_cte_chain(rounds, eta) + f"""
 SELECT d.domain, d.n_items, d.loss, CAST(w.wmu AS BIGINT) AS weight
 FROM dl d JOIN w{rounds} w USING (domain)
-""")
-    return "WITH " + "".join(parts)
+"""
 
 
 def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5536,3 +5555,80 @@ ORACLES.update({
     "domain_mixture_docs": _mwu_oracle_sql(),
     "hard_negatives_embeddings": HARD_NEGATIVES_SQL,
 })
+
+
+def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end mixture sampling (r13 composition capstone): DoReMi-
+    style MWU domain weights -> integer largest-remainder apportionment
+    of a 200-doc budget across domains -> deterministic exact-k
+    selection per domain on the portable hash (the sample_k_per_group
+    rank). Chains three independently-oracled machines; the oracle
+    replays the LM, every MWU round, the apportionment window, and
+    the per-domain hash rank in one query. Domains whose budget
+    exceeds their size pass through whole (rank filter semantics)."""
+    from pyspark.sql.window import Window
+
+    from odibi_spark.llm.dedup import portable_hash60
+    from odibi_spark.llm.mixing import (
+        _largest_remainder, domain_mixture_weights,
+    )
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    scored = _mixture_scored(docs)
+    wdf = domain_mixture_weights(
+        scored, "source", "nll", rounds=_MWU_ROUNDS, eta=_MWU_ETA,
+    )
+    weights = {r["domain"]: int(r["weight"]) for r in wdf.collect()}
+    budgets = _largest_remainder(sorted(weights.items()), total=200)
+    bdf = spark.createDataFrame(
+        sorted(budgets.items()), "source string, __k bigint"
+    )
+    h = portable_hash60(
+        F.concat_ws(":", F.lit("42"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(bdf), "source")
+        .filter(F.col("__rn") <= F.col("__k"))
+        .select("doc_id", "source")
+    )
+
+
+MIXTURE_SAMPLE_SQL = (
+    _mwu_oracle_sql_ctes()
+    + f""",
+bf AS (
+  SELECT domain,
+         (wmu * 200) // (SELECT SUM(wmu) FROM w{_MWU_ROUNDS}) AS fl,
+         (wmu * 200) % (SELECT SUM(wmu) FROM w{_MWU_ROUNDS}) AS rem
+  FROM w{_MWU_ROUNDS}
+),
+bud AS (
+  SELECT domain,
+         fl + (CASE WHEN rn <= 200 - (SELECT SUM(fl) FROM bf)
+               THEN 1 ELSE 0 END) AS k
+  FROM (SELECT *, row_number() OVER (ORDER BY rem DESC, domain) AS rn
+        FROM bf)
+),
+hh AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substring(
+           md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+           AS hv
+  FROM documents
+),
+rr AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+  FROM hh
+)
+SELECT r.doc_id, r.source
+FROM rr r JOIN bud b ON b.domain = r.source
+WHERE r.rn <= b.k
+"""
+)
+
+QUERIES.update({"mixture_sample_docs": mixture_sample_docs})
+ORACLES.update({"mixture_sample_docs": MIXTURE_SAMPLE_SQL})
