@@ -33,7 +33,7 @@ _ALL_ORACLES = {
     **_TPCH_ORACLES, **_TPCH2_ORACLES, **_TPCH3_ORACLES,
 }
 
-# Dict order is sampling priority is sampling priority: the driver's correctness gate checks
+# Dict order is sampling priority: the driver's correctness gate checks
 # the FIRST 50 entries. The sample ROTATES each round so every declared
 # workload gets a driver-side hash check within ~3 rounds (VERDICT r4
 # task 2). Round 13 executes the queue staged in r12 (_R13_ROTATE_IN:
@@ -86,6 +86,7 @@ _R13_NEW = [
     "lang_classifier_train_docs", "lang_classify_docs",
     "ccnet_lid_pipeline_docs", "domain_mixture_docs",
     "hard_negatives_embeddings", "mixture_sample_docs",
+    "streaming_lang_classify_docs",
 ]
 
 # Workloads whose Spark+oracle definition changed in round 13:

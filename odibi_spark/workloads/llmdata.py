@@ -5632,3 +5632,72 @@ WHERE r.rn <= b.k
 
 QUERIES.update({"mixture_sample_docs": mixture_sample_docs})
 ORACLES.update({"mixture_sample_docs": MIXTURE_SAMPLE_SQL})
+
+
+def streaming_lang_classify_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trained-model inference on the STREAMING ingest path (r13):
+    train the multiclass lang-id classifier offline (the 2-epoch
+    lang_classifier_train fit), then classify the corpus arriving as
+    a file stream (availableNow, maxFilesPerTrigger=1 over >= 3 part
+    files -> >= 3 micro-batches) via foreachBatch lang_classify with
+    the exported weights. The written predictions hash-equal the
+    batch classify — the SAME oracle as lang_classify_docs — proving
+    streaming inference is just a replay schedule of the batch rule
+    (the streaming_incremental_dedup convention applied to a trained
+    model)."""
+    import shutil
+    import tempfile
+
+    from odibi_spark.llm import langid
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    w = langid.lang_classifier_train(
+        docs, "text", "lang", classes=_LID_CLASSES,
+        buckets=_LID_BUCKETS, epochs=_LID_EPOCHS, lr=_LID_LR,
+        max_chars=_LID_MAXC,
+    )
+    tmp = tempfile.mkdtemp(prefix="lid_stream_wl_")
+    try:
+        src = f"{tmp}/src"
+        outp = f"{tmp}/pred"
+        docs.select("doc_id", "lang", "text").repartition(3).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = (
+            spark.readStream
+            .schema("doc_id bigint, lang string, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+        def classify(bdf, bid):
+            langid.lang_classify(
+                bdf, "text", weights=w, max_chars=_LID_MAXC
+            ).select(
+                "doc_id", "lang", "lang_pred", "lid_n_features"
+            ).write.mode("append").parquet(outp)
+
+        q = (
+            stream.writeStream.foreachBatch(classify)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(outp)
+            .select("doc_id", "lang", "lang_pred", "lid_n_features")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+QUERIES.update(
+    {"streaming_lang_classify_docs": streaming_lang_classify_docs}
+)
+ORACLES.update({"streaming_lang_classify_docs": LANG_CLASSIFY_SQL})
