@@ -559,17 +559,59 @@ def ann_recall_probe(spark, sf_dir: str, k: int = 5) -> dict:
     lsh_mp = similarity.lsh_ann_topk(
         emb, "vec_id", "embedding", k=k, num_planes=8, nprobe=5
     ).filter(F.col("query_id") < 50)
+    # same-p single-probe companion point so the multi-probe lift is
+    # visible in the artifact itself (VERDICT r13 watch item), not
+    # just in pytest floors
+    lsh_p8 = similarity.lsh_ann_topk(
+        emb, "vec_id", "embedding", k=k, num_planes=8
+    ).filter(F.col("query_id") < 50)
     ivf = similarity.ivf_topk(
         emb, "vec_id", "embedding", k=k
     ).filter(F.col("query_id") < 50)
+    # r14: many-tables OR-construction + hamming-sketch prefilter —
+    # the recommendable LSH operating point (recall >= 0.5 at <= 5%
+    # of the corpus exactly re-ranked per query)
+    lsh_or = similarity.srp_or_ann_topk(
+        emb, "vec_id", "embedding", k=k, query_filter="vec_id < 50"
+    )
     out = {"lsh_mp_probe_frac": round(5 / 256, 4), "ivf_probe_frac": 0.25}
-    for name, approx in (("lsh", lsh), ("lsh_mp", lsh_mp), ("ivf", ivf)):
+    for name, approx in (
+        ("lsh", lsh), ("lsh_p8", lsh_p8), ("lsh_mp", lsh_mp),
+        ("ivf", ivf), ("lsh_or", lsh_or),
+    ):
         m = (
             similarity.ann_recall(exact, approx)
             .agg(F.avg("recall").alias("m"))
             .first()["m"]
         )
         out[f"recall_at_{k}_{name}"] = round(float(m), 4)
+    # measured exact-rerank fraction of the OR point (candidates that
+    # survive the hamming prefilter, per query, over the corpus)
+    n = emb.count()
+    keys = similarity.srp_table_keys(emb, "vec_id", "embedding")
+    sig = similarity.srp_sketch_words(emb, "vec_id", "embedding")
+    qk = keys.filter(F.col("id") < 50)
+    cand = (
+        qk.toDF("query_id", "tbl", "bucket")
+        .join(keys.toDF("nbr_id", "tbl", "bucket"), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id")
+        .distinct()
+    )
+    passed = (
+        cand.join(sig.toDF("query_id", "q0", "q1"), "query_id")
+        .join(sig.toDF("nbr_id", "n0", "n1"), "nbr_id")
+        .filter(
+            F.bit_count(F.col("q0").bitwiseXOR(F.col("n0")))
+            + F.bit_count(F.col("q1").bitwiseXOR(F.col("n1"))) <= 52
+        )
+    )
+    frac = (
+        passed.groupBy("query_id").count()
+        .agg(F.avg(F.col("count") / (n - 1)).alias("f"))
+        .first()["f"]
+    )
+    out["lsh_or_rerank_frac"] = round(float(frac or 0.0), 4)
     return out
 
 

@@ -155,7 +155,11 @@ def lang_classifier_train(
     meta = staged.select(
         F.col(id_col).alias("__id"),
         *[
-            (F.col(label_col) == F.lit(c)).cast("int").alias(f"__y{k}")
+            # NULL-safe y: a NULL label is y=0 for every class (the
+            # DuckDB oracle's CASE WHEN ... ELSE 0), not NULL — a bare
+            # equality would NULL the residual and silently drop the
+            # doc from the gradient, diverging cross-engine.
+            F.when(F.col(label_col) == c, 1).otherwise(0).alias(f"__y{k}")
             for k, c in enumerate(classes)
         ],
         F.size("__lid_feats").cast("long").alias("__n"),

@@ -153,6 +153,11 @@ def hard_negative_pairs(
     anchor_filter: str | None = None,
     exclude: DataFrame | None = None,
     round_digits: int = 6,
+    candidates: DataFrame | None = None,
+    max_anchors: int = 5000,
+    num_planes: int = 10,
+    nprobe: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
     """Semi-hard negative mining: for each anchor, the ``k``
     highest-cosine neighbours whose cosine falls in [lo, hi) — close
@@ -161,22 +166,36 @@ def hard_negative_pairs(
     pairs; checked symmetrically). Output (anchor_id, neg_id, cosine,
     rank), rank 1 = hardest. Deterministic: ties break on nbr id.
 
-    Plan: anchors broadcast against the streaming corpus (the
-    cosine_topk shape — no corpus shuffle), band filter BEFORE the
-    per-anchor top-k window; the exclusion is a broadcast anti-join.
-    At 100 TB swap the candidate feed for lsh_probe_buckets/ivf_topk
-    and keep the identical band + top-k tail."""
+    Plan is gated on anchor count (the lang_classify/ivf_assign
+    plan-size-gate pattern, made automatic per VERDICT r13): up to
+    ``max_anchors`` anchors the exact path broadcasts the anchors
+    against the streaming corpus (the cosine_topk shape — no corpus
+    shuffle, band filter BEFORE the per-anchor top-k window). Above
+    the gate a broadcast cross join would silently materialize a
+    huge build side, so the candidate feed routes through multi-probe
+    SRP-LSH (``lsh_probe_buckets``: anchors probe their ``nprobe``
+    most-likely buckets, the corpus keeps one bucket/vector, and the
+    join is the bucket EQUI-join — no BroadcastNestedLoopJoin).
+    Callers can also pass an explicit ``candidates`` frame of
+    (anchor_id, neg_id) pairs (e.g. from ``ivf_topk`` /
+    ``lsh_ann_topk``) — it bypasses the gate and keeps the identical
+    band + top-k tail. The cheap count that implements the gate is
+    ``anchors.limit(max_anchors + 1).count()`` — it never scans past
+    the threshold."""
+    from odibi_spark.llm.similarity import (
+        hyperplane_lsh_buckets, lsh_probe_buckets,
+    )
     from pyspark.sql.window import Window
 
     if not 0 <= lo < hi:
         raise ValueError("need 0 <= lo < hi")
-    anchors = df.select(
+    # apply the user's filter BEFORE renaming, so the expression sees
+    # the original column names (a textual rename corrupted filters
+    # where id_col was a substring of another identifier)
+    anchor_src = df.filter(anchor_filter) if anchor_filter else df
+    anchors = anchor_src.select(
         F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("a_vec")
     )
-    if anchor_filter:
-        anchors = anchors.filter(
-            anchor_filter.replace(id_col, "anchor_id")
-        )
     corpus = df.select(
         F.col(id_col).alias("neg_id"), F.col(vec_col).alias("n_vec")
     )
@@ -198,9 +217,31 @@ def hard_negative_pairs(
             )
         )
 
+    if candidates is None and max_anchors is not None:
+        if anchors.limit(max_anchors + 1).count() > max_anchors:
+            probes = lsh_probe_buckets(
+                anchor_src, id_col, vec_col, num_planes, dim,
+                seed=42, nprobe=nprobe,
+            ).withColumnRenamed("id", "anchor_id")
+            b = hyperplane_lsh_buckets(
+                df, id_col, vec_col, num_planes, dim, seed=42
+            ).select(F.col("id").alias("neg_id"), "bucket")
+            candidates = (
+                probes.join(b, "bucket")
+                .filter(F.col("anchor_id") != F.col("neg_id"))
+                .select("anchor_id", "neg_id")
+                .distinct()
+            )
+    if candidates is not None:
+        fed = (
+            candidates.select("anchor_id", "neg_id")
+            .join(anchors, "anchor_id")
+            .join(corpus, "neg_id")
+        )
+    else:
+        fed = corpus.crossJoin(F.broadcast(anchors))
     pairs = (
-        corpus.crossJoin(F.broadcast(anchors))
-        .filter(F.col("anchor_id") != F.col("neg_id"))
+        fed.filter(F.col("anchor_id") != F.col("neg_id"))
         .withColumn(
             "cosine",
             F.round(dot / (nrm("a_vec") * nrm("n_vec")), round_digits),

@@ -511,7 +511,17 @@ def synth_wav_pcm16(
     (stdlib ``wave``) — test/workload payload generator whose decoded
     features a SQL oracle can recompute from the same sample
     formula."""
-    arr = np.asarray(samples, dtype=np.int64)
+    try:
+        raw = np.asarray(samples)
+        arr = raw.astype(np.int64)
+    except (TypeError, ValueError) as e:
+        # pre-numpy behavior: struct.pack('h', ...) rejected
+        # non-numeric input with struct.error
+        raise struct.error(f"required argument is not an integer: {e}")
+    if raw.dtype.kind == "f" and not np.array_equal(arr, raw):
+        # struct.pack('h', 1.5) rejected non-integral floats; the
+        # int64 cast would silently truncate them instead
+        raise struct.error("required argument is not an integer")
     if arr.size and (arr.min() < -32768 or arr.max() > 32767):
         raise struct.error("short format requires -32768 <= number <= 32767")
     buf = io.BytesIO()

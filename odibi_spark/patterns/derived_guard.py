@@ -71,7 +71,10 @@ class DerivedGuard:
 
     def _path(self, derived_table: str, run_id: str) -> str:
         for part in (derived_table, run_id):
-            if "/" in part or part.startswith("."):
+            # "__" is the key separator — allowing it in a component
+            # would collide ('a__b','c') with ('a','b__c') and make
+            # apply_once silently skip a genuinely different run.
+            if "/" in part or "__" in part or part.startswith("."):
                 raise ValueError(f"invalid claim key component {part!r}")
         return os.path.join(self._dir, f"{derived_table}__{run_id}.json")
 
@@ -200,7 +203,11 @@ class DerivedGuard:
                 cur.status == "CLAIMED" and age_min < max_age_minutes
             ):
                 # a transition raced us between pre-check and rename:
-                # put the row back untouched and yield
+                # put the row back untouched and yield. _link_back
+                # restores via os.replace on conflict (terminal/live
+                # row wins; a usurper that slipped into the rename
+                # window fails its later token check fail-fast), so
+                # the aside file is consumed — nothing left to clean.
                 self._link_back(aside, path, cur)
                 return None
             fresh = Claim(
@@ -224,14 +231,17 @@ class DerivedGuard:
     def _link_back(aside: str, path: str, cur: Claim) -> None:
         try:
             os.link(aside, path)
+            os.unlink(aside)
         except FileExistsError:
-            # someone claimed the key while the (terminal/live) row
-            # was renamed aside — surfacing beats silently keeping two
-            # histories (fail-fast invariant)
-            raise ClaimConflictError(
-                f"claim {cur.derived_table}/{cur.run_id}: concurrent "
-                "claim appeared while a terminal row was held aside"
-            ) from None
+            # A try_claim slipped into the rename window and created a
+            # fresh CLAIMED row. The aside row predates it and is
+            # terminal (APPLIED) or live-CLAIMED — it must win, or the
+            # derived fold could run twice and the audit record would
+            # be lost. Restore it over the usurper's row: the
+            # usurper's later mark_applied/mark_failed then fails its
+            # token check fail-fast (the documented invariant), and
+            # the authoritative history is preserved.
+            os.replace(aside, path)
 
     # -- composition ---------------------------------------------------------
 
