@@ -68,16 +68,30 @@ HEADLINE = [
 
 class Calibration:
     """Contention canary (VERDICT r11 task 2): a PINNED workload —
-    a fixed CPU+shuffle leg (spark.range hash-agg) plus a fixed IO leg
-    (scan of a 2M-row parquet written once per run) — timed at the
-    start, middle, and end of the bench. Query code changes cannot
-    move it, so when its samples inflate vs the frozen board value
-    (or drift apart within one run) the RUN is contended, and the
-    per-query numbers carry a machine-noise health bit instead of
-    needing a judge re-run to adjudicate (r11: 11 false >=2x
-    "regressions" from one contended driver run)."""
+    a fixed CPU+shuffle leg (spark.range hash-agg), a fixed IO leg
+    (scan of a 2M-row parquet written once per run), and — r14 — a
+    REAL-INPUT leg (full-column scan of the sf lineitem parquet, the
+    exact bytes the headline queries read) — timed at the start,
+    middle, and end of the bench. Query code changes cannot move it,
+    so when its samples inflate vs the frozen board value (or drift
+    apart within one run) the RUN is contended, and the per-query
+    numbers carry a machine-noise health bit instead of needing a
+    judge re-run to adjudicate (r11: 11 false >=2x "regressions" from
+    one contended driver run).
 
-    def __init__(self, spark):
+    The r13 adjudication found the 2M-row synthetic IO leg BLIND to
+    exactly the noise that moved 8 headline queries >2x: it reads a
+    file written seconds earlier (page-cache-resident by
+    construction), so a run whose *input parquet* scans were 3x off
+    still calibrated clean. Two fixes: the real-input leg here runs
+    through the same read path + page cache as the queries and
+    catches mid-run IO/memory-bandwidth degradation, and
+    ``warm_inputs`` (below) reads every input's column pages ONCE
+    before timing starts — recording the true cold-IO cost in its own
+    number (``io_warmup``) instead of charging it to whichever query
+    touches the table first."""
+
+    def __init__(self, spark, sf_dir: str | None = None):
         import shutil
         import tempfile
 
@@ -86,6 +100,7 @@ class Calibration:
         self.spark = spark
         self._F = F
         self._shutil = shutil
+        self.sf_dir = sf_dir
         self.tmp = tempfile.mkdtemp(prefix="bench_calib_")
         # fixed IO fixture: content is a pure function of range(2M),
         # so the leg reads identical bytes on every host and round
@@ -112,6 +127,18 @@ class Calibration:
             .groupBy((F.col("k") % 64).alias("b")).agg(F.sum("id").alias("s"))
             .select(F.expr("bit_xor(xxhash64(b, s))")).collect()
         )
+        # real-input leg (r14): full-column scan of the sf lineitem —
+        # the same bytes, parquet decode path and page-cache state the
+        # headline queries depend on; a mid-run IO/memory-bandwidth
+        # squeeze that the synthetic legs can't see moves THIS number
+        if self.sf_dir:
+            from odibi_spark.io import read_table
+
+            (
+                read_table(self.spark, self.sf_dir, "lineitem")
+                .select(F.expr("bit_xor(xxhash64(struct(*)))"))
+                .collect()
+            )
         return time.time() - t0
 
     def sample(self, label: str) -> None:
@@ -181,6 +208,37 @@ class Calibration:
         if getattr(self, "_unmatched", None):
             out["unmatched_labels"] = self._unmatched
         return out
+
+
+def warm_inputs(spark, sf_dir: str) -> dict:
+    """Read every bench input's COLUMN PAGES once, per table, timed
+    (r14, VERDICT r13 task 1): the old warmup counted rows, which the
+    parquet reader satisfies from footers/page headers without
+    touching data pages — so the first query on each table silently
+    paid the cold-IO cost, and on a bad IO window that cost was 3x
+    the board while the (page-cache-resident) calibration leg read
+    clean. A full-column xxhash scan forces every page through the
+    same read path the queries use; afterwards the inputs are
+    page-cache-warm, which is the board's frozen condition. The
+    per-table seconds are emitted as ``io_warmup`` — a run that
+    started IO-cold or IO-contended records it HERE, decidably, not
+    as phantom per-query regressions."""
+    from pyspark.sql import functions as F
+
+    from odibi_spark.io import read_table
+
+    out: dict[str, float] = {}
+    for t in (
+        "lineitem", "orders", "customer", "supplier", "part",
+        "nation", "region", "events", "documents", "embeddings",
+    ):
+        t0 = time.time()
+        read_table(spark, sf_dir, t).select(
+            F.expr("bit_xor(xxhash64(struct(*)))")
+        ).collect()
+        out[t] = round(time.time() - t0, 4)
+    out["total"] = round(sum(out.values()), 4)
+    return out
 
 
 def scale_docs_bench(spark, sf_dir: str, factor: int = 10) -> dict:
@@ -621,7 +679,16 @@ def compare_prev(out: dict, prev_path: str) -> dict:
     print the full ratio table to stderr, and return a compact
     regression summary (queries slower than 1.15x) for the JSON
     artifacts. Per-query ratios are the methodology — same-code idle
-    variance moves the TOTALS 15%+ between rounds."""
+    variance moves the TOTALS 15%+ between rounds.
+
+    r14 (VERDICT r13 task 1): when the reference carries per-query
+    NOISE BANDS (``query_bands``: {name: [min, max] across the
+    board's idle freeze runs}), a reading only counts as a regression
+    if it is BOTH >1.15x the median AND above the query's own
+    observed ceiling x1.05 — a value the query itself produced in an
+    idle window is dispersion, not a regression, no matter the ratio.
+    Band-absolved readings are reported separately (``within_band``)
+    so the dispersion stays visible."""
     with open(prev_path) as fh:
         prev = json.load(fh)
     if isinstance(prev.get("parsed"), dict):
@@ -636,10 +703,11 @@ def compare_prev(out: dict, prev_path: str) -> dict:
         **block(prev.get("curation_queries")),
         **block(prev.get("analytics_queries")),
     }
+    bands = block(prev.get("query_bands"))
     cur_q = {
         **out["queries"], **out["curation_queries"], **out["analytics_queries"],
     }
-    ratios, regressions = {}, {}
+    ratios, regressions, within_band = {}, {}, {}
     for name, sec in sorted(cur_q.items()):
         p = prev_q.get(name)
         # non-numeric prev values (older/hand-edited artifact shapes)
@@ -649,9 +717,19 @@ def compare_prev(out: dict, prev_path: str) -> dict:
             continue
         r = round(sec / p, 3)
         ratios[name] = r
-        flag = " <-- REGRESSION" if r > 1.15 else ""
+        band = bands.get(name)
+        band_hi = (
+            band[1] if isinstance(band, (list, tuple)) and len(band) == 2
+            and isinstance(band[1], (int, float)) else None
+        )
+        flag = ""
         if r > 1.15:
-            regressions[name] = r
+            if band_hi is not None and sec <= band_hi * 1.05:
+                within_band[name] = r
+                flag = f" (within idle band <= {band_hi:.2f}s)"
+            else:
+                regressions[name] = r
+                flag = " <-- REGRESSION"
         print(
             f"# ratio {name}: {sec:.2f}s / {p:.2f}s = {r:.2f}x{flag}",
             file=sys.stderr,
@@ -660,14 +738,18 @@ def compare_prev(out: dict, prev_path: str) -> dict:
     print(
         f"# vs {os.path.basename(prev_path)}: {comparable} comparable, "
         f"{len(regressions)} regression(s) >1.15x"
-        + (f": {sorted(regressions)}" if regressions else ""),
+        + (f": {sorted(regressions)}" if regressions else "")
+        + (f", {len(within_band)} band-absolved" if within_band else ""),
         file=sys.stderr,
     )
-    return {
+    res = {
         "prev": os.path.basename(prev_path),
         "comparable": comparable,
         "regressions": regressions,
     }
+    if within_band:
+        res["within_band"] = within_band
+    return res
 
 
 def main() -> None:
@@ -676,13 +758,14 @@ def main() -> None:
     from odibi_spark.workloads import QUERIES
 
     spark = get_spark("bench")
-    # warm the JVM, parquet reader codepath, and OS page cache once so
-    # the first measured query isn't charged for one-time startup
+    # warm the JVM and parquet reader codepath once so the first
+    # measured query isn't charged for one-time startup
     spark.range(1).count()
-    from odibi_spark.io import read_table
-
-    for t in ("lineitem", "orders", "events", "documents"):
-        read_table(spark, sf_dir, t).count()
+    # r14: timed full-column warmup of every input (column PAGES, not
+    # just footers — the r13 blind spot); records true cold-IO cost
+    # in its own artifact field instead of inside query timings
+    io_warmup = warm_inputs(spark, sf_dir)
+    print(f"# io_warmup: {io_warmup}", file=sys.stderr)
     # start the Python worker pool once (r13): the first mapInPandas
     # query otherwise pays ~8s of worker fork/import — one-time session
     # startup, same class as the JVM/page-cache warmup above, and it
@@ -694,7 +777,7 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    calib = Calibration(spark)
+    calib = Calibration(spark, sf_dir)
     calib.sample("start")
 
     timings: dict[str, float] = {}
@@ -827,6 +910,7 @@ def main() -> None:
         "curation_total_sec": curation_total,
         "analytics_queries": analytics,
         "analytics_total_sec": analytics_total,
+        "io_warmup": io_warmup,
     }
 
     # z-order layout probe: fraction of parquet row groups a mid-range
@@ -1002,6 +1086,8 @@ def _slim(out: dict, out_path: str) -> dict:
             "vs_frozen": c["worst_vs_frozen"],
             "drift": c["intra_run_drift"],
         }
+    if "io_warmup" in out:
+        slim["io_warmup_sec"] = out["io_warmup"]["total"]
     if "vs_prev" in out:
         v = out["vs_prev"]
         worst = dict(sorted(
@@ -1013,6 +1099,8 @@ def _slim(out: dict, out_path: str) -> dict:
             "n_regr": len(v["regressions"]),
             "regr": worst,
         }
+        if v.get("within_band"):
+            slim["vs_prev"]["n_band_ok"] = len(v["within_band"])
     return slim
 
 

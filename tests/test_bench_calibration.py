@@ -7,6 +7,7 @@ clear). These tests pin the flag logic and DEMONSTRATE that a
 deliberately loaded run flags itself.
 """
 
+import json
 import multiprocessing
 import os
 import sys
@@ -15,7 +16,7 @@ import time
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
-from bench import Calibration  # noqa: E402
+from bench import Calibration, compare_prev, warm_inputs  # noqa: E402
 
 
 def _calib_with(samples, tmpdir):
@@ -122,31 +123,127 @@ class TestCalibrationFlagLogic:
         }
 
 
+class TestNoiseBandGating:
+    """r14 (VERDICT r13 task 1): a reading a query itself produced in
+    an idle freeze window is dispersion, not regression — vs_prev only
+    flags when the value exceeds BOTH 1.15x the median AND the query's
+    own idle ceiling x1.05."""
+
+    def _prev(self, tmp_path, bands=None):
+        prev = {
+            "queries": {"q_a": 1.0, "q_b": 1.0},
+            "curation_queries": {},
+            "analytics_queries": {},
+        }
+        if bands is not None:
+            prev["query_bands"] = bands
+        p = tmp_path / "prev.json"
+        p.write_text(json.dumps(prev))
+        return str(p)
+
+    def _out(self, a, b):
+        return {
+            "queries": {"q_a": a, "q_b": b},
+            "curation_queries": {},
+            "analytics_queries": {},
+        }
+
+    def test_within_band_absolved(self, tmp_path):
+        # q_a at 1.4x median but under its own idle max (1.5) -> band
+        prev = self._prev(
+            tmp_path, bands={"q_a": [0.8, 1.5], "q_b": [0.9, 1.1]}
+        )
+        r = compare_prev(self._out(1.4, 1.0), prev)
+        assert r["regressions"] == {}
+        assert r["within_band"] == {"q_a": 1.4}
+
+    def test_above_band_still_flags(self, tmp_path):
+        prev = self._prev(
+            tmp_path, bands={"q_a": [0.8, 1.5], "q_b": [0.9, 1.1]}
+        )
+        r = compare_prev(self._out(1.7, 1.3), prev)
+        # q_a 1.7 > 1.5*1.05; q_b 1.3 > 1.1*1.05 — both genuine
+        assert set(r["regressions"]) == {"q_a", "q_b"}
+
+    def test_no_bands_preserves_ratio_rule(self, tmp_path):
+        prev = self._prev(tmp_path)  # legacy artifact without bands
+        r = compare_prev(self._out(1.2, 1.0), prev)
+        assert r["regressions"] == {"q_a": 1.2}
+        assert "within_band" not in r
+
+
+def test_warm_inputs_reads_every_table(spark):
+    """io_warmup must cover every bench input with a positive timed
+    full-column scan — the r13 blind spot was a warmup that read
+    footers only, leaving data pages cold for the first query."""
+    w = warm_inputs(spark, "/root/testdata/sf0.001")
+    expect = {
+        "lineitem", "orders", "customer", "supplier", "part",
+        "nation", "region", "events", "documents", "embeddings",
+        "total",
+    }
+    assert set(w) == expect
+    assert all(v > 0 for v in w.values())
+    assert w["total"] == pytest.approx(
+        sum(v for k, v in w.items() if k != "total"), abs=0.01
+    )
+
+
+def test_calibration_real_input_leg_runs(spark):
+    """With sf_dir the probe includes the real-input lineitem leg —
+    the sample must still complete and report a positive time."""
+    c = Calibration(spark, "/root/testdata/sf0.001")
+    c.sample("start")
+    assert c.samples["start"] > 0
+    r = c.result(frozen=None)
+    assert r["contended"] is False
+
+
 def _busy(stop_ts):
     x = 1.0
     while time.time() < stop_ts:
         x = x * 1.0000001 + 1.0
 
 
+def _io_storm(stop_ts, path):
+    """Deliberate IO pressure: loop-write and fsync 32MB files."""
+    blob = os.urandom(1 << 20) * 32
+    i = 0
+    while time.time() < stop_ts:
+        p = f"{path}/io_{os.getpid()}_{i % 2}.bin"
+        with open(p, "wb") as fh:
+            fh.write(blob)
+            fh.flush()
+            os.fsync(fh.fileno())
+        i += 1
+
+
 @pytest.mark.slow
 def test_loaded_run_flags_itself(spark, tmp_path):
-    """End-to-end demonstration: the same pinned probe, idle then under
-    a deliberate 2x-nproc CPU storm, must flag the loaded sample.
+    """End-to-end demonstration: the same pinned probe, idle then
+    under a deliberate CPU + IO storm, must flag the loaded sample.
 
-    The storm doubles the runnable-thread count, so the probe's CPU
-    leg (32-way hash-agg over range(8M)) slows well past the 1.3x
-    drift threshold. The assertion is on the CONTENDED bit — exactly
-    the signal the driver's BENCH JSON now carries.
+    The CPU storm doubles the runnable-thread count, so the probe's
+    CPU leg (32-way hash-agg over range(8M)) slows well past the 1.3x
+    drift threshold; the IO writers pressure the page cache and disk
+    queue the REAL-INPUT leg reads through (r14 — the leg the r13
+    blind spot lacked). The assertion is on the CONTENDED bit —
+    exactly the signal the driver's BENCH JSON now carries.
     """
-    calib = Calibration(spark)  # __init__ warms codegen + page cache
+    calib = Calibration(spark, "/root/testdata/sf0.001")
     calib.sample("idle")
     idle = calib.samples["idle"]
 
-    nproc = (os.cpu_count() or 8) * 2
+    ncpu = os.cpu_count() or 8
     stop_ts = time.time() + 120  # generous upper bound; killed below
     procs = [
         multiprocessing.Process(target=_busy, args=(stop_ts,), daemon=True)
-        for _ in range(nproc)
+        for _ in range(ncpu * 2)
+    ] + [
+        multiprocessing.Process(
+            target=_io_storm, args=(stop_ts, str(tmp_path)), daemon=True
+        )
+        for _ in range(4)
     ]
     for p in procs:
         p.start()

@@ -56,6 +56,7 @@ def main() -> None:
     board = dict(outs[-1])  # probes/scalars from the final run
     board.pop("vs_prev", None)
     run_totals = "/".join(f"{o['value']:.1f}" for o in outs)
+    bands: dict[str, list[float]] = {}
     for blk in BLOCKS:
         names = set()
         for o in outs:
@@ -68,6 +69,19 @@ def main() -> None:
         }
         board[blk] = med
         board[TOTALS[blk]] = round(sum(med.values()), 4)
+        # r14 (VERDICT r13 task 1): per-query noise band [min, max]
+        # across the idle freeze runs — bench.py only flags a future
+        # reading as a regression when it ALSO exceeds the query's own
+        # idle ceiling x1.05, so single-window dispersion stops
+        # reading as code movement. Headline queries contribute their
+        # per-run best-of-2 pairs too (headline_runs) for a wider,
+        # more honest band.
+        for n in names:
+            vals = [o[blk][n] for o in outs if n in o.get(blk, {})]
+            for o in outs:
+                vals += o.get("headline_runs", {}).get(n, [])
+            bands[n] = [round(min(vals), 4), round(max(vals), 4)]
+    board["query_bands"] = bands
     board["value"] = round(
         sum(board[t] for t in TOTALS.values()), 4
     )
