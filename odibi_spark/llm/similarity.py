@@ -1425,6 +1425,87 @@ def mmr_topk(
     )
 
 
+def kcenter_coreset(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Diversity-aware coreset selection: greedy k-center / max-min
+    (Gonzalez 1985's farthest-point traversal, the 2-approximation;
+    Sener & Savarese 2018 use exactly this selector for data-efficient
+    training coresets). Starting from the smallest-id point, each step
+    adds the point whose distance to the nearest already-selected
+    center is LARGEST — after k steps every corpus point is within the
+    returned ``min_dist`` radius of some center, and the centers are
+    pairwise maximally spread (SemDeDup removes redundancy, MMR
+    reranks a candidate list; this is the corpus-level "pick k
+    maximally diverse documents" selector both lack).
+
+    Output: one row per selected center — (center_rank, id, min_dist)
+    where min_dist is the point's distance to the selection at the
+    moment it was picked (the coverage radius sequence; NULL for the
+    seed). Distance is ``round(1 - cosine, round_digits)`` — rounded
+    BEFORE the running min and the argmax, ties break on the smaller
+    id, so the selection is a pure function of the vectors and a
+    DuckDB oracle replays every step (workload
+    ``kcenter_coreset_embeddings``).
+
+    Scale shape: the greedy loop is inherently sequential in k — each
+    of the k rounds is ONE corpus map (distances to <= k literal
+    center vectors, no shuffle) plus a top-1 reduce; driver state is
+    O(k x dim). For k beyond ~100 at 100 TB, compose with
+    :func:`kmeans_clusters`: run this selector per cell over cluster
+    representatives with per-cell quotas (cells are independent, so
+    the k-sequential chain parallelizes across cells)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    sel = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    seed_rows = sel.orderBy("id").limit(1).collect()
+    if not seed_rows:
+        raise ValueError("empty input")
+    spark = df.sparkSession
+
+    def center_dist(cvec: list[float]) -> Column:
+        lit = F.array(*[F.lit(float(x)) for x in cvec])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("vec"), lit,
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cn = F.sqrt(
+            F.aggregate(
+                lit, F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        )
+        return F.round(F.lit(1.0) - dot / (_norm("vec") * cn), round_digits)
+
+    picked = [(seed_rows[0]["id"], list(seed_rows[0]["vec"]), None)]
+    for _ in range(1, k):
+        dists = [center_dist(cvec) for _, cvec, _ in picked]
+        md = F.least(*dists) if len(dists) > 1 else dists[0]
+        nxt = (
+            sel.filter(~F.col("id").isin([cid for cid, _, _ in picked]))
+            .select("id", "vec", md.alias("md"))
+            .orderBy(F.desc("md"), F.asc("id"))
+            .limit(1)
+            .collect()
+        )
+        if not nxt:
+            break  # corpus smaller than k
+        picked.append((nxt[0]["id"], list(nxt[0]["vec"]), float(nxt[0]["md"])))
+    id_type = df.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        [(r + 1, cid, md) for r, (cid, _, md) in enumerate(picked)],
+        f"center_rank int, {id_col} {id_type}, min_dist double",
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     *,

@@ -569,6 +569,23 @@ def mmr_rerank_transform(
     )
 
 
+@transform("kcenter_coreset")
+def kcenter_coreset_transform(
+    ctx: EngineContext,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> EngineContext:
+    """Diversity coreset (similarity.kcenter_coreset): greedy
+    farthest-point selection of k maximally-spread vectors — the
+    corpus-level diverse-subset pick for data-efficient fine-tuning
+    mixes."""
+    return ctx.with_df(
+        similarity.kcenter_coreset(ctx.df, id_col, vec_col, k=k)
+    )
+
+
 @transform("winsorize")
 def winsorize_transform(
     ctx: EngineContext,

@@ -87,6 +87,7 @@ _R14_ROTATE_IN = [
 # checked, so they get guaranteed head slots.
 _R14_NEW = [
     "ann_recall_lsh_or",
+    "kcenter_coreset_embeddings",
 ]
 
 # Workloads whose Spark+oracle definition changed in round 14:

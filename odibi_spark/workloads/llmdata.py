@@ -2170,6 +2170,68 @@ QUERIES.update({"ann_recall_lsh_or": ann_recall_lsh_or})
 ORACLES.update({"ann_recall_lsh_or": _ann_recall_lsh_or_oracle_sql()})
 
 
+def kcenter_coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity coreset: greedy k-center (farthest-point) selection
+    of 10 maximally-spread vectors (similarity.kcenter_coreset —
+    Gonzalez 1985 / Sener & Savarese 2018). Every pick is an argmax
+    over rounded 1-cosine distances with id tiebreaks, so the oracle
+    replays the whole greedy chain step by step."""
+    _prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings", cpu_heavy=True)
+    return similarity.kcenter_coreset(emb, "vec_id", "embedding", k=10)
+
+
+def _kcenter_oracle_sql(k: int = 10) -> str:
+    """DuckDB replica of the greedy k-center chain, unrolled: CTE
+    c{i} is step i's argmax (ORDER BY md DESC, id LIMIT 1), d{i+1}
+    carries the running min-distance forward with the same
+    round-before-LEAST the Spark side pins."""
+
+    def dist(vec_a: str, vec_b: str) -> str:
+        return (
+            f"round(1.0 - list_dot_product({vec_a}, {vec_b}) / "
+            f"(sqrt(list_dot_product({vec_a}, {vec_a})) * "
+            f"sqrt(list_dot_product({vec_b}, {vec_b}))), 6)"
+        )
+
+    parts = [f"""
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+c0 AS (SELECT id, vec FROM v ORDER BY id LIMIT 1),
+d1 AS (
+  SELECT v.id, v.vec, {dist("v.vec", "c.vec")} AS md
+  FROM v, c0 c WHERE v.id <> c.id
+)"""]
+    for i in range(1, k):
+        parts.append(
+            f""",
+c{i} AS (SELECT id, vec, md FROM d{i} ORDER BY md DESC, id LIMIT 1)"""
+        )
+        if i < k - 1:
+            parts.append(
+                f""",
+d{i + 1} AS (
+  SELECT d.id, d.vec,
+         LEAST(d.md, {dist("d.vec", "c.vec")}) AS md
+  FROM d{i} d, c{i} c WHERE d.id <> c.id
+)"""
+            )
+    selects = [
+        "SELECT 1 AS center_rank, id AS vec_id, "
+        "CAST(NULL AS DOUBLE) AS min_dist FROM c0"
+    ] + [
+        f"SELECT {i + 1} AS center_rank, id AS vec_id, md AS min_dist "
+        f"FROM c{i}"
+        for i in range(1, k)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+QUERIES.update({"kcenter_coreset_embeddings": kcenter_coreset_embeddings})
+ORACLES.update({"kcenter_coreset_embeddings": _kcenter_oracle_sql()})
+
+
 def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss random projection of the embedding table
     to 8 dims (similarity.random_projection, inline-literal path).
