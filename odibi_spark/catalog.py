@@ -44,6 +44,16 @@ NODE_SCHEMA = (
     "pipeline string, node string, version_hash string, "
     "depends_on_json string, config_json string, deployed_at double"
 )
+# versioned schema snapshots with per-version drift columns
+# (reference: odibi/catalog.py:903 meta_schemas — schema_version,
+# schema_hash, columns JSON, columns_added/removed/type_changed;
+# track_schema at :3248 appends only on hash change)
+SCHEMA_SNAPSHOT_SCHEMA = (
+    "table_path string, schema_version bigint, schema_hash string, "
+    "columns_json string, captured_at double, pipeline string, "
+    "node string, run_id string, columns_added string, "
+    "columns_removed string, columns_type_changed string"
+)
 
 
 class Catalog:
@@ -191,6 +201,123 @@ class Catalog:
 
     def nodes(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.root}/meta_nodes")
+
+    def snapshot_schema(
+        self,
+        table_path: str,
+        df: DataFrame,
+        *,
+        pipeline: str | None = None,
+        node: str | None = None,
+        run_id: str | None = None,
+    ) -> dict:
+        """Versioned schema snapshot with drift detection (reference
+        ``track_schema``, odibi/catalog.py:3248 + meta_schemas schema
+        at :903): hash the canonical {column: type} map; when it
+        differs from the latest recorded version, append ONE row to
+        ``meta_schema_snapshots`` carrying the bumped version and the
+        computed drift (columns added / removed / type-changed as
+        sorted JSON arrays). An unchanged schema appends nothing.
+
+        Returns {"changed", "version"} (+ "previous_version" and the
+        drift lists when changed). Version assignment is
+        read-latest-then-append like the reference's — two concurrent
+        first writers of the SAME table can race a version number;
+        the snapshot log still records both schemas (the reference's
+        Delta-MERGE backend is the upgrade path, same posture as
+        ``_append``)."""
+        import hashlib
+
+        cols = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        canon = json.dumps(cols, sort_keys=True)
+        schema_hash = hashlib.md5(canon.encode()).hexdigest()
+        prev = None
+        if self._exists("schema_snapshots"):
+            rows = (
+                self.schema_snapshots(table_path)
+                .orderBy("schema_version", ascending=False)
+                .limit(1)
+                .collect()
+            )
+            prev = rows[0] if rows else None
+        if prev is not None and prev.schema_hash == schema_hash:
+            return {"changed": False, "version": int(prev.schema_version)}
+        if prev is not None:
+            prev_cols = json.loads(prev.columns_json)
+            added = sorted(set(cols) - set(prev_cols))
+            removed = sorted(set(prev_cols) - set(cols))
+            changed = sorted(
+                c for c in cols if c in prev_cols and cols[c] != prev_cols[c]
+            )
+            version = int(prev.schema_version) + 1
+        else:
+            added, removed, changed = sorted(cols), [], []
+            version = 1
+        self._append(
+            "schema_snapshots",
+            [(
+                table_path, version, schema_hash, canon, time.time(),
+                pipeline, node, run_id,
+                json.dumps(added), json.dumps(removed), json.dumps(changed),
+            )],
+            SCHEMA_SNAPSHOT_SCHEMA,
+        )
+        return {
+            "changed": True,
+            "version": version,
+            "previous_version": int(prev.schema_version) if prev else None,
+            "columns_added": added,
+            "columns_removed": removed,
+            "columns_type_changed": changed,
+        }
+
+    def sync_table(
+        self,
+        *,
+        table_path: str,
+        pipeline: str,
+        node: str,
+        df: DataFrame,
+        format: str = "parquet",
+        run_id: str | None = None,
+    ) -> dict:
+        """Table-registration sync (reference catalog post-write sync:
+        register the table row AND track its schema in one call):
+        appends the ``meta_tables`` registration row and takes a
+        versioned ``meta_schema_snapshots`` drift snapshot. Returns
+        the snapshot result."""
+        self.record_table(
+            table_path=table_path, pipeline=pipeline, node=node,
+            df=df, format=format,
+        )
+        return self.snapshot_schema(
+            table_path, df, pipeline=pipeline, node=node, run_id=run_id,
+        )
+
+    def schema_snapshots(self, table_path: str | None = None) -> DataFrame:
+        """The versioned snapshot log as a queryable meta table."""
+        df = self.spark.read.parquet(f"{self.root}/meta_schema_snapshots")
+        if table_path is not None:
+            df = df.filter(df.table_path == table_path)
+        return df
+
+    def schema_drift(self, table_path: str | None = None) -> DataFrame:
+        """Schema DRIFT history: every snapshot beyond each table's
+        first version — i.e. the moments a table's shape actually
+        changed, with what changed (reference CLI ``schema history``
+        drift view). Ordered newest-first."""
+        from pyspark.sql import functions as F
+
+        return (
+            self.schema_snapshots(table_path)
+            .filter(F.col("schema_version") > 1)
+            .select(
+                "table_path", "schema_version", "captured_at",
+                "pipeline", "node", "run_id",
+                "columns_added", "columns_removed", "columns_type_changed",
+            )
+            .orderBy(F.desc("captured_at"))
+        )
 
     def schema_history(self, table_path: str | None = None) -> DataFrame:
         """Recorded schema versions over time (reference meta_schemas,
@@ -603,9 +730,13 @@ def run_pipeline_with_catalog(pipeline, *, catalog: Catalog, parallel: bool = Fa
     )
     for node in pipeline.config.nodes:
         if node.write and node.write.path and results[node.name].status == "success":
-            catalog.record_table(
+            # r14: registration + versioned schema snapshot in one
+            # sync — meta_schema_snapshots gains a drift row whenever
+            # a run changes a table's shape (reference track_schema
+            # per catalogued write)
+            catalog.sync_table(
                 table_path=node.write.path, pipeline=pipeline.config.name,
                 node=node.name, df=pipeline.context.get(node.name),
-                format=node.write.format,
+                format=node.write.format, run_id=run_id,
             )
     return run_id, results

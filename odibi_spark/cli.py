@@ -103,7 +103,7 @@ def main(argv: list[str] | None = None) -> int:
         "what",
         choices=["runs", "tables", "metrics", "daily-stats", "health",
                  "pipelines", "nodes", "schema-history", "schema-diff",
-                 "state"],
+                 "schema-snapshots", "schema-drift", "state"],
     )
     sp.add_argument("--root", required=True, help="catalog root path")
     sp.add_argument("--pipeline", help="filter by pipeline name")
@@ -310,6 +310,10 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         if args.what == "schema-history":
             df = cat.schema_history(args.table)
+        elif args.what == "schema-snapshots":
+            df = cat.schema_snapshots(args.table)
+        elif args.what == "schema-drift":
+            df = cat.schema_drift(args.table)
         else:
             reader = {
                 "runs": cat.runs, "tables": cat.tables,

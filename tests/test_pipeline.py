@@ -1,6 +1,8 @@
 """Pipeline layer: YAML in -> tables out (reference model:
 docs/examples/canonical/runnable/01_hello_world.yaml)."""
 
+import json
+
 import pytest
 
 from odibi_spark.plans import DependencyGraph, GraphError, Pipeline
@@ -453,3 +455,107 @@ nodes:
         assert out["broken"].breached is True
         assert out["broken"].hours_since_success is None
         assert out["neverran"].breached is True
+
+
+class TestSchemaSnapshots:
+    """r14 (VERDICT r13 task 7): versioned schema snapshots with drift
+    columns — the reference's track_schema/meta_schemas surface."""
+
+    def _cat(self, spark, tmp_path):
+        from odibi_spark.catalog import Catalog
+
+        return Catalog(spark, str(tmp_path / "_system"))
+
+    def test_versioning_and_noop_on_unchanged(self, spark, tmp_path):
+        cat = self._cat(spark, tmp_path)
+        df1 = spark.createDataFrame([(1, "a")], "k bigint, v string")
+        r1 = cat.snapshot_schema("t/out", df1, pipeline="p", node="n")
+        assert r1 == {
+            "changed": True, "version": 1, "previous_version": None,
+            "columns_added": ["k", "v"], "columns_removed": [],
+            "columns_type_changed": [],
+        }
+        # identical schema: no new row
+        r2 = cat.snapshot_schema("t/out", df1)
+        assert r2 == {"changed": False, "version": 1}
+        assert cat.schema_snapshots("t/out").count() == 1
+        # drift: v dropped, w added, k retyped
+        df2 = spark.createDataFrame([(1.5, True)], "k double, w boolean")
+        r3 = cat.snapshot_schema("t/out", df2, run_id="r3")
+        assert r3["version"] == 2 and r3["previous_version"] == 1
+        assert r3["columns_added"] == ["w"]
+        assert r3["columns_removed"] == ["v"]
+        assert r3["columns_type_changed"] == ["k"]
+        drift = cat.schema_drift("t/out").collect()
+        assert len(drift) == 1
+        import json as _json
+
+        assert _json.loads(drift[0].columns_type_changed) == ["k"]
+        assert drift[0].run_id == "r3"
+
+    def test_tables_tracked_independently(self, spark, tmp_path):
+        cat = self._cat(spark, tmp_path)
+        a = spark.createDataFrame([(1,)], "k bigint")
+        b = spark.createDataFrame([("x",)], "s string")
+        assert cat.snapshot_schema("ta", a)["version"] == 1
+        assert cat.snapshot_schema("tb", b)["version"] == 1
+        assert cat.snapshot_schema("ta", b)["version"] == 2
+        assert cat.schema_drift().count() == 1
+
+    def test_pipeline_run_writes_snapshot_per_table(self, spark, tmp_path):
+        import pandas as pd
+
+        from odibi_spark.catalog import Catalog, run_pipeline_with_catalog
+        from odibi_spark.plans.pipeline import Pipeline
+
+        pd.DataFrame({"k": [1, 2]}).to_parquet(tmp_path / "in.parquet")
+        yaml_text = f"""
+name: snap_demo
+nodes:
+  - name: n
+    read: {{path: "{tmp_path}/in.parquet"}}
+    write: {{path: "{tmp_path}/out"}}
+"""
+        cat = Catalog(spark, str(tmp_path / "_system"))
+        run_id, _ = run_pipeline_with_catalog(
+            Pipeline.from_yaml(yaml_text, spark), catalog=cat
+        )
+        snaps = cat.schema_snapshots().collect()
+        assert len(snaps) == 1
+        assert snaps[0].run_id == run_id
+        assert snaps[0].schema_version == 1
+        # replaying the same pipeline: registration row appends, but
+        # the unchanged schema takes NO second snapshot
+        run_pipeline_with_catalog(
+            Pipeline.from_yaml(yaml_text, spark), catalog=cat
+        )
+        assert cat.schema_snapshots().count() == 1
+        assert cat.tables().count() == 2
+
+    def test_cli_schema_snapshots_and_drift(self, spark, tmp_path, capsys):
+        from odibi_spark.catalog import Catalog
+        from odibi_spark.cli import main as cli_main
+
+        cat = Catalog(spark, str(tmp_path / "_system"))
+        cat.snapshot_schema(
+            "t", spark.createDataFrame([(1,)], "k bigint")
+        )
+        cat.snapshot_schema(
+            "t", spark.createDataFrame([("s",)], "k string")
+        )
+        rc = cli_main([
+            "catalog", "schema-snapshots",
+            "--root", str(tmp_path / "_system"), "--table", "t",
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert [r["schema_version"] for r in out] in ([1, 2], [2, 1])
+        rc = cli_main([
+            "catalog", "schema-drift",
+            "--root", str(tmp_path / "_system"),
+        ])
+        assert rc == 0
+        drift = json.loads(capsys.readouterr().out)
+        assert len(drift) == 1 and json.loads(
+            drift[0]["columns_type_changed"]
+        ) == ["k"]
