@@ -869,6 +869,12 @@ def main() -> None:
         "lang_classifier_train_docs", "lang_classify_docs",
         "ccnet_lid_pipeline_docs", "domain_mixture_docs",
         "hard_negatives_embeddings", "mixture_sample_docs",
+        # new in round 14: many-tables OR-construction SRP ANN with
+        # hamming-sketch prefilter, the greedy k-center diversity
+        # coreset (10 sequential argmax rounds over the corpus), and
+        # tokenizer deployment (train BPE on half, encode the other)
+        "ann_recall_lsh_or", "kcenter_coreset_embeddings",
+        "bpe_encode_unseen_docs",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(

@@ -926,6 +926,103 @@ def _bpe_run(
     return merges, vocab
 
 
+def bpe_apply_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    merges,
+    lowercase: bool = True,
+    end_of_word: str | None = "</w>",
+) -> DataFrame:
+    """Apply a TRAINED merge table to a (possibly unseen) corpus —
+    the tokenizer DEPLOYMENT step :func:`bpe_train` ships merges for:
+    segment this corpus's vocabulary by replaying the merges in rank
+    order with the same greedy left-to-right semantics training used.
+    Returns (word, wc, syms) over the target corpus's DISTINCT words.
+
+    ``merges`` is the bpe_train output — a DataFrame with
+    (merge_rank, left, right) columns, or a rank-ordered list of
+    (left, right) pairs.
+
+    Scale: one corpus pass builds the vocabulary (the only
+    corpus-sized stage); each merge is one vectorized array fold over
+    the vocab table, checkpointed per round like training — unseen
+    words cost exactly what training-corpus words cost."""
+    if isinstance(merges, DataFrame):
+        pairs = [
+            (r["left"], r["right"])
+            for r in merges.orderBy("merge_rank").collect()
+        ]
+    else:
+        pairs = [(a, b) for a, b in merges]
+    vocab = bpe_vocab(
+        df, text_col, lowercase=lowercase, end_of_word=end_of_word
+    ).localCheckpoint(eager=True)
+    for a, b in pairs:
+        prev = vocab
+        vocab = vocab.withColumn(
+            "syms", _merge_pair_expr(a, b)
+        ).localCheckpoint(eager=True)
+        prev.unpersist()
+    return vocab
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    merges,
+    lowercase: bool = True,
+    end_of_word: str | None = "</w>",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize every document with a trained BPE merge table:
+    (id, n_words, n_tokens, ``out_col`` = the subword sequence joined
+    with single spaces — detokenizable because of the end-of-word
+    marker). Documents with no words are omitted (nothing to encode).
+
+    Scale shape (the bpe_segmented_vocab contract made executable):
+    segmentation is computed ONCE PER DISTINCT WORD
+    (:func:`bpe_apply_merges`), never per token; encoding the token
+    stream is one posexplode + one join on the word key (AQE absorbs
+    the Zipf-head skew) + one per-doc ordered reassembly."""
+    seg = bpe_apply_merges(
+        df, text_col, merges=merges,
+        lowercase=lowercase, end_of_word=end_of_word,
+    ).select("word", "syms")
+    t = F.trim(F.col(text_col))
+    if lowercase:
+        t = F.lower(t)
+    stream = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(t, " ")).alias("__pos", "word"),
+        )
+        .filter(F.col("word") != "")
+        .join(seg, "word")
+    )
+    toks = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "syms"))),
+            lambda x: x["syms"],
+        )
+    )
+    return (
+        stream.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            toks.alias("__toks"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            F.size("__toks").cast("long").alias("n_tokens"),
+            F.array_join("__toks", " ").alias(out_col),
+        )
+    )
+
+
 def ngram_lm_scores(
     df: DataFrame,
     id_col: str = "doc_id",

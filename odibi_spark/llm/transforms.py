@@ -569,6 +569,28 @@ def mmr_rerank_transform(
     )
 
 
+@transform("bpe_encode")
+def bpe_encode_transform(
+    ctx: EngineContext,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_merges: int = 20,
+    lowercase: bool = True,
+) -> EngineContext:
+    """Tokenize documents with a corpus-trained BPE merge table
+    (text.bpe_train + text.bpe_encode): per-distinct-word
+    segmentation, then one join over the token stream."""
+    merges = text.bpe_train(
+        ctx.df, text_col, num_merges=num_merges, lowercase=lowercase
+    )
+    return ctx.with_df(
+        text.bpe_encode(
+            ctx.df, id_col, text_col, merges=merges, lowercase=lowercase
+        )
+    )
+
+
 @transform("kcenter_coreset")
 def kcenter_coreset_transform(
     ctx: EngineContext,

@@ -88,6 +88,7 @@ _R14_ROTATE_IN = [
 _R14_NEW = [
     "ann_recall_lsh_or",
     "kcenter_coreset_embeddings",
+    "bpe_encode_unseen_docs",
 ]
 
 # Workloads whose Spark+oracle definition changed in round 14:

@@ -2232,6 +2232,131 @@ QUERIES.update({"kcenter_coreset_embeddings": kcenter_coreset_embeddings})
 ORACLES.update({"kcenter_coreset_embeddings": _kcenter_oracle_sql()})
 
 
+def bpe_encode_unseen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer DEPLOYMENT (r14): train 20 BPE merges on the
+    even-doc_id half of the corpus, then ENCODE the odd half — unseen
+    words included — with text.bpe_encode (per-distinct-word
+    segmentation replaying the trained merges, then one join over the
+    token stream). Output (doc_id, n_words, n_tokens, bpe_tokens).
+    The oracle replays training AND application stage by stage."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents", cpu_heavy=True)
+    merges = text.bpe_train(
+        docs.filter(F.col("doc_id") % 2 == 0), num_merges=20
+    )
+    return text.bpe_encode(
+        docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text",
+        merges=merges,
+    )
+
+
+def _bpe_encode_oracle_sql(k: int = 20) -> str:
+    """DuckDB replica of train-on-even + encode-odd: the v{i}/b{i}
+    training chain (identical to BPE_TRAIN_SQL but filtered to even
+    doc_ids) plus an a{i} APPLY chain running the same
+    greedy-non-overlapping rewrite against each trained pair b{i},
+    ending in the per-doc ordered reassembly."""
+
+    def rewrite_stages(src: str, out: str, i: int) -> str:
+        """One merge-application round: src -> out, merging pair
+        b{i} with the odd-even non-overlap group logic shared with
+        the training chain."""
+        return f"""
+e{out} AS (
+  SELECT t.word, t.wc, CAST(g.i AS INTEGER) AS pos,
+         t.syms[CAST(g.i AS INTEGER)] AS s,
+         COALESCE(b.l IS NOT NULL AND g.i < len(t.syms)
+                  AND t.syms[CAST(g.i AS INTEGER)] = b.l
+                  AND t.syms[CAST(g.i + 1 AS INTEGER)] = b.r,
+                  FALSE) AS m,
+         b.l AS bl, b.r AS br
+  FROM {src} t LEFT JOIN b{i} b ON TRUE,
+       LATERAL (SELECT unnest(range(1, len(t.syms) + 1)) AS i) g
+),
+k{out} AS (
+  SELECT *, CASE WHEN m THEN
+       (row_number() OVER (PARTITION BY word, grp ORDER BY pos) - 1)
+         % 2 = 0
+     ELSE FALSE END AS taken
+  FROM (SELECT *, CASE WHEN m THEN pos - row_number()
+                       OVER (PARTITION BY word, m ORDER BY pos) END AS grp
+        FROM e{out})
+),
+{out} AS MATERIALIZED (
+  SELECT word, MAX(wc) AS wc,
+         list(CASE WHEN taken THEN bl || br ELSE s END ORDER BY pos)
+           AS syms
+  FROM (SELECT *, COALESCE(lag(taken) OVER (PARTITION BY word
+                                            ORDER BY pos), FALSE)
+                    AS prev_taken
+        FROM k{out})
+  WHERE NOT prev_taken GROUP BY word
+)"""
+
+    stages = ["""
+v0 AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS wc,
+         list_append(list_transform(range(1, length(word) + 1),
+                                    i -> word[CAST(i AS INTEGER)]),
+                     '</w>') AS syms
+  FROM (SELECT unnest(string_split(trim(lower(text)), ' ')) AS word
+        FROM documents WHERE doc_id % 2 = 0)
+  WHERE word <> '' GROUP BY word
+)"""]
+    for i in range(1, k + 1):
+        p = i - 1
+        stages.append(f"""
+b{i} AS MATERIALIZED (
+  SELECT l, r, CAST(SUM(wc) AS BIGINT) AS c FROM (
+    SELECT t.wc, t.syms[CAST(g.i AS INTEGER)] AS l,
+           t.syms[CAST(g.i + 1 AS INTEGER)] AS r
+    FROM v{p} t,
+         LATERAL (SELECT unnest(range(1, len(t.syms))) AS i) g
+    WHERE len(t.syms) >= 2
+  ) GROUP BY l, r HAVING SUM(wc) >= 2
+  ORDER BY c DESC, l, r LIMIT 1
+)""")
+        stages.append(rewrite_stages(f"v{p}", f"v{i}", i))
+    stages.append("""
+a0 AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS wc,
+         list_append(list_transform(range(1, length(word) + 1),
+                                    i -> word[CAST(i AS INTEGER)]),
+                     '</w>') AS syms
+  FROM (SELECT unnest(string_split(trim(lower(text)), ' ')) AS word
+        FROM documents WHERE doc_id % 2 = 1)
+  WHERE word <> '' GROUP BY word
+)""")
+    for i in range(1, k + 1):
+        stages.append(rewrite_stages(f"a{i - 1}", f"a{i}", i))
+    return "WITH " + ",".join(stages) + f"""
+,
+ws AS (
+  SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+  FROM documents WHERE doc_id % 2 = 1
+),
+tok AS (
+  SELECT doc_id, CAST(g.i AS INTEGER) AS pos,
+         w[CAST(g.i AS INTEGER)] AS word
+  FROM ws, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) g
+  WHERE w[CAST(g.i AS INTEGER)] <> ''
+),
+enc AS (
+  SELECT t.doc_id, t.pos, a.syms FROM tok t JOIN a{k} a USING (word)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(syms)) AS BIGINT) AS n_tokens,
+       array_to_string(flatten(list(syms ORDER BY pos)), ' ')
+         AS bpe_tokens
+FROM enc GROUP BY doc_id
+"""
+
+
+QUERIES.update({"bpe_encode_unseen_docs": bpe_encode_unseen_docs})
+ORACLES.update({"bpe_encode_unseen_docs": _bpe_encode_oracle_sql()})
+
+
 def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss random projection of the embedding table
     to 8 dims (similarity.random_projection, inline-literal path).

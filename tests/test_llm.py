@@ -1781,6 +1781,15 @@ class TestAnnRecallFloors:
         # multi-probe must clearly beat the same-table single probe
         # (r13: measured 5-7x; planes=8 single-probe is ~0.01-0.04)
         assert r["recall_at_5_lsh_mp"] >= 0.05, r
+        # r14 OR-construction + hamming prefilter: the recommendable
+        # LSH point (sf0.1 0.66 @ 3.2% reranked, sf0.01 0.43 @ 3.3%;
+        # smaller corpora have weaker neighbour structure — floor set
+        # well under the sf0.001 measurement)
+        assert r["recall_at_5_lsh_or"] >= 0.25, r
+        assert r["lsh_or_rerank_frac"] <= 0.10, r
+        # and it must dominate every single/multi-probe SRP point
+        assert r["recall_at_5_lsh_or"] > r["recall_at_5_lsh_mp"], r
+        assert r["recall_at_5_lsh_or"] > r["recall_at_5_lsh"], r
 
 
 class TestCleanUnicode:

@@ -249,3 +249,81 @@ class TestLangidNullLabels:
             df_dropped, classes=["de", "en"], buckets=64, epochs=1
         )
         assert w_null != w_dropped
+
+
+class TestBpeEncode:
+    """Tokenizer deployment: apply trained merges to unseen text."""
+
+    def _corpus(self, spark, texts, start=0):
+        return spark.createDataFrame(
+            [(i + start, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+
+    def test_unseen_words_segment_with_trained_merges(self, spark):
+        from odibi_spark.llm import text as T
+
+        train = self._corpus(spark, ["low low low low", "lower lower"])
+        merges = T.bpe_train(train, num_merges=3)
+        got = {
+            (r["left"], r["right"]) for r in merges.collect()
+        }
+        assert ("l", "o") in got  # 'lo' is the dominant pair
+        # 'lowest' never appeared in training; its prefix still
+        # segments with the trained merges
+        out = T.bpe_encode(
+            self._corpus(spark, ["lowest slow"], start=100),
+            merges=merges,
+        ).collect()
+        assert len(out) == 1
+        row = out[0]
+        assert row["n_words"] == 2
+        toks = row["bpe_tokens"].split(" ")
+        assert row["n_tokens"] == len(toks)
+        # the trained 'low' merge applies inside the unseen word
+        joined = row["bpe_tokens"]
+        assert "low" in joined and "</w>" in joined
+
+    def test_matches_segmented_vocab_on_training_corpus(self, spark):
+        # encoding the TRAINING corpus must reproduce exactly the
+        # segmentation training itself induced (bpe_segmented_vocab)
+        from odibi_spark.llm import text as T
+
+        train = self._corpus(
+            spark, ["the cat sat", "the bat the mat", "cat cat mat"]
+        )
+        merges = T.bpe_train(train, num_merges=5)
+        seg = {
+            r["word"]: list(r["syms"])
+            for r in T.bpe_segmented_vocab(
+                train, num_merges=5
+            ).collect()
+        }
+        applied = {
+            r["word"]: list(r["syms"])
+            for r in T.bpe_apply_merges(
+                train, merges=merges
+            ).collect()
+        }
+        assert applied == seg
+
+    def test_empty_and_multispace_docs(self, spark):
+        from odibi_spark.llm import text as T
+
+        merges = [("a", "b")]
+        out = T.bpe_encode(
+            self._corpus(spark, ["", "   ", "ab  ab"]), merges=merges
+        ).collect()
+        # only the doc with words is encoded
+        assert len(out) == 1 and out[0]["doc_id"] == 2
+        assert out[0]["n_words"] == 2
+        assert out[0]["bpe_tokens"] == "ab </w> ab </w>"
+
+    def test_transform_registered(self, spark, make_ec):
+        from odibi_spark.registry import get_registry
+
+        df = self._corpus(spark, ["aa aa aa bb", "aa bb bb"])
+        out = get_registry().apply(
+            "bpe_encode", make_ec(df), {"num_merges": 2}
+        )
+        assert out.df.count() == 2
