@@ -156,3 +156,66 @@ class TestCatalogIntegration:
         assert len(rows) == 1
         assert rows[0].status == "APPLIED"
         assert rows[0].derived_table == "meta_daily_stats"
+
+
+class TestLinkBackConflictRestoresTerminalRow:
+    """ADVICE r13 (medium): when a transition to APPLIED races the
+    reclaim's rename-aside AND a try_claim slips into the window, the
+    terminal APPLIED row must WIN — restored over the usurper's fresh
+    CLAIMED row — never deleted. The usurper's later token-verified
+    transition then fails fast, preserving exactly-once."""
+
+    def test_applied_row_survives_usurper(self, tmp_path):
+        import os
+
+        from odibi_spark.patterns.derived_guard import (
+            ClaimConflictError, DerivedGuard,
+        )
+
+        g = DerivedGuard(str(tmp_path))
+        tok = g.try_claim("t", "r1")
+        g.mark_applied("t", "r1", tok)
+        path = g._path("t", "r1")
+        aside = f"{path}.reclaim.test"
+        # simulate the race window: the reclaim renamed the row aside,
+        # a concurrent try_claim then created a fresh CLAIMED row
+        os.rename(path, aside)
+        usurper_tok = g.try_claim("t", "r1")
+        assert usurper_tok is not None
+        cur = g.status("t", "r1")
+        # _link_back must restore the terminal row over the usurper
+        g._link_back(aside, path, cur)
+        restored = g.status("t", "r1")
+        assert restored.status == "APPLIED"
+        assert restored.claim_token == tok
+        assert not os.path.exists(aside)  # consumed, not leaked
+        # the usurper's transition fails fast on its stale token
+        import pytest as _pytest
+
+        with _pytest.raises(ClaimConflictError):
+            g.mark_applied("t", "r1", usurper_tok)
+
+    def test_reclaim_race_full_path(self, tmp_path):
+        """End-to-end: FAILED row reclaimed while a transition landed
+        between the pre-check and the rename — reclaim yields None and
+        the transitioned row survives untouched."""
+        from odibi_spark.patterns.derived_guard import DerivedGuard
+
+        g = DerivedGuard(str(tmp_path))
+        tok = g.try_claim("t", "r2")
+        g.mark_applied("t", "r2", tok)  # terminal before reclaim runs
+        assert g.reclaim_for_rebuild("t", "r2") is None
+        assert g.status("t", "r2").status == "APPLIED"
+
+    def test_double_underscore_key_rejected(self, tmp_path):
+        import pytest as _pytest
+
+        from odibi_spark.patterns.derived_guard import DerivedGuard
+
+        g = DerivedGuard(str(tmp_path))
+        with _pytest.raises(ValueError):
+            g.try_claim("a__b", "c")
+        with _pytest.raises(ValueError):
+            g.try_claim("a", "b__c")
+        # single underscores stay legal
+        assert g.try_claim("a_b", "c_d") is not None
