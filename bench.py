@@ -632,10 +632,15 @@ def ann_recall_probe(spark, sf_dir: str, k: int = 5) -> dict:
     lsh_or = similarity.srp_or_ann_topk(
         emb, "vec_id", "embedding", k=k, query_filter="vec_id < 50"
     )
+    # r14: PQ ADC (8x16 codebooks, 8 bytes/vector) — the COMPRESSION
+    # trade: full corpus scanned but never decompressed
+    pq = similarity.pq_adc_topk(
+        emb, "vec_id", "embedding", topk=k, query_filter="vec_id < 50"
+    )
     out = {"lsh_mp_probe_frac": round(5 / 256, 4), "ivf_probe_frac": 0.25}
     for name, approx in (
         ("lsh", lsh), ("lsh_p8", lsh_p8), ("lsh_mp", lsh_mp),
-        ("ivf", ivf), ("lsh_or", lsh_or),
+        ("ivf", ivf), ("lsh_or", lsh_or), ("pq", pq),
     ):
         m = (
             similarity.ann_recall(exact, approx)
@@ -874,7 +879,7 @@ def main() -> None:
         # coreset (10 sequential argmax rounds over the corpus), and
         # tokenizer deployment (train BPE on half, encode the other)
         "ann_recall_lsh_or", "kcenter_coreset_embeddings",
-        "bpe_encode_unseen_docs",
+        "bpe_encode_unseen_docs", "pq_adc_topk_embeddings",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(

@@ -1425,6 +1425,220 @@ def mmr_topk(
     )
 
 
+def pq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou, Douze & Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search" — the FAISS
+    IVF-PQ building block): split each vector into ``m`` subvectors
+    of dim/m dimensions and train an independent ``k``-centroid L2
+    codebook per subspace. Returns ``codebooks[m][cell] ->
+    list[float]``.
+
+    Training protocol is the repo's oracle-replayable k-means
+    convention (kmeans_clusters): seeds = the ``k`` lowest-id
+    vectors' subvectors, ONE Lloyd refine step with DECIMAL-exact
+    per-dimension means (bit-identical across engines and
+    partitionings), empty cells keep their seed, assignment argmin
+    breaks ties toward the lower cell.
+
+    Scale: per subspace, one assignment pass against k inline literal
+    centroids (zero shuffle) + one map-side-combined groupBy(cell,
+    pos) mean — 2m bounded jobs total; driver state O(m x k x dim/m)
+    = exactly the codebook."""
+    if dim % m != 0:
+        raise ValueError("dim must divide into m subspaces")
+    sub = dim // m
+    seed_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(f"need at least k={k} vectors to train")
+    codebooks: list[list[list[float]]] = []
+    for mm in range(m):
+        seeds = [
+            [float(x) for x in r[vec_col][mm * sub:(mm + 1) * sub]]
+            for r in seed_rows
+        ]
+        sv = F.slice(F.col(vec_col), mm * sub + 1, sub)
+        staged = df.select(sv.alias("__sv"))
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    F.col("__sv"),
+                    F.array(*[F.lit(c) for c in seeds[cell]]),
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for cell in range(k)
+        ])
+        # argmin with lowest-cell tie-break: array_position returns
+        # the FIRST index holding the exact minimum
+        assigned = staged.select(
+            "__sv",
+            (
+                F.array_position(dists, F.array_min(dists)) - 1
+            ).cast("int").alias("__cell"),
+        )
+        means = (
+            assigned.select(
+                "__cell", F.posexplode("__sv").alias("__pos", "__x")
+            )
+            .groupBy("__cell", "__pos")
+            .agg(
+                (
+                    F.sum(F.col("__x").cast("decimal(18,6)"))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                ).alias("__mu")
+            )
+            .collect()
+        )
+        refined: dict[int, list[float]] = {}
+        for r in means:
+            refined.setdefault(int(r["__cell"]), [0.0] * sub)[
+                int(r["__pos"])
+            ] = float(r["__mu"])
+        codebooks.append(
+            [refined.get(cell, seeds[cell]) for cell in range(k)]
+        )
+    return codebooks
+
+
+def _pq_codes_expr(vec_col: str, codebooks, sub: int):
+    """codes array<int> expression: per subspace, argmin L2 against
+    the inline codebook, first-minimum (lowest cell) tie-break."""
+    per_m = []
+    for mm, cb in enumerate(codebooks):
+        sv = F.slice(F.col(vec_col), mm * sub + 1, sub)
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    sv,
+                    F.array(*[F.lit(c) for c in cell]),
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for cell in cb
+        ])
+        per_m.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return F.array(*per_m)
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    *,
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Encode every vector to its ``m`` nearest-codeword indices —
+    the 32-64x memory compression that makes billion-vector indexes
+    fit (m bytes/vector at k<=256 vs m*(dim/m)*4 raw). One
+    zero-shuffle codegen map against inline codebook literals; at
+    100 TB this is the scan that builds the compressed index."""
+    sub = len(codebooks[0][0])
+    return df.select(
+        F.col(id_col).alias("id"),
+        _pq_codes_expr(vec_col, codebooks, sub).alias(out_col),
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    m: int = 8,
+    k: int = 16,
+    topk: int = 5,
+    dim: int = 64,
+    query_filter: str | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k: corpus vectors
+    live only as PQ codes; each query's distance to a corpus vector
+    is the sum over subspaces of ||query_subvector - codeword||^2 —
+    the query side stays full-precision, the corpus side never
+    decompresses (Jégou et al. 2011 §IV). Output (query_id, nbr_id,
+    adc_dist, rank), dist rounded before ranking with id tie-breaks
+    so a DuckDB oracle replays the ranking exactly (workload
+    ``pq_adc_topk_embeddings``).
+
+    Plan: the encoded corpus streams map-side; queries broadcast
+    (the cosine_topk shape); per pair the distance reads m codewords
+    from the inline codebook literal — no raw corpus vectors move.
+    At scale, compose with IVF (route to nprobe cells, ADC within
+    the cell) for the standard IVF-PQ index."""
+    from pyspark.sql.window import Window
+
+    if codebooks is None:
+        codebooks = pq_train(df, id_col, vec_col, m=m, k=k, dim=dim)
+    sub = len(codebooks[0][0])
+    enc = pq_encode(df, id_col, vec_col, codebooks).toDF(
+        "nbr_id", "pq_codes"
+    )
+    q = df.filter(query_filter) if query_filter else df
+    queries = q.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    cb_lit = F.array(*[
+        F.array(*[
+            F.array(*[F.lit(x) for x in cell]) for cell in cbm
+        ])
+        for cbm in codebooks
+    ])
+    pairs = enc.crossJoin(F.broadcast(queries)).filter(
+        F.col("query_id") != F.col("nbr_id")
+    ).withColumn("__cb", cb_lit)
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(len(codebooks) - 1)),
+        F.lit(0.0),
+        lambda acc, mm: acc
+        + F.aggregate(
+            F.zip_with(
+                F.slice(F.col("q_vec"), mm * sub + 1, sub),
+                F.element_at(
+                    F.element_at(F.col("__cb"), mm + 1),
+                    F.element_at(F.col("pq_codes"), mm + 1) + 1,
+                ),
+                lambda x, y: (x.cast("double") - y)
+                * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ),
+    )
+    scored = pairs.select(
+        "query_id", "nbr_id",
+        F.round(dist, round_digits).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("nbr_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "nbr_id", "adc_dist", "rank")
+    )
+
+
 def kcenter_coreset(
     df: DataFrame,
     id_col: str,

@@ -591,6 +591,28 @@ def bpe_encode_transform(
     )
 
 
+@transform("pq_encode")
+def pq_encode_transform(
+    ctx: EngineContext,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+) -> EngineContext:
+    """Product-quantization compression (similarity.pq_train +
+    pq_encode): train m x k L2 codebooks and replace each vector with
+    its m codeword indices — the 32x memory cut billion-vector
+    indexes need."""
+    cb = similarity.pq_train(
+        ctx.df, id_col, vec_col, m=m, k=k, dim=dim
+    )
+    return ctx.with_df(
+        similarity.pq_encode(ctx.df, id_col, vec_col, cb)
+    )
+
+
 @transform("kcenter_coreset")
 def kcenter_coreset_transform(
     ctx: EngineContext,

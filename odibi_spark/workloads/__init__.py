@@ -89,6 +89,7 @@ _R14_NEW = [
     "ann_recall_lsh_or",
     "kcenter_coreset_embeddings",
     "bpe_encode_unseen_docs",
+    "pq_adc_topk_embeddings",
 ]
 
 # Workloads whose Spark+oracle definition changed in round 14:

@@ -2367,6 +2367,127 @@ QUERIES.update({"bpe_encode_unseen_docs": bpe_encode_unseen_docs})
 ORACLES.update({"bpe_encode_unseen_docs": _bpe_encode_oracle_sql()})
 
 
+def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 (Jégou et al. 2011; the FAISS
+    IVF-PQ building block): 8 subspaces x 16 L2 codewords trained
+    with the repo's oracle-replayable one-Lloyd-step protocol, corpus
+    compressed to 8 codes/vector, queries (vec_id < 20) scored by
+    asymmetric distance — the corpus side never decompresses. The
+    oracle retrains every codebook, re-encodes, and replays the ADC
+    ranking."""
+    _prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings", cpu_heavy=True)
+    return similarity.pq_adc_topk(
+        emb, "vec_id", "embedding", query_filter="vec_id < 20"
+    )
+
+
+def _pq_adc_oracle_sql(
+    m: int = 8, k: int = 16, dim: int = 64, topk: int = 5,
+) -> str:
+    """DuckDB replica of pq_train + pq_encode + pq_adc_topk: per
+    subspace, seed codebook from the k lowest-id vectors' subvector
+    slices, one Lloyd step with DECIMAL-exact means (the
+    kmeans_clusters protocol), argmin assignment with lowest-cell
+    ties; ADC sums the 8 per-subspace partials in subspace order
+    (list_dot_product against a ones vector — in-order like the
+    Spark fold) before the 6-dp round and the rank."""
+    sub = dim // m
+    stages = ["""
+v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+)"""]
+    cb_unions, enc_unions, q_unions = [], [], []
+    for mm in range(m):
+        a, b = mm * sub + 1, (mm + 1) * sub
+        dist = (
+            "list_dot_product("
+            f"list_transform(range(1, {sub + 1}), j -> t.sv[CAST(j AS "
+            "INTEGER)] - s.cvec[CAST(j AS INTEGER)]), "
+            f"list_transform(range(1, {sub + 1}), j -> t.sv[CAST(j AS "
+            "INTEGER)] - s.cvec[CAST(j AS INTEGER)]))"
+        )
+        stages.append(f"""
+sv{mm} AS MATERIALIZED (
+  SELECT id, vec[{a}:{b}] AS sv FROM v
+),
+seeds{mm} AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cell,
+         sv AS cvec
+  FROM (SELECT id, sv FROM sv{mm} ORDER BY id LIMIT {k})
+),
+asg{mm} AS (
+  SELECT id, sv, cell FROM (
+    SELECT t.id, t.sv, s.cell,
+           row_number() OVER (
+             PARTITION BY t.id
+             ORDER BY {dist} ASC, s.cell
+           ) AS rn
+    FROM sv{mm} t CROSS JOIN seeds{mm} s
+  ) WHERE rn = 1
+),
+mu{mm} AS (
+  SELECT cell, generate_subscripts(sv, 1) AS pos, unnest(sv) AS x
+  FROM asg{mm}
+),
+mean{mm} AS (
+  SELECT cell, pos,
+         CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mval
+  FROM mu{mm} GROUP BY cell, pos
+),
+ref{mm} AS (
+  SELECT cell, list(mval ORDER BY pos) AS cvec FROM mean{mm} GROUP BY cell
+),
+cb{mm} AS MATERIALIZED (
+  SELECT s.cell, COALESCE(r.cvec, s.cvec) AS cvec
+  FROM seeds{mm} s LEFT JOIN ref{mm} r USING (cell)
+),
+enc{mm} AS (
+  SELECT id, cell AS code FROM (
+    SELECT t.id, s.cell,
+           row_number() OVER (
+             PARTITION BY t.id
+             ORDER BY {dist} ASC, s.cell
+           ) AS rn
+    FROM sv{mm} t CROSS JOIN cb{mm} s
+  ) WHERE rn = 1
+),
+qpd{mm} AS (
+  SELECT t.id AS query_id, s.cell, {dist} AS pdist
+  FROM sv{mm} t CROSS JOIN cb{mm} s
+  WHERE t.id < 20
+)""")
+        cb_unions.append(f"SELECT {mm} AS m, cell, cvec FROM cb{mm}")
+        enc_unions.append(f"SELECT id, {mm} AS m, code FROM enc{mm}")
+        q_unions.append(
+            f"SELECT query_id, {mm} AS m, cell, pdist FROM qpd{mm}"
+        )
+    ones = f"list_transform(range({m}), j -> 1.0)"
+    return "WITH " + ",".join(stages) + f""",
+enc AS ({' UNION ALL '.join(enc_unions)}),
+qpd AS ({' UNION ALL '.join(q_unions)}),
+adc AS (
+  SELECT p.query_id, e.id AS nbr_id,
+         round(list_dot_product(list(p.pdist ORDER BY p.m), {ones}),
+               6) AS adc_dist
+  FROM enc e JOIN qpd p ON p.m = e.m AND p.cell = e.code
+  WHERE p.query_id <> e.id
+  GROUP BY p.query_id, e.id
+)
+SELECT query_id, nbr_id, adc_dist, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, nbr_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, nbr_id) AS rank
+  FROM adc
+) WHERE rank <= {topk}
+"""
+
+
+QUERIES.update({"pq_adc_topk_embeddings": pq_adc_topk_embeddings})
+ORACLES.update({"pq_adc_topk_embeddings": _pq_adc_oracle_sql()})
+
+
 def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss random projection of the embedding table
     to 8 dims (similarity.random_projection, inline-literal path).

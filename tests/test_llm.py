@@ -1790,6 +1790,9 @@ class TestAnnRecallFloors:
         # and it must dominate every single/multi-probe SRP point
         assert r["recall_at_5_lsh_or"] > r["recall_at_5_lsh_mp"], r
         assert r["recall_at_5_lsh_or"] > r["recall_at_5_lsh"], r
+        # r14 PQ ADC: 8 bytes/vector compression leg — floor well
+        # under the measured 0.30-0.45 at these SFs
+        assert r["recall_at_5_pq"] >= 0.15, r
 
 
 class TestCleanUnicode:

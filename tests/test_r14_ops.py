@@ -327,3 +327,62 @@ class TestBpeEncode:
             "bpe_encode", make_ec(df), {"num_merges": 2}
         )
         assert out.df.count() == 2
+
+
+class TestProductQuantization:
+    """PQ train/encode/ADC (Jégou et al. 2011)."""
+
+    def test_seed_vectors_encode_to_own_cells(self, spark):
+        # the k lowest-id vectors ARE the seeds, so (with one refine
+        # step pulling means toward cluster members) each seed's
+        # nearest codeword chain stays consistent and codes are valid
+        V, _ = _clustered(n_clusters=4, per=8, noise=0.1, seed=31)
+        df = _vec_df(spark, V)
+        cb = similarity.pq_train(df, "vec_id", "embedding", m=8, k=16)
+        assert len(cb) == 8 and len(cb[0]) == 16 and len(cb[0][0]) == 8
+        enc = similarity.pq_encode(df, "vec_id", "embedding", cb)
+        rows = enc.collect()
+        assert len(rows) == 32
+        for r in rows:
+            assert len(r["pq_codes"]) == 8
+            assert all(0 <= c < 16 for c in r["pq_codes"])
+
+    def test_adc_prefers_same_cluster(self, spark):
+        V, _ = _clustered(n_clusters=4, per=8, noise=0.05, seed=33)
+        df = _vec_df(spark, V)
+        top = similarity.pq_adc_topk(
+            df, "vec_id", "embedding", topk=3,
+            query_filter="vec_id < 4",
+        )
+        got = top.collect()
+        assert {r["query_id"] for r in got} == {0, 1, 2, 3}
+        # cluster 0 is ids 0..7: top-3 neighbours of a cluster-0
+        # query should be dominated by cluster-0 members
+        same = [
+            r for r in got
+            if r["query_id"] // 8 == r["nbr_id"] // 8
+        ]
+        assert len(same) >= 9, got  # >= 75% same-cluster
+
+    def test_encode_deterministic_and_compression_shape(self, spark):
+        V, _ = _clustered(seed=35)
+        df = _vec_df(spark, V)
+        cb = similarity.pq_train(df, "vec_id", "embedding")
+        a = similarity.pq_encode(df, "vec_id", "embedding", cb).collect()
+        b = similarity.pq_encode(df, "vec_id", "embedding", cb).collect()
+        assert sorted(map(str, a)) == sorted(map(str, b))
+
+    def test_dim_must_divide(self, spark):
+        V, _ = _clustered(seed=37)
+        df = _vec_df(spark, V)
+        with pytest.raises(ValueError):
+            similarity.pq_train(df, "vec_id", "embedding", m=7)
+
+    def test_transform_registered(self, spark, make_ec):
+        from odibi_spark.registry import get_registry
+
+        V, _ = _clustered(seed=39)
+        out = get_registry().apply(
+            "pq_encode", make_ec(_vec_df(spark, V)), {"k": 8}
+        )
+        assert "pq_codes" in out.df.columns
