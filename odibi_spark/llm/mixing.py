@@ -34,9 +34,17 @@ tail.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, functions as F
 
 MICRO = 1_000_000
+
+
+class HardNegativeApproximationWarning(UserWarning):
+    """hard_negative_pairs silently-no-more: emitted when mode='auto'
+    crosses max_anchors and switches to approximate LSH candidates
+    (recall < 1 vs the documented exact contract)."""
 
 
 def domain_losses(
@@ -158,6 +166,7 @@ def hard_negative_pairs(
     num_planes: int = 10,
     nprobe: int = 4,
     dim: int = 64,
+    mode: str = "auto",
 ) -> DataFrame:
     """Semi-hard negative mining: for each anchor, the ``k``
     highest-cosine neighbours whose cosine falls in [lo, hi) — close
@@ -181,7 +190,16 @@ def hard_negative_pairs(
     ``lsh_ann_topk``) — it bypasses the gate and keeps the identical
     band + top-k tail. The cheap count that implements the gate is
     ``anchors.limit(max_anchors + 1).count()`` — it never scans past
-    the threshold."""
+    the threshold.
+
+    ``mode`` makes the approximation OPT-IN rather than silent
+    (ADVICE r14): ``'exact'`` always broadcasts (no gate count, no
+    eager job — callers who know their anchor set is small get a
+    fully lazy plan and the documented exact contract), ``'lsh'``
+    always routes through the SRP candidate feed (no gate count),
+    and ``'auto'`` keeps the gate but ``warnings.warn``s a
+    ``HardNegativeApproximationWarning`` when the LSH path engages,
+    so recall<1 never happens without a caller-visible signal."""
     from odibi_spark.llm.similarity import (
         hyperplane_lsh_buckets, lsh_probe_buckets,
     )
@@ -217,8 +235,28 @@ def hard_negative_pairs(
             )
         )
 
-    if candidates is None and max_anchors is not None:
-        if anchors.limit(max_anchors + 1).count() > max_anchors:
+    if mode not in ("auto", "exact", "lsh"):
+        raise ValueError(f"mode must be auto|exact|lsh, got {mode!r}")
+    if candidates is None and mode != "exact":
+        take_lsh = mode == "lsh"
+        if not take_lsh and max_anchors is not None:
+            # the only eager job in this function, and only in auto
+            # mode: limit(n+1).count() never scans past the threshold
+            take_lsh = (
+                anchors.limit(max_anchors + 1).count() > max_anchors
+            )
+            if take_lsh:
+                warnings.warn(
+                    f"hard_negative_pairs: anchor count exceeds "
+                    f"max_anchors={max_anchors}; switching to "
+                    "approximate SRP-LSH candidates (recall < 1). "
+                    "Pass mode='lsh' to silence, mode='exact' to "
+                    "force the broadcast path, or candidates=... "
+                    "to supply your own feed.",
+                    HardNegativeApproximationWarning,
+                    stacklevel=2,
+                )
+        if take_lsh:
             probes = lsh_probe_buckets(
                 anchor_src, id_col, vec_col, num_planes, dim,
                 seed=42, nprobe=nprobe,

@@ -518,10 +518,20 @@ def synth_wav_pcm16(
         # pre-numpy behavior: struct.pack('h', ...) rejected
         # non-numeric input with struct.error
         raise struct.error(f"required argument is not an integer: {e}")
-    if raw.dtype.kind == "f" and not np.array_equal(arr, raw):
-        # struct.pack('h', 1.5) rejected non-integral floats; the
-        # int64 cast would silently truncate them instead
-        raise struct.error("required argument is not an integer")
+    if raw.dtype.kind not in "iu":
+        # struct.pack('h', 1.5) rejected non-integral values; the
+        # int64 cast would silently truncate them instead. Checked
+        # through float64 so OBJECT-dtype inputs (lists mixing ints
+        # with Decimal / np scalars) are covered too, not just float
+        # arrays (ADVICE r14).
+        try:
+            as_f = raw.astype(np.float64)
+        except (TypeError, ValueError) as e:
+            raise struct.error(
+                f"required argument is not an integer: {e}"
+            )
+        if not np.array_equal(arr.astype(np.float64), as_f):
+            raise struct.error("required argument is not an integer")
     if arr.size and (arr.min() < -32768 or arr.max() > 32767):
         raise struct.error("short format requires -32768 <= number <= 32767")
     buf = io.BytesIO()

@@ -34,6 +34,7 @@ import json
 import os
 import time
 import uuid
+import warnings
 from dataclasses import dataclass
 
 VALID_STATUSES = ("CLAIMED", "APPLIED", "FAILED")
@@ -70,13 +71,28 @@ class DerivedGuard:
     # -- storage helpers ---------------------------------------------------
 
     def _path(self, derived_table: str, run_id: str) -> str:
+        # "__" is the key separator — a raw component containing it
+        # would collide ('a__b','c') with ('a','b__c') and make
+        # apply_once silently skip a genuinely different run. Instead
+        # of rejecting such keys outright (r14 — which also made
+        # their PRE-EXISTING history unreadable via status()/
+        # mark_applied(), ADVICE r15), percent-encode the separator:
+        # components without '%' or '__' keep their exact legacy
+        # filename, and '__'-bearing keys become representable and
+        # collision-free on both read and write paths.
+        # MIGRATION NOTE: claims written by a pre-encoding build whose
+        # components contained '__' used the ambiguous raw filename;
+        # those files stay on disk but are addressed under the new
+        # encoded name — rename '<a>__<b>.json' by hand if that
+        # history must remain queryable.
+        parts = []
         for part in (derived_table, run_id):
-            # "__" is the key separator — allowing it in a component
-            # would collide ('a__b','c') with ('a','b__c') and make
-            # apply_once silently skip a genuinely different run.
-            if "/" in part or "__" in part or part.startswith("."):
+            if "/" in part or part.startswith("."):
                 raise ValueError(f"invalid claim key component {part!r}")
-        return os.path.join(self._dir, f"{derived_table}__{run_id}.json")
+            parts.append(
+                part.replace("%", "%25").replace("__", "%5F%5F")
+            )
+        return os.path.join(self._dir, f"{parts[0]}__{parts[1]}.json")
 
     @staticmethod
     def _read(path: str) -> Claim:
@@ -229,18 +245,49 @@ class DerivedGuard:
 
     @staticmethod
     def _link_back(aside: str, path: str, cur: Claim) -> None:
+        """Restore the renamed-aside row to ``path``.
+
+        RESIDUAL WINDOW (documented per ADVICE r15): if a usurping
+        try_claim ran its ENTIRE apply_once (fn + mark_applied)
+        inside the rename-aside window, the fn side effects have
+        already executed — exactly-once holds for the AUDIT RECORD
+        (the pre-existing terminal/live row below always wins), not
+        retroactively for fn execution. The window is the few
+        syscalls between reclaim's rename-aside and this restore;
+        callers needing a hard fn-execution guarantee must make fn
+        itself idempotent (the reference's MERGE folds are)."""
         try:
             os.link(aside, path)
             os.unlink(aside)
         except FileExistsError:
             # A try_claim slipped into the rename window and created a
-            # fresh CLAIMED row. The aside row predates it and is
-            # terminal (APPLIED) or live-CLAIMED — it must win, or the
-            # derived fold could run twice and the audit record would
-            # be lost. Restore it over the usurper's row: the
-            # usurper's later mark_applied/mark_failed then fails its
-            # token check fail-fast (the documented invariant), and
-            # the authoritative history is preserved.
+            # fresh row. The aside row predates it and is terminal
+            # (APPLIED) or live-CLAIMED — it must win, or the derived
+            # fold could run twice and the audit record would be lost.
+            # Before clobbering, re-read what the usurper wrote: if it
+            # already completed its whole apply_once (status APPLIED),
+            # fn ran twice — surface that and preserve the usurper's
+            # transition record in a sidecar instead of silently
+            # destroying it.
+            try:
+                usurper = DerivedGuard._read(path)
+            except (OSError, ValueError, TypeError, KeyError):
+                usurper = None
+            if usurper is not None and usurper.status != "CLAIMED":
+                sidecar = f"{path}.usurped.{usurper.claim_token}.json"
+                with open(sidecar, "w", encoding="utf-8") as f:
+                    json.dump(usurper.__dict__, f)
+                warnings.warn(
+                    "DerivedGuard: a racing claimant completed "
+                    f"status={usurper.status!r} for {path} inside the "
+                    "reclaim rename window — fn may have executed "
+                    f"twice; its record is preserved at {sidecar}",
+                    RuntimeWarning,
+                    stacklevel=3,
+                )
+            # Restore the authoritative row: the usurper's later
+            # token-checked transition (if still pending) fails
+            # fail-fast, the documented invariant.
             os.replace(aside, path)
 
     # -- composition ---------------------------------------------------------

@@ -207,15 +207,14 @@ class TestLinkBackConflictRestoresTerminalRow:
         assert g.reclaim_for_rebuild("t", "r2") is None
         assert g.status("t", "r2").status == "APPLIED"
 
-    def test_double_underscore_key_rejected(self, tmp_path):
-        import pytest as _pytest
-
+    def test_double_underscore_key_encoded_not_rejected(self, tmp_path):
+        # r15 (ADVICE): '__'-bearing components are percent-encoded
+        # (collision-free) instead of rejected — rejection made their
+        # pre-existing history unreadable on status()/mark_applied()
         from odibi_spark.patterns.derived_guard import DerivedGuard
 
         g = DerivedGuard(str(tmp_path))
-        with _pytest.raises(ValueError):
-            g.try_claim("a__b", "c")
-        with _pytest.raises(ValueError):
-            g.try_claim("a", "b__c")
-        # single underscores stay legal
+        assert g.try_claim("a__b", "c") is not None
+        assert g.try_claim("a", "b__c") is not None  # distinct key
+        # single underscores stay legal and keep the legacy filename
         assert g.try_claim("a_b", "c_d") is not None

@@ -73,14 +73,22 @@ def main() -> None:
         # across the idle freeze runs — bench.py only flags a future
         # reading as a regression when it ALSO exceeds the query's own
         # idle ceiling x1.05, so single-window dispersion stops
-        # reading as code movement. Headline queries contribute their
-        # per-run best-of-2 pairs too (headline_runs) for a wider,
-        # more honest band.
+        # reading as code movement.
+        # r15 (ADVICE r14): the ceiling is built from per-run
+        # BEST-OF-2 values only (the block values themselves — for
+        # headline queries each is already min of its pair), NOT the
+        # raw headline_runs samples: a single noisy raw sample during
+        # the freeze would otherwise permanently raise the ceiling
+        # and absolve a genuine regression that lands under it. The
+        # band floor still takes the true min across raw runs (a
+        # floor can only be made tighter by more samples, never
+        # corrupted by an outlier).
         for n in names:
             vals = [o[blk][n] for o in outs if n in o.get(blk, {})]
+            lows = list(vals)
             for o in outs:
-                vals += o.get("headline_runs", {}).get(n, [])
-            bands[n] = [round(min(vals), 4), round(max(vals), 4)]
+                lows += o.get("headline_runs", {}).get(n, [])
+            bands[n] = [round(min(lows), 4), round(max(vals), 4)]
     board["query_bands"] = bands
     board["value"] = round(
         sum(board[t] for t in TOTALS.values()), 4
