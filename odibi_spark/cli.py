@@ -110,6 +110,28 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", help="filter schema-history by table path")
     sp.add_argument("--limit", type=int, default=20)
 
+    # open-format table-version diff (reference diagnostics/delta.py
+    # get_delta_diff over versionAsOf; here over two snapshot paths)
+    sp = sub.add_parser(
+        "table-diff",
+        help="diff two written snapshots of a table "
+             "(rows/files/bytes, schema drift, optional row-level diff)",
+    )
+    sp.add_argument("path_a", help="older snapshot path")
+    sp.add_argument("path_b", help="newer snapshot path")
+    sp.add_argument("--keys", help="comma-separated key columns for the "
+                                   "row-level insert/delete/update diff")
+    sp.add_argument("--deep", action="store_true",
+                    help="run the row-level diff (exceptAll without --keys)")
+    sp.add_argument("--partition-expr",
+                    help="SQL expression for a per-partition diff table "
+                         "(e.g. \"year(o_orderdate)\"); requires --keys")
+    sp.add_argument("--format", default="parquet")
+    sp.add_argument("--sample", type=int, default=10)
+    sp.add_argument("--drift-threshold-pct", type=float,
+                    help="print only the drift verdict at this row-count "
+                         "change threshold")
+
     # deploy definitions into the catalog (reference cli/main.py:439)
     sp = sub.add_parser(
         "deploy", help="record pipeline definitions in the system catalog"
@@ -295,6 +317,40 @@ def main(argv: list[str] | None = None) -> int:
             print(f"wrote {args.out}")
         else:
             print(code)
+        return 0
+
+    if args.cmd == "table-diff":
+        from odibi_spark import get_spark
+        from odibi_spark.diagnostics import (
+            detect_table_drift, partition_diff, table_snapshot_diff,
+        )
+
+        spark = get_spark("table-diff")
+        keys = args.keys.split(",") if args.keys else None
+        if args.drift_threshold_pct is not None:
+            msg = detect_table_drift(
+                spark, args.path_a, args.path_b,
+                threshold_pct=args.drift_threshold_pct,
+                format=args.format,
+            )
+            print(json.dumps({"drift": msg}))
+            return 0 if msg is None else 3
+        res = table_snapshot_diff(
+            spark, args.path_a, args.path_b, keys=keys,
+            deep=args.deep or bool(keys), sample=args.sample,
+            format=args.format,
+        ).to_dict()
+        if args.partition_expr:
+            if not keys:
+                print("--partition-expr requires --keys", file=sys.stderr)
+                return 2
+            pdf = partition_diff(
+                spark.read.format(args.format).load(args.path_a),
+                spark.read.format(args.format).load(args.path_b),
+                keys=keys, partition_expr=args.partition_expr,
+            )
+            res["partitions"] = [r.asDict() for r in pdf.collect()]
+        print(json.dumps(res, indent=2, default=str))
         return 0
 
     if args.cmd == "catalog":

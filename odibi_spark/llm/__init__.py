@@ -5,4 +5,6 @@ text analysis, multimodal column plumbing — all designed for the
 generation before any pairwise work.
 """
 
-from odibi_spark.llm import dedup, similarity, text, transforms, url  # noqa: F401
+from odibi_spark.llm import (  # noqa: F401
+    ann_store, dedup, similarity, text, transforms, url,
+)

@@ -1433,6 +1433,8 @@ def pq_train(
     m: int = 8,
     k: int = 16,
     dim: int = 64,
+    engine: str = "auto",
+    iters: int = 1,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks (Jégou, Douze & Schmid 2011,
     "Product Quantization for Nearest Neighbor Search" — the FAISS
@@ -1443,15 +1445,23 @@ def pq_train(
 
     Training protocol is the repo's oracle-replayable k-means
     convention (kmeans_clusters): seeds = the ``k`` lowest-id
-    vectors' subvectors, ONE Lloyd refine step with DECIMAL-exact
-    per-dimension means (bit-identical across engines and
-    partitionings), empty cells keep their seed, assignment argmin
-    breaks ties toward the lower cell.
+    vectors' subvectors, ``iters`` Lloyd refine steps (default 1 —
+    the oracle-replay protocol) with DECIMAL-exact per-dimension
+    means (bit-identical across engines and partitionings), empty
+    cells keep their previous codeword, assignment argmin breaks
+    ties toward the lower cell. More iterations buy materially
+    better codebooks (r15 grid: +0.1-0.2 recall@5 at iters=4) at one
+    assignment pass + one exact-mean aggregate each — the quality
+    knob for bench/production points; keep iters=1 where a DuckDB
+    oracle must replay the training.
 
     Scale: per subspace, one assignment pass against k inline literal
     centroids (zero shuffle) + one map-side-combined groupBy(cell,
     pos) mean — 2m bounded jobs total; driver state O(m x k x dim/m)
-    = exactly the codebook."""
+    = exactly the codebook. Above ``PQ_EXPR_CELL_LIMIT`` cells the
+    whole training collapses to TWO jobs (one numpy assignment pass
+    for all subspaces + one exploded exact-mean aggregate) — same
+    bits, no m*k-node expression trees (r15)."""
     if dim % m != 0:
         raise ValueError("dim must divide into m subspaces")
     sub = dim // m
@@ -1460,6 +1470,80 @@ def pq_train(
     )
     if len(seed_rows) < k:
         raise ValueError(f"need at least k={k} vectors to train")
+    if _use_pq_expr(m, k, engine):
+        cur = _pq_train_expr_step(df, vec_col, seed_rows, m, k, sub)
+    else:
+        seed_cb = [
+            [
+                [float(x) for x in r[vec_col][mm * sub:(mm + 1) * sub]]
+                for r in seed_rows
+            ]
+            for mm in range(m)
+        ]
+        cur = _pq_refine_numpy(df, vec_col, seed_cb, m, k, sub)
+    # extra Lloyd steps always run the numpy refine — it is
+    # bit-identical to the expression step (TestPqEngineEquivalence)
+    # and costs one assignment pass + one aggregate each
+    for _ in range(iters - 1):
+        cur = _pq_refine_numpy(df, vec_col, cur, m, k, sub)
+    return cur
+
+
+def _pq_refine_numpy(df, vec_col, cur_cb, m, k, sub):
+    """One Lloyd step under the current codebooks: numpy assignment
+    pass + ONE exploded DECIMAL-exact mean aggregate; empty cells
+    keep their previous codeword."""
+    enc = _pq_codes_map(
+        df.select(F.col(vec_col).alias("__vec")),
+        ["__vec"], "__vec", cur_cb, "__codes",
+    )
+    # ONE exploded exact-mean job over every (subspace, cell,
+    # position): mm = pos div sub picks the subspace, the code
+    # array picks the Lloyd cell — identical value sets (and thus
+    # identical DECIMAL-exact means) to the per-subspace jobs
+    means = (
+        enc.select(
+            "__codes", F.posexplode("__vec").alias("__pos", "__x")
+        )
+        .select(
+            (F.col("__pos") / sub).cast("int").alias("__mm"),
+            F.element_at(
+                "__codes", (F.col("__pos") / sub).cast("int") + 1
+            ).alias("__cell"),
+            (F.col("__pos") % sub).alias("__sp"),
+            "__x",
+        )
+        .groupBy("__mm", "__cell", "__sp")
+        .agg(
+            (
+                F.sum(F.col("__x").cast("decimal(18,6)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("__mu")
+        )
+        .collect()
+    )
+    refined_all: list[dict[int, list[float]]] = [
+        {} for _ in range(m)
+    ]
+    for r in means:
+        refined_all[int(r["__mm"])].setdefault(
+            int(r["__cell"]), [0.0] * sub
+        )[int(r["__sp"])] = float(r["__mu"])
+    return [
+        [
+            refined_all[mm].get(cell, cur_cb[mm][cell])
+            for cell in range(k)
+        ]
+        for mm in range(m)
+    ]
+
+
+def _pq_train_expr_step(df, vec_col, seed_rows, m, k, sub):
+    """The original seed->one-Lloyd-step expression path, per
+    subspace: k inline literal centroids, argmin with first-minimum
+    ties, DECIMAL-exact means (the DuckDB-oracle-replayed protocol,
+    _pq_fragments in workloads/llmdata.py)."""
     codebooks: list[list[list[float]]] = []
     for mm in range(m):
         seeds = [
@@ -1546,17 +1630,214 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     *,
     out_col: str = "pq_codes",
+    engine: str = "auto",
 ) -> DataFrame:
     """Encode every vector to its ``m`` nearest-codeword indices —
     the 32-64x memory compression that makes billion-vector indexes
     fit (m bytes/vector at k<=256 vs m*(dim/m)*4 raw). One
-    zero-shuffle codegen map against inline codebook literals; at
-    100 TB this is the scan that builds the compressed index."""
+    zero-shuffle map — codegen against inline codebook literals at
+    small m*k, the bit-identical numpy kernel above
+    ``PQ_EXPR_CELL_LIMIT``; at 100 TB this is the scan that builds
+    the compressed index."""
+    m, k = len(codebooks), len(codebooks[0])
     sub = len(codebooks[0][0])
+    if not _use_pq_expr(m, k, engine):
+        sel = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("__vec")
+        )
+        return _pq_codes_map(sel, ["id"], "__vec", codebooks, out_col)
     return df.select(
         F.col(id_col).alias("id"),
         _pq_codes_expr(vec_col, codebooks, sub).alias(out_col),
     )
+
+
+#: max m*k for the inline-literal PQ paths: the expression tree for
+#: encode/ADC carries m*k aggregate nodes (each over dim/m terms), and
+#: past ~512 cells codegen/analysis time dominates wall-clock (r15
+#: grid: the 16x256 point spent minutes compiling, seconds computing).
+#: Above the limit the numpy mapInPandas kernels run instead — they
+#: replay the EXACT fold arithmetic (sequential IEEE-double adds in
+#: identical order, first-minimum ties), so results are bit-identical
+#: and the DuckDB oracles hold for both paths.
+PQ_EXPR_CELL_LIMIT = 512
+
+
+def _use_pq_expr(m: int, k: int, engine: str = "auto") -> bool:
+    if engine not in ("auto", "expr", "numpy"):
+        raise ValueError(f"pq engine must be auto|expr|numpy, got {engine!r}")
+    if engine != "auto":
+        return engine == "expr"
+    return m * k <= PQ_EXPR_CELL_LIMIT
+
+
+def _np_codebooks(codebooks):
+    import numpy as np
+
+    return [np.array(cbm, dtype=np.float64) for cbm in codebooks]
+
+
+def _np_sq_dists(sv, cb):
+    """(B, k) squared L2 distances accumulated dimension-by-dimension
+    in index order — the same sequential IEEE-double fold as the
+    zip_with/aggregate expression, so argmin sees bit-identical
+    values."""
+    t = sv[:, None, 0] - cb[None, :, 0]
+    d = t * t
+    for j in range(1, sv.shape[1]):
+        t = sv[:, None, j] - cb[None, :, j]
+        d = d + t * t
+    return d
+
+
+def _pq_codes_map(
+    df: DataFrame,
+    passthrough: list[str],
+    vec_col: str,
+    codebooks,
+    out_col: str,
+) -> DataFrame:
+    """Numpy encode path: one Arrow-batched mapInPandas pass, one
+    (B, k) distance matrix per subspace per batch — no m*k-node
+    expression tree, no codegen blowup. Output = ``passthrough``
+    columns + ``out_col`` array<int>. Bit-identical to
+    ``_pq_codes_expr`` (sequential fold order, first-min ties)."""
+    import numpy as np
+
+    CB = _np_codebooks(codebooks)
+    m, sub = len(CB), CB[0].shape[1]
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(
+        [f"{c} {types[c]}" for c in passthrough] + [f"{out_col} array<int>"]
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for mm in range(m):
+                d = _np_sq_dists(V[:, mm * sub:(mm + 1) * sub], CB[mm])
+                codes[:, mm] = np.argmin(d, axis=1)  # first-min tie
+            out = pdf[passthrough].copy()
+            out[out_col] = pd.Series(
+                list(codes), index=pdf.index, dtype=object
+            )
+            yield out
+
+    cols = list(dict.fromkeys([*passthrough, vec_col]))
+    return df.select(*cols).mapInPandas(batches, schema=out_schema)
+
+
+def _adc_map(
+    pairs: DataFrame,
+    codebooks,
+    *,
+    q_vec_col: str = "q_vec",
+    codes_col: str = "pq_codes",
+    out_col: str = "adc_raw",
+) -> DataFrame:
+    """Numpy ADC path: per batch, gather each pair's codewords and
+    accumulate the per-subspace partials in subspace order (the
+    ``_adc_dist_expr`` fold, vectorized). Emits the UNROUNDED double;
+    callers apply ``F.round`` JVM-side so rounding semantics stay
+    identical across paths."""
+    import numpy as np
+
+    CB = _np_codebooks(codebooks)
+    m, sub = len(CB), CB[0].shape[1]
+    keep = [c for c in pairs.columns if c not in (q_vec_col, codes_col)]
+    types = {f.name: f.dataType.simpleString() for f in pairs.schema.fields}
+    out_schema = ", ".join(
+        [f"{c} {types[c]}" for c in keep] + [f"{out_col} double"]
+    )
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            Q = np.array(pdf[q_vec_col].tolist(), dtype=np.float64)
+            C = np.array(pdf[codes_col].tolist(), dtype=np.int64)
+            acc = None
+            for mm in range(m):
+                qs = Q[:, mm * sub:(mm + 1) * sub]
+                cw = CB[mm][C[:, mm]]
+                t = qs[:, 0] - cw[:, 0]
+                part = t * t
+                for j in range(1, sub):
+                    t = qs[:, j] - cw[:, j]
+                    part = part + t * t
+                acc = part if acc is None else acc + part
+            out = pdf[keep].copy()
+            out[out_col] = acc
+            yield out
+
+    return pairs.mapInPandas(batches, schema=out_schema)
+
+
+def _adc_dist_expr(m: int, sub: int):
+    """Asymmetric distance between ``q_vec`` and ``pq_codes`` against
+    the ``__cb`` inline codebook column: sum over subspaces IN
+    SUBSPACE ORDER (a sequential fold, so a DuckDB oracle's in-order
+    list sum replays the double bit-identically) of
+    ||query_subvector - codeword||^2."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, mm: acc
+        + F.aggregate(
+            F.zip_with(
+                F.slice(F.col("q_vec"), mm * sub + 1, sub),
+                F.element_at(
+                    F.element_at(F.col("__cb"), mm + 1),
+                    F.element_at(F.col("pq_codes"), mm + 1) + 1,
+                ),
+                lambda x, y: (x.cast("double") - y)
+                * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ),
+    )
+
+
+def _adc_score(
+    pairs: DataFrame,
+    codebooks,
+    round_digits: int,
+    engine: str = "auto",
+) -> DataFrame:
+    """(query_id, nbr_id, adc_dist) from a candidate-pair frame
+    carrying ``q_vec`` + ``pq_codes`` — expression path at small m*k,
+    numpy kernel above the gate; rounding always happens JVM-side so
+    both paths share one rounding semantic."""
+    m, k = len(codebooks), len(codebooks[0])
+    sub = len(codebooks[0][0])
+    if not _use_pq_expr(m, k, engine):
+        raw = _adc_map(pairs, codebooks)
+        return raw.select(
+            "query_id", "nbr_id",
+            F.round(F.col("adc_raw"), round_digits).alias("adc_dist"),
+        )
+    return pairs.withColumn("__cb", _codebook_literal(codebooks)).select(
+        "query_id", "nbr_id",
+        F.round(_adc_dist_expr(m, sub), round_digits).alias("adc_dist"),
+    )
+
+
+def _codebook_literal(codebooks) -> Column:
+    """The m x k x sub codebook as one nested array literal — tiny
+    (m*k*sub floats) and inlined into the plan, so ADC scoring is a
+    zero-shuffle codegen map over the encoded corpus."""
+    return F.array(*[
+        F.array(*[
+            F.array(*[F.lit(x) for x in cell]) for cell in cbm
+        ])
+        for cbm in codebooks
+    ])
 
 
 def pq_adc_topk(
@@ -1571,6 +1852,7 @@ def pq_adc_topk(
     query_filter: str | None = None,
     codebooks: list[list[list[float]]] | None = None,
     round_digits: int = 6,
+    engine: str = "auto",
 ) -> DataFrame:
     """Asymmetric-distance (ADC) approximate top-k: corpus vectors
     live only as PQ codes; each query's distance to a corpus vector
@@ -1589,46 +1871,135 @@ def pq_adc_topk(
     from pyspark.sql.window import Window
 
     if codebooks is None:
-        codebooks = pq_train(df, id_col, vec_col, m=m, k=k, dim=dim)
+        codebooks = pq_train(
+            df, id_col, vec_col, m=m, k=k, dim=dim, engine=engine
+        )
     sub = len(codebooks[0][0])
-    enc = pq_encode(df, id_col, vec_col, codebooks).toDF(
+    enc = pq_encode(df, id_col, vec_col, codebooks, engine=engine).toDF(
         "nbr_id", "pq_codes"
     )
     q = df.filter(query_filter) if query_filter else df
     queries = q.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    cb_lit = F.array(*[
-        F.array(*[
-            F.array(*[F.lit(x) for x in cell]) for cell in cbm
-        ])
-        for cbm in codebooks
-    ])
     pairs = enc.crossJoin(F.broadcast(queries)).filter(
         F.col("query_id") != F.col("nbr_id")
-    ).withColumn("__cb", cb_lit)
-    dist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(len(codebooks) - 1)),
-        F.lit(0.0),
-        lambda acc, mm: acc
-        + F.aggregate(
-            F.zip_with(
-                F.slice(F.col("q_vec"), mm * sub + 1, sub),
-                F.element_at(
-                    F.element_at(F.col("__cb"), mm + 1),
-                    F.element_at(F.col("pq_codes"), mm + 1) + 1,
-                ),
-                lambda x, y: (x.cast("double") - y)
-                * (x.cast("double") - y),
+    )
+    scored = _adc_score(pairs, codebooks, round_digits, engine)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("nbr_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "nbr_id", "adc_dist", "rank")
+    )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    topk: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+    m: int = 16,
+    k: int = 64,
+    dim: int = 64,
+    iters: int = 0,
+    round_digits: int = 6,
+    query_filter: str | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    centroids: list[list[float]] | None = None,
+    inline_limit: int | None = None,
+    engine: str = "auto",
+) -> DataFrame:
+    """IVF-PQ: the standard composed index (Jégou et al. 2011 §V, the
+    FAISS ``IVFx,PQy`` factory string). A coarse IVF quantizer routes
+    each query to its ``nprobe`` nearest cells; within the probed
+    cells, corpus vectors exist ONLY as ``m`` PQ codes and are scored
+    by asymmetric distance — so the index stores m bytes/vector
+    (k<=256) AND each query touches ~nprobe/nlist of it, where flat
+    PQ-ADC still scans every code.
+
+    This implementation encodes RAW vectors against a global PQ
+    codebook (not per-cell residuals): the codebook trains once, the
+    oracle replays it, and on a unit-normalized corpus the raw-vector
+    ADC ranking is the cosine ranking. Residual encoding (FAISS's
+    default) buys finer resolution per cell at the cost of nlist
+    codebook trainings — the documented production upgrade, same plan
+    shape.
+
+    Plan: coarse assignment is the ``ivf_assign`` inline/broadcast
+    gate (zero shuffle at small nlist); encoding is a zero-shuffle
+    codegen map; candidates come from the (cell) EQUI-join of the
+    encoded corpus against the probe table — never a cross join; ADC
+    reads codewords from the inlined codebook literal. At 100 TB the
+    encoded corpus is the only shuffled stream, m bytes + cell per
+    vector. Defaults (r15 grid, tools/exp_pq_grid.py): m=16/k=64 —
+    16 B/vector (16x compression), the measured recall knee.
+
+    Output (query_id, nbr_id, adc_dist, rank) — the ``pq_adc_topk``
+    contract, oracle-replayable (workload ``ivf_pq_topk_embeddings``).
+    """
+    from pyspark.sql.window import Window
+
+    if centroids is None:
+        centroids = ivf_centroids(
+            df, id_col, vec_col, nlist=nlist, iters=iters,
+            inline_limit=inline_limit,
+        )
+    if codebooks is None:
+        codebooks = pq_train(
+            df, id_col, vec_col, m=m, k=k, dim=dim, engine=engine
+        )
+    sub = len(codebooks[0][0])
+    assigned = ivf_assign(
+        df, id_col, vec_col, centroids, inline_limit=inline_limit
+    )
+    if _use_pq_expr(m, k, engine):
+        enc = assigned.select(
+            F.col("id").alias("nbr_id"),
+            F.col("cell"),
+            _pq_codes_expr("vec", codebooks, sub).alias("pq_codes"),
+        )
+    else:
+        enc = _pq_codes_map(
+            assigned.select(
+                F.col("id").alias("nbr_id"), "cell", "vec"
             ),
-            F.lit(0.0),
-            lambda a, b: a + b,
-        ),
+            ["nbr_id", "cell"], "vec", codebooks, "pq_codes",
+        )
+    q = df.filter(query_filter) if query_filter else df
+    sel = q.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    scored = pairs.select(
-        "query_id", "nbr_id",
-        F.round(dist, round_digits).alias("adc_dist"),
+    # probe routing: same scoring + plan-size gate as ivf_topk
+    if _use_inline(centroids, inline_limit):
+        sims = F.array(*[_dot_lit("q_vec", c) for c in centroids])
+        cand = sel.select(
+            "query_id", "q_vec", F.posexplode(sims).alias("cell", "sim")
+        )
+    else:
+        cand = sel.crossJoin(
+            F.broadcast(_centroid_frame(df.sparkSession, centroids))
+        ).select(
+            "query_id", "q_vec", "cell",
+            _dot_cols("q_vec", "cvec").alias("sim"),
+        )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("cell")
     )
+    probes = (
+        cand.withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "q_vec", F.col("cell").cast("int").alias("cell"))
+    )
+    pairs = enc.join(probes, "cell").filter(
+        F.col("query_id") != F.col("nbr_id")
+    )
+    scored = _adc_score(pairs, codebooks, round_digits, engine)
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("nbr_id")
     )

@@ -35,6 +35,7 @@ def snapshot_diff(
     compare_cols: list[str] | None = None,
     change_col: str = "_change_type",
     include_unchanged: bool = False,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Classify every key across two snapshots: ``insert`` (new only),
     ``delete`` (old only), ``update`` (both, row hash differs),
@@ -42,19 +43,25 @@ def snapshot_diff(
     ``include_unchanged``). Inserts and updates carry the NEW row's
     values; deletes carry the OLD row's.
 
-    ``compare_cols`` defaults to every shared non-key column. Keys are
-    assumed unique per snapshot (snapshot grain); enforce upstream
-    with deduplicate/validation if the extract can double-emit.
+    ``compare_cols`` defaults to every shared non-key column.
+    ``carry_cols`` (r15) ride along with the same carrying-row rule
+    WITHOUT participating in the change hash — e.g. a partition
+    column a per-partition rollup groups by while only the value
+    columns define "changed". Keys are assumed unique per snapshot
+    (snapshot grain); enforce upstream with deduplicate/validation if
+    the extract can double-emit.
     """
     shared = [c for c in new.columns if c in old.columns and c not in keys]
     cmp_cols = compare_cols if compare_cols is not None else shared
+    carry = [c for c in (carry_cols or []) if c not in cmp_cols]
     o = old.select(
         *keys,
-        *[F.col(c).alias(f"__old_{c}") for c in cmp_cols],
+        *[F.col(c).alias(f"__old_{c}") for c in cmp_cols + carry],
         _row_hash(old, cmp_cols).alias("__old_h"),
     )
     n = new.select(
-        *keys, *cmp_cols, _row_hash(new, cmp_cols).alias("__new_h")
+        *keys, *cmp_cols, *carry,
+        _row_hash(new, cmp_cols).alias("__new_h"),
     )
     j = n.join(o, keys, "full_outer")
     change = (
@@ -71,7 +78,7 @@ def snapshot_diff(
         F.when(
             F.col(change_col) == "delete", F.col(f"__old_{c}")
         ).otherwise(F.col(c)).alias(c)
-        for c in cmp_cols
+        for c in cmp_cols + carry
     ]
     return out.select(*keys, *vals, change_col)
 

@@ -36,32 +36,14 @@ _ALL_ORACLES = {
 # Dict order is sampling priority: the driver's correctness gate checks
 # the FIRST 50 entries. The sample ROTATES each round so every declared
 # workload gets a driver-side hash check within ~3 rounds (VERDICT r4
-# task 2). Round 14 executes the queue staged in r13 (_R14_ROTATE_IN:
-# the displaced r13 rotate-in tail — oldest checked, already overdue —
-# then the r12-checked head in its r12 order), then this round's
-# brand-new workloads, then the workloads whose DEFINITION changed
-# this round (re-based: a changed query must not wait out the queue
-# for its driver re-check). The r13-checked head (CORRECTNESS_r13.json
-# keys in order) fills any remaining room and, with the displaced
-# tail first, forms the staged _R15_ROTATE_IN.
-_R14_ROTATE_IN = [
-    "streaming_ewma_user_values", "streaming_shards_docs",
-    "cast_trim_clean_parts", "decontamination_bloom_hits",
-    "q1_pricing_summary", "q3_top_orders", "q5_revenue_by_nation",
-    "q10_returned_revenue", "sessionize_events", "cube_flag_status",
-    "except_lapsed_customers", "rollup_orders_year_priority",
-    "window_range_frame_spend", "text_quality", "exact_dedup_docs",
-    "ngram_jaccard_docs", "embedding_cosine_topk", "minhash_lsh_pairs",
-    "simhash_near_docs", "lsh_ann_neighbors", "embedding_neardup_pairs",
-    "repetition_signals_docs", "decontamination_hits",
-    "token_budget_by_source", "stratified_sample_langs",
-    "chunk_documents_docs", "pack_sequences_docs", "scrub_pii_docs",
-    "boilerplate_paragraphs_docs", "bpe_trained_merges",
-    "quality_classifier_docs", "bpe_subword_stats_docs",
-    "line_corrections_docs", "html_strip_docs",
-    "cluster_best_keeper_docs", "curation_funnel_docs",
-    "neardup_clusters", "percentiles_by_source", "tfidf_top_terms",
-    "semantic_revenue_by_segment", "gopher_quality_docs",
+# task 2). Round 15 executes the queue staged in r14 (_R15_ROTATE_IN:
+# the displaced r14 rotate-in tail — oldest checked, already overdue —
+# then the r13-checked head in its r13 order), then this round's
+# brand-new workloads, then any workload whose DEFINITION changed this
+# round. The r14-checked head (CORRECTNESS_r14.json keys in order)
+# fills remaining room and, with the displaced tail first, forms the
+# staged _R16_ROTATE_IN.
+_R15_ROTATE_IN = [
     "duplicate_ngram_spans", "lm_perplexity_buckets", "cms_heavy_terms",
     "random_projection_embeddings", "bm25_search_docs",
     "remove_dup_spans_docs", "cms_incremental_terms", "rp_ann_recall",
@@ -80,37 +62,11 @@ _R14_ROTATE_IN = [
     "dsir_hashed_select_docs", "audio_ahash_dedup", "video_dhash_dedup",
     "kn_trigram_perplexity_docs", "ccnet_pipeline_docs",
     "url_normalize_docs", "domain_filter_docs", "domain_reputation_docs",
-    "pii_card_scrub_docs",
-]
-
-# Workloads declared for the first time in round 14 — never driver-
-# checked, so they get guaranteed head slots.
-_R14_NEW = [
-    "ann_recall_lsh_or",
-    "kcenter_coreset_embeddings",
-    "bpe_encode_unseen_docs",
-    "pq_adc_topk_embeddings",
-]
-
-# Workloads whose Spark+oracle definition changed in round 14:
-# guaranteed a re-check slot even though their queue position would
-# have missed the head (langid NULL-label y-encoding now matches the
-# oracle's ELSE-0; hard_negative_pairs anchor-filter now applies
-# before the rename and gates on anchor count).
-_R14_REBASED = [
-    "lang_classifier_train_docs", "lang_classify_docs",
-    "ccnet_lid_pipeline_docs", "streaming_lang_classify_docs",
-    "hard_negatives_embeddings",
-]
-
-# The r13-checked head, in its r13 head order (= CORRECTNESS_r13.json
-# key set): fills r14 to 50 from the front if room remains; the
-# remainder seeds the ROUND-15 ROTATION QUEUE.
-_R13_CHECKED_HEAD = [
-    "groupingsets_flag_status", "ivf_ann_neighbors", "q4_order_priority",
-    "q8_market_share", "q9_product_profit", "q13_customer_distribution",
-    "q15_top_supplier", "q17_small_quantity_revenue",
-    "q19_bracket_revenue", "q22_inactive_balances", "sample_seeded_docs",
+    "pii_card_scrub_docs", "groupingsets_flag_status",
+    "ivf_ann_neighbors", "q4_order_priority", "q8_market_share",
+    "q9_product_profit", "q13_customer_distribution", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q19_bracket_revenue",
+    "q22_inactive_balances", "sample_seeded_docs",
     "multimodal_audio_features", "bloom_semijoin_orders",
     "lm_quality_docs", "kmeans_clusters_embeddings",
     "convert_event_values", "unpivot_flag_metrics", "window_price_change",
@@ -124,16 +80,57 @@ _R13_CHECKED_HEAD = [
     "approx_percentiles_by_source", "dedup_incremental_docs",
     "q2_min_cost_supplier", "q11_important_parts", "q12_ship_latency",
     "q16_supplier_variety", "sample_k_docs_per_lang",
-    "psychrometrics_events", "heavy_hitter_terms",
+    "psychrometrics_events", "heavy_hitter_terms", "domain_mixture_docs",
+    "mixture_sample_docs", "ann_recall_lsh",
+]
+
+# Workloads declared for the first time in round 15 — never driver-
+# checked, so they get guaranteed head slots.
+_R15_NEW = [
+    "ivf_pq_topk_embeddings",
+    "ann_incremental_probe_embeddings",
+    "table_diff_orders_partitions",
+]
+
+# Workloads whose Spark+oracle definition changed in round 15:
+# guaranteed a re-check slot even though their queue position would
+# have missed the head. (The r15 _pq_fragments refactor emits
+# byte-identical SQL for pq_adc_topk_embeddings — verified against
+# HEAD — and hard_negative_pairs' default auto path is behavior-
+# identical below the gate, so neither is re-based.)
+_R15_REBASED: list[str] = []
+
+# The r14-checked head, in its r14 head order (= CORRECTNESS_r14.json
+# key set): fills r15 to 50 from the front if room remains; the
+# remainder seeds the ROUND-16 ROTATION QUEUE.
+_R14_CHECKED_HEAD = [
+    "streaming_ewma_user_values", "streaming_shards_docs",
+    "cast_trim_clean_parts", "decontamination_bloom_hits",
+    "q1_pricing_summary", "q3_top_orders", "q5_revenue_by_nation",
+    "q10_returned_revenue", "sessionize_events", "cube_flag_status",
+    "except_lapsed_customers", "rollup_orders_year_priority",
+    "window_range_frame_spend", "text_quality", "exact_dedup_docs",
+    "ngram_jaccard_docs", "embedding_cosine_topk", "minhash_lsh_pairs",
+    "simhash_near_docs", "lsh_ann_neighbors", "embedding_neardup_pairs",
+    "repetition_signals_docs", "decontamination_hits",
+    "token_budget_by_source", "stratified_sample_langs",
+    "chunk_documents_docs", "pack_sequences_docs", "scrub_pii_docs",
+    "boilerplate_paragraphs_docs", "bpe_trained_merges",
+    "quality_classifier_docs", "bpe_subword_stats_docs",
+    "line_corrections_docs", "html_strip_docs",
+    "cluster_best_keeper_docs", "curation_funnel_docs",
+    "neardup_clusters", "percentiles_by_source", "tfidf_top_terms",
+    "semantic_revenue_by_segment", "gopher_quality_docs",
+    "ann_recall_lsh_or", "kcenter_coreset_embeddings",
+    "bpe_encode_unseen_docs", "pq_adc_topk_embeddings",
     "lang_classifier_train_docs", "lang_classify_docs",
-    "ccnet_lid_pipeline_docs", "domain_mixture_docs",
-    "hard_negatives_embeddings", "mixture_sample_docs",
-    "streaming_lang_classify_docs", "ann_recall_lsh",
+    "ccnet_lid_pipeline_docs", "streaming_lang_classify_docs",
+    "hard_negatives_embeddings",
 ]
 
 _unknown_rotate = (
-    set(_R14_ROTATE_IN) | set(_R14_NEW) | set(_R14_REBASED)
-    | set(_R13_CHECKED_HEAD)
+    set(_R15_ROTATE_IN) | set(_R15_NEW) | set(_R15_REBASED)
+    | set(_R14_CHECKED_HEAD)
 ) - set(_ALL_QUERIES)
 if _unknown_rotate:  # fail loudly: a stale queue would silently shrink
     raise RuntimeError(  # the next round's driver-checked head
@@ -144,12 +141,12 @@ if _unknown_rotate:  # fail loudly: a stale queue would silently shrink
 # and this round's re-based definitions are guaranteed slots; the
 # rotate-in queue fills the rest and its displaced TAIL rolls into
 # next round's queue first (oldest checked, already overdue), then
-# the r13-checked head in its r13 order.
-_queue = [k for k in _R14_ROTATE_IN if k not in set(_R14_REBASED)]
-_rotate_room = max(0, 50 - len(_R14_NEW) - len(_R14_REBASED))
-_HEAD = (_queue[:_rotate_room] + _R14_NEW + _R14_REBASED)[:50]
-_R15_ROTATE_IN = _queue[_rotate_room:] + [
-    k for k in _R13_CHECKED_HEAD if k not in set(_HEAD)
+# the r14-checked head in its r14 order.
+_queue = [k for k in _R15_ROTATE_IN if k not in set(_R15_REBASED)]
+_rotate_room = max(0, 50 - len(_R15_NEW) - len(_R15_REBASED))
+_HEAD = (_queue[:_rotate_room] + _R15_NEW + _R15_REBASED)[:50]
+_R16_ROTATE_IN = _queue[_rotate_room:] + [
+    k for k in _R14_CHECKED_HEAD if k not in set(_HEAD)
 ]
 _ORDER = _HEAD + [k for k in _ALL_QUERIES if k not in set(_HEAD)]
 QUERIES = {k: _ALL_QUERIES[k] for k in _ORDER}

@@ -2379,3 +2379,88 @@ WHERE s / (na.n + nb.n - s) >= 0.45
 
 QUERIES.update({"video_dhash_dedup": video_dhash_dedup})
 ORACLES.update({"video_dhash_dedup": VIDEO_DHASH_SQL})
+
+
+def table_diff_orders_partitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition-level table-version diff (§ beyond-reference:
+    open-format twin of reference diagnostics/delta.py
+    ``get_delta_diff``): snapshot A = yesterday's orders extract
+    (every 13th key absent, every 5th key's total bumped — a stale
+    price), snapshot B = today's (every 17th key absent). The diff
+    classifies inserts/deletes/updates through ONE full-outer
+    key-hashed join and rolls them up per order-year alongside each
+    side's row counts — the "which partition moved" question answered
+    without re-reading either snapshot wholesale."""
+    _prep(spark)
+    from odibi_spark.diagnostics import partition_diff
+
+    orders = read_table(spark, sf_dir, "orders")
+    snap_a = orders.filter("o_orderkey % 13 <> 0").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("price"),
+    )
+    snap_b = orders.filter("o_orderkey % 17 <> 0").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return partition_diff(
+        snap_a, snap_b, keys=["o_orderkey"],
+        partition_expr="order_year", partition_alias="order_year",
+        compare_cols=["price"],
+    )
+
+
+TABLE_DIFF_SQL = """
+WITH a AS (
+  SELECT o_orderkey, year(o_orderdate) AS order_year,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 13 <> 0
+),
+b AS (
+  SELECT o_orderkey, year(o_orderdate) AS order_year,
+         o_totalprice AS price
+  FROM orders WHERE o_orderkey % 17 <> 0
+),
+ca AS (SELECT order_year, COUNT(*) AS rows_a FROM a GROUP BY order_year),
+cb AS (SELECT order_year, COUNT(*) AS rows_b FROM b GROUP BY order_year),
+ch AS (
+  SELECT CASE WHEN b.o_orderkey IS NULL THEN a.order_year
+              ELSE b.order_year END AS order_year,
+         CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+              WHEN b.o_orderkey IS NULL THEN 'delete'
+              WHEN a.price <> b.price THEN 'update'
+              ELSE 'unchanged' END AS ct
+  FROM b FULL OUTER JOIN a ON a.o_orderkey = b.o_orderkey
+),
+agg AS (
+  SELECT order_year,
+         SUM(CASE WHEN ct = 'insert' THEN 1 ELSE 0 END) AS inserts,
+         SUM(CASE WHEN ct = 'delete' THEN 1 ELSE 0 END) AS deletes,
+         SUM(CASE WHEN ct = 'update' THEN 1 ELSE 0 END) AS updates
+  FROM ch GROUP BY order_year
+)
+SELECT CAST(order_year AS INTEGER) AS order_year,
+       CAST(COALESCE(rows_a, 0) AS BIGINT) AS rows_a,
+       CAST(COALESCE(rows_b, 0) AS BIGINT) AS rows_b,
+       CAST(COALESCE(rows_b, 0) - COALESCE(rows_a, 0) AS BIGINT)
+         AS rows_change,
+       CAST(COALESCE(inserts, 0) AS BIGINT) AS inserts,
+       CAST(COALESCE(deletes, 0) AS BIGINT) AS deletes,
+       CAST(COALESCE(updates, 0) AS BIGINT) AS updates
+FROM ca
+FULL OUTER JOIN cb USING (order_year)
+FULL OUTER JOIN agg USING (order_year)
+ORDER BY order_year
+"""
+
+QUERIES.update(
+    {"table_diff_orders_partitions": table_diff_orders_partitions}
+)
+ORACLES.update({"table_diff_orders_partitions": TABLE_DIFF_SQL})

@@ -2382,22 +2382,27 @@ def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_adc_oracle_sql(
-    m: int = 8, k: int = 16, dim: int = 64, topk: int = 5,
-) -> str:
-    """DuckDB replica of pq_train + pq_encode + pq_adc_topk: per
-    subspace, seed codebook from the k lowest-id vectors' subvector
-    slices, one Lloyd step with DECIMAL-exact means (the
-    kmeans_clusters protocol), argmin assignment with lowest-cell
-    ties; ADC sums the 8 per-subspace partials in subspace order
-    (list_dot_product against a ones vector — in-order like the
-    Spark fold) before the 6-dp round and the rank."""
+def _pq_fragments(
+    m: int, k: int, dim: int, query_pred: str = "t.id < 20",
+    train_pred: str | None = None,
+) -> tuple[list[str], list[str], list[str]]:
+    """Shared per-subspace CTE fragments for the PQ-family oracles
+    (pq_adc_topk_embeddings, ivf_pq_topk_embeddings): seed codebook
+    from the k lowest-id vectors' subvector slices, one Lloyd step
+    with DECIMAL-exact means (the kmeans_clusters protocol), argmin
+    assignment with lowest-cell ties, encoded corpus, and per-query
+    partial distances filtered by ``query_pred``. ``train_pred``
+    (over ``t.id``) restricts the TRAINING set — seeds and Lloyd
+    means come from matching rows only, while encoding still covers
+    the full corpus: the ann_incremental_probe_embeddings contract,
+    where the index trains on batch 1 and later batches are encoded
+    under the pinned codebooks. Returns (stages, enc_unions,
+    q_unions); the caller supplies the ``v`` CTE and the final ADC
+    join/rank."""
     sub = dim // m
-    stages = ["""
-v AS (
-  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
-)"""]
-    cb_unions, enc_unions, q_unions = [], [], []
+    stages: list[str] = []
+    enc_unions: list[str] = []
+    q_unions: list[str] = []
     for mm in range(m):
         a, b = mm * sub + 1, (mm + 1) * sub
         dist = (
@@ -2407,6 +2412,7 @@ v AS (
             f"list_transform(range(1, {sub + 1}), j -> t.sv[CAST(j AS "
             "INTEGER)] - s.cvec[CAST(j AS INTEGER)]))"
         )
+        tp = train_pred if train_pred is not None else "TRUE"
         stages.append(f"""
 sv{mm} AS MATERIALIZED (
   SELECT id, vec[{a}:{b}] AS sv FROM v
@@ -2414,7 +2420,8 @@ sv{mm} AS MATERIALIZED (
 seeds{mm} AS (
   SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cell,
          sv AS cvec
-  FROM (SELECT id, sv FROM sv{mm} ORDER BY id LIMIT {k})
+  FROM (SELECT t.id AS id, t.sv AS sv FROM sv{mm} t WHERE {tp}
+        ORDER BY id LIMIT {k})
 ),
 asg{mm} AS (
   SELECT id, sv, cell FROM (
@@ -2424,6 +2431,7 @@ asg{mm} AS (
              ORDER BY {dist} ASC, s.cell
            ) AS rn
     FROM sv{mm} t CROSS JOIN seeds{mm} s
+    WHERE {tp}
   ) WHERE rn = 1
 ),
 mu{mm} AS (
@@ -2455,13 +2463,28 @@ enc{mm} AS (
 qpd{mm} AS (
   SELECT t.id AS query_id, s.cell, {dist} AS pdist
   FROM sv{mm} t CROSS JOIN cb{mm} s
-  WHERE t.id < 20
+  WHERE {query_pred}
 )""")
-        cb_unions.append(f"SELECT {mm} AS m, cell, cvec FROM cb{mm}")
         enc_unions.append(f"SELECT id, {mm} AS m, code FROM enc{mm}")
         q_unions.append(
             f"SELECT query_id, {mm} AS m, cell, pdist FROM qpd{mm}"
         )
+    return stages, enc_unions, q_unions
+
+
+def _pq_adc_oracle_sql(
+    m: int = 8, k: int = 16, dim: int = 64, topk: int = 5,
+) -> str:
+    """DuckDB replica of pq_train + pq_encode + pq_adc_topk: the
+    shared ``_pq_fragments`` codebook/encode/query stages; ADC sums
+    the per-subspace partials in subspace order (list_dot_product
+    against a ones vector — in-order like the Spark fold) before the
+    6-dp round and the rank."""
+    frag, enc_unions, q_unions = _pq_fragments(m, k, dim)
+    stages = ["""
+v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+)"""] + frag
     ones = f"list_transform(range({m}), j -> 1.0)"
     return "WITH " + ",".join(stages) + f""",
 enc AS ({' UNION ALL '.join(enc_unions)}),
@@ -2486,6 +2509,203 @@ FROM (
 
 QUERIES.update({"pq_adc_topk_embeddings": pq_adc_topk_embeddings})
 ORACLES.update({"pq_adc_topk_embeddings": _pq_adc_oracle_sql()})
+
+
+def ivf_pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index (Jégou et al. 2011 §V — FAISS 'IVF8,PQ16'):
+    8 seed coarse centroids route each query (vec_id < 20) to its 2
+    nearest cells; within the probed cells the corpus exists only as
+    16 PQ codes/vector (16x compression) scored by asymmetric
+    distance. Coarse quantizer uses iters=0 seed centroids (the
+    ivf_ann_neighbors oracle protocol); PQ codebooks train with the
+    one-Lloyd-step DECIMAL-exact protocol (the pq_adc_topk_embeddings
+    oracle protocol) — the composed oracle replays both, the routing
+    equi-join, and the in-order ADC fold."""
+    _prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings", cpu_heavy=True)
+    return similarity.ivf_pq_topk(
+        emb, "vec_id", "embedding", nlist=8, nprobe=2, m=16, k=64,
+        iters=0, query_filter="vec_id < 20",
+    )
+
+
+def _ivf_pq_oracle_sql(
+    m: int = 16, k: int = 64, dim: int = 64, nlist: int = 8,
+    nprobe: int = 2, topk: int = 5,
+) -> str:
+    """DuckDB replica of ivf_pq_topk: the IVF_ANN_SQL coarse
+    fragments (seed centroids, max-dot assignment with lowest-cell
+    ties, top-nprobe probe routing) composed with the shared
+    ``_pq_fragments`` codebook/encode/query stages; candidates are
+    the probe-cell equi-join, ADC sums the per-subspace partials in
+    subspace order before the 6-dp round and the rank."""
+    frag, enc_unions, q_unions = _pq_fragments(m, k, dim)
+    stages = [f"""
+v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cell,
+         vec AS cvec
+  FROM (SELECT id, vec FROM v ORDER BY id LIMIT {nlist})
+),
+csims AS (
+  SELECT v.id, v.vec, c.cell, list_dot_product(v.vec, c.cvec) AS sim
+  FROM v CROSS JOIN cent c
+),
+cranked AS (
+  SELECT id, cell,
+         row_number() OVER (PARTITION BY id ORDER BY sim DESC, cell) AS rn
+  FROM csims
+),
+assign AS (SELECT id, cell FROM cranked WHERE rn = 1),
+probes AS (
+  SELECT id AS query_id, cell FROM cranked
+  WHERE rn <= {nprobe} AND id < 20
+),
+cand AS (
+  SELECT pr.query_id, a.id AS nbr_id
+  FROM probes pr JOIN assign a USING (cell)
+  WHERE a.id <> pr.query_id
+)"""] + frag
+    ones = f"list_transform(range({m}), j -> 1.0)"
+    return "WITH " + ",".join(stages) + f""",
+enc AS ({' UNION ALL '.join(enc_unions)}),
+qpd AS ({' UNION ALL '.join(q_unions)}),
+adc AS (
+  SELECT c.query_id, c.nbr_id,
+         round(list_dot_product(list(p.pdist ORDER BY p.m), {ones}),
+               6) AS adc_dist
+  FROM cand c
+  JOIN enc e ON e.id = c.nbr_id
+  JOIN qpd p ON p.query_id = c.query_id
+            AND p.m = e.m AND p.cell = e.code
+  GROUP BY c.query_id, c.nbr_id
+)
+SELECT query_id, nbr_id, adc_dist, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, nbr_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, nbr_id) AS rank
+  FROM adc
+) WHERE rank <= {topk}
+"""
+
+
+QUERIES.update({"ivf_pq_topk_embeddings": ivf_pq_topk_embeddings})
+ORACLES.update({"ivf_pq_topk_embeddings": _ivf_pq_oracle_sql()})
+
+
+def ann_incremental_probe_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Persisted ANN index lifecycle (VERDICT r14 task 2), replayed
+    over TWO ingestion batches against a ONE-SHOT oracle: the IVF-PQ
+    index trains on batch 1 (vec_id <= corpus midpoint), the trained
+    geometry is PINNED in ``_index_meta.json``, batch 2 reaches the
+    store through the stateful HWM filter and is encoded delta-only
+    under the pinned codebooks, and the final probe reads the stored
+    codes (partition-pruned to the probed cells) — never a raw
+    vector. The hash match proves the amortized build-once /
+    probe-many lifecycle equals a full-corpus one-shot pass, the
+    ``dedup_incremental_docs`` contract applied to vector indexes."""
+    import os
+    import tempfile
+
+    from odibi_spark.llm.ann_store import AnnIndexStore, run_incremental_ann
+    from odibi_spark.state.hwm import JsonStateBackend
+
+    _prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings", cpu_heavy=True)
+    mid = emb.agg(F.max("vec_id")).collect()[0][0] // 2
+    tmp = tempfile.mkdtemp(prefix="ann_idx_")
+    store = AnnIndexStore(
+        spark, os.path.join(tmp, "index"),
+        nlist=8, nprobe=2, m=8, k=16, dim=64, iters=0,
+    )
+    state = JsonStateBackend(os.path.join(tmp, "state.json"))
+    b1 = emb.filter(F.col("vec_id") <= mid)
+    store.build(b1, "vec_id", "embedding")
+    kw = dict(id_col="vec_id", vec_col="embedding")
+    run_incremental_ann(b1, store, state, batch_id="b1", **kw)
+    run_incremental_ann(emb, store, state, batch_id="b2", **kw)
+    return store.probe(
+        emb.filter("vec_id < 20"), "vec_id", "embedding", topk=5
+    )
+
+
+def _ann_incr_oracle_sql(
+    m: int = 8, k: int = 16, dim: int = 64, nlist: int = 8,
+    nprobe: int = 2, topk: int = 5,
+) -> str:
+    """ONE-SHOT DuckDB replica of the two-batch index lifecycle:
+    coarse centroids AND PQ codebooks train on batch 1 only
+    (id <= max(id)//2 — the ``train_pred``), the FULL corpus is
+    encoded under them, and the ADC ranking replays the probe.
+    Equality with the batch-incremental Spark run is the point."""
+    train = "t.id <= (SELECT MAX(id) FROM v) // 2"
+    frag, enc_unions, q_unions = _pq_fragments(
+        m, k, dim, train_pred=train
+    )
+    stages = [f"""
+v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cell,
+         vec AS cvec
+  FROM (SELECT t.id AS id, t.vec AS vec FROM v t
+        WHERE {train} ORDER BY id LIMIT {nlist})
+),
+csims AS (
+  SELECT v.id, v.vec, c.cell, list_dot_product(v.vec, c.cvec) AS sim
+  FROM v CROSS JOIN cent c
+),
+cranked AS (
+  SELECT id, cell,
+         row_number() OVER (PARTITION BY id ORDER BY sim DESC, cell) AS rn
+  FROM csims
+),
+assign AS (SELECT id, cell FROM cranked WHERE rn = 1),
+probes AS (
+  SELECT id AS query_id, cell FROM cranked
+  WHERE rn <= {nprobe} AND id < 20
+),
+cand AS (
+  SELECT pr.query_id, a.id AS nbr_id
+  FROM probes pr JOIN assign a USING (cell)
+  WHERE a.id <> pr.query_id
+)"""] + frag
+    ones = f"list_transform(range({m}), j -> 1.0)"
+    return "WITH " + ",".join(stages) + f""",
+enc AS ({' UNION ALL '.join(enc_unions)}),
+qpd AS ({' UNION ALL '.join(q_unions)}),
+adc AS (
+  SELECT c.query_id, c.nbr_id,
+         round(list_dot_product(list(p.pdist ORDER BY p.m), {ones}),
+               6) AS adc_dist
+  FROM cand c
+  JOIN enc e ON e.id = c.nbr_id
+  JOIN qpd p ON p.query_id = c.query_id
+            AND p.m = e.m AND p.cell = e.code
+  GROUP BY c.query_id, c.nbr_id
+)
+SELECT query_id, nbr_id, adc_dist, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, nbr_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, nbr_id) AS rank
+  FROM adc
+) WHERE rank <= {topk}
+"""
+
+
+QUERIES.update(
+    {"ann_incremental_probe_embeddings": ann_incremental_probe_embeddings}
+)
+ORACLES.update(
+    {"ann_incremental_probe_embeddings": _ann_incr_oracle_sql()}
+)
 
 
 def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,261 @@
+"""Round-15 operators: IVF-PQ composed index (ivf_pq_topk) and the
+persisted ANN index lifecycle (AnnIndexStore / run_incremental_ann)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from odibi_spark.llm import similarity
+from odibi_spark.llm.ann_store import AnnIndexStore, run_incremental_ann
+from odibi_spark.state.hwm import JsonStateBackend
+
+
+def _vec_df(spark, vecs, start_id=0):
+    rows = [
+        (i + start_id, [float(x) for x in v]) for i, v in enumerate(vecs)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _unit_vecs(n, dim=64, seed=11):
+    rng = np.random.default_rng(seed)
+    V = rng.standard_normal((n, dim))
+    return V / np.linalg.norm(V, axis=1, keepdims=True)
+
+
+class TestIvfPqTopk:
+    def test_contract_and_determinism(self, spark):
+        df = _vec_df(spark, _unit_vecs(60))
+        out = similarity.ivf_pq_topk(
+            df, "vec_id", "embedding", nlist=4, nprobe=2, m=8, k=8,
+            query_filter="vec_id < 5",
+        )
+        rows = out.collect()
+        assert out.columns == ["query_id", "nbr_id", "adc_dist", "rank"]
+        assert {r["query_id"] for r in rows} <= set(range(5))
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["query_id"], []).append(r["rank"])
+        for ranks in per_q.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        again = similarity.ivf_pq_topk(
+            df, "vec_id", "embedding", nlist=4, nprobe=2, m=8, k=8,
+            query_filter="vec_id < 5",
+        ).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    def test_full_probe_matches_flat_pq(self, spark):
+        # nprobe = nlist: routing prunes nothing, so IVF-PQ must equal
+        # flat PQ-ADC under the same codebooks
+        df = _vec_df(spark, _unit_vecs(40))
+        cb = similarity.pq_train(df, "vec_id", "embedding", m=8, k=8)
+        flat = similarity.pq_adc_topk(
+            df, "vec_id", "embedding", m=8, k=8,
+            query_filter="vec_id < 5", codebooks=cb,
+        ).collect()
+        ivfpq = similarity.ivf_pq_topk(
+            df, "vec_id", "embedding", nlist=4, nprobe=4, m=8, k=8,
+            query_filter="vec_id < 5", codebooks=cb,
+        ).collect()
+        assert sorted(map(tuple, flat)) == sorted(map(tuple, ivfpq))
+
+    def test_candidates_are_equijoin_not_crossjoin(self, spark):
+        df = _vec_df(spark, _unit_vecs(40))
+        out = similarity.ivf_pq_topk(
+            df, "vec_id", "embedding", nlist=4, nprobe=1, m=8, k=8,
+            query_filter="vec_id < 5",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_recall_floor_at_recommended_point(self, spark):
+        # the r15 grid point (m=16, k=64) with generous probing must
+        # beat the r14 flat-PQ 8x16 floor by a wide margin
+        df = _vec_df(spark, _unit_vecs(120, seed=3))
+        exact = similarity.cosine_topk(
+            df, "vec_id", "embedding", query_filter="vec_id < 20", k=5
+        )
+        approx = similarity.ivf_pq_topk(
+            df, "vec_id", "embedding", nlist=4, nprobe=2, m=16, k=64,
+            query_filter="vec_id < 20",
+        )
+        r = (
+            similarity.ann_recall(exact, approx)
+            .agg(F.avg("recall").alias("r"))
+            .first()["r"]
+        )
+        assert r >= 0.4
+
+
+class TestPqEngineEquivalence:
+    """The numpy kernels must be BIT-identical to the expression
+    path: same sequential IEEE fold order, same first-min ties, same
+    JVM-side rounding — so the size gate never changes results and
+    the DuckDB oracles hold for both paths."""
+
+    def _df(self, spark, n=50):
+        return _vec_df(spark, _unit_vecs(n, seed=23))
+
+    def test_pq_train_identical(self, spark):
+        df = self._df(spark)
+        a = similarity.pq_train(df, "vec_id", "embedding", m=8, k=8,
+                                engine="expr")
+        b = similarity.pq_train(df, "vec_id", "embedding", m=8, k=8,
+                                engine="numpy")
+        assert a == b  # exact float equality, not approx
+
+    def test_pq_encode_identical(self, spark):
+        df = self._df(spark)
+        cb = similarity.pq_train(df, "vec_id", "embedding", m=8, k=8)
+        a = sorted(
+            (r["id"], tuple(r["pq_codes"]))
+            for r in similarity.pq_encode(
+                df, "vec_id", "embedding", cb, engine="expr"
+            ).collect()
+        )
+        b = sorted(
+            (r["id"], tuple(r["pq_codes"]))
+            for r in similarity.pq_encode(
+                df, "vec_id", "embedding", cb, engine="numpy"
+            ).collect()
+        )
+        assert a == b
+
+    def test_pq_adc_topk_identical(self, spark):
+        df = self._df(spark)
+        cb = similarity.pq_train(df, "vec_id", "embedding", m=8, k=8)
+        a = similarity.pq_adc_topk(
+            df, "vec_id", "embedding", m=8, k=8, codebooks=cb,
+            query_filter="vec_id < 8", engine="expr",
+        ).collect()
+        b = similarity.pq_adc_topk(
+            df, "vec_id", "embedding", m=8, k=8, codebooks=cb,
+            query_filter="vec_id < 8", engine="numpy",
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_ivf_pq_topk_identical(self, spark):
+        df = self._df(spark)
+        a = similarity.ivf_pq_topk(
+            df, "vec_id", "embedding", nlist=4, nprobe=2, m=8, k=8,
+            query_filter="vec_id < 8", engine="expr",
+        ).collect()
+        b = similarity.ivf_pq_topk(
+            df, "vec_id", "embedding", nlist=4, nprobe=2, m=8, k=8,
+            query_filter="vec_id < 8", engine="numpy",
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_bad_engine_rejected(self, spark):
+        with pytest.raises(ValueError, match="engine"):
+            similarity._use_pq_expr(8, 8, "fast")
+
+    def test_gate_routes_large_geometry_to_numpy(self):
+        assert similarity._use_pq_expr(8, 16)        # 128 cells
+        assert not similarity._use_pq_expr(16, 64)   # 1024 cells
+        assert not similarity._use_pq_expr(16, 256)
+
+
+class TestAnnIndexStore:
+    GEO = dict(nlist=4, nprobe=2, m=8, k=8, dim=64)
+
+    def test_two_batch_equals_one_shot(self, spark, tmp_path):
+        df = _vec_df(spark, _unit_vecs(60))
+        b1 = df.filter("vec_id < 30")
+        store = AnnIndexStore(spark, str(tmp_path / "idx"), **self.GEO)
+        state = JsonStateBackend(str(tmp_path / "state.json"))
+        store.build(b1, "vec_id", "embedding")
+        kw = dict(id_col="vec_id", vec_col="embedding")
+        n1 = run_incremental_ann(b1, store, state, batch_id="b1", **kw)
+        n2 = run_incremental_ann(df, store, state, batch_id="b2", **kw)
+        assert (n1, n2) == (30, 30)  # delta-only: batch 2 ingests 30
+        got = store.probe(
+            df.filter("vec_id < 5"), "vec_id", "embedding", topk=5
+        ).collect()
+        one_shot = similarity.ivf_pq_topk(
+            df, "vec_id", "embedding", query_filter="vec_id < 5",
+            nprobe=2, iters=0,
+            centroids=store.centroids, codebooks=store.codebooks,
+            **{kk: v for kk, v in self.GEO.items()
+               if kk in ("nlist", "m", "k", "dim")},
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, one_shot))
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        df = _vec_df(spark, _unit_vecs(40))
+        store = AnnIndexStore(spark, str(tmp_path / "idx"), **self.GEO)
+        store.build(df, "vec_id", "embedding")
+        store.append(df, "vec_id", "embedding", batch_id="b1")
+        before = store.read_codes().count()
+        # crashed-run replay: same batch_id overwrites its own
+        # partitions, never double-counts
+        store.append(df, "vec_id", "embedding", batch_id="b1")
+        assert store.read_codes().count() == before == 40
+
+    def test_geometry_drift_refused(self, spark, tmp_path):
+        df = _vec_df(spark, _unit_vecs(40))
+        store = AnnIndexStore(spark, str(tmp_path / "idx"), **self.GEO)
+        store.build(df, "vec_id", "embedding")
+        drifted = AnnIndexStore(
+            spark, str(tmp_path / "idx"), nlist=4, nprobe=2,
+            m=16, k=8, dim=64,
+        )
+        with pytest.raises(ValueError, match="different"):
+            drifted.check_config()
+        with pytest.raises(ValueError, match="different"):
+            drifted.append(df, "vec_id", "embedding", batch_id="b2")
+
+    def test_nprobe_is_query_param_not_identity(self, spark, tmp_path):
+        df = _vec_df(spark, _unit_vecs(40))
+        store = AnnIndexStore(spark, str(tmp_path / "idx"), **self.GEO)
+        store.build(df, "vec_id", "embedding")
+        store.append(df, "vec_id", "embedding", batch_id="b1")
+        other = AnnIndexStore(
+            spark, str(tmp_path / "idx"), nlist=4, nprobe=4,
+            m=8, k=8, dim=64,
+        )
+        other.check_config()  # must not raise
+        assert other.probe(
+            df.filter("vec_id < 3"), "vec_id", "embedding"
+        ).count() > 0
+
+    def test_meta_pins_trained_params(self, spark, tmp_path):
+        df = _vec_df(spark, _unit_vecs(40))
+        store = AnnIndexStore(spark, str(tmp_path / "idx"), **self.GEO)
+        store.build(df, "vec_id", "embedding")
+        meta = json.load(open(tmp_path / "idx" / "_index_meta.json"))
+        assert len(meta["centroids"]) == 4
+        assert len(meta["codebooks"]) == 8
+        # a fresh process reloads the SAME trained params — encoding
+        # is a pure function of the pinned codebooks
+        fresh = AnnIndexStore(spark, str(tmp_path / "idx"), **self.GEO)
+        fresh.check_config()
+        assert fresh.codebooks == store.codebooks
+        assert fresh.centroids == store.centroids
+
+    def test_probe_reads_prune_to_probed_cells(self, spark, tmp_path):
+        df = _vec_df(spark, _unit_vecs(60))
+        store = AnnIndexStore(spark, str(tmp_path / "idx"), **self.GEO)
+        store.build(df, "vec_id", "embedding")
+        store.append(df, "vec_id", "embedding", batch_id="b1")
+        sub = store.read_codes(cells=[0, 1])
+        assert set(
+            r["cell"] for r in sub.select("cell").distinct().collect()
+        ) <= {0, 1}
+        # the cell filter is a partition filter, not a row filter:
+        # parquet directory pruning at scan time
+        plan = sub._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [cell" in plan.replace("\n", " ") or (
+            "cell#" in plan and "PartitionFilters" in plan
+        )
+
+    def test_probe_without_codes_raises(self, spark, tmp_path):
+        df = _vec_df(spark, _unit_vecs(40))
+        store = AnnIndexStore(spark, str(tmp_path / "idx"), **self.GEO)
+        store.build(df, "vec_id", "embedding")
+        with pytest.raises(FileNotFoundError):
+            store.probe(df, "vec_id", "embedding")
