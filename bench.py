@@ -637,7 +637,47 @@ def ann_recall_probe(spark, sf_dir: str, k: int = 5) -> dict:
     pq = similarity.pq_adc_topk(
         emb, "vec_id", "embedding", topk=k, query_filter="vec_id < 50"
     )
-    out = {"lsh_mp_probe_frac": round(5 / 256, 4), "ivf_probe_frac": 0.25}
+    # r15: the COMPOSED IVF-PQ index at the recommended operating
+    # point (m=16, k=256, 4 Lloyd steps -> 16 B/vector, 16x
+    # compression; nlist=16/nprobe=8 -> half the cells probed),
+    # measured through the PERSISTED AnnIndexStore so the build-once
+    # vs probe-many amortization is a recorded number, not a claim.
+    import shutil
+    import tempfile
+
+    from odibi_spark.llm.ann_store import AnnIndexStore
+
+    idx_dir = tempfile.mkdtemp(prefix="bench_ann_idx_")
+    try:
+        store = AnnIndexStore(
+            spark, idx_dir, nlist=16, nprobe=8, m=16, k=256,
+            dim=64, iters=0, pq_iters=4,
+        )
+        t0 = time.time()
+        store.build(emb, "vec_id", "embedding")
+        store.append(emb, "vec_id", "embedding", batch_id="b0")
+        build_s = round(time.time() - t0, 2)
+        t0 = time.time()
+        ivfpq = store.probe(
+            emb.filter(F.col("vec_id") < 50), "vec_id", "embedding",
+            topk=k,
+        )
+        r_ivfpq = (
+            similarity.ann_recall(exact, ivfpq)
+            .agg(F.avg("recall").alias("m"))
+            .first()["m"]
+        )
+        probe_s = round(time.time() - t0, 2)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    out = {
+        "lsh_mp_probe_frac": round(5 / 256, 4), "ivf_probe_frac": 0.25,
+        "recall_at_5_ivfpq": round(float(r_ivfpq), 4),
+        "ivfpq_bytes_per_vec": 16,
+        "ivfpq_probe_frac": 0.5,
+        "ann_index_build_s": build_s,
+        "ann_index_probe_s": probe_s,
+    }
     for name, approx in (
         ("lsh", lsh), ("lsh_p8", lsh_p8), ("lsh_mp", lsh_mp),
         ("ivf", ivf), ("lsh_or", lsh_or), ("pq", pq),
@@ -880,6 +920,11 @@ def main() -> None:
         # tokenizer deployment (train BPE on half, encode the other)
         "ann_recall_lsh_or", "kcenter_coreset_embeddings",
         "bpe_encode_unseen_docs", "pq_adc_topk_embeddings",
+        # new in round 15: the composed IVF-PQ index workload, the
+        # persisted-index two-batch lifecycle replay, and the
+        # partition-level table-version diff
+        "ivf_pq_topk_embeddings", "ann_incremental_probe_embeddings",
+        "table_diff_orders_partitions",
     ):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).select(

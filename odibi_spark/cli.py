@@ -110,6 +110,15 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", help="filter schema-history by table path")
     sp.add_argument("--limit", type=int, default=20)
 
+    # generated configuration manual (reference introspect.py
+    # generate_docs — the full YAML-schema reference, not just the
+    # single-key `explain`)
+    sp = sub.add_parser(
+        "docs", help="generate documentation artifacts"
+    )
+    sp.add_argument("what", choices=["config-manual"])
+    sp.add_argument("--out", help="write to this path instead of stdout")
+
     # open-format table-version diff (reference diagnostics/delta.py
     # get_delta_diff over versionAsOf; here over two snapshot paths)
     sp = sub.add_parser(
@@ -317,6 +326,18 @@ def main(argv: list[str] | None = None) -> int:
             print(f"wrote {args.out}")
         else:
             print(code)
+        return 0
+
+    if args.cmd == "docs":
+        from odibi_spark.introspect import generate_config_manual
+
+        md = generate_config_manual()
+        if args.out:
+            with open(args.out, "w", encoding="utf-8") as fh:
+                fh.write(md)
+            print(f"wrote {args.out} ({len(md.splitlines())} lines)")
+        else:
+            print(md)
         return 0
 
     if args.cmd == "table-diff":

@@ -60,6 +60,7 @@ class AnnIndexStore:
         k: int = 64,
         dim: int = 64,
         iters: int = 0,
+        pq_iters: int = 1,
     ):
         self.spark = spark
         self.path = path
@@ -69,6 +70,11 @@ class AnnIndexStore:
         self.k = int(k)
         self.dim = int(dim)
         self.iters = int(iters)
+        # Lloyd steps for the PQ codebooks at build time. NOT index
+        # identity: the trained codebooks land in the meta, so a
+        # probe/append process never needs to know how many steps
+        # produced them (the same exemption as nprobe).
+        self.pq_iters = int(pq_iters)
         self.centroids: list[list[float]] | None = None
         self.codebooks: list[list[list[float]]] | None = None
         self._codes = os.path.join(path, "codes")
@@ -155,7 +161,8 @@ class AnnIndexStore:
             df, id_col, vec_col, nlist=self.nlist, iters=self.iters
         )
         self.codebooks = similarity.pq_train(
-            df, id_col, vec_col, m=self.m, k=self.k, dim=self.dim
+            df, id_col, vec_col, m=self.m, k=self.k, dim=self.dim,
+            iters=self.pq_iters,
         )
         os.makedirs(self.path, exist_ok=True)
         meta = {
