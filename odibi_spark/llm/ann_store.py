@@ -61,6 +61,7 @@ class AnnIndexStore:
         dim: int = 64,
         iters: int = 0,
         pq_iters: int = 1,
+        residual: bool = False,
     ):
         self.spark = spark
         self.path = path
@@ -75,6 +76,9 @@ class AnnIndexStore:
         # probe/append process never needs to know how many steps
         # produced them (the same exemption as nprobe).
         self.pq_iters = int(pq_iters)
+        # residual IS index identity: codes under residual encoding
+        # are meaningless against raw-encoded probes and vice versa
+        self.residual = bool(residual)
         self.centroids: list[list[float]] | None = None
         self.codebooks: list[list[list[float]]] | None = None
         self._codes = os.path.join(path, "codes")
@@ -90,6 +94,7 @@ class AnnIndexStore:
             "kind": "ivf_pq",
             "nlist": self.nlist, "m": self.m, "k": self.k,
             "dim": self.dim, "iters": self.iters,
+            "residual": self.residual,
         }
 
     def _load_meta(self) -> dict:
@@ -129,6 +134,11 @@ class AnnIndexStore:
         assigned = similarity.ivf_assign(
             df, id_col, vec_col, self.centroids
         )
+        if self.residual:
+            assigned = assigned.withColumn(
+                "vec",
+                similarity._residual_expr("vec", "cell", self.centroids),
+            )
         sub = self.dim // self.m
         if similarity._use_pq_expr(self.m, self.k):
             return assigned.select(
@@ -160,10 +170,22 @@ class AnnIndexStore:
         self.centroids = similarity.ivf_centroids(
             df, id_col, vec_col, nlist=self.nlist, iters=self.iters
         )
-        self.codebooks = similarity.pq_train(
-            df, id_col, vec_col, m=self.m, k=self.k, dim=self.dim,
-            iters=self.pq_iters,
-        )
+        if self.residual:
+            res = similarity.ivf_assign(
+                df, id_col, vec_col, self.centroids
+            ).withColumn(
+                "vec",
+                similarity._residual_expr("vec", "cell", self.centroids),
+            )
+            self.codebooks = similarity.pq_train(
+                res, "id", "vec", m=self.m, k=self.k, dim=self.dim,
+                iters=self.pq_iters,
+            )
+        else:
+            self.codebooks = similarity.pq_train(
+                df, id_col, vec_col, m=self.m, k=self.k, dim=self.dim,
+                iters=self.pq_iters,
+            )
         os.makedirs(self.path, exist_ok=True)
         meta = {
             **self._geometry(),
@@ -265,6 +287,13 @@ class AnnIndexStore:
         codes = self.read_codes(cells=cells)
         if codes is None:
             raise FileNotFoundError(f"no codes stored at {self._codes}")
+        if self.residual:
+            probes = probes.withColumn(
+                "q_vec",
+                similarity._residual_expr(
+                    "q_vec", "cell", self.centroids
+                ),
+            )
         pairs = codes.join(F.broadcast(probes), "cell").filter(
             F.col("query_id") != F.col("nbr_id")
         )

@@ -1804,6 +1804,21 @@ def _adc_dist_expr(m: int, sub: int):
     )
 
 
+def _residual_expr(vec_col: str, cell_col: str, centroids):
+    """vec - centroid[cell], per row: the FAISS IVF-PQ residual.
+    element_at picks the row's OWN centroid from the inline nlist x
+    dim literal (tiny), zip_with subtracts in index order — exact
+    IEEE doubles, replayable."""
+    cent_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ])
+    return F.zip_with(
+        F.col(vec_col),
+        F.element_at(cent_lit, F.col(cell_col) + 1),
+        lambda x, y: x.cast("double") - y,
+    )
+
+
 def _adc_score(
     pairs: DataFrame,
     codebooks,
@@ -1914,6 +1929,8 @@ def ivf_pq_topk(
     centroids: list[list[float]] | None = None,
     inline_limit: int | None = None,
     engine: str = "auto",
+    residual: bool = False,
+    pq_iters: int = 1,
 ) -> DataFrame:
     """IVF-PQ: the standard composed index (Jégou et al. 2011 §V, the
     FAISS ``IVFx,PQy`` factory string). A coarse IVF quantizer routes
@@ -1923,13 +1940,20 @@ def ivf_pq_topk(
     (k<=256) AND each query touches ~nprobe/nlist of it, where flat
     PQ-ADC still scans every code.
 
-    This implementation encodes RAW vectors against a global PQ
-    codebook (not per-cell residuals): the codebook trains once, the
-    oracle replays it, and on a unit-normalized corpus the raw-vector
-    ADC ranking is the cosine ranking. Residual encoding (FAISS's
-    default) buys finer resolution per cell at the cost of nlist
-    codebook trainings — the documented production upgrade, same plan
-    shape.
+    Two encodings: raw (default — the codebook trains once on raw
+    vectors, the DuckDB oracle replays it, and on a unit-normalized
+    corpus the raw-vector ADC ranking is the cosine ranking) and
+    ``residual=True`` (FAISS's default: encode vec - centroid[cell],
+    score queries by their per-probed-cell residual q -
+    centroid[cell]). Residuals concentrate each cell's mass near the
+    origin so the same codebook budget can quantize finer on
+    CLUSTERED corpora; on this repo's weakly-clustered synthetic
+    embeddings it measured NO win (tools/exp_ivfpq_residual.py,
+    sf0.1: 0.41 vs 0.53 raw at 16 B/vector, 0.72 vs 0.73 at 32 B) —
+    shipped as the standard option with the honest number, default
+    off. The plan shape is identical (one extra zip_with subtract on
+    each side, still zero-shuffle); training is one global codebook
+    over residual vectors, not nlist codebooks.
 
     Plan: coarse assignment is the ``ivf_assign`` inline/broadcast
     gate (zero shuffle at small nlist); encoding is a zero-shuffle
@@ -1950,14 +1974,26 @@ def ivf_pq_topk(
             df, id_col, vec_col, nlist=nlist, iters=iters,
             inline_limit=inline_limit,
         )
-    if codebooks is None:
-        codebooks = pq_train(
-            df, id_col, vec_col, m=m, k=k, dim=dim, engine=engine
-        )
-    sub = len(codebooks[0][0])
     assigned = ivf_assign(
         df, id_col, vec_col, centroids, inline_limit=inline_limit
     )
+    if residual:
+        assigned = assigned.withColumn(
+            "vec", _residual_expr("vec", "cell", centroids)
+        )
+    if codebooks is None:
+        if residual:
+            # train the global codebook on the RESIDUAL frame
+            codebooks = pq_train(
+                assigned, "id", "vec", m=m, k=k, dim=dim,
+                engine=engine, iters=pq_iters,
+            )
+        else:
+            codebooks = pq_train(
+                df, id_col, vec_col, m=m, k=k, dim=dim,
+                engine=engine, iters=pq_iters,
+            )
+    sub = len(codebooks[0][0])
     if _use_pq_expr(m, k, engine):
         enc = assigned.select(
             F.col("id").alias("nbr_id"),
@@ -1996,6 +2032,11 @@ def ivf_pq_topk(
         .filter(F.col("probe_rank") <= nprobe)
         .select("query_id", "q_vec", F.col("cell").cast("int").alias("cell"))
     )
+    if residual:
+        # the query's residual is PER PROBED CELL: q - centroid[cell]
+        probes = probes.withColumn(
+            "q_vec", _residual_expr("q_vec", "cell", centroids)
+        )
     pairs = enc.join(probes, "cell").filter(
         F.col("query_id") != F.col("nbr_id")
     )

@@ -259,3 +259,65 @@ class TestAnnIndexStore:
         store.build(df, "vec_id", "embedding")
         with pytest.raises(FileNotFoundError):
             store.probe(df, "vec_id", "embedding")
+
+
+class TestResidualIvfPq:
+    GEO = dict(nlist=4, nprobe=2, m=8, k=8, dim=64)
+
+    def test_residual_contract_and_determinism(self, spark):
+        df = _vec_df(spark, _unit_vecs(60, seed=9))
+        a = similarity.ivf_pq_topk(
+            df, "vec_id", "embedding", query_filter="vec_id < 5",
+            residual=True, **self.GEO,
+        ).collect()
+        b = similarity.ivf_pq_topk(
+            df, "vec_id", "embedding", query_filter="vec_id < 5",
+            residual=True, **self.GEO,
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert len(a) > 0
+
+    def test_residual_differs_from_raw(self, spark):
+        df = _vec_df(spark, _unit_vecs(60, seed=9))
+        raw = similarity.ivf_pq_topk(
+            df, "vec_id", "embedding", query_filter="vec_id < 5",
+            residual=False, **self.GEO,
+        ).collect()
+        res = similarity.ivf_pq_topk(
+            df, "vec_id", "embedding", query_filter="vec_id < 5",
+            residual=True, **self.GEO,
+        ).collect()
+        # different encodings -> different distances (ranks may agree)
+        assert {r["adc_dist"] for r in raw} != {r["adc_dist"] for r in res}
+
+    def test_store_residual_is_index_identity(self, spark, tmp_path):
+        df = _vec_df(spark, _unit_vecs(40))
+        store = AnnIndexStore(
+            spark, str(tmp_path / "idx"), residual=True, **self.GEO
+        )
+        store.build(df, "vec_id", "embedding")
+        store.append(df, "vec_id", "embedding", batch_id="b1")
+        raw_view = AnnIndexStore(
+            spark, str(tmp_path / "idx"), residual=False, **self.GEO
+        )
+        with pytest.raises(ValueError, match="different"):
+            raw_view.check_config()
+
+    def test_store_residual_probe_matches_one_shot(self, spark, tmp_path):
+        df = _vec_df(spark, _unit_vecs(40))
+        store = AnnIndexStore(
+            spark, str(tmp_path / "idx"), residual=True, **self.GEO
+        )
+        store.build(df, "vec_id", "embedding")
+        store.append(df, "vec_id", "embedding", batch_id="b1")
+        got = store.probe(
+            df.filter("vec_id < 5"), "vec_id", "embedding"
+        ).collect()
+        one_shot = similarity.ivf_pq_topk(
+            df, "vec_id", "embedding", query_filter="vec_id < 5",
+            residual=True, centroids=store.centroids,
+            codebooks=store.codebooks,
+            **{kk: v for kk, v in self.GEO.items() if kk != "nprobe"},
+            nprobe=2,
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, one_shot))
