@@ -326,16 +326,22 @@ def run_incremental_ann(
     makes the replay idempotent). Returns the number of delta rows
     appended; first run with no committed mark ingests everything.
     The store must already be built (geometry trained + pinned)."""
-    from odibi_spark.state.hwm import capture_hwm, incremental_filter
+    from odibi_spark.state.hwm import incremental_filter
 
     delta = incremental_filter(
         df, column=id_col, state=state, state_key=state_key,
         target_exists=store.exists(),
     )
-    n = delta.count()
+    # ONE job computes the delta's row count and its HWM together
+    # (previously count() + capture_hwm ran two scans of the delta;
+    # r15 job-count trim — same values, max() stringified exactly as
+    # capture_hwm does)
+    row = delta.agg(
+        F.count(F.lit(1)).alias("n"), F.max(id_col).alias("m")
+    ).collect()[0]
+    n = int(row["n"])
     if n:
-        new_mark = capture_hwm(delta, id_col)
         store.append(delta, id_col, vec_col, batch_id=batch_id)
-        if new_mark is not None:
-            state.set(state_key, new_mark)
+        if row["m"] is not None:
+            state.set(state_key, str(row["m"]))
     return n

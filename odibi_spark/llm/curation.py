@@ -1100,9 +1100,17 @@ def quality_classifier_train(
     lr_num, lr_den = lr
     if lr_num < 1 or lr_den < 1:
         raise ValueError("lr must be a positive rational (num, den)")
+    # cheap pre-filter replaces the derived-column ``__n > 0`` filter:
+    # tokens are non-empty iff the trimmed text is (split-on-space of
+    # '' filters to []; NULL fails both forms). The old filter was
+    # pushed below the scale_out Exchange, substituting the ENTIRE md5
+    # featurization into the single-partition scan filter — the corpus
+    # was featurized one-threaded, then again post-shuffle (the
+    # _explode_feats lesson in filter-pushdown form).
+    src = df.filter(F.length(F.trim(F.col(text_col))) > 0)
     feats = (
         _ql_features(
-            df, text_col, buckets=buckets, bigrams=bigrams,
+            src, text_col, buckets=buckets, bigrams=bigrams,
             lowercase=lowercase,
         )
         .select(
@@ -1111,7 +1119,6 @@ def quality_classifier_train(
             "__ql_feats",
             F.size("__ql_feats").cast("long").alias("__n"),
         )
-        .filter(F.col("__n") > 0)
         .localCheckpoint(eager=True)
     )
     n_docs = feats.count()

@@ -458,7 +458,8 @@ def connected_components_stats(
     partial) + one label self-equi-join for the jump, all keyed on node
     id. Labels are localCheckpoint'ed per round — without that the
     lineage doubles each iteration and the plan blows up. The
-    convergence probe is a LIMIT-1 count, not a collect of labels. The
+    convergence probe is one exact-sum aggregate per round (labels
+    only decrease, so an unchanged sum means an unchanged frame). The
     driver loop runs O(log diameter) tiny jobs; no data ever reaches
     the driver.
 
@@ -480,6 +481,15 @@ def connected_components_stats(
             "cluster_id", F.col("node")
         )
         labels = labels.localCheckpoint(eager=True)
+        # convergence probe: min-label propagation is MONOTONE (every
+        # round takes least(old, ...), node set fixed), so labels
+        # changed iff the exact label sum strictly decreased — one
+        # tiny aggregate over the fresh checkpoint instead of the old
+        # new-vs-old label equi-join + LIMIT 1 count per round (r15
+        # job trim; DECIMAL(38,0) sum cannot overflow or lose
+        # exactness at any corpus size)
+        label_sum = F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+        prev_sum = labels.agg(label_sum).collect()[0][0]
         changed, rounds = 0, 0
         for _ in range(max_iter):
             nbr_min = (
@@ -515,13 +525,9 @@ def connected_components_stats(
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                .limit(1)
-                .count()
-            )
+            new_sum = new_labels.agg(label_sum).collect()[0][0]
+            changed = 0 if new_sum == prev_sum else 1
+            prev_sum = new_sum
             labels = new_labels
             rounds += 1
             if changed == 0:

@@ -54,6 +54,7 @@ def _lid_features(
     ns: tuple[int, ...] = LID_NGRAMS,
     max_chars: int = LID_MAX_CHARS,
     lowercase: bool = True,
+    nonempty: bool = False,
 ) -> DataFrame:
     """Stage hashed char-n-gram features as the ``__lid_feats``
     array<bigint> column: for each order n, every n-char window of
@@ -62,7 +63,19 @@ def _lid_features(
     codegen/HOF expressions; the capped text is projected into its
     own ``__lid_t`` column first so the lambdas never re-derive it
     (the word_shingles lesson). CASE guards keep short texts at
-    array() — sequence(1, 0) DESCENDS in Spark."""
+    array() — sequence(1, 0) DESCENDS in Spark.
+
+    ``nonempty=True`` drops featureless rows with the CHEAP
+    equivalent predicate ``length(__lid_t) >= min(ns)`` (feats are a
+    concat of per-order CASE arrays, each non-empty iff the capped
+    text has at least n chars, so the concat is non-empty iff length
+    >= min(ns); NULL text fails both forms). A caller-side
+    ``filter(size(__lid_feats) > 0)`` is pushed below the scale_out
+    Exchange by Catalyst, substituting the ENTIRE md5 n-gram
+    featurization into the single-partition scan filter — the whole
+    corpus was featurized one-threaded, then again post-shuffle
+    (r15 optimization: the guide §4.4 duplicated-evaluation trap in
+    filter-pushdown form)."""
     if buckets < 1:
         raise ValueError("buckets must be >= 1")
     if not ns or any(n < 1 for n in ns):
@@ -71,6 +84,8 @@ def _lid_features(
     if lowercase:
         t = F.lower(t)
     staged = df.withColumn("__lid_t", F.substring(t, 1, max_chars))
+    if nonempty:
+        staged = staged.filter(F.length("__lid_t") >= min(ns))
     parts = []
     for n in ns:
         parts.append(
@@ -149,10 +164,15 @@ def lang_classifier_train(
         raise ValueError("lr must be a positive rational (num, den)")
     kk = len(classes)
     spark = df.sparkSession
-    staged = _lid_features(
-        df, text_col, buckets=buckets, ns=ns, max_chars=max_chars
-    ).filter(F.size("__lid_feats") > 0)
-    meta = staged.select(
+    # featurize ONCE: one checkpoint holds ids, labels and the feature
+    # arrays; meta/exf are cheap views of it (previously meta and exf
+    # were independent checkpoints, each re-running the md5
+    # featurization — and the caller-side size() filter pushed the
+    # whole featurization below the scale_out Exchange on top)
+    base = _lid_features(
+        df, text_col, buckets=buckets, ns=ns, max_chars=max_chars,
+        nonempty=True,
+    ).select(
         F.col(id_col).alias("__id"),
         *[
             # NULL-safe y: a NULL label is y=0 for every class (the
@@ -163,9 +183,11 @@ def lang_classifier_train(
             for k, c in enumerate(classes)
         ],
         F.size("__lid_feats").cast("long").alias("__n"),
+        "__lid_feats",
     ).localCheckpoint(eager=True)
-    exf = staged.select(
-        F.col(id_col).alias("__id"), F.explode("__lid_feats").alias("__b")
+    meta = base.drop("__lid_feats")
+    exf = base.select(
+        "__id", F.explode("__lid_feats").alias("__b")
     ).localCheckpoint(eager=True)
     n_docs = meta.count()
     if n_docs == 0:
@@ -216,7 +238,7 @@ def lang_classifier_train(
                 w_mu[c][b] -= _trunc_div(
                     lr_num * int(row[f"__g{k}"]), lr_den * n_docs
                 )
-    meta.unpersist()
+    base.unpersist()
     exf.unpersist()
     return {c: [w / 1e6 for w in ws] for c, ws in w_mu.items()}
 

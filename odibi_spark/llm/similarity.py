@@ -1470,9 +1470,16 @@ def pq_train(
     )
     if len(seed_rows) < k:
         raise ValueError(f"need at least k={k} vectors to train")
-    if _use_pq_expr(m, k, engine):
+    if engine == "expr":
         cur = _pq_train_expr_step(df, vec_col, seed_rows, m, k, sub)
     else:
+        # auto routes TRAINING through the numpy refine at every size:
+        # bit-identical to the expression step (TestPqEngineEquivalence
+        # pins it) and ONE assignment+mean job for all m subspaces
+        # instead of m sequential collect jobs, each compiling a
+        # k-literal codegen tree (r15: pq_adc/ivf_pq/ann-store builds
+        # were job-count dominated). `engine` still gates the
+        # encode/ADC expression paths via _use_pq_expr.
         seed_cb = [
             [
                 [float(x) for x in r[vec_col][mm * sub:(mm + 1) * sub]]

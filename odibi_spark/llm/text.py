@@ -1317,8 +1317,19 @@ def kn_bigram_scores(
     ``n_bigrams = 0`` with NULL scores (flag, don't guess).
     """
     bigrams = doc_bigrams(df, id_col, text_col)
-    bg_counts = bigrams.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c12")
+    # the model table is referenced 4x (probe join + three derived
+    # count tables): checkpointing it truncates the duplicated
+    # corpus-explode subtrees — without it the logical plan repeats
+    # the tokenize+explode+aggregate chain per reference, and in
+    # pipeline compositions (ccnet) that multiplied the upstream
+    # cleaning subtree into a 100+-Exchange plan whose analysis and
+    # codegen dominated wall time (r15; guide §3.3 "materialise an
+    # intermediate to truncate the plan"). O(distinct bigrams) — the
+    # model, not the corpus.
+    bg_counts = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
     )
     left_ctx = bg_counts.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n_post")
@@ -1432,14 +1443,21 @@ def kn_trigram_scores(
     absorbs the Zipf head); N2 is the single 1-row broadcast.
     """
     tri = doc_trigrams(df, id_col, text_col)
-    tri_c = tri.groupBy("w1", "w2", "w3").agg(
-        F.count(F.lit(1)).alias("c123")
+    # checkpoint the two multiply-referenced model tables (tri_c 3x,
+    # cont23 4x) — same plan-truncation rationale as kn_bigram_scores;
+    # both are O(distinct n-grams), the model, not the corpus
+    tri_c = (
+        tri.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c123"))
+        .localCheckpoint(eager=True)
     )
     ctx12 = tri_c.groupBy("w1", "w2").agg(
         F.sum("c123").alias("c12"), F.count(F.lit(1)).alias("n_post12")
     )
-    cont23 = tri_c.groupBy("w2", "w3").agg(
-        F.count(F.lit(1)).alias("n_pre23")
+    cont23 = (
+        tri_c.groupBy("w2", "w3")
+        .agg(F.count(F.lit(1)).alias("n_pre23"))
+        .localCheckpoint(eager=True)
     )
     mid2 = cont23.groupBy("w2").agg(
         F.sum("n_pre23").alias("n_mid2"),

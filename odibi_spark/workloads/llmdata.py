@@ -5554,10 +5554,17 @@ def ccnet_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("text"),
     )
+    # cleaned feeds language ID, the KN model AND the KN probe side:
+    # checkpoint it once so the boilerplate-removal subtree (itself
+    # several shuffles) isn't replicated per consumer in the plan
+    # (r15: the composed plan carried 100+ Exchange references and
+    # driver analysis/codegen dominated; guide §3.3)
     cleaned = dedup.remove_boilerplate_lines(
         staged, min_docs=5, scope_col="source", delim="\n",
         granularity="paragraph", out_col="clean_text",
-    ).select("doc_id", F.col("clean_text").alias("text"))
+    ).select(
+        "doc_id", F.col("clean_text").alias("text")
+    ).localCheckpoint(eager=True)
     langed = text.with_language_guess(cleaned).select(
         "doc_id", "lang_guess"
     )
@@ -5978,10 +5985,14 @@ def ccnet_lid_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("text"),
     )
+    # checkpoint once: cleaned feeds lang-id training, inference AND
+    # the KN scorer (model + probe) — see ccnet_pipeline_docs
     cleaned = dedup.remove_boilerplate_lines(
         staged, min_docs=5, scope_col="source", delim="\n",
         granularity="paragraph", out_col="clean_text",
-    ).select("doc_id", F.col("clean_text").alias("text"))
+    ).select(
+        "doc_id", F.col("clean_text").alias("text")
+    ).localCheckpoint(eager=True)
     lidsrc = cleaned.join(docs.select("doc_id", "lang"), "doc_id")
     w = langid.lang_classifier_train(
         lidsrc, "text", "lang", classes=_LID_CLASSES,
