@@ -619,9 +619,10 @@ def decode_bmp24_gray(payload: bytes) -> list[list[int]]:
     return _bmp_gray_np(payload).tolist()
 
 
-def _bmp_gray_np(payload: bytes) -> "np.ndarray":
-    """decode_bmp24_gray's validating core, returning the (h, w)
-    int64 array — the hot path for image_dhash (no list round-trip)."""
+def _bmp_meta(payload: bytes) -> tuple[int, int, int, int, bool]:
+    """Validated 24-bpp BMP geometry: (data_off, width, height,
+    row_size, top_down). Raises ValueError on anything that is not a
+    plain 24-bpp BITMAPINFOHEADER BMP."""
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     data_off = struct.unpack("<I", payload[10:14])[0]
@@ -638,6 +639,13 @@ def _bmp_gray_np(payload: bytes) -> "np.ndarray":
     row_size = (width * 3 + 3) & ~3
     if len(payload) < data_off + row_size * height:
         raise ValueError("truncated BMP pixel array")
+    return data_off, width, height, row_size, top_down
+
+
+def _bmp_gray_np(payload: bytes) -> "np.ndarray":
+    """decode_bmp24_gray's validating core, returning the (h, w)
+    int64 array — the hot path for image_dhash (no list round-trip)."""
+    data_off, width, height, row_size, top_down = _bmp_meta(payload)
     return _bmp_rows_to_gray(
         payload, data_off, width, height, row_size, top_down
     )
@@ -660,6 +668,48 @@ def _bmp_rows_to_gray(
     px = arr[:, : width * 3].reshape(height, width, 3).astype(np.int64)
     gray = px.sum(axis=2) // 3
     return gray if top_down else gray[::-1]
+
+
+def _bmp_gray_batch(
+    stack: "np.ndarray", width: int, top_down: bool
+) -> "np.ndarray":
+    """_bmp_rows_to_gray over a whole (batch, height, row_size) uint8
+    stack of same-geometry pixel arrays — one numpy pass for every
+    payload/frame in the batch (r15, guide §4.2)."""
+    b, h, _ = stack.shape
+    px = stack[:, :, : width * 3].reshape(b, h, width, 3).astype(np.int64)
+    gray = px.sum(axis=3) // 3
+    return gray if top_down else gray[:, ::-1]
+
+
+def _dhash64_batch(
+    gray: "np.ndarray", rows: int, cols: int
+) -> "np.ndarray":
+    """dhash64_from_grid over a (batch, h, w) int64 stack: identical
+    integer box-mean / nearest-sample / comparison arithmetic, bits
+    packed via a uint64 weight dot reinterpreted as int64 (the exact
+    two's-complement wrap of the scalar path). Caller guarantees
+    w >= cols + 1, h >= rows and rows * cols <= 64."""
+    b, h, w = gray.shape
+    tw, th = cols + 1, rows
+    if w % tw == 0 and h % th == 0:
+        bw, bh = w // tw, h // th
+        cells = gray.reshape(b, th, bh, tw, bw).sum(axis=(2, 4)) // (
+            bw * bh
+        )
+    else:
+        ys = (np.arange(th) * h) // th
+        xs = (np.arange(tw) * w) // tw
+        cells = gray[:, ys[:, None], xs[None, :]]
+    mask = (cells[:, :, :cols] < cells[:, :, 1:]).reshape(b, rows * cols)
+    weights = np.left_shift(
+        np.uint64(1), np.arange(rows * cols, dtype=np.uint64)
+    )
+    return (
+        (mask.astype(np.uint64) * weights)
+        .sum(axis=1, dtype=np.uint64)
+        .view(np.int64)
+    )
 
 
 def dhash64_from_grid(grid: list[list[int]], *, rows: int = 8, cols: int = 8) -> int:
@@ -713,7 +763,7 @@ def image_dhash(
         T.StructField(out_col, T.LongType()),
     ])
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def scalar_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             recs = []
             for mid, payload in zip(pdf[id_col], pdf[binary_col]):
@@ -729,6 +779,64 @@ def image_dhash(
                 recs, columns=[id_col, "width", "height", out_col]
             )
 
+    tw, th = cols + 1, rows
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # whole-batch decode+hash (r15, guide §4.2): per-image numpy
+        # calls over tiny grids were call-overhead bound; grouping
+        # same-geometry payloads lets every stage — pixel decode, gray
+        # mean, box/nearest downsample, bit packing — run as one numpy
+        # op over the (batch, ...) stack. Integer arithmetic identical
+        # to dhash64_from_grid; uint64 bit-sum reinterpreted as int64
+        # replays the two's-complement wrap exactly.
+        for pdf in it:
+            n = len(pdf)
+            ids = pdf[id_col]
+            payloads = pdf[binary_col]
+            w_out = np.zeros(n, dtype=np.int64)
+            h_out = np.zeros(n, dtype=np.int64)
+            hash_out = np.zeros(n, dtype=np.int64)
+            ok = np.zeros(n, dtype=bool)
+            groups: dict[tuple, list[int]] = {}
+            for i in range(n):
+                try:
+                    meta = _bmp_meta(bytes(payloads.iloc[i]))
+                except (ValueError, TypeError):
+                    continue
+                _, w, h, _, _ = meta
+                if w < tw or h < th:  # dhash64_from_grid would raise
+                    continue
+                groups.setdefault(meta, []).append(i)
+            for meta, idxs in groups.items():
+                data_off, w, h, row_size, top_down = meta
+                stack = np.stack([
+                    np.frombuffer(
+                        bytes(payloads.iloc[i]), dtype=np.uint8,
+                        count=row_size * h, offset=data_off,
+                    )
+                    for i in idxs
+                ]).reshape(len(idxs), h, row_size)
+                gray = _bmp_gray_batch(stack, w, top_down)
+                bits = _dhash64_batch(gray, rows, cols)
+                ii = np.array(idxs)
+                w_out[ii], h_out[ii] = w, h
+                hash_out[ii] = bits
+                ok[ii] = True
+            out = pd.DataFrame({
+                id_col: ids.to_numpy(),
+                "width": pd.array(w_out, dtype="Int64"),
+                "height": pd.array(h_out, dtype="Int64"),
+                out_col: pd.array(hash_out, dtype="Int64"),
+            })
+            bad = ~ok
+            if bad.any():
+                out.loc[bad, ["width", "height", out_col]] = pd.NA
+            yield out
+
+    if rows * cols > 64:  # bits would not fit BIGINT batch-packed
+        return df.select(id_col, binary_col).mapInPandas(
+            scalar_batches, out_schema
+        )
     return df.select(id_col, binary_col).mapInPandas(batches, out_schema)
 
 
@@ -746,6 +854,12 @@ def decode_wav_pcm16_mono(payload: bytes) -> list[int]:
     Raises ValueError on anything else — the perceptual hash needs one
     well-defined channel; callers map failures to NULL (flag, don't
     guess)."""
+    return _wav_samples_np(payload).tolist()
+
+
+def _wav_samples_np(payload: bytes) -> "np.ndarray":
+    """decode_wav_pcm16_mono's validating core, returning the int16
+    sample array — the hot path for audio_ahash (no list round-trip)."""
     with wave.open(io.BytesIO(payload), "rb") as w:
         if w.getnchannels() != 1 or w.getsampwidth() != 2:
             raise ValueError(
@@ -753,7 +867,7 @@ def decode_wav_pcm16_mono(payload: bytes) -> list[int]:
                 f"{w.getsampwidth() * 8}-bit"
             )
         raw = w.readframes(w.getnframes())
-    return np.frombuffer(raw, dtype="<i2").tolist()
+    return np.frombuffer(raw, dtype="<i2")
 
 
 def ahash64_from_samples(samples: list[int], *, bits: int = 64) -> int:
@@ -802,7 +916,7 @@ def audio_ahash(
         T.StructField(out_col, T.LongType()),
     ])
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def scalar_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             recs = []
             for mid, payload in zip(pdf[id_col], pdf[binary_col]):
@@ -818,6 +932,63 @@ def audio_ahash(
                 recs, columns=[id_col, "n_samples", out_col]
             )
 
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # whole-batch energy hashing (r15, guide §4.2): the WAV header
+        # parse stays per payload (stdlib wave), but the |sample|
+        # bucket sums/means/bit packing run once per equal-length
+        # group via add.reduceat over the (batch, n) stack. The bucket
+        # boundaries come from the same j = i*(bits+1)//n map, every
+        # bucket is non-empty (n >= bits+1 enforced like the scalar
+        # path), and integer sums are order-exact, so the hashes are
+        # bit-identical to ahash64_from_samples.
+        nb = bits + 1
+        for pdf in it:
+            recs: list[list] = []
+            groups: dict[int, list[tuple["np.ndarray", int]]] = {}
+            for mid, payload in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    samples = _wav_samples_np(bytes(payload)).astype(
+                        np.int64
+                    )
+                    n = int(samples.shape[0])
+                    if n < nb:  # ahash64_from_samples would raise
+                        raise ValueError(f"{n} samples < {nb} buckets")
+                    groups.setdefault(n, []).append((samples, len(recs)))
+                    recs.append([mid, n, None])
+                except (ValueError, wave.Error, struct.error, EOFError):
+                    recs.append([mid, None, None])
+            for n, items in groups.items():
+                s = np.abs(np.stack([a for a, _ in items]))
+                j = (np.arange(n, dtype=np.int64) * nb) // n
+                starts = np.searchsorted(j, np.arange(nb))
+                sums = np.add.reduceat(s, starts, axis=1)
+                cnts = np.diff(np.append(starts, n))
+                means = sums // cnts
+                mask = means[:, :bits] < means[:, 1 : bits + 1]
+                weights = np.left_shift(
+                    np.uint64(1), np.arange(bits, dtype=np.uint64)
+                )
+                hv = (
+                    (mask.astype(np.uint64) * weights)
+                    .sum(axis=1, dtype=np.uint64)
+                    .view(np.int64)
+                )
+                for (_, slot), v in zip(items, hv):
+                    recs[slot][2] = int(v)
+            # nullable Int64 arrays — see video_frame_dhashes (float64
+            # inference on None-bearing int columns rounds past 2^53)
+            yield pd.DataFrame({
+                id_col: pd.array([r[0] for r in recs], dtype="Int64"),
+                "n_samples": pd.array(
+                    [r[1] for r in recs], dtype="Int64"
+                ),
+                out_col: pd.array([r[2] for r in recs], dtype="Int64"),
+            })
+
+    if bits > 64:  # bits would not fit BIGINT batch-packed
+        return df.select(id_col, binary_col).mapInPandas(
+            scalar_batches, out_schema
+        )
     return df.select(id_col, binary_col).mapInPandas(batches, out_schema)
 
 
@@ -883,11 +1054,25 @@ def decode_avi_dib_frames(payload: bytes) -> list[list[list[int]]]:
 
 def _avi_frames_np(payload: bytes) -> list["np.ndarray"]:
     """decode_avi_dib_frames' validating core, returning one (h, w)
-    int64 array per frame — the hot path for video_frame_dhashes."""
+    int64 array per frame."""
+    width, height, row_size, offsets = _avi_frame_offsets(payload)
+    return [
+        _bmp_rows_to_gray(payload, off, width, height, row_size, False)
+        for off in offsets
+    ]
+
+
+def _avi_frame_offsets(
+    payload: bytes,
+) -> tuple[int, int, int, list[int]]:
+    """Validating AVI walk returning (width, height, row_size,
+    per-frame pixel-array offsets) WITHOUT decoding — the hot path for
+    video_frame_dhashes batches frames across payloads from these
+    offsets (r15)."""
     meta = avi_video_decoder(payload)  # validates RIFF/AVI + avih
     width, height = meta["width"], meta["height"]
     row_size = (width * 3 + 3) & ~3
-    frames: list[np.ndarray] = []
+    frames: list[int] = []
 
     def walk(start: int, end: int) -> None:
         p = start
@@ -905,9 +1090,7 @@ def _avi_frames_np(payload: bytes) -> list["np.ndarray"]:
                     # out of the pixel read and kill the Spark task
                     # instead of yielding the NULL-hash row)
                     raise ValueError("truncated DIB frame chunk")
-                frames.append(_bmp_rows_to_gray(
-                    payload, body, width, height, row_size, False
-                ))
+                frames.append(body)
             elif fourcc[2:4] == b"dc":
                 raise ValueError("compressed AVI frames unsupported")
             p = body + size + (size & 1)
@@ -915,7 +1098,7 @@ def _avi_frames_np(payload: bytes) -> list["np.ndarray"]:
     walk(12, len(payload))
     if not frames:
         raise ValueError("AVI without uncompressed DIB frames")
-    return frames
+    return width, height, row_size, frames
 
 
 def video_frame_dhashes(
@@ -939,7 +1122,7 @@ def video_frame_dhashes(
         T.StructField(out_col, T.LongType()),
     ])
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def scalar_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             recs = []
             for mid, payload in zip(pdf[id_col], pdf[binary_col]):
@@ -955,6 +1138,61 @@ def video_frame_dhashes(
                 recs, columns=[id_col, "frame_idx", out_col]
             )
 
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # whole-batch frame decode+hash (r15, guide §4.2 — the
+        # image_dhash batching applied across every frame of every
+        # payload): the RIFF walk stays per payload (cheap struct
+        # parsing), pixel decode and dHash run once per geometry group
+        # over the stacked frames. A payload whose geometry is smaller
+        # than the dhash target raises on its FIRST frame in the
+        # scalar path (all frames share the avih geometry), so the
+        # NULL-row contract is identical.
+        for pdf in it:
+            recs: list[list] = []
+            groups: dict[tuple, list[tuple[bytes, int, int]]] = {}
+            for mid, payload in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    b = bytes(payload)
+                    w, h, row_size, offs = _avi_frame_offsets(b)
+                    if w < cols + 1 or h < rows:
+                        raise ValueError("frame smaller than dhash target")
+                    for fi, off in enumerate(offs):
+                        groups.setdefault((w, h, row_size), []).append(
+                            (b, off, len(recs))
+                        )
+                        recs.append([mid, fi, None])
+                except (ValueError, struct.error):
+                    recs.append([mid, None, None])
+            for (w, h, row_size), items in groups.items():
+                stack = np.stack([
+                    np.frombuffer(
+                        b, dtype=np.uint8, count=row_size * h, offset=off
+                    )
+                    for b, off, _ in items
+                ]).reshape(len(items), h, row_size)
+                gray = _bmp_gray_batch(stack, w, False)
+                bits = _dhash64_batch(gray, rows, cols)
+                for (_, _, slot), v in zip(items, bits):
+                    recs[slot][2] = int(v)
+            # nullable Int64/Int32 arrays, NOT an object frame: pandas
+            # infers float64 for an int column containing None, which
+            # silently rounds 64-bit hashes past 2^53 (a latent defect
+            # of the scalar path whenever a batch mixed decodable and
+            # junk payloads — pinned by TestMultimodalBatchKernels)
+            yield pd.DataFrame({
+                id_col: pd.array(
+                    [r[0] for r in recs], dtype="Int64"
+                ),
+                "frame_idx": pd.array(
+                    [r[1] for r in recs], dtype="Int32"
+                ),
+                out_col: pd.array([r[2] for r in recs], dtype="Int64"),
+            })
+
+    if rows * cols > 64:  # bits would not fit BIGINT batch-packed
+        return df.select(id_col, binary_col).mapInPandas(
+            scalar_batches, out_schema
+        )
     return df.select(id_col, binary_col).mapInPandas(batches, out_schema)
 
 

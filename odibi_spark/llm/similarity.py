@@ -2087,9 +2087,9 @@ def kcenter_coreset(
     ``kcenter_coreset_embeddings``).
 
     Scale shape: the greedy loop is inherently sequential in k — each
-    of the k rounds is ONE corpus map (distances to <= k literal
-    center vectors, no shuffle) plus a top-1 reduce; driver state is
-    O(k x dim). For k beyond ~100 at 100 TB, compose with
+    of the k rounds is ONE corpus map (the newest center's distance
+    folded into a running min column, no shuffle) plus a top-1 reduce;
+    driver state is O(k x dim). For k beyond ~100 at 100 TB, compose with
     :func:`kmeans_clusters`: run this selector per cell over cluster
     representatives with per-cell quotas (cells are independent, so
     the k-sequential chain parallelizes across cells)."""
@@ -2119,19 +2119,38 @@ def kcenter_coreset(
         return F.round(F.lit(1.0) - dot / (_norm("vec") * cn), round_digits)
 
     picked = [(seed_rows[0]["id"], list(seed_rows[0]["vec"]), None)]
+    # running min-distance column: round r adds ONE distance (to the
+    # newest center) via least() instead of recomputing all r rounded
+    # center distances — least() over rounded values is associative,
+    # so md, the argmax and its tie-break are bit-identical to the
+    # recompute-everything form. The per-round filter/least chain
+    # references vec/md once per level (linear plan growth) and is
+    # checkpointed on the BPE cadence to bound plan depth; the
+    # checkpoint pins (id, vec, md), which the old loop re-derived
+    # from the source scan every round (r15).
+    cur, base, pending, has_md = sel, None, 0, False
     for _ in range(1, k):
-        dists = [center_dist(cvec) for _, cvec, _ in picked]
-        md = F.least(*dists) if len(dists) > 1 else dists[0]
+        last_id, last_vec = picked[-1][0], picked[-1][1]
+        d = center_dist(last_vec)
+        cur = cur.filter(F.col("id") != F.lit(last_id)).withColumn(
+            "md", F.least(F.col("md"), d) if has_md else d
+        )
+        has_md = True
+        pending += 1
+        if pending >= 8:
+            prev = base
+            base = cur.localCheckpoint(eager=True)
+            cur, pending = base, 0
+            if prev is not None:
+                prev.unpersist()
         nxt = (
-            sel.filter(~F.col("id").isin([cid for cid, _, _ in picked]))
-            .select("id", "vec", md.alias("md"))
-            .orderBy(F.desc("md"), F.asc("id"))
-            .limit(1)
-            .collect()
+            cur.orderBy(F.desc("md"), F.asc("id")).limit(1).collect()
         )
         if not nxt:
             break  # corpus smaller than k
         picked.append((nxt[0]["id"], list(nxt[0]["vec"]), float(nxt[0]["md"])))
+    if base is not None:
+        base.unpersist()
     id_type = df.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
         [(r + 1, cid, md) for r, (cid, _, md) in enumerate(picked)],

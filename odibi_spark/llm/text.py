@@ -842,9 +842,10 @@ def bpe_train(
     the VOCABULARY table plus a map-side fold, the driver holds
     exactly the O(num_merges) merge list plus one 1-row argmax
     collect per round, and the vocabulary is eagerly localCheckpointed
-    each round so plan depth stays O(1) instead of O(num_merges).
-    Training stops early if no pair occurs twice (vocabulary
-    exhausted).
+    every ``BPE_CHECKPOINT_EVERY`` rounds so plan depth stays O(1)
+    instead of O(num_merges) while materialization jobs stay
+    O(num_merges / cadence). Training stops early if no pair occurs
+    twice (vocabulary exhausted).
     """
     merges, _ = _bpe_run(
         df, text_col, num_merges=num_merges, lowercase=lowercase,
@@ -879,6 +880,17 @@ def bpe_segmented_vocab(
     return vocab
 
 
+#: merge rounds between vocabulary checkpoints in the BPE loops. A
+#: merge fold references ``syms`` exactly ONCE, so chained folds stay
+#: LINEAR in plan size — per-round materialization (2 jobs/round) was
+#: pure job overhead (r15: the 20-merge trainer ran 40 driver jobs;
+#: with the cadence it runs ~23). The cadence bounds both the chained
+#: expression depth and the fold recompute a stats pass pays to at
+#: most BPE_CHECKPOINT_EVERY - 1 — over the VOCABULARY table, which is
+#: O(distinct words), never the corpus.
+BPE_CHECKPOINT_EVERY = 8
+
+
 def _bpe_run(
     df: DataFrame,
     text_col: str,
@@ -890,21 +902,30 @@ def _bpe_run(
     """Shared trainer loop: returns (merge list, final vocab frame)."""
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
-    vocab = bpe_vocab(
+    base = bpe_vocab(
         df, text_col, lowercase=lowercase, end_of_word=end_of_word
     ).localCheckpoint(eager=True)
+    vocab, pending = base, 0
     merges: list[tuple[int, str, str, int]] = []
+    # CASE guard, NOT filter(size >= 2): a size filter over the lazily
+    # chained merge folds is pushed through the projection and
+    # re-evaluates the whole fold chain in the Filter node (the
+    # explode_nonempty lesson; sequence(1, 0) DESCENDS, hence the
+    # guard). explode of the empty array emits nothing — identical
+    # pair statistics.
     pair_expr = F.explode(
         F.expr(
+            "CASE WHEN size(syms) >= 2 THEN "
             "transform(sequence(1, size(syms) - 1), "
             "i -> struct(element_at(syms, i) AS l, "
-            "element_at(syms, i + 1) AS r))"
+            "element_at(syms, i + 1) AS r)) "
+            "ELSE CAST(array() AS array<struct<l: string, r: string>>) "
+            "END"
         )
     ).alias("p")
     for rank in range(1, num_merges + 1):
         best = (
-            vocab.filter(F.size("syms") >= 2)
-            .select(pair_expr, "wc")
+            vocab.select(pair_expr, "wc")
             .groupBy("p.l", "p.r")
             .agg(F.sum("wc").cast("long").alias("c"))
             .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
@@ -915,13 +936,23 @@ def _bpe_run(
             break  # nothing left worth merging
         a, b, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
         merges.append((rank, a, b, c))
-        prev = vocab
-        vocab = vocab.withColumn(
-            "syms", _merge_pair_expr(a, b)
-        ).localCheckpoint(eager=True)
-        # the new checkpoint is materialized (eager) — release the
-        # previous round's copy or the session pins O(num_merges)
-        # full vocabularies in executor storage (ADVICE r11)
+        vocab = vocab.withColumn("syms", _merge_pair_expr(a, b))
+        pending += 1
+        if pending >= BPE_CHECKPOINT_EVERY:
+            prev = base
+            base = vocab.localCheckpoint(eager=True)
+            vocab, pending = base, 0
+            # the new checkpoint is materialized (eager) — release the
+            # previous copy or the session pins O(num_merges / cadence)
+            # full vocabularies in executor storage (ADVICE r11)
+            prev.unpersist()
+    if pending:
+        # hand consumers a checkpointed frame: a caller-side filter
+        # over a pending fold chain would re-evaluate the folds inside
+        # the Filter node (the plan audit's scan-filter-recompute
+        # class)
+        prev = base
+        vocab = vocab.localCheckpoint(eager=True)
         prev.unpersist()
     return merges, vocab
 
@@ -946,7 +977,7 @@ def bpe_apply_merges(
 
     Scale: one corpus pass builds the vocabulary (the only
     corpus-sized stage); each merge is one vectorized array fold over
-    the vocab table, checkpointed per round like training — unseen
+    the vocab table, checkpointed on the training cadence — unseen
     words cost exactly what training-corpus words cost."""
     if isinstance(merges, DataFrame):
         pairs = [
@@ -955,14 +986,26 @@ def bpe_apply_merges(
         ]
     else:
         pairs = [(a, b) for a, b in merges]
-    vocab = bpe_vocab(
+    base = bpe_vocab(
         df, text_col, lowercase=lowercase, end_of_word=end_of_word
     ).localCheckpoint(eager=True)
+    vocab, pending = base, 0
+    # replay needs no per-round stats, so folds chain lazily and only
+    # every BPE_CHECKPOINT_EVERY-th round materializes (linear plan
+    # growth — each fold references syms once; see BPE_CHECKPOINT_EVERY)
     for a, b in pairs:
-        prev = vocab
-        vocab = vocab.withColumn(
-            "syms", _merge_pair_expr(a, b)
-        ).localCheckpoint(eager=True)
+        vocab = vocab.withColumn("syms", _merge_pair_expr(a, b))
+        pending += 1
+        if pending >= BPE_CHECKPOINT_EVERY:
+            prev = base
+            base = vocab.localCheckpoint(eager=True)
+            vocab, pending = base, 0
+            prev.unpersist()
+    if pending:
+        # checkpointed hand-off — see _bpe_run (consumer filters must
+        # not re-evaluate the pending fold chain)
+        prev = base
+        vocab = vocab.localCheckpoint(eager=True)
         prev.unpersist()
     return vocab
 

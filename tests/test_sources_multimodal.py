@@ -476,3 +476,136 @@ class TestImageDhash:
         ).collect()
         assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
         assert all(p.hamming <= 3 for p in pairs)
+
+
+class TestMultimodalBatchKernels:
+    """r15: the batched decode+hash kernels must agree bit-exactly
+    with the scalar reference functions — including batches that mix
+    decodable and junk payloads (the scalar-era code let pandas infer
+    float64 for a None-bearing hash column, silently rounding 64-bit
+    hashes past 2^53; the batch kernels emit nullable Int64)."""
+
+    def test_image_batch_matches_scalar_with_nulls(self, spark):
+        from odibi_spark.llm import multimodal as mm
+
+        rows = []
+        for i in range(40):
+            kind = i % 5
+            if kind == 0:
+                g = [[(i * 37 + x * x + y) % 256 for x in range(18)]
+                     for y in range(16)]
+                rows.append((i, mm.synth_bmp24(g)))
+            elif kind == 1:  # non-divisible geometry -> nearest path
+                g = [[(i * 5 + x * y) % 256 for x in range(10)]
+                     for y in range(9)]
+                rows.append((i, mm.synth_bmp24(g)))
+            elif kind == 2:  # junk payload -> NULL row
+                rows.append((i, b"JUNK" + bytes(80)))
+            elif kind == 3:  # smaller than dhash target -> NULL row
+                g = [[i % 256 for x in range(4)] for y in range(4)]
+                rows.append((i, mm.synth_bmp24(g)))
+            else:  # second geometry group in the same batch
+                g = [[(i * 11 + 3 * x + y) % 256 for x in range(27)]
+                     for y in range(24)]
+                rows.append((i, mm.synth_bmp24(g)))
+        df = spark.createDataFrame(
+            rows, "media_id long, payload binary"
+        ).coalesce(1)  # one batch mixes every case
+        got = {
+            r.media_id: (r.width, r.height, r.dhash)
+            for r in mm.image_dhash(df, "payload", "media_id").collect()
+        }
+        for i, p in rows:
+            try:
+                grid = mm._bmp_gray_np(bytes(p))
+                exp = (
+                    grid.shape[1], grid.shape[0],
+                    mm.dhash64_from_grid(grid),
+                )
+            except ValueError:
+                exp = (None, None, None)
+            assert got[i] == exp, f"media {i}: {got[i]} != {exp}"
+
+    def test_audio_batch_matches_scalar_with_nulls(self, spark):
+        import struct
+        import wave
+
+        from odibi_spark.llm import multimodal as mm
+
+        rows = []
+        for i in range(30):
+            kind = i % 4
+            if kind == 0:
+                s = [((i * 31 + t * t) % 4000) - 2000 for t in range(200)]
+                rows.append((i, mm.synth_wav_pcm16(s)))
+            elif kind == 1:  # second length group
+                s = [((i * 7 + t) % 9000) - 4500 for t in range(333)]
+                rows.append((i, mm.synth_wav_pcm16(s)))
+            elif kind == 2:  # junk -> NULL
+                rows.append((i, b"nope" + bytes(50)))
+            else:  # too short for 65 buckets -> NULL
+                rows.append((i, mm.synth_wav_pcm16([5] * 10)))
+        df = spark.createDataFrame(
+            rows, "media_id long, payload binary"
+        ).coalesce(1)
+        got = {
+            r.media_id: (r.n_samples, r.ahash)
+            for r in mm.audio_ahash(df, "payload", "media_id").collect()
+        }
+        for i, p in rows:
+            try:
+                s = mm.decode_wav_pcm16_mono(bytes(p))
+                exp = (len(s), mm.ahash64_from_samples(s))
+            except (ValueError, wave.Error, struct.error, EOFError):
+                exp = (None, None)
+            assert got[i] == exp, f"media {i}: {got[i]} != {exp}"
+
+    def test_video_batch_matches_scalar_with_nulls(self, spark):
+        import struct
+
+        from odibi_spark.llm import multimodal as mm
+
+        rows = []
+        for i in range(24):
+            kind = i % 4
+            if kind == 0:
+                frames = [
+                    [[(i * 13 + f * 7 + x * x + y) % 256
+                      for x in range(18)] for y in range(16)]
+                    for f in range(3)
+                ]
+                rows.append((i, mm.synth_avi_dib(frames)))
+            elif kind == 1:
+                frames = [
+                    [[(i * 5 + f + x * y) % 256 for x in range(27)]
+                     for y in range(24)]
+                    for f in range(2)
+                ]
+                rows.append((i, mm.synth_avi_dib(frames)))
+            elif kind == 2:  # junk -> single NULL row
+                rows.append((i, b"RIFFJUNKJUNK" + bytes(60)))
+            else:  # geometry below dhash target -> single NULL row
+                rows.append((i, mm.synth_avi_dib(
+                    [[[i % 256 for x in range(4)] for y in range(4)]]
+                )))
+        df = spark.createDataFrame(
+            rows, "media_id long, payload binary"
+        ).coalesce(1)
+        key = lambda t: (t[0], -1 if t[1] is None else t[1])  # noqa: E731
+        got = sorted(
+            [
+                (r.media_id, r.frame_idx, r.dhash)
+                for r in mm.video_frame_dhashes(
+                    df, "payload", "media_id"
+                ).collect()
+            ],
+            key=key,
+        )
+        exp = []
+        for i, p in rows:
+            try:
+                for fi, g in enumerate(mm._avi_frames_np(bytes(p))):
+                    exp.append((i, fi, mm.dhash64_from_grid(g)))
+            except (ValueError, struct.error):
+                exp.append((i, None, None))
+        assert got == sorted(exp, key=key)
