@@ -1661,13 +1661,17 @@ def pq_encode(
 
 #: max m*k for the inline-literal PQ paths: the expression tree for
 #: encode/ADC carries m*k aggregate nodes (each over dim/m terms), and
-#: past ~512 cells codegen/analysis time dominates wall-clock (r15
-#: grid: the 16x256 point spent minutes compiling, seconds computing).
-#: Above the limit the numpy mapInPandas kernels run instead — they
-#: replay the EXACT fold arithmetic (sequential IEEE-double adds in
-#: identical order, first-minimum ties), so results are bit-identical
-#: and the DuckDB oracles hold for both paths.
-PQ_EXPR_CELL_LIMIT = 512
+#: codegen/analysis of that tree dominates wall-clock well before the
+#: r15-build grid's 512 guess — measured at the 8x16 point (128
+#: cells), the full pq_adc workload runs 16-28s on the expression path
+#: vs 2-3.6s on the numpy kernels, alternating warm in one session
+#: (the 1.4 MB task binaries are recompiled per invocation because the
+#: trained codebook literals differ). Above the limit the numpy
+#: mapInPandas kernels run instead — they replay the EXACT fold
+#: arithmetic (sequential IEEE-double adds in identical order,
+#: first-minimum ties), so results are bit-identical and the DuckDB
+#: oracles hold for both paths.
+PQ_EXPR_CELL_LIMIT = 64
 
 
 def _use_pq_expr(m: int, k: int, engine: str = "auto") -> bool:

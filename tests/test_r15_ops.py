@@ -155,7 +155,11 @@ class TestPqEngineEquivalence:
             similarity._use_pq_expr(8, 8, "fast")
 
     def test_gate_routes_large_geometry_to_numpy(self):
-        assert similarity._use_pq_expr(8, 16)        # 128 cells
+        assert similarity._use_pq_expr(8, 8)         # 64 cells
+        # 128 cells route to numpy since r15: measured 16-28s (expr,
+        # dominated by per-invocation codegen of the literal codebook
+        # trees) vs 2-3.6s (numpy) for the full pq_adc workload
+        assert not similarity._use_pq_expr(8, 16)    # 128 cells
         assert not similarity._use_pq_expr(16, 64)   # 1024 cells
         assert not similarity._use_pq_expr(16, 256)
 
