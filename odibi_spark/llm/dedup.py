@@ -127,14 +127,47 @@ def ngram_jaccard_pairs(
          frequency > max_df (stop-shingle guard — a quadratic bucket
          at 100 TB otherwise)
       3. self-join on shingle with id_a < id_b -> distinct candidates
-      4. join back the two shingle sets; jaccard =
-         |intersect| / |union| (exact int division in double)
+      4. jaccard = |intersect| / |union| (exact int division in
+         double). Without a ``max_df`` cap the self-join emits exactly
+         one row per SHARED distinct shingle, so |intersect| is the
+         per-pair row count and |union| = |A| + |B| - |intersect|
+         (set sizes ride along as an 8-byte column through the
+         explode) — one aggregation replaces the distinct + the two
+         wide shingle-array joins (guide §2.3: shuffle fewer bytes;
+         r15 measured the pair job 6.1s -> see OPTIMIZATION_r15.md).
+         With ``max_df`` the candidate stream is df-filtered, counts
+         would undercount shared stop-shingles, so verification joins
+         back the full sets exactly as before.
     """
     sets = word_shingles(df, id_col, text_col, n)
+    if not max_df:
+        ex = explode_nonempty(
+            sets.withColumn("__ns", F.size("shingles")),
+            "shingles", "shingle", "id", "__ns",
+        )
+        return (
+            ex.alias("a")
+            .join(ex.alias("b"), "shingle")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .groupBy(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("__ni"),
+                F.min("a.__ns").alias("__na"),
+                F.min("b.__ns").alias("__nb"),
+            )
+            .withColumn(
+                "jaccard",
+                F.col("__ni")
+                / (F.col("__na") + F.col("__nb") - F.col("__ni")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     exploded = explode_nonempty(sets, "shingles", "shingle", "id")
-    if max_df:
-        freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-        exploded = exploded.join(freq.filter(F.col("df_") <= max_df), "shingle").drop("df_")
+    freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    exploded = exploded.join(freq.filter(F.col("df_") <= max_df), "shingle").drop("df_")
     pairs = (
         exploded.alias("a")
         .join(exploded.alias("b"), "shingle")

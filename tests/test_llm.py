@@ -37,6 +37,28 @@ def test_ngram_jaccard_finds_near_dup(docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_ngram_jaccard_count_path_matches_array_path(docs):
+    """max_df=None takes the aggregation-only verification (r15:
+    |intersect| = shared-shingle row count, |union| = na+nb-ni) —
+    pin it row-for-row, jaccard included, against the array-verify
+    path the max_df branch still uses."""
+    counted = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", threshold=0.0, max_df=None
+        ).collect()
+    }
+    # max_df far above any document frequency -> candidate set and
+    # verification are the unfiltered exact ones
+    arrayed = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", threshold=0.0, max_df=10**6
+        ).collect()
+    }
+    assert counted == arrayed and counted
+
+
 def test_minhash_lsh_finds_near_dup(docs):
     # bands=16 (r=2): band-collision prob at j=0.6 is 1-(1-0.36)^16 > 0.999
     pairs = {
