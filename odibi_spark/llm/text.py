@@ -825,6 +825,7 @@ def bpe_train(
     num_merges: int = 20,
     lowercase: bool = True,
     end_of_word: str | None = "</w>",
+    engine: str = "auto",
 ) -> DataFrame:
     """Iterative byte-pair-encoding tokenizer training (Sennrich,
     Haddow & Birch 2016 — "Neural Machine Translation of Rare Words
@@ -849,7 +850,7 @@ def bpe_train(
     """
     merges, _ = _bpe_run(
         df, text_col, num_merges=num_merges, lowercase=lowercase,
-        end_of_word=end_of_word,
+        end_of_word=end_of_word, engine=engine,
     )
     return df.sparkSession.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count long"
@@ -863,6 +864,7 @@ def bpe_segmented_vocab(
     num_merges: int = 20,
     lowercase: bool = True,
     end_of_word: str | None = "</w>",
+    engine: str = "auto",
 ) -> DataFrame:
     """Train BPE AND return the segmentation it induces: the
     vocabulary table (word, wc, syms) after all ``num_merges`` merges
@@ -875,7 +877,7 @@ def bpe_segmented_vocab(
     more than :func:`bpe_train` itself."""
     _, vocab = _bpe_run(
         df, text_col, num_merges=num_merges, lowercase=lowercase,
-        end_of_word=end_of_word,
+        end_of_word=end_of_word, engine=engine,
     )
     return vocab
 
@@ -890,6 +892,146 @@ def bpe_segmented_vocab(
 #: O(distinct words), never the corpus.
 BPE_CHECKPOINT_EVERY = 8
 
+#: vocabulary-size gate for the single-task BPE merge-loop kernel
+#: (guide §4.2 — whole-batch native code — applied to the trainer's
+#: sequential argmax loop, the same routing pattern as
+#: ``similarity.PQ_EXPR_CELL_LIMIT``). The distributed loop costs one
+#: groupBy + 1-row collect PER MERGE ROUND (the r15 profile: 49
+#: driver jobs / 2.7s driver gap for 20 merges at sf0.1 — pure
+#: scheduling overhead, the per-round data is a few thousand vocab
+#: rows); at or below this many distinct words the whole loop runs in
+#: ONE executor task over the coalesced vocabulary (a narrow
+#: Coalesce, no Exchange), replaying the exact argmax tie-break and
+#: greedy-fold semantics (equivalence pinned by tests). Above the
+#: gate — vocabularies of millions of words, the 100-TB regime —
+#: the per-round distributed groupBy is the right plan and the loop
+#: is unchanged.
+BPE_KERNEL_MAX_VOCAB = 65536
+
+
+def _use_bpe_kernel(vocab_df: DataFrame, engine: str) -> bool:
+    if engine not in ("auto", "spark", "kernel"):
+        raise ValueError(
+            f"bpe engine must be auto|spark|kernel, got {engine!r}"
+        )
+    if engine != "auto":
+        return engine == "kernel"
+    # the vocab frame is eagerly checkpointed by every caller, so this
+    # count is a cache read, not a recompute
+    return vocab_df.count() <= BPE_KERNEL_MAX_VOCAB
+
+
+def _bpe_merge_word_py(syms: list, a: str, b: str, merged: str) -> list:
+    """Exact Python replica of :func:`_merge_pair_expr`'s fold: greedy
+    left-to-right, an occurrence is taken iff its left symbol was not
+    itself just consumed (``a a a`` under (a, a) -> [aa, a])."""
+    acc: list = []
+    for s in syms:
+        if acc and acc[-1] == a and s == b:
+            acc[-1] = merged
+        else:
+            acc.append(s)
+    return acc
+
+
+def _bpe_train_py(
+    syms_list: list, wcs: list, num_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """The merge loop of :func:`_bpe_run` on in-memory vocab rows:
+    per round, adjacent-pair counts weighted by word frequency ->
+    argmax with the (count desc, left asc, right asc) tie-break ->
+    greedy merge. Python ``str`` comparison is code-point order, which
+    equals Spark's UTF8 binary string ordering, so the tie-break is
+    bit-identical to the distributed ``orderBy``."""
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, wc in zip(syms_list, wcs):
+            for i in range(len(syms) - 1):
+                key = (syms[i], syms[i + 1])
+                counts[key] = counts.get(key, 0) + wc
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if c < 2:
+            break  # nothing left worth merging
+        merges.append((rank, a, b, int(c)))
+        merged = a + b
+        for i, syms in enumerate(syms_list):
+            if a in syms:
+                syms_list[i] = _bpe_merge_word_py(syms, a, b, merged)
+    return merges
+
+
+def _bpe_train_kernel(
+    vocab_df: DataFrame, num_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Run the merge loop in ONE executor task over the coalesced
+    vocabulary (narrow Coalesce — no shuffle) and collect the
+    O(num_merges) merge rows. One Spark job replaces the distributed
+    loop's one-job-per-round argmax collects."""
+    import pandas as pd
+
+    def run(batches):
+        syms_list: list = []
+        wcs: list = []
+        for pdf in batches:
+            syms_list.extend(list(s) for s in pdf["syms"])
+            wcs.extend(int(w) for w in pdf["wc"])
+        merges = _bpe_train_py(syms_list, wcs, num_merges)
+        if merges:
+            yield pd.DataFrame(
+                {
+                    "merge_rank": [m[0] for m in merges],
+                    "left": [m[1] for m in merges],
+                    "right": [m[2] for m in merges],
+                    "pair_count": [m[3] for m in merges],
+                }
+            )
+
+    rows = (
+        vocab_df.select("wc", "syms")
+        .coalesce(1)
+        .mapInPandas(
+            run,
+            "merge_rank int, left string, right string, pair_count long",
+        )
+        .collect()
+    )
+    return sorted(
+        (
+            (int(r["merge_rank"]), r["left"], r["right"], int(r["pair_count"]))
+            for r in rows
+        ),
+    )
+
+
+def _bpe_apply_map(vocab_df: DataFrame, pairs: list) -> DataFrame:
+    """Apply a known merge list to every vocab row with one
+    partition-parallel ``mapInPandas`` (zero extra jobs, zero
+    checkpoints — replay of known merges is embarrassingly parallel
+    per word, unlike training's per-round global argmax)."""
+    pairs = [(a, b, a + b) for a, b in pairs]
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for syms in pdf["syms"]:
+                syms = list(syms)
+                for a, b, merged in pairs:
+                    if a in syms:
+                        syms = _bpe_merge_word_py(syms, a, b, merged)
+                out.append(syms)
+            pdf = pdf.copy()
+            pdf["syms"] = out
+            yield pdf
+
+    return vocab_df.select("word", "wc", "syms").mapInPandas(
+        run, "word string, wc long, syms array<string>"
+    )
+
 
 def _bpe_run(
     df: DataFrame,
@@ -898,6 +1040,7 @@ def _bpe_run(
     num_merges: int,
     lowercase: bool,
     end_of_word: str | None,
+    engine: str = "auto",
 ):
     """Shared trainer loop: returns (merge list, final vocab frame)."""
     if num_merges < 1:
@@ -905,6 +1048,14 @@ def _bpe_run(
     base = bpe_vocab(
         df, text_col, lowercase=lowercase, end_of_word=end_of_word
     ).localCheckpoint(eager=True)
+    if _use_bpe_kernel(base, engine):
+        merges = _bpe_train_kernel(base, num_merges)
+        vocab = (
+            _bpe_apply_map(base, [(a, b) for _, a, b, _ in merges])
+            if merges
+            else base
+        )
+        return merges, vocab
     vocab, pending = base, 0
     merges: list[tuple[int, str, str, int]] = []
     # CASE guard, NOT filter(size >= 2): a size filter over the lazily
@@ -964,6 +1115,7 @@ def bpe_apply_merges(
     merges,
     lowercase: bool = True,
     end_of_word: str | None = "</w>",
+    engine: str = "auto",
 ) -> DataFrame:
     """Apply a TRAINED merge table to a (possibly unseen) corpus —
     the tokenizer DEPLOYMENT step :func:`bpe_train` ships merges for:
@@ -989,6 +1141,8 @@ def bpe_apply_merges(
     base = bpe_vocab(
         df, text_col, lowercase=lowercase, end_of_word=end_of_word
     ).localCheckpoint(eager=True)
+    if _use_bpe_kernel(base, engine):
+        return _bpe_apply_map(base, pairs) if pairs else base
     vocab, pending = base, 0
     # replay needs no per-round stats, so folds chain lazily and only
     # every BPE_CHECKPOINT_EVERY-th round materializes (linear plan
@@ -1019,6 +1173,7 @@ def bpe_encode(
     lowercase: bool = True,
     end_of_word: str | None = "</w>",
     out_col: str = "bpe_tokens",
+    engine: str = "auto",
 ) -> DataFrame:
     """Tokenize every document with a trained BPE merge table:
     (id, n_words, n_tokens, ``out_col`` = the subword sequence joined
@@ -1032,7 +1187,7 @@ def bpe_encode(
     the Zipf-head skew) + one per-doc ordered reassembly."""
     seg = bpe_apply_merges(
         df, text_col, merges=merges,
-        lowercase=lowercase, end_of_word=end_of_word,
+        lowercase=lowercase, end_of_word=end_of_word, engine=engine,
     ).select("word", "syms")
     t = F.trim(F.col(text_col))
     if lowercase:

@@ -325,3 +325,87 @@ class TestResidualIvfPq:
             nprobe=2,
         ).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, one_shot))
+
+
+class TestBpeEngineEquivalence:
+    """The single-task BPE kernel must be BIT-identical to the
+    distributed per-round loop: same pair counts, same
+    (count desc, left asc, right asc) argmax tie-break (Python
+    code-point string order == Spark UTF8 binary order), same greedy
+    left-to-right fold — so the vocab-size gate never changes results
+    and the DuckDB oracles hold for both paths."""
+
+    CORPUS = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ate the rat"),
+        (3, "a rat and a cat and a mat"),
+        (4, "low lower lowest newer newest"),
+        (5, "aaa aa aaaa"),  # overlapping-pair greedy-fold edge
+        (6, "Mixed CASE Text with CASE"),
+        (7, ""),  # empty doc
+        (8, "solo"),
+    ]
+
+    def _docs(self, spark):
+        return spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+
+    def test_train_identical(self, spark):
+        from odibi_spark.llm import text
+
+        docs = self._docs(spark)
+        a = [tuple(r) for r in text.bpe_train(
+            docs, "text", num_merges=12, engine="spark").collect()]
+        b = [tuple(r) for r in text.bpe_train(
+            docs, "text", num_merges=12, engine="kernel").collect()]
+        assert a == b
+        assert len(a) >= 5  # the corpus actually trains merges
+
+    def test_segmented_vocab_identical(self, spark):
+        from odibi_spark.llm import text
+
+        docs = self._docs(spark)
+        key = lambda df: sorted(  # noqa: E731
+            (r["word"], int(r["wc"]), tuple(r["syms"]))
+            for r in df.collect()
+        )
+        a = key(text.bpe_segmented_vocab(
+            docs, "text", num_merges=12, engine="spark"))
+        b = key(text.bpe_segmented_vocab(
+            docs, "text", num_merges=12, engine="kernel"))
+        assert a == b
+
+    def test_encode_identical_on_unseen(self, spark):
+        from odibi_spark.llm import text
+
+        docs = self._docs(spark)
+        merges = text.bpe_train(docs.filter("doc_id <= 4"), num_merges=10)
+        unseen = docs.filter("doc_id > 4")
+        key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+        a = key(text.bpe_encode(
+            unseen, "doc_id", "text", merges=merges, engine="spark"))
+        b = key(text.bpe_encode(
+            unseen, "doc_id", "text", merges=merges, engine="kernel"))
+        assert a == b
+
+    def test_merge_word_fold_semantics(self):
+        from odibi_spark.llm.text import _bpe_merge_word_py
+
+        # a a a under (a, a) -> [aa, a], never [aa, aa]
+        assert _bpe_merge_word_py(["a", "a", "a"], "a", "a", "aa") == [
+            "aa", "a"]
+        assert _bpe_merge_word_py(
+            ["x", "a", "b", "y", "a", "b"], "a", "b", "ab"
+        ) == ["x", "ab", "y", "ab"]
+        assert _bpe_merge_word_py([], "a", "b", "ab") == []
+
+    def test_gate_routes_by_vocab_size(self, spark, monkeypatch):
+        from odibi_spark.llm import text
+
+        docs = self._docs(spark)
+        monkeypatch.setattr(text, "BPE_KERNEL_MAX_VOCAB", 0)
+        vocab = text.bpe_vocab(docs, "text").localCheckpoint(eager=True)
+        assert not text._use_bpe_kernel(vocab, "auto")
+        monkeypatch.setattr(text, "BPE_KERNEL_MAX_VOCAB", 10**9)
+        assert text._use_bpe_kernel(vocab, "auto")
+        with pytest.raises(ValueError):
+            text._use_bpe_kernel(vocab, "bogus")
