@@ -57,6 +57,23 @@ def _with_bucket(banded: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
+#: target band rows per bucket directory for ADAPTIVE store layout
+#: (guide §6 — output file sizing): a band row is ~20 bytes, so 1M
+#: rows ≈ 20 MB per bucket file. A store created without an explicit
+#: ``n_buckets`` derives its modulus from the FIRST batch's signature
+#: count — the old fixed 64 was wrong in both directions: 64 one-row
+#: parquet files per append for a few-thousand-doc batch (measured
+#: 1.3-1.7s of pure writer open/close per append at sf0.1), and 64
+#: multi-GB buckets for a 100-TB corpus. Clamped to [8, 4096]; the
+#: resolved value is pinned in ``_store_meta.json`` like every other
+#: layout property, so probes and later appends adopt it.
+BUCKET_TARGET_ROWS = 1_000_000
+
+
+def _adaptive_buckets(band_rows: int) -> int:
+    return max(8, min(4096, -(-int(band_rows) // BUCKET_TARGET_ROWS)))
+
+
 class SignatureStore:
     """Append-only MinHash signature store on parquet (a Delta table
     with the same layout on a real cluster). Two sub-tables:
@@ -86,14 +103,17 @@ class SignatureStore:
         bands: int = 8,
         rows_per_band: int = 4,
         hasher: str = "xxhash64",
-        n_buckets: int = 64,
+        n_buckets: int | None = None,
     ):
         self.spark = spark
         self.path = path
         self.bands = int(bands)
         self.rows_per_band = int(rows_per_band)
         self.hasher = hasher
-        self.n_buckets = int(n_buckets)
+        # None = adaptive: resolved at first append from the batch's
+        # signature count (see _adaptive_buckets), then pinned in the
+        # meta; an int pins the layout explicitly as before
+        self.n_buckets = None if n_buckets is None else int(n_buckets)
         self._sigs = os.path.join(path, "sigs")
         self._bands = os.path.join(path, "bands")
         self._meta = os.path.join(path, "_store_meta.json")
@@ -169,39 +189,24 @@ class SignatureStore:
         # persisted bands existed with no meta, and a replaying process
         # with different constructor values would adopt its own
         # geometry and prune the wrong buckets. Atomic via temp+rename.
-        if not os.path.exists(self._meta):
-            if os.path.exists(self._bands):
-                # pre-fix store crashed between bands and meta: those
-                # bands' geometry is unknowable — stamping THIS
-                # process's meta would retroactively bless them and
-                # reintroduce the mixed-geometry pruning bug (review
-                # r7). Bands are a derived index over sigs, so rebuild
-                # the WHOLE index from the signature table with this
-                # process's geometry (dropping alone would orphan
-                # earlier batches from every future pruned probe).
-                import shutil
+        # (Sigs may land before the meta: bands-vs-meta ordering is the
+        # invariant — read_bands refuses meta-less bands, and the
+        # sigs-no-meta crash window replays into the recompute
+        # fallback, same as the sigs-no-bands window always has.)
+        meta_missing = not os.path.exists(self._meta)
+        had_prior_sigs = os.path.exists(self._sigs)
+        if meta_missing and os.path.exists(self._bands):
+            # pre-fix store crashed between bands and meta: those
+            # bands' geometry is unknowable — stamping THIS
+            # process's meta would retroactively bless them and
+            # reintroduce the mixed-geometry pruning bug (review
+            # r7). Bands are a derived index over sigs, so rebuild
+            # the WHOLE index from the signature table with this
+            # process's geometry (dropping alone would orphan
+            # earlier batches from every future pruned probe).
+            import shutil
 
-                shutil.rmtree(self._bands)
-                if os.path.exists(self._sigs):
-                    stored = self.spark.read.parquet(self._sigs)
-                    rebanded = _with_bucket(
-                        dedup.band_keys(
-                            stored.drop("batch_id"), self.bands,
-                            self.rows_per_band, self.hasher,
-                        ),
-                        self.n_buckets,
-                    ).join(stored.select("id", "batch_id"), "id")
-                    (
-                        rebanded.repartition("bucket")
-                        .write.mode("overwrite")
-                        .partitionBy("batch_id", "bucket")
-                        .parquet(self._bands)
-                    )
-            os.makedirs(self.path, exist_ok=True)
-            tmp = self._meta + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(self._config(), fh)
-            os.replace(tmp, self._meta)
+            shutil.rmtree(self._bands)
         (
             signatures.withColumn("batch_id", F.lit(str(batch_id)))
             .write.mode("overwrite")
@@ -209,6 +214,41 @@ class SignatureStore:
             .partitionBy("batch_id")
             .parquet(self._sigs)
         )
+        if meta_missing:
+            if self.n_buckets is None:
+                # adaptive layout: size the bucket modulus from the
+                # store's signature count (a parquet footer count of
+                # the table just written — no recompute of the
+                # caller's frame)
+                n_sigs = self.spark.read.parquet(self._sigs).count()
+                self.n_buckets = _adaptive_buckets(n_sigs * self.bands)
+            os.makedirs(self.path, exist_ok=True)
+            tmp = self._meta + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(self._config(), fh)
+            os.replace(tmp, self._meta)
+            if had_prior_sigs:
+                stored_other = self.spark.read.parquet(self._sigs).filter(
+                    F.col("batch_id") != str(batch_id)
+                )
+                if stored_other.limit(1).count():
+                    # the meta-less-bands rebuild: re-band every
+                    # EARLIER batch from the signature table under the
+                    # resolved geometry (this batch's bands are written
+                    # below)
+                    rebanded = _with_bucket(
+                        dedup.band_keys(
+                            stored_other.drop("batch_id"), self.bands,
+                            self.rows_per_band, self.hasher,
+                        ),
+                        self.n_buckets,
+                    ).join(stored_other.select("id", "batch_id"), "id")
+                    (
+                        rebanded.repartition("bucket")
+                        .write.mode("overwrite")
+                        .partitionBy("batch_id", "bucket")
+                        .parquet(self._bands)
+                    )
         banded = _with_bucket(
             dedup.band_keys(
                 signatures, self.bands, self.rows_per_band, self.hasher
@@ -281,13 +321,23 @@ def flag_incremental_dups(
             bands=bands, rows_per_band=rows_per_band, hasher=hasher
         )
         all_sigs = stored.unionByName(sigs_new)
-        # O(n_buckets) collect: which store partitions can the delta hit?
-        probe_buckets = [
-            r["bucket"]
-            for r in _with_bucket(banded_new, store.n_buckets)
-            .select("bucket").distinct().collect()
-        ]
-        banded_store = store.read_bands(probe_buckets)
+        # O(n_buckets) collect: which store partitions can the delta
+        # hit? (An adaptive-layout store whose meta never landed —
+        # crash before first meta write — has no resolved modulus;
+        # read_bands refuses meta-less bands anyway, so skip the
+        # pruning collect and go straight to the recompute fallback.)
+        probe_buckets = None
+        if store.n_buckets is not None:
+            probe_buckets = [
+                r["bucket"]
+                for r in _with_bucket(banded_new, store.n_buckets)
+                .select("bucket").distinct().collect()
+            ]
+        banded_store = (
+            store.read_bands(probe_buckets)
+            if probe_buckets is not None
+            else None
+        )
         if banded_store is None:
             # crash window: sigs written, bands not yet — recompute the
             # band keys from the signature table for THIS probe (the

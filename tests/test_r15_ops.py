@@ -409,3 +409,83 @@ class TestBpeEngineEquivalence:
         assert text._use_bpe_kernel(vocab, "auto")
         with pytest.raises(ValueError):
             text._use_bpe_kernel(vocab, "bogus")
+
+
+class TestAdaptiveBandStoreLayout:
+    """r15 guide-§6 layout change: a SignatureStore created without an
+    explicit n_buckets derives its bucket modulus from the first
+    batch's signature count (clamped [8, 4096]), pins it in the meta,
+    and later store objects adopt it. Results are unaffected — bucket
+    is pruning metadata only."""
+
+    DOCS = [
+        (i, f"document number {i} with shared words and token{i} here")
+        for i in range(1, 9)
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.DOCS, "doc_id long, text string")
+
+    def test_adaptive_resolution_and_pinning(self, spark, tmp_path):
+        import json as _json
+
+        from odibi_spark.llm.dedup import minhash_signatures
+        from odibi_spark.llm.incremental import SignatureStore
+
+        store = SignatureStore(spark, str(tmp_path / "s"))
+        assert store.n_buckets is None
+        sigs = minhash_signatures(self._df(spark), "doc_id", n=2)
+        store.append(sigs, "b1")
+        assert store.n_buckets == 8  # tiny batch -> min clamp
+        meta = _json.load(open(tmp_path / "s" / "_store_meta.json"))
+        assert meta["n_buckets"] == 8
+        # a later adaptive store object adopts the pinned value even
+        # though its own first batch would resolve differently
+        s2 = SignatureStore(spark, str(tmp_path / "s"))
+        s2.check_config(bands=8, rows_per_band=4, hasher="xxhash64")
+        assert s2.n_buckets == 8
+
+    def test_explicit_n_buckets_respected(self, spark, tmp_path):
+        import json as _json
+
+        from odibi_spark.llm.dedup import minhash_signatures
+        from odibi_spark.llm.incremental import SignatureStore
+
+        store = SignatureStore(spark, str(tmp_path / "e"), n_buckets=16)
+        store.append(minhash_signatures(self._df(spark), "doc_id", n=2), "b1")
+        meta = _json.load(open(tmp_path / "e" / "_store_meta.json"))
+        assert meta["n_buckets"] == 16
+
+    def test_adaptive_clamps(self):
+        from odibi_spark.llm.incremental import _adaptive_buckets
+
+        assert _adaptive_buckets(0) == 8
+        assert _adaptive_buckets(10_000) == 8
+        assert _adaptive_buckets(20_000_000) == 20
+        assert _adaptive_buckets(10**13) == 4096
+
+    def test_two_batch_results_unchanged(self, spark, tmp_path):
+        """Adaptive layout must produce the same flags as an explicit
+        64-bucket store (the pre-r15 default)."""
+        from odibi_spark.llm.incremental import SignatureStore
+        from odibi_spark.state.hwm import JsonStateBackend
+        from odibi_spark.llm.incremental import run_incremental_dedup
+
+        def run(nb):
+            d = tmp_path / f"nb_{nb}"
+            store = SignatureStore(spark, str(d / "sigs"), n_buckets=nb)
+            state = JsonStateBackend(str(d / "state.json"))
+            df = self._df(spark)
+            kw = dict(threshold=0.2, n=2, num_perm=32, bands=8,
+                      id_col="doc_id", text_col="text")
+            out = {}
+            for bid, part in (("b1", df.filter("doc_id <= 4")), ("b2", df)):
+                out.update({
+                    r.doc_id: r.is_dup
+                    for r in run_incremental_dedup(
+                        part, store, state, batch_id=bid, **kw
+                    ).collect()
+                })
+            return out
+
+        assert run(None) == run(64)
