@@ -108,6 +108,131 @@ def _lid_sig(m: str) -> str:
     return f"(0.5 + ({m}) / (2.0 * (1.0 + abs({m}))))"
 
 
+#: feature-instance gate for the single-task training kernel (guide
+#: §4.2 — the BPE/PQ routing pattern): at or below this many exploded
+#: (doc, bucket) feature rows the whole epoch loop runs in ONE
+#: executor task over the coalesced feature table instead of paying
+#: 2 joins + 2 shuffles + a K-column gradient collect PER EPOCH. The
+#: training protocol makes the kernel provably bit-identical with no
+#: float-summation-order hazard: per-doc weight sums and per-bucket
+#: gradient sums are INTEGER folds (order-free), and the
+#: margin->Elliott->softmax->floor-quantize chain is elementwise
+#: scalar double math in the same pinned IEEE order. Above the gate
+#: the distributed per-epoch aggregates are the right plan (100-TB
+#: corpora) and are unchanged.
+LID_KERNEL_MAX_FEATS = 4_000_000
+
+
+def _use_lid_kernel(n_feats: int, engine: str) -> bool:
+    if engine not in ("auto", "spark", "kernel"):
+        raise ValueError(
+            f"langid engine must be auto|spark|kernel, got {engine!r}"
+        )
+    if engine != "auto":
+        return engine == "kernel"
+    return n_feats <= LID_KERNEL_MAX_FEATS
+
+
+def _lid_train_kernel(
+    base: DataFrame,
+    *,
+    kk: int,
+    buckets: int,
+    epochs: int,
+    lr_num: int,
+    lr_den: int,
+    n_docs: int,
+) -> dict[int, list[int]]:
+    """Run every training epoch in one executor task over the
+    coalesced featurized table (narrow Coalesce — no shuffle);
+    returns {class_index: micro-unit weight list}. numpy replays the
+    exact epoch algebra: np.add.at int64 segment sums for the weight
+    and gradient folds (integer addition commutes, so order is
+    irrelevant), elementwise float64 for the pinned-order residual
+    chain, and curation._trunc_div for the weight update."""
+    import pandas as pd
+
+    from odibi_spark.llm.curation import _trunc_div
+
+    wcols = [f"__w{k}" for k in range(kk)]
+
+    def run(batches):
+        import numpy as np
+
+        ys, ns, feats, counts = [], [], [], []
+        for pdf in batches:
+            for k in range(kk):
+                ys.append(pdf[f"__y{k}"].to_numpy(np.int64))
+            ns.append(pdf["__n"].to_numpy(np.int64))
+            for f in pdf["__lid_feats"]:
+                arr = np.asarray(f, dtype=np.int64)
+                feats.append(arr)
+                counts.append(len(arr))
+        if not ns:
+            return
+        y = [
+            np.concatenate(ys[k::kk]) for k in range(kk)
+        ]  # per-class label vectors across batches
+        n_arr = np.concatenate(ns)
+        n_rows = len(n_arr)
+        all_feats = (
+            np.concatenate(feats) if feats else np.empty(0, np.int64)
+        )
+        doc_idx = np.repeat(
+            np.arange(n_rows, dtype=np.int64),
+            np.asarray(counts, dtype=np.int64),
+        )
+        nf = n_arr.astype(np.float64)
+        w = np.zeros((kk, buckets), dtype=np.int64)
+        for _ in range(epochs):
+            ws = np.zeros((kk, n_rows), dtype=np.int64)
+            for k in range(kk):
+                np.add.at(ws[k], doc_idx, w[k][all_feats])
+            # margin -> Elliott -> coupled softmax -> floor-quantized
+            # residual: the same pinned scalar-double order as the SQL
+            m = ws.astype(np.float64) / (1000000.0 * nf)
+            s = 0.5 + m / (2.0 * (1.0 + np.abs(m)))
+            ssum = s[0].copy()
+            for k in range(1, kk):
+                ssum = ssum + s[k]
+            g = np.zeros((kk, buckets), dtype=np.int64)
+            for k in range(kk):
+                q = np.floor(
+                    (((s[k] / ssum) - y[k].astype(np.float64))
+                     * 1000000.0) / nf
+                ).astype(np.int64)
+                np.add.at(g[k], all_feats, q[doc_idx])
+            for k in range(kk):
+                gk = g[k]
+                wk = w[k]
+                for b in np.nonzero(gk)[0]:
+                    wk[b] -= _trunc_div(
+                        lr_num * int(gk[b]), lr_den * n_docs
+                    )
+        yield pd.DataFrame(
+            {
+                "__b": np.arange(buckets, dtype=np.int64),
+                **{wcols[k]: w[k] for k in range(kk)},
+            }
+        )
+
+    schema = ", ".join(["__b long"] + [f"{c} long" for c in wcols])
+    rows = (
+        base.select(
+            *[f"__y{k}" for k in range(kk)], "__n", "__lid_feats"
+        )
+        .coalesce(1)
+        .mapInPandas(run, schema)
+        .collect()
+    )
+    out: dict[int, list[int]] = {k: [0] * buckets for k in range(kk)}
+    for r in rows:
+        b = int(r["__b"])
+        for k in range(kk):
+            out[k][b] = int(r[f"__w{k}"])
+    return out
+
+
 def lang_classifier_train(
     df: DataFrame,
     text_col: str = "text",
@@ -120,6 +245,7 @@ def lang_classifier_train(
     ns: tuple[int, ...] = LID_NGRAMS,
     max_chars: int = LID_MAX_CHARS,
     id_col: str = "doc_id",
+    engine: str = "auto",
 ) -> dict[str, list[float]]:
     """Train the multiclass hashed linear language classifier by
     full-batch gradient descent with a COUPLED rational-softmax
@@ -186,12 +312,28 @@ def lang_classifier_train(
         "__lid_feats",
     ).localCheckpoint(eager=True)
     meta = base.drop("__lid_feats")
+    # one job yields BOTH the doc count and the feature-instance count
+    # (the kernel gate's input) from the checkpointed base
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__n").alias("f")
+    ).collect()[0]
+    n_docs = int(stats["n"])
+    if n_docs == 0:
+        base.unpersist()
+        raise ValueError("no documents with features to train on")
+    if _use_lid_kernel(int(stats["f"] or 0), engine):
+        w_int = _lid_train_kernel(
+            base, kk=kk, buckets=buckets, epochs=epochs,
+            lr_num=lr_num, lr_den=lr_den, n_docs=n_docs,
+        )
+        base.unpersist()
+        return {
+            c: [w / 1e6 for w in w_int[k]]
+            for k, c in enumerate(classes)
+        }
     exf = base.select(
         "__id", F.explode("__lid_feats").alias("__b")
     ).localCheckpoint(eager=True)
-    n_docs = meta.count()
-    if n_docs == 0:
-        raise ValueError("no documents with features to train on")
     w_mu: dict[str, list[int]] = {c: [0] * buckets for c in classes}
     wcols = [f"__w{k}" for k in range(kk)]
     for _ in range(epochs):

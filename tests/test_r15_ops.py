@@ -489,3 +489,54 @@ class TestAdaptiveBandStoreLayout:
             return out
 
         assert run(None) == run(64)
+
+
+class TestLidEngineEquivalence:
+    """The single-task lang-id training kernel must be bit-identical
+    to the distributed per-epoch loop: integer weight/gradient sums
+    are order-free, the residual chain is elementwise double math in
+    the same pinned IEEE order, and the update reuses _trunc_div."""
+
+    DOCS = [
+        (1, "the cat and the dog went to the market", "en"),
+        (2, "le chat et le chien vont au marche ensemble", "fr"),
+        (3, "el gato y el perro van al mercado juntos", "es"),
+        (4, "der hund und die katze gehen zum markt", "de"),
+        (5, "the quick brown fox jumps over the lazy dog", "en"),
+        (6, "les enfants jouent dans le jardin avec le ballon", "fr"),
+        (7, "los ninos juegan en el jardin con la pelota", "es"),
+        (8, "die kinder spielen im garten mit dem ball", "de"),
+        (9, "", None),  # featureless + NULL label
+        (10, "short", "en"),
+    ]
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            self.DOCS, "doc_id long, text string, lang string"
+        )
+
+    def test_trained_weights_identical(self, spark):
+        from odibi_spark.llm import langid
+
+        docs = self._docs(spark)
+        kw = dict(
+            classes=["de", "en", "es", "fr"], buckets=256, epochs=3,
+            lr=(1, 2),
+        )
+        a = langid.lang_classifier_train(
+            docs, "text", "lang", engine="spark", **kw)
+        b = langid.lang_classifier_train(
+            docs, "text", "lang", engine="kernel", **kw)
+        assert a == b
+        # and the training actually moved weights
+        assert any(w != 0 for w in a["en"])
+
+    def test_gate_and_engine_validation(self):
+        from odibi_spark.llm import langid
+
+        assert langid._use_lid_kernel(0, "auto")
+        assert not langid._use_lid_kernel(10**9, "auto")
+        assert langid._use_lid_kernel(10**9, "kernel")
+        assert not langid._use_lid_kernel(0, "spark")
+        with pytest.raises(ValueError):
+            langid._use_lid_kernel(0, "bogus")
