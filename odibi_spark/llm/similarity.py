@@ -2062,6 +2062,18 @@ def ivf_pq_topk(
     )
 
 
+#: rounds between (id, vec, md) checkpoints in the k-center greedy
+#: loop. Each un-checkpointed round chains one filter + one least()
+#: fold (with a dim-literal center array) onto the plan, and the
+#: driver re-analyzes the WHOLE chain for every round's argmax
+#: collect — at cadence 8 the r15 profile showed 8.5s of driver gap
+#: vs 2.3s of job time for k=10. A shorter cadence trades one tiny
+#: eager checkpoint job per window for much shallower plans; values
+#: are semantics-free (least() is associative, the checkpoint only
+#: materializes), so this is purely a plan-depth knob.
+KCENTER_CHECKPOINT_EVERY = 3
+
+
 def kcenter_coreset(
     df: DataFrame,
     id_col: str,
@@ -2141,7 +2153,7 @@ def kcenter_coreset(
         )
         has_md = True
         pending += 1
-        if pending >= 8:
+        if pending >= KCENTER_CHECKPOINT_EVERY:
             prev = base
             base = cur.localCheckpoint(eager=True)
             cur, pending = base, 0
