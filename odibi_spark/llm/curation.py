@@ -316,10 +316,14 @@ def importance_resample(
         ).filter(F.col("tok") != "")
 
     def _lm(toks: DataFrame):
+        # r15 (guide §3.3/§5): each vocab feeds both its totals scalar
+        # and the token join — checkpoint the O(V) table so each
+        # corpus is tokenized + aggregated once, not twice
         vocab = (
             toks.groupBy("tok")
             .agg(F.count(F.lit(1)).alias("c"))
             .filter(F.col("c") >= min_count)
+            .localCheckpoint(eager=True)
         )
         totals = vocab.agg(
             F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
@@ -1195,10 +1199,14 @@ def dsir_log_ratios(
             df, text_col, buckets=buckets, bigrams=bigrams,
             lowercase=lowercase,
         )
+        # r15 (guide §3.3/§5): each count table feeds both its totals
+        # scalar and the ratio join — checkpoint the O(buckets) frame
+        # so each corpus is featurized + aggregated once, not twice
         return (
             _explode_feats(staged)
             .groupBy("__b")
             .agg(F.count(F.lit(1)).alias("__c"))
+            .localCheckpoint(eager=True)
         )
 
     raw_c = bucket_counts(raw_df)

@@ -773,33 +773,26 @@ def remove_duplicate_spans(
     cross-corpus duplicate are cut too); docs shorter than ``ngram``
     words pass through untouched.
 
-    Plan shape, all linear: tokens and spans are two posexplodes of
-    the same projected word array; the keeper election is one groupBy
-    on the md5 gram key (min(struct(id, pos)) — map-side partial);
-    removed spans explode to covered (id, pos) rows; kept tokens are a
-    left-anti join on (id, pos); the rewrite is a per-document
-    collect_list + sort (bounded by doc length, never corpus-wide).
-    Adds ``n_kept_tokens`` / ``n_removed_tokens``; the rewritten text
-    lands in ``out_col`` (default: replaces ``text_col``).
+    Plan shape, all linear, and — r15, guide §8 ("decide with small
+    rows, move big rows once") — token TEXT never crosses an
+    exchange: spans are one posexplode of the projected word array;
+    the keeper election is one groupBy on the md5 gram key
+    (min(struct(id, pos)) — map-side partial); removed spans explode
+    to covered (id, pos) rows and come back per doc as ONE
+    collect_set of int positions; the rewrite is a pure projection
+    over the original text (``array_except`` of the position range —
+    hash-set, linear in doc length — then ``element_at`` re-joins the
+    survivors in order). The old shape posexploded every token a
+    second time, anti-joined, and re-shuffled all kept token text
+    through a per-document collect_list. Adds ``n_kept_tokens`` /
+    ``n_removed_tokens``; the rewritten text lands in ``out_col``
+    (default: replaces ``text_col``).
     """
     if ngram < 2:
         raise ValueError("ngram must be >= 2")
     out_col = out_col or text_col
     words = df.select(
         F.col(id_col), F.split(F.trim(F.col(text_col)), " ").alias("__w")
-    )
-    # posexplode_outer + marker filter: plain posexplode of the __w
-    # ATTRIBUTE lets InferFiltersFromGenerate add size(__w) > 0, and
-    # pushdown substitutes split(trim(text)) into the scan filter
-    # (the r13 sweep caught this recompute); the outer variant infers
-    # nothing and the NULL-position marker row is dropped above.
-    toks = (
-        words.select(
-            F.col(id_col),
-            F.posexplode_outer("__w").alias("pos0", "tok"),
-        )
-        .filter(F.col("pos0").isNotNull())
-        .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "tok")
     )
     spans = explode_nonempty(
         words,
@@ -818,6 +811,9 @@ def remove_duplicate_spans(
         F.min(F.struct(F.col(id_col).alias("kid"), F.col("start").alias("kstart"))
               ).alias("__keeper"),
     )
+    # collect_set replaces the old explode->distinct->anti-join: the
+    # set dedups overlapping-span positions inside ONE narrow int
+    # aggregation instead of a second (id, pos) exchange
     removed = (
         spans.join(stats, "h")
         .filter(
@@ -833,31 +829,40 @@ def remove_duplicate_spans(
                 F.sequence(F.col("start"), F.col("start") + F.lit(ngram - 1))
             ).alias("pos"),
         )
-        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("__rm"))
     )
-    kept = toks.join(removed, [id_col, "pos"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s.getField("tok"),
-            ),
-        ).alias("__new_text"),
-        F.count(F.lit(1)).cast("long").alias("n_kept_tokens"),
+    out = df.join(removed, id_col, "left")
+    out = out.withColumn(
+        "__w2", F.split(F.trim(F.col(text_col)), " ")
+    ).withColumn(
+        "__keep_pos",
+        F.array_except(
+            F.sequence(F.lit(1), F.size("__w2")),
+            F.coalesce("__rm", F.array().cast("array<int>")),
+        ),
     )
-    out = df.join(rebuilt, id_col, "left")
-    orig_words = F.size(F.split(F.trim(F.col(text_col)), " "))
     return (
         out.withColumn(
-            "n_kept_tokens", F.coalesce("n_kept_tokens", F.lit(0).cast("long"))
+            "n_kept_tokens",
+            F.coalesce(
+                F.size("__keep_pos").cast("long"), F.lit(0).cast("long")
+            ),
         )
         .withColumn(
             "n_removed_tokens",
-            (orig_words.cast("long") - F.col("n_kept_tokens")),
+            F.size("__w2").cast("long") - F.col("n_kept_tokens"),
         )
-        .withColumn(out_col, F.coalesce("__new_text", F.lit("")))
-        .drop("__new_text")
+        .withColumn(
+            out_col,
+            F.concat_ws(
+                " ",
+                F.transform(
+                    "__keep_pos", lambda p: F.element_at(F.col("__w2"), p)
+                ),
+            ),
+        )
+        .drop("__rm", "__w2", "__keep_pos")
     )
 
 
@@ -953,12 +958,17 @@ def remove_boilerplate_lines(
     frequency unit, so a footer whose lines individually vary but
     whose block repeats still dies as one unit.
 
-    Plan shape identical at both granularities, all linear: one
-    posexplode on the projected unit array; the frequency side groups
-    on the md5 UNIT KEY (narrow rows through the shuffle,
-    count_distinct doc partials map-side); kept units are a left-anti
-    join on the key; the rewrite is a per-document collect_list +
-    sort bounded by doc unit count. Adds ``n_kept_lines`` /
+    Plan shape identical at both granularities, all linear, and —
+    r15, guide §8 ("decide with small rows, move big rows once") —
+    the unit TEXT never crosses an exchange: the posexplode emits
+    only (id, pos, md5-of-unit); the frequency side groups on the md5
+    UNIT KEY (narrow rows, count_distinct doc partials map-side);
+    boilerplate POSITIONS come back per doc as one collect_set of
+    ints; the rewrite is a pure projection over the original text
+    (``array_except`` of the position range, hash-set linear in doc
+    length, then ``element_at`` picks the survivors in order). The
+    old shape instead re-shuffled every kept unit's text through a
+    per-document collect_list. Adds ``n_kept_lines`` /
     ``n_boilerplate_lines`` (unit counts); docs whose every unit is
     boilerplate come back as '' (kept, flagged — dropping rows is the
     caller's policy decision).
@@ -984,7 +994,9 @@ def remove_boilerplate_lines(
         F.posexplode(F.split(F.col(text_col), split_pat)).alias(
             "pos", "line"
         ),
-    ).withColumn("__lh", F.md5(F.col("line")))
+    ).select(
+        F.col(id_col), *scope, "pos", F.md5(F.col("line")).alias("__lh")
+    )
     freq_keys = [*(
         [scope_col] if scope_col else []
     ), "__lh"]
@@ -994,26 +1006,45 @@ def remove_boilerplate_lines(
         .filter(F.col("__ndocs") >= min_docs)
         .select(*freq_keys)
     )
-    kept = lines.join(boiler, freq_keys, "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            delim,
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s.getField("line"),
-            ),
-        ).alias("__new_text"),
-        F.count(F.lit(1)).cast("long").alias("n_kept_lines"),
+    # boilerplate positions per doc: ints only through the shuffle
+    removed = (
+        lines.join(boiler, freq_keys, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("__rm"))
     )
-    out = df.join(rebuilt, id_col, "left")
-    n_lines = F.size(F.split(F.col(text_col), split_pat)).cast("long")
+    out = df.join(removed, id_col, "left")
+    # unit array + kept positions each projected once (both are
+    # multiply-referenced non-cheap expressions; CollapseProject
+    # keeps them as real columns)
+    out = out.withColumn(
+        "__units", F.split(F.col(text_col), split_pat)
+    ).withColumn(
+        "__keep_pos",
+        F.array_except(
+            F.sequence(F.lit(0), F.size("__units") - 1),
+            F.coalesce("__rm", F.array().cast("array<int>")),
+        ),
+    )
     return (
         out.withColumn(
-            "n_kept_lines", F.coalesce("n_kept_lines", F.lit(0).cast("long"))
+            "n_kept_lines",
+            F.coalesce(
+                F.size("__keep_pos").cast("long"), F.lit(0).cast("long")
+            ),
         )
         .withColumn(
-            "n_boilerplate_lines", n_lines - F.col("n_kept_lines")
+            "n_boilerplate_lines",
+            F.size("__units").cast("long") - F.col("n_kept_lines"),
         )
-        .withColumn(out_col, F.coalesce("__new_text", F.lit("")))
-        .drop("__new_text")
+        .withColumn(
+            out_col,
+            F.concat_ws(
+                delim,
+                F.transform(
+                    "__keep_pos",
+                    lambda p: F.element_at(F.col("__units"), p + 1),
+                ),
+            ),
+        )
+        .drop("__rm", "__units", "__keep_pos")
     )

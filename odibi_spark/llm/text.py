@@ -456,51 +456,50 @@ def remove_junk_lines(
 
     Unlike :func:`odibi_spark.llm.dedup.remove_boilerplate_lines`
     there is NO frequency side at all: the keep decision is per-line
-    map-side column exprs, so the only shuffle is the per-document
-    rebuild groupBy — strictly cheaper, which is why real pipelines
-    run the rule pass first. All regex classes are RE2-safe and
-    replayed verbatim by the DuckDB oracle (``line_corrections_docs``).
+    map-side column exprs — so the WHOLE operator is a projection.
+    r15 (guide §2.4): the explode / per-document collect_list rebuild
+    shuffled every kept line's text by doc_id and joined it back; the
+    filter + concat_ws higher-order rewrite keeps the survivors in
+    row order with ZERO exchanges and one scan. All regex classes are
+    RE2-safe and replayed verbatim by the DuckDB oracle
+    (``line_corrections_docs``).
     """
     import re as _re
 
     out_col = out_col or text_col
     split_pat = _re.escape(delim)
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), split_pat)).alias(
-            "pos", "line"
-        ),
-    )
-    t = F.trim(F.col("line"))
-    nonspace = F.regexp_count(F.col("line"), F.lit(r"\S"))
-    digits = F.regexp_count(F.col("line"), F.lit("[0-9]"))
-    punct = F.regexp_count(F.col("line"), F.lit(r"[^\p{L}0-9\s]"))
-    junk = (
-        (F.length(t) < int(min_chars))
-        | ((nonspace > 0) & (digits / nonspace > float(max_numeric_ratio)))
-        | ((nonspace > 0) & (punct / nonspace > float(max_punct_ratio)))
-        | F.lower(t).rlike(SOCIAL_COUNTER_PATTERN)
-    )
-    kept = lines.filter(~junk)
-    rebuilt = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            delim,
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s.getField("line"),
-            ),
-        ).alias("__new_text"),
-        F.count(F.lit(1)).cast("long").alias("n_kept_lines"),
-    )
-    out = df.join(rebuilt, id_col, "left")
-    n_lines = F.size(F.split(F.col(text_col), split_pat)).cast("long")
+
+    def _junk(line):
+        t = F.trim(line)
+        nonspace = F.regexp_count(line, F.lit(r"\S"))
+        digits = F.regexp_count(line, F.lit("[0-9]"))
+        punct = F.regexp_count(line, F.lit(r"[^\p{L}0-9\s]"))
+        return (
+            (F.length(t) < int(min_chars))
+            | ((nonspace > 0) & (digits / nonspace > float(max_numeric_ratio)))
+            | ((nonspace > 0) & (punct / nonspace > float(max_punct_ratio)))
+            | F.lower(t).rlike(SOCIAL_COUNTER_PATTERN)
+        )
+
+    # the unit array and the kept sub-array each land in their own
+    # projection: both are multiply-referenced non-cheap expressions,
+    # so CollapseProject keeps them materialized once per row
+    out = df.withColumn(
+        "__units", F.split(F.col(text_col), split_pat)
+    ).withColumn("__kept", F.filter("__units", lambda l: ~_junk(l)))
     return (
         out.withColumn(
-            "n_kept_lines", F.coalesce("n_kept_lines", F.lit(0).cast("long"))
+            # coalesce mirrors the old left-join shape: a NULL text
+            # yields NULL arrays, which counted as 0 kept lines
+            "n_kept_lines",
+            F.coalesce(F.size("__kept").cast("long"), F.lit(0).cast("long")),
         )
-        .withColumn("n_junk_lines", n_lines - F.col("n_kept_lines"))
-        .withColumn(out_col, F.coalesce("__new_text", F.lit("")))
-        .drop("__new_text")
+        .withColumn(
+            "n_junk_lines",
+            F.size("__units").cast("long") - F.col("n_kept_lines"),
+        )
+        .withColumn(out_col, F.concat_ws(delim, F.col("__kept")))
+        .drop("__units", "__kept")
     )
 
 
@@ -1245,6 +1244,12 @@ def ngram_lm_scores(
     token->vocab join shuffles on the token key (AQE handles the
     Zipf-head skew); the (N, V) totals are a 1-row scalar aggregate
     broadcast back. No Python in the row path.
+
+    r15 (guide §3.3/§5): ``vocab`` is consumed TWICE — by the totals
+    scalar and by the per-token join — and unmaterialized Spark
+    replayed the whole corpus explode + aggregate once per consumer.
+    An eager localCheckpoint of the O(V) vocab runs that corpus pass
+    exactly once; both consumers then read vocabulary-sized rows.
     """
     tokens = df.select(
         F.col(id_col),
@@ -1254,6 +1259,7 @@ def ngram_lm_scores(
         tokens.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= min_count)
+        .localCheckpoint(eager=True)
     )
     totals = vocab.agg(
         F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
@@ -1318,9 +1324,12 @@ def bm25_scores(
         F.col(id_col),
         F.split(F.trim(F.lower(F.col(text_col))), " ").alias("__w"),
     )
+    # r15 (guide §3.3/§5): doclen feeds the totals scalar AND the
+    # per-doc join — checkpoint the narrow O(docs) (id, dl) frame so
+    # the corpus is split for lengths once, not once per consumer
     doclen = words.select(
         F.col(id_col), F.size("__w").cast("double").alias("dl")
-    )
+    ).localCheckpoint(eager=True)
     # avgdl as exact-int sum / count: one division of two exact values,
     # so the scalar is bit-identical across engines and partitionings
     # (a double AVG would be accumulation-order-dependent)
@@ -1413,10 +1422,19 @@ def source_divergence(
             F.split(F.trim(F.lower(F.col(text_col))), " ")
         ).alias("tok"),
     ).filter(F.col("tok") != "")
-    st_counts = tokens.groupBy("__s", "tok").agg(
-        F.count(F.lit(1)).alias("c_s")
+    # r15 (guide §3.3/§5): everything below derives from the per-
+    # stratum counts — checkpoint the O(strata x vocab) table and
+    # fold the corpus counts FROM it (sum over strata of c_s is
+    # exactly the corpus count), so the corpus explodes once instead
+    # of once per count table
+    st_counts = (
+        tokens.groupBy("__s", "tok")
+        .agg(F.count(F.lit(1)).alias("c_s"))
+        .localCheckpoint(eager=True)
     )
-    corpus_counts = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    corpus_counts = st_counts.groupBy("tok").agg(
+        F.sum("c_s").alias("c")
+    )
     st_totals = st_counts.groupBy("__s").agg(F.sum("c_s").alias("n_s"))
     corpus_total = corpus_counts.agg(F.sum("c").alias("n"))
     p = F.col("c_s").cast("double") / F.col("n_s")

@@ -98,7 +98,30 @@ _R15_NEW = [
 # byte-identical SQL for pq_adc_topk_embeddings — verified against
 # HEAD — and hard_negative_pairs' default auto path is behavior-
 # identical below the gate, so neither is re-based.)
-_R15_REBASED: list[str] = []
+# The r15 OPTIMIZATION restructures (narrow-position rebuilds in
+# remove_junk_lines / remove_boilerplate_lines / remove_duplicate_
+# spans, O(V) vocab checkpoints, the funnel's narrow keeper window)
+# change the SPARK plan of these workloads while leaving results
+# hash-identical (verified at sf0.001+sf0.01 in-session); they get
+# guaranteed driver re-check slots:
+_R15_REBASED: list[str] = [
+    "line_corrections_docs",
+    "boilerplate_lines_docs",
+    "boilerplate_paragraphs_docs",
+    "ccnet_pipeline_docs",
+    "ccnet_lid_pipeline_docs",
+    "remove_dup_spans_docs",
+    "lm_quality_docs",
+    "lm_perplexity_buckets",
+    "domain_mixture_docs",
+    "mixture_sample_docs",
+    "dsir_sample_docs",
+    "dsir_hashed_select_docs",
+    "bm25_search_docs",
+    "hybrid_search_docs",
+    "source_kl_docs",
+    "curation_funnel_docs",
+]
 
 # The r14-checked head, in its r14 head order (= CORRECTNESS_r14.json
 # key set): fills r15 to 50 from the front if room remains; the

@@ -5,6 +5,8 @@ rows-only checks (hash functions differ across engines by design).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from odibi_spark.workloads.common import read_table
@@ -16,9 +18,14 @@ DEC = "DECIMAL(18,6)"
 def _prep(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # right-size shuffles when running under an untuned session; AQE
-    # (default-on in Spark 4) coalesces further at runtime
+    # (default-on in Spark 4) coalesces further at runtime. Derived
+    # from the core-count env (r15) — a hard-coded 32 would mismatch
+    # the driver's lower-core scaling runs.
     if spark.conf.get("spark.sql.shuffle.partitions") == "200":
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        )
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2889,9 +2896,6 @@ def curation_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = text.gopher_quality_flags(docs, "text", min_words=20)
     from pyspark.sql.window import Window
 
-    keeper = F.col("doc_id") == F.min("doc_id").over(
-        Window.partitionBy(F.md5(F.col("text")))
-    )
     spans = dedup.duplicate_span_signals(
         docs, id_col="doc_id", text_col="text", ngram=8, min_docs=2
     ).select("doc_id", "dup_span_ratio")
@@ -2907,10 +2911,22 @@ def curation_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = _cur.quality_classifier(
         flagged, "text", weights=_qw, bias=_qb
     )
+    # r15 (guide §2.3, shuffle keys not payloads): every text-derived
+    # flag is computed BEFORE the keeper window and text is projected
+    # away, so the md5-partitioned exchange carries ~60 B of flags per
+    # row instead of the full document text
+    keeper = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy("__content_h")
+    )
     staged = (
-        flagged.withColumn("is_keeper", keeper)
-        .withColumn("unicode_ok", uni_ok)
+        flagged.withColumn("unicode_ok", uni_ok)
         .withColumn("classifier_ok", F.col("ql_logit") > 0)
+        .withColumn("__content_h", F.md5(F.col("text")))
+        .select(
+            "doc_id", "source", "gopher_keep", "unicode_ok",
+            "classifier_ok", "__content_h",
+        )
+        .withColumn("is_keeper", keeper)
         .join(spans, "doc_id")
         .withColumn("span_ok", F.col("dup_span_ratio") <= 0.8)
     )
@@ -6056,7 +6072,14 @@ def _mixture_scored(docs: DataFrame) -> DataFrame:
         "source",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias("tok"),
     ).filter(F.col("tok") != "")
-    vocab = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # r15 (guide §3.3/§5): vocab feeds both the totals scalar and the
+    # token join — checkpoint the O(V) table so the corpus explode +
+    # aggregate runs once, not once per consumer
+    vocab = (
+        tokens.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     totals = vocab.agg(
         F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
     )
