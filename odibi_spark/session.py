@@ -46,6 +46,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # r15 (guide §5): the curation operators pin ~50 eagerly
+        # localCheckpointed model tables per full run; the Context-
+        # Cleaner only reaps their blocks after a DRIVER GC, and the
+        # default periodic-GC interval (30min) outlives a whole
+        # session — blocks accumulated until storage eviction and GC
+        # pressure inflated late-session queries. One forced GC per
+        # minute bounds the backlog; override via env for clusters
+        # with different session lifetimes.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "1min"),
+        )
     )
     if master:
         builder = builder.master(master)
