@@ -695,15 +695,30 @@ def duplicate_span_signals(
       1. project the word array once, posexplode the ``ngram``-gram
          windows (O(total tokens) rows, codegen, no Python)
       2. hash each gram to md5 (portable, so differential oracles can
-         recompute it; collision odds at 128 bits are negligible)
+         recompute it; collision odds at 128 bits are negligible).
+         The INTERNAL key is ``unhex(md5(...))`` — the identical 128
+         bits as 16 raw bytes instead of a 32-char hex string, so the
+         gram exchanges move half the key bytes with the same
+         collision-free identity (r16, guide §2.3 narrower types; the
+         hex form never appears in any declared output)
       3. groupBy gram-hash -> distinct-doc count (map-side partial
-         aggregate; AQE absorbs the Zipf-head skew)
-      4. join spans back on gram-hash and roll up per document
+         aggregate; AQE absorbs the Zipf-head skew), then filter to
+         the DUPLICATED grams only (``__ndocs >= min_docs``)
+      4. join spans back on gram-hash — against the duplicated-gram
+         subset only — and count hits per document.
+
+    ``total_spans`` never needed the explode at all: the window count
+    of a doc is ``max(size(words) - ngram + 1, 0)``, a pure projection
+    (r16, VERDICT r15 #3 — the old shape counted it by joining EVERY
+    span against the full gram table, so the join and the per-doc
+    rollup carried all spans instead of only duplicated ones).
 
     Returns one row per input document: ``total_spans``,
     ``dup_spans``, and ``dup_span_ratio`` (0.0 for docs shorter than
     ``ngram`` words). At 100 TB every stage is a linear scan plus two
-    key-hashed shuffles; nothing is ever all-pairs.
+    key-hashed shuffles — and the second shuffle now carries only
+    spans whose gram is actually duplicated; nothing is ever
+    all-pairs.
     """
     if ngram < 2:
         raise ValueError("ngram must be >= 2")
@@ -717,35 +732,44 @@ def duplicate_span_signals(
         F.expr(
             f"CASE WHEN size(__w) >= {ngram} THEN "
             f"transform(sequence(1, size(__w) - {ngram - 1}), "
-            f"i -> md5(concat_ws(' ', slice(__w, i, {ngram})))) "
-            f"ELSE array() END"
+            f"i -> unhex(md5(concat_ws(' ', slice(__w, i, {ngram}))))) "
+            f"ELSE CAST(array() AS ARRAY<BINARY>) END"
         ),
         "gram_h",
         F.col(id_col),
     )
-    gram_docs = spans.groupBy("gram_h").agg(
-        F.count_distinct(F.col(id_col)).alias("__ndocs")
+    dup_grams = (
+        spans.groupBy("gram_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__ndocs"))
+        .filter(F.col("__ndocs") >= min_docs)
+        .select("gram_h")
     )
-    per_doc = (
-        spans.join(gram_docs, "gram_h")
+    dup_per_doc = (
+        # left_semi: dup_grams is already distinct (groupBy output),
+        # so semi vs inner is the same count — but semi ships no
+        # payload columns and keeps the runtime-filter/broadcast
+        # options open for the planner
+        spans.join(dup_grams, "gram_h", "left_semi")
         .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("total_spans"),
-            F.sum(
-                F.when(F.col("__ndocs") >= min_docs, F.lit(1)).otherwise(
-                    F.lit(0)
-                )
-            ).alias("dup_spans"),
-        )
+        .agg(F.count(F.lit(1)).alias("dup_spans"))
     )
-    out = df.select(id_col).join(per_doc, id_col, "left")
+    totals = df.select(
+        F.col(id_col),
+        F.expr(
+            f"CAST(CASE WHEN size(split(trim({text_col}), ' ')) >= {ngram} "
+            f"THEN size(split(trim({text_col}), ' ')) - {ngram - 1} "
+            f"ELSE 0 END AS BIGINT)"
+        ).alias("total_spans"),
+    )
+    out = totals.join(dup_per_doc, id_col, "left")
     return out.select(
         F.col(id_col),
-        F.coalesce("total_spans", F.lit(0)).alias("total_spans"),
+        F.col("total_spans"),
         F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
         F.when(
-            F.coalesce("total_spans", F.lit(0)) > 0,
-            F.col("dup_spans").cast("double") / F.col("total_spans"),
+            F.col("total_spans") > 0,
+            F.coalesce("dup_spans", F.lit(0)).cast("double")
+            / F.col("total_spans"),
         )
         .otherwise(F.lit(0.0))
         .alias("dup_span_ratio"),
@@ -800,8 +824,12 @@ def remove_duplicate_spans(
             f"CASE WHEN size(__w) >= {ngram} THEN "
             f"transform(sequence(1, size(__w) - {ngram - 1}), "
             f"i -> struct(i AS start, "
-            f"md5(concat_ws(' ', slice(__w, i, {ngram}))) AS h)) "
-            f"ELSE array() END"
+            # unhex(md5): identical 128-bit identity as 16 raw bytes
+            # instead of 32 hex chars — h is internal plumbing (never
+            # declared output), so the gram exchanges move half the
+            # key bytes (r16, guide §2.3)
+            f"unhex(md5(concat_ws(' ', slice(__w, i, {ngram})))) AS h)) "
+            f"ELSE CAST(array() AS ARRAY<STRUCT<start: INT, h: BINARY>>) END"
         ),
         "s",
         F.col(id_col),
@@ -995,7 +1023,11 @@ def remove_boilerplate_lines(
             "pos", "line"
         ),
     ).select(
-        F.col(id_col), *scope, "pos", F.md5(F.col("line")).alias("__lh")
+        # unhex(md5): same 128-bit unit identity, 16 raw bytes instead
+        # of 32 hex chars through the frequency/semi-join exchanges —
+        # __lh is internal plumbing, never declared output (r16 §2.3)
+        F.col(id_col), *scope, "pos",
+        F.unhex(F.md5(F.col("line"))).alias("__lh"),
     )
     freq_keys = [*(
         [scope_col] if scope_col else []

@@ -183,30 +183,14 @@ class SignatureStore:
             df = df.filter(F.col("bucket").isin([int(b) for b in buckets]))
         return df.select("id", "band", "bh")
 
-    def append(self, signatures: DataFrame, batch_id: str) -> None:
-        # Persist the band geometry BEFORE any bands are written
-        # (ADVICE r6): meta-after-bands left a crash window where
-        # persisted bands existed with no meta, and a replaying process
-        # with different constructor values would adopt its own
-        # geometry and prune the wrong buckets. Atomic via temp+rename.
-        # (Sigs may land before the meta: bands-vs-meta ordering is the
-        # invariant — read_bands refuses meta-less bands, and the
-        # sigs-no-meta crash window replays into the recompute
-        # fallback, same as the sigs-no-bands window always has.)
-        meta_missing = not os.path.exists(self._meta)
-        had_prior_sigs = os.path.exists(self._sigs)
-        if meta_missing and os.path.exists(self._bands):
-            # pre-fix store crashed between bands and meta: those
-            # bands' geometry is unknowable — stamping THIS
-            # process's meta would retroactively bless them and
-            # reintroduce the mixed-geometry pruning bug (review
-            # r7). Bands are a derived index over sigs, so rebuild
-            # the WHOLE index from the signature table with this
-            # process's geometry (dropping alone would orphan
-            # earlier batches from every future pruned probe).
-            import shutil
+    def _write_meta(self) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._meta + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self._config(), fh)
+        os.replace(tmp, self._meta)
 
-            shutil.rmtree(self._bands)
+    def _write_sigs(self, signatures: DataFrame, batch_id: str) -> None:
         (
             signatures.withColumn("batch_id", F.lit(str(batch_id)))
             .write.mode("overwrite")
@@ -214,41 +198,8 @@ class SignatureStore:
             .partitionBy("batch_id")
             .parquet(self._sigs)
         )
-        if meta_missing:
-            if self.n_buckets is None:
-                # adaptive layout: size the bucket modulus from the
-                # store's signature count (a parquet footer count of
-                # the table just written — no recompute of the
-                # caller's frame)
-                n_sigs = self.spark.read.parquet(self._sigs).count()
-                self.n_buckets = _adaptive_buckets(n_sigs * self.bands)
-            os.makedirs(self.path, exist_ok=True)
-            tmp = self._meta + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(self._config(), fh)
-            os.replace(tmp, self._meta)
-            if had_prior_sigs:
-                stored_other = self.spark.read.parquet(self._sigs).filter(
-                    F.col("batch_id") != str(batch_id)
-                )
-                if stored_other.limit(1).count():
-                    # the meta-less-bands rebuild: re-band every
-                    # EARLIER batch from the signature table under the
-                    # resolved geometry (this batch's bands are written
-                    # below)
-                    rebanded = _with_bucket(
-                        dedup.band_keys(
-                            stored_other.drop("batch_id"), self.bands,
-                            self.rows_per_band, self.hasher,
-                        ),
-                        self.n_buckets,
-                    ).join(stored_other.select("id", "batch_id"), "id")
-                    (
-                        rebanded.repartition("bucket")
-                        .write.mode("overwrite")
-                        .partitionBy("batch_id", "bucket")
-                        .parquet(self._bands)
-                    )
+
+    def _write_bands(self, signatures: DataFrame, batch_id: str) -> None:
         banded = _with_bucket(
             dedup.band_keys(
                 signatures, self.bands, self.rows_per_band, self.hasher
@@ -268,6 +219,102 @@ class SignatureStore:
             .partitionBy("batch_id", "bucket")
             .parquet(self._bands)
         )
+
+    def append(self, signatures: DataFrame, batch_id: str) -> None:
+        """Append one batch. Ordering invariant (ADVICE r6): persisted
+        BANDS never exist without a meta pinning their geometry —
+        read_bands refuses meta-less bands, and every sigs-without-
+        bands / meta-without-data crash window replays into either the
+        recompute fallback or a clean re-stamp (below). r16: the meta
+        is resolved and written FIRST (its adaptive bucket count now
+        comes from a count of the caller's — typically checkpointed —
+        signature frame, not a re-read of freshly written parquet),
+        and the sigs and bands tables are then written as two
+        CONCURRENT jobs (guide §2.6 — independent writes of the same
+        materialized frame; the scheduler back-fills the tail of one
+        write with the other's tasks). Job count per append: 3 -> 2,
+        wall ~= max(sigs, bands) instead of sigs + count + bands."""
+        meta_missing = not os.path.exists(self._meta)
+        had_prior_sigs = os.path.exists(self._sigs)
+        if meta_missing and os.path.exists(self._bands):
+            # pre-fix store crashed between bands and meta: those
+            # bands' geometry is unknowable — stamping THIS
+            # process's meta would retroactively bless them and
+            # reintroduce the mixed-geometry pruning bug (review
+            # r7). Bands are a derived index over sigs, so rebuild
+            # the WHOLE index from the signature table with this
+            # process's geometry (dropping alone would orphan
+            # earlier batches from every future pruned probe).
+            import shutil
+
+            shutil.rmtree(self._bands)
+        if meta_missing and had_prior_sigs:
+            # crash-replay rebuild (rare): sigs exist with no meta —
+            # keep the r15 serial path: write this batch's sigs,
+            # resolve the layout from the WHOLE store, stamp the meta,
+            # re-band every earlier batch, then band this batch.
+            self._write_sigs(signatures, batch_id)
+            if self.n_buckets is None:
+                n_sigs = self.spark.read.parquet(self._sigs).count()
+                self.n_buckets = _adaptive_buckets(n_sigs * self.bands)
+            self._write_meta()
+            stored_other = self.spark.read.parquet(self._sigs).filter(
+                F.col("batch_id") != str(batch_id)
+            )
+            if stored_other.limit(1).count():
+                rebanded = _with_bucket(
+                    dedup.band_keys(
+                        stored_other.drop("batch_id"), self.bands,
+                        self.rows_per_band, self.hasher,
+                    ),
+                    self.n_buckets,
+                ).join(stored_other.select("id", "batch_id"), "id")
+                (
+                    rebanded.repartition("bucket")
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id", "bucket")
+                    .parquet(self._bands)
+                )
+            self._write_bands(signatures, batch_id)
+            return
+        if meta_missing or not had_prior_sigs:
+            # fresh store — or the meta-without-data crash window the
+            # meta-first ordering introduces (meta landed, neither
+            # table did): no persisted rows exist under the old stamp,
+            # so re-stamp with THIS process's geometry rather than
+            # adopting a possibly different crashed one.
+            if self.n_buckets is None:
+                # adaptive layout: at first append the store's
+                # signature count IS this batch's count — and the
+                # caller's frame is typically an eager localCheckpoint,
+                # so this count is a cache read, not a parquet re-scan
+                self.n_buckets = _adaptive_buckets(
+                    signatures.count() * self.bands
+                )
+            self._write_meta()
+        elif self.n_buckets is None:
+            # meta durable but this process never read it (direct
+            # append without a prior check_config): adopt the
+            # persisted layout instead of crashing on an unresolved
+            # adaptive modulus
+            with open(self._meta) as fh:
+                persisted = json.load(fh)
+            if persisted.get("n_buckets") is not None:
+                self.n_buckets = int(persisted["n_buckets"])
+            else:
+                self.n_buckets = _adaptive_buckets(
+                    signatures.count() * self.bands
+                )
+                self._write_meta()
+        # two independent writes of the same (materialized) frame:
+        # submit concurrently so the wall cost is max, not sum
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fs = pool.submit(self._write_sigs, signatures, batch_id)
+            fb = pool.submit(self._write_bands, signatures, batch_id)
+            fs.result()
+            fb.result()
 
 
 def flag_incremental_dups(
@@ -426,9 +473,17 @@ def run_incremental_dedup(
         # the HWM must come from the DELTA, not the signature frame:
         # minhash_signatures drops docs shorter than n words, so a
         # signature-derived mark can regress below the delta's true max
-        # id and re-admit (or permanently reprocess) the short docs
-        new_hwm = capture_hwm(delta, id_col)
-        store.append(sigs_new, batch_id)
+        # id and re-admit (or permanently reprocess) the short docs.
+        # r16: the HWM scan (over the already-persisted delta) is
+        # independent of the store append, so run it concurrently
+        # (guide §2.6) — the COMMIT still happens strictly after the
+        # append succeeds, which is the crash-safety invariant.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            hwm_fut = pool.submit(capture_hwm, delta, id_col)
+            store.append(sigs_new, batch_id)
+            new_hwm = hwm_fut.result()
         if new_hwm is not None:
             state.set(state_key, new_hwm)
     finally:
@@ -492,17 +547,24 @@ def incremental_dedup_batch(
             num_perm=num_perm, bands=bands, threshold=threshold,
             hasher=hasher, seed=seed,
         )
-        new_hwm = capture_hwm(delta, id_col)
         # output BEFORE any state moves: once the HWM advances, a
         # replayed epoch would see an empty delta and could never
-        # rebuild this partition
-        (
-            flagged.withColumn("epoch", F.lit(int(epoch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch")
-            .parquet(output_path)
-        )
+        # rebuild this partition. The HWM scan itself is independent
+        # of the output write, so it runs concurrently (r16, §2.6);
+        # the state COMMITS below still happen strictly after the
+        # output and store writes.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            hwm_fut = pool.submit(capture_hwm, delta, id_col)
+            (
+                flagged.withColumn("epoch", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(output_path)
+            )
+            new_hwm = hwm_fut.result()
         store.append(sigs_new, f"epoch={int(epoch_id)}")
         if new_hwm is not None:
             state.set(state_key, new_hwm)

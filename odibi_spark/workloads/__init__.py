@@ -167,9 +167,38 @@ if _unknown_rotate:  # fail loudly: a stale queue would silently shrink
 # the r14-checked head in its r14 order.
 _queue = [k for k in _R15_ROTATE_IN if k not in set(_R15_REBASED)]
 _rotate_room = max(0, 50 - len(_R15_NEW) - len(_R15_REBASED))
-_HEAD = (_queue[:_rotate_room] + _R15_NEW + _R15_REBASED)[:50]
+_R15_HEAD = (_queue[:_rotate_room] + _R15_NEW + _R15_REBASED)[:50]
 _R16_ROTATE_IN = _queue[_rotate_room:] + [
-    k for k in _R14_CHECKED_HEAD if k not in set(_HEAD)
+    k for k in _R14_CHECKED_HEAD if k not in set(_R15_HEAD)
+]
+
+# Round 16 (second OPTIMIZATION round): no new workloads; the r16
+# restructures (duplicate_span_signals projection-totals + dup-gram
+# semi-join, binary internal gram/unit keys, the SignatureStore
+# meta-first concurrent append) change the Spark plan of these
+# workloads while leaving results hash-identical (verified at
+# sf0.001+sf0.01 in-session) — guaranteed driver re-check slots:
+_R16_REBASED: list[str] = [
+    "duplicate_ngram_spans",
+    "curation_funnel_docs",
+    "remove_dup_spans_docs",
+    "boilerplate_lines_docs",
+    "boilerplate_paragraphs_docs",
+    "ccnet_pipeline_docs",
+    "ccnet_lid_pipeline_docs",
+    "dedup_incremental_docs",
+    "streaming_incremental_dedup_docs",
+]
+_unknown_r16 = set(_R16_REBASED) - set(_ALL_QUERIES)
+if _unknown_r16:
+    raise RuntimeError(
+        f"r16 rebased list names unknown workloads: {sorted(_unknown_r16)}"
+    )
+_queue16 = [k for k in _R16_ROTATE_IN if k not in set(_R16_REBASED)]
+_rotate_room16 = max(0, 50 - len(_R16_REBASED))
+_HEAD = (_queue16[:_rotate_room16] + _R16_REBASED)[:50]
+_R17_ROTATE_IN = _queue16[_rotate_room16:] + [
+    k for k in _R15_HEAD if k not in set(_HEAD)
 ]
 _ORDER = _HEAD + [k for k in _ALL_QUERIES if k not in set(_HEAD)]
 QUERIES = {k: _ALL_QUERIES[k] for k in _ORDER}

@@ -40,6 +40,23 @@ from pyspark.sql import DataFrame, SparkSession
 from odibi_spark.io import read_table as _io_read_table, scale_out
 
 
+def untuned_session_prep(spark: SparkSession) -> None:
+    """Shared per-workload session prep (r16, VERDICT r15 #2): pin the
+    UTC timezone and right-size shuffle partitions when running under
+    an UNTUNED session (Spark's static default of 200). The partition
+    count derives from the same env knob ``session.get_spark`` uses —
+    never a literal core count, so the driver's lower-core scaling
+    legs get a matching layout. AQE (default-on in Spark 4) coalesces
+    further at runtime."""
+    from odibi_spark.session import DEFAULT_SHUFFLE_PARTITIONS
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
+        )
+
+
 def read_table(
     spark: SparkSession, sf_dir: str, name: str, *, cpu_heavy: bool = False
 ) -> DataFrame:

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from odibi_spark.context import Context, EngineContext
-from odibi_spark.workloads.common import read_table
+from odibi_spark.workloads.common import read_table, untuned_session_prep
 from odibi_spark.operators import advanced, relational, sql_core, window
 
 # Scale 6 so 2-dp×2-dp×2-dp products (up to 6 decimal digits) are
@@ -20,11 +20,7 @@ DEC = "DECIMAL(18,6)"
 
 
 def _prep(spark: SparkSession) -> None:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # right-size shuffles when running under an untuned session; AQE
-    # (default-on in Spark 4) coalesces further at runtime
-    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    untuned_session_prep(spark)
 
 
 def _ec(spark: SparkSession, df: DataFrame) -> EngineContext:

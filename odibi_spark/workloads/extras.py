@@ -11,17 +11,13 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from odibi_spark.workloads.common import read_table
+from odibi_spark.workloads.common import read_table, untuned_session_prep
 
 DEC = "DECIMAL(18,6)"
 
 
 def _prep(spark: SparkSession) -> None:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # right-size shuffles when running under an untuned session; AQE
-    # (default-on in Spark 4) coalesces further at runtime
-    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    untuned_session_prep(spark)
 
 
 def semantic_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:

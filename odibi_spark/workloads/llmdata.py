@@ -9,23 +9,14 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from odibi_spark.workloads.common import read_table
+from odibi_spark.workloads.common import read_table, untuned_session_prep
 from odibi_spark.llm import chunking, curation, dedup, similarity, text
 
 DEC = "DECIMAL(18,6)"
 
 
 def _prep(spark: SparkSession) -> None:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # right-size shuffles when running under an untuned session; AQE
-    # (default-on in Spark 4) coalesces further at runtime. Derived
-    # from the core-count env (r15) — a hard-coded 32 would mismatch
-    # the driver's lower-core scaling runs.
-    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            os.environ.get("SPARK_GRAFT_CPUS", "32"),
-        )
+    untuned_session_prep(spark)
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2921,7 +2912,9 @@ def curation_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = (
         flagged.withColumn("unicode_ok", uni_ok)
         .withColumn("classifier_ok", F.col("ql_logit") > 0)
-        .withColumn("__content_h", F.md5(F.col("text")))
+        # unhex(md5): the keeper window only needs 128-bit identity —
+        # 16 raw bytes through the window exchange, not 32 hex chars
+        .withColumn("__content_h", F.unhex(F.md5(F.col("text"))))
         .select(
             "doc_id", "source", "gopher_keep", "unicode_ok",
             "classifier_ok", "__content_h",

@@ -20,15 +20,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from odibi_spark.operators.relational import apply_broadcast_hint
-from odibi_spark.workloads.common import read_table
+from odibi_spark.workloads.common import read_table, untuned_session_prep
 
 DEC = "DECIMAL(18,6)"
 
 
 def _prep(spark: SparkSession) -> None:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    untuned_session_prep(spark)
 
 
 # ---------------------------------------------------------------- q2

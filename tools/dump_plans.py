@@ -1,4 +1,5 @@
-"""Dump .explain("formatted") for named workloads to plans/r15/.
+"""Dump .explain("formatted") for named workloads to plans/<round>/
+(round dir from $SPARK_GRAFT_PLANS_DIR, default r16).
 
 Usage: python tools/dump_plans.py <suffix> <query> [query ...]
        (suffix = "before" | "after")
@@ -23,7 +24,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r15",
+        "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r16"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
