@@ -797,12 +797,44 @@ def compare_prev(out: dict, prev_path: str) -> dict:
     return res
 
 
+def _release_new_persistent_rdds(spark, before_ids: set) -> set:
+    """Session hygiene BETWEEN queries (r16, guide §5 / VERDICT r15
+    #6): curation operators pin eagerly localCheckpointed model tables
+    whose storage blocks the ContextCleaner only reaps after a DRIVER
+    GC. r15 bounded the backlog with a forced GC every minute; this
+    releases each query's blocks deterministically instead — after the
+    query's LAST timed run completes (never inside a timed window, and
+    never an RDD that predates the query: the calibration fixtures and
+    io-warmup blocks persist for the whole session). Returns the new
+    id set so callers can chain. Results are unaffected: every query
+    constructs its frames fresh from the parquet inputs."""
+    jsc = spark.sparkContext._jsc
+    current = jsc.getPersistentRDDs()
+    kept = set()
+    for k in current.keySet().toArray():
+        if int(k) in before_ids:
+            kept.add(int(k))
+            continue
+        current.get(k).unpersist(False)
+    return kept
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from odibi_spark import get_spark
     from odibi_spark.workloads import QUERIES
 
-    spark = get_spark("bench")
+    # bench session scope (ADVICE r15): keep the aggressive 1-min GC
+    # cadence HERE — a single long session running ~200 checkpoint-
+    # heavy queries back-to-back — while get_spark's default for
+    # ordinary sessions relaxes to 5min. The per-query block release
+    # (_release_new_persistent_rdds) frees storage deterministically;
+    # the GC then reaps the unpersisted JVM-side leftovers (broadcast
+    # vars, shuffle state) on a bounded cadence. Env still overrides.
+    spark = get_spark("bench", extra_conf={
+        "spark.cleaner.periodicGC.interval":
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "1min"),
+    })
     # warm the JVM and parquet reader codepath once so the first
     # measured query isn't charged for one-time startup
     spark.range(1).count()
@@ -825,6 +857,13 @@ def main() -> None:
     calib = Calibration(spark, sf_dir)
     calib.sample("start")
 
+    # baseline persistent-RDD id set: session fixtures (calibration,
+    # io warmup) stay pinned; only per-query blocks are released
+    session_rdds = {
+        int(k)
+        for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+
     timings: dict[str, float] = {}
     headline_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -842,6 +881,7 @@ def main() -> None:
                 F.count(F.lit(1)).alias("n"),
             ).collect()
             runs.append(round(time.time() - t0, 4))
+        _release_new_persistent_rdds(spark, session_rdds)
         headline_runs[name] = runs
         timings[name] = min(runs)
         print(f"# {name}: {timings[name]:.2f}s (runs {runs})", file=sys.stderr)
@@ -932,6 +972,7 @@ def main() -> None:
             F.count(F.lit(1)).alias("n"),
         ).collect()
         extra[name] = round(time.time() - t0, 4)
+        _release_new_persistent_rdds(spark, session_rdds)
         print(f"# {name}: {extra[name]:.2f}s", file=sys.stderr)
     curation_total = round(sum(extra.values()), 4)
     # event-analytics block (new in round 5): funnel / cohort / outlier
@@ -952,6 +993,7 @@ def main() -> None:
             F.count(F.lit(1)).alias("n"),
         ).collect()
         analytics[name] = round(time.time() - t0, 4)
+        _release_new_persistent_rdds(spark, session_rdds)
         print(f"# {name}: {analytics[name]:.2f}s", file=sys.stderr)
     analytics_total = round(sum(analytics.values()), 4)
     out = {

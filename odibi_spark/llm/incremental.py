@@ -57,21 +57,40 @@ def _with_bucket(banded: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
-#: target band rows per bucket directory for ADAPTIVE store layout
-#: (guide §6 — output file sizing): a band row is ~20 bytes, so 1M
-#: rows ≈ 20 MB per bucket file. A store created without an explicit
-#: ``n_buckets`` derives its modulus from the FIRST batch's signature
-#: count — the old fixed 64 was wrong in both directions: 64 one-row
-#: parquet files per append for a few-thousand-doc batch (measured
-#: 1.3-1.7s of pure writer open/close per append at sf0.1), and 64
-#: multi-GB buckets for a 100-TB corpus. Clamped to [8, 4096]; the
-#: resolved value is pinned in ``_store_meta.json`` like every other
-#: layout property, so probes and later appends adopt it.
-BUCKET_TARGET_ROWS = 1_000_000
+#: target BYTES per bucket directory for the ADAPTIVE store layout
+#: (guide §6 — output file sizing). A store created without an
+#: explicit ``n_buckets`` derives its modulus from the FIRST batch's
+#: signature count x an estimated band-row width — the old fixed 64
+#: was wrong in both directions: 64 one-row parquet files per append
+#: for a few-thousand-doc batch (measured 1.3-1.7s of pure writer
+#: open/close per append at sf0.1), and 64 multi-GB buckets for a
+#: 100-TB corpus; and the r15 rows-only target (1M rows/bucket)
+#: under-sized buckets for wide band keys (the portable hasher's bh
+#: is rows_per_band rendered decimals, ~3x an xxhash64 key — VERDICT
+#: r15 #8). Clamped to [8, 4096]; the resolved modulus AND the sizing
+#: inputs are pinned in ``_store_meta.json`` like every other layout
+#: property, so probes and later appends adopt them.
+BUCKET_TARGET_BYTES = 20_000_000
 
 
-def _adaptive_buckets(band_rows: int) -> int:
-    return max(8, min(4096, -(-int(band_rows) // BUCKET_TARGET_ROWS)))
+def _band_row_bytes(
+    id_is_numeric: bool, hasher: str, rows_per_band: int
+) -> int:
+    """Estimated on-disk width of one (id, band, bh) band row: 8 B for
+    a numeric id (~32 B for a string id), 4 B band int, and the band
+    key — an xxhash64 key is one stringified long (~20 B); a portable
+    key is ``rows_per_band`` comma-joined rendered decimals (~12 B
+    each)."""
+    idw = 8 if id_is_numeric else 32
+    bhw = 20 if hasher == "xxhash64" else 12 * int(rows_per_band)
+    return idw + 4 + bhw
+
+
+def _adaptive_buckets(band_rows: int, row_bytes: int = 20) -> int:
+    return max(
+        8,
+        min(4096, -(-int(band_rows) * int(row_bytes) // BUCKET_TARGET_BYTES)),
+    )
 
 
 class SignatureStore:
@@ -117,15 +136,36 @@ class SignatureStore:
         self._sigs = os.path.join(path, "sigs")
         self._bands = os.path.join(path, "bands")
         self._meta = os.path.join(path, "_store_meta.json")
+        # estimated band-row width backing an adaptive n_buckets
+        # resolution (recorded in the meta for auditability)
+        self._row_bytes: int | None = None
 
     def exists(self) -> bool:
         return os.path.exists(self._sigs)
 
     def _config(self) -> dict:
-        return {
+        cfg = {
             "bands": self.bands, "rows_per_band": self.rows_per_band,
             "hasher": self.hasher, "n_buckets": self.n_buckets,
         }
+        if self._row_bytes is not None:
+            # sizing inputs behind an ADAPTIVE modulus (audit trail;
+            # not identity — check_config ignores them)
+            cfg["band_row_bytes"] = self._row_bytes
+            cfg["bucket_target_bytes"] = BUCKET_TARGET_BYTES
+        return cfg
+
+    def _est_row_bytes(self, signatures: DataFrame) -> int:
+        from pyspark.sql import types as T
+
+        id_numeric = isinstance(
+            signatures.schema["id"].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        )
+        self._row_bytes = _band_row_bytes(
+            id_numeric, self.hasher, self.rows_per_band
+        )
+        return self._row_bytes
 
     def check_config(
         self, *, bands: int, rows_per_band: int, hasher: str
@@ -256,7 +296,9 @@ class SignatureStore:
             self._write_sigs(signatures, batch_id)
             if self.n_buckets is None:
                 n_sigs = self.spark.read.parquet(self._sigs).count()
-                self.n_buckets = _adaptive_buckets(n_sigs * self.bands)
+                self.n_buckets = _adaptive_buckets(
+                    n_sigs * self.bands, self._est_row_bytes(signatures)
+                )
             self._write_meta()
             stored_other = self.spark.read.parquet(self._sigs).filter(
                 F.col("batch_id") != str(batch_id)
@@ -289,7 +331,8 @@ class SignatureStore:
                 # caller's frame is typically an eager localCheckpoint,
                 # so this count is a cache read, not a parquet re-scan
                 self.n_buckets = _adaptive_buckets(
-                    signatures.count() * self.bands
+                    signatures.count() * self.bands,
+                    self._est_row_bytes(signatures),
                 )
             self._write_meta()
         elif self.n_buckets is None:
@@ -303,7 +346,8 @@ class SignatureStore:
                 self.n_buckets = int(persisted["n_buckets"])
             else:
                 self.n_buckets = _adaptive_buckets(
-                    signatures.count() * self.bands
+                    signatures.count() * self.bands,
+                    self._est_row_bytes(signatures),
                 )
                 self._write_meta()
         # two independent writes of the same (materialized) frame:

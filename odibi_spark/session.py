@@ -51,12 +51,17 @@ def get_spark(
         # Cleaner only reaps their blocks after a DRIVER GC, and the
         # default periodic-GC interval (30min) outlives a whole
         # session — blocks accumulated until storage eviction and GC
-        # pressure inflated late-session queries. One forced GC per
-        # minute bounds the backlog; override via env for clusters
-        # with different session lifetimes.
+        # pressure inflated late-session queries. r16: long-lived
+        # query runners (bench.py) now release each query's blocks
+        # deterministically between queries, so the forced-GC cadence
+        # relaxes 1min -> 5min (ADVICE r15: a per-minute full GC adds
+        # stop-the-world pauses on large production driver heaps);
+        # override via env for different session lifetimes. NOTE
+        # getOrCreate may return an existing session, in which case
+        # this conf (like any other here) does not re-apply.
         .config(
             "spark.cleaner.periodicGC.interval",
-            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "1min"),
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "5min"),
         )
     )
     if master:

@@ -202,6 +202,30 @@ class TestAppendOrderingR16:
             if d.startswith("batch_id=")
         } == {"batch_id=b1", "batch_id=b2"}
 
+    def test_bytes_aware_adaptive_buckets(self, spark, tmp_path):
+        """r16 (VERDICT r15 #8): the adaptive modulus sizes buckets on
+        estimated bytes (rows x band-row width), not rows alone, and
+        the meta records the sizing inputs."""
+        from odibi_spark.llm.incremental import (
+            _adaptive_buckets, _band_row_bytes, SignatureStore,
+        )
+
+        # row-width scaling: double the width -> double the buckets
+        assert _adaptive_buckets(20_000_000, 20) == 20
+        assert _adaptive_buckets(20_000_000, 40) == 40
+        # portable band keys are ~wider than xxhash64 keys
+        assert _band_row_bytes(True, "portable", 4) > _band_row_bytes(
+            True, "xxhash64", 4
+        )
+        assert _band_row_bytes(False, "xxhash64", 4) > _band_row_bytes(
+            True, "xxhash64", 4
+        )
+        store = SignatureStore(spark, str(tmp_path / "s"))
+        store.append(self._sigs(spark).localCheckpoint(eager=True), "b1")
+        meta = json.load(open(tmp_path / "s" / "_store_meta.json"))
+        assert meta["band_row_bytes"] == _band_row_bytes(True, "xxhash64", 4)
+        assert meta["bucket_target_bytes"] == 20_000_000
+
     def test_sigs_without_meta_rebuild_path_still_serial(
         self, spark, tmp_path
     ):
