@@ -16,7 +16,7 @@ probe writes is read by any query path.
 Usage:
   python tools/scaling_probe.py                # K=32, cpus 8 vs 32
   python tools/scaling_probe.py --scale 64 --cpus 8,32
-  python tools/scaling_probe.py --run DIR q1 q2 ...   (child mode)
+  python tools/scaling_probe.py --run OUT.json DIR q1 ...  (child)
 """
 
 from __future__ import annotations
@@ -30,19 +30,32 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PROBE_QUERIES = [
-    "exact_dedup_docs",          # md5 groupBy: one wide shuffle
-    "minhash_lsh_pairs",         # shingle explode + band self-join
-    "duplicate_ngram_spans",     # gram explode + two keyed shuffles
-    "boilerplate_lines_docs",    # unit explode + freq + semi-join
-    "kn_perplexity_docs",        # bigram count cascade + probe joins
-    "lm_quality_docs",           # vocab agg + score join
+    # map-CPU-bound (regex chains, hashing, per-row feature math):
+    # these expose the raw core-count speedup a single box can give
+    "gopher_quality_docs",
+    "scrub_pii_docs",
+    "text_quality",
+    "clean_unicode_docs",
+    # shuffle-heavy: these expose where a single box saturates on
+    # shared memory bandwidth / spill instead of cores
+    "exact_dedup_docs",
+    "minhash_lsh_pairs",
+    "kn_perplexity_docs",
+    "lm_quality_docs",
 ]
 
 
 def _gen(sf_dir: str, out_dir: str, k: int) -> None:
-    """Replicate sf0.1 documents K times with a deterministic id
-    remap. Every other table the probe queries touch is `documents`
-    only, so only it is scaled; the remaining tables are symlinked."""
+    """Replicate sf0.1 documents K times: deterministic id remap
+    (``doc_id + i * (max_id + 1)``) AND a deterministic per-copy word
+    suffix (every token gets ``.i`` appended). The suffix makes the
+    copies LEXICALLY DISJOINT — K statistically identical but
+    non-overlapping corpus shards — because byte-identical replicas
+    would inflate every near-dup/duplicated-gram relation K-fold and
+    the pair joins quadratically in K, measuring an artifact instead
+    of scale (each copy preserves the original corpus's INTERNAL
+    duplicate structure exactly). Only `documents` is scaled; the
+    remaining tables are symlinked."""
     from odibi_spark import get_spark
     from odibi_spark.io import read_table
 
@@ -52,11 +65,26 @@ def _gen(sf_dir: str, out_dir: str, k: int) -> None:
 
     max_id = docs.agg(F.max("doc_id")).collect()[0][0]
     copies = spark.range(k).withColumnRenamed("id", "__copy")
+    suffixed = F.concat_ws(
+        " ",
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w: F.concat(
+                w, F.lit("."), F.col("__copy").cast("string")
+            ),
+        ),
+    )
     scaled = (
         docs.crossJoin(copies)
         .withColumn(
             "doc_id",
             F.col("doc_id") + F.col("__copy") * F.lit(int(max_id) + 1),
+        )
+        .withColumn(
+            "text",
+            F.when(F.col("text").isNull(), F.col("text")).otherwise(
+                suffixed
+            ),
         )
         .drop("__copy")
     )
@@ -74,7 +102,7 @@ def _gen(sf_dir: str, out_dir: str, k: int) -> None:
     spark.stop()
 
 
-def _child(sf_dir: str, names: list[str]) -> None:
+def _child(out_file: str, sf_dir: str, names: list[str]) -> None:
     from pyspark.sql import functions as F
 
     from odibi_spark import get_spark
@@ -89,18 +117,27 @@ def _child(sf_dir: str, names: list[str]) -> None:
     for name in names:
         spark.sparkContext.setJobDescription(f"scaling_probe: {name}")
         t0 = time.time()
-        QUERIES[name](spark, sf_dir).select(
-            F.expr("bit_xor(xxhash64(struct(*)))").alias("h"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()
-        out[name] = round(time.time() - t0, 2)
+        try:
+            QUERIES[name](spark, sf_dir).select(
+                F.expr("bit_xor(xxhash64(struct(*)))").alias("h"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()
+            out[name] = round(time.time() - t0, 2)
+        except Exception as exc:  # record, keep probing
+            out[name] = None
+            print(f"# {name}: FAILED {exc}", file=sys.stderr, flush=True)
+            continue
         print(f"# {name}: {out[name]}s", file=sys.stderr, flush=True)
-    print(json.dumps(out), flush=True)
+        # write after every query so a child crash loses nothing
+        with open(out_file, "w") as fh:
+            json.dump(out, fh)
+    with open(out_file, "w") as fh:
+        json.dump(out, fh)
 
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--run":
-        _child(sys.argv[2], sys.argv[3:])
+        _child(sys.argv[2], sys.argv[3], sys.argv[4:])
         return
     args = sys.argv[1:]
     k = 32
@@ -121,23 +158,27 @@ def main() -> None:
     for c in sorted(cpus, reverse=True):  # high first: warms page cache
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(c))
         print(f"# --- {c} cores ---", file=sys.stderr)
+        res_file = f"/tmp/scaling_probe_c{c}.json"
         p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--run", out_dir]
-            + PROBE_QUERIES,
+            [sys.executable, os.path.abspath(__file__), "--run",
+             res_file, out_dir] + PROBE_QUERIES,
             env=env, capture_output=True, text=True,
         )
-        sys.stderr.write(p.stderr[-2000:])
-        results[c] = json.loads(p.stdout.strip().splitlines()[-1])
+        sys.stderr.write(p.stderr[-4000:])
+        with open(res_file) as fh:
+            results[c] = json.load(fh)
     lo, hi = min(cpus), max(cpus)
     summary = {
         "scale_k": k,
         "cpus": cpus,
         "per_query": {
             q: {
-                str(lo): results[lo][q],
-                str(hi): results[hi][q],
-                "ratio_low_over_high": round(
-                    results[lo][q] / results[hi][q], 2
+                str(lo): results[lo].get(q),
+                str(hi): results[hi].get(q),
+                "ratio_low_over_high": (
+                    round(results[lo][q] / results[hi][q], 2)
+                    if results[lo].get(q) and results[hi].get(q)
+                    else None
                 ),
             }
             for q in PROBE_QUERIES
